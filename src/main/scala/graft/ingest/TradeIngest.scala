@@ -1,0 +1,101 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model
+
+/**
+ * Ingest/normalize operator chain — the consumer-service plane of the
+ * reference (SURVEY.md §2.2 T1–T6), as a pure `DataFrame => DataFrame`
+ * column pipeline (all built-in codegen'd functions, no UDFs).
+ *
+ * Reference semantics reproduced exactly:
+ *  - T1 schema validation: rows failing JSON binding or timestamp parse are
+ *    rejected (`consumer/http/rest/api.go:42-45,61-65` → HTTP 400).
+ *  - T2 timestamp parse: layout "02-Jan-06 15:04:05", month case-INsensitive
+ *    (Go's time.Parse), no zone → UTC. Go two-digit-year rule: 69-99 → 19xx,
+ *    00-68 → 20xx.
+ *  - T3 decimal→micros: `int64(amount * 1e6)` — double multiply then truncate
+ *    toward zero (`api.go:83-85`); Spark's double→long cast matches.
+ *  - T5 derived rate = double(buy_micros)/double(sell_micros), computed at
+ *    import and stored (`importer/importing/service.go:150`); the wire `rate`
+ *    field is ignored (`api.go:66-74`). ÷0 → Infinity/NaN, same as Go.
+ *  - T6 projection camelCase → snake_case.
+ */
+object TradeIngest {
+
+  /** Case-insensitive English month-abbrev → month number, as a Catalyst
+    * map literal (Go's parser accepts any case; Java's MMM does not, so we
+    * bypass locale-sensitive parsing entirely).
+    */
+  private val monthMap: Column = {
+    val entries = Seq(
+      "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
+      "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
+    map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+  }
+
+  /** Parse `"12-AUG-24 11:23:45"` (any month case) → UTC timestamp, null on
+    * malformed input. Pure column expression: tokenize, map the month, and
+    * `make_timestamp` — locale-free and whole-stage-codegen friendly.
+    */
+  def parseTimePlaced(s: Column): Column = {
+    // strict shape check first so garbage yields null, not a cast error
+    val ok = s.rlike("^\\d{2}-[A-Za-z]{3}-\\d{2} \\d{2}:\\d{2}:\\d{2}$")
+    val t = split(s, "[- :]") // [dd, MMM, yy, HH, mm, ss]
+    val yy = element_at(t, 3).cast(IntegerType)
+    // Go time.Parse two-digit-year convention: 69-99 → 19xx, 00-68 → 20xx
+    val year = when(yy >= 69, yy + 1900).otherwise(yy + 2000)
+    val month = element_at(monthMap, lower(element_at(t, 2)))
+    when(ok && month.isNotNull,
+      make_timestamp(
+        year,
+        month,
+        element_at(t, 1).cast(IntegerType),
+        element_at(t, 4).cast(IntegerType),
+        element_at(t, 5).cast(IntegerType),
+        element_at(t, 6).cast(DecimalType(8, 6))))
+      .otherwise(lit(null).cast(TimestampType))
+  }
+
+  /** T3: decimal amount → integer micros, truncating toward zero exactly like
+    * Go's `int64(amount * 1_000_000)` (`api.go:83-85`). */
+  def toMicros(amount: Column): Column = (amount * lit(1e6)).cast(LongType)
+
+  /** T5: stored `rate` column (`importer/importing/service.go:150`). */
+  def deriveRate(buyMicros: Column, sellMicros: Column): Column =
+    buyMicros.cast(DoubleType) / sellMicros.cast(DoubleType)
+
+  /**
+   * Full ingest chain over a DataFrame with a string column `json` holding
+   * one wire message per row: from_json(explicit schema) → validity filter
+   * (the 400 path) → timestamp parse → micros → rate → snake_case projection.
+   *
+   * Output schema = `model.tradeSchema`. Invalid rows (unbindable JSON,
+   * missing required fields, unparseable timestamp) are dropped, mirroring
+   * the reference's 400 rejection. No dedup: duplicate messages produce
+   * duplicate rows (at-least-once, SURVEY.md §2.4 ST2).
+   */
+  def parseTrades(raw: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val parsed = raw
+      .select(from_json(col(jsonCol), model.wireSchema).as("t"))
+      .select(
+        col("t.userId").as("user_id"),
+        col("t.currencyFrom").as("currency_from"),
+        col("t.currencyTo").as("currency_to"),
+        toMicros(col("t.amountSell")).as("amount_sell_micros"),
+        toMicros(col("t.amountBuy")).as("amount_buy_micros"),
+        col("t.originatingCountry").as("originating_country"),
+        parseTimePlaced(col("t.timePlaced")).as("time_placed"))
+    parsed
+      .filter( // T1/T2 validation — reject rows the reference would 400
+        col("user_id").isNotNull && col("currency_from").isNotNull &&
+        col("currency_to").isNotNull && col("amount_sell_micros").isNotNull &&
+        col("amount_buy_micros").isNotNull && col("time_placed").isNotNull)
+      .withColumn("rate",
+        deriveRate(col("amount_buy_micros"), col("amount_sell_micros")))
+      .select(model.tradeSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+}

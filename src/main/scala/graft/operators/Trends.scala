@@ -1,0 +1,91 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Statistic
+
+/**
+ * The flagship analytical query — the only query the reference serves
+ * (`trends/listing/service.go:47-62`, SURVEY.md §2.3):
+ *
+ *   SELECT toStartOfInterval(toDateTime(time_placed), INTERVAL 10 minute) w,
+ *          min(rate), max(rate), avg(rate), median(rate)
+ *   FROM trades
+ *   WHERE time_placed BETWEEN ? AND ?           -- both bounds INCLUSIVE
+ *     AND currency_from = ? AND currency_to = ?
+ *   GROUP BY w ORDER BY w
+ *
+ * Spark-first realization: pushed-down range + equality filters on the
+ * parquet scan, `window()` tumbling aggregation (partial+final hash agg),
+ * exact `median` (deviation from ClickHouse's approximate `median`,
+ * documented in SURVEY.md §2.3 A3), sort at result cardinality.
+ *
+ * Scale notes (100 TB): the two filters reach the scan (row-group pruning on
+ * a time-sorted store, dictionary filter on the pair columns); the aggregate
+ * is partial→final over the window key so the shuffle carries only
+ * (windows × pairs) rows, not input rows. Empty windows are absent — the
+ * reference does no gap-fill.
+ */
+object Trends {
+
+  /** Typed flagship entry: Dataset[Statistic] over a stored trades table. */
+  def trends(
+      trades: DataFrame,
+      from: Timestamp,
+      to: Timestamp,
+      currencyFrom: String,
+      currencyTo: String): Dataset[Statistic] = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    trades
+      .filter(
+        col("time_placed") >= lit(from) && col("time_placed") <= lit(to) &&
+        col("currency_from") === currencyFrom &&
+        col("currency_to") === currencyTo)
+      .groupBy(window(col("time_placed"), "10 minutes"))
+      .agg(
+        min(col("rate")).as("min"),
+        max(col("rate")).as("max"),
+        avg(col("rate")).as("mean"),
+        median(col("rate")).as("median"))
+      .select(col("window.start").as("window"), col("min"), col("max"),
+        col("mean"), col("median"))
+      .orderBy(col("window"))
+      .as[Statistic]
+  }
+
+  /**
+   * Same operator shape over any (ts, key, value) table — used to run the
+   * flagship semantics against the driver's `events` table for the
+   * DuckDB-oracle gate. Window start is emitted as epoch seconds (LONG) and
+   * the float aggregates rounded to 6 dp so the hash-compare is stable
+   * across engines.
+   */
+  def trendsOf(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      keyValue: String,
+      valueCol: String,
+      fromTs: String,
+      toTs: String): DataFrame = {
+    df
+      .filter(
+        col(tsCol) >= lit(Timestamp.valueOf(fromTs)) &&
+        col(tsCol) <= lit(Timestamp.valueOf(toTs)) &&
+        col(keyCol) === keyValue)
+      .groupBy(window(col(tsCol), "10 minutes"))
+      .agg(
+        round(min(col(valueCol)), 6).as("v_min"),
+        round(max(col(valueCol)), 6).as("v_max"),
+        round(avg(col(valueCol)), 6).as("v_mean"),
+        round(median(col(valueCol)), 6).as("v_median"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("v_min"), col("v_max"), col("v_mean"), col("v_median"), col("n"))
+      .orderBy(col("window_start"))
+  }
+}
