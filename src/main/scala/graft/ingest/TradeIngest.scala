@@ -48,9 +48,12 @@ object TradeIngest {
     val yy = element_at(t, 3).cast(IntegerType)
     // Go time.Parse two-digit-year convention: 69-99 → 19xx, 00-68 → 20xx
     val year = when(yy >= 69, yy + 1900).otherwise(yy + 2000)
-    val month = element_at(monthMap, lower(element_at(t, 2)))
+    val month = try_element_at(monthMap, lower(element_at(t, 2)))
+    // try_make_timestamp (not make_timestamp): under ANSI mode an invalid
+    // calendar date ("31-Feb-24") must reject the ROW, not fail the job —
+    // same outcome as Go time.Parse returning an error (api.go:61-65).
     when(ok && month.isNotNull,
-      make_timestamp(
+      try_make_timestamp(
         year,
         month,
         element_at(t, 1).cast(IntegerType),
@@ -61,12 +64,29 @@ object TradeIngest {
   }
 
   /** T3: decimal amount → integer micros, truncating toward zero exactly like
-    * Go's `int64(amount * 1_000_000)` (`api.go:83-85`). */
-  def toMicros(amount: Column): Column = (amount * lit(1e6)).cast(LongType)
+    * Go's `int64(amount * 1_000_000)` (`api.go:83-85`). Values outside long
+    * range (incl. NaN) yield null → row rejected; deviation from Go, whose
+    * out-of-range conversion is platform-defined garbage — we reject rather
+    * than store garbage or (ANSI) crash the job.
+    */
+  def toMicros(amount: Column): Column = {
+    val prod = amount * lit(1e6)
+    // bounds: -2^63 (exactly representable) inclusive, 2^63 exclusive;
+    // NaN fails both comparisons → null
+    when(prod >= lit(-9.223372036854776e18) && prod < lit(9.223372036854776e18),
+      prod.cast(LongType))
+  }
 
-  /** T5: stored `rate` column (`importer/importing/service.go:150`). */
-  def deriveRate(buyMicros: Column, sellMicros: Column): Column =
-    buyMicros.cast(DoubleType) / sellMicros.cast(DoubleType)
+  /** T5: stored `rate` column (`importer/importing/service.go:150`).
+    * Go float64 division semantics: x/0 → ±Infinity, 0/0 → NaN. Spark's ANSI
+    * mode raises on ÷0, so the zero-divisor branches are made explicit. */
+  def deriveRate(buyMicros: Column, sellMicros: Column): Column = {
+    val b = buyMicros.cast(DoubleType)
+    when(sellMicros =!= 0, b / sellMicros.cast(DoubleType))
+      .when(b > 0, lit(Double.PositiveInfinity))
+      .when(b < 0, lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.NaN))
+  }
 
   /**
    * Full ingest chain over a DataFrame with a string column `json` holding
