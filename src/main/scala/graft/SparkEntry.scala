@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.TradeIngest
-import graft.operators.Trends
+import graft.operators.{EventsOps, Relational, Trends}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,21 @@ object SparkEntry {
           col("time_placed").cast("long").as("time_placed_s"))
         .orderBy(col("user_id").cast("long"))
     },
+
+    // ── Relational breadth (SURVEY §2 extension: joins/topk/distinct/window) ──
+    "q1_pricing" -> ((s, dir) => Relational.q1Pricing(Tables.lineitem(s, dir))),
+    "q3_shipping" -> ((s, dir) => Relational.q3Shipping(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q5_region_revenue" -> ((s, dir) => Relational.q5RegionRevenue(
+      Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+      Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "topk_orders" -> ((s, dir) => Relational.topkOrders(Tables.orders(s, dir))),
+    "group_distinct" -> ((s, dir) => Relational.groupDistinct(Tables.orders(s, dir))),
+    "window_top_orders" -> ((s, dir) => Relational.windowTopOrders(Tables.orders(s, dir))),
+
+    // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
+    "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
+    "rate_limit_flags" -> ((s, dir) => EventsOps.rateLimitFlags(Tables.events(s, dir))),
   )
 
   /** DuckDB-equivalent SQL per query (tables resolved by the driver against
@@ -89,6 +104,94 @@ object SparkEntry {
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS time_placed_s
         |FROM events
         |WHERE CAST(trunc(value * 1e6) AS BIGINT) <> 0
+        |ORDER BY event_id""".stripMargin,
+
+    // Money arithmetic in exact DECIMAL (2-dp sources) then cast to double —
+    // identical across engines regardless of float summation order.
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_s,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "group_distinct" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "events_json_agg" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "rate_limit_flags" ->
+      """SELECT event_id, user_id, in_window, in_window > 2 AS limited FROM (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                   RANGE BETWEEN 999999 PRECEDING AND CURRENT ROW) AS in_window
+        |  FROM events) t
         |ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Operators over the `events` stream table: semi-structured JSON extraction
+ * (the reference's edges are JSON, SURVEY.md §2.1 S1/S8) and the reference's
+ * per-user sliding-window rate limiter re-expressed as a declarative
+ * analytic query (`consumer/ratelimit/ratelimit.go:38-62`; the streaming
+ * stateful variant lives in graft.streaming).
+ */
+object EventsOps {
+
+  /** JSON property extraction + aggregation: `props` is a JSON object column;
+    * pull a numeric field and aggregate per event type. get_json_object is
+    * evaluated once per row inside codegen — no UDF. */
+  def jsonExtractAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /**
+   * Per-user sliding-window rate limit, batch analytic form: for every event,
+   * the number of events by the same user in the 1-second window ending at
+   * (and including) it — i.e. `(ts-1s, ts]`, mirroring the Redis
+   * ZREM/ZADD/ZCARD window (`ratelimit.go:43-49`); events over `limit` are
+   * flagged as the 429 path (`ratelimit.go:54-60`).
+   *
+   * One shuffle on user_id; RANGE frame over epoch-micros so the window is
+   * exact at the source's microsecond resolution.
+   */
+  def rateLimitFlags(events: DataFrame, limit: Int = 2): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-999999L, 0L) // [ts-999999us, ts] == (ts-1s, ts]
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("in_window", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("in_window"),
+        (col("in_window") > limit).as("limited"))
+      .orderBy(col("event_id"))
+  }
+}

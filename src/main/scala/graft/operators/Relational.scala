@@ -1,0 +1,140 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Relational breadth beyond the reference's single query: scan→filter→agg,
+ * multi-way joins, top-k, distinct aggregation, analytic window functions.
+ * The reference delegates all of this to ClickHouse (SURVEY.md big picture);
+ * here each shape is declared via the DataFrame API so Catalyst plans it
+ * (pushdown, partial aggregation, broadcast vs shuffle join, AQE).
+ *
+ * Determinism across engines (DuckDB oracle): money arithmetic is done in
+ * exact DECIMAL (sources are 2-dp values stored as double) and only the
+ * final aggregate is cast to double — float sum order then cannot perturb
+ * results. Every query ends in a total ORDER BY.
+ *
+ * Scale notes (100 TB):
+ *  - filters/projections sit directly on the parquet scan (pushed + pruned);
+ *  - aggregates are partial→final over low-cardinality keys, so shuffles
+ *    carry group rows only;
+ *  - bounded dimensions (region: 5 rows, nation: 25) are broadcast
+ *    explicitly; data-dependent sides (customer, supplier — grow with SF)
+ *    are left to AQE's runtime size stats rather than hard-coded hints;
+ *  - top-k is ORDER BY + LIMIT → TakeOrderedAndProject (per-partition heap,
+ *    no global sort materialization).
+ */
+object Relational {
+
+  /** Exact decimal view of a 2-dp money/ratio column stored as double. */
+  private def dec(c: Column, p: Int = 18): Column = c.cast(DecimalType(p, 2))
+  private val one = lit(1).cast(DecimalType(3, 2))
+
+  /** Pricing summary (TPC-H Q1 shape): scan + pushed range filter + 8-way
+    * aggregate over a 6-group key. */
+  def q1Pricing(lineitem: DataFrame): DataFrame = {
+    val qty = dec(col("l_quantity"))
+    val price = dec(col("l_extendedprice"))
+    val discPrice = price * (one - dec(col("l_discount"), 4))
+    val charge = discPrice * (one + dec(col("l_tax"), 4))
+    lineitem
+      .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"), 4)).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Unshipped-revenue top-k (TPC-H Q3 shape): big⋈big shuffle join on the
+    * order key, then a selective dimension join; top-10 via sort+limit. */
+  def q3Shipping(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val cust = customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = orders
+      .filter(col("o_orderdate") < lit(Timestamp.valueOf("1997-06-01 00:00:00")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem
+      .filter(col("l_shipdate") > lit(Timestamp.valueOf("1997-06-01 00:00:00")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4)))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        // o_orderdate arrives as TIMESTAMP_NTZ; hop through TIMESTAMP (UTC
+        // session) to get epoch seconds
+        col("o_orderdate").cast("timestamp").cast("long").as("o_orderdate_s"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Local-supplier revenue by nation (TPC-H Q5 shape): five-way join;
+    * region/nation broadcast, the rest planned by AQE. */
+  def q5RegionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val asia = broadcast(region.filter(col("r_name") === "ASIA"))
+    val nat = broadcast(nation)
+    val ord = orders.filter(
+      col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+      col("o_orderdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+    lineitem
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(asia, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k without grouping: TakeOrderedAndProject, no full sort. */
+  def topkOrders(orders: DataFrame, k: Int = 20): DataFrame =
+    orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Distinct aggregation: count + count(DISTINCT) per group (expand +
+    * two-phase aggregate under the hood). */
+  def groupDistinct(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Analytic window function: top-2 orders per customer by price
+    * (row_number over partitioned sort — single shuffle on the partition
+    * key, no join back). */
+  def windowTopOrders(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+}
