@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.TradeIngest
-import graft.operators.{EventsOps, Relational, Trends}
+import graft.operators.{Dedup, EventsOps, Multimodal, Relational, Similarity, TextAnalysis, Trends}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,31 @@ object SparkEntry {
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
     "rate_limit_flags" -> ((s, dir) => EventsOps.rateLimitFlags(Tables.events(s, dir))),
+
+    // ── Dedup family (training-data pipeline) ──
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.8)),
+    "minhash_lsh_pairs" -> ((s, dir) => // no SQL oracle: seeded xxhash64 LSH
+      Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8)),
+    "simhash_pairs" -> ((s, dir) => // no SQL oracle: xxhash64 bit mixing
+      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
+    "embedding_dups" -> ((s, dir) =>
+      Dedup.embeddingCosineDups(Tables.embeddings(s, dir), threshold = 0.3)),
+
+    // ── Similarity search over embeddings ──
+    "ann_topk" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
+    "ann_lsh_topk" -> ((s, dir) => // no SQL oracle: hyperplanes from xxhash64
+      Similarity.annLsh(Tables.embeddings(s, dir))),
+
+    // ── Text analysis ──
+    "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
+    "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+
+    // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
+    "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
   )
 
   /** DuckDB-equivalent SQL per query (tables resolved by the driver against
@@ -193,5 +218,168 @@ object SparkEntry {
         |                   RANGE BETWEEN 999999 PRECEDING AND CURRENT ROW) AS in_window
         |  FROM events) t
         |ORDER BY event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // Normalization identical to graft.functions.TextOps.normalize:
+    // lower → strip non-[a-z0-9 ] → squeeze spaces → trim.
+    "ngram_jaccard_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT doc_id, unnest(shs) AS s FROM sh
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard6
+        |FROM common
+        |JOIN sizes na ON na.doc_id = id_a
+        |JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "embedding_dups" ->
+      """WITH elems AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b
+        |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 6) AS cos6
+        |FROM dots
+        |JOIN norms na ON na.vec_id = id_a
+        |JOIN norms nb ON nb.vec_id = id_b
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_topk" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |    AND a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, rank, cand_id AS neighbor_id, round(cos, 6) AS cos6
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish,
+        |  len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, text, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE) AS sumlen
+        |  FROM toks
+        |), r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ntok > 0 THEN nstop/ntok ELSE 0 END AS stop_ratio,
+        |    CASE WHEN nchars > 0 THEN npunct/nchars ELSE 0 END AS punct_ratio,
+        |    CASE WHEN ntok > 0 THEN sumlen/ntok ELSE 0 END AS mean_word_len,
+        |    nchars FROM m
+        |)
+        |SELECT doc_id,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(mean_word_len, 6) AS mean_word_len,
+        |  round((least(nchars/CAST(200 AS DOUBLE), 1.0)
+        |       + least(stop_ratio*CAST(5 AS DOUBLE), 1.0)
+        |       + greatest(CAST(0 AS DOUBLE), 1.0 - punct_ratio*CAST(10 AS DOUBLE))
+        |       + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |              THEN 1.0 ELSE 0.5 END) / CAST(4 AS DOUBLE), 6) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, x -> list_contains(['the','and','of','is','a'], x))) AS he,
+        |    len(list_filter(w, x -> list_contains(['der','und','die','das','ist'], x))) AS hd,
+        |    len(list_filter(w, x -> list_contains(['le','et','les','des','est'], x))) AS hf,
+        |    len(list_filter(w, x -> list_contains(['el','y','los','de','es'], x))) AS hs
+        |  FROM toks
+        |)
+        |SELECT doc_id, he AS hits_en,
+        |  CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |       WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |       WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+        |       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same recurrence as graft.functions.RollingHash over the normalized
+    // ASCII text (code points == bytes there).
+    "doc_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |)
+        |SELECT doc_id,
+        |  COALESCE(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, c) -> (a*31 + c) % 288230376151711717), 0) AS fingerprint
+        |FROM norm ORDER BY doc_id""".stripMargin,
+
+    "media_summary" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  length(text) AS n_bytes,
+        |  (length(text) + 63) // 64 AS n_frames,
+        |  list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS byte_sum,
+        |  md5(text) AS md5
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

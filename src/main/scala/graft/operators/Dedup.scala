@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps._
+
+/**
+ * Document deduplication family (training-data-pipeline brief):
+ *
+ *  - exact: hash-groupBy on a content digest. One shuffle keyed by the
+ *    digest — the only strategy that stays exact at 100 TB (no sort, no
+ *    global collect; skew-free because digests are uniform).
+ *  - exact n-gram Jaccard pairs: inverted-index self-join on shingles —
+ *    the classical exact set-similarity join. Scales as Σ (postings²) per
+ *    shingle; hot shingles are the skew risk, so ubiquitous shingles
+ *    (doc-frequency > threshold) are dropped before the join, the standard
+ *    prefix-filtering surrogate.
+ *  - MinHash + LSH banding: the approximate scale path. Signatures build in
+ *    ONE pass over exploded shingles (64 min-aggregates); banding turns
+ *    quadratic pair generation into equi-join buckets; candidates are then
+ *    verified with exact Jaccard, so precision is 1.0 and only recall is
+ *    probabilistic (16 bands × 4 rows ⇒ P[detect | J=0.8] ≈ 1-(1-0.8⁴)¹⁶ ≈ .9997).
+ *  - SimHash: 64-bit fingerprint; near-dup = Hamming ≤ 3. Banded by four
+ *    16-bit chunks (pigeonhole: distance ≤ 3 ⇒ ≥ 1 chunk equal), then exact
+ *    Hamming verify via bit_count(xor) — never the O(n²) cross join.
+ *  - embedding cosine near-dup: LSH-bucketed candidate pairs verified by
+ *    exact cosine (see Similarity for the signature machinery).
+ */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per identical text.
+    * Output: (keep_id, n_copies) per distinct content. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** (doc_id, shingle) postings, deduped per doc. */
+  private def postings(documents: DataFrame, n: Int) =
+    documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    * `maxDf` drops ubiquitous shingles before the self-join (skew guard;
+    * exactness for pairs whose similarity rests on rare shingles is
+    * unaffected at the chosen threshold when maxDf ≫ corpus dup group size).
+    */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
+      n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
+    val post = postings(documents, n)
+    val filtered =
+      if (maxDf == Long.MaxValue) post
+      else {
+        val hot = post.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("sh")
+        post.join(hot, Seq("sh"), "left_anti")
+      }
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = filtered.as("a")
+      .join(filtered.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash signature columns: sig_i = min over shingles of a seeded
+    * xxhash64 — one aggregation pass builds all `k` components. */
+  def minhashSignatures(documents: DataFrame, k: Int = 64): DataFrame =
+    postings(documents, 3)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(lit(0), col("sh"))).as("sig_0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"sig_$i")): _*)
+
+  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
+    * bands × rowsPerBand must equal the signature length. */
+  def minhashLshPairs(documents: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(documents, k)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
+          .as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact-Jaccard verification of candidates only (precision = 1.0)
+    val post = postings(documents, 3)
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    candidates
+      .join(post.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(post.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a coarse partition column
+    * (here the cluster label — in production an IVF/LSH bucket id, see
+    * Similarity.lshSignature): pairs are generated only within blocks, so
+    * the quadratic blow-up is bounded by block size, then verified with
+    * exact cosine. */
+  def embeddingCosineDups(embeddings: DataFrame, threshold: Double = 0.3,
+      blockCol: String = "label"): DataFrame = {
+    import graft.functions.VectorOps.cosine
+    val e = embeddings.select(col("vec_id"), col("embedding"), col(blockCol).as("blk"))
+    e.as("a")
+      .join(e.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 64-bit SimHash of the token multiset: bit j is the sign of the
+    * count-weighted sum of ±1 over token-hash bit j. Single explode +
+    * groupBy; the 64 per-bit sums are one aggregation pass. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s_$j")
+    }
+    val assembled = (0 until 64).map { j =>
+      when(col(s"s_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ maxDist (< 16), banded by
+    * four 16-bit chunks so candidate generation is an equi-join. */
+  def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 16, "pigeonhole banding assumes maxDist < bands")
+    val sh = simhash(documents)
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cv"))
+    }
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.chunk"), col("bk.cv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

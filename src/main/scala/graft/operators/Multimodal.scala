@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: media as opaque `binary` payloads plus typed
+ * metadata, with decode / feature-extract / frame-sample stages.
+ *
+ * The Spark-side machinery is real — schema (binary + struct metadata),
+ * per-partition batched processing via mapPartitions over a typed Dataset
+ * (the Scala analogue of mapInPandas: one iterator per partition, no
+ * per-row driver involvement, executor-parallel) — while the actual codec
+ * is a STUB (this container ships no image/audio libraries): `decodeStub`
+ * derives deterministic fake dimensions/frames from the payload bytes.
+ * Swapping in a real codec touches only that one function.
+ *
+ * Scale notes: payloads never pass through a shuffle here — all stages are
+ * map-side; metadata-only queries prune the binary column at the parquet
+ * scan (columnar layout means the bytes aren't even read).
+ */
+object Multimodal {
+
+  /** Typed media row: payload + metadata as it would land from ingestion. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features (decode stub → per-frame byte statistics). */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      frame_means: Array[Double])
+
+  /** Build a media table from documents: payload = UTF-8 bytes of the text
+    * (a deterministic stand-in for image/audio blobs). */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decode: pretend the payload is a media container. Deterministic
+    * fake: width/height from the first bytes, 64-byte "frames". A real
+    * implementation would call the codec here — signature stays identical. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val w = 1 + (payload.headOption.getOrElse(0: Byte) & 0x3F)
+    val h = 1 + (payload.lift(1).getOrElse(0: Byte) & 0x3F)
+    val frames = payload.grouped(64).toArray
+    (w, h, frames)
+  }
+
+  /** Decode + feature-extract, batched per partition (mapPartitions — the
+    * Scala mapInPandas analogue: setup cost amortized per partition). */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition setup (a real codec would init here, once)
+      rows.map { r =>
+        val (w, h, frames) = decodeStub(r.payload)
+        MediaFeatures(
+          media_id = r.media_id,
+          kind = r.kind,
+          n_bytes = r.payload.length,
+          width = w,
+          height = h,
+          n_frames = frames.length,
+          frame_means = frames.map(f =>
+            f.map(b => (b & 0xFF).toDouble).sum / f.length))
+      }
+    }
+  }
+
+  /** Frame sampling: keep every `stride`-th frame's mean (bounded output —
+    * the shape a vision pipeline feeds to embedding models). */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int = 4): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      (f.media_id, f.frame_means.zipWithIndex.collect {
+        case (m, i) if i % stride == 0 => math.rint(m * 1e6) / 1e6
+      })
+    }.toDF("media_id", "sampled_frame_means")
+  }
+
+  /** Metadata/feature summary — the oracle-checked surface: byte length,
+    * frame count, overall byte mean (6 dp), md5 digest. Engine-portable:
+    * the oracle recomputes each from the source text with SQL list/hash
+    * functions. */
+  def mediaSummary(documents: DataFrame): DataFrame = {
+    val media = mediaTable(documents)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val n = r.payload.length.toLong
+        // byte SUM, not mean: exact integer — engine-portable, no float
+        // rounding ambiguity in the oracle compare
+        val byteSum = r.payload.foldLeft(0L)((acc, b) => acc + (b & 0xFF))
+        md.reset()
+        val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+        (r.media_id, r.kind, n, (n + 63) / 64, byteSum, digest)
+      }
+    }.toDF("media_id", "kind", "n_bytes", "n_frames", "byte_sum", "md5")
+      .orderBy(col("media_id"))
+  }
+}

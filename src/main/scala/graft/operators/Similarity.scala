@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`embeddings.parquet`: vec_id, embedding Array[Float], label).
+ *
+ * Two paths, per the training-data-pipeline brief:
+ *  - brute-force cosine top-k: the exactness baseline. Query set is tiny and
+ *    broadcast; candidates stream through a single scan (no shuffle of the
+ *    corpus), per-query heap via window row_number at (queries × corpus)
+ *    cardinality.
+ *  - LSH-bucketed top-k: the 100 TB scale path. Deterministic random-
+ *    hyperplane signatures (seeded xxhash64-derived planes — no RNG state,
+ *    reproducible across executors); candidates only from the query's
+ *    bucket, so per-query work drops from O(N) to O(N / 2^bits) expected.
+ *    Recall is approximate by construction — verified in ScalaTest against
+ *    the brute-force baseline, not the SQL oracle.
+ */
+object Similarity {
+
+  /** Exact brute-force cosine top-k for a fixed set of query vectors.
+    * Output: (query_id, rank, neighbor_id, cos6) — ints plus a 6-dp cosine.
+    */
+  def annBruteForce(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
+      k: Int = 10): DataFrame = {
+    val queries = broadcast(
+      embeddings
+        .filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    embeddings
+      .crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-gaussian hyperplane component for (plane, dim):
+    * xxhash64 folded to [-1, 1). Reproducible everywhere, no RNG object. */
+  private def planeComponent(plane: Int, dim: Column) =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") -
+      lit(1000000.0)) / lit(1000000.0)
+
+  /** Random-hyperplane LSH signature (one bit per plane) of an embedding. */
+  def lshSignature(emb: Column, bits: Int): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed cosine top-k: same output shape as [[annBruteForce]] but
+    * candidates restricted to the query's hyperplane bucket. */
+  def annLsh(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
+      k: Int = 10, bits: Int = 8): DataFrame = {
+    val signed = embeddings
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding"), bits).as("bucket"))
+    val queries = broadcast(
+      signed.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    signed
+      .join(queries, col("bucket") === col("q_bucket")) // bucket-equi join
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's package-private Column↔Expression converters so
+  * graft can expose custom Catalyst expressions as Columns. Same pattern
+  * public Spark extensions use (a tiny shim in the org.apache.spark.sql
+  * namespace); no Spark internals are modified.
+  */
+object GraftBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

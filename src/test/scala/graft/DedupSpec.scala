@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Dedup family: exactness, LSH recall vs the exact join, simhash sanity. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val d = docs(1L -> "a b c", 5L -> "a b c", 3L -> "x y z")
+    val got = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds planted near-dup and ignores unrelated docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7", "q7") // ~93% shingle overlap
+    val other = (100 to 130).map(i => s"z$i").mkString(" ")
+    val got = Dedup.ngramJaccardPairs(docs(1L -> base, 2L -> nearDup, 3L -> other),
+      threshold = 0.5).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val j = got.head.getDouble(2)
+    assert(j > 0.6 && j < 1.0)
+  }
+
+  test("minhash-LSH recall equals the exact join on the planted testdata dups") {
+    val d = Tables.documents(spark, sf0001)
+    val exact = Dedup.ngramJaccardPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-duplicates")
+    assert(lsh == exact) // precision 1.0 by construction; recall 1.0 at J≈0.99
+  }
+
+  test("simhash: identical texts collide, distance 0; disjoint texts differ") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "totally different words here")
+    val pairs = Dedup.simhashPairs(d, maxDist = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 0)))
+  }
+
+  test("embedding cosine dup: identical vectors within a block found at cos=1") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.0f), 1) // same vector, different block: unseen
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingCosineDups(e, threshold = 0.9).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(got.head.getDouble(2) == 1.0)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force cosine top-k ranks an exact copy first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), 0),
+      (1L, Array(1.0f, 2.0f, 3.0f), 0),  // identical to query 0
+      (2L, Array(-1.0f, -2.0f, -3.0f), 0), // opposite
+      (3L, Array(3.0f, 2.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.annBruteForce(vecs, queryIds = Seq(0L), k = 3).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L)) // by cosine desc
+    assert(got.head.getDouble(3) == 1.0)   // exact copy
+    assert(got.last.getDouble(3) == -1.0)  // antipode
+  }
+
+  test("LSH top-k returns a subset of the brute-force candidate ranking") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.annBruteForce(emb, queryIds = Seq(0L, 1L), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val lsh = Similarity.annLsh(emb, queryIds = Seq(0L, 1L), k = 10, bits = 4)
+      .collect()
+    // every LSH result must carry the same cosine the exact path computes;
+    // at 4 bits buckets are coarse enough that some neighbors surface
+    assert(lsh.nonEmpty)
+    val bruteMap = brute.map { case (q, n, c) => (q, n) -> c }.toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bruteMap.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // ranks within each query strictly increase
+    lsh.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+}

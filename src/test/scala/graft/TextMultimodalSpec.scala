@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RollingHash matches the reference recurrence and handles empty input") {
+    def expected(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) =>
+        (h * RollingHash.Base + (b & 0xFF)) % RollingHash.Mod)
+    val df = Seq("abc", "", "hello world", "a" * 1000).toDF("s")
+      .select(RollingHash.rolling_hash(col("s")).as("h"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(expected("abc"), 0L, expected("hello world"),
+      expected("a" * 1000)))
+  }
+
+  test("RollingHash participates in whole-stage codegen over a real scan") {
+    val df = Tables.documents(spark, sf0001)
+      .select(RollingHash.rolling_hash(col("text")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project") && plan.contains("rolling_hash"))
+    assert(df.count() == 500) // executes the codegen'd path
+  }
+
+  test("token stats: whitespace vs bpe-ish vs punctuation counts") {
+    val d = Seq((1L, "Hello, world! it's 42")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(d).collect().head
+    assert(r.getAs[Int]("n_ws_tokens") == 4)
+    // Hello , world ! it s 42  (' between it and s splits words)
+    assert(r.getAs[Int]("n_bpe_ish") == 8)
+    assert(r.getAs[Int]("n_punct") == 3) // comma, bang, apostrophe
+  }
+
+  test("quality score is bounded and rewards stopword-bearing prose") {
+    val d = Seq(
+      (1L, "the cat sat on the mat and looked at the dog for a while in the sun"),
+      (2L, "@@@@ ###### !!!!! ????")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(d).collect()
+    val good = r.find(_.getLong(0) == 1L).get.getAs[Double]("quality")
+    val bad = r.find(_.getLong(0) == 2L).get.getAs[Double]("quality")
+    assert(good > bad)
+    assert(good >= 0.0 && good <= 1.0 && bad >= 0.0 && bad <= 1.0)
+  }
+
+  test("lang id picks the marker language, und when nothing matches") {
+    val d = Seq(
+      (1L, "the size of the problem and the cost is high"),
+      (2L, "der hund und die katze das ist gut"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("multimodal: stub decode yields deterministic frames and features") {
+    val d = Seq((2L, "A" * 130), (3L, "B" * 64)).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(d))
+      .collect().map(f => f.media_id -> f).toMap
+    val f2 = feats(2L)
+    assert(f2.kind == "image" && f2.n_bytes == 130 && f2.n_frames == 3)
+    assert(f2.frame_means.take(2).forall(_ == 65.0)) // 'A' = 65
+    assert(f2.width == 1 + (65 & 0x3F) && f2.height == 1 + (65 & 0x3F))
+    val f3 = feats(3L)
+    assert(f3.kind == "audio" && f3.n_frames == 1 && f3.frame_means.head == 66.0)
+  }
+
+  test("multimodal: frame sampling keeps every stride-th frame") {
+    val d = Seq((2L, "A" * 640)).toDF("doc_id", "text") // 10 frames
+    val sampled = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(Multimodal.mediaTable(d)), stride = 4)
+      .collect().head
+    assert(sampled.getSeq[Double](1).length == 3) // frames 0,4,8
+  }
+}
