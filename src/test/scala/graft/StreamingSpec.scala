@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Trends
+import graft.store.TradeStore
+import graft.streaming.{RateLimiter, TradeStream}
+
+/** SURVEY §5.4: micro-batch store semantics (ST1/ST2/ST5), late data (ST3),
+  * stateful rate limiting (ST6). MemoryStream drives the pipeline —
+  * identical transform chain to the Kafka-source deployment. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trade(ts: String, rate: Double = 1.1): String =
+    s"""{"userId":"u1","currencyFrom":"EUR","currencyTo":"USD",
+       |"amountSell":1000,"amountBuy":${1000 * rate},
+       |"timePlaced":"$ts","originatingCountry":"US"}"""
+      .stripMargin.replace("\n", "")
+
+  test("stream ingest: valid rows stored, malformed rejected, late rows land in their event-time window, checkpoint restart does not duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val store = s"$dir/store"
+    val ckpt = s"$dir/ckpt"
+
+    val src = MemoryStream[String]
+    src.addData(trade("12-AUG-24 11:23:45"), trade("12-AUG-24 11:31:00", 1.2),
+      "{malformed", trade("BAD-TS", 9.9))
+    val q1 = TradeStream.start(src.toDF(), "value", store, ckpt,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(TradeStore.read(spark, store).count() == 2)
+
+    // late row (earlier event time) arrives in a later batch, after restart
+    src.addData(trade("12-AUG-24 10:03:45", 2.0))
+    val q2 = TradeStream.start(src.toDF(), "value", store, ckpt,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+
+    val stored = TradeStore.read(spark, store)
+    assert(stored.count() == 3) // no reprocessing of batch 0 after restart
+    val stats = Trends.trends(stored,
+      Timestamp.valueOf("2024-08-12 00:00:00"),
+      Timestamp.valueOf("2024-08-12 23:59:59"), "EUR", "USD").collect()
+    // late row retroactively visible in its own 10:00 window (ST3)
+    assert(stats.map(_.window.toString).toSeq == Seq(
+      "2024-08-12 10:00:00.0", "2024-08-12 11:20:00.0", "2024-08-12 11:30:00.0"))
+    assert(stats.head.mean == 2.0)
+  }
+
+  test("store layout: date-partitioned, time-sorted within partitions") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val rows = Seq(
+      model.Trade("u", "EUR", "USD", 1L, 2L, 2.0, "US",
+        Timestamp.valueOf("2024-08-12 11:00:00")),
+      model.Trade("u", "EUR", "USD", 1L, 2L, 2.0, "US",
+        Timestamp.valueOf("2024-08-13 09:00:00")),
+      model.Trade("u", "EUR", "USD", 1L, 2L, 2.0, "US",
+        Timestamp.valueOf("2024-08-12 08:00:00"))).toDF()
+    TradeStore.write(rows, dir)
+    val dates = new java.io.File(dir).list().filter(_.startsWith("trade_date="))
+    assert(dates.toSet == Set("trade_date=2024-08-12", "trade_date=2024-08-13"))
+    assert(TradeStore.read(spark, dir).count() == 3)
+  }
+
+  test("rate limiter: reference Redis-window semantics incl. retry-after (ratelimit.go:38-62)") {
+    val reqs = Seq(
+      RateLimiter.Request("u1", 1000L), RateLimiter.Request("u1", 1100L),
+      RateLimiter.Request("u1", 1200L), RateLimiter.Request("u1", 1300L),
+      RateLimiter.Request("u1", 1900L),
+      RateLimiter.Request("u1", 2500L), // window slid: 1000-1300 expired... (>1500)
+      RateLimiter.Request("u2", 1000L)  // separate key untouched
+    ).toDS()
+    val got = RateLimiter(reqs, durationMs = 1000L, limit = 3)
+      .collect().sortBy(v => (v.user_id, v.ts_ms))
+    val u1 = got.filter(_.user_id == "u1")
+    assert(u1.map(_.allowed).toSeq ==
+      Seq(true, true, true, false, false, true))
+    // 4th request: window [1000,1100,1200,1300] → retry = oldest + duration
+    assert(u1(3).retry_after_ms == 1000L + 1000L)
+    // rejected requests still occupy the window (ZADD before verdict):
+    // at 1900 window = [1000..1900] minus ≤900 → 5 entries
+    assert(u1(4).in_window == 5)
+    // at 2500 only {1900, 2500} remain → allowed
+    assert(u1(5).in_window == 2)
+    assert(got.filter(_.user_id == "u2").forall(_.allowed))
+  }
+
+  test("rate limiter: state persists across streaming micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[RateLimiter.Request]
+    val q = RateLimiter(src.toDS(), durationMs = 1000L, limit = 2)
+      .writeStream.format("memory").queryName("rl_out")
+      .outputMode("append").start()
+    src.addData(RateLimiter.Request("u1", 100L), RateLimiter.Request("u1", 200L))
+    q.processAllAvailable()
+    src.addData(RateLimiter.Request("u1", 300L)) // same window, next batch
+    q.processAllAvailable()
+    val out = spark.table("rl_out").as[RateLimiter.Verdict]
+      .collect().sortBy(_.ts_ms)
+    q.stop()
+    assert(out.map(_.allowed).toSeq == Seq(true, true, false))
+    assert(out.last.in_window == 3) // saw both batch-1 requests via state
+  }
+}
