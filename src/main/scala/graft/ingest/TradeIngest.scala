@@ -26,42 +26,14 @@ import graft.model
  */
 object TradeIngest {
 
-  /** Case-insensitive English month-abbrev → month number, as a Catalyst
-    * map literal (Go's parser accepts any case; Java's MMM does not, so we
-    * bypass locale-sensitive parsing entirely).
-    */
-  private val monthMap: Column = {
-    val entries = Seq(
-      "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
-      "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
-    map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-  }
-
   /** Parse `"12-AUG-24 11:23:45"` (any month case) → UTC timestamp, null on
-    * malformed input. Pure column expression: tokenize, map the month, and
-    * `make_timestamp` — locale-free and whole-stage-codegen friendly.
+    * malformed input (the 400 path). Native codegen'd expression — see
+    * ParseTradeTime for the Go time.Parse semantics and why the composable
+    * `try_make_timestamp` form was replaced (TryEval kills codegen,
+    * ~500× slower).
     */
-  def parseTimePlaced(s: Column): Column = {
-    // strict shape check first so garbage yields null, not a cast error
-    val ok = s.rlike("^\\d{2}-[A-Za-z]{3}-\\d{2} \\d{2}:\\d{2}:\\d{2}$")
-    val t = split(s, "[- :]") // [dd, MMM, yy, HH, mm, ss]
-    val yy = element_at(t, 3).cast(IntegerType)
-    // Go time.Parse two-digit-year convention: 69-99 → 19xx, 00-68 → 20xx
-    val year = when(yy >= 69, yy + 1900).otherwise(yy + 2000)
-    val month = try_element_at(monthMap, lower(element_at(t, 2)))
-    // try_make_timestamp (not make_timestamp): under ANSI mode an invalid
-    // calendar date ("31-Feb-24") must reject the ROW, not fail the job —
-    // same outcome as Go time.Parse returning an error (api.go:61-65).
-    when(ok && month.isNotNull,
-      try_make_timestamp(
-        year,
-        month,
-        element_at(t, 1).cast(IntegerType),
-        element_at(t, 4).cast(IntegerType),
-        element_at(t, 5).cast(IntegerType),
-        element_at(t, 6).cast(DecimalType(8, 6))))
-      .otherwise(lit(null).cast(TimestampType))
-  }
+  def parseTimePlaced(s: Column): Column =
+    graft.functions.ParseTradeTime.parse_trade_time(s)
 
   /** T3: decimal amount → integer micros, truncating toward zero exactly like
     * Go's `int64(amount * 1_000_000)` (`api.go:83-85`). Values outside long

@@ -130,13 +130,18 @@ object Dedup {
     * exact cosine. */
   def embeddingCosineDups(embeddings: DataFrame, threshold: Double = 0.3,
       blockCol: String = "label"): DataFrame = {
-    import graft.functions.VectorOps.cosine
-    val e = embeddings.select(col("vec_id"), col("embedding"), col(blockCol).as("blk"))
+    import graft.functions.VectorOps.dot
+    // norm precomputed per vector, not per pair
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+      col(blockCol).as("blk"))
     e.as("a")
       .join(e.as("b"), col("a.blk") === col("b.blk") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        when(col("a.nrm") * col("b.nrm") =!= 0.0,
+          dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
       .orderBy(col("id_a"), col("id_b"))

@@ -29,17 +29,23 @@ object Similarity {
     */
   def annBruteForce(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
       k: Int = 10): DataFrame = {
+    // precompute norms once per vector — never per candidate pair
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val queries = broadcast(
-      embeddings
+      corpus
         .filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    embeddings
+    val denom = col("nrm") * col("q_nrm")
+    corpus
       .crossJoin(queries)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("embedding"), col("q_emb")).as("cos"))
+        when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
+          .as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -71,18 +77,21 @@ object Similarity {
       k: Int = 10, bits: Int = 8): DataFrame = {
     val signed = embeddings
       .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
         lshSignature(col("embedding"), bits).as("bucket"))
     val queries = broadcast(
       signed.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("bucket").as("q_bucket")))
+          col("nrm").as("q_nrm"), col("bucket").as("q_bucket")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
+    val denom = col("nrm") * col("q_nrm")
     signed
       .join(queries, col("bucket") === col("q_bucket")) // bucket-equi join
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("embedding"), col("q_emb")).as("cos"))
+        when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
+          .as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
