@@ -23,10 +23,17 @@ object Tables {
     * reader rejects by default. Read nanos as raw long, then integer-divide
     * to micros (`DIV`, not `/` — nano-epoch values exceed 2^53 so a double
     * roundtrip would corrupt them) and rebuild a proper TimestampType.
+    *
+    * The raw nanos column is kept as `ts_ns`: predicates on the derived
+    * `ts` cannot be pushed through the arithmetic to the parquet scan, so
+    * time-filtering operators transpose their bounds onto `ts_ns` (see
+    * Trends.trendsOf) — that filter DOES reach the scan and prunes row
+    * groups, which is what keeps a time-range query cheap at 100 TB.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts DIV 1000)"))
   }

@@ -30,18 +30,21 @@ object TextAnalysis {
 
   /** Heuristic quality score in [0,1]: length band, stopword presence,
     * punctuation restraint, mean word length band. Deterministic per-row
-    * double math, 6-dp rounded. */
+    * double math, 6-dp rounded. Token stats via the single-pass codegen'd
+    * TokenProfile/TokenSetCount expressions (the size(filter(...)) HOF
+    * forms are interpreted per token — ~20× slower measured). */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks,
-      t => stopwords.map(s => t === s).reduce(_ || _))).cast("double")
+    import graft.functions.{TokenProfile, TokenSetCount}
+    val prof = TokenProfile.token_profile(normalize(col("text")))
+    val nTok = prof.getField("n_tok").cast("double")
+    val nStop = TokenSetCount.token_set_count(normalize(col("text")), stopwords)
+      .cast("double")
     val nPunct = regexp_count(col("text"), lit("[^\\w\\s]")).cast("double")
     val nChars = length(col("text")).cast("double")
     val stopRatio = when(nTok > 0, nStop / nTok).otherwise(0.0)
     val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(0.0)
     val meanWordLen = when(nTok > 0,
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      prof.getField("sum_len").cast("double") / nTok)
       .otherwise(0.0)
     val lenScore = least(nChars / 200.0, lit(1.0))
     val stopScore = least(stopRatio * 5.0, lit(1.0))
@@ -70,9 +73,9 @@ object TextAnalysis {
     * would train on labeled text; the operator shape — per-row scoring at
     * scan speed — is what matters at 100 TB.) */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    import graft.functions.TokenSetCount
     def score(markers: Seq[String]): Column =
-      size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+      TokenSetCount.token_set_count(normalize(col("text")), markers)
     val scored = langMarkers.map { case (lang, m) => lang -> score(m) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     // first-match-wins in declaration order (en > de > fr > es)

@@ -72,10 +72,24 @@ object Trends {
       valueCol: String,
       fromTs: String,
       toTs: String): DataFrame = {
-    df
+    val from = Timestamp.valueOf(fromTs)
+    val to = Timestamp.valueOf(toTs)
+    // When the source keeps a raw nanos column (ts_ns) under a derived
+    // timestamp, transpose the range bounds onto it: predicates on the
+    // derived column can't cross the conversion arithmetic, but the raw
+    // bounds are pushed to the parquet scan and prune row groups. The
+    // conversion floor(ns/1000) is monotone, so the raw-range filter is
+    // implied by (and combined with) the exact filter below.
+    val prefiltered =
+      if (df.columns.contains("ts_ns"))
+        df.filter(
+          col("ts_ns") >= lit(from.getTime * 1000000L) &&
+          col("ts_ns") <= lit((to.getTime + 1) * 1000000L))
+      else df
+    prefiltered
       .filter(
-        col(tsCol) >= lit(Timestamp.valueOf(fromTs)) &&
-        col(tsCol) <= lit(Timestamp.valueOf(toTs)) &&
+        col(tsCol) >= lit(from) &&
+        col(tsCol) <= lit(to) &&
         col(keyCol) === keyValue)
       .groupBy(window(col(tsCol), "10 minutes"))
       .agg(
