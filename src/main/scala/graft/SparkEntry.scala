@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.TradeIngest
-import graft.operators.{Dedup, EventsOps, Multimodal, Relational, Similarity, TextAnalysis, Trends}
+import graft.operators.{AsOfJoin, Dedup, EventsOps, Multimodal, Relational, Similarity, TextAnalysis, Trends}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,8 @@ object SparkEntry {
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
     "rate_limit_flags" -> ((s, dir) => EventsOps.rateLimitFlags(Tables.events(s, dir))),
+    "events_sessionize" -> ((s, dir) => EventsOps.sessionize(Tables.events(s, dir))),
+    "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
 
     // ── Dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
@@ -218,6 +220,37 @@ object SparkEntry {
         |                   RANGE BETWEEN 999999 PRECEDING AND CURRENT ROW) AS in_window
         |  FROM events) t
         |ORDER BY event_id""".stripMargin,
+
+    // Session boundary: gap >= 30 min starts a new session — matches
+    // session_window's exclusive end (merge only when diff < gap).
+    "events_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "asof_last_purchase" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, p.purchase_id AS last_purchase_id
+        |FROM events e
+        |ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

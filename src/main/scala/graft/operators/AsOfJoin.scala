@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join — for each left row, the latest right row with
+ * `right.ts <= left.ts` on the same key. The canonical market-data lookup
+ * (trade → prevailing quote); Spark has no native operator for it.
+ *
+ * Implementation is the union + ordered-window trick, not a range join:
+ * tag both sides, union, and take `last(right payload, ignoreNulls)` over
+ * a window ordered by (ts, side) with rights sorted before lefts at equal
+ * timestamps (inclusive `<=` semantics, matching DuckDB's ASOF JOIN).
+ *
+ * Scale: ONE shuffle on the key + a sort within partitions — no
+ * broadcast, no per-row range probe, no quadratic candidate explosion;
+ * works at any right-side cardinality. Skewed keys behave like any
+ * windowed aggregation (AQE skew handling applies).
+ */
+object AsOfJoin {
+
+  /**
+   * @param left      left rows (kept in full)
+   * @param right     right rows; only `payloadCol` survives
+   * @param keyCol    equi-join key present on both sides
+   * @param leftTs    left timestamp column name
+   * @param rightTs   right timestamp column name
+   * @param payloadCol right column carried to the left rows (as-of value)
+   * @param as        output column name for the payload
+   */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCol: String,
+      as: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right
+      .select(col(keyCol), col(rightTs).as("__ts"), lit(0).as("__side"),
+        col(payloadCol).as("__payload"))
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // rights (side=0) sort before lefts (side=1) at equal ts → inclusive <=
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(as, last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__payload")
+  }
+
+  /** The registered query shape: each event joined to the id of the most
+    * recent 'purchase' event of the same user at or before it. Right side
+    * deduped per (user, ts) so ties are deterministic across engines. */
+  def lastPurchaseBefore(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    asOf(
+      left = events.select(col("event_id"), col("user_id"), col("ts")),
+      right = purchases, keyCol = "user_id",
+      leftTs = "ts", rightTs = "ts", payloadCol = "purchase_id",
+      as = "last_purchase_id")
+      .select(col("event_id"), col("user_id"), col("last_purchase_id"))
+      .orderBy(col("event_id"))
+  }
+}

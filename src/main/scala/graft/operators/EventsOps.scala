@@ -27,6 +27,21 @@ object EventsOps {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Sessionization: group each user's events into sessions separated by
+    * ≥ `gap` of inactivity (`session_window` — merging windows keyed by
+    * user; one shuffle). Money-free sums are DECIMAL-exact for the oracle.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /**
    * Per-user sliding-window rate limit, batch analytic form: for every event,
    * the number of events by the same user in the 1-second window ending at

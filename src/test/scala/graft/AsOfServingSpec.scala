@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+import graft.serving.{TrendsCache, TrendsPage}
+
+class AsOfServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: latest right at-or-before each left ts, per key") {
+    val left = Seq(
+      ("k1", 10L, "L1"), ("k1", 20L, "L2"), ("k1", 5L, "L0"),
+      ("k2", 100L, "L3")).toDF("k", "ts", "tag")
+    val right = Seq(
+      ("k1", 10L, "R@10"), ("k1", 15L, "R@15"),
+      ("k2", 999L, "R@999")).toDF("k", "ts", "quote")
+    val got = AsOfJoin.asOf(left, right, "k", "ts", "ts", "quote", "asof_quote")
+      .select("tag", "asof_quote").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      "L0" -> None,          // nothing at or before 5
+      "L1" -> Some("R@10"),  // inclusive <= at equal ts
+      "L2" -> Some("R@15"),
+      "L3" -> None))         // right exists only after
+  }
+
+  test("trends result cache: hit within TTL, recompute after expiry (S7/D5)") {
+    var now = 0L
+    var computes = 0
+    val cache = new TrendsCache(ttlMillis = 60000L, clock = () => now)
+    val from = Timestamp.valueOf("2024-08-12 00:00:00")
+    val to = Timestamp.valueOf("2024-08-12 23:59:59")
+    def compute(): Array[model.Statistic] = {
+      computes += 1
+      Array(model.Statistic(from, 1, 2, 1.5, 1.4))
+    }
+    cache.get(from, to, "EUR", "USD")(compute())
+    cache.get(from, to, "EUR", "USD")(compute())
+    assert(computes == 1) // second call served from cache
+    cache.get(from, to, "EUR", "GBP")(compute())
+    assert(computes == 2) // different composite key
+    now = 60001L
+    cache.get(from, to, "EUR", "USD")(compute())
+    assert(computes == 3) // TTL expired -> recompute
+    assert(cache.key(from, to, "EUR", "USD") ==
+      s"${from.getTime}-${to.getTime}-EUR-USD") // service.go:83 shape
+    cache.sweep()
+    assert(cache.size == 1) // only the fresh entry survives
+  }
+
+  test("trends JSON page has the reference response shape (api.go:14-28)") {
+    val s = model.Statistic(Timestamp.valueOf("2024-08-12 11:20:00"), 1.0, 2.0, 1.5, 1.4)
+    val json = TrendsPage.toJson("2024-08-12T00:00:00Z", "2024-08-13T00:00:00Z",
+      "EUR", "USD", Seq(s))
+    assert(json.contains(""""currencyFrom":"EUR""""))
+    assert(json.contains(""""statistics":[{"window":"2024-08-12 11:20:00.0","min":1.0"""))
+    // zero values are NOT dropped (omitempty quirk deliberately not copied)
+    val z = TrendsPage.toJson("a", "b", "EUR", "USD",
+      Seq(model.Statistic(s.window, 0.0, 0.0, 0.0, 0.0)))
+    assert(z.contains(""""min":0.0"""))
+  }
+}
