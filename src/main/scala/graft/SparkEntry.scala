@@ -68,6 +68,8 @@ object SparkEntry {
       Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
       Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "topk_orders" -> ((s, dir) => Relational.topkOrders(Tables.orders(s, dir))),
+    "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
     "group_distinct" -> ((s, dir) => Relational.groupDistinct(Tables.orders(s, dir))),
     "window_top_orders" -> ((s, dir) => Relational.windowTopOrders(Tables.orders(s, dir))),
 
@@ -178,6 +180,21 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items,
+        |  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

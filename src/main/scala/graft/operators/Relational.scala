@@ -124,6 +124,25 @@ object Relational {
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** Promo revenue share (TPC-H Q14 shape): conditional aggregation over a
+    * lineitem⋈part join in a one-year shipdate slice. Part is a broadcast
+    * candidate at test SF; left to AQE size stats (it grows with SF). */
+  def q14PromoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val revenue = dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4))
+    lineitem
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          .as("promo_revenue"),
+        sum(revenue).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("promo_revenue"), col("total_revenue"), col("n_items"),
+        round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
+  }
+
   /** Analytic window function: top-2 orders per customer by price
     * (row_number over partitioned sort — single shuffle on the partition
     * key, no join back). */
