@@ -33,6 +33,21 @@ object SparkEntry {
       Trends.trendsOf(Tables.events(s, dir), "ts", "event_type", "purchase",
         "value", TrendsFrom, TrendsTo)),
 
+    // ClickHouse-median parity variant: same window aggregate with the
+    // custom bottom-k TypedImperativeAggregate (approximate ⇒ no SQL
+    // oracle; determinism + accuracy asserted in ApproxQuantileSpec).
+    "trends_10min_approx" -> { (s, dir) =>
+      import graft.functions.ApproxQuantile.approx_median_sketch
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(approx_median_sketch(col("value")).as("median_approx"),
+          count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("median_approx"), col("n"))
+        .orderBy(col("window_start"))
+    },
+
     // ── Ingest chain T1-T6: wire JSON → validated, normalized trade rows ──
     // Wire messages are synthesized deterministically from `events`, with the
     // timestamp formatted in UPPERCASE month to exercise Go-style
