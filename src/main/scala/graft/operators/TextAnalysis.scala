@@ -35,27 +35,42 @@ object TextAnalysis {
     * forms are interpreted per token — ~20× slower measured). */
   def qualityScore(documents: DataFrame): DataFrame = {
     import graft.functions.{TokenProfile, TokenSetCount}
-    val prof = TokenProfile.token_profile(normalize(col("text")))
-    val nTok = prof.getField("n_tok").cast("double")
-    val nStop = TokenSetCount.token_set_count(normalize(col("text")), stopwords)
-      .cast("double")
-    val nPunct = regexp_count(col("text"), lit("[^\\w\\s]")).cast("double")
-    val nChars = length(col("text")).cast("double")
-    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(0.0)
-    val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(0.0)
-    val meanWordLen = when(nTok > 0,
-      prof.getField("sum_len").cast("double") / nTok)
-      .otherwise(0.0)
-    val lenScore = least(nChars / 200.0, lit(1.0))
-    val stopScore = least(stopRatio * 5.0, lit(1.0))
-    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 10.0)
-    val wordLenScore = when(meanWordLen >= 3.0 && meanWordLen <= 10.0, 1.0)
+    // Staged projections: each expensive expression (normalize, the token
+    // passes, the regexps) lands in a named column and is computed ONCE.
+    // A single nested expression tree re-evaluates every subtree per
+    // reference (Catalyst CSE doesn't cover these), measured ~10× slower;
+    // CollapseProject keeps the stages because it refuses to duplicate
+    // non-cheap aliases.
+    val staged = documents
+      .select(col("doc_id"), col("text"), normalize(col("text")).as("norm"))
+      .select(col("doc_id"),
+        TokenProfile.token_profile(col("norm")).as("prof"),
+        TokenSetCount.token_set_count(col("norm"), stopwords)
+          .cast("double").as("n_stop"),
+        regexp_count(col("text"), lit("[^\\w\\s]")).cast("double").as("n_punct"),
+        length(col("text")).cast("double").as("n_chars"))
+      .select(col("doc_id"),
+        col("prof.n_tok").cast("double").as("n_tok"),
+        col("prof.sum_len").cast("double").as("sum_len"),
+        col("n_stop"), col("n_punct"), col("n_chars"))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_tok") > 0, col("n_stop") / col("n_tok")).otherwise(0.0)
+          .as("stop_ratio_raw"),
+        when(col("n_chars") > 0, col("n_punct") / col("n_chars")).otherwise(0.0)
+          .as("punct_ratio_raw"),
+        when(col("n_tok") > 0, col("sum_len") / col("n_tok")).otherwise(0.0)
+          .as("mean_word_len_raw"))
+    val lenScore = least(col("n_chars") / 200.0, lit(1.0))
+    val stopScore = least(col("stop_ratio_raw") * 5.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - col("punct_ratio_raw") * 10.0)
+    val wordLenScore = when(
+      col("mean_word_len_raw") >= 3.0 && col("mean_word_len_raw") <= 10.0, 1.0)
       .otherwise(0.5)
-    documents.select(
+    staged.select(
       col("doc_id"),
-      round(stopRatio, 6).as("stop_ratio"),
-      round(punctRatio, 6).as("punct_ratio"),
-      round(meanWordLen, 6).as("mean_word_len"),
+      round(col("stop_ratio_raw"), 6).as("stop_ratio"),
+      round(col("punct_ratio_raw"), 6).as("punct_ratio"),
+      round(col("mean_word_len_raw"), 6).as("mean_word_len"),
       round((lenScore + stopScore + punctScore + wordLenScore) / 4.0, 6)
         .as("quality"))
       .orderBy(col("doc_id"))
@@ -74,16 +89,19 @@ object TextAnalysis {
     * scan speed — is what matters at 100 TB.) */
   def langId(documents: DataFrame): DataFrame = {
     import graft.functions.TokenSetCount
-    def score(markers: Seq[String]): Column =
-      TokenSetCount.token_set_count(normalize(col("text")), markers)
-    val scored = langMarkers.map { case (lang, m) => lang -> score(m) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // staged like qualityScore: one normalize, one pass per marker set
+    val hits = documents
+      .select(col("doc_id"), normalize(col("text")).as("norm"))
+      .select(col("doc_id") +: langMarkers.map { case (lang, m) =>
+        TokenSetCount.token_set_count(col("norm"), m).as(s"hits_$lang")
+      }: _*)
+    val cols = langMarkers.map { case (lang, _) => lang -> col(s"hits_$lang") }
+    val best = cols.map(_._2).reduce((a, b) => greatest(a, b))
     // first-match-wins in declaration order (en > de > fr > es)
-    val pred = scored.foldRight(lit("und")) { case ((lang, s), els) =>
+    val pred = cols.foldRight(lit("und")) { case ((lang, s), els) =>
       when(s === best && best > 0, lit(lang)).otherwise(els)
     }
-    documents.select(col("doc_id"),
-      scored.head._2.as("hits_en"), pred.as("lang_pred"))
+    hits.select(col("doc_id"), col("hits_en"), pred.as("lang_pred"))
       .orderBy(col("doc_id"))
   }
 
