@@ -86,6 +86,7 @@ object SparkEntry {
     "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "group_distinct" -> ((s, dir) => Relational.groupDistinct(Tables.orders(s, dir))),
+    "rollup_revenue" -> ((s, dir) => Relational.rollupRevenue(Tables.orders(s, dir))),
     "window_top_orders" -> ((s, dir) => Relational.windowTopOrders(Tables.orders(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
@@ -225,6 +226,15 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // NULLS FIRST to match Spark's asc_nulls_first (DuckDB defaults NULLS LAST)
+    "rollup_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "window_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

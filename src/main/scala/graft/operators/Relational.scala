@@ -143,6 +143,15 @@ object Relational {
         round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
   }
 
+  /** Hierarchical subtotals: ROLLUP(status, priority) — grouping-sets
+    * machinery (Expand + single aggregate pass, no repeated scans). */
+  def rollupRevenue(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** Analytic window function: top-2 orders per customer by price
     * (row_number over partitioned sort — single shuffle on the partition
     * key, no join back). */

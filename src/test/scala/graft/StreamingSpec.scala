@@ -91,6 +91,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_.user_id == "u2").forall(_.allowed))
   }
 
+  test("continuous windowed aggregate: watermark finalizes windows in append mode (ST3 deviation path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[model.Trade]
+    val q = TradeStream.continuousTrends(src.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("ct_out")
+      .outputMode("append").start()
+    def t(ts: String, rate: Double) = model.Trade("u", "EUR", "USD",
+      1000000L, (rate * 1e6).toLong, rate, "US", Timestamp.valueOf(ts))
+    src.addData(t("2024-08-12 10:01:00", 1.0), t("2024-08-12 10:05:00", 3.0))
+    q.processAllAvailable()
+    assert(spark.table("ct_out").count() == 0) // window still open
+    // event 2h later pushes the watermark past the 10:00 window's end
+    src.addData(t("2024-08-12 12:30:00", 9.0))
+    q.processAllAvailable()
+    val out = spark.table("ct_out").collect()
+    q.stop()
+    assert(out.length == 1) // exactly the finalized 10:00 window
+    val r = out.head
+    assert(r.getAs[Timestamp]("window") == Timestamp.valueOf("2024-08-12 10:00:00"))
+    assert(r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 3.0)
+    assert(r.getAs[Double]("mean") == 2.0 && r.getAs[Long]("n") == 2L)
+  }
+
   test("rate limiter: state persists across streaming micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[RateLimiter.Request]
