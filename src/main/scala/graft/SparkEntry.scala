@@ -93,6 +93,19 @@ object SparkEntry {
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
     "rate_limit_flags" -> ((s, dir) => EventsOps.rateLimitFlags(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) => EventsOps.sessionize(Tables.events(s, dir))),
+    // Skew-safe two-phase aggregation over the 5 hot event_type keys;
+    // the oracle is the plain GROUP BY — salting must be invisible in
+    // results (DECIMAL sums, so partial/final split can't perturb floats).
+    "salted_hot_agg" -> { (s, dir) =>
+      import graft.operators.Skew
+      Skew.saltedSumCount(
+        Tables.events(s, dir).withColumn("value",
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))),
+        keys = Seq("event_type"), valueCol = "value",
+        saltFrom = Seq("event_id"), salts = 16)
+        .select(col("event_type"), col("sum_value").cast("double"), col("n"))
+        .orderBy(col("event_type"))
+    },
     "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
 
     // ── Dedup family (training-data pipeline) ──
@@ -282,6 +295,12 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "salted_hot_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "asof_last_purchase" ->
       """WITH purchases AS (
