@@ -123,6 +123,8 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "ann_lsh_topk" -> ((s, dir) => // no SQL oracle: hyperplanes from xxhash64
       Similarity.annLsh(Tables.embeddings(s, dir))),
+    "ann_ivf_topk" -> ((s, dir) => // no SQL oracle: approximate by design
+      Similarity.annIvf(Tables.embeddings(s, dir))),
 
     // ── Text analysis ──
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),

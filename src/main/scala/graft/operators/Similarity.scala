@@ -53,6 +53,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * IVF-flat top-k: the inverted-file ANN scale path. Coarse quantizer =
+   * `nCentroids` deterministic seed vectors (lowest vec_ids — a k-means
+   * refinement would slot in here without changing the query path);
+   * every vector is assigned to its nearest centroid (one broadcast pass);
+   * a query probes only its `nProbe` nearest centroid lists, so scanned
+   * candidates drop to ~nProbe/nCentroids of the corpus. At 100 TB the
+   * assignment is a write-time partitioning (cluster-by centroid_id), and
+   * probing prunes partitions instead of rows.
+   */
+  def annIvf(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val centroids = broadcast(
+      base.orderBy(col("vec_id")).limit(nCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm")))
+    // assignment: nearest centroid by cosine (rank 1, ties by centroid id)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = base.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
+        (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+          .as("c_cos"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+    // queries probe their nProbe nearest centroid lists
+    val probes = assigned
+      .join(broadcast(base.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))), lit(true))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("c_id"))
+      .distinct() // (query, centroid) space is tiny
+      .join(centroids, "c_id")
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("c_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("qc_cos"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qc_cos").desc, col("c_id"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("c_id"))
+    // scan only the probed lists
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .join(probes, "c_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic pseudo-gaussian hyperplane component for (plane, dim):
     * xxhash64 folded to [-1, 1). Reproducible everywhere, no RNG object. */
   private def planeComponent(plane: Int, dim: Column) =

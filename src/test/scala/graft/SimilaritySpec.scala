@@ -18,6 +18,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.last.getDouble(3) == -1.0)  // antipode
   }
 
+  test("IVF top-k: probed-list search recalls most brute-force neighbors") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = Seq(0L, 1L, 2L)
+    val brute = Similarity.annBruteForce(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annIvf(emb, queries, k = 10, nCentroids = 16, nProbe = 8)
+      .collect()
+    assert(ivf.nonEmpty)
+    // ranks are contiguous per query
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // recall vs brute force at half the lists probed: not exhaustive, but
+    // the probed neighborhoods must overlap substantially
+    val hits = ivf.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(hits.toDouble / brute.size > 0.3,
+      s"IVF recall too low: $hits/${brute.size}")
+    // and every returned cosine is the exact cosine (verification is exact)
+    val bruteAll = Similarity.annBruteForce(emb, queries, k = 499).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      bruteAll.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+  }
+
   test("LSH top-k returns a subset of the brute-force candidate ranking") {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = Similarity.annBruteForce(emb, queryIds = Seq(0L, 1L), k = 50)
