@@ -55,7 +55,10 @@ object SparkEntry {
     // directly from the source columns, so a hash match proves the whole
     // JSON→typed chain (micros truncation, rate derivation, ts parse).
     "trade_ingest" -> { (s, dir) =>
-      val wire = Tables.events(s, dir).select(to_json(struct(
+      // the events file fits one scan partition; spread the CPU-bound
+      // JSON serialize/parse chain across cores before it starts
+      val nCores = s.sparkContext.defaultParallelism
+      val wire = Tables.events(s, dir).repartition(nCores).select(to_json(struct(
         col("event_id").cast("string").as("userId"),
         upper(substring(col("event_type"), 1, 3)).as("currencyFrom"),
         lit("USD").as("currencyTo"),
