@@ -115,17 +115,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.8)),
-    "minhash_lsh_pairs" -> ((s, dir) => // no SQL oracle: seeded xxhash64 LSH
+    "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8)),
-    "simhash_pairs" -> ((s, dir) => // no SQL oracle: xxhash64 bit mixing
+    "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
       Dedup.embeddingCosineDups(Tables.embeddings(s, dir), threshold = 0.3)),
 
     // ── Similarity search over embeddings ──
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
-    "ann_lsh_topk" -> ((s, dir) => // no SQL oracle: hyperplanes from xxhash64
-      Similarity.annLsh(Tables.embeddings(s, dir))),
+    "ann_lsh_topk" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => // no SQL oracle: approximate by design
       Similarity.annIvf(Tables.embeddings(s, dir))),
 
@@ -351,6 +350,137 @@ object SparkEntry {
         |JOIN sizes nb ON nb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Portable sketches: the oracle rebuilds the exact 60-bit md5-derived
+    // hashes (h60 = first 15 hex chars of md5 as BIGINT), so MinHash
+    // signatures, SimHash fingerprints, and LSH buckets hash-match.
+    "minhash_lsh_pairs" -> {
+      val params = graft.functions.PortableHash.minhashParams(64)
+      val seedRows = params.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val p = graft.functions.PortableHash.MinhashP
+      s"""WITH norm AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+         |), toks AS (
+         |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+         |), shl AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |    THEN list_transform(generate_series(1, len(w)-2),
+         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END) AS shs FROM toks
+         |), post AS (
+         |  SELECT doc_id, unnest(shs) AS s FROM shl
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
+         |), based AS (
+         |  SELECT doc_id, s,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h1
+         |  FROM post
+         |), seeds(seed, a, b) AS (VALUES $seedRows
+         |), sigs AS (
+         |  SELECT doc_id, seed, min((a * h1 + b) % $p) AS sig
+         |  FROM based, seeds GROUP BY doc_id, seed
+         |), bands AS (
+         |  SELECT doc_id, seed // 4 AS band,
+         |    string_agg(sig::VARCHAR, ',' ORDER BY seed) AS bv
+         |  FROM sigs GROUP BY doc_id, seed // 4
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |), common AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN post pa ON pa.doc_id = c.id_a
+         |  JOIN post pb ON pb.doc_id = c.id_b AND pb.s = pa.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard6
+         |FROM common
+         |JOIN sizes na ON na.doc_id = id_a
+         |JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "simhash_pairs" -> {
+      val bitSums = (0 until 60).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s_$j")
+        .mkString(",\n    ")
+      val assemble = (0 until 60).map(j =>
+        s"CASE WHEN s_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH norm AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> len(x) > 0)) AS w FROM norm
+         |), h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok
+         |), bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM h GROUP BY doc_id
+         |), fp AS (
+         |  SELECT doc_id, $assemble AS simhash FROM bits
+         |), banded AS (
+         |  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
+         |  FROM fp, range(0, 4) r(c)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM banded a JOIN banded b
+         |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b, bit_count(xor(sa, sb)) AS dist
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "ann_lsh_topk" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), planes AS (
+        |  SELECT p, i,
+        |    (('0x' || substr(md5(p::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2000001 - 1000000) / CAST(1000000 AS DOUBLE) AS wt
+        |  FROM range(0, 8) rp(p), range(0, 64) ri(i)
+        |), proj AS (
+        |  SELECT e.vec_id, pl.p, sum(e.x * pl.wt) AS pr
+        |  FROM elems e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+        |  FROM proj GROUP BY 1
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), qs AS (
+        |  SELECT vec_id AS query_id, bucket AS qb FROM buckets WHERE vec_id <= 4
+        |), cand AS (
+        |  SELECT q.query_id, b.vec_id
+        |  FROM qs q JOIN buckets b ON b.bucket = q.qb AND b.vec_id <> q.query_id
+        |), dots AS (
+        |  SELECT c.query_id, c.vec_id, sum(a.x * b.x) AS dot
+        |  FROM cand c
+        |  JOIN elems a ON a.vec_id = c.query_id
+        |  JOIN elems b ON b.vec_id = c.vec_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT d.query_id, d.vec_id, d.dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.query_id
+        |  JOIN norms nb ON nb.vec_id = d.vec_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos6
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "embedding_dups" ->
       """WITH elems AS (

@@ -75,14 +75,23 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash signature columns: sig_i = min over shingles of a seeded
-    * xxhash64 — one aggregation pass builds all `k` components. */
-  def minhashSignatures(documents: DataFrame, k: Int = 64): DataFrame =
-    postings(documents, 3)
+  /** MinHash signature columns via the 2-universal family
+    * h_i(x) = (a_i·h60(x) + b_i) mod P: ONE portable base hash per
+    * shingle, k derived components by arithmetic — one aggregation pass,
+    * and the DuckDB oracle reproduces every signature bit-for-bit. */
+  def minhashSignatures(documents: DataFrame, k: Int = 64): DataFrame = {
+    import graft.functions.PortableHash.{h60, minhashParams, MinhashP}
+    val params = minhashParams(k)
+    val based = postings(documents, 3)
+      .withColumn("h1", pmod(h60(col("sh")), lit(MinhashP)))
+    def sig(i: Int) = {
+      val (a, b) = params(i)
+      min((lit(a) * col("h1") + lit(b)) % lit(MinhashP))
+    }
+    based
       .groupBy(col("doc_id"))
-      .agg(
-        min(xxhash64(lit(0), col("sh"))).as("sig_0"),
-        (1 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"sig_$i")): _*)
+      .agg(sig(0).as("sig_0"), (1 until k).map(i => sig(i).as(s"sig_$i")): _*)
+  }
 
   /** MinHash-LSH candidate pairs, verified with exact Jaccard.
     * bands × rowsPerBand must equal the signature length. */
@@ -92,8 +101,8 @@ object Dedup {
     val sigs = minhashSignatures(documents, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
-          .as("bh"))
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"sig_${b * rowsPerBand + r}").cast("string")): _*).as("bh"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -147,18 +156,21 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** 64-bit SimHash of the token multiset: bit j is the sign of the
+  /** 60-bit SimHash of the token multiset: bit j is the sign of the
     * count-weighted sum of ±1 over token-hash bit j. Single explode +
-    * groupBy; the 64 per-bit sums are one aggregation pass. */
+    * groupBy; the 60 per-bit sums are one aggregation pass. 60 bits (not
+    * 64) because the portable h60 hash makes the fingerprint reproducible
+    * by the SQL oracle. */
   def simhash(documents: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.h60
     val tok = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map { j =>
+      .select(col("doc_id"), h60(col("t")).as("h"))
+    val bitSums = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"s_$j")
     }
-    val assembled = (0 until 64).map { j =>
+    val assembled = (0 until 60).map { j =>
       when(col(s"s_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ + _)
     tok.groupBy(col("doc_id"))
@@ -166,14 +178,14 @@ object Dedup {
       .select(col("doc_id"), assembled.as("simhash"))
   }
 
-  /** SimHash near-dup pairs at Hamming distance ≤ maxDist (< 16), banded by
-    * four 16-bit chunks so candidate generation is an equi-join. */
+  /** SimHash near-dup pairs at Hamming distance ≤ maxDist (< 4), banded by
+    * four 15-bit chunks so candidate generation is an equi-join. */
   def simhashPairs(documents: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist < 16, "pigeonhole banding assumes maxDist < bands")
+    require(maxDist < 4, "pigeonhole banding assumes maxDist < bands")
     val sh = simhash(documents)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cv"))
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("cv"))
     }
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("bk"))

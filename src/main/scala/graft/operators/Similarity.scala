@@ -112,18 +112,23 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-gaussian hyperplane component for (plane, dim):
-    * xxhash64 folded to [-1, 1). Reproducible everywhere, no RNG object. */
-  private def planeComponent(plane: Int, dim: Column) =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") -
-      lit(1000000.0)) / lit(1000000.0)
+  /** Max embedding dimensionality the literal hyperplane table covers. */
+  private val MaxDims = 128
 
-  /** Random-hyperplane LSH signature (one bit per plane) of an embedding. */
+  /** Random-hyperplane LSH signature (one bit per plane) of an embedding.
+    * Plane weights are engine-portable (PortableHash.planeWeight, an
+    * md5-derived fold to [-1,1)) and shipped as one literal 2-D array —
+    * zero hashing at run time, and the DuckDB oracle rebuilds the exact
+    * same planes. */
   def lshSignature(emb: Column, bits: Int): Column = {
+    import graft.functions.PortableHash.planeWeight
+    val planes = typedLit((0 until bits).map(p =>
+      (0 until MaxDims).map(i => planeWeight(p, i))))
     val bitCols = (0 until bits).map { p =>
+      val row = element_at(planes, p + 1)
       val proj = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+          (x, i) => x.cast("double") * element_at(row, i + 1)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
