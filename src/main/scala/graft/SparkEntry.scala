@@ -90,6 +90,10 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "group_distinct" -> ((s, dir) => Relational.groupDistinct(Tables.orders(s, dir))),
     "rollup_revenue" -> ((s, dir) => Relational.rollupRevenue(Tables.orders(s, dir))),
+    "exists_shapes" -> ((s, dir) => Relational.existsShapes(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
+    "pivot_status_counts" -> ((s, dir) => Relational.pivotStatusCounts(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
     "window_top_orders" -> ((s, dir) => Relational.windowTopOrders(Tables.orders(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
@@ -243,6 +247,23 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "exists_shapes" ->
+      """SELECT c_custkey,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderpriority = '1-URGENT') AS has_urgent
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
+
+    "pivot_status_counts" ->
+      """SELECT c_mktsegment,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     // NULLS FIRST to match Spark's asc_nulls_first (DuckDB defaults NULLS LAST)
     "rollup_revenue" ->

@@ -143,6 +143,35 @@ object Relational {
         round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
   }
 
+  /** Semi/anti join shapes (EXISTS / NOT EXISTS): customers with at least
+    * one urgent order vs customers with none. Left-semi/anti carry only
+    * the left side through the join — no row multiplication, and the
+    * build side ships only the join key. */
+  def existsShapes(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val withUrgent = customer
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_urgent"))
+    val without = customer
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_urgent"))
+    withUrgent.unionByName(without).orderBy(col("c_custkey"))
+  }
+
+  /** Pivot: per market segment, one count column per order status —
+    * groupBy+pivot with explicit values compiles to a single conditional
+    * aggregation pass (no per-status scans). */
+  def pivotStatusCounts(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy(col("c_mktsegment"))
+
   /** Hierarchical subtotals: ROLLUP(status, priority) — grouping-sets
     * machinery (Expand + single aggregate pass, no repeated scans). */
   def rollupRevenue(orders: DataFrame): DataFrame =
