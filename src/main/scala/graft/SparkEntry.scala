@@ -90,6 +90,7 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "group_distinct" -> ((s, dir) => Relational.groupDistinct(Tables.orders(s, dir))),
     "rollup_revenue" -> ((s, dir) => Relational.rollupRevenue(Tables.orders(s, dir))),
+    "cube_revenue" -> ((s, dir) => Relational.cubeRevenue(Tables.orders(s, dir))),
     "exists_shapes" -> ((s, dir) => Relational.existsShapes(
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "pivot_status_counts" -> ((s, dir) => Relational.pivotStatusCounts(
@@ -247,6 +248,14 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "cube_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "exists_shapes" ->
       """SELECT c_custkey,

@@ -181,6 +181,14 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Full cross-dimensional subtotals: CUBE(status, priority). */
+  def cubeRevenue(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** Analytic window function: top-2 orders per customer by price
     * (row_number over partitioned sort — single shuffle on the partition
     * key, no join back). */

@@ -34,6 +34,39 @@ object TradeStore {
       .mode("append")
       .parquet(path)
 
+  /**
+   * Idempotent variant for streaming foreachBatch: each micro-batch lands
+   * in its own `batch_id=N` partition with dynamic overwrite, so replaying
+   * a batch after a crash REPLACES its previous (possibly partial) output
+   * instead of appending a duplicate — upgrading the pipeline from the
+   * reference's at-least-once (SURVEY §2.4 ST2: offsets committed after
+   * insert, duplicates possible) to effective exactly-once. The batch id
+   * is Spark's checkpointed epoch, stable across restarts.
+   */
+  def writeBatch(trades: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = trades.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      trades
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .withColumn("trade_date", to_date(col("time_placed")))
+        .sortWithinPartitions(col("time_placed"))
+        .write
+        .partitionBy("batch_id", "trade_date")
+        .mode("overwrite")
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("trade_date")
+
+  def readBatched(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("trade_date", "batch_id")
 }

@@ -41,14 +41,18 @@ object TradeStream {
       jsonCol: String,
       storePath: String,
       checkpointPath: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      idempotent: Boolean = false): StreamingQuery = {
     TradeIngest.parseTrades(jsonStream, jsonCol)
       .writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TradeStore.write(batch, storePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent=true upgrades ST2's at-least-once to exactly-once:
+        // a replayed batch overwrites its own batch_id partition
+        if (idempotent) TradeStore.writeBatch(batch, storePath, batchId)
+        else TradeStore.write(batch, storePath)
       }
       .start()
   }

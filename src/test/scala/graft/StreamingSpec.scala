@@ -53,6 +53,35 @@ class StreamingSpec extends SparkSpec {
     assert(stats.head.mean == 2.0)
   }
 
+  test("idempotent batch sink: replaying a batch replaces, never duplicates (exactly-once upgrade of ST2)") {
+    val dir = Files.createTempDirectory("graft-idem").toString
+    val rows = Seq(
+      model.Trade("u", "EUR", "USD", 1L, 2L, 2.0, "US",
+        Timestamp.valueOf("2024-08-12 11:00:00")),
+      model.Trade("u", "EUR", "USD", 1L, 3L, 3.0, "US",
+        Timestamp.valueOf("2024-08-12 11:05:00"))).toDF()
+    TradeStore.writeBatch(rows, dir, batchId = 7L)
+    TradeStore.writeBatch(rows, dir, batchId = 7L) // crash-replay of batch 7
+    assert(TradeStore.readBatched(spark, dir).count() == 2) // not 4
+    TradeStore.writeBatch(rows.limit(1), dir, batchId = 8L) // next batch appends
+    assert(TradeStore.readBatched(spark, dir).count() == 3)
+    // and a partial first attempt of a batch is fully replaced on replay
+    TradeStore.writeBatch(rows.limit(1), dir, batchId = 9L)
+    TradeStore.writeBatch(rows, dir, batchId = 9L)
+    assert(TradeStore.readBatched(spark, dir).count() == 5)
+  }
+
+  test("streaming with idempotent sink end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-idem-stream").toString
+    val src = MemoryStream[String]
+    src.addData(trade("12-AUG-24 11:23:45"), trade("12-AUG-24 11:31:00", 1.2))
+    val q = TradeStream.start(src.toDF(), "value", s"$dir/store", s"$dir/ckpt",
+      trigger = Trigger.AvailableNow(), idempotent = true)
+    q.awaitTermination()
+    assert(TradeStore.readBatched(spark, s"$dir/store").count() == 2)
+  }
+
   test("store layout: date-partitioned, time-sorted within partitions") {
     val dir = Files.createTempDirectory("graft-store").toString
     val rows = Seq(
