@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one warmup pass at sf0.001 first (JIT/codegen warm — the
   * plans are identical, only the data volume differs), then each query is
-  * timed on the target scale factor with a full materialization through the
-  * noop sink (all columns computed, no collect/driver funnel, no sink cost).
+  * timed TWICE on the target scale factor with a full materialization
+  * through the noop sink (all columns computed, no collect/driver funnel,
+  * no sink cost) and the minimum reported — first-execution JIT of a heavy
+  * generated class can add ~10s of noise that would poison cross-round
+  * comparisons.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,12 +39,15 @@ object Bench {
       }
     }
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(name, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
