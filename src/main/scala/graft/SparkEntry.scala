@@ -126,6 +126,8 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
       Dedup.embeddingCosineDups(Tables.embeddings(s, dir), threshold = 0.3)),
+    "edit_distance_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir))),
 
     // ── Similarity search over embeddings ──
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
@@ -511,6 +513,40 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos6
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "edit_distance_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT doc_id, unnest(shs) AS s FROM shl
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.5
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  levenshtein(na.t, nb.t) AS edit_dist,
+        |  round(CAST(1 AS DOUBLE) - CAST(levenshtein(na.t, nb.t) AS DOUBLE)
+        |        / CAST(greatest(length(na.t), length(nb.t)) AS DOUBLE), 6) AS sim6
+        |FROM cand c
+        |JOIN norm na ON na.doc_id = c.id_a
+        |JOIN norm nb ON nb.doc_id = c.id_b
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
 
     "embedding_dups" ->
       """WITH elems AS (

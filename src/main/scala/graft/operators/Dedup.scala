@@ -132,6 +132,26 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Character-level verification of near-dup candidates: Levenshtein
+    * distance + similarity ratio over the normalized texts, computed ONLY
+    * for LSH/inverted-index candidates (edit distance is O(len²) per pair
+    * — never run it on the cross product). */
+  def editDistancePairs(documents: DataFrame,
+      candidateThreshold: Double = 0.5): DataFrame = {
+    val cands = ngramJaccardPairs(documents, candidateThreshold)
+      .select("id_a", "id_b")
+    val norm = documents.select(col("doc_id"), normalize(col("text")).as("t"))
+    cands
+      .join(norm.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(norm.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"), 6)
+          .as("sim6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by a coarse partition column
     * (here the cluster label — in production an IVF/LSH bucket id, see
     * Similarity.lshSignature): pairs are generated only within blocks, so
