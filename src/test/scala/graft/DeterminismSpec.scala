@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Distributed-determinism guarantees: sketch outputs must be identical
+  * regardless of partitioning and row order — the property that makes
+  * them safe under retries, speculation, and cluster re-planning. */
+class DeterminismSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("minhash signatures are invariant under repartitioning and row order") {
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(df, k = 16).collect()
+        .map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i)).toSeq)
+        .toMap
+    val a = sigs(docs)
+    val b = sigs(docs.repartition(13))
+    val c = sigs(docs.orderBy(col("doc_id").desc))
+    assert(a == b && b == c)
+  }
+
+  test("simhash fingerprints are invariant under repartitioning") {
+    def fps(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(docs) == fps(docs.repartition(7)))
+  }
+
+  test("approximate count-distinct lands within tolerance of exact") {
+    val orders = Tables.orders(spark, sf0001)
+    val r = orders.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .collect().head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
