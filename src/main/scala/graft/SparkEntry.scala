@@ -140,6 +140,7 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
 
     // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
     "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
@@ -653,6 +654,53 @@ object SparkEntry {
         |       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Composed curation run: quality + langID scoring → filters → exact
+    // dedup keep-lowest-id. Same building blocks as the standalone oracles.
+    "curate_pipeline" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, text, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), m AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(w) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE) AS sumlen,
+        |    len(list_filter(w, x -> list_contains(['the','and','of','is','a'], x))) AS he,
+        |    len(list_filter(w, x -> list_contains(['der','und','die','das','ist'], x))) AS hd,
+        |    len(list_filter(w, x -> list_contains(['le','et','les','des','est'], x))) AS hf,
+        |    len(list_filter(w, x -> list_contains(['el','y','los','de','es'], x))) AS hs
+        |  FROM toks
+        |), r AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ntok > 0 THEN nstop/ntok ELSE 0 END AS stop_ratio,
+        |    CASE WHEN nchars > 0 THEN npunct/nchars ELSE 0 END AS punct_ratio,
+        |    CASE WHEN ntok > 0 THEN sumlen/ntok ELSE 0 END AS mean_word_len,
+        |    nchars, he, hd, hf, hs FROM m
+        |), scored AS (
+        |  SELECT doc_id, text,
+        |    round((least(nchars/CAST(200 AS DOUBLE), 1.0)
+        |         + least(stop_ratio*CAST(5 AS DOUBLE), 1.0)
+        |         + greatest(CAST(0 AS DOUBLE), 1.0 - punct_ratio*CAST(10 AS DOUBLE))
+        |         + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |                THEN 1.0 ELSE 0.5 END) / CAST(4 AS DOUBLE), 6) AS quality,
+        |    CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |         WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |         WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+        |         WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM r
+        |)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies, min(quality) AS quality
+        |FROM scored
+        |WHERE lang_pred = 'en' AND quality >= 0.7
+        |GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
 
     // Same recurrence as graft.functions.RollingHash over the normalized
     // ASCII text (code points == bytes there).

@@ -105,6 +105,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The composed curation pipeline — what a training-data run actually
+    * executes: language filter → quality floor → exact dedup (keep lowest
+    * doc_id per content) → curated ids with their scores. One pass for the
+    * scoring (all per-row expressions fuse into the scan projection), one
+    * digest-keyed shuffle for the dedup. */
+  def curate(documents: DataFrame, lang: String = "en",
+      minQuality: Double = 0.7): DataFrame = {
+    val scored = qualityScore(documents)
+      .join(langId(documents).select("doc_id", "lang_pred"), "doc_id")
+    val kept = scored
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
+    kept
+      .join(documents.select("doc_id", "text"), "doc_id")
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("quality")).as("quality"))
+      .select(col("doc_id"), col("n_copies"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint via the custom RollingHash Catalyst expression
     * (codegen'd, SURVEY.md §7 custom-Expression track) over normalized text. */
   def fingerprints(documents: DataFrame): DataFrame =

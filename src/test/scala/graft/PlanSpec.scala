@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-shape regressions: the scale-critical physical properties asserted
+  * directly on the executed plans, so a refactor can't silently lose a
+  * pushdown, prune, broadcast, or top-k strategy. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("trends: range + equality predicates reach the parquet scan") {
+    val p = planOf("trends_10min")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(ts,"), "raw ts lower bound not pushed")
+    assert(p.contains("LessThanOrEqual(ts,"), "raw ts upper bound not pushed")
+    assert(p.contains("EqualTo(event_type,purchase)"))
+  }
+
+  test("q1: shipdate filter pushed, unused columns pruned from the scan") {
+    val p = planOf("q1_pricing")
+    assert(p.contains("LessThanOrEqual(l_shipdate,"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      p.split("ReadSchema").last)
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(planOf("topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q3/q5 join dims via broadcast at this SF (size-based, AQE-degradable)") {
+    assert(planOf("q3_shipping").contains("BroadcastHashJoin"))
+    assert(planOf("q5_region_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("dedup/minhash joins are equi-joins, never cartesian") {
+    Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+}
