@@ -82,6 +82,24 @@ class StreamingSpec extends SparkSpec {
     assert(TradeStore.readBatched(spark, s"$dir/store").count() == 2)
   }
 
+  test("streaming dedup: duplicates within the watermark horizon collapse across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDedup
+    val src = MemoryStream[String]
+    val deduped = StreamDedup.dedup(
+      graft.ingest.TradeIngest.parseTrades(src.toDF(), "value"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    src.addData(trade("12-AUG-24 11:23:45"), trade("12-AUG-24 11:23:45")) // in-batch dup
+    q.processAllAvailable()
+    src.addData(trade("12-AUG-24 11:23:45"),                    // cross-batch dup
+      trade("12-AUG-24 11:31:00", 1.2))                         // new content
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n == 2) // one copy of each distinct trade
+  }
+
   test("store layout: date-partitioned, time-sorted within partitions") {
     val dir = Files.createTempDirectory("graft-store").toString
     val rows = Seq(
