@@ -37,6 +37,19 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts DIV 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Spread a small-file scan across the cluster before CPU-heavy per-row
+    * stages (shingling, scoring, vector math): a file smaller than one
+    * split yields a single scan partition, serializing everything until
+    * the first exchange. At real scale files exceed the split size and
+    * this is a no-op; locally the tiny shuffle buys full parallelism.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "embeddings"))
 }
