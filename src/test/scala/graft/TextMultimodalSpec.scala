@@ -20,7 +20,9 @@ class TextMultimodalSpec extends SparkSpec {
   }
 
   test("RollingHash participates in whole-stage codegen over a real scan") {
-    val df = Tables.documents(spark, sf0001)
+    // raw table read (no spread/AQE) so the executed plan shows the fused
+    // stage markers up front
+    val df = Tables.table(spark, sf0001, "documents")
       .select(RollingHash.rolling_hash(col("text")).as("h"))
     val plan = df.queryExecution.executedPlan.toString
     // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
