@@ -297,7 +297,7 @@ object SparkEntry {
 
     "events_json_agg" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
@@ -716,12 +716,16 @@ object SparkEntry {
         |    (a, c) -> (a*31 + c) % 288230376151711717), 0) AS fingerprint
         |FROM norm ORDER BY doc_id""".stripMargin,
 
+    // All numeric columns CAST to BIGINT: DuckDB's sum/list_sum promote to
+    // HUGEINT, which the driver hashes as float64 and mismatches Spark's
+    // int64. Generator text is ASCII (asserted in TextMultimodalSpec), so
+    // code points == UTF-8 bytes and unicode(c) sums equal the byte sums.
     "media_summary" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |  length(text) AS n_bytes,
-        |  (length(text) + 63) // 64 AS n_frames,
-        |  list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS byte_sum,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST((length(text) + 63) // 64 AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum,
         |  md5(text) AS md5
         |FROM documents ORDER BY media_id""".stripMargin,
   )

@@ -28,53 +28,79 @@ object TextAnalysis {
   private val stopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
-  /** Heuristic quality score in [0,1]: length band, stopword presence,
-    * punctuation restraint, mean word length band. Deterministic per-row
-    * double math, 6-dp rounded. Token stats via the single-pass codegen'd
-    * TokenProfile/TokenSetCount expressions (the size(filter(...)) HOF
-    * forms are interpreted per token — ~20× slower measured). */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  /** Staged per-row statistics over ONE normalize pass: token profile,
+    * stopword count, punctuation/char counts, and (when `withLang`) the
+    * language-marker hit counts — everything both the quality score and the
+    * language classifier need, as named columns ending in the raw ratios.
+    *
+    * Staged projections matter: each expensive expression (normalize, the
+    * token passes, the regexps) lands in a named column and is computed
+    * ONCE. A single nested expression tree re-evaluates every subtree per
+    * reference (Catalyst CSE doesn't cover custom expressions), measured
+    * ~10× slower; CollapseProject keeps the stages because it refuses to
+    * duplicate non-cheap aliases. */
+  private def rowStats(documents: DataFrame, withLang: Boolean): DataFrame = {
     import graft.functions.{TokenProfile, TokenSetCount}
-    // Staged projections: each expensive expression (normalize, the token
-    // passes, the regexps) lands in a named column and is computed ONCE.
-    // A single nested expression tree re-evaluates every subtree per
-    // reference (Catalyst CSE doesn't cover these), measured ~10× slower;
-    // CollapseProject keeps the stages because it refuses to duplicate
-    // non-cheap aliases.
-    val staged = documents
+    val hitNames = langMarkers.map { case (lang, _) => s"hits_$lang" }
+    val stage2 = documents
       .select(col("doc_id"), col("text"), normalize(col("text")).as("norm"))
-      .select(col("doc_id"),
+      .select(Seq(
+        col("doc_id"), col("text"),
         TokenProfile.token_profile(col("norm")).as("prof"),
         TokenSetCount.token_set_count(col("norm"), stopwords)
           .cast("double").as("n_stop"),
         regexp_count(col("text"), lit("[^\\w\\s]")).cast("double").as("n_punct"),
-        length(col("text")).cast("double").as("n_chars"))
-      .select(col("doc_id"),
-        col("prof.n_tok").cast("double").as("n_tok"),
-        col("prof.sum_len").cast("double").as("sum_len"),
-        col("n_stop"), col("n_punct"), col("n_chars"))
-      .select(col("doc_id"), col("n_chars"),
-        when(col("n_tok") > 0, col("n_stop") / col("n_tok")).otherwise(0.0)
-          .as("stop_ratio_raw"),
-        when(col("n_chars") > 0, col("n_punct") / col("n_chars")).otherwise(0.0)
-          .as("punct_ratio_raw"),
-        when(col("n_tok") > 0, col("sum_len") / col("n_tok")).otherwise(0.0)
-          .as("mean_word_len_raw"))
+        length(col("text")).cast("double").as("n_chars")) ++
+        (if (withLang) langMarkers.map { case (lang, m) =>
+          TokenSetCount.token_set_count(col("norm"), m).as(s"hits_$lang")
+        } else Nil): _*)
+    stage2.select(Seq(
+      col("doc_id"), col("text"), col("n_chars"),
+      when(col("prof.n_tok") > 0,
+        col("n_stop") / col("prof.n_tok").cast("double")).otherwise(0.0)
+        .as("stop_ratio_raw"),
+      when(col("n_chars") > 0, col("n_punct") / col("n_chars")).otherwise(0.0)
+        .as("punct_ratio_raw"),
+      when(col("prof.n_tok") > 0,
+        col("prof.sum_len").cast("double") / col("prof.n_tok").cast("double"))
+        .otherwise(0.0).as("mean_word_len_raw")) ++
+      (if (withLang) hitNames.map(col) else Nil): _*)
+  }
+
+  /** Quality in [0,1] from the raw-ratio columns of `rowStats` (6-dp). */
+  private def qualityExpr: Column = {
     val lenScore = least(col("n_chars") / 200.0, lit(1.0))
     val stopScore = least(col("stop_ratio_raw") * 5.0, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - col("punct_ratio_raw") * 10.0)
     val wordLenScore = when(
       col("mean_word_len_raw") >= 3.0 && col("mean_word_len_raw") <= 10.0, 1.0)
       .otherwise(0.5)
-    staged.select(
+    round((lenScore + stopScore + punctScore + wordLenScore) / 4.0, 6)
+  }
+
+  /** argmax of the `hits_*` columns, declaration order on ties, "und" when
+    * nothing matches — cheap attribute refs, safe to inline anywhere. */
+  private def langPredExpr: Column = {
+    val cols = langMarkers.map { case (lang, _) => lang -> col(s"hits_$lang") }
+    val best = cols.map(_._2).reduce((a, b) => greatest(a, b))
+    cols.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: length band, stopword presence,
+    * punctuation restraint, mean word length band. Deterministic per-row
+    * double math, 6-dp rounded. Token stats via the single-pass codegen'd
+    * TokenProfile/TokenSetCount expressions (the size(filter(...)) HOF
+    * forms are interpreted per token — ~20× slower measured). */
+  def qualityScore(documents: DataFrame): DataFrame =
+    rowStats(documents, withLang = false).select(
       col("doc_id"),
       round(col("stop_ratio_raw"), 6).as("stop_ratio"),
       round(col("punct_ratio_raw"), 6).as("punct_ratio"),
       round(col("mean_word_len_raw"), 6).as("mean_word_len"),
-      round((lenScore + stopScore + punctScore + wordLenScore) / 4.0, 6)
-        .as("quality"))
+      qualityExpr.as("quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** Marker words per language for the rule-based classifier. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -107,24 +133,35 @@ object TextAnalysis {
 
   /** The composed curation pipeline — what a training-data run actually
     * executes: language filter → quality floor → exact dedup (keep lowest
-    * doc_id per content) → curated ids with their scores. One pass for the
-    * scoring (all per-row expressions fuse into the scan projection), one
-    * digest-keyed shuffle for the dedup. */
+    * doc_id per content) → curated ids with their scores. ONE corpus scan:
+    * quality + language come from the shared `rowStats` projection (no
+    * self-joins — at 100 TB a join-composed version scans the corpus three
+    * times and shuffles it twice for what a projection computes for free).
+    * The only shuffle is the digest-keyed dedup aggregation.
+    *
+    * The language/quality filter is applied AFTER the dedup aggregate
+    * (HAVING shape), not per-row: identical text ⇒ identical score and
+    * language, so every row of a digest group passes or fails together and
+    * the results are equal. Per-row filtering would let Catalyst push the
+    * predicate through the scoring projection, substituting (and
+    * re-evaluating) the whole normalize/token-pass chain inside the
+    * predicate — verified: the pushed plan computes token_profile 5× per
+    * row. The group-level form keeps single evaluation and only grows the
+    * shuffle by the filtered digests' ~50-byte stat rows (map-side combined),
+    * far cheaper than doubling the corpus-wide token passes. */
   def curate(documents: DataFrame, lang: String = "en",
-      minQuality: Double = 0.7): DataFrame = {
-    val scored = qualityScore(documents)
-      .join(langId(documents).select("doc_id", "lang_pred"), "doc_id")
-    val kept = scored
-      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
-    kept
-      .join(documents.select("doc_id", "text"), "doc_id")
+      minQuality: Double = 0.7): DataFrame =
+    rowStats(documents, withLang = true)
+      .select(col("doc_id"), col("text"),
+        qualityExpr.as("quality"), langPredExpr.as("lang_pred"))
       .groupBy(md5(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"),
         count(lit(1)).as("n_copies"),
-        min(col("quality")).as("quality"))
+        min(col("quality")).as("quality"),
+        min(col("lang_pred")).as("lang_pred"))
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
       .select(col("doc_id"), col("n_copies"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** Content fingerprint via the custom RollingHash Catalyst expression
     * (codegen'd, SURVEY.md §7 custom-Expression track) over normalized text. */

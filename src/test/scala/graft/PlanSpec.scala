@@ -35,6 +35,21 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q5_region_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("curate pipeline is join-free: one scan, one dedup shuffle") {
+    // optimized (logical) plan: nodes appear exactly once, so occurrence
+    // counts are meaningful (formatted physical output echoes each node in
+    // both the tree and the details section)
+    val p = SparkEntry.queries("curate_pipeline")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"), "curate_pipeline composes scores via a join")
+    assert(p.split("Relation \\[").length - 1 == 1,
+      "curate_pipeline scans documents more than once")
+    // the expensive token pass is evaluated once per row, not duplicated
+    // into a pushed-down predicate copy of the projection chain
+    assert(p.split("token_profile\\(").length - 1 == 1,
+      "token_profile duplicated — filter pushed through the scoring projection")
+  }
+
   test("dedup/minhash joins are equi-joins, never cartesian") {
     Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs").foreach { q =>
       val p = planOf(q)

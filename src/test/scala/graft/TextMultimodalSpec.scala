@@ -73,6 +73,11 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f3.kind == "audio" && f3.n_frames == 1 && f3.frame_means.head == 66.0)
   }
 
+  test("documents text is ASCII — media_summary oracle's code-point sums equal byte sums") {
+    val d = Tables.table(spark, sf0001, "documents")
+    assert(d.filter(octet_length(col("text")) =!= length(col("text"))).count() == 0)
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     val d = Seq((2L, "A" * 640)).toDF("doc_id", "text") // 10 frames
     val sampled = Multimodal.sampleFrames(
