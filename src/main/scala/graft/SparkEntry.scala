@@ -355,7 +355,10 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     // Normalization identical to graft.functions.TextOps.normalize:
-    // lower → strip non-[a-z0-9 ] → squeeze spaces → trim.
+    // lower → strip non-[a-z0-9 ] → squeeze spaces → trim. The df-cut
+    // (hot/fpost) mirrors Dedup.ngramJaccardPairs' live skew guard:
+    // shingles with df > 1000 are dropped before the join; sizes stay
+    // unfiltered.
     "ngram_jaccard_pairs" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
@@ -369,11 +372,16 @@ object SparkEntry {
         |    ELSE [] END) AS shs FROM toks
         |), post AS (
         |  SELECT doc_id, unnest(shs) AS s FROM sh
+        |), hot AS (
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM post GROUP BY 1) d
+        |  WHERE df > 1000
+        |), fpost AS (
+        |  SELECT doc_id, s FROM post WHERE s NOT IN (SELECT s FROM hot)
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
         |), common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM fpost a JOIN fpost b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT id_a, id_b,
@@ -528,11 +536,16 @@ object SparkEntry {
         |    ELSE [] END) AS shs FROM toks
         |), post AS (
         |  SELECT doc_id, unnest(shs) AS s FROM shl
+        |), hot AS (
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM post GROUP BY 1) d
+        |  WHERE df > 1000
+        |), fpost AS (
+        |  SELECT doc_id, s FROM post WHERE s NOT IN (SELECT s FROM hot)
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
         |), common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM fpost a JOIN fpost b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |), cand AS (
         |  SELECT id_a, id_b FROM common

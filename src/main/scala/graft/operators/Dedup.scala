@@ -44,20 +44,27 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs via inverted-index join.
-    * `maxDf` drops ubiquitous shingles before the self-join (skew guard;
-    * exactness for pairs whose similarity rests on rare shingles is
-    * unaffected at the chosen threshold when maxDf ≫ corpus dup group size).
-    */
+    *
+    * The skew guard is LIVE by default: shingles whose document frequency
+    * exceeds `maxDf` are dropped before the self-join. A single ubiquitous
+    * shingle contributes df² candidate pairs — the classic skewed-key
+    * scale-killer at 100 TB — so the cap is an ABSOLUTE posting-list bound
+    * (df > 1000 ⇒ ≤10⁶ pairs from any one shingle), not a corpus fraction:
+    * a fraction stops guarding exactly when the corpus grows. The cap must
+    * stay above the largest duplicate-group size (dup groups share all
+    * their shingles at df ≈ group size; run exact dedup first), which is
+    * why the default is 1000 and not single digits. The hot-shingle set is
+    * tiny by construction and broadcasts into an anti-join — no extra
+    * shuffle of the postings. Doc sizes |A| are still counted over the
+    * UNfiltered postings; pairs whose overlap rests on dropped boilerplate
+    * score lower (standard df-cut semantics, mirrored by the oracle). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
-      n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
+      n: Int = 3, maxDf: Long = 1000): DataFrame = {
     val post = postings(documents, n)
-    val filtered =
-      if (maxDf == Long.MaxValue) post
-      else {
-        val hot = post.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("sh")
-        post.join(hot, Seq("sh"), "left_anti")
-      }
+    val hot = post.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("sh")
+    val filtered = post.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") &&
@@ -78,7 +85,9 @@ object Dedup {
   /** MinHash signature columns via the 2-universal family
     * h_i(x) = (a_i·h60(x) + b_i) mod P: ONE portable base hash per
     * shingle, k derived components by arithmetic — one aggregation pass,
-    * and the DuckDB oracle reproduces every signature bit-for-bit. */
+    * and the DuckDB oracle reproduces every signature bit-for-bit.
+    * The same pass also emits `n_sh` (the doc's shingle-set size) so the
+    * LSH verify stage doesn't need a second corpus scan for sizes. */
   def minhashSignatures(documents: DataFrame, k: Int = 64): DataFrame = {
     import graft.functions.PortableHash.{h60, minhashParams, MinhashP}
     val params = minhashParams(k)
@@ -90,7 +99,9 @@ object Dedup {
     }
     based
       .groupBy(col("doc_id"))
-      .agg(sig(0).as("sig_0"), (1 until k).map(i => sig(i).as(s"sig_$i")): _*)
+      .agg(sig(0).as("sig_0"),
+        (1 until k).map(i => sig(i).as(s"sig_$i")) :+
+          count(lit(1)).as("n_sh"): _*)
   }
 
   /** MinHash-LSH candidate pairs, verified with exact Jaccard.
@@ -104,26 +115,31 @@ object Dedup {
         concat_ws(",", (0 until rowsPerBand).map(r =>
           col(s"sig_${b * rowsPerBand + r}").cast("string")): _*).as("bh"))
     }
+    // shingle-set sizes ride through the band join on the bucket rows, so
+    // candidate pairs arrive with (n_a, n_b) attached — no sizes joins and
+    // no extra corpus scans for them (each extra DataFrame reference is a
+    // recompute of its whole subtree unless the runtime can reuse the
+    // exchange; the two bucket sides are identical subtrees and can).
     val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+      .select(col("doc_id"), col("n_sh"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("n_sh"), col("bk.band"), col("bk.bh"))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
     // exact-Jaccard verification of candidates only (precision = 1.0)
     val post = postings(documents, 3)
-    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     candidates
       .join(post.select(col("doc_id").as("id_a"), col("sh")), "id_a")
       .join(post.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .filter(col("sh") === col("sh_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      // n_a/n_b are functionally dependent on the pair — grouping on them
+      // adds nothing to the key cardinality
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
@@ -137,8 +153,10 @@ object Dedup {
     * for LSH/inverted-index candidates (edit distance is O(len²) per pair
     * — never run it on the cross product). */
   def editDistancePairs(documents: DataFrame,
-      candidateThreshold: Double = 0.5): DataFrame = {
-    val cands = ngramJaccardPairs(documents, candidateThreshold)
+      candidateThreshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
+    // same candidate generator (and df-cut) as ngramJaccardPairs — one
+    // shared inverted-index implementation, one shared oracle mirror
+    val cands = ngramJaccardPairs(documents, candidateThreshold, 3, maxDf)
       .select("id_a", "id_b")
     val norm = documents.select(col("doc_id"), normalize(col("text")).as("t"))
     cands

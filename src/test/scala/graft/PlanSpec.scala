@@ -56,4 +56,22 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
+
+  test("ngram jaccard: hot-shingle df-cut is live, as a broadcast anti-join") {
+    val p = SparkEntry.queries("ngram_jaccard_pairs")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftAnti"), "df-cut skew guard not in the plan")
+    val phys = planOf("ngram_jaccard_pairs")
+    assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftAnti"),
+      "hot-shingle set should broadcast into the anti-join")
+  }
+
+  test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
+    // 2 signature-pass references (identical subtrees, runtime-reusable
+    // exchange) + 2 verify posting scans; the old sizes joins added 2 more
+    val p = SparkEntry.queries("minhash_lsh_pairs")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.split("Relation \\[").length - 1 <= 4,
+      "minhash_lsh_pairs re-scans documents for sizes")
+  }
 }
