@@ -66,6 +66,14 @@ class PlanSpec extends SparkSpec {
       "hot-shingle set should broadcast into the anti-join")
   }
 
+  test("ann_lsh signature is the native expression, no interpreted HOFs") {
+    val p = SparkEntry.queries("ann_lsh_topk")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("plane_signature"), "plane_signature not in the plan")
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      "interpreted HOF lambdas back in the LSH signature path")
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more

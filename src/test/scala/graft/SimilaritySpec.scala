@@ -44,6 +44,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF with k-means centroids: recall@10 ≥ 0.9 at nProbe=4 on sf0.01") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = 0L to 4L
+    val brute = Similarity.annBruteForce(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annIvf(emb, queries, k = 10,
+      nCentroids = 12, nProbe = 4, kmeansIters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall@10 too low: $recall")
+  }
+
+  test("plane_signature matches the interpreted HOF composition bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash.planeWeight
+    val bits = 8
+    val emb = Tables.embeddings(spark, sf0001).limit(100)
+    // the aggregate(zip_with(...)) form plane_signature replaced
+    val planes = typedLit((0 until bits).map(p =>
+      (0 until 128).map(i => planeWeight(p, i))))
+    val hofSig = (0 until bits).map { p =>
+      val row = element_at(planes, p + 1)
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") * element_at(row, i + 1)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = emb.select(col("vec_id"),
+      Similarity.lshSignature(col("embedding"), bits).as("fast"),
+      hofSig.as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("LSH top-k returns a subset of the brute-force candidate ranking") {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = Similarity.annBruteForce(emb, queryIds = Seq(0L, 1L), k = 50)
