@@ -78,13 +78,17 @@ object Trends {
     // timestamp, transpose the range bounds onto it: predicates on the
     // derived column can't cross the conversion arithmetic, but the raw
     // bounds are pushed to the parquet scan and prune row groups. The
-    // conversion floor(ns/1000) is monotone, so the raw-range filter is
-    // implied by (and combined with) the exact filter below.
+    // ns-precision bounds are AUTHORITATIVE (exact [from, to] at full
+    // resolution, matching an engine that compares un-truncated
+    // timestamps): an event in (to, to+1µs) is excluded here even though
+    // its micro-truncated ts still equals `to`. The tsCol filter below is
+    // then implied (floor(ns/1000) is monotone) but kept for sources
+    // without a raw-nanos column.
     val prefiltered =
       if (df.columns.contains("ts_ns"))
         df.filter(
           col("ts_ns") >= lit(from.getTime * 1000000L) &&
-          col("ts_ns") <= lit((to.getTime + 1) * 1000000L))
+          col("ts_ns") <= lit(to.getTime * 1000000L))
       else df
     prefiltered
       .filter(

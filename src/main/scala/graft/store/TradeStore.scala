@@ -67,6 +67,20 @@ object TradeStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("trade_date")
 
+  /** Time-range read — the store's query entry point. The range is applied
+    * BOTH as a `trade_date` bound (partition pruning: directories outside
+    * the range are never listed, the PK-granule-prune analogue) and as a
+    * `time_placed` bound (pushed to parquet: row-group min/max skip inside
+    * the surviving partitions, tight because writes sort within
+    * partitions). Asserted in TradeStoreSpec. */
+  def readRange(spark: SparkSession, path: String,
+      from: java.sql.Timestamp, to: java.sql.Timestamp): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("trade_date") >= to_date(lit(from)) &&
+        col("trade_date") <= to_date(lit(to)))
+      .filter(col("time_placed") >= lit(from) && col("time_placed") <= lit(to))
+      .drop("trade_date")
+
   def readBatched(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("trade_date", "batch_id")
 }

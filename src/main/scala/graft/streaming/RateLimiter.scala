@@ -20,32 +20,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object RateLimiter {
 
-  case class Request(user_id: String, ts_ms: Long)
-  case class Verdict(user_id: String, ts_ms: Long, allowed: Boolean,
-      in_window: Int, retry_after_ms: Long)
+  /** Timestamps in MICROS — the reference tracks its window in UnixMicro
+    * (`ratelimit.go:41`). `req_id` is the caller's unique request id: the
+    * deterministic tiebreaker for same-microsecond requests (without one,
+    * which request draws the 429 could flip across shuffle retries). */
+  case class Request(user_id: String, req_id: Long, ts_us: Long)
+  case class Verdict(user_id: String, req_id: Long, ts_us: Long,
+      allowed: Boolean, in_window: Int, retry_after_us: Long)
 
-  /** State: recent request timestamps (millis), ascending. */
+  /** State: recent request timestamps (micros), ascending. */
   private def evaluate(
-      durationMs: Long, limit: Int)(
+      durationUs: Long, limit: Int)(
       userId: String,
       requests: Iterator[Request],
       state: GroupState[List[Long]]): Iterator[Verdict] = {
     var window = state.getOption.getOrElse(Nil)
     // deterministic order regardless of shuffle arrival order
-    val ordered = requests.toSeq.sortBy(r => (r.ts_ms, 0))
+    val ordered = requests.toSeq.sortBy(r => (r.ts_us, r.req_id))
     val out = ordered.map { r =>
-      window = (window :+ r.ts_ms).filter(_ > r.ts_ms - durationMs)
+      window = (window :+ r.ts_us).filter(_ > r.ts_us - durationUs)
       val n = window.length
       val allowed = n <= limit
-      val retryAfter = if (allowed) 0L else window.head + durationMs
-      Verdict(userId, r.ts_ms, allowed, n, retryAfter)
+      val retryAfter = if (allowed) 0L else window.head + durationUs
+      Verdict(userId, r.req_id, r.ts_us, allowed, n, retryAfter)
     }
     state.update(window)
     out.iterator
   }
 
   /** Apply over a (streaming or batch) Dataset of requests. */
-  def apply(requests: Dataset[Request], durationMs: Long = 1000L,
+  def apply(requests: Dataset[Request], durationUs: Long = 1000000L,
       limit: Int = 100): Dataset[Verdict] = {
     val spark: SparkSession = requests.sparkSession
     import spark.implicits._
@@ -53,6 +57,6 @@ object RateLimiter {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        evaluate(durationMs, limit))
+        evaluate(durationUs, limit))
   }
 }

@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
  */
 object StreamDedup {
 
-  /** All-column content digest (stable order). */
+  /** All-column content digest (stable order). Hashes the JSON encoding of
+    * the full row struct — unambiguous, unlike delimiter concatenation:
+    * concat_ws silently SKIPS nulls (null vs "" collide) and a delimiter
+    * can appear inside a value; JSON keeps field boundaries and
+    * distinguishes null (key omitted) from every real value. */
   def contentHash(df: DataFrame): DataFrame =
     df.withColumn("content_hash",
-      md5(concat_ws("", df.columns.sorted.map(col).toIndexedSeq: _*)))
+      md5(to_json(struct(df.columns.sorted.map(col).toIndexedSeq: _*))))
 
   def dedup(trades: DataFrame, eventTimeCol: String = "time_placed",
       watermark: String = "1 hour"): DataFrame =

@@ -117,25 +117,36 @@ class StreamingSpec extends SparkSpec {
 
   test("rate limiter: reference Redis-window semantics incl. retry-after (ratelimit.go:38-62)") {
     val reqs = Seq(
-      RateLimiter.Request("u1", 1000L), RateLimiter.Request("u1", 1100L),
-      RateLimiter.Request("u1", 1200L), RateLimiter.Request("u1", 1300L),
-      RateLimiter.Request("u1", 1900L),
-      RateLimiter.Request("u1", 2500L), // window slid: 1000-1300 expired... (>1500)
-      RateLimiter.Request("u2", 1000L)  // separate key untouched
+      RateLimiter.Request("u1", 1L, 1000L), RateLimiter.Request("u1", 2L, 1100L),
+      RateLimiter.Request("u1", 3L, 1200L), RateLimiter.Request("u1", 4L, 1300L),
+      RateLimiter.Request("u1", 5L, 1900L),
+      RateLimiter.Request("u1", 6L, 2500L), // window slid: 1000-1300 expired... (>1500)
+      RateLimiter.Request("u2", 7L, 1000L)  // separate key untouched
     ).toDS()
-    val got = RateLimiter(reqs, durationMs = 1000L, limit = 3)
-      .collect().sortBy(v => (v.user_id, v.ts_ms))
+    val got = RateLimiter(reqs, durationUs = 1000L, limit = 3)
+      .collect().sortBy(v => (v.user_id, v.ts_us, v.req_id))
     val u1 = got.filter(_.user_id == "u1")
     assert(u1.map(_.allowed).toSeq ==
       Seq(true, true, true, false, false, true))
     // 4th request: window [1000,1100,1200,1300] → retry = oldest + duration
-    assert(u1(3).retry_after_ms == 1000L + 1000L)
+    assert(u1(3).retry_after_us == 1000L + 1000L)
     // rejected requests still occupy the window (ZADD before verdict):
     // at 1900 window = [1000..1900] minus ≤900 → 5 entries
     assert(u1(4).in_window == 5)
     // at 2500 only {1900, 2500} remain → allowed
     assert(u1(5).in_window == 2)
     assert(got.filter(_.user_id == "u2").forall(_.allowed))
+  }
+
+  test("rate limiter: same-microsecond requests tie-break by req_id — the 429 is deterministic") {
+    val reqs = Seq(
+      RateLimiter.Request("u1", 20L, 5000L),
+      RateLimiter.Request("u1", 10L, 5000L) // same ts, lower id → admitted first
+    ).toDS()
+    val got = RateLimiter(reqs, durationUs = 1000L, limit = 1)
+      .collect().sortBy(_.req_id)
+    assert(got.map(v => v.req_id -> v.allowed).toSeq ==
+      Seq(10L -> true, 20L -> false))
   }
 
   test("continuous windowed aggregate: watermark finalizes windows in append mode (ST3 deviation path)") {
@@ -164,15 +175,15 @@ class StreamingSpec extends SparkSpec {
   test("rate limiter: state persists across streaming micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[RateLimiter.Request]
-    val q = RateLimiter(src.toDS(), durationMs = 1000L, limit = 2)
+    val q = RateLimiter(src.toDS(), durationUs = 1000L, limit = 2)
       .writeStream.format("memory").queryName("rl_out")
       .outputMode("append").start()
-    src.addData(RateLimiter.Request("u1", 100L), RateLimiter.Request("u1", 200L))
+    src.addData(RateLimiter.Request("u1", 1L, 100L), RateLimiter.Request("u1", 2L, 200L))
     q.processAllAvailable()
-    src.addData(RateLimiter.Request("u1", 300L)) // same window, next batch
+    src.addData(RateLimiter.Request("u1", 3L, 300L)) // same window, next batch
     q.processAllAvailable()
     val out = spark.table("rl_out").as[RateLimiter.Verdict]
-      .collect().sortBy(_.ts_ms)
+      .collect().sortBy(_.ts_us)
     q.stop()
     assert(out.map(_.allowed).toSeq == Seq(true, true, false))
     assert(out.last.in_window == 3) // saw both batch-1 requests via state
