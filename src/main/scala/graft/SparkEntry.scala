@@ -78,6 +78,44 @@ object SparkEntry {
         .orderBy(col("user_id").cast("long"))
     },
 
+    // ── S4: protobuf wire-format round-trip (hand-rolled proto3 codec) ──
+    // Trades synthesized from events; encode → decode must be identity AND
+    // the byte length must match the oracle's independent arithmetic over
+    // the wire format (tag bytes + LEB128 varint widths + field omission),
+    // so the bytes themselves are oracle-checked, not just the values.
+    // Some rows exercise proto3 default omission (empty country, zero buy).
+    "trade_proto_roundtrip" -> { (s, dir) =>
+      import graft.functions.ProtoTrade.{proto_decode_trade, proto_encode_trade}
+      val nCores = s.sparkContext.defaultParallelism
+      val src = Tables.events(s, dir).repartition(nCores).select(
+        col("event_id").cast("string").as("user_id"),
+        upper(substring(col("event_type"), 1, 3)).as("currency_from"),
+        lit("USD").as("currency_to"),
+        (col("value") * lit(1e6)).cast("long").as("amount_sell_micros"),
+        when(col("event_id") % 7 === 0, lit(0L))
+          .otherwise((col("value") * lit(1.5) * lit(1e6)).cast("long"))
+          .as("amount_buy_micros"),
+        unix_millis(col("ts")).as("time_placed_ms"),
+        when(col("event_id") % 10 === 0, lit(""))
+          .otherwise(lit("US")).as("originating_country"))
+      src
+        .select(proto_encode_trade(col("user_id"), col("currency_from"),
+          col("currency_to"), col("amount_sell_micros"),
+          col("amount_buy_micros"), col("time_placed_ms"),
+          col("originating_country")).as("pb"))
+        .select(proto_decode_trade(col("pb")).as("tr"),
+          length(col("pb")).cast("long").as("pb_len"))
+        .select(col("tr.user_id").as("user_id"),
+          col("tr.currency_from").as("currency_from"),
+          col("tr.currency_to").as("currency_to"),
+          col("tr.amount_sell_micros").as("amount_sell_micros"),
+          col("tr.amount_buy_micros").as("amount_buy_micros"),
+          col("tr.time_placed_ms").as("time_placed_ms"),
+          col("tr.originating_country").as("originating_country"),
+          col("pb_len"))
+        .orderBy(col("user_id").cast("long"))
+    },
+
     // ── Relational breadth (SURVEY §2 extension: joins/topk/distinct/window) ──
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(Tables.lineitem(s, dir))),
     "q3_shipping" -> ((s, dir) => Relational.q3Shipping(
@@ -175,6 +213,44 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(trunc(value * 1e6) AS BIGINT) <> 0
         |ORDER BY event_id""".stripMargin,
+
+    // Byte-level proto check: pb_len recomputes the proto3 size from the
+    // wire-format rules — 1 tag byte + LEB128 varint width per int64
+    // (negative ⇒ 10-byte varint), 1 tag + 1 length byte + bytes per
+    // sub-128-byte string, proto3 defaults omitted. String fields here are
+    // ASCII and < 128 bytes (single length byte), asserted by the values.
+    "trade_proto_roundtrip" -> {
+      // tag + varint width of a non-negative int64 v, 0 when omitted
+      def vlen(v: String): String = {
+        val bounds = (1 to 8).map(k => (s"CAST(${1L << (7 * k)} AS BIGINT)", k + 1))
+        s"""CASE WHEN $v = 0 THEN 0 WHEN $v < 0 THEN 11
+           |    ${bounds.map { case (b, w) => s"WHEN $v < $b THEN $w" }.mkString(" ")}
+           |    ELSE 10 END""".stripMargin
+      }
+      def slen(c: String): String =
+        s"CASE WHEN len($c) > 0 THEN 2 + len($c) ELSE 0 END"
+      s"""WITH src AS (
+         |  SELECT event_id,
+         |    CAST(event_id AS VARCHAR) AS user_id,
+         |    upper(substr(event_type, 1, 3)) AS currency_from,
+         |    'USD' AS currency_to,
+         |    CAST(trunc(value * 1e6) AS BIGINT) AS amount_sell_micros,
+         |    CASE WHEN event_id % 7 = 0 THEN 0
+         |         ELSE CAST(trunc(value * CAST(1.5 AS DOUBLE) * 1e6) AS BIGINT)
+         |    END AS amount_buy_micros,
+         |    epoch_ms(ts) AS time_placed_ms,
+         |    CASE WHEN event_id % 10 = 0 THEN '' ELSE 'US' END
+         |      AS originating_country
+         |  FROM events
+         |)
+         |SELECT user_id, currency_from, currency_to, amount_sell_micros,
+         |  amount_buy_micros, time_placed_ms, originating_country,
+         |  CAST(${slen("user_id")} + ${slen("currency_from")}
+         |    + ${slen("currency_to")} + ${vlen("amount_sell_micros")}
+         |    + ${vlen("amount_buy_micros")} + ${vlen("time_placed_ms")}
+         |    + ${slen("originating_country")} AS BIGINT) AS pb_len
+         |FROM src ORDER BY event_id""".stripMargin
+    },
 
     // Money arithmetic in exact DECIMAL (2-dp sources) then cast to double —
     // identical across engines regardless of float summation order.
