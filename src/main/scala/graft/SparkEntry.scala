@@ -173,6 +173,16 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => // no SQL oracle: approximate by design
       Similarity.annIvf(Tables.embeddings(s, dir))),
 
+    // ── Deterministic sampling (training-data selection) ──
+    "sample_hash" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.hashSample(Tables.documents(s, dir), permille = 100)
+    }),
+    "source_quota" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.sourceQuota(Tables.documents(s, dir), quota = 50)
+    }),
+
     // ── Text analysis ──
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -681,6 +691,22 @@ object SparkEntry {
         |SELECT query_id, rank, cand_id AS neighbor_id, round(cos, 6) AS cos6
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Portable h60 (md5-first-15-hex) keying — same family the minhash
+    // oracle rebuilds, so the sampled set is bit-identical across engines.
+    "sample_hash" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 100
+        |ORDER BY doc_id""".stripMargin,
+
+    "source_quota" ->
+      """SELECT doc_id, source, rank_in_source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank_in_source
+        |  FROM documents) t
+        |WHERE rank_in_source <= 50
+        |ORDER BY doc_id""".stripMargin,
 
     "token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus sampling for training-data pipelines — the two
+ * selection shapes a 100 TB curation run actually needs:
+ *
+ *  - hash-mod sampling: a reproducible "random" subset. Keyed on a
+ *    portable content hash, so the SAME rows are selected on every run,
+ *    every engine, every partitioning — re-runnable experiments and an
+ *    exact SQL oracle. Map-side (a filter on a scan projection): no
+ *    shuffle, scales linearly.
+ *  - per-source quotas: cap each source's contribution (source balancing).
+ *    One shuffle keyed by source. A single mega-source is the skew risk;
+ *    at 100 TB pre-aggregate per-source counts first and only window the
+ *    sources over quota (the common case passes through map-side).
+ */
+object Sampling {
+
+  /** Keep rows whose portable key hash lands below `permille`/1000 —
+    * an exact, engine-reproducible ~permille‰ sample. */
+  def hashSample(documents: DataFrame, keyCol: String = "doc_id",
+      permille: Int = 100): DataFrame = {
+    import graft.functions.PortableHash.h60
+    documents
+      .filter(pmod(h60(col(keyCol).cast("string")), lit(1000L)) < permille)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Keep at most `quota` documents per source, by ascending doc_id
+    * (deterministic; swap the ordering column for a quality score to keep
+    * the best instead of the first). */
+  def sourceQuota(documents: DataFrame, quota: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).as("rank_in_source"))
+      .filter(col("rank_in_source") <= quota)
+      .orderBy(col("doc_id"))
+  }
+}

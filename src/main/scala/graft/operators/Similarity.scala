@@ -54,99 +54,87 @@ object Similarity {
   }
 
   /**
-   * Spherical k-means (Lloyd) refinement of the IVF coarse quantizer.
-   * Deterministic: seeds are the `nCentroids` lowest vec_ids, a fixed
-   * number of iterations, ties in assignment broken by centroid id.
-   * Each iteration is one broadcast-assign pass over the corpus plus a
+   * Spherical k-means (Lloyd) for the IVF coarse quantizer. Deterministic:
+   * seeds are the `nCentroids` lowest vec_ids (measured against a
+   * stride-spread variant on the synthetic embeddings: first-k seeds won
+   * at every (k, iters) combination — recall@10 0.92-0.96 vs 0.66-0.90),
+   * a fixed number of iterations, assignment ties to the lowest centroid
+   * id. Each iteration is ONE map-side assignment pass (the codegen'd
+   * NearestCentroid expression — no crossJoin, no window shuffle) plus a
    * (c_id, dim) mean aggregate; only the k×d centroid table is collected
-   * to the driver between iterations (the same driver-side loop shape
-   * MLlib's KMeans uses — centroids are tiny, the corpus never moves).
-   * Clusters that lose all members keep their previous centroid.
-   * Returns (c_id, c_emb, c_nrm) ready to broadcast into the query path.
+   * to the driver between iterations (the same loop shape MLlib's KMeans
+   * uses — centroids are tiny, the corpus never moves). Clusters that
+   * lose all members keep their previous centroid.
    */
-  def refineCentroids(embeddings: DataFrame, nCentroids: Int = 12,
-      iters: Int = 3): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val base = embeddings.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    // deterministic seeds: the k lowest vec_ids. Measured against a
-    // stride-spread variant on the synthetic embeddings: first-k seeds won
-    // at every (k, iters) combination (recall@10 0.92-0.96 vs 0.66-0.90),
-    // so the simpler rule stays.
-    var cents: Seq[(Int, Seq[Float])] = base.orderBy(col("vec_id"))
+  def kmeansCentroids(embeddings: DataFrame, nCentroids: Int = 12,
+      iters: Int = 3): Array[Array[Double]] = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    var cents: Array[Array[Double]] = base.orderBy(col("vec_id"))
       .limit(nCentroids).select(col("embedding")).collect()
-      .map(_.getSeq[Float](0)).zipWithIndex.map { case (e, i) => (i, e) }
-      .toSeq
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      val cdf = broadcast(cents.toDF("c_id", "c_emb")
-        .select(col("c_id"), col("c_emb"),
-          sqrt(dot(col("c_emb"), col("c_emb"))).as("c_nrm")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("c_id"))
-      val means = base.crossJoin(cdf)
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-            .as("c_cos"))
-        .withColumn("r", row_number().over(wAssign))
-        .filter(col("r") === 1)
-        .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      val means = base
+        .select(nearest_centroid(col("embedding"), cents).as("c_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("c_id"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
         }
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        means.getOrElse(cid, old)
+      }
     }
-    broadcast(cents.toDF("c_id", "c_emb")
-      .select(col("c_id").cast("long").as("c_id"), col("c_emb"),
-        sqrt(dot(col("c_emb"), col("c_emb"))).as("c_nrm")))
+    cents
   }
 
   /**
    * IVF-flat top-k: the inverted-file ANN scale path. Coarse quantizer =
-   * k-means-refined centroids (deterministic seeds + fixed Lloyd
-   * iterations, see [[refineCentroids]]); every vector is assigned to its
-   * nearest centroid (one broadcast pass); a query probes only its
-   * `nProbe` nearest centroid lists, so scanned candidates drop to
-   * ~nProbe/nCentroids of the corpus. At 100 TB the assignment is a
+   * k-means-refined centroids ([[kmeansCentroids]]); every vector is
+   * assigned to its nearest centroid MAP-SIDE by the codegen'd
+   * NearestCentroid expression (the centroid table rides the task binary
+   * as a plan reference — never a join, never a shuffle); queries compute
+   * their `nProbe` probe lists on the driver (queries × centroids is
+   * driver-sized by definition) and the corpus is filtered to the probed
+   * lists with one broadcast semi-style join. Scanned candidates drop to
+   * ~nProbe/nCentroids of the corpus. At 100 TB the assignment becomes a
    * write-time partitioning (cluster-by centroid_id), and probing prunes
    * partitions instead of rows.
    */
   def annIvf(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
       k: Int = 10, nCentroids: Int = 12, nProbe: Int = 4,
       kmeansIters: Int = 3): DataFrame = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(embeddings, nCentroids, kmeansIters)
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val base = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val centroids = refineCentroids(embeddings, nCentroids, kmeansIters)
-    // assignment: nearest centroid by cosine (rank 1, ties by centroid id)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = base.crossJoin(centroids)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"),
-        (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
-          .as("c_cos"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
-    // queries probe their nProbe nearest centroid lists
-    val probes = assigned
-      .join(broadcast(base.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"))), lit(true))
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("c_id"))
-      .distinct() // (query, centroid) space is tiny
-      .join(centroids, "c_id")
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("c_id"),
-        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-          .as("qc_cos"))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("qc_cos").desc, col("c_id"))))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("c_id"))
-    // scan only the probed lists
+    // probe lists per query, computed on the driver: score = dot(q, c)/|c|
+    // (|q| constant per query), rank desc with ties to the lowest c_id —
+    // identical ordering to the joined form this replaces
+    val qRows = base.filter(col("vec_id").isin(queryIds: _*)).collect()
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qEmb = r.getSeq[Float](1)
+      val qNrm = r.getDouble(2)
+      val q = qEmb.map(_.toDouble).toArray
+      cents.indices
+        .map(c => (cents(c).zip(q).map { case (a, b) => a * b }.sum
+          / cnorms(c), c))
+        .sortBy { case (s, c) => (-s, c) }
+        .take(nProbe)
+        .map { case (_, c) => (qid, c, qEmb, qNrm) }
+    }
+    val probes = broadcast(
+      probeRows.toDF("query_id", "c_id", "q_emb", "q_nrm"))
+    // scan only the probed lists; assignment fused into the scan projection
+    val assigned = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      nearest_centroid(col("embedding"), cents).as("c_id"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     assigned

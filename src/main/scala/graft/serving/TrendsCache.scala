@@ -20,8 +20,15 @@ import graft.model.Statistic
  */
 class TrendsCache(ttlMillis: Long = 60000L, clock: () => Long = System.currentTimeMillis) {
 
-  private case class Entry(at: Long, value: Array[Statistic])
+  protected case class Entry(at: Long, value: Array[Statistic])
   private val cache = TrieMap.empty[String, Entry]
+
+  /** Cache I/O seams — a remote-cache deployment overrides these two. Any
+    * exception they throw falls through to the engine, exactly like the
+    * reference's memcache error paths (service.go:86-89 on read,
+    * :102-105 on write: log-and-continue, never fail the request). */
+  protected def load(k: String): Option[Entry] = cache.get(k)
+  protected def store(k: String, e: Entry): Unit = cache.put(k, e)
 
   private[graft] def key(from: Timestamp, to: Timestamp, cf: String,
       ct: String): String =
@@ -31,11 +38,15 @@ class TrendsCache(ttlMillis: Long = 60000L, clock: () => Long = System.currentTi
       compute: => Array[Statistic]): Array[Statistic] = {
     val k = key(from, to, cf, ct)
     val now = clock()
-    cache.get(k) match {
+    val cached =
+      try load(k)
+      catch { case scala.util.control.NonFatal(_) => None }
+    cached match {
       case Some(e) if now - e.at < ttlMillis => e.value
       case _ =>
         val v = compute
-        cache.put(k, Entry(now, v))
+        try store(k, Entry(now, v))
+        catch { case scala.util.control.NonFatal(_) => () }
         v
     }
   }

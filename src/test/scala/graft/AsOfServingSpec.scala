@@ -49,6 +49,26 @@ class AsOfServingSpec extends SparkSpec {
     assert(cache.size == 1) // only the fresh entry survives
   }
 
+  test("cache trouble falls through to the engine (service.go:86-89,102-105)") {
+    var computes = 0
+    val broken = new TrendsCache(ttlMillis = 60000L, clock = () => 0L) {
+      override protected def load(k: String): Option[Entry] =
+        throw new RuntimeException("cache read down")
+      override protected def store(k: String, e: Entry): Unit =
+        throw new RuntimeException("cache write down")
+    }
+    val from = Timestamp.valueOf("2024-08-12 00:00:00")
+    val to = Timestamp.valueOf("2024-08-12 23:59:59")
+    def compute(): Array[model.Statistic] = {
+      computes += 1
+      Array(model.Statistic(from, 1, 2, 1.5, 1.4))
+    }
+    // every call computes (nothing cached, nothing thrown to the caller)
+    assert(broken.get(from, to, "EUR", "USD")(compute()).length == 1)
+    assert(broken.get(from, to, "EUR", "USD")(compute()).length == 1)
+    assert(computes == 2)
+  }
+
   test("trends JSON page has the reference response shape (api.go:14-28)") {
     val s = model.Statistic(Timestamp.valueOf("2024-08-12 11:20:00"), 1.0, 2.0, 1.5, 1.4)
     val json = TrendsPage.toJson("2024-08-12T00:00:00Z", "2024-08-13T00:00:00Z",
