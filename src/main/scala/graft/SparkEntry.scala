@@ -442,9 +442,10 @@ object SparkEntry {
 
     // Normalization identical to graft.functions.TextOps.normalize:
     // lower → strip non-[a-z0-9 ] → squeeze spaces → trim. The df-cut
-    // (hot/fpost) mirrors Dedup.ngramJaccardPairs' live skew guard:
-    // shingles with df > 1000 are dropped before the join; sizes stay
-    // unfiltered.
+    // (spost/hot/fpost) mirrors Dedup.ngramJaccardPairs' live skew guard:
+    // hot shingles detected on the deterministic 1% h60 doc sample
+    // (sample df > 10 ⟺ df ≳ 1000) are dropped before the join; sizes
+    // stay unfiltered.
     "ngram_jaccard_pairs" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
@@ -458,9 +459,12 @@ object SparkEntry {
         |    ELSE [] END) AS shs FROM toks
         |), post AS (
         |  SELECT doc_id, unnest(shs) AS s FROM sh
+        |), spost AS (
+        |  SELECT doc_id, s FROM post
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 10
         |), hot AS (
-        |  SELECT s FROM (SELECT s, count(*) AS df FROM post GROUP BY 1) d
-        |  WHERE df > 1000
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM spost GROUP BY 1) d
+        |  WHERE df > 10
         |), fpost AS (
         |  SELECT doc_id, s FROM post WHERE s NOT IN (SELECT s FROM hot)
         |), sizes AS (
@@ -622,9 +626,12 @@ object SparkEntry {
         |    ELSE [] END) AS shs FROM toks
         |), post AS (
         |  SELECT doc_id, unnest(shs) AS s FROM shl
+        |), spost AS (
+        |  SELECT doc_id, s FROM post
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 10
         |), hot AS (
-        |  SELECT s FROM (SELECT s, count(*) AS df FROM post GROUP BY 1) d
-        |  WHERE df > 1000
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM spost GROUP BY 1) d
+        |  WHERE df > 10
         |), fpost AS (
         |  SELECT doc_id, s FROM post WHERE s NOT IN (SELECT s FROM hot)
         |), sizes AS (

@@ -71,8 +71,13 @@ object TradeIngest {
    * duplicate rows (at-least-once, SURVEY.md §2.4 ST2).
    */
   def parseTrades(raw: DataFrame, jsonCol: String = "json"): DataFrame = {
+    // Specialized codegen'd parser instead of from_json: JsonToStructs is
+    // a CodegenFallback (interpreted Jackson boundary per row, splits the
+    // codegen stage); TradeWireJson is a static call inside the stage and
+    // binds strictly like Go encoding/json (wrong-typed field → reject),
+    // which is the reference's actual 400 behavior.
     val parsed = raw
-      .select(from_json(col(jsonCol), model.wireSchema).as("t"))
+      .select(graft.functions.TradeWireJson.parse_trade_wire(col(jsonCol)).as("t"))
       .select(
         col("t.userId").as("user_id"),
         col("t.currencyFrom").as("currency_from"),
@@ -81,11 +86,21 @@ object TradeIngest {
         toMicros(col("t.amountBuy")).as("amount_buy_micros"),
         col("t.originatingCountry").as("originating_country"),
         parseTimePlaced(col("t.timePlaced")).as("time_placed"))
+    // T1/T2 validation — reject rows the reference would 400. Expressed as
+    // explode(when(valid, array(row))) rather than a Filter node: Catalyst
+    // pushes filter predicates through projections by SUBSTITUTING the
+    // aliased expressions, which re-evaluates the whole parse chain once
+    // per isnotnull term (measured: 7 parses/row). A generator has no
+    // predicate to push — parse runs exactly once per row (plan-asserted
+    // in TradeIngestSpec).
+    val valid =
+      col("user_id").isNotNull && col("currency_from").isNotNull &&
+      col("currency_to").isNotNull && col("amount_sell_micros").isNotNull &&
+      col("amount_buy_micros").isNotNull && col("time_placed").isNotNull
     parsed
-      .filter( // T1/T2 validation — reject rows the reference would 400
-        col("user_id").isNotNull && col("currency_from").isNotNull &&
-        col("currency_to").isNotNull && col("amount_sell_micros").isNotNull &&
-        col("amount_buy_micros").isNotNull && col("time_placed").isNotNull)
+      .select(explode(when(valid,
+        array(struct(parsed.columns.map(col).toIndexedSeq: _*)))).as("r"))
+      .select(col("r.*"))
       .withColumn("rate",
         deriveRate(col("amount_buy_micros"), col("amount_sell_micros")))
       .select(model.tradeSchema.fieldNames.map(col).toIndexedSeq: _*)

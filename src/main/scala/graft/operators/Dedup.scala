@@ -53,16 +53,29 @@ object Dedup {
     * a fraction stops guarding exactly when the corpus grows. The cap must
     * stay above the largest duplicate-group size (dup groups share all
     * their shingles at df ≈ group size; run exact dedup first), which is
-    * why the default is 1000 and not single digits. The hot-shingle set is
-    * tiny by construction and broadcasts into an anti-join — no extra
-    * shuffle of the postings. Doc sizes |A| are still counted over the
-    * UNfiltered postings; pairs whose overlap rests on dropped boilerplate
-    * score lower (standard df-cut semantics, mirrored by the oracle). */
+    * why the default is 1000 and not single digits.
+    *
+    * Hot detection runs on a `samplePermille`‰ DETERMINISTIC hash-sample
+    * of documents (portable h60 keying — the identical sample on every
+    * engine, so the oracle mirrors it exactly): an exact df would shuffle
+    * every posting just to find a handful of hot keys, the sample costs
+    * 1/1000·samplePermille of that, and a shingle at df ≫ maxDf appears
+    * in the sample w.h.p. (df = 1000 at 1% ⇒ E[hits] = 10; misses near
+    * the cap only soften the guard, never correctness — the cut is
+    * mirrored, whatever it drops). The hot-shingle set broadcasts into an
+    * anti-join — no shuffle of the postings. Doc sizes |A| are still
+    * counted over the UNfiltered postings; pairs whose overlap rests on
+    * dropped boilerplate score lower (standard df-cut semantics, mirrored
+    * by the oracle). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
-      n: Int = 3, maxDf: Long = 1000): DataFrame = {
+      n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10): DataFrame = {
+    import graft.functions.PortableHash.h60
     val post = postings(documents, n)
-    val hot = post.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
+    val sampleDf = math.max(1L, maxDf * samplePermille / 1000)
+    val sampled = postings(documents.filter(
+      pmod(h60(col("doc_id").cast("string")), lit(1000L)) < samplePermille), n)
+    val hot = sampled.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > sampleDf)
       .select("sh")
     val filtered = post.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -153,10 +166,12 @@ object Dedup {
     * for LSH/inverted-index candidates (edit distance is O(len²) per pair
     * — never run it on the cross product). */
   def editDistancePairs(documents: DataFrame,
-      candidateThreshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
+      candidateThreshold: Double = 0.5, maxDf: Long = 1000,
+      samplePermille: Int = 10): DataFrame = {
     // same candidate generator (and df-cut) as ngramJaccardPairs — one
     // shared inverted-index implementation, one shared oracle mirror
-    val cands = ngramJaccardPairs(documents, candidateThreshold, 3, maxDf)
+    val cands = ngramJaccardPairs(documents, candidateThreshold, 3, maxDf,
+      samplePermille)
       .select("id_a", "id_b")
     val norm = documents.select(col("doc_id"), normalize(col("text")).as("t"))
     cands

@@ -106,6 +106,14 @@ class TradeIngestSpec extends SparkSpec {
     assert(parse(huge).count() == 0)
   }
 
+  test("wire JSON is parsed exactly once per row (no filter-pushdown copies)") {
+    // parquet-backed registered query: literal inputs constant-fold away
+    val p = SparkEntry.queries("trade_ingest")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.split("TradeWireJson\\.parse").length - 1 == 1,
+      "validation substituted extra parse copies into a pushed predicate")
+  }
+
   test("output schema matches the stored DDL mapping (init.sql:3-15)") {
     assert(parse(golden).schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       model.tradeSchema.fields.map(f => (f.name, f.dataType)).toSeq)
