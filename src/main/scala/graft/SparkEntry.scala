@@ -182,6 +182,10 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.sourceQuota(Tables.documents(s, dir), quota = 50)
     }),
+    "pack_sequences" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.packSequences(Tables.documents(s, dir))
+    }),
 
     // ── Text analysis ──
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
@@ -714,6 +718,29 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rank_in_source <= 50
         |ORDER BY doc_id""".stripMargin,
+
+    // Token-offset chunking into 512-token sequences, shard-parallel over
+    // the portable h60 doc hash — every assignment reproduced by the
+    // window cumsum below.
+    "pack_sequences" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |    CAST(len(list_filter(string_split(t, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM norm
+        |), cum AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM tok
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(shard * 1000000 + tokens_before // 512 AS BIGINT) AS seq_id,
+        |  CAST(tokens_before % 512 AS BIGINT) AS offset_in_seq
+        |FROM cum ORDER BY doc_id""".stripMargin,
 
     "token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -42,4 +42,38 @@ object Sampling {
       .filter(col("rank_in_source") <= quota)
       .orderBy(col("doc_id"))
   }
+
+  /** Pack documents into fixed token-budget training sequences by
+    * token-offset chunking: within a hash-shard, documents are laid out in
+    * doc_id order and each is assigned to sequence floor(tokens_before /
+    * budget) — the standard corpus-sharding layout for pretraining runs.
+    *
+    * Shard-parallel by construction: the running sum windows over
+    * `shard = h60(doc_id) mod nShards`, so each shard packs independently
+    * (one shuffle, no global ordering bottleneck — at 100 TB pick nShards
+    * ≈ cluster parallelism and the window never sees more than corpus/n
+    * rows in one partition). Fully deterministic and engine-portable, so
+    * the DuckDB oracle reproduces every assignment. Token count here is
+    * the whitespace-token proxy from `n_chars`-bearing sources; swap in a
+    * real tokenizer count column without touching the layout logic. */
+  def packSequences(documents: DataFrame, budgetTokens: Long = 512,
+      nShards: Int = 8): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import graft.functions.TokenProfile
+    import graft.functions.TextOps.normalize
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"),
+        pmod(h60(col("doc_id").cast("string")), lit(nShards.toLong)).as("shard"),
+        TokenProfile.token_profile(normalize(col("text")))
+          .getField("n_tok").cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("tokens_before"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("shard") * lit(1000000L) + floor(col("tokens_before") / budgetTokens)
+          .cast("long")).as("seq_id"),
+        (col("tokens_before") % budgetTokens).as("offset_in_seq"))
+      .orderBy(col("doc_id"))
+  }
 }
