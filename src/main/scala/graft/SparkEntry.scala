@@ -33,6 +33,13 @@ object SparkEntry {
       Trends.trendsOf(Tables.events(s, dir), "ts", "event_type", "purchase",
         "value", TrendsFrom, TrendsTo)),
 
+    // Sliding (overlapping) 10-min windows every 5 min — the capability
+    // step past the reference's tumbling-only flagship; each event lands
+    // in exactly two windows.
+    "trends_sliding" -> ((s, dir) =>
+      Trends.trendsOf(Tables.events(s, dir), "ts", "event_type", "purchase",
+        "value", TrendsFrom, TrendsTo, slide = Some("5 minutes"))),
+
     // ClickHouse-median parity variant: same window aggregate with the
     // custom bottom-k TypedImperativeAggregate (approximate ⇒ no SQL
     // oracle; determinism + accuracy asserted in ApproxQuantileSpec).
@@ -213,6 +220,26 @@ object SparkEntry {
          |WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
          |  AND event_type = 'purchase'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Each event belongs to exactly two overlapping 10-min/5-min windows:
+    // starts floor(t/300)·300 and that minus 300.
+    "trends_sliding" ->
+      s"""WITH starts AS (
+         |  SELECT value, unnest([
+         |    CAST(floor(epoch(ts)/300)*300 AS BIGINT) - 300,
+         |    CAST(floor(epoch(ts)/300)*300 AS BIGINT)
+         |  ]) AS window_start
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
+         |    AND event_type = 'purchase'
+         |)
+         |SELECT window_start,
+         |  round(min(value), 6) AS v_min,
+         |  round(max(value), 6) AS v_max,
+         |  round(avg(value), 6) AS v_mean,
+         |  round(median(value), 6) AS v_median,
+         |  count(*) AS n
+         |FROM starts GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "trade_ingest" ->
       """SELECT CAST(event_id AS VARCHAR) AS user_id,

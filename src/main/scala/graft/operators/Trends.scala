@@ -71,7 +71,8 @@ object Trends {
       keyValue: String,
       valueCol: String,
       fromTs: String,
-      toTs: String): DataFrame = {
+      toTs: String,
+      slide: Option[String] = None): DataFrame = {
     val from = Timestamp.valueOf(fromTs)
     val to = Timestamp.valueOf(toTs)
     // When the source keeps a raw nanos column (ts_ns) under a derived
@@ -95,7 +96,13 @@ object Trends {
         col(tsCol) >= lit(from) &&
         col(tsCol) <= lit(to) &&
         col(keyCol) === keyValue)
-      .groupBy(window(col(tsCol), "10 minutes"))
+      // sliding windows (overlapping) when a slide is given — each event
+      // lands in windowDuration/slide groups; the aggregate stays
+      // partial→final, the shuffle grows by that small constant factor
+      .groupBy(slide match {
+        case Some(s) => window(col(tsCol), "10 minutes", s)
+        case None => window(col(tsCol), "10 minutes")
+      })
       .agg(
         round(min(col(valueCol)), 6).as("v_min"),
         round(max(col(valueCol)), 6).as("v_max"),
