@@ -161,6 +161,20 @@ object SparkEntry {
     },
     "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
 
+    // Exact interpolated quantiles per group (A3 extension: the multi-
+    // quantile shape analytics actually asks for; Spark `percentile` and
+    // DuckDB `quantile_cont` both interpolate linearly on sorted values).
+    "quantiles_by_type" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.75)), 6).as("p75"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // ── Dedup family (training-data pipeline) ──
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "ngram_jaccard_pairs" -> ((s, dir) =>
@@ -449,6 +463,15 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "quantiles_by_type" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "salted_hot_agg" ->
       """SELECT event_type,

@@ -87,25 +87,20 @@ object Multimodal {
   }
 
   /** Metadata/feature summary — the oracle-checked surface: byte length,
-    * frame count, overall byte mean (6 dp), md5 digest. Engine-portable:
-    * the oracle recomputes each from the source text with SQL list/hash
-    * functions. */
+    * frame count, byte sum (exact integer — engine-portable, no float
+    * rounding ambiguity), md5 digest. Pure column expressions (built-ins
+    * plus the codegen'd ByteSum) — unlike the codec path, nothing here
+    * needs per-partition setup, so the typed mapPartitions form it
+    * replaces only paid encoder/decoder overhead per row. */
   def mediaSummary(documents: DataFrame): DataFrame = {
-    val media = mediaTable(documents)
-    val spark = documents.sparkSession
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        val n = r.payload.length.toLong
-        // byte SUM, not mean: exact integer — engine-portable, no float
-        // rounding ambiguity in the oracle compare
-        val byteSum = r.payload.foldLeft(0L)((acc, b) => acc + (b & 0xFF))
-        md.reset()
-        val digest = md.digest(r.payload).map("%02x".format(_)).mkString
-        (r.media_id, r.kind, n, (n + 63) / 64, byteSum, digest)
-      }
-    }.toDF("media_id", "kind", "n_bytes", "n_frames", "byte_sum", "md5")
+    import graft.functions.ByteOps.byte_sum
+    mediaTable(documents).select(
+      col("media_id"),
+      col("kind"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      ((length(col("payload")) + 63) / 64).cast("long").as("n_frames"),
+      byte_sum(col("payload")).as("byte_sum"),
+      md5(col("payload")).as("md5"))
       .orderBy(col("media_id"))
   }
 }
