@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.Trends
+import graft.operators.{Sampling, TextAnalysis, Trends}
 import graft.serving.{TrendsCache, TrendsPage}
 import graft.store.TradeStore
 import graft.streaming.TradeStream
@@ -71,5 +71,31 @@ class EndToEndSpec extends SparkSpec {
       "EUR", "USD", stats.toSeq)
     assert(json.startsWith("""{"dateFrom":"2024-08-12T00:00:00Z""""))
     assert(json.contains(""""median":1.11"""))
+  }
+
+  test("training-data pipeline: curate → sample → pack composes end-to-end") {
+    val docs = Tables.documents(spark, sf001)
+    val total = docs.count()
+
+    // stage 1: language/quality curation + exact dedup (keep lowest id)
+    val curated = TextAnalysis.curate(docs) // (doc_id, n_copies, quality)
+    val curatedN = curated.count()
+    assert(curatedN > 0 && curatedN < total)
+    val keptDocs = docs.join(curated.select("doc_id"), "doc_id")
+
+    // stage 2: deterministic 10% hash sample of the curated set
+    val sampled = Sampling.hashSample(keptDocs, permille = 100)
+    val sampledIds = sampled.collect().map(_.getLong(0)).toSet
+    val curatedIds = curated.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(sampledIds.nonEmpty && sampledIds.subsetOf(curatedIds))
+
+    // stage 3: pack the curated set into 512-token training sequences
+    val packed = Sampling.packSequences(keptDocs, budgetTokens = 512)
+    val rows = packed.collect()
+    assert(rows.length == curatedN) // every curated doc lands in a sequence
+    assert(rows.forall(r => r.getAs[Long]("offset_in_seq") < 512))
+    // sequences hold more than one doc on average (packing, not 1:1)
+    val nSeqs = rows.map(_.getAs[Long]("seq_id")).distinct.length
+    assert(nSeqs < rows.length)
   }
 }
