@@ -65,11 +65,17 @@ object TradeStream {
    * state must be mergeable; ClickHouse's own `median` is approximate too,
    * SURVEY.md §2.3 A3).
    */
-  def continuousTrends(trades: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def continuousTrends(trades: DataFrame, watermark: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
     trades
       .withWatermark("time_placed", watermark)
       .groupBy(
-        window(col("time_placed"), "10 minutes"),
+        // optional overlapping windows (slide < window): state grows by
+        // window/slide open groups per pair, still watermark-bounded
+        slide match {
+          case Some(s) => window(col("time_placed"), "10 minutes", s)
+          case None => window(col("time_placed"), "10 minutes")
+        },
         col("currency_from"), col("currency_to"))
       .agg(
         min(col("rate")).as("min"),

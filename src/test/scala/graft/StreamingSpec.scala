@@ -172,6 +172,27 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Double]("mean") == 2.0 && r.getAs[Long]("n") == 2L)
   }
 
+  test("continuous SLIDING windows: each event finalizes into two overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[model.Trade]
+    val q = TradeStream.continuousTrends(src.toDF(), watermark = "1 hour",
+      slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("cts_out")
+      .outputMode("append").start()
+    def t(ts: String, rate: Double) = model.Trade("u", "EUR", "USD",
+      1000000L, (rate * 1e6).toLong, rate, "US", Timestamp.valueOf(ts))
+    src.addData(t("2024-08-12 10:07:00", 2.0))
+    q.processAllAvailable()
+    src.addData(t("2024-08-12 12:30:00", 9.0)) // advance watermark past 10:xx
+    q.processAllAvailable()
+    val out = spark.table("cts_out").collect()
+    q.stop()
+    // the 10:07 event belongs to [10:00,10:10) and [10:05,10:15)
+    val starts = out.map(_.getAs[Timestamp]("window").toString).sorted.toSeq
+    assert(starts == Seq("2024-08-12 10:00:00.0", "2024-08-12 10:05:00.0"))
+    assert(out.forall(_.getAs[Double]("min") == 2.0))
+  }
+
   test("rate limiter: state persists across streaming micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[RateLimiter.Request]
