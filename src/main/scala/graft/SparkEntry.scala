@@ -213,6 +213,7 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(Tables.documents(s, dir))),
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
 
     // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
@@ -900,6 +901,17 @@ object SparkEntry {
         |WHERE lang_pred = 'en' AND quality >= 0.7
         |GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same email/digit-run patterns as TextAnalysis.scrubPii — the
+    // Java-regex ∩ RE2 dialect guarantees identical matches.
+    "scrub_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_longnums,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Same recurrence as graft.functions.RollingHash over the normalized
     // ASCII text (code points == bytes there).

@@ -163,6 +163,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_copies"), col("quality"))
       .orderBy(col("doc_id"))
 
+  // PII patterns constrained to the Java-regex ∩ RE2 common dialect
+  // (character classes, bounded repetition — no backrefs/lookaround), so
+  // the DuckDB oracle applies the byte-identical rules.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val LongNumRe = "[0-9]{7,}"
+
+  /** PII scrubbing: replace emails and long digit runs with typed
+    * placeholder tokens — the redaction pass a training-data pipeline
+    * runs before anything else sees the text. Per-row regex projection,
+    * scan-speed, no shuffle; counts emitted per category so redaction
+    * coverage is auditable. */
+  def scrubPii(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(LongNumRe)).cast("long").as("n_longnums"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+
   /** Content fingerprint via the custom RollingHash Catalyst expression
     * (codegen'd, SURVEY.md §7 custom-Expression track) over normalized text. */
   def fingerprints(documents: DataFrame): DataFrame =

@@ -61,6 +61,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("pii scrub replaces emails and long digit runs with typed tokens") {
+    val d = Seq(
+      (1L, "contact bob.smith+x@example.co or call 5551234567 now"),
+      (2L, "short 123456 stays, 1234567 goes"),
+      (3L, "nothing to redact")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (1L, 1L))
+    assert(got(2L) == (0L, 1L)) // 6-digit run untouched, 7-digit redacted
+    assert(got(3L) == (0L, 0L))
+    // the scrubbed hash equals the hash of the hand-redacted text
+    val expect = Seq(
+      (1L, "contact <EMAIL> or call <NUM> now"),
+      (2L, "short 123456 stays, <NUM> goes"),
+      (3L, "nothing to redact")).toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    TextAnalysis.scrubPii(d).collect().foreach { r =>
+      assert(r.getAs[String]("scrubbed_md5") == expect(r.getLong(0)))
+    }
+  }
+
   test("multimodal: stub decode yields deterministic frames and features") {
     val d = Seq((2L, "A" * 130), (3L, "B" * 64)).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(Multimodal.mediaTable(d))
