@@ -181,6 +181,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.8)),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8)),
+    "dedup_groups" -> ((s, dir) =>
+      Dedup.dedupGroups(Tables.documents(s, dir), threshold = 0.8)),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -219,6 +221,60 @@ object SparkEntry {
     // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
     "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
   )
+
+  /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
+    * `pairs(id_a, id_b, jaccard6)` relation — shared by the pairs oracle
+    * and the connected-components (dedup_groups) oracle. */
+  private lazy val minhashPairsCtes: String = {
+    val params = graft.functions.PortableHash.minhashParams(64)
+    val seedRows = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val p = graft.functions.PortableHash.MinhashP
+    s"""norm AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+       |), toks AS (
+       |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+       |), shl AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w)-2),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS shs FROM toks
+       |), post AS (
+       |  SELECT doc_id, unnest(shs) AS s FROM shl
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
+       |), based AS (
+       |  SELECT doc_id, s,
+       |    ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h1
+       |  FROM post
+       |), seeds(seed, a, b) AS (VALUES $seedRows
+       |), sigs AS (
+       |  SELECT doc_id, seed, min((a * h1 + b) % $p) AS sig
+       |  FROM based, seeds GROUP BY doc_id, seed
+       |), bands AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |    string_agg(sig::VARCHAR, ',' ORDER BY seed) AS bv
+       |  FROM sigs GROUP BY doc_id, seed // 4
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |), common AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN post pa ON pa.doc_id = c.id_a
+       |  JOIN post pb ON pb.doc_id = c.id_b AND pb.s = pa.s
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard6
+       |  FROM common
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
+       |)""".stripMargin
+  }
 
   /** DuckDB-equivalent SQL per query (tables resolved by the driver against
     * the same parquet dir). */
@@ -540,56 +596,26 @@ object SparkEntry {
     // Portable sketches: the oracle rebuilds the exact 60-bit md5-derived
     // hashes (h60 = first 15 hex chars of md5 as BIGINT), so MinHash
     // signatures, SimHash fingerprints, and LSH buckets hash-match.
-    "minhash_lsh_pairs" -> {
-      val params = graft.functions.PortableHash.minhashParams(64)
-      val seedRows = params.zipWithIndex
-        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-      val p = graft.functions.PortableHash.MinhashP
-      s"""WITH norm AS (
-         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
-         |), toks AS (
-         |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
-         |), shl AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-         |    THEN list_transform(generate_series(1, len(w)-2),
-         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         |    ELSE [] END) AS shs FROM toks
-         |), post AS (
-         |  SELECT doc_id, unnest(shs) AS s FROM shl
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
-         |), based AS (
-         |  SELECT doc_id, s,
-         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h1
-         |  FROM post
-         |), seeds(seed, a, b) AS (VALUES $seedRows
-         |), sigs AS (
-         |  SELECT doc_id, seed, min((a * h1 + b) % $p) AS sig
-         |  FROM based, seeds GROUP BY doc_id, seed
-         |), bands AS (
-         |  SELECT doc_id, seed // 4 AS band,
-         |    string_agg(sig::VARCHAR, ',' ORDER BY seed) AS bv
-         |  FROM sigs GROUP BY doc_id, seed // 4
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |), common AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS n_common
-         |  FROM cand c
-         |  JOIN post pa ON pa.doc_id = c.id_a
-         |  JOIN post pb ON pb.doc_id = c.id_b AND pb.s = pa.s
-         |  GROUP BY 1, 2
-         |)
-         |SELECT id_a, id_b,
-         |  round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard6
-         |FROM common
-         |JOIN sizes na ON na.doc_id = id_a
-         |JOIN sizes nb ON nb.doc_id = id_b
-         |WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "minhash_lsh_pairs" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, jaccard6 FROM pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Transitive closure of the verified pairs via a recursive CTE —
+    // mirrors Dedup.connectedComponents' min-label propagation.
+    "dedup_groups" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |und AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         |), members AS (SELECT DISTINCT a AS id FROM und)
+         |SELECT m.id AS doc_id, least(m.id, min(r.dst)) AS rep_id
+         |FROM members m JOIN reach r ON r.src = m.id
+         |GROUP BY m.id ORDER BY doc_id""".stripMargin,
 
     "simhash_pairs" -> {
       val bitSums = (0 until 60).map(j =>

@@ -161,6 +161,45 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over a near-dup pair set: label propagation to
+    * the minimum reachable doc_id — turning PAIRS into dedup GROUPS (the
+    * step production dedup actually needs: pick one representative per
+    * transitive cluster). Deterministic (min label), driver-side loop with
+    * one propagate-and-merge round per iteration; iterations = graph
+    * diameter, and near-dup components are near-cliques (every member
+    * shares most shingles), so 1-2 rounds in practice. `localCheckpoint`
+    * truncates the growing lineage each round — the standard iterative-
+    * algorithm hygiene on Spark (GraphX does the same internally).
+    * Output: (doc_id, rep_id) for every doc that appears in a pair. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // pairs computed once, not per iteration
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = und
+        .join(labels.select(col("id").as("src"), col("lab")), "src")
+        .select(col("dst").as("id"), col("lab"))
+        .union(labels)
+        .groupBy("id").agg(min(col("lab")).as("lab2"))
+      val merged = labels.join(prop, "id").localCheckpoint(true)
+      changed = merged.filter(col("lab2") < col("lab")).count()
+      labels = merged
+        .select(col("id"), least(col("lab"), col("lab2")).as("lab"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("rep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup groups of the corpus: MinHash-LSH pairs (exact-verified at
+    * `threshold`) closed under transitivity. */
+  def dedupGroups(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    connectedComponents(minhashLshPairs(documents, threshold))
+
   /** Character-level verification of near-dup candidates: Levenshtein
     * distance + similarity ratio over the normalized texts, computed ONLY
     * for LSH/inverted-index candidates (edit distance is O(len²) per pair

@@ -9,6 +9,17 @@ class DedupSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("connected components: chains collapse to the min id across iterations") {
+    // component {1,2,3,4} is a CHAIN (diameter 3 — forces >1 propagation
+    // round), {10,11} a pair; labels converge to the minimum member
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val d = docs(1L -> "a b c", 5L -> "a b c", 3L -> "x y z")
     val got = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1)))
