@@ -171,25 +171,32 @@ object Dedup {
     * truncates the growing lineage each round — the standard iterative-
     * algorithm hygiene on Spark (GraphX does the same internally).
     * Output: (doc_id, rep_id) for every doc that appears in a pair. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame,
+      roundsPerCheck: Int = 3): DataFrame = {
+    // the (possibly expensive) pair pipeline materializes ONCE; every
+    // propagation round references it
     val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true) // pairs computed once, not per iteration
+      .localCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      val prop = und
-        .join(labels.select(col("id").as("src"), col("lab")), "src")
-        .select(col("dst").as("id"), col("lab"))
-        .union(labels)
-        .groupBy("id").agg(min(col("lab")).as("lab2"))
-      val merged = labels.join(prop, "id").localCheckpoint(true)
-      changed = merged.filter(col("lab2") < col("lab")).count()
-      labels = merged
-        .select(col("id"), least(col("lab"), col("lab2")).as("lab"))
-        .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      // several LAZY rounds per convergence check: the label table is
+      // tiny, so chaining rounds in one plan beats a job + checkpoint per
+      // round; one checkpoint per batch bounds the iterative lineage
+      var next = labels
+      for (_ <- 0 until roundsPerCheck)
+        next = und
+          .join(next.select(col("id").as("src"), col("lab")), "src")
+          .select(col("dst").as("id"), col("lab"))
+          .union(next)
+          .groupBy("id").agg(min(col("lab")).as("lab"))
+      val batch = next.localCheckpoint(true)
+      converged = batch
+        .join(labels.withColumnRenamed("lab", "prev"), "id")
+        .filter(col("lab") < col("prev")).isEmpty
+      labels = batch
     }
     labels.select(col("id").as("doc_id"), col("lab").as("rep_id"))
       .orderBy(col("doc_id"))
