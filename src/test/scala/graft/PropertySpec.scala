@@ -68,6 +68,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("wire-JSON parser agrees with from_json on arbitrary to_json output") {
+    import org.apache.spark.sql.functions._
+    // random trades incl. escapes, unicode, empties, extreme numbers —
+    // serialized by Spark's own to_json, so well-formed by construction
+    val genStr = Gen.frequency(
+      3 -> Gen.alphaNumStr.map(_.take(12)),
+      1 -> Gen.const(""),
+      1 -> Gen.const("""quote" back\slash / tab	end"""),
+      1 -> Gen.const("héllo wörld λ ≠ 😀"),
+      1 -> Gen.const("nl\nand\rcr"))
+    val genNum = Gen.frequency(
+      4 -> Gen.choose(-1e9, 1e9),
+      1 -> Gen.const(0.0),
+      1 -> Gen.const(1.5e300),
+      1 -> Gen.const(-2.5e-308))
+    val rows = (1 to 120).map { i =>
+      val p = Gen.Parameters.default
+      (genStr(p, Seed(i)).get, genStr(p, Seed(1000 + i)).get,
+        genStr(p, Seed(2000 + i)).get, genNum(p, Seed(3000 + i)).get,
+        genNum(p, Seed(4000 + i)).get, genNum(p, Seed(5000 + i)).get,
+        genStr(p, Seed(6000 + i)).get, genStr(p, Seed(7000 + i)).get)
+    }
+    val json = rows.toDF("userId", "currencyFrom", "currencyTo",
+      "amountSell", "amountBuy", "rate", "timePlaced", "originatingCountry")
+      .select(to_json(struct(col("userId"), col("currencyFrom"),
+        col("currencyTo"), col("amountSell"), col("amountBuy"), col("rate"),
+        col("timePlaced"), col("originatingCountry"))).as("json"))
+    val cmp = json.select(
+      graft.functions.TradeWireJson.parse_trade_wire(col("json")).as("fast"),
+      from_json(col("json"), model.wireSchema).as("ref"))
+    assert(cmp.filter(not(col("fast") <=> col("ref"))).count() == 0)
+  }
+
+  test("proto3 round-trip is identity for arbitrary field values (S4)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ProtoTrade.{proto_decode_trade, proto_encode_trade}
+    val genStr = Gen.frequency(
+      3 -> Gen.alphaNumStr.map(_.take(12)),
+      1 -> Gen.const(""), // proto3 default: omitted on the wire
+      1 -> Gen.const("ünïcode 😀"))
+    val genLong = Gen.frequency(
+      3 -> Gen.choose(Long.MinValue, Long.MaxValue),
+      1 -> Gen.const(0L), // omitted on the wire
+      1 -> Gen.oneOf(Long.MinValue, Long.MaxValue, -1L, 127L, 128L, 300L))
+    val rows = (1 to 150).map { i =>
+      val p = Gen.Parameters.default
+      (genStr(p, Seed(i)).get, genStr(p, Seed(1000 + i)).get,
+        genStr(p, Seed(2000 + i)).get, genLong(p, Seed(3000 + i)).get,
+        genLong(p, Seed(4000 + i)).get, genLong(p, Seed(5000 + i)).get,
+        genStr(p, Seed(6000 + i)).get)
+    }
+    val df = rows.toDF("u", "cf", "ct", "sell", "buy", "tp", "oc")
+    val back = df
+      .select(col("u"), col("cf"), col("ct"), col("sell"), col("buy"),
+        col("tp"), col("oc"),
+        proto_decode_trade(proto_encode_trade(col("u"), col("cf"), col("ct"),
+          col("sell"), col("buy"), col("tp"), col("oc"))).as("tr"))
+    val mismatches = back.filter(
+      not(col("tr.user_id") <=> col("u")) ||
+      not(col("tr.currency_from") <=> col("cf")) ||
+      not(col("tr.currency_to") <=> col("ct")) ||
+      col("tr.amount_sell_micros") =!= col("sell") ||
+      col("tr.amount_buy_micros") =!= col("buy") ||
+      col("tr.time_placed_ms") =!= col("tp") ||
+      not(col("tr.originating_country") <=> col("oc"))).count()
+    assert(mismatches == 0)
+  }
+
   test("micros truncation is toward zero for any double (T3)") {
     val amounts = (1 to 200).map(i =>
       Gen.choose(-9e12, 9e12).apply(Gen.Parameters.default, Seed(i.toLong)).get)
