@@ -50,6 +50,31 @@ class PlanSpec extends SparkSpec {
       "token_profile duplicated — filter pushed through the scoring projection")
   }
 
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // the 100 TB fact⋈filtered-dim shape: when the dim side is filtered
+    // and the join must shuffle, Catalyst can build a bloom filter on the
+    // dim keys and push it into the fact scan — rows that cannot join are
+    // dropped before the exchange. Thresholds are sized for clusters, so
+    // lower them to demonstrate on test data; restore after.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", 0)
+      val li = Tables.lineitem(spark, sf0001)
+      val part = Tables.part(spark, sf0001).filter(col("p_type") === "PROMO")
+      val plan = li.join(part, li("l_partkey") === part("p_partkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter"),
+        "no runtime bloom filter injected into the fact side")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("dedup/minhash joins are equi-joins, never cartesian") {
     Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs").foreach { q =>
       val p = planOf(q)
