@@ -27,9 +27,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String, dir: String): Unit =
+    def materialize(name: String, dir: String): Unit = {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      // iterative queries (k-means, connected components) leave
+      // localCheckpoint blocks behind; drop them so queries are hermetic
+      // and no storage pressure accumulates across the run
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n => // warmup: JIT + codegen cache, tiny data
