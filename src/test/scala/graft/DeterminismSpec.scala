@@ -28,6 +28,15 @@ class DeterminismSpec extends SparkSpec {
     assert(fps(docs) == fps(docs.repartition(7)))
   }
 
+  test("dedup groups are invariant under repartitioning (min-label CC)") {
+    def groups(df: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupGroups(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = groups(docs)
+    val b = groups(docs.repartition(11))
+    assert(a.nonEmpty && a == b)
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(
