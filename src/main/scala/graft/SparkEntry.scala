@@ -209,6 +209,10 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.packSequences(Tables.documents(s, dir))
     }),
+    "pack_spans" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.packSequenceSpans(Tables.documents(s, dir))
+    }),
 
     // ── Text analysis ──
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
@@ -815,9 +819,37 @@ object SparkEntry {
         |  FROM tok
         |)
         |SELECT doc_id, shard, n_tokens,
-        |  CAST(shard * 1000000 + tokens_before // 512 AS BIGINT) AS seq_id,
+        |  CAST(shard * 1099511627776 + tokens_before // 512 AS BIGINT) AS seq_id,
         |  CAST(tokens_before % 512 AS BIGINT) AS offset_in_seq
         |FROM cum ORDER BY doc_id""".stripMargin,
+
+    // Boundary-splitting spans: one row per (doc, overlapped 512-token
+    // window); seq_id = (shard << 40) + window index, offsets doc-relative.
+    "pack_spans" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |    CAST(len(list_filter(string_split(t, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM norm
+        |), cum AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM tok
+        |), spans AS (
+        |  SELECT doc_id, shard, n_tokens, tokens_before,
+        |    unnest(generate_series(CAST(tokens_before // 512 AS BIGINT),
+        |      CAST((tokens_before + n_tokens - 1) // 512 AS BIGINT))) AS s
+        |  FROM cum WHERE n_tokens > 0
+        |)
+        |SELECT doc_id,
+        |  CAST(shard * 1099511627776 + s AS BIGINT) AS seq_id,
+        |  CAST(greatest(0, s * 512 - tokens_before) AS BIGINT) AS start_tok,
+        |  CAST(least(n_tokens, (s + 1) * 512 - tokens_before) AS BIGINT) AS end_tok
+        |FROM spans ORDER BY doc_id, seq_id""".stripMargin,
 
     "token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

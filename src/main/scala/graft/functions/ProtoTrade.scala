@@ -106,6 +106,9 @@ object ProtoTrade {
         if (i >= n || shift > 63) { bad = true; return 0L }
         val b = bytes(i) & 0xFF
         i += 1
+        // 10th byte (shift 63): only the low bit fits in 64 — Go protowire
+        // rejects anything wider as overflow rather than truncating
+        if (shift == 63 && (b & 0xFE) != 0) { bad = true; return 0L }
         acc |= (b & 0x7FL) << shift
         shift += 7
         more = (b & 0x80) != 0

@@ -83,9 +83,21 @@ object TradeWireJson {
             case 'r' => sb.append('\r')
             case 't' => sb.append('\t')
             case 'u' =>
+              // strictly 4 hex digits — Integer.parseInt alone would also
+              // accept a sign ("\u-0af"), which Go/Jackson reject
               if (i + 4 > n) throw malformed
-              val cp = try Integer.parseInt(s.substring(i, i + 4), 16)
-              catch { case _: NumberFormatException => throw malformed }
+              var cp = 0
+              var j = i
+              while (j < i + 4) {
+                val h = s.charAt(j)
+                val d =
+                  if (h >= '0' && h <= '9') h - '0'
+                  else if (h >= 'a' && h <= 'f') h - 'a' + 10
+                  else if (h >= 'A' && h <= 'F') h - 'A' + 10
+                  else throw malformed
+                cp = (cp << 4) | d
+                j += 1
+              }
               i += 4
               sb.append(cp.toChar)
             case _ => throw malformed
@@ -100,6 +112,10 @@ object TradeWireJson {
       val start = i
       if (i < n && s.charAt(i) == '-') i += 1
       if (i >= n || !isDigit(s.charAt(i))) throw malformed
+      // Go encoding/json rejects leading zeros ("01"): a '0' integer part
+      // must stand alone
+      if (s.charAt(i) == '0' && i + 1 < n && isDigit(s.charAt(i + 1)))
+        throw malformed
       while (i < n && isDigit(s.charAt(i))) i += 1
       if (i < n && s.charAt(i) == '.') {
         i += 1

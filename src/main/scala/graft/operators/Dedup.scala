@@ -173,10 +173,14 @@ object Dedup {
     * Output: (doc_id, rep_id) for every doc that appears in a pair. */
   def connectedComponents(pairs: DataFrame,
       roundsPerCheck: Int = 3): DataFrame = {
-    // the (possibly expensive) pair pipeline materializes ONCE; every
-    // propagation round references it
-    val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // the (possibly expensive) pair pipeline materializes ONCE — checkpoint
+    // BEFORE the symmetric union: the two union branches are separate
+    // references to the pairs subtree, and Spark does no logical CSE across
+    // DataFrame references, so unioning first would execute the whole pair
+    // pipeline twice inside the checkpoint job
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val und = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
@@ -295,8 +299,11 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("dist"))
-      .distinct()
+      // Hamming filter BEFORE the dedup: dist is a function of the pair, so
+      // filtering first cannot change the distinct's result — it only
+      // shrinks its input (most banded candidates fail the distance test)
       .filter(col("dist") <= maxDist)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,8 +56,9 @@ object Sampling {
     * the DuckDB oracle reproduces every assignment. Token count here is
     * the whitespace-token proxy from `n_chars`-bearing sources; swap in a
     * real tokenizer count column without touching the layout logic. */
-  def packSequences(documents: DataFrame, budgetTokens: Long = 512,
-      nShards: Int = 8): DataFrame = {
+  /** Shard-local token layout: (doc_id, shard, n_tokens, tokens_before) —
+    * the shared cumulative layer under both packing shapes. */
+  private def tokenLayout(documents: DataFrame, nShards: Int) = {
     import graft.functions.PortableHash.h60
     import graft.functions.TokenProfile
     import graft.functions.TextOps.normalize
@@ -70,10 +71,49 @@ object Sampling {
           .getField("n_tok").cast("long").as("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("tokens_before"))
+  }
+
+  /** seq_id = (shard << 40) + shard-local sequence index: 2⁴⁰ sequences of
+    * headroom per shard (≈5.6×10¹⁴ tokens at the default budget) before ids
+    * could collide across shards — a plain `shard * 10⁶` offset overflows
+    * into the neighbor shard's id space at ~512M tokens/shard, far below
+    * the 100 TB contract. */
+  private def seqId(seqIdx: Column): Column =
+    shiftleft(col("shard"), 40) + seqIdx
+
+  def packSequences(documents: DataFrame, budgetTokens: Long = 512,
+      nShards: Int = 8): DataFrame =
+    tokenLayout(documents, nShards)
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        (col("shard") * lit(1000000L) + floor(col("tokens_before") / budgetTokens)
-          .cast("long")).as("seq_id"),
+        seqId(floor(col("tokens_before") / budgetTokens).cast("long"))
+          .as("seq_id"),
         (col("tokens_before") % budgetTokens).as("offset_in_seq"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Sequence-boundary SPANS: real pretraining packing splits a document
+    * across the sequences it straddles instead of letting sequences run
+    * ragged. A doc occupying shard-token interval
+    * [tokens_before, tokens_before + n_tokens) contributes one row per
+    * overlapped budget window: (doc_id, seq_id, start_tok, end_tok) with
+    * doc-relative token offsets (end exclusive), so
+    * Σ (end_tok - start_tok) = n_tokens and every sequence except each
+    * shard's last is exactly `budgetTokens` full. Pure arithmetic over the
+    * same shard-parallel cumsum — the explode fan-out is
+    * ceil(n_tokens/budget) rows per doc, map-side after the one window
+    * shuffle. Empty docs (0 tokens) occupy no span. */
+  def packSequenceSpans(documents: DataFrame, budgetTokens: Long = 512,
+      nShards: Int = 8): DataFrame =
+    tokenLayout(documents, nShards)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tokens_before"),
+        explode(sequence(
+          floor(col("tokens_before") / budgetTokens).cast("long"),
+          floor((col("tokens_before") + col("n_tokens") - 1) / budgetTokens)
+            .cast("long"))).as("s"))
+      .select(col("doc_id"), seqId(col("s")).as("seq_id"),
+        greatest(lit(0L), col("s") * budgetTokens - col("tokens_before"))
+          .as("start_tok"),
+        least(col("n_tokens"),
+          (col("s") + 1) * budgetTokens - col("tokens_before")).as("end_tok"))
+      .orderBy(col("doc_id"), col("seq_id"))
 }

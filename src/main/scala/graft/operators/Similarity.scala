@@ -54,12 +54,16 @@ object Similarity {
   }
 
   /**
-   * Spherical k-means (Lloyd) for the IVF coarse quantizer. Deterministic:
-   * seeds are the `nCentroids` lowest vec_ids (measured against a
-   * stride-spread variant on the synthetic embeddings: first-k seeds won
-   * at every (k, iters) combination — recall@10 0.92-0.96 vs 0.66-0.90),
-   * a fixed number of iterations, assignment ties to the lowest centroid
-   * id. Each iteration is ONE map-side assignment pass (the codegen'd
+   * Spherical k-means (Lloyd) for the IVF coarse quantizer. Structurally
+   * deterministic: seeds are the `nCentroids` lowest vec_ids (measured
+   * against a stride-spread variant on the synthetic embeddings: first-k
+   * seeds won at every (k, iters) combination — recall@10 0.92-0.96 vs
+   * 0.66-0.90), a fixed number of iterations, assignment ties to the lowest
+   * centroid id. Caveat: the per-(c_id, pos) avg() is a distributed double
+   * reduction whose combine order follows shuffle-fetch order, so centroids
+   * are NOT bit-stable across runs — near-tie assignments can flip, which is
+   * why ann_ivf is gated by a recall spec rather than a value oracle.
+   * Each iteration is ONE map-side assignment pass (the codegen'd
    * NearestCentroid expression — no crossJoin, no window shuffle) plus a
    * (c_id, dim) mean aggregate; only the k×d centroid table is collected
    * to the driver between iterations (the same loop shape MLlib's KMeans
@@ -124,8 +128,16 @@ object Similarity {
       val qNrm = r.getDouble(2)
       val q = qEmb.map(_.toDouble).toArray
       cents.indices
-        .map(c => (cents(c).zip(q).map { case (a, b) => a * b }.sum
-          / cnorms(c), c))
+        // zero-norm centroid guard mirrors NearestCentroid.assign: score
+        // -Inf, never NaN (NaN would make sortBy order-unstable and could
+        // disagree with the executor-side assignment path)
+        .map { c =>
+          val s =
+            if (cnorms(c) != 0.0)
+              cents(c).zip(q).map { case (a, b) => a * b }.sum / cnorms(c)
+            else Double.NegativeInfinity
+          (s, c)
+        }
         .sortBy { case (s, c) => (-s, c) }
         .take(nProbe)
         .map { case (_, c) => (qid, c, qEmb, qNrm) }

@@ -40,9 +40,48 @@ class SamplingSpec extends SparkSpec {
       rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
         assert(r.getAs[Long]("offset_in_seq") == cum % budget,
           s"gap in shard $shard at doc ${r.getAs[Long]("doc_id")}")
-        assert(r.getAs[Long]("seq_id") == shard * 1000000L + cum / budget)
+        assert(r.getAs[Long]("seq_id") == (shard << 40) + cum / budget)
         cum += r.getAs[Long]("n_tokens")
       }
+    }
+  }
+
+  test("sequence spans partition each doc and fill every non-final sequence") {
+    val budget = 512L
+    val d = Tables.documents(spark, sf0001)
+    val spans = Sampling.packSequenceSpans(d, budgetTokens = budget).collect()
+    val nTokens = Sampling.packSequences(d, budgetTokens = budget).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+
+    // per doc: spans are contiguous [0, n_tokens) in consecutive sequences
+    spans.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("seq_id"))
+      assert(sorted.head.getAs[Long]("start_tok") == 0L)
+      assert(sorted.last.getAs[Long]("end_tok") == nTokens(id))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_tok") == b.getAs[Long]("start_tok"),
+            s"gap inside doc $id")
+          assert(a.getAs[Long]("seq_id") + 1 == b.getAs[Long]("seq_id"))
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("end_tok") - r.getAs[Long]("start_tok") <= budget)
+      }
+    }
+    // empty docs occupy no span; all other docs appear
+    assert(spans.map(_.getAs[Long]("doc_id")).toSet ==
+      nTokens.filter(_._2 > 0).keySet)
+
+    // per sequence: every sequence except each shard's last holds exactly
+    // `budget` tokens
+    val bySeq = spans.groupBy(_.getAs[Long]("seq_id")).map { case (s, rows) =>
+      s -> rows.map(r => r.getAs[Long]("end_tok") - r.getAs[Long]("start_tok")).sum
+    }
+    val lastPerShard = bySeq.keys.groupBy(_ >> 40).values.map(_.max).toSet
+    bySeq.foreach { case (s, tot) =>
+      if (lastPerShard(s)) assert(tot <= budget)
+      else assert(tot == budget, s"non-final sequence $s holds $tot tokens")
     }
   }
 }

@@ -58,6 +58,27 @@ class TradeWireJsonSpec extends SparkSpec {
     }
   }
 
+  test("Go-strict: signed \\u escapes and leading-zero numbers reject") {
+    // Integer.parseInt(hex, 16) would accept a signed escape payload;
+    // Go/Jackson require exactly 4 hex digits. encoding/json also rejects
+    // leading zeros. (bs+"u..." keeps the Scala lexer away from \u.)
+    val bs = "\\"
+    Seq(s"""{"userId":"${bs}u-0af"}""", s"""{"userId":"${bs}u00g1"}""",
+      s"""{"userId":"${bs}u+123"}""", """{"amountSell":01}""",
+      """{"amountSell":-01.5}""", """{"amountSell":00}""").foreach { m =>
+      val (fast, _) = both(m).head
+      assert(fast == null, s"accepted non-Go-strict input: $m")
+    }
+    // the strict hex path still decodes well-formed escapes (mixed case)
+    Seq(s"""{"userId":"${bs}u00e9"}""" -> "é",
+      s"""{"userId":"${bs}u00E9"}""" -> "é").foreach { case (m, want) =>
+      val (fast, _) = both(m).head
+      assert(fast != null && fast.getString(0) == want, s"rejected valid: $m")
+    }
+    val (zero, _) = both("""{"amountSell":0.5}""").head
+    assert(zero != null && zero.getDouble(3) == 0.5)
+  }
+
   test("Go-strict: wrong types and trailing content reject (from_json is laxer)") {
     // encoding/json errors when binding a number into a string field, a
     // string into a float64, or on trailing content after the value — the
