@@ -7,11 +7,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one warmup pass at sf0.001 first (JIT/codegen warm — the
   * plans are identical, only the data volume differs), then each query is
-  * timed TWICE on the target scale factor with a full materialization
+  * timed THREE times on the target scale factor with a full materialization
   * through the noop sink (all columns computed, no collect/driver funnel,
   * no sink cost) and the minimum reported — first-execution JIT of a heavy
   * generated class can add ~10s of noise that would poison cross-round
-  * comparisons.
+  * comparisons. The per-run times are ALL emitted (`runs` map) so a
+  * contaminated measurement — e.g. a concurrent sbt/test run competing for
+  * cores, which has produced 19× outliers on shuffle-heavy queries — is
+  * self-evident in the artifact: a clean run has tight per-run spreads,
+  * contention shows as one inflated sample.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,7 +49,7 @@ object Bench {
       }
     }
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try materialize(name, sfDir)
         catch { case e: Throwable =>
@@ -53,12 +57,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v.min) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runs = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2.min).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
