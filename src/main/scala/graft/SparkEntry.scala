@@ -663,21 +663,27 @@ object SparkEntry {
         |  SELECT p, i,
         |    (('0x' || substr(md5(p::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT
         |      % 2000001 - 1000000) / CAST(1000000 AS DOUBLE) AS wt
-        |  FROM range(0, 8) rp(p), range(0, 64) ri(i)
+        |  FROM range(0, 64) rp(p), range(0, 64) ri(i)
         |), proj AS (
         |  SELECT e.vec_id, pl.p, sum(e.x * pl.wt) AS pr
         |  FROM elems e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2
-        |), buckets AS (
-        |  SELECT vec_id,
-        |    sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
-        |  FROM proj GROUP BY 1
+        |), bands AS (
+        |  -- per-band 4-bit values built directly from the plane signs
+        |  -- (assembling a full 64-bit key would need 1<<63, which DuckDB
+        |  -- rejects as signed overflow); band b holds planes [4b, 4b+4)
+        |  SELECT vec_id, p // 4 AS band,
+        |    CAST(sum(CASE WHEN pr >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS bv
+        |  FROM proj GROUP BY 1, 2
         |), norms AS (
         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
         |), qs AS (
-        |  SELECT vec_id AS query_id, bucket AS qb FROM buckets WHERE vec_id <= 4
+        |  SELECT vec_id AS query_id, band, bv FROM bands WHERE vec_id <= 4
         |), cand AS (
-        |  SELECT q.query_id, b.vec_id
-        |  FROM qs q JOIN buckets b ON b.bucket = q.qb AND b.vec_id <> q.query_id
+        |  SELECT DISTINCT q.query_id, b.vec_id
+        |  FROM qs q JOIN bands b
+        |    ON b.band = q.band AND b.bv = q.bv AND b.vec_id <> q.query_id
         |), dots AS (
         |  SELECT c.query_id, c.vec_id, sum(a.x * b.x) AS dot
         |  FROM cand c

@@ -82,8 +82,8 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     val brute = Similarity.annBruteForce(emb, queryIds = Seq(0L, 1L), k = 50)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
-    val lsh = Similarity.annLsh(emb, queryIds = Seq(0L, 1L), k = 10, bits = 4)
-      .collect()
+    val lsh = Similarity.annLsh(emb, queryIds = Seq(0L, 1L), k = 10,
+      bands = 1, bitsPerBand = 4).collect()
     // every LSH result must carry the same cosine the exact path computes;
     // at 4 bits buckets are coarse enough that some neighbors surface
     assert(lsh.nonEmpty)
@@ -96,5 +96,25 @@ class SimilaritySpec extends SparkSpec {
     lsh.groupBy(_.getLong(0)).values.foreach { rows =>
       assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
     }
+  }
+
+  test("multi-band LSH recall beats a single wide band at equal total bits") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = 0L to 4L
+    val brute = Similarity.annBruteForce(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(bands: Int, bits: Int) = {
+      val got = Similarity.annLsh(emb, queries, k = 10, bands, bits).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.count(brute.contains).toDouble / brute.size
+    }
+    val banded = recall(bands = 16, bits = 4)  // the default: 16-band union
+    val single = recall(bands = 1, bits = 64)  // one 64-bit bucket
+    assert(banded > single,
+      s"banding lost recall: banded=$banded single=$single")
+    // this corpus's true neighbors sit at cos ≈ 0.3 (plane agreement
+    // p ≈ 0.6): the single wide bucket collapses (p⁶⁴ ≈ 0), the banded
+    // union holds ≈ 1-(1-p⁴)¹⁶ ≈ 0.9 — the point of the band construction
+    assert(banded >= 0.7, s"banded recall too low: $banded")
   }
 }
