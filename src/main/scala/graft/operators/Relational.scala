@@ -144,19 +144,19 @@ object Relational {
   }
 
   /** Semi/anti join shapes (EXISTS / NOT EXISTS): customers with at least
-    * one urgent order vs customers with none. Left-semi/anti carry only
-    * the left side through the join — no row multiplication, and the
-    * build side ships only the join key. */
+    * one urgent order vs customers with none — both flags from ONE pass.
+    * A semi-join + anti-join union reads customer and orders twice; a
+    * left join against the DISTINCT urgent custkeys keeps exactly one row
+    * per customer (no multiplication — the build side is key-unique by
+    * construction) and the match-null IS the flag. One scan of each
+    * table, one distinct shuffle, one join. */
   def existsShapes(customer: DataFrame, orders: DataFrame): DataFrame = {
     val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
-      .select("o_custkey")
-    val withUrgent = customer
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
-      .select(col("c_custkey"), lit(true).as("has_urgent"))
-    val without = customer
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), lit(false).as("has_urgent"))
-    withUrgent.unionByName(without).orderBy(col("c_custkey"))
+      .select("o_custkey").distinct()
+    customer
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_custkey").isNotNull.as("has_urgent"))
+      .orderBy(col("c_custkey"))
   }
 
   /** Pivot: per market segment, one count column per order status —

@@ -21,6 +21,17 @@ import graft.store.TradeStore
  *    its checkpoint (commits after sink success ≙ at-least-once, ST2).
  *  - producer idempotent, acks=all, ≤1 in-flight
  *    (`consumer/cmd/main.go:23-26`).
+ *
+ * Live-endpoint test status: an embedded-broker test was scoped and is
+ * NOT runnable here — no kafka-clients, kafka-server, or
+ * spark-sql-kafka artifact exists anywhere in the environment
+ * (`/opt/spark/jars`, the coursier cache) and dependency resolution is
+ * offline, so neither an in-JVM broker nor the connector's
+ * `KafkaSourceProvider` can load (`format("kafka")` throws
+ * DATA_SOURCE_NOT_FOUND before any option validation). What IS covered:
+ * the full transform chain via MemoryStream (StreamingSpec) and these
+ * endpoint configs by inspection against the reference. A deployment
+ * adds the spark-sql-kafka jar and runs this file unchanged.
  */
 object KafkaTradeStream {
 

@@ -100,6 +100,50 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2) // one copy of each distinct trade
   }
 
+  test("incremental dedup groups: streamed pairs converge to the batch CC, groups only merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamGroups
+    import graft.operators.Dedup
+
+    val docs = Tables.documents(spark, sf0001)
+    val allPairs = Dedup.minhashLshPairs(docs, threshold = 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(allPairs.nonEmpty)
+    val expected = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, threshold = 0.8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // three arrival waves, deterministic split
+    val waves = allPairs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val src = MemoryStream[(Long, Long)]
+    val table = new StreamGroups.GroupTable(spark)
+    val q = StreamGroups.start(src.toDS().toDF("id_a", "id_b"), table)
+    var snapshots = Seq.empty[Map[Long, Long]]
+    waves.foreach { w =>
+      src.addData(w: _*)
+      q.processAllAvailable()
+      snapshots :+= table.groups.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    q.stop()
+
+    // converged to exactly the batch result
+    assert(snapshots.last.toSet == expected)
+    // monotone merging: docs grouped together stay together (the partition
+    // only coarsens — no component ever splits)
+    snapshots.sliding(2).foreach {
+      case Seq(prev, next) =>
+        prev.groupBy(_._2).values.foreach { members =>
+          val repsNow = members.keys.map(next).toSet
+          assert(repsNow.size == 1,
+            s"group split across batches: ${members.keys} -> $repsNow")
+        }
+      case _ => ()
+    }
+  }
+
   test("store layout: date-partitioned, time-sorted within partitions") {
     val dir = Files.createTempDirectory("graft-store").toString
     val rows = Seq(
