@@ -221,6 +221,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(Tables.documents(s, dir))),
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
+    "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
 
     // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
     "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
@@ -856,6 +858,53 @@ object SparkEntry {
         |  CAST(greatest(0, s * 512 - tokens_before) AS BIGINT) AS start_tok,
         |  CAST(least(n_tokens, (s + 1) * 512 - tokens_before) AS BIGINT) AS end_tok
         |FROM spans ORDER BY doc_id, seq_id""".stripMargin,
+
+    // Eval slice = portable-hash permille of doc_id (mirrored); a training
+    // doc is contaminated when it shares ≥1 distinct 3-gram with the slice.
+    "decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), shl AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS slot,
+        |    list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT doc_id, slot, unnest(shs) AS s FROM shl
+        |), ev AS (
+        |  SELECT DISTINCT s FROM post WHERE slot < 20
+        |)
+        |SELECT p.doc_id, count(*) AS n_hit_ngrams
+        |FROM post p JOIN ev ON ev.s = p.s
+        |WHERE p.slot >= 20
+        |GROUP BY 1 HAVING count(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "repetition_score" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), stats AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_ngrams,
+        |    CAST(len(list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END)) AS BIGINT) AS n_distinct
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        |  CASE WHEN n_ngrams > 0
+        |    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM stats ORDER BY doc_id""".stripMargin,
 
     "token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

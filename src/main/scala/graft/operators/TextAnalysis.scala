@@ -190,4 +190,59 @@ object TextAnalysis {
       col("doc_id"),
       rolling_hash(normalize(col("text"))).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Benchmark DECONTAMINATION: flag training documents that share word
+    * n-grams with a held-out evaluation set — the overlap rule every
+    * serious pretraining run applies before training (the GPT-3/PaLM
+    * 13-gram-collision family; n is a knob, 3 here because the synthetic
+    * docs are short). The eval set is a deterministic portable-hash slice
+    * of the corpus, standing in for an external benchmark table and
+    * reproduced exactly by the SQL oracle.
+    *
+    * Scale shape: the eval side is TINY relative to the corpus (benchmarks
+    * are thousands of docs against billions), so its distinct n-gram set
+    * BROADCASTS and the corpus is scanned once, map-side — no corpus
+    * shuffle until the per-doc hit count (keyed by doc_id, uniform). The
+    * wrong shape — shuffling corpus postings against eval postings — would
+    * move the whole corpus to find a handful of collisions. */
+  def decontaminate(documents: DataFrame, n: Int = 3,
+      evalPermille: Int = 20, minHits: Long = 1): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import graft.functions.PortableHash.h60
+    val isEval =
+      pmod(h60(col("doc_id").cast("string")), lit(1000L)) < evalPermille
+    val evalNgrams = documents.filter(isEval)
+      .select(explode(shingles(col("text"), n)).as("sh"))
+      .distinct()
+    documents.filter(!isEval)
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .join(broadcast(evalNgrams), Seq("sh"))
+      // shingles() is per-doc distinct, so this counts distinct shared
+      // n-grams without a second dedup
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+      .filter(col("n_hit_ngrams") >= minHits)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document REPETITION score (the Gopher-family quality rule):
+    * fraction of word n-gram occurrences that are repeats,
+    * 1 − distinct/total. Boilerplate, keyword-stuffed, and
+    * generation-loop text scores high and gets filtered before training.
+    * Pure per-row expressions (TokenProfile for the total, the codegen'd
+    * WordShingles for the distinct count): scan-speed, no shuffle. */
+  def repetitionScore(documents: DataFrame, n: Int = 3): DataFrame = {
+    import graft.functions.TokenProfile
+    documents
+      .select(col("doc_id"),
+        greatest(TokenProfile.token_profile(normalize(col("text")))
+          .getField("n_tok").cast("long") - (n - 1), lit(0L)).as("n_ngrams"),
+        size(shingles(col("text"), n)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") /
+            col("n_ngrams").cast("double"), 6)).otherwise(0.0)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -99,6 +99,22 @@ class PlanSpec extends SparkSpec {
       "interpreted HOF lambdas back in the LSH signature path")
   }
 
+  test("decontaminate broadcasts the eval n-gram set; corpus shuffles only for the hit count") {
+    val p = planOf("decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval n-gram set should broadcast against the corpus scan")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus postings shuffled into the eval join — wrong shape at scale")
+  }
+
+  test("repetition score plans as a pure projection: no join, no aggregate") {
+    val p = SparkEntry.queries("repetition_score")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Aggregate"),
+      "repetition_score is not map-side")
+    assert(p.split("Relation \\[").length - 1 == 1)
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more

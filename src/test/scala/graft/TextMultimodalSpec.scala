@@ -107,4 +107,54 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().head
     assert(sampled.getSeq[Double](1).length == 3) // frames 0,4,8
   }
+
+  test("decontaminate: only training docs flagged, hits bounded by shingle count") {
+    import graft.functions.PortableHash
+    import org.apache.spark.sql.functions.pmod
+    val d = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.decontaminate(d).collect()
+    assert(got.nonEmpty) // exact dups across the eval/train split exist
+    // no member of the eval slice appears as a flagged training doc
+    val evalIds = d.filter(
+      pmod(PortableHash.h60(col("doc_id").cast("string")), lit(1000L)) < 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => !evalIds.contains(r.getLong(0))))
+    // a doc cannot share more n-grams than it has
+    val nSh = d.select(col("doc_id"),
+      size(graft.functions.TextOps.shingles(col("text"), 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert(r.getLong(1) <= nSh(r.getLong(0))))
+    // an exact duplicate of an eval doc shares ALL its n-grams
+    val evalText = d.filter(col("doc_id").isin(evalIds.toSeq: _*))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainText = d.filter(!col("doc_id").isin(evalIds.toSeq: _*))
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupOfEval = trainText.collectFirst {
+      case (id, t) if evalText.values.exists(_ == t) && nSh(id) > 0 => id
+    }
+    dupOfEval.foreach { id =>
+      val hit = got.find(_.getLong(0) == id)
+      assert(hit.exists(_.getLong(1) == nSh(id)),
+        s"exact eval dup $id not fully flagged")
+    }
+  }
+
+  test("repetition score: bounded, zero for unique text, high for loops") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // all distinct
+      (2L, "spam ham spam ham spam ham spam ham"),       // 2-word loop
+      (3L, "x")                                          // under n tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(3) == 0.0)
+    // 8 tokens -> 6 trigram slots, only 2 distinct ("spam ham spam",
+    // "ham spam ham") -> 1 - 2/6
+    assert(math.abs(got(2L).getDouble(3) - (1.0 - 2.0 / 6.0)) < 1e-6)
+    assert(got(3L).getLong(1) == 0L && got(3L).getDouble(3) == 0.0)
+    // corpus-wide: always within [0, 1]
+    val corpus = TextAnalysis.repetitionScore(Tables.documents(spark, sf0001))
+      .collect()
+    assert(corpus.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
 }
