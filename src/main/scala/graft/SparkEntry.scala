@@ -223,6 +223,11 @@ object SparkEntry {
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
+    "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "temperature_mix" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.temperatureMix(Tables.documents(s, dir))
+    }),
 
     // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
     "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
@@ -905,6 +910,51 @@ object SparkEntry {
         |    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
         |    ELSE 0.0 END AS dup_ratio
         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS tok FROM norm
+        |)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM tok GROUP BY 1
+        |ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin,
+
+    // Integer-exact mirror of Sampling.temperatureMix: isqrt weights,
+    // integer floor-division targets, largest-remainder (ties by source).
+    "temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT source, CAST(floor(sqrt(n_docs)) AS BIGINT) AS wt FROM counts
+        |), tot AS (
+        |  SELECT CAST(sum(wt) AS BIGINT) AS wsum FROM w
+        |), base AS (
+        |  SELECT source, wt * 200 // wsum AS fl, wt * 200 % wsum AS rem
+        |  FROM w, tot
+        |), shortfall AS (
+        |  SELECT 200 - sum(fl) AS short FROM base
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr FROM base
+        |), targets AS (
+        |  SELECT source,
+        |    CAST(fl + CASE WHEN rr <= short THEN 1 ELSE 0 END AS BIGINT) AS target
+        |  FROM ranked, shortfall
+        |), picks AS (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS pick_rank
+        |  FROM documents
+        |)
+        |SELECT p.doc_id, p.source, CAST(p.pick_rank AS BIGINT) AS pick_rank,
+        |  t.target
+        |FROM picks p JOIN targets t USING (source)
+        |WHERE p.pick_rank <= t.target
+        |ORDER BY doc_id""".stripMargin,
 
     "token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -31,6 +31,58 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based source MIXING — the data-mixing operator of a
+    * pretraining run: per-source keep-targets ∝ √count (the α = 0.5
+    * temperature that up-weights small, curated sources against the web
+    * crawl), normalized to a total `budget`. Selection within a source is
+    * by portable-hash order (h60), so the chosen subset is deterministic
+    * and engine-reproducible.
+    *
+    * All target arithmetic is INTEGER-exact (isqrt weights, integer
+    * floor-division, largest-remainder on integer remainders, ties by
+    * source name): a float formulation (pow / a distributed double sum)
+    * is not bit-portable across engines or even across runs — combine
+    * order varies — and one ulp at a floor() boundary flips a target.
+    * Largest-remainder also makes Σ targets == budget EXACTLY; per-source
+    * rounding can drift the total by one per source.
+    *
+    * Shape at 100 TB: the per-source count aggregate is map-side combined
+    * and its result is driver-sized by definition (sources number in the
+    * hundreds — same contract as the IVF centroid table), so targets
+    * compute on the driver and broadcast back. The one corpus shuffle is
+    * the per-source rank window (same key as the counts); a mega-source
+    * skews that window's partition, so production pre-filters each source
+    * map-side to ~target/count keep-probability and only ranks the
+    * survivors (unnecessary at test SF, documented). */
+  def temperatureMix(documents: DataFrame, budget: Long = 200): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import documents.sparkSession.implicits._
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
+    val ws = counts.map { case (_, n) => isqrt(n) }
+    val wsum = ws.sum
+    val base = counts.zip(ws).map { case ((s, n), w) =>
+      (s, n, w * budget / wsum, w * budget % wsum)
+    }
+    val short = (budget - base.map(_._3).sum).toInt
+    val plusOne = base.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .take(short).map(_._1).toSet
+    val targets = base.map { case (s, n, fl, _) =>
+      (s, n, fl + (if (plusOne(s)) 1L else 0L))
+    }.toSeq.toDF("source", "n_docs", "target")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(h60(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("pick_rank", row_number().over(w))
+      .join(broadcast(targets.select(col("source"), col("target"))), Seq("source"))
+      .filter(col("pick_rank") <= col("target"))
+      .select(col("doc_id"), col("source"), col("pick_rank"), col("target"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep at most `quota` documents per source, by ascending doc_id
     * (deterministic; swap the ordering column for a quality score to keep
     * the best instead of the first). */

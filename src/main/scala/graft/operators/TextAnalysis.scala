@@ -225,6 +225,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus VOCABULARY heavy hitters: top-k tokens by occurrence count,
+    * with document frequency — the corpus-statistics pass that sizes
+    * tokenizer vocabularies and spots crawl boilerplate. Two-phase hash
+    * aggregate (map-side combined on the token key — uniform, skew-free)
+    * and the top-k is TakeOrderedAndProject at k rows, never a global
+    * sort of the vocabulary. */
+  def vocabTopK(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(k)
+
   /** Intra-document REPETITION score (the Gopher-family quality rule):
     * fraction of word n-gram occurrences that are repeats,
     * 1 − distinct/total. Boilerplate, keyword-stuffed, and

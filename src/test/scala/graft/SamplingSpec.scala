@@ -46,6 +46,37 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix: targets sum to budget exactly and flatten the source skew") {
+    val d = Tables.documents(spark, sf0001)
+    val budget = 200L
+    val got = Sampling.temperatureMix(d, budget).collect()
+    assert(got.length == budget, s"selected ${got.length}, budget $budget")
+    // per-source selection respects the target and is hash-prefix-shaped
+    val bySource = got.groupBy(_.getAs[String]("source"))
+    bySource.values.foreach { rows =>
+      val target = rows.head.getAs[Long]("target")
+      assert(rows.length == math.min(target,
+        rows.length).toInt && rows.length <= target)
+      assert(rows.map(_.getAs[Int]("pick_rank")).sorted.toSeq ==
+        (1 to rows.length).toSeq)
+    }
+    // α = 0.5 flattening: the selected share of every smaller source is at
+    // least its corpus share (sqrt weighting can only up-weight the small)
+    val corpus = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = corpus.values.sum.toDouble
+    val biggest = corpus.maxBy(_._2)._1
+    corpus.keys.filter(_ != biggest).foreach { s =>
+      val sel = bySource.get(s).map(_.length).getOrElse(0).toDouble
+      assert(sel / budget >= corpus(s) / total - 1e-9,
+        s"small source $s under-represented vs proportional")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(d.repartition(7), budget).collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    assert(again == got.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("sequence spans partition each doc and fill every non-final sequence") {
     val budget = 512L
     val d = Tables.documents(spark, sf0001)
