@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{Sampling, TextAnalysis, Trends}
@@ -73,29 +74,50 @@ class EndToEndSpec extends SparkSpec {
     assert(json.contains(""""median":1.11"""))
   }
 
-  test("training-data pipeline: curate → sample → pack composes end-to-end") {
+  test("training-data pipeline: decontaminate → curate → mix → pack composes end-to-end") {
     val docs = Tables.documents(spark, sf001)
     val total = docs.count()
 
-    // stage 1: language/quality curation + exact dedup (keep lowest id)
-    val curated = TextAnalysis.curate(docs) // (doc_id, n_copies, quality)
-    val curatedN = curated.count()
+    // stage 0: benchmark decontamination — drop training docs overlapping
+    // the held-out eval slice
+    val contaminated = TextAnalysis.decontaminate(docs, minHits = 3)
+      .select("doc_id")
+    val clean = docs.join(contaminated, Seq("doc_id"), "left_anti")
+    val cleanN = clean.count()
+    assert(cleanN > 0 && cleanN < total)
+
+    // stage 1: language/quality curation + exact dedup (keep lowest id),
+    // with the repetition rule stacked on top
+    val curated = TextAnalysis.curate(clean) // (doc_id, n_copies, quality)
+    val lowRep = TextAnalysis.repetitionScore(clean)
+      .filter(col("dup_ratio") <= lit(0.5)).select("doc_id")
+    val keptDocs = docs
+      .join(curated.select("doc_id"), "doc_id")
+      .join(lowRep, "doc_id")
+    val curatedN = keptDocs.count()
     assert(curatedN > 0 && curatedN < total)
-    val keptDocs = docs.join(curated.select("doc_id"), "doc_id")
 
-    // stage 2: deterministic 10% hash sample of the curated set
-    val sampled = Sampling.hashSample(keptDocs, permille = 100)
-    val sampledIds = sampled.collect().map(_.getLong(0)).toSet
-    val curatedIds = curated.collect().map(_.getAs[Long]("doc_id")).toSet
-    assert(sampledIds.nonEmpty && sampledIds.subsetOf(curatedIds))
+    // stage 2: temperature mixing over the curated set — exact budget out
+    val budget = math.min(100L, curatedN)
+    val mixed = Sampling.temperatureMix(keptDocs, budget)
+    val mixedIds = mixed.collect().map(_.getLong(0)).toSet
+    assert(mixedIds.size == budget)
+    val curatedIds = keptDocs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(mixedIds.subsetOf(curatedIds))
 
-    // stage 3: pack the curated set into 512-token training sequences
-    val packed = Sampling.packSequences(keptDocs, budgetTokens = 512)
-    val rows = packed.collect()
-    assert(rows.length == curatedN) // every curated doc lands in a sequence
-    assert(rows.forall(r => r.getAs[Long]("offset_in_seq") < 512))
-    // sequences hold more than one doc on average (packing, not 1:1)
-    val nSeqs = rows.map(_.getAs[Long]("seq_id")).distinct.length
-    assert(nSeqs < rows.length)
+    // stage 3: pack the mixed selection into 512-token sequence SPANS —
+    // full coverage, exactly-full non-final sequences
+    val selection = docs.join(mixed.select("doc_id"), "doc_id")
+    val spans = Sampling.packSequenceSpans(selection, budgetTokens = 512)
+      .collect()
+    assert(spans.map(_.getAs[Long]("doc_id")).toSet.subsetOf(mixedIds))
+    val bySeq = spans.groupBy(_.getAs[Long]("seq_id")).map { case (s, rs) =>
+      s -> rs.map(r => r.getAs[Long]("end_tok") - r.getAs[Long]("start_tok")).sum
+    }
+    val lastPerShard = bySeq.keys.groupBy(_ >> 40).values.map(_.max).toSet
+    bySeq.foreach { case (s, tot) =>
+      assert(tot <= 512 && (lastPerShard(s) || tot == 512))
+    }
   }
 }
