@@ -237,6 +237,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("min") == 2.0))
   }
 
+  test("stream-stream event-time join: quotes match within the horizon, state expires by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJoin
+    import StreamingSpec.Q
+    val trades = MemoryStream[model.Trade]
+    val quotes = MemoryStream[Q]
+    val joined = StreamJoin.tradesWithQuotes(trades.toDF(), quotes.toDF())
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+
+    def t(u: String, ts: String) = model.Trade(u, "EUR", "USD", 1000000L,
+      1100000L, 1.1, "US", Timestamp.valueOf(ts))
+    // quote 2 min before the trade: inside the 5-min horizon.
+    // quote 9 min before: outside. quote AFTER the trade: excluded.
+    quotes.addData(
+      Q("EUR", "USD", 1.09, Timestamp.valueOf("2024-08-12 11:01:00")),
+      Q("EUR", "USD", 1.08, Timestamp.valueOf("2024-08-12 10:54:00")),
+      Q("EUR", "USD", 1.12, Timestamp.valueOf("2024-08-12 11:04:00")),
+      Q("GBP", "USD", 1.30, Timestamp.valueOf("2024-08-12 11:02:00"))) // wrong pair
+    trades.addData(t("u1", "2024-08-12 11:03:00"))
+    q.processAllAvailable()
+    // watermark must pass before inner-join results finalize
+    trades.addData(t("late", "2024-08-12 13:00:00"))
+    quotes.addData(Q("EUR", "USD", 9.9, Timestamp.valueOf("2024-08-12 13:00:00")))
+    q.processAllAvailable()
+    val out = spark.table("ssj_out").collect()
+    q.stop()
+    val u1 = out.filter(_.getAs[String]("user_id") == "u1")
+    assert(u1.map(_.getAs[Double]("ref_quote")).sorted.toSeq == Seq(1.09),
+      s"expected exactly the in-horizon prior quote, got ${u1.toSeq}")
+  }
+
   test("rate limiter: state persists across streaming micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[RateLimiter.Request]
@@ -253,4 +285,11 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(_.allowed).toSeq == Seq(true, true, false))
     assert(out.last.in_window == 3) // saw both batch-1 requests via state
   }
+}
+
+object StreamingSpec {
+  /** Reference-quote record for the stream-stream join test (top-level so
+    * the encoder derives). */
+  case class Q(currency_from: String, currency_to: String, quote: Double,
+    quote_ts: java.sql.Timestamp)
 }
