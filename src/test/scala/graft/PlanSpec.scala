@@ -115,6 +115,21 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Relation \\[").length - 1 == 1)
   }
 
+  test("vocab top-k plans as TakeOrderedAndProject over a partial agg") {
+    val p = planOf("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocabulary top-k fell back to a global sort")
+    assert(p.contains("HashAggregate"), "token counts not hash-aggregated")
+  }
+
+  test("temperature mix broadcasts the targets; one corpus window shuffle") {
+    val p = planOf("temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source targets should broadcast against the ranked corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled into the targets join — targets are driver-sized")
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more
