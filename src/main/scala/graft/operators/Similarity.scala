@@ -69,11 +69,23 @@ object Similarity {
    * to the driver between iterations (the same loop shape MLlib's KMeans
    * uses — centroids are tiny, the corpus never moves). Clusters that
    * lose all members keep their previous centroid.
+   *
+   * `fitPermille` fits the quantizer on a deterministic portable-hash
+   * sample of the corpus — the 100 TB path: Lloyd costs `iters` full
+   * passes, and quantizer quality depends on the embedding DISTRIBUTION,
+   * not the corpus size, so production IVF trains centroids on a
+   * fixed-size sample (FAISS-style ~100k-1M vectors) while assignment
+   * still covers every vector. 1000 = fit on everything (test default,
+   * keeps the recall gate unchanged).
    */
   def kmeansCentroids(embeddings: DataFrame, nCentroids: Int = 12,
-      iters: Int = 3): Array[Array[Double]] = {
+      iters: Int = 3, fitPermille: Int = 1000): Array[Array[Double]] = {
     import graft.functions.NearestCentroid.nearest_centroid
-    val base = embeddings.select(col("vec_id"), col("embedding"))
+    import graft.functions.PortableHash.h60
+    val all = embeddings.select(col("vec_id"), col("embedding"))
+    val base = if (fitPermille >= 1000) all
+      else all.filter(
+        pmod(h60(col("vec_id").cast("string")), lit(1000L)) < fitPermille)
     var cents: Array[Array[Double]] = base.orderBy(col("vec_id"))
       .limit(nCentroids).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -110,11 +122,12 @@ object Similarity {
    */
   def annIvf(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
       k: Int = 10, nCentroids: Int = 12, nProbe: Int = 4,
-      kmeansIters: Int = 3): DataFrame = {
+      kmeansIters: Int = 3, fitPermille: Int = 1000): DataFrame = {
     import graft.functions.NearestCentroid.nearest_centroid
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(embeddings, nCentroids, kmeansIters)
+    val cents = kmeansCentroids(embeddings, nCentroids, kmeansIters,
+      fitPermille)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val base = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))

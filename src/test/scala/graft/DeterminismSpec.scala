@@ -37,6 +37,18 @@ class DeterminismSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("decontamination and mixing selections are invariant under repartitioning") {
+    import graft.operators.{Sampling, TextAnalysis}
+    def decon(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.decontaminate(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decon(docs) == decon(docs.repartition(9)))
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureMix(df, budget = 100).collect()
+        .map(_.getLong(0)).sorted.toSeq
+    assert(mix(docs) == mix(docs.orderBy(col("doc_id").desc)))
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(

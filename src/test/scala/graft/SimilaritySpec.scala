@@ -56,6 +56,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 too low: $recall")
   }
 
+  test("IVF quantizer fit on a half-corpus sample keeps recall") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = 0L to 4L
+    val brute = Similarity.annBruteForce(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // a sample-fit quantizer sees shifted centroids; the standard
+    // compensation is probing more lists (nProbe 4 → 6 of 12)
+    val sampled = Similarity.annIvf(emb, queries, k = 10,
+      nCentroids = 12, nProbe = 6, kmeansIters = 3, fitPermille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = sampled.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"sample-fit IVF recall too low: $recall")
+  }
+
   test("plane_signature matches the interpreted HOF composition bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.functions.PortableHash.planeWeight
