@@ -70,6 +70,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"sample-fit IVF recall too low: $recall")
   }
 
+  test("write-time IVF clustering: probed reads prune partitions, unread bytes") {
+    import graft.store.EmbeddingStore
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.kmeansCentroids(emb, nCentroids = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    EmbeddingStore.writeClustered(emb, dir, cents)
+
+    // layout: one directory per centroid cell
+    val cells = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("c_id=")).map(_.getName).toSet
+    assert(cells.size > 1 && cells.size <= 8, s"bad layout: $cells")
+
+    // probed read = partition pruning (scan-level, not a row filter)
+    val probed = EmbeddingStore.readProbed(spark, dir, Seq(0, 1))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val probedFiles = Seq(0, 1).flatMap { c =>
+      Option(new java.io.File(s"$dir/c_id=$c").listFiles).toSeq.flatten
+    }.count(_.getName.endsWith(".parquet"))
+    val totalFiles = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("c_id="))
+      .flatMap(_.listFiles).count(_.getName.endsWith(".parquet"))
+    assert(probedFiles < totalFiles, "test setup: need >2 populated cells")
+    assert(scan.metrics("numFiles").value == probedFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, expected $probedFiles")
+
+    // the clustered layout returns exactly the map-side assignment's rows
+    import graft.functions.NearestCentroid.nearest_centroid
+    val expect = emb
+      .select(col("vec_id"), nearest_centroid(col("embedding"), cents).as("c"))
+      .filter(col("c").isin(0, 1)).count()
+    assert(probed.count() == expect)
+  }
+
   test("plane_signature matches the interpreted HOF composition bit-for-bit") {
     import org.apache.spark.sql.functions._
     import graft.functions.PortableHash.planeWeight
