@@ -223,6 +223,7 @@ object SparkEntry {
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
+    "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "temperature_mix" -> ((s, dir) => {
       import graft.operators.Sampling
@@ -910,6 +911,45 @@ object SparkEntry {
         |    THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
         |    ELSE 0.0 END AS dup_ratio
         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    // The bloom bitmap's set positions are pure checked-integer md5
+    // arithmetic, so the oracle reproduces the filter EXACTLY — false
+    // positives included (m = 2^20 bits, k = 4 of the minhash family).
+    "decontaminate_bloom" -> {
+      val p = graft.functions.PortableHash.MinhashP
+      val seeds = graft.functions.PortableHash.minhashParams(4).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH norm AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+         |), toks AS (
+         |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+         |), shl AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS slot,
+         |    list_distinct(CASE WHEN len(w) >= 3
+         |      THEN list_transform(generate_series(1, len(w)-2),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |      ELSE [] END) AS shs FROM toks
+         |), post AS (
+         |  SELECT doc_id, slot, unnest(shs) AS s FROM shl
+         |), seeds(seed, a, b) AS (VALUES $seeds
+         |), evpos AS (
+         |  SELECT DISTINCT
+         |    (a * (('0x' || substr(md5(s), 1, 15))::BIGINT % $p) + b) % $p % 1048576 AS pos
+         |  FROM (SELECT DISTINCT s FROM post WHERE slot < 20) ev(s), seeds
+         |), trainpos AS (
+         |  SELECT doc_id, s, seed,
+         |    (a * (('0x' || substr(md5(s), 1, 15))::BIGINT % $p) + b) % $p % 1048576 AS pos
+         |  FROM post, seeds WHERE slot >= 20
+         |), passed AS (
+         |  SELECT doc_id, s FROM trainpos t JOIN evpos e ON e.pos = t.pos
+         |  GROUP BY doc_id, s HAVING count(*) = 4
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams FROM passed
+         |GROUP BY 1 HAVING count(*) >= 1
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "vocab_topk" ->
       """WITH norm AS (

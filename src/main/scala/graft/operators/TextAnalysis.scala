@@ -225,6 +225,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filtered decontamination — the shape for benchmark suites too
+    * large to broadcast as an exact n-gram set (10⁸ n-grams ≈ 3 GB as
+    * rows, 2 MB as a 2²⁴-bit bloom): the eval n-grams build a portable
+    * Bloom bitmap in one distributed pass ([[graft.functions.BloomBits]]),
+    * the corpus is scanned once with the codegen'd `bloom_might_contain`
+    * pre-filter, and hits are counted per doc. False positives only
+    * (bloom property): every exactly-contaminated doc is flagged with at
+    * least its exact hit count. The bitmap's positions use checked
+    * integer arithmetic, so the DuckDB oracle reproduces the filter —
+    * false positives included — bit-for-bit. */
+  def decontaminateBloom(documents: DataFrame, n: Int = 3,
+      evalPermille: Int = 20, mBits: Int = 1 << 20, kHashes: Int = 4,
+      minHits: Long = 1): DataFrame = {
+    import graft.functions.BloomBits
+    import graft.functions.PortableHash.h60
+    val isEval =
+      pmod(h60(col("doc_id").cast("string")), lit(1000L)) < evalPermille
+    val bits = BloomBits.build(
+      documents.filter(isEval)
+        .select(explode(shingles(col("text"), n)).as("sh"))
+        .distinct()
+        .select(h60(col("sh")).as("h")),
+      mBits, kHashes)
+    documents.filter(!isEval)
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .filter(BloomBits.bloom_might_contain(h60(col("sh")), bits, kHashes))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+      .filter(col("n_hit_ngrams") >= minHits)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus VOCABULARY heavy hitters: top-k tokens by occurrence count,
     * with document frequency — the corpus-statistics pass that sizes
     * tokenizer vocabularies and spots crawl boilerplate. Two-phase hash

@@ -139,6 +139,30 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination: no false negatives vs the exact operator, codegen'd test") {
+    val d = Tables.documents(spark, sf0001)
+    val exact = TextAnalysis.decontaminate(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextAnalysis.decontaminateBloom(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bloom can only ADD hits (false positives), never lose one
+    exact.foreach { case (id, hits) =>
+      assert(bloom.getOrElse(id, 0L) >= hits,
+        s"doc $id lost hits: exact=$hits bloom=${bloom.get(id)}")
+    }
+    // and at 2^20 bits over this tiny eval set, false positives are rare:
+    // the totals stay close
+    val extra = bloom.values.sum - exact.values.sum
+    assert(extra >= 0 && extra <= math.max(5L, exact.values.sum / 10),
+      s"implausible false-positive volume: $extra extra hits")
+
+    // the membership test runs inside whole-stage codegen
+    val plan = TextAnalysis.decontaminateBloom(d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      "bloom filter not visible in the physical plan")
+  }
+
   test("repetition score: bounded, zero for unique text, high for loops") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),       // all distinct
