@@ -133,6 +133,8 @@ object SparkEntry {
     "topk_orders" -> ((s, dir) => Relational.topkOrders(Tables.orders(s, dir))),
     "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(
       Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q17_small_quantity" -> ((s, dir) => Relational.q17SmallQuantity(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
     "group_distinct" -> ((s, dir) => Relational.groupDistinct(Tables.orders(s, dir))),
     "rollup_revenue" -> ((s, dir) => Relational.rollupRevenue(Tables.orders(s, dir))),
     "cube_revenue" -> ((s, dir) => Relational.cubeRevenue(Tables.orders(s, dir))),
@@ -436,6 +438,23 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+
+    // Integer-exact correlated-subquery threshold: 5·qty·n < Σqty per part.
+    "q17_small_quantity" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#4'
+        |), agg AS (
+        |  SELECT qty, price,
+        |    sum(qty) OVER (PARTITION BY l_partkey) AS sum_qty,
+        |    count(*) OVER (PARTITION BY l_partkey) AS n_li
+        |  FROM li
+        |)
+        |SELECT round(CAST(sum(price) AS DOUBLE) / 7, 6) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM agg WHERE qty * 5 * n_li < sum_qty""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

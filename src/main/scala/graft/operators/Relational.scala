@@ -143,6 +143,31 @@ object Relational {
         round(col("promo_revenue") / col("total_revenue"), 6).as("promo_share"))
   }
 
+  /** Small-quantity revenue (TPC-H Q17 shape): lineitems below 20% of
+    * their part's average quantity, for one brand — the CORRELATED SCALAR
+    * SUBQUERY pattern. Decorrelated Spark-first: instead of the classic
+    * self-join against a per-part aggregate (two scans of the filtered
+    * fact), the per-part average rides a WINDOW over the single
+    * brand-filtered scan — the broadcast part filter prunes first, so the
+    * window partitions are per-part row groups, tiny at any corpus size.
+    * The threshold test is INTEGER-exact (5·qty·n < Σqty ⟺ qty < 0.2·avg;
+    * quantities are integral) — no float boundary to disagree across
+    * engines. */
+  def q17SmallQuantity(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#4"): DataFrame = {
+    val brandParts = part.filter(col("p_brand") === brand).select("p_partkey")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    lineitem
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        dec(col("l_extendedprice")).as("price"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_qty", sum(col("qty")).over(w))
+      .withColumn("n_li", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+      .agg(round(sum(col("price")).cast("double") / 7.0, 6).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Semi/anti join shapes (EXISTS / NOT EXISTS): customers with at least
     * one urgent order vs customers with none — both flags from ONE pass.
     * A semi-join + anti-join union reads customer and orders twice; a
