@@ -145,4 +145,54 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == amounts.map(a => (a * 1e6).toLong)) // Go int64(x*1e6)
   }
+
+  test("bloom filter: every inserted hash tests positive; fresh hashes mostly negative") {
+    import graft.functions.BloomBits
+    val k = 4
+    val inserted = (1 to 500).map(i =>
+      Gen.choose(0L, (1L << 60) - 1).apply(Gen.Parameters.default,
+        Seed(1000L + i)).get)
+    val bits = BloomBits.build(inserted.map(Tuple1(_)).toDF("h"), 1 << 16, k)
+    val params = BloomBits.flatParams(k)
+    // no false negatives, by construction
+    inserted.foreach(h => assert(BloomBits.test(bits, params, h, k)))
+    // false-positive rate near theory: (1-e^(-kn/m))^k ≈ 0.00085 at
+    // n=500, m=2^16, k=4 — allow an order of magnitude of slack
+    val fresh = (1 to 2000).map(i =>
+      Gen.choose(0L, (1L << 60) - 1).apply(Gen.Parameters.default,
+        Seed(9000L + i)).get).filterNot(inserted.toSet)
+    val fp = fresh.count(h => BloomBits.test(bits, params, h, k))
+    assert(fp <= fresh.length / 100, s"FPR implausibly high: $fp/${fresh.length}")
+  }
+
+  test("sequence spans reproduce a sequential packer over any token layout") {
+    // model: docs with random token counts laid out in order; spans must
+    // equal the straightforward scalar packer
+    val budget = 64L
+    val counts = Gen.listOfN(80, Gen.choose(0L, 150L))
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val docs = counts.zipWithIndex.map { case (n, i) =>
+      // build a text with exactly n single-char tokens; normalize keeps it
+      (i.toLong, Seq.fill(n.toInt)("a").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Sampling
+      .packSequenceSpans(docs, budgetTokens = budget, nShards = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // scalar reference packer (shard 0 ⇒ same doc order)
+    var before = 0L
+    val expect = docs.collect().sortBy(_.getLong(0)).flatMap { r =>
+      val id = r.getLong(0)
+      val n = counts(id.toInt)
+      val spans = if (n == 0) Seq.empty else
+        (before / budget to (before + n - 1) / budget).map { s =>
+          (id, s, math.max(0L, s * budget - before),
+            math.min(n, (s + 1) * budget - before))
+        }
+      before += n
+      spans
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expect.toSeq)
+  }
 }
