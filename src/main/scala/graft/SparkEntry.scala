@@ -227,6 +227,7 @@ object SparkEntry {
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(Tables.documents(s, dir))),
     "temperature_mix" -> ((s, dir) => {
       import graft.operators.Sampling
       Sampling.temperatureMix(Tables.documents(s, dir))
@@ -982,6 +983,36 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM tok GROUP BY 1
         |ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin,
+
+    // Count-Min cells from the checked-integer minhash family: the oracle
+    // rebuilds the identical 4×16384 sketch, collisions included.
+    "vocab_cms" -> {
+      val p = graft.functions.PortableHash.MinhashP
+      val seeds = graft.functions.PortableHash.minhashParams(4).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH norm AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+         |), tok AS (
+         |  SELECT unnest(list_filter(string_split(t, ' '),
+         |    x -> len(x) > 0)) AS tok FROM norm
+         |), h AS (
+         |  SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT % $p AS h1 FROM tok
+         |), seeds(seed, a, b) AS (VALUES $seeds
+         |), cells AS (
+         |  SELECT seed, (a * h1 + b) % $p % 16384 AS pos, count(*) AS cnt
+         |  FROM h, seeds GROUP BY 1, 2
+         |), top AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $p AS h1
+         |  FROM tok GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 50
+         |)
+         |SELECT t.tok, t.n_occurrences, CAST(min(c.cnt) AS BIGINT) AS cms_est
+         |FROM top t, seeds s
+         |JOIN cells c ON c.seed = s.seed AND c.pos = (s.a * t.h1 + s.b) % $p % 16384
+         |GROUP BY t.tok, t.n_occurrences
+         |ORDER BY t.n_occurrences DESC, t.tok""".stripMargin
+    },
 
     // Integer-exact mirror of Sampling.temperatureMix: isqrt weights,
     // integer floor-division targets, largest-remainder (ties by source).

@@ -272,6 +272,49 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(k)
 
+  /** Count-Min sketch estimates for the vocabulary heavy hitters — the
+    * bounded-memory counting path for when the vocabulary's cardinality
+    * outgrows an exact groupBy (URL tokens, n-gram vocabularies at 100 TB
+    * reach billions of keys; the sketch is d×w counters REGARDLESS of
+    * corpus or vocabulary size, here 4×16384). One corpus pass builds the
+    * cells (explode d positions per occurrence, map-side combined — cell
+    * cardinality is capped at d·w, so the shuffle is constant-bounded);
+    * estimates are the min over the d cells, always ≥ the true count
+    * (one-sided error). Positions use the checked-integer minhash family,
+    * so the DuckDB oracle rebuilds the identical sketch and the estimates
+    * hash-match — collisions included. Output: the exact top-k tokens
+    * with their exact and estimated counts (the estimate-quality audit a
+    * production rollout runs before trusting the sketch alone). */
+  def vocabCmsTopK(documents: DataFrame, k: Int = 50, w: Int = 16384,
+      d: Int = 4): DataFrame = {
+    import graft.functions.PortableHash.{h60, minhashParams, MinhashP}
+    val params = minhashParams(d)
+    def posOf(i: Int, h1: Column): Column = {
+      val (a, b) = params(i)
+      pmod(lit(a) * h1 + lit(b), lit(MinhashP)) % w
+    }
+    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
+    val cells = toks
+      .select(pmod(h60(col("tok")), lit(MinhashP)).as("h1"))
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("seed"), posOf(i, col("h1")).as("pos"))): _*)).as("c"))
+      .groupBy(col("c.seed").as("seed"), col("c.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(k)
+      .withColumn("h1", pmod(h60(col("tok")), lit(MinhashP)))
+    (0 until d).foldLeft(top) { (df, i) =>
+      df.join(cells.filter(col("seed") === i)
+        .select(col("pos").as(s"p$i"), col("cnt").as(s"c$i")),
+        posOf(i, col("h1")) === col(s"p$i"))
+    }
+      .select(col("tok"), col("n_occurrences"),
+        least((0 until d).map(i => col(s"c$i")): _*).as("cms_est"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+  }
+
   /** Intra-document REPETITION score (the Gopher-family quality rule):
     * fraction of word n-gram occurrences that are repeats,
     * 1 − distinct/total. Boilerplate, keyword-stuffed, and

@@ -163,6 +163,22 @@ class TextMultimodalSpec extends SparkSpec {
       "bloom filter not visible in the physical plan")
   }
 
+  test("count-min estimates are one-sided: never below the true count, exact when wide") {
+    val d = Tables.documents(spark, sf0001)
+    // production width: top tokens rarely collide → estimates ≈ exact
+    val wide = TextAnalysis.vocabCmsTopK(d, k = 30).collect()
+    wide.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}")
+    }
+    // adversarially narrow sketch: collisions force strict overestimates,
+    // but the bound still holds for every token
+    val narrow = TextAnalysis.vocabCmsTopK(d, k = 30, w = 64).collect()
+    narrow.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+    assert(narrow.exists(r => r.getLong(2) > r.getLong(1)),
+      "64-cell sketch over a full vocabulary should collide somewhere")
+  }
+
   test("repetition score: bounded, zero for unique text, high for loops") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),       // all distinct
