@@ -148,6 +148,7 @@ object SparkEntry {
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
     "rate_limit_flags" -> ((s, dir) => EventsOps.rateLimitFlags(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) => EventsOps.sessionize(Tables.events(s, dir))),
+    "event_gaps" -> ((s, dir) => EventsOps.eventGaps(Tables.events(s, dir))),
     // Skew-safe two-phase aggregation over the 5 hot event_type keys;
     // the oracle is the plain GROUP BY — salting must be invisible in
     // results (DECIMAL sums, so partial/final split can't perturb floats).
@@ -552,6 +553,12 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "event_gaps" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "quantiles_by_type" ->
       """SELECT event_type,

@@ -27,6 +27,22 @@ object EventsOps {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Per-user inter-arrival gaps: each event's microseconds since the
+    * user's previous event (null for the first) — the lag-window building
+    * block under sessionization, burst detection, and retention curves.
+    * One shuffle on user_id; ties broken by event_id so the lag is
+    * deterministic across engines and retries. */
+  def eventGaps(events: DataFrame): DataFrame = {
+    // ordering by the micros projection ≡ ordering by ts (monotone)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("event_id"), col("user_id"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Sessionization: group each user's events into sessions separated by
     * ≥ `gap` of inactivity (`session_window` — merging windows keyed by
     * user; one shuffle). Money-free sums are DECIMAL-exact for the oracle.
