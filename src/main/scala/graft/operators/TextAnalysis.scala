@@ -207,14 +207,25 @@ object TextAnalysis {
     * move the whole corpus to find a handful of collisions. */
   def decontaminate(documents: DataFrame, n: Int = 3,
       evalPermille: Int = 20, minHits: Long = 1): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     import graft.functions.PortableHash.h60
     val isEval =
       pmod(h60(col("doc_id").cast("string")), lit(1000L)) < evalPermille
-    val evalNgrams = documents.filter(isEval)
+    decontaminateAgainst(documents.filter(!isEval),
+      documents.filter(isEval), n, minHits)
+  }
+
+  /** The general form: flag `documents` sharing n-grams with ANY external
+    * benchmark table carrying a `text` column (held-out eval suites,
+    * contest problems, canary strings). [[decontaminate]] is this applied
+    * to a deterministic corpus slice so the driver oracle can reproduce
+    * the eval set. */
+  def decontaminateAgainst(documents: DataFrame, evalDocs: DataFrame,
+      n: Int = 3, minHits: Long = 1): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val evalNgrams = evalDocs
       .select(explode(shingles(col("text"), n)).as("sh"))
       .distinct()
-    documents.filter(!isEval)
+    documents
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
       .join(broadcast(evalNgrams), Seq("sh"))
       // shingles() is per-doc distinct, so this counts distinct shared
