@@ -296,21 +296,32 @@ object TextAnalysis {
     * hash-match — collisions included. Output: the exact top-k tokens
     * with their exact and estimated counts (the estimate-quality audit a
     * production rollout runs before trusting the sketch alone). */
-  def vocabCmsTopK(documents: DataFrame, k: Int = 50, w: Int = 16384,
-      d: Int = 4): DataFrame = {
-    import graft.functions.PortableHash.{h60, minhashParams, MinhashP}
-    val params = minhashParams(d)
-    def posOf(i: Int, h1: Column): Column = {
-      val (a, b) = params(i)
-      pmod(lit(a) * h1 + lit(b), lit(MinhashP)) % w
-    }
-    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
-    val cells = toks
+  private[graft] def cmsPosOf(i: Int, h1: Column, w: Int): Column = {
+    import graft.functions.PortableHash.{minhashParams, MinhashP}
+    val (a, b) = minhashParams(i + 1)(i)
+    pmod(lit(a) * h1 + lit(b), lit(MinhashP)) % w
+  }
+
+  /** The d×w Count-Min cell table (seed, pos, cnt) of a document set —
+    * shared by the batch top-k audit and the streaming sketch maintainer
+    * (cells are integer counts: merging per-batch cell tables by sum IS
+    * the sketch merge, exactly). */
+  def cmsCells(documents: DataFrame, w: Int = 16384, d: Int = 4): DataFrame = {
+    import graft.functions.PortableHash.{h60, MinhashP}
+    documents.select(explode(tokens(col("text"))).as("tok"))
       .select(pmod(h60(col("tok")), lit(MinhashP)).as("h1"))
       .select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("seed"), posOf(i, col("h1")).as("pos"))): _*)).as("c"))
+        struct(lit(i).as("seed"), cmsPosOf(i, col("h1"), w).as("pos"))): _*)).as("c"))
       .groupBy(col("c.seed").as("seed"), col("c.pos").as("pos"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  def vocabCmsTopK(documents: DataFrame, k: Int = 50, w: Int = 16384,
+      d: Int = 4): DataFrame = {
+    import graft.functions.PortableHash.{h60, MinhashP}
+    def posOf(i: Int, h1: Column): Column = cmsPosOf(i, h1, w)
+    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
+    val cells = cmsCells(documents, w, d)
     val top = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("tok"))

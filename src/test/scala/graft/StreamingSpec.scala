@@ -237,6 +237,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("min") == 2.0))
   }
 
+  test("streaming count-min: waves of documents fold to the exact batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamCms
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val src = MemoryStream[(Long, String)]
+    val table = new StreamCms.SketchTable(spark)
+    val q = StreamCms.start(src.toDS().toDF("doc_id", "text"), table)
+    docs.grouped(200).foreach { wave =>
+      src.addData(wave: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = table.cells.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = TextAnalysis.cmsCells(Tables.documents(spark, sf0001)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch) // mergeable sketch: streamed ≡ batch, exactly
+    assert(streamed.size <= 4 * 16384) // state bounded at d·w forever
+  }
+
   test("stream-stream event-time join: quotes match within the horizon, state expires by watermark") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJoin
