@@ -137,6 +137,7 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "group_distinct" -> ((s, dir) => Relational.groupDistinct(Tables.orders(s, dir))),
     "rollup_revenue" -> ((s, dir) => Relational.rollupRevenue(Tables.orders(s, dir))),
+    "grouping_sets_revenue" -> ((s, dir) => Relational.groupingSetsRevenue(Tables.orders(s, dir))),
     "cube_revenue" -> ((s, dir) => Relational.cubeRevenue(Tables.orders(s, dir))),
     "exists_shapes" -> ((s, dir) => Relational.existsShapes(
       Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -506,6 +507,15 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "grouping_sets_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "window_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -206,6 +206,24 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-status totals, per-priority totals, and the grand total in ONE
+    * aggregate pass (Expand, never repeated scans), with explicit
+    * grouping flags so consumers can tell a subtotal NULL from a data
+    * NULL. Flags are composed from `grouping()` per column (portable bit
+    * order — engines disagree on packed grouping-id conventions). */
+  def groupingSetsRevenue(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        (grouping(col("o_orderstatus")) * 2 +
+          grouping(col("o_orderpriority"))).as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
   /** Full cross-dimensional subtotals: CUBE(status, priority). */
   def cubeRevenue(orders: DataFrame): DataFrame =
     orders
