@@ -27,6 +27,21 @@ object EventsOps {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Streaming form of [[sessionize]]: the same merging session windows
+    * over an unbounded stream. The watermark bounds state — an open
+    * session's window closes (and emits, in append mode) once the
+    * watermark passes its end + gap, so state tracks ACTIVE sessions
+    * only, never history. No orderBy (streams have no global order; the
+    * sink orders if it needs to). */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+
   /** Per-user inter-arrival gaps: each event's microseconds since the
     * user's previous event (null for the first) — the lag-window building
     * block under sessionization, burst detection, and retention curves.

@@ -237,6 +237,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("min") == 2.0))
   }
 
+  test("streaming sessionization: windows merge across batches, watermark finalizes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EventsOps
+    import StreamingSpec.Ev
+    val src = MemoryStream[Ev]
+    val q = EventsOps.sessionizeStream(src.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def e(u: String, ts: String) = Ev(u, Timestamp.valueOf(ts))
+    src.addData(e("u1", "2024-08-12 10:00:00"), e("u1", "2024-08-12 10:10:00"))
+    q.processAllAvailable()
+    // same session extended from a LATER batch (merging windows, not fixed)
+    src.addData(e("u1", "2024-08-12 10:25:00"), e("u1", "2024-08-12 11:30:00"))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // watermark hasn't passed
+    src.addData(e("u2", "2024-08-12 14:00:00")) // advances the watermark
+    q.processAllAvailable()
+    val out = spark.table("sess_out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+    q.stop()
+    // one 3-event merged session (10:00-10:25) and one singleton (11:30)
+    assert(out.toSet == Set(
+      ("u1", "2024-08-12 10:00:00.0", 3L),
+      ("u1", "2024-08-12 11:30:00.0", 1L)))
+  }
+
   test("streaming count-min: waves of documents fold to the exact batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamCms
@@ -315,4 +341,7 @@ object StreamingSpec {
     * the encoder derives). */
   case class Q(currency_from: String, currency_to: String, quote: Double,
     quote_ts: java.sql.Timestamp)
+
+  /** Minimal event record for the streaming-sessionization test. */
+  case class Ev(user_id: String, ts: java.sql.Timestamp)
 }
