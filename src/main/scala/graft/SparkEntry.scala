@@ -187,6 +187,8 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dedupGroups(Tables.documents(s, dir), threshold = 0.8)),
+    "dedup_groups_best" -> ((s, dir) =>
+      Dedup.dedupGroupsBest(Tables.documents(s, dir), threshold = 0.8)),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -665,6 +667,62 @@ object SparkEntry {
          |SELECT m.id AS doc_id, least(m.id, min(r.dst)) AS rep_id
          |FROM members m JOIN reach r ON r.src = m.id
          |GROUP BY m.id ORDER BY doc_id""".stripMargin,
+
+    // Groups (recursive CTE, as dedup_groups) joined with the per-doc
+    // quality formula (as quality_score, q-prefixed CTEs to avoid name
+    // clashes with the minhash chain); best = row_number, not arg-max
+    // (packed arg-max tie conventions differ across engines).
+    "dedup_groups_best" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |und AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         |), members AS (SELECT DISTINCT a AS id FROM und
+         |), grp AS (
+         |  SELECT m.id AS doc_id, least(m.id, min(r.dst)) AS rep_id
+         |  FROM members m JOIN reach r ON r.src = m.id GROUP BY m.id
+         |), qn AS (
+         |  SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+         |), qt AS (
+         |  SELECT doc_id, text, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM qn
+         |), qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS DOUBLE) AS ntok,
+         |    CAST(len(list_filter(w, x -> list_contains(
+         |      ['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE) AS nstop,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS npunct,
+         |    CAST(length(text) AS DOUBLE) AS nchars,
+         |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE) AS sumlen
+         |  FROM qt
+         |), qr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ntok > 0 THEN nstop/ntok ELSE 0 END AS stop_ratio,
+         |    CASE WHEN nchars > 0 THEN npunct/nchars ELSE 0 END AS punct_ratio,
+         |    CASE WHEN ntok > 0 THEN sumlen/ntok ELSE 0 END AS mean_word_len,
+         |    nchars FROM qm
+         |), qual AS (
+         |  SELECT doc_id,
+         |    round((least(nchars/CAST(200 AS DOUBLE), 1.0)
+         |         + least(stop_ratio*CAST(5 AS DOUBLE), 1.0)
+         |         + greatest(CAST(0 AS DOUBLE), 1.0 - punct_ratio*CAST(10 AS DOUBLE))
+         |         + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |                THEN 1.0 ELSE 0.5 END) / CAST(4 AS DOUBLE), 6) AS quality
+         |  FROM qr
+         |), ranked AS (
+         |  SELECT g.rep_id, g.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY g.rep_id
+         |      ORDER BY q.quality DESC, g.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY g.rep_id) AS group_size
+         |  FROM grp g JOIN qual q ON q.doc_id = g.doc_id
+         |)
+         |SELECT rep_id, doc_id AS best_id, CAST(group_size AS BIGINT) AS group_size,
+         |  quality AS best_quality
+         |FROM ranked WHERE rk = 1 ORDER BY rep_id""".stripMargin,
 
     "simhash_pairs" -> {
       val bitSums = (0 until 60).map(j =>

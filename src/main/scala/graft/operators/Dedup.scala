@@ -211,6 +211,32 @@ object Dedup {
   def dedupGroups(documents: DataFrame, threshold: Double = 0.8): DataFrame =
     connectedComponents(minhashLshPairs(documents, threshold))
 
+  /** The step production dedup ends with: per near-dup group, KEEP THE
+    * BEST copy — here the highest quality score (ties to the lowest id),
+    * not the arbitrary lowest id. Exact dedup can keep any copy
+    * (identical text ⇒ identical everything); near-dup groups hold
+    * genuinely different texts, so which one survives changes the
+    * training corpus. Selection is a row_number window over the groups
+    * (portable across engines, unlike packed arg-max conventions); the
+    * join is group-members-only, a vanishing fraction of the corpus. */
+  def dedupGroupsBest(documents: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = dedupGroups(documents, threshold)
+    val quality = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("rep_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    groups.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("rep_id"))))
+      .filter(col("rk") === 1)
+      .select(col("rep_id"), col("doc_id").as("best_id"), col("group_size"),
+        col("quality").as("best_quality"))
+      .orderBy(col("rep_id"))
+  }
+
   /** Character-level verification of near-dup candidates: Levenshtein
     * distance + similarity ratio over the normalized texts, computed ONLY
     * for LSH/inverted-index candidates (edit distance is O(len²) per pair
