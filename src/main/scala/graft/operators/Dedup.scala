@@ -222,8 +222,16 @@ object Dedup {
   def dedupGroupsBest(documents: DataFrame,
       threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val groups = dedupGroups(documents, threshold)
-    val quality = TextAnalysis.qualityScore(documents)
+    // checkpoint: groups is referenced twice below, and each DataFrame
+    // reference recomputes its subtree — without this the whole LSH+CC
+    // pipeline would run twice
+    val groups = dedupGroups(documents, threshold).localCheckpoint(true)
+    // score ONLY group members (a vanishing fraction of the corpus at
+    // scale — never compute corpus-wide quality for a members-only join);
+    // the tiny groups table broadcasts into the restriction
+    val members = documents
+      .join(broadcast(groups.select(col("doc_id"))), "doc_id")
+    val quality = TextAnalysis.qualityScore(members)
       .select(col("doc_id"), col("quality"))
     val w = Window.partitionBy(col("rep_id"))
       .orderBy(col("quality").desc, col("doc_id"))
