@@ -20,6 +20,27 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("best-representative selection: winner is a member with the group's max quality") {
+    val d = Tables.documents(spark, sf0001)
+    val groups = Dedup.dedupGroups(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.operators.TextAnalysis.qualityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val best = Dedup.dedupGroupsBest(d).collect()
+    assert(best.nonEmpty)
+    assert(best.map(_.getLong(0)).toSet == groups.values.toSet) // one per group
+    best.foreach { r =>
+      val (rep, bestId, size, q) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val members = groups.collect { case (id, g) if g == rep => id }
+      assert(members.toSet.contains(bestId), s"winner $bestId not in group $rep")
+      assert(size == members.size)
+      assert(q == members.map(quality).max, s"group $rep winner not max-quality")
+      // ties resolve to the lowest id among the max-quality members
+      assert(bestId == members.filter(m => quality(m) == q).min)
+    }
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val d = docs(1L -> "a b c", 5L -> "a b c", 3L -> "x y z")
     val got = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1)))
