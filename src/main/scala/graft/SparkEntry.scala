@@ -164,6 +164,8 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
     "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
+    "range_join_counts" -> ((s, dir) =>
+      graft.operators.RangeJoin.purchaseClickCounts(Tables.events(s, dir))),
 
     // Exact interpolated quantiles per group (A3 extension: the multi-
     // quantile shape analytics actually asks for; Spark `percentile` and
@@ -586,6 +588,19 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Oracle is the naive inequality join DuckDB plans natively; the Spark
+    // side must reproduce it exactly through the bin-bucketed rewrite.
+    "range_join_counts" ->
+      """SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks
+        |FROM events p
+        |LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND epoch_us(c.ts) > epoch_us(p.ts) - 300000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
 
     "asof_last_purchase" ->
       """WITH purchases AS (

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-range join — each left row matched to right rows of the same key
+ * whose timestamp falls in the trailing window `(left.ts - window, left.ts]`.
+ * The other canonical market-data join next to as-of ([[AsOfJoin]]): "all
+ * quotes/clicks in the N minutes before this trade/purchase".
+ *
+ * Spark has no native range-join operator; the naive inequality join plans
+ * as BroadcastNestedLoopJoin (per-row scan of the right side — quadratic,
+ * dead at scale). This is the bin-bucketed form instead: bucket both sides
+ * into fixed `window`-width time bins, explode each left row to its two
+ * candidate bins (a trailing window of width W can only intersect bin(l)
+ * and bin(l)-1), equi-join on (key, bin), and apply the exact range
+ * predicate to the bin-pair candidates only.
+ *
+ * Scale: ONE shuffle per side on (key, bin) into a plain equi-join
+ * (SMJ/shuffled-hash — AQE picks), left side duplicated exactly ×2,
+ * candidates bounded by per-bin density × 2 — never all-pairs. Hot keys
+ * spread over bins; residual skew is AQE's skew-join case. Each true match
+ * survives exactly once (a right row lies in exactly one bin, and that bin
+ * is exactly one of the left row's two probes).
+ */
+object RangeJoin {
+
+  /** Matched pairs (inner form): all (left row, right row) pairs with equal
+    * `keyCol` and `rightUs` in `(leftUs - windowUs, leftUs]`. Column names
+    * must not collide across sides (pre-rename payloads). */
+  def rangePairs(left: DataFrame, right: DataFrame, keyCol: String,
+      leftUs: String, rightUs: String, windowUs: Long): DataFrame = {
+    val lb = left.withColumn("__bin", explode(array(
+      (col(leftUs) / lit(windowUs)).cast("long"),
+      (col(leftUs) / lit(windowUs)).cast("long") - 1)))
+    val rb = right.withColumn("__bin", (col(rightUs) / lit(windowUs)).cast("long"))
+    lb.join(rb, Seq(keyCol, "__bin"))
+      .filter(col(rightUs) > col(leftUs) - windowUs && col(rightUs) <= col(leftUs))
+      .drop("__bin")
+  }
+
+  /** Left-outer count form: every left row with the number of in-range
+    * right rows (0 when none) — without a second scan of the left side.
+    * The two bin probes left-join independently; an unmatched probe
+    * contributes a null right row, excluded by count(when(in-range)), and
+    * the groupBy over the left columns folds the probes back to one row
+    * per left row. */
+  def countInRange(left: DataFrame, right: DataFrame, keyCol: String,
+      leftUs: String, rightUs: String, windowUs: Long,
+      as: String = "n_matches"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lb = left.withColumn("__bin", explode(array(
+      (col(leftUs) / lit(windowUs)).cast("long"),
+      (col(leftUs) / lit(windowUs)).cast("long") - 1)))
+    val rb = right.withColumn("__bin", (col(rightUs) / lit(windowUs)).cast("long"))
+    lb.join(rb, Seq(keyCol, "__bin"), "left")
+      .groupBy(leftCols.map(col): _*)
+      .agg(count(when(
+        col(rightUs) > col(leftUs) - windowUs && col(rightUs) <= col(leftUs),
+        lit(1))).as(as))
+  }
+
+  /** Registered query shape: for every purchase event, the number of click
+    * events by the same user in the preceding 5 minutes (inclusive of the
+    * purchase instant). Trailing-window attribution — the join the
+    * reference's ClickHouse tier would express as a correlated range
+    * predicate. */
+  def purchaseClickCounts(events: DataFrame,
+      windowUs: Long = 300000000L): DataFrame = {
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"))
+    countInRange(purchases, clicks, "user_id", "us", "c_us", windowUs,
+      as = "n_clicks")
+      .select(col("event_id"), col("user_id"), col("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+}
