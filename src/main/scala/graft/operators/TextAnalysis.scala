@@ -39,11 +39,14 @@ object TextAnalysis {
     * reference (Catalyst CSE doesn't cover custom expressions), measured
     * ~10× slower; CollapseProject keeps the stages because it refuses to
     * duplicate non-cheap aliases. */
-  private def rowStats(documents: DataFrame, withLang: Boolean): DataFrame = {
+  private def rowStats(documents: DataFrame, withLang: Boolean,
+      keep: Seq[String] = Nil): DataFrame = {
     import graft.functions.{TokenProfile, TokenSetCount}
     val hitNames = langMarkers.map { case (lang, _) => s"hits_$lang" }
+    val kept = keep.map(col)
     val stage2 = documents
-      .select(col("doc_id"), col("text"), normalize(col("text")).as("norm"))
+      .select((Seq(col("doc_id"), col("text"),
+        normalize(col("text")).as("norm")) ++ kept): _*)
       .select(Seq(
         col("doc_id"), col("text"),
         TokenProfile.token_profile(col("norm")).as("prof"),
@@ -53,7 +56,7 @@ object TextAnalysis {
         length(col("text")).cast("double").as("n_chars")) ++
         (if (withLang) langMarkers.map { case (lang, m) =>
           TokenSetCount.token_set_count(col("norm"), m).as(s"hits_$lang")
-        } else Nil): _*)
+        } else Nil) ++ kept: _*)
     stage2.select(Seq(
       col("doc_id"), col("text"), col("n_chars"),
       when(col("prof.n_tok") > 0,
@@ -64,7 +67,7 @@ object TextAnalysis {
       when(col("prof.n_tok") > 0,
         col("prof.sum_len").cast("double") / col("prof.n_tok").cast("double"))
         .otherwise(0.0).as("mean_word_len_raw")) ++
-      (if (withLang) hitNames.map(col) else Nil): _*)
+      (if (withLang) hitNames.map(col) else Nil) ++ kept: _*)
   }
 
   /** Quality in [0,1] from the raw-ratio columns of `rowStats` (6-dp). */
@@ -101,6 +104,17 @@ object TextAnalysis {
       round(col("mean_word_len_raw"), 6).as("mean_word_len"),
       qualityExpr.as("quality"))
       .orderBy(col("doc_id"))
+
+  /** Streaming-safe per-row scored projection: quality + language per
+    * document with `keep` columns passed through, NO sort and NO
+    * aggregation — legal under any streaming output mode and the per-row
+    * building block StreamCurate composes. Same expressions as
+    * [[qualityScore]]/[[curate]], so streamed and batch scores agree
+    * bit-for-bit. */
+  def scoredRows(documents: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    rowStats(documents, withLang = true, keep = keep)
+      .select((Seq(col("doc_id"), qualityExpr.as("quality"),
+        langPredExpr.as("lang_pred")) ++ keep.map(col)): _*)
 
   /** Marker words per language for the rule-based classifier. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
