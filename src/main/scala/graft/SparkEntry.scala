@@ -144,6 +144,7 @@ object SparkEntry {
     "pivot_status_counts" -> ((s, dir) => Relational.pivotStatusCounts(
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "window_top_orders" -> ((s, dir) => Relational.windowTopOrders(Tables.orders(s, dir))),
+    "rank_bands" -> ((s, dir) => Relational.rankBands(Tables.orders(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
@@ -208,6 +209,10 @@ object SparkEntry {
     "sample_hash" -> ((s, dir) => {
       import graft.operators.Sampling
       Sampling.hashSample(Tables.documents(s, dir), permille = 100)
+    }),
+    "stratified_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stratifiedSample(Tables.documents(s, dir))
     }),
     "source_quota" -> ((s, dir) => {
       import graft.operators.Sampling
@@ -529,6 +534,16 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rn <= 2
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "rank_bands" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "events_json_agg" ->
       """SELECT event_type,
@@ -914,6 +929,15 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 100
+        |ORDER BY doc_id""".stripMargin,
+
+    // Per-stratum keep-rates mirrored as a CASE; same h60 formula as
+    // sample_hash, so selection is engine-identical.
+    "stratified_sample" ->
+      """SELECT doc_id, lang AS stratum
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+        |  < (CASE WHEN lang = 'de' THEN 500 WHEN lang = 'en' THEN 100 ELSE 0 END)
         |ORDER BY doc_id""".stripMargin,
 
     "source_quota" ->

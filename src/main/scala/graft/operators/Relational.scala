@@ -232,6 +232,27 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Distribution-ranking window functions: quartile band, percent rank
+    * and cumulative distribution of each order's price within its status
+    * group — one shuffle on the partition key, three rank functions over
+    * ONE sorted window pass. The window ordering includes o_orderkey so
+    * ntile's tie-splitting is deterministic and engine-portable (both
+    * engines assign standard front-loaded buckets over the total order);
+    * percent_rank/cume_dist are exact IEEE divisions of integer rank
+    * counts, identical across engines. */
+  def rankBands(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Analytic window function: top-2 orders per customer by price
     * (row_number over partitioned sort — single shuffle on the partition
     * key, no join back). */

@@ -83,6 +83,27 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** STRATIFIED hash-mod sampling: a different keep-rate per stratum —
+    * the language/source-rebalancing cousin of [[hashSample]] (e.g. keep
+    * all of a rare language, 10% of the dominant one). Same portable-hash
+    * selection, so the subset is reproducible on any engine or
+    * partitioning; the rate lookup is a literal CASE over the stratum
+    * column (strata number in the tens/hundreds — driver-sized, like the
+    * temperatureMix targets), so the whole operator stays a map-side
+    * filter on the scan: no shuffle, no join, linear at 100 TB. */
+  def stratifiedSample(documents: DataFrame, stratumCol: String = "lang",
+      permille: Map[String, Int] = Map("en" -> 100, "de" -> 500),
+      defaultPermille: Int = 0): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val rate = permille.foldLeft(lit(defaultPermille)) {
+      case (els, (k, p)) => when(col(stratumCol) === k, lit(p)).otherwise(els)
+    }
+    documents
+      .filter(pmod(h60(col("doc_id").cast("string")), lit(1000L)) < rate)
+      .select(col("doc_id"), col(stratumCol).as("stratum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keep at most `quota` documents per source, by ascending doc_id
     * (deterministic; swap the ordering column for a quality score to keep
     * the best instead of the first). */

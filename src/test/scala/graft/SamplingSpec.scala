@@ -16,6 +16,26 @@ class SamplingSpec extends SparkSpec {
     assert(a.nonEmpty && a.length < 500)
   }
 
+  test("stratified sample: per-stratum rates, repartition-invariant, map-side") {
+    val d = Tables.documents(spark, sf0001)
+    val s = Sampling.stratifiedSample(d,
+      permille = Map("en" -> 100, "de" -> 500))
+    val rows = s.collect()
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("en", "de")),
+      "default-zero strata must be absent")
+    val b = Sampling.stratifiedSample(d.repartition(7),
+      permille = Map("en" -> 100, "de" -> 500)).collect()
+    assert(rows.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq,
+      "selection changed under repartitioning")
+    // the rate lookup must stay a scan-side filter: no hash-partitioned
+    // shuffle anywhere (the final orderBy's range partitioning is the only
+    // exchange the operator is allowed)
+    val phys = s.queryExecution.executedPlan.toString
+    assert(!phys.contains("hashpartitioning"),
+      "stratified sample must not shuffle on any key")
+    assert(!phys.contains("Join"), "rate lookup must not plan as a join")
+  }
+
   test("source quota never exceeds the cap and keeps lowest ids") {
     val got = Sampling.sourceQuota(Tables.documents(spark, sf0001), quota = 10)
       .collect()
