@@ -238,6 +238,7 @@ object SparkEntry {
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(Tables.documents(s, dir))),
     "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(Tables.documents(s, dir))),
     "temperature_mix" -> ((s, dir) => {
       import graft.operators.Sampling
@@ -1097,6 +1098,29 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM tok GROUP BY 1
         |ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin,
+
+    // tf·10⁶ div df (integer division) is the portable tf-idf ranking
+    // surrogate — see TextAnalysis.tfidfTopTerm.
+    "tfidf_top_term" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS term FROM norm
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * 1000000 // df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY tf.tf * 1000000 // df.df DESC, tf.term) AS rn
+        |  FROM tf JOIN df USING (term)
+        |)
+        |SELECT doc_id, term, tf, df, score FROM scored
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Count-Min cells from the checked-integer minhash family: the oracle
     // rebuilds the identical 4×16384 sketch, collisions included.

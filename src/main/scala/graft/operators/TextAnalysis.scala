@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.RollingHash.rolling_hash
@@ -296,6 +297,36 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(k)
+
+  /** TF-IDF-style top term per document: the term most specific to each
+    * doc, ranked by tf/df (monotone in tf·idf for any fixed corpus size,
+    * since idf = f(N/df) with N constant — so the ranking IS the tf·idf
+    * ranking without a float logarithm in sight). The score is the scaled
+    * INTEGER quotient tf·10⁶ div df — integer division is bit-portable
+    * across engines where ln/pow are not (distributed float combine order,
+    * non-correctly-rounded libm); ties break lexicographically.
+    *
+    * Shape at 100 TB: tf is a (doc,term)-keyed partial-agg shuffle; df
+    * re-aggregates the tf frame (vocab-sized output, heavy-tailed);
+    * the join back is term-keyed — stopword-grade hot terms skew it and
+    * AQE's skew-join split is the mitigation (asserted for the salted-agg
+    * family); the final per-doc argmax is row_number over a doc_id window.
+    * Three shuffles total, each carrying aggregates, never raw text. */
+  def tfidfTopTerm(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Count-Min sketch estimates for the vocabulary heavy hitters — the
     * bounded-memory counting path for when the vocabulary's cardinality
