@@ -40,6 +40,12 @@ object SparkEntry {
       Trends.trendsOf(Tables.events(s, dir), "ts", "event_type", "purchase",
         "value", TrendsFrom, TrendsTo, slide = Some("5 minutes"))),
 
+    // Calendar-spine gap fill: every 10-min slot present, quiet slots as
+    // n=0 — the serving-tier completion of the flagship series.
+    "trends_gapfill" -> ((s, dir) =>
+      Trends.trendsGapfill(Tables.events(s, dir), "ts", "event_type",
+        "purchase", "value", TrendsFrom, TrendsTo)),
+
     // ClickHouse-median parity variant: same window aggregate with the
     // custom bottom-k TypedImperativeAggregate (approximate ⇒ no SQL
     // oracle; determinism + accuracy asserted in ApproxQuantileSpec).
@@ -318,6 +324,24 @@ object SparkEntry {
          |WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
          |  AND event_type = 'purchase'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "trends_gapfill" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start,
+         |    round(avg(value), 6) AS v_mean, count(*) AS n
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
+         |    AND event_type = 'purchase'
+         |  GROUP BY 1
+         |), spine AS (
+         |  SELECT unnest(generate_series(
+         |    CAST(floor(epoch(TIMESTAMP '$TrendsFrom')/600)*600 AS BIGINT),
+         |    CAST(floor(epoch(TIMESTAMP '$TrendsTo')/600)*600 AS BIGINT),
+         |    CAST(600 AS BIGINT))) AS window_start
+         |)
+         |SELECT s.window_start, coalesce(a.n, 0) AS n, a.v_mean
+         |FROM spine s LEFT JOIN agg a USING (window_start)
+         |ORDER BY 1""".stripMargin,
 
     // Each event belongs to exactly two overlapping 10-min/5-min windows:
     // starts floor(t/300)·300 and that minus 300.

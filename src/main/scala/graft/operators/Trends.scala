@@ -113,4 +113,33 @@ object Trends {
         col("v_min"), col("v_max"), col("v_mean"), col("v_median"), col("n"))
       .orderBy(col("window_start"))
   }
+
+  /** Gap-filled trend series: every 10-minute slot in [from, to] present,
+    * empty slots carried as (n = 0, v_mean = null) — the calendar-spine
+    * left join a charting/serving tier needs so a quiet interval reads as
+    * zero, not as a missing row. The spine is `spark.range` over window
+    * starts — distributed generation, no driver-side materialization and
+    * no array-size cap however wide the range; the aggregated side is
+    * result-cardinality, so the join broadcasts. */
+  def trendsGapfill(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      keyValue: String,
+      valueCol: String,
+      fromTs: String,
+      toTs: String): DataFrame = {
+    val from = Timestamp.valueOf(fromTs)
+    val to = Timestamp.valueOf(toTs)
+    val f = math.floorDiv(from.getTime, 600000L) * 600L
+    val t = math.floorDiv(to.getTime, 600000L) * 600L
+    val agg = trendsOf(df, tsCol, keyCol, keyValue, valueCol, fromTs, toTs)
+      .select(col("window_start"), col("v_mean"), col("n"))
+    val spine = df.sparkSession.range(f, t + 1, 600)
+      .select(col("id").as("window_start"))
+    spine.join(agg, Seq("window_start"), "left")
+      .select(col("window_start"),
+        coalesce(col("n"), lit(0L)).as("n"), col("v_mean"))
+      .orderBy(col("window_start"))
+  }
 }
