@@ -151,6 +151,12 @@ object SparkEntry {
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "window_top_orders" -> ((s, dir) => Relational.windowTopOrders(Tables.orders(s, dir))),
     "rank_bands" -> ((s, dir) => Relational.rankBands(Tables.orders(s, dir))),
+    "q10_returned" -> ((s, dir) => Relational.q10Returned(
+      Tables.customer(s, dir), Tables.orders(s, dir),
+      Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    "nation_activity_full" -> ((s, dir) => Relational.nationActivityFull(
+      Tables.customer(s, dir), Tables.supplier(s, dir))),
+    "doc_set_ops" -> ((s, dir) => Relational.docSetOps(Tables.documents(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
@@ -559,6 +565,43 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rn <= 2
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,4))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "nation_activity_full" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+        |), s AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+        |)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "doc_set_ops" ->
+      """WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |lng AS (SELECT doc_id FROM documents WHERE n_chars > 500)
+        |SELECT 'long_en' AS tag, doc_id FROM (
+        |  SELECT doc_id FROM en INTERSECT SELECT doc_id FROM lng)
+        |UNION ALL
+        |SELECT 'short_en' AS tag, doc_id FROM (
+        |  SELECT doc_id FROM en EXCEPT SELECT doc_id FROM lng)
+        |ORDER BY tag, doc_id""".stripMargin,
 
     "rank_bands" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -232,6 +232,59 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Returned-item revenue per customer (TPC-H Q10 shape): three-way join
+    * with a selective fact filter, top-20 customers by lost revenue.
+    * Nation broadcasts; the order/lineitem join is the big shuffle; top-k
+    * is TakeOrderedAndProject. */
+  def q10Returned(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val li = lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** FULL OUTER join shape: per-nation counts of BUILDING-segment
+    * customers vs negative-balance suppliers — each side an aggregate, the
+    * outer join preserving nations present on only one side, coalesced to
+    * zero. Both inputs are group-count aggregates (nation-cardinality), so
+    * the join is trivially broadcastable at any corpus size. */
+  def nationActivityFull(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val custs = customer.filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supps = supplier.filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    custs.join(supps, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Set-operation shapes (INTERSECT / EXCEPT): long English documents vs
+    * all English documents, tagged in one result. Both compile to
+    * aggregate-based set ops (hash semi/anti under the hood), never
+    * row-by-row driver logic. */
+  def docSetOps(documents: DataFrame): DataFrame = {
+    val en = documents.filter(col("lang") === "en").select("doc_id")
+    val long = documents.filter(col("n_chars") > 500).select("doc_id")
+    en.intersect(long).withColumn("tag", lit("long_en"))
+      .union(en.except(long).withColumn("tag", lit("short_en")))
+      .select(col("tag"), col("doc_id"))
+      .orderBy(col("tag"), col("doc_id"))
+  }
+
   /** Distribution-ranking window functions: quartile band, percent rank
     * and cumulative distribution of each order's price within its status
     * group — one shuffle on the partition key, three rank functions over
