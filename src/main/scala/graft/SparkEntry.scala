@@ -46,6 +46,11 @@ object SparkEntry {
       Trends.trendsGapfill(Tables.events(s, dir), "ts", "event_type",
         "purchase", "value", TrendsFrom, TrendsTo)),
 
+    // 1-hour trailing moving average over the 10-min series.
+    "trends_moving_avg" -> ((s, dir) =>
+      Trends.trendsMovingAvg(Tables.events(s, dir), "ts", "event_type",
+        "purchase", "value", TrendsFrom, TrendsTo)),
+
     // ClickHouse-median parity variant: same window aggregate with the
     // custom bottom-k TypedImperativeAggregate (approximate ⇒ no SQL
     // oracle; determinism + accuracy asserted in ApproxQuantileSpec).
@@ -157,6 +162,8 @@ object SparkEntry {
     "nation_activity_full" -> ((s, dir) => Relational.nationActivityFull(
       Tables.customer(s, dir), Tables.supplier(s, dir))),
     "doc_set_ops" -> ((s, dir) => Relational.docSetOps(Tables.documents(s, dir))),
+    "q18_big_orders" -> ((s, dir) => Relational.q18BigOrders(
+      Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
@@ -348,6 +355,23 @@ object SparkEntry {
          |SELECT s.window_start, coalesce(a.n, 0) AS n, a.v_mean
          |FROM spine s LEFT JOIN agg a USING (window_start)
          |ORDER BY 1""".stripMargin,
+
+    "trends_moving_avg" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start,
+         |    round(avg(value), 6) AS v_mean
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
+         |    AND event_type = 'purchase'
+         |  GROUP BY 1
+         |)
+         |SELECT window_start, v_mean,
+         |  round(CAST(sum(CAST(v_mean AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |    / (count(*) OVER w), 6) AS ma
+         |FROM agg
+         |WINDOW w AS (ORDER BY window_start
+         |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         |ORDER BY window_start""".stripMargin,
 
     // Each event belongs to exactly two overlapping 10-min/5-min windows:
     // starts floor(t/300)·300 and that minus 300.
@@ -579,6 +603,14 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT o_orderkey, o_custkey, sum_qty FROM orders
+        |JOIN (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 250
+        |) ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "nation_activity_full" ->
       """WITH c AS (

@@ -253,6 +253,23 @@ object Relational {
       .limit(20)
   }
 
+  /** Large-volume orders (TPC-H Q18 shape): the HAVING-over-join pattern —
+    * per-order quantity totals filtered to the heavy tail, joined back to
+    * the order header. Quantities are integral, so the threshold test is
+    * LONG-exact; the filtered aggregate is tiny, so the join back to
+    * orders broadcasts under AQE. */
+  def q18BigOrders(orders: DataFrame, lineitem: DataFrame,
+      minQty: Long = 250): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** FULL OUTER join shape: per-nation counts of BUILDING-segment
     * customers vs negative-balance suppliers — each side an aggregate, the
     * outer join preserving nations present on only one side, coalesced to

@@ -142,4 +142,31 @@ object Trends {
         coalesce(col("n"), lit(0L)).as("n"), col("v_mean"))
       .orderBy(col("window_start"))
   }
+
+  /** Trailing moving average over the 10-minute series (6-slot ≈ 1 h
+    * frame) — the smoothing pass a charting tier applies on top of the
+    * flagship aggregate. The frame sum runs in exact DECIMAL over the
+    * already-6-dp means and only the final quotient is a double, so
+    * engines can't disagree at a rounding boundary. The unpartitioned
+    * window runs single-task — correct here because its input is the
+    * RESULT series (range/10min rows), never the raw corpus; a per-key
+    * variant would partition by the series key. */
+  def trendsMovingAvg(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      keyValue: String,
+      valueCol: String,
+      fromTs: String,
+      toTs: String,
+      slots: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("window_start")).rowsBetween(-(slots - 1), 0)
+    trendsOf(df, tsCol, keyCol, keyValue, valueCol, fromTs, toTs)
+      .select(col("window_start"), col("v_mean"))
+      .withColumn("ma", round(
+        sum(col("v_mean").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double") / count(lit(1)).over(w), 6))
+      .orderBy(col("window_start"))
+  }
 }

@@ -130,6 +130,21 @@ class PlanSpec extends SparkSpec {
       "corpus shuffled into the targets join — targets are driver-sized")
   }
 
+  test("rank_bands: ntile/percent_rank/cume_dist share ONE window pass") {
+    val p = planOf("rank_bands")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) +
+      p.split("\\(\\d+\\) Window").length - 1 >= 1) // node present
+    assert(p.split("\\(\\d+\\) Window\\b").length - 1 == 1,
+      "the three rank functions must evaluate in a single Window operator")
+  }
+
+  test("gapfill spine joins broadcast — no shuffle of the generated range") {
+    val p = planOf("trends_gapfill")
+    assert(p.contains("Range ("), "spine should be a distributed Range scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "result-cardinality agg should broadcast into the spine")
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more

@@ -50,6 +50,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(!phys.contains("CartesianProduct"), "range join plans a cartesian")
   }
 
+  test("property: bin-bucketed ≡ naive on random timestamp batches, incl. window-boundary ties") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val W = 1000L // small window so bin boundaries are exercised densely
+    val genRow = for {
+      key <- Gen.choose(0L, 3L)
+      // cluster timestamps near multiples of W to hit ==, ±1 boundary cases
+      base <- Gen.choose(0L, 20L)
+      jitter <- Gen.oneOf(-1L, 0L, 1L, 17L, 500L, 999L)
+    } yield (key, base * W + jitter)
+    (1 to 5).foreach { i =>
+      val rows = Gen.listOfN(80, genRow)
+        .apply(Gen.Parameters.default, Seed(7L + i)).get
+        .zipWithIndex.map { case ((k, us), id) => (id.toLong, k, us) }
+      val l = rows.toDF("l_id", "k", "l_us")
+      val r = rows.map { case (id, k, us) => (id + 1000L, k, us) }
+        .toDF("r_id", "k", "r_us")
+      val fast = RangeJoin.rangePairs(l, r, "k", "l_us", "r_us", W)
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .toSet
+      val naive = l.join(r,
+          l("k") === r("k") &&
+          col("r_us") > col("l_us") - W && col("r_us") <= col("l_us"))
+        .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .toSet
+      assert(fast == naive, s"seed batch $i diverged from the naive join")
+    }
+  }
+
   test("rangePairs emits each true match exactly once") {
     val l = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("l_id"), col("user_id"),
