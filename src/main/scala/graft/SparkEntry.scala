@@ -258,6 +258,7 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(Tables.documents(s, dir))),
+    "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(Tables.documents(s, dir))),
     "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(Tables.documents(s, dir))),
     "temperature_mix" -> ((s, dir) => {
       import graft.operators.Sampling
@@ -1197,6 +1198,25 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM tok GROUP BY 1
         |ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin,
+
+    // window=200, stride=150: n_chunks = 1 + ceil(max(0,len-200)/150);
+    // substr is 1-based chars in both engines.
+    "chunk_docs" ->
+      """WITH sized AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + (greatest(len - 200, 0) + 149) // 150 AS n_chunks
+        |  FROM documents WHERE length(text) > 0
+        |), idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_idx
+        |  FROM sized
+        |)
+        |SELECT doc_id, chunk_idx, chunk_idx * 150 + 1 AS start_pos,
+        |  CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS BIGINT)
+        |    AS n_chars,
+        |  md5(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5
+        |FROM idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // tf·10⁶ div df (integer division) is the portable tf-idf ranking
     // surrogate — see TextAnalysis.tfidfTopTerm.

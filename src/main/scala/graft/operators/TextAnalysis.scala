@@ -298,6 +298,39 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(k)
 
+  /** Overlapping character-window CHUNKING — the retrieval/embedding
+    * pre-pass (RAG indexing, long-doc embedding) that turns each document
+    * into fixed-size windows with `window - stride` characters of overlap.
+    * Pure per-row arithmetic + explode (fan-out ceil(len/stride) rows per
+    * doc), map-side at scan speed, no shuffle except the presentation
+    * sort; chunk identity is (doc_id, chunk_idx) and an md5 of the chunk
+    * for downstream exact-dedup of shared boilerplate windows.
+    * n_chunks = 1 + ceil(max(0, len - window)/stride) — every doc with
+    * text gets ≥1 chunk, every character lands in ≥1 chunk, chunk starts
+    * step by `stride`. */
+  def chunkDocs(documents: DataFrame, window: Int = 200,
+      stride: Int = 150): DataFrame = {
+    require(stride > 0 && window >= stride,
+      "need 0 < stride <= window for gap-free coverage")
+    val len = length(col("text"))
+    // integer ceil-div via floor on exact small doubles (len ≤ 2^53/stride)
+    val nChunks = lit(1L) + floor(
+      (greatest(len - window, lit(0)) + (stride - 1)) / lit(stride.toDouble))
+      .cast("long")
+    documents
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .filter(len > 0)
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).cast("long").as("start_pos"),
+        substring(col("text"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        length(col("chunk")).cast("long").as("n_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** TF-IDF-style top term per document: the term most specific to each
     * doc, ranked by tf/df (monotone in tf·idf for any fixed corpus size,
     * since idf = f(N/df) with N constant — so the ranking IS the tf·idf

@@ -197,4 +197,34 @@ class TextMultimodalSpec extends SparkSpec {
       .collect()
     assert(corpus.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
+
+  test("chunking: gap-free coverage, stride-aligned starts, every non-empty doc chunked") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val chunks = TextAnalysis.chunkDocs(docs, window = 200, stride = 150)
+      .collect()
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == lens.filter(_._2 > 0).keySet,
+      "every doc with text must produce chunks")
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i, "chunk_idx must be dense from 0")
+        assert(c.getLong(2) == i * 150L + 1, "starts step by stride")
+      }
+      // gap-free: each chunk start is within the previous chunk's span
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) <= a.getLong(2) + a.getLong(3),
+            s"gap between chunks of doc $id")
+        case _ =>
+      }
+      // the final chunk reaches the end of the document
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) - 1 == lens(id),
+        s"doc $id tail not covered")
+    }
+  }
 }
