@@ -170,6 +170,8 @@ object SparkEntry {
     "rate_limit_flags" -> ((s, dir) => EventsOps.rateLimitFlags(Tables.events(s, dir))),
     "events_sessionize" -> ((s, dir) => EventsOps.sessionize(Tables.events(s, dir))),
     "event_gaps" -> ((s, dir) => EventsOps.eventGaps(Tables.events(s, dir))),
+    "mode_by_type" -> ((s, dir) => EventsOps.modeByType(Tables.events(s, dir))),
+    "value_histogram" -> ((s, dir) => EventsOps.valueHistogram(Tables.events(s, dir))),
     // Skew-safe two-phase aggregation over the 5 hot event_type keys;
     // the oracle is the plain GROUP BY — salting must be invisible in
     // results (DECIMAL sums, so partial/final split can't perturb floats).
@@ -689,6 +691,19 @@ object SparkEntry {
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "mode_by_type" ->
+      """SELECT event_type, mode_value, n FROM (
+        |  SELECT event_type, value AS mode_value, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY count(*) DESC, value) AS rn
+        |  FROM events GROUP BY event_type, value
+        |) t WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "quantiles_by_type" ->
       """SELECT event_type,

@@ -73,6 +73,35 @@ object EventsOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Deterministic MODE per group: the most frequent value of each event
+    * type, ties to the smallest value — two-level aggregation (value
+    * counts, then argmax via an ordered window), never a per-group
+    * collect. Engine-portable where a native `mode()` is not: tie order
+    * is unspecified in both Spark and DuckDB, so the explicit
+    * (count desc, value asc) window IS the semantics. */
+  def modeByType(events: DataFrame): DataFrame = {
+    val counts = events.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("value"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("value").as("mode_value"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Fixed-width histogram of `value` per event type: bin = floor(value /
+    * width), engine-exact for the synthetic 2-dp values (the division is
+    * a double op on identical inputs; floor boundaries land on exact
+    * doubles). Map-side partial aggregation over (type, bin) — histogram
+    * cardinality is bins × types regardless of corpus size. */
+  def valueHistogram(events: DataFrame, width: Double = 10.0): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        floor(col("value") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
   /**
    * Per-user sliding-window rate limit, batch analytic form: for every event,
    * the number of events by the same user in the 1-second window ending at
