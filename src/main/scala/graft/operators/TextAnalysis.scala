@@ -339,23 +339,28 @@ object TextAnalysis {
     * across engines where ln/pow are not (distributed float combine order,
     * non-correctly-rounded libm); ties break lexicographically.
     *
-    * Shape at 100 TB: tf is a (doc,term)-keyed partial-agg shuffle; df
-    * re-aggregates the tf frame (vocab-sized output, heavy-tailed);
-    * the join back is term-keyed — stopword-grade hot terms skew it and
-    * AQE's skew-join split is the mitigation (asserted for the salted-agg
-    * family); the final per-doc argmax is row_number over a doc_id window.
-    * Three shuffles total, each carrying aggregates, never raw text. */
+    * Shape at 100 TB: tf is a (doc,term)-keyed partial-agg shuffle; df is
+    * a COUNT WINDOW over the same tf frame partitioned by term — not a
+    * separate aggregate joined back, which would re-execute the whole
+    * tokenize+aggregate subtree per DataFrame reference (no logical CSE
+    * across references; a join formulation measured 4 corpus scans in the
+    * static plan). One corpus scan, then term-window and doc-window
+    * shuffles over the (doc,term) aggregate only — never raw text.
+    * Stopword-grade hot terms skew the term window; at scale a df-cut
+    * (drop terms above a document-frequency ceiling, as in the ngram
+    * pipeline) bounds the partition before it matters — tf·idf of a
+    * universal term is ~0 by definition. */
   def tfidfTopTerm(documents: DataFrame): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
+    val wTerm = Window.partitionBy(col("term"))
+    val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .withColumn("score", expr("tf * 1000000 div df"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
       .orderBy(col("doc_id"))

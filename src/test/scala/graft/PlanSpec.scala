@@ -145,6 +145,13 @@ class PlanSpec extends SparkSpec {
       "result-cardinality agg should broadcast into the spine")
   }
 
+  test("tfidf: ONE corpus scan — df rides a window, not a re-aggregated join") {
+    val p = SparkEntry.queries("tfidf_top_term")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.split("Relation \\[").length - 1 == 1,
+      "tfidf_top_term re-scans documents (join-formulated df)")
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more
