@@ -171,6 +171,9 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventsOps.sessionize(Tables.events(s, dir))),
     "event_gaps" -> ((s, dir) => EventsOps.eventGaps(Tables.events(s, dir))),
     "mode_by_type" -> ((s, dir) => EventsOps.modeByType(Tables.events(s, dir))),
+    "user_event_types" -> ((s, dir) => EventsOps.userEventTypes(Tables.events(s, dir))),
+    "integrity_checksum" -> ((s, dir) =>
+      TextAnalysis.integrityChecksum(Tables.documents(s, dir))),
     "value_histogram" -> ((s, dir) => EventsOps.valueHistogram(Tables.events(s, dir))),
     // Skew-safe two-phase aggregation over the 5 hot event_type keys;
     // the oracle is the plain GROUP BY — salting must be invisible in
@@ -691,6 +694,20 @@ object SparkEntry {
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "user_event_types" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same h60 formula as sample_hash; xor_agg is order-invariant on both
+    // engines, so the digest survives any partitioning.
+    "integrity_checksum" ->
+      """SELECT source, count(*) AS n_docs,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15))::BIGINT)
+        |    AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "mode_by_type" ->
       """SELECT event_type, mode_value, n FROM (

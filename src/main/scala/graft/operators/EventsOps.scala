@@ -73,6 +73,20 @@ object EventsOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Sorted set aggregation: each user's distinct event types as an
+    * ordered array — the collect-style shape made engine-portable by
+    * sorting (collect_set order is undefined in every engine; array_sort
+    * pins it). Distinct-then-sort runs as aggregate machinery, never a
+    * driver collect. Emitted as a joined string: array columns hash
+    * differently across engine result formats, a flat string doesn't. */
+  def userEventTypes(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+          .as("types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
   /** Deterministic MODE per group: the most frequent value of each event
     * type, ties to the smallest value — two-level aggregation (value
     * counts, then argmax via an ordered window), never a per-group

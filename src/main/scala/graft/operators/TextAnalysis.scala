@@ -298,6 +298,24 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(k)
 
+  /** Per-source INTEGRITY CHECKSUM: an order-independent digest of every
+    * row's content (bit_xor of the portable 60-bit hash of id+text) plus
+    * a row count — the cheap invariant check a 100 TB migration,
+    * backfill, or engine swap verifies on both sides before switching
+    * over. XOR is commutative/associative, so the digest is partition-
+    * and order-invariant and map-side combinable; any single changed,
+    * dropped, or duplicated row flips it. */
+  def integrityChecksum(documents: DataFrame): DataFrame = {
+    import graft.functions.PortableHash.h60
+    documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        bit_xor(h60(concat_ws("|", col("doc_id").cast("string"),
+          md5(col("text"))))).as("checksum"))
+      .orderBy(col("source"))
+  }
+
   /** Overlapping character-window CHUNKING — the retrieval/embedding
     * pre-pass (RAG indexing, long-doc embedding) that turns each document
     * into fixed-size windows with `window - stride` characters of overlap.
