@@ -172,6 +172,9 @@ object SparkEntry {
     "event_gaps" -> ((s, dir) => EventsOps.eventGaps(Tables.events(s, dir))),
     "mode_by_type" -> ((s, dir) => EventsOps.modeByType(Tables.events(s, dir))),
     "user_event_types" -> ((s, dir) => EventsOps.userEventTypes(Tables.events(s, dir))),
+    "latest_events" -> ((s, dir) => EventsOps.latestEvents(Tables.events(s, dir))),
+    "revenue_share" -> ((s, dir) => Relational.revenueShare(
+      Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "integrity_checksum" -> ((s, dir) =>
       TextAnalysis.integrityChecksum(Tables.documents(s, dir))),
     "value_histogram" -> ((s, dir) => EventsOps.valueHistogram(Tables.events(s, dir))),
@@ -694,6 +697,28 @@ object SparkEntry {
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "latest_events" ->
+      """SELECT user_id, event_type, latest_id, latest_us, value FROM (
+        |  SELECT user_id, event_type, event_id AS latest_id,
+        |    epoch_us(ts) AS latest_us, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "revenue_share" ->
+      """WITH rev AS (
+        |  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  round(CAST(rev_dec AS DOUBLE) /
+        |    CAST(sum(rev_dec) OVER () AS DOUBLE), 6) AS share
+        |FROM rev ORDER BY n_name""".stripMargin,
 
     "user_event_types" ->
       """SELECT user_id,

@@ -73,6 +73,24 @@ object EventsOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Log COMPACTION: the latest event per (user, type) — the
+    * keep-newest-per-key upsert/SCD shape every event-sourced store
+    * compacts with. row_number over (ts desc, event_id desc) so
+    * same-timestamp ties are deterministic; one shuffle on the key,
+    * WindowGroupLimit prunes non-winners before the final filter. */
+  def latestEvents(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("latest_id"),
+        col("us").as("latest_us"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Sorted set aggregation: each user's distinct event types as an
     * ordered array — the collect-style shape made engine-portable by
     * sorting (collect_set order is undefined in every engine; array_sort

@@ -289,6 +289,31 @@ object Relational {
       .orderBy(col("nationkey"))
   }
 
+  /** Percent-of-total (ratio-to-report): each nation's share of global
+    * revenue — a grouped aggregate plus an unpartitioned window sum over
+    * the RESULT rows (nation-cardinality, so the single-task window is
+    * free; the corpus never sees it). Shares divide two exact DECIMAL
+    * sums as doubles, so engines agree to the last bit before the 6-dp
+    * round. */
+  def revenueShare(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      .withColumn("share", round(
+        col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(w).cast("double"), 6))
+      .select(col("n_name"), col("rev_dec").cast("double").as("revenue"),
+        col("share"))
+      .orderBy(col("n_name"))
+  }
+
   /** Set-operation shapes (INTERSECT / EXCEPT): long English documents vs
     * all English documents, tagged in one result. Both compile to
     * aggregate-based set ops (hash semi/anti under the hood), never
