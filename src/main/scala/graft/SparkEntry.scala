@@ -164,6 +164,18 @@ object SparkEntry {
     "doc_set_ops" -> ((s, dir) => Relational.docSetOps(Tables.documents(s, dir))),
     "q18_big_orders" -> ((s, dir) => Relational.q18BigOrders(
       Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q4_priority_counts" -> ((s, dir) => Relational.q4PriorityCounts(
+      Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q6_forecast" -> ((s, dir) => Relational.q6Forecast(Tables.lineitem(s, dir))),
+    "q7_nation_volume" -> ((s, dir) => Relational.q7NationVolume(
+      Tables.nation(s, dir), Tables.customer(s, dir), Tables.orders(s, dir),
+      Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "q13_custdist" -> ((s, dir) => Relational.q13CustDist(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q19_disjunctive" -> ((s, dir) => Relational.q19Disjunctive(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q22_idle_rich" -> ((s, dir) => Relational.q22IdleRich(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
@@ -620,6 +632,83 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1 HAVING sum_qty > 250
         |) ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q4_priority_counts" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.02 AS DOUBLE) AND l_discount <= CAST(0.04 AS DOUBLE)
+        |  AND l_quantity < 10""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
+    // DECIMAL-exact above-average test (bal·n > Σbal) — no float mean.
+    "q22_idle_rich" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+        |    count(*) AS bal_n
+        |  FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "nation_activity_full" ->
       """WITH c AS (

@@ -348,6 +348,134 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Order-priority check (TPC-H Q4 shape): orders in one quarter with at
+    * least one late-shipping lineitem — the EXISTS-with-correlated-
+    * predicate pattern. Spark plans the correlated `l_shipdate >
+    * o_orderdate` conjunct as the non-equi residual of a LEFT SEMI join on
+    * the order key: one pass over each table, no row multiplication, and
+    * the quarter filter prunes the probe side at the scan. (The synthetic
+    * schema has no commit/receipt dates; shipped-after-ordering is the
+    * same correlated-inequality shape.) */
+  def q4PriorityCounts(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(Timestamp.valueOf("1997-04-01 00:00:00")))
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Revenue-change forecast (TPC-H Q6 shape): single-table multi-predicate
+    * scan→aggregate. All three range predicates (date, discount band,
+    * quantity cap) push to the parquet scan — row groups outside the year
+    * never decompress — and the aggregate is a map-side partial over ONE
+    * column pair. The cheapest query in the suite by design; its job in
+    * the inventory is proving the pushdown path stays intact. */
+  def q6Forecast(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+        col("l_quantity") < 10)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"), 4))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Cross-nation shipping volume (TPC-H Q7 shape): supplier nation vs
+    * customer nation, both directions of one nation pair, by ship year.
+    * The 25-row nation dim joins twice under two aliases — both broadcast,
+    * pre-filtered to the pair so non-matching fact rows die at the join,
+    * and the direction predicate is the only residual. One big shuffle
+    * (lineitem⋈orders); everything else rides it. */
+  def q7NationVolume(nation: DataFrame, customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val suppNat = broadcast(nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val custNat = broadcast(nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    lineitem
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(suppNat, col("s_nationkey") === col("sn_key"))
+      .join(custNat, col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4)))
+        .cast("double").as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    * so zero-order customers survive with count 0, then a second aggregate
+    * over the counts — the histogram-of-group-sizes pattern. `count(col)`
+    * (null-skipping) does the outer-join bookkeeping; both shuffles carry
+    * only keys and counts. */
+  def q13CustDist(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Disjunctive-predicate join (TPC-H Q19 shape): an OR of three
+    * brand/size/quantity conjunct groups over lineitem⋈part. Catalyst
+    * factors the part-only and lineitem-only implications of the
+    * disjunction below the join (constraint propagation), so both scans
+    * prune before rows meet; the full OR stays as the join residual. */
+  def q19Disjunctive(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val qty = col("l_quantity")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        qty >= 1 && qty <= 11) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(16, 30) &&
+        qty >= 10 && qty <= 20) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) &&
+        qty >= 20 && qty <= 30)
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Idle rich customers (TPC-H Q22 shape): customers above the positive-
+    * balance average with NO orders — a scalar aggregate subquery plus an
+    * anti join. The average is decorrelated to a 1-row aggregate broadcast
+    * back over the scan (never a per-row subquery), and the above-average
+    * test is DECIMAL-exact (`bal·n > Σbal` — no float mean to disagree
+    * across engines). The anti join probes orders once. */
+  def q22IdleRich(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val posAvg = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("bal_sum"), count(lit(1)).as("bal_n"))
+    customer
+      .crossJoin(broadcast(posAvg))
+      .filter(dec(col("c_acctbal")) * col("bal_n") > col("bal_sum"))
+      .join(orders.select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Analytic window function: top-2 orders per customer by price
     * (row_number over partitioned sort — single shuffle on the partition
     * key, no join back). */
