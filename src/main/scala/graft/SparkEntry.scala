@@ -185,6 +185,7 @@ object SparkEntry {
     "mode_by_type" -> ((s, dir) => EventsOps.modeByType(Tables.events(s, dir))),
     "user_event_types" -> ((s, dir) => EventsOps.userEventTypes(Tables.events(s, dir))),
     "latest_events" -> ((s, dir) => EventsOps.latestEvents(Tables.events(s, dir))),
+    "kmv_distinct" -> ((s, dir) => EventsOps.kmvDistinct(Tables.events(s, dir))),
     "revenue_share" -> ((s, dir) => Relational.revenueShare(
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "integrity_checksum" -> ((s, dir) =>
@@ -231,6 +232,8 @@ object SparkEntry {
       Dedup.dedupGroups(Tables.documents(s, dir), threshold = 0.8)),
     "dedup_groups_best" -> ((s, dir) =>
       Dedup.dedupGroupsBest(Tables.documents(s, dir), threshold = 0.8)),
+    "leakage_safe_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, dir), threshold = 0.8)),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -796,6 +799,26 @@ object SparkEntry {
         |  FROM events
         |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    // Bottom-k distinct sketch, reproduced hash-for-hash: same h60
+    // family, same rank rule, same (k−1)·2^60/kth estimate — the oracle
+    // matches the sketch's ERROR, not just its target.
+    "kmv_distinct" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), ranked AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM hashed
+        |)
+        |SELECT event_type, count(*) AS n_kept, max(h) AS kth_min,
+        |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |       ELSE round(63.0 * (1152921504606846976.0 / CAST(max(h) AS DOUBLE)), 3)
+        |  END AS n_est
+        |FROM ranked WHERE rn <= 64
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "revenue_share" ->
       """WITH rev AS (
         |  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
@@ -944,6 +967,30 @@ object SparkEntry {
          |SELECT m.id AS doc_id, least(m.id, min(r.dst)) AS rep_id
          |FROM members m JOIN reach r ON r.src = m.id
          |GROUP BY m.id ORDER BY doc_id""".stripMargin,
+
+    // Split key = group representative (recursive CTE as dedup_groups)
+    // for members, own id for singletons; hash-mod assignment mirrors
+    // sample_hash's h60 idiom, so split membership is engine-identical.
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |und AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         |), members AS (SELECT DISTINCT a AS id FROM und
+         |), grp AS (
+         |  SELECT m.id AS doc_id, least(m.id, min(r.dst)) AS rep_id
+         |  FROM members m JOIN reach r ON r.src = m.id GROUP BY m.id
+         |)
+         |SELECT d.doc_id,
+         |  COALESCE(g.rep_id, d.doc_id) AS split_key,
+         |  CASE WHEN ('0x' || substr(md5(CAST(COALESCE(g.rep_id, d.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 1000 < 100
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Groups (recursive CTE, as dedup_groups) joined with the per-doc
     // quality formula (as quality_score, q-prefixed CTEs to avoid name

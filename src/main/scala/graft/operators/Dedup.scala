@@ -211,6 +211,30 @@ object Dedup {
   def dedupGroups(documents: DataFrame, threshold: Double = 0.8): DataFrame =
     connectedComponents(minhashLshPairs(documents, threshold))
 
+  /** LEAKAGE-SAFE train/test split: the eval-integrity operator a naive
+    * per-document hash split gets wrong. If a test document's near-dups
+    * land in train, the holdout is contaminated — so the split key is the
+    * document's near-dup GROUP representative (its own id for
+    * singletons), and whole groups move together by construction. The
+    * assignment itself is the deterministic hash-mod rule (h60 mod 1000 <
+    * testPermille → test), so the split is reproducible across runs,
+    * engines, and repartitioning. The groups table is the vanishing
+    * group-members fraction of the corpus, broadcast into one left join
+    * over a single corpus scan. */
+  def leakageSafeSplit(documents: DataFrame, threshold: Double = 0.8,
+      testPermille: Int = 100): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val groups = dedupGroups(documents, threshold)
+    documents.select(col("doc_id"))
+      .join(broadcast(groups), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("rep_id"), col("doc_id")))
+      .select(col("doc_id"), col("split_key"),
+        when(pmod(h60(col("split_key").cast("string")), lit(1000L))
+            < testPermille, lit("test"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The step production dedup ends with: per near-dup group, KEEP THE
     * BEST copy — here the highest quality score (ties to the lowest id),
     * not the arbitrary lowest id. Exact dedup can keep any copy

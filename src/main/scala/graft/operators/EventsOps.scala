@@ -134,6 +134,48 @@ object EventsOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bin"))
 
+  /** KMV (k-minimum-values) distinct-count sketch per group: keep the k
+    * smallest distinct h60 hashes of the key; the k-th smallest estimates
+    * the cardinality as (k−1)·2^60/kth — the classic bottom-k estimator
+    * (Bar-Yossef et al.), the same family HyperLogLog refines. Groups
+    * with fewer than k distinct keys are EXACT (the sketch holds them
+    * all).
+    *
+    * Unlike approx_count_distinct (HLL++, engine-private register
+    * layout), this sketch is engine-REPRODUCIBLE: the oracle rebuilds the
+    * identical hashes, ranks, and estimate — sketch error included.
+    * Shape at scale: the distinct pass dedups map-side (partial
+    * aggregate) so the shuffle carries distinct (group, hash) pairs
+    * only, and the rank filter is a WindowGroupLimit — per-partition
+    * top-k heaps before the final window, never a full sort. The
+    * streaming twin ([[graft.streaming.StreamKmv]]) folds the same
+    * sketch incrementally: bottom-k sets are mergeable (min-union), so
+    * streamed ≡ batch exactly. */
+  def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
+    import graft.functions.PortableHash.h60
+    kmvEstimate(
+      events.select(col("event_type"), h60(col("user_id").cast("string")).as("h")),
+      k)
+  }
+
+  /** Rank-filter + estimate over raw (event_type, h) rows — shared by the
+    * batch query above and the streaming fold ([[graft.streaming.StreamKmv]])
+    * so both produce the identical estimate by construction. */
+  def kmvEstimate(hashes: DataFrame, k: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    hashes
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
+      .select(col("event_type"), col("n_kept"), col("kth_min"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) *
+            (lit(math.pow(2, 60)) / col("kth_min")), 3)).as("n_est"))
+      .orderBy(col("event_type"))
+  }
+
   /**
    * Per-user sliding-window rate limit, batch analytic form: for every event,
    * the number of events by the same user in the 1-second window ending at

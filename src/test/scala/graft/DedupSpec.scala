@@ -41,6 +41,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split: groups move together, singletons keyed by own id") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.documents(spark, sf0001)
+    val split = Dedup.leakageSafeSplit(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total function over the corpus: every doc exactly once
+    assert(split.length == d.count())
+    assert(split.map(_._1).distinct.length == split.length)
+    // no leakage: every member of a near-dup group carries the group's
+    // key, hence the group's split — near-dups can never straddle
+    val groups = Dedup.dedupGroups(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = split.map(s => s._1 -> s).toMap
+    groups.foreach { case (doc, rep) =>
+      assert(byDoc(doc)._2 == rep)
+      assert(byDoc(doc)._3 == byDoc(rep)._3,
+        s"doc $doc split differs from its representative $rep")
+    }
+    // singleton keys are the doc's own id; assignment matches the h60 rule
+    split.filter(s => !groups.contains(s._1)).take(50).foreach { s =>
+      assert(s._2 == s._1)
+      val expect =
+        if (graft.functions.PortableHash.h60String(s._2.toString) % 1000 < 100)
+          "test" else "train"
+      assert(s._3 == expect)
+    }
+    // both classes non-empty at this corpus size
+    assert(split.map(_._3).distinct.sorted.toSeq == Seq("test", "train"))
+  }
+
   test("exact dedup keeps lowest id per identical text") {
     val d = docs(1L -> "a b c", 5L -> "a b c", 3L -> "x y z")
     val got = Dedup.exact(d).collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -152,6 +152,29 @@ class PlanSpec extends SparkSpec {
       "tfidf_top_term re-scans documents (join-formulated df)")
   }
 
+  test("q6: all three range predicates reach the parquet scan") {
+    val p = planOf("q6_forecast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,"))
+    assert(p.contains("LessThan(l_quantity,"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"),
+      s"q6 scan reads unused columns: $readSchema")
+  }
+
+  test("q4 plans the correlated EXISTS as a semi join, not an aggregate rewrite") {
+    val p = SparkEntry.queries("q4_priority_counts")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftSemi"), "EXISTS should plan as a LEFT SEMI join")
+  }
+
+  test("kmv rank filter plans as a window group limit, not a full sort+filter") {
+    val p = SparkEntry.queries("kmv_distinct")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "row_number ≤ k should prune per-partition before the window")
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more

@@ -286,6 +286,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size <= 4 * 16384) // state bounded at d·w forever
   }
 
+  test("streaming KMV: waves of events fold to the exact batch sketch, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamKmv
+    import graft.operators.EventsOps
+    val events = Tables.events(spark, sf0001)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val src = MemoryStream[(String, Long)]
+    val table = new StreamKmv.KmvTable(spark, k = 64)
+    val q = StreamKmv.start(src.toDS().toDF("event_type", "user_id"), table)
+    events.grouped(2000).foreach { wave =>
+      src.addData(wave: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = table.estimate.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = EventsOps.kmvDistinct(Tables.events(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // min-union mergeability: streamed ≡ batch exactly, arrival order moot
+    assert(streamed.toSeq == batch.toSeq)
+    assert(table.hashes.count() <= 64L * streamed.length) // ≤ groups·k forever
+  }
+
   test("stream-stream event-time join: quotes match within the horizon, state expires by watermark") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJoin
