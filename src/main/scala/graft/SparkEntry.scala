@@ -186,6 +186,9 @@ object SparkEntry {
     "user_event_types" -> ((s, dir) => EventsOps.userEventTypes(Tables.events(s, dir))),
     "latest_events" -> ((s, dir) => EventsOps.latestEvents(Tables.events(s, dir))),
     "kmv_distinct" -> ((s, dir) => EventsOps.kmvDistinct(Tables.events(s, dir))),
+    "funnel_steps" -> ((s, dir) => EventsOps.funnelSteps(Tables.events(s, dir))),
+    "retention_cohorts" -> ((s, dir) =>
+      EventsOps.retentionCohorts(Tables.events(s, dir))),
     "revenue_share" -> ((s, dir) => Relational.revenueShare(
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "integrity_checksum" -> ((s, dir) =>
@@ -818,6 +821,43 @@ object SparkEntry {
         |  END AS n_est
         |FROM ranked WHERE rn <= 64
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Chained step windows: each CTE layer adds the next step's
+    // conditional min, mirroring the Spark window chain exactly.
+    "funnel_steps" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id) AS v_us FROM base
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us > v_us THEN us END)
+        |    OVER (PARTITION BY user_id) AS c_us FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > c_us THEN us END)
+        |    OVER (PARTITION BY user_id) AS p_us FROM s2
+        |), per_user AS (
+        |  SELECT DISTINCT user_id, v_us, c_us, p_us FROM s3
+        |)
+        |SELECT count(v_us) AS n_view,
+        |  count(c_us) AS n_click_after_view,
+        |  count(p_us) AS n_purchase_after_click,
+        |  count(*) AS n_users
+        |FROM per_user""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH wk AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+        |), coh AS (
+        |  SELECT user_id, wk,
+        |    min(wk) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM wk
+        |), per AS (
+        |  SELECT DISTINCT user_id, cohort_week,
+        |    wk - cohort_week AS week_offset FROM coh
+        |)
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM per GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "revenue_share" ->
       """WITH rev AS (

@@ -176,6 +176,58 @@ object EventsOps {
       .orderBy(col("event_type"))
   }
 
+  /** ORDERED funnel conversion (view → click → purchase): how many users
+    * completed each step IN ORDER — a click only counts after the user's
+    * first view, a purchase only after that click. Three chained
+    * min-over-partition windows on ONE user_id shuffle (each step's
+    * timestamp conditions on the previous step's column, so the windows
+    * evaluate sequentially over the same exchange — no self-joins, no
+    * per-user collect). The per-user step times collapse to one row per
+    * user before the final count: a driver-sized aggregate. */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("v_us",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" && col("us") > col("v_us"),
+          col("us"))).over(w))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("c_us"),
+          col("us"))).over(w))
+      .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"))
+      .distinct()
+      .agg(count(col("v_us")).as("n_view"),
+        count(col("c_us")).as("n_click_after_view"),
+        count(col("p_us")).as("n_purchase_after_click"),
+        count(lit(1)).as("n_users"))
+  }
+
+  /** Weekly retention cohorts: users grouped by their FIRST-activity week,
+    * counted in every later week they return — the (cohort, offset) →
+    * users matrix behind every retention curve. Weeks are integer
+    * epoch-week indices (us DIV week) so bucketing is engine-exact; the
+    * per-user first week is a min window on the same user_id shuffle the
+    * distinct rides; the final aggregate is cohorts×offsets-sized. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekUs = 604800000000L // 7·24·3600·1e6
+    val w = Window.partitionBy(col("user_id"))
+    events
+      // integer DIV, not `/`: Column./ on longs is a double divide, and a
+      // floor over it can misround at exact week boundaries
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("wk", expr(s"us div $weekUs"))
+      .drop("us")
+      .withColumn("cohort_week", min(col("wk")).over(w))
+      .select(col("user_id"), col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /**
    * Per-user sliding-window rate limit, batch analytic form: for every event,
    * the number of events by the same user in the 1-second window ending at

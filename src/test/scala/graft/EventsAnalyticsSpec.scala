@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventsOps
+
+/** Funnel + retention semantics on crafted data (the synthetic corpus is
+  * dense — every user completes every step — so ordering edge cases are
+  * proven here, correctness-at-volume by the driver oracle). */
+class EventsAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toDF("user_id", "event_type", "t")
+      .select(col("user_id"), col("event_type"),
+        col("t").cast("timestamp").as("ts"))
+
+  test("funnel counts only in-order steps") {
+    val e = ev(
+      // u1: full ordered funnel
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:01:00"),
+      (1L, "purchase", "2024-01-01 10:02:00"),
+      // u2: click BEFORE first view — click must not count, nor purchase
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 11:00:00"),
+      // u3: view and click, purchase before click — purchase must not count
+      (3L, "view", "2024-01-01 10:00:00"),
+      (3L, "purchase", "2024-01-01 10:30:00"),
+      (3L, "click", "2024-01-01 11:00:00"),
+      // u4: never views
+      (4L, "click", "2024-01-01 10:00:00"))
+    val r = EventsOps.funnelSteps(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == (3L, 2L, 1L, 4L)) // views: u1,u2,u3; ordered clicks: u1,u3; full: u1
+  }
+
+  test("funnel step uses the FIRST qualifying occurrence, not any") {
+    // u5 views twice; a click between the two views counts (it follows
+    // the first view)
+    val e = ev(
+      (5L, "view", "2024-01-01 10:00:00"),
+      (5L, "click", "2024-01-01 10:30:00"),
+      (5L, "view", "2024-01-01 11:00:00"))
+    val r = EventsOps.funnelSteps(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 1L, 0L))
+  }
+
+  test("retention: offsets are whole epoch-weeks from the first-activity week") {
+    // epoch weeks roll on Thursdays (epoch day 0 was one): 2024-01-01 UTC
+    // is week 2817; week 2818 spans Jan 4–Jan 10, week 2819 starts Jan 11
+    val e = ev(
+      (1L, "view", "2024-01-01 00:00:00"),  // cohort week 2817
+      (1L, "view", "2024-01-10 00:00:00"),  // 2818 → offset 1
+      (1L, "view", "2024-01-10 12:00:00"),  // 2818 dup week — one count
+      (2L, "view", "2024-01-10 00:00:00"))  // cohort 2818
+    val got = EventsOps.retentionCohorts(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(1704067200L / 604800 == 2817L)
+    assert(got == Set((2817L, 0L, 1L), (2817L, 1L, 1L), (2818L, 0L, 1L)))
+  }
+}
