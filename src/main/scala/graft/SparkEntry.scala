@@ -176,6 +176,8 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q22_idle_rich" -> ((s, dir) => Relational.q22IdleRich(
       Tables.customer(s, dir), Tables.orders(s, dir))),
+    "customer_price_drift" -> ((s, dir) =>
+      Relational.customerPriceDrift(Tables.orders(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
@@ -700,6 +702,24 @@ object SparkEntry {
         |       AND l_quantity >= 10 AND l_quantity <= 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
+    // Explicit full frame: last_value over the default frame would be
+    // the current row — the cross-engine silent-wrong this query guards.
+    "customer_price_drift" ->
+      """WITH fl AS (
+        |  SELECT o_custkey,
+        |    first_value(o_totalprice) OVER w AS first_price,
+        |    last_value(o_totalprice) OVER w AS last_price,
+        |    count(*) OVER w AS n_orders
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT DISTINCT o_custkey, first_price, last_price,
+        |  CAST(CAST(last_price AS DECIMAL(18,2)) - CAST(first_price AS DECIMAL(18,2)) AS DOUBLE) AS drift,
+        |  n_orders
+        |FROM fl ORDER BY o_custkey""".stripMargin,
 
     // DECIMAL-exact above-average test (bal·n > Σbal) — no float mean.
     "q22_idle_rich" ->

@@ -184,10 +184,25 @@ object EventsOps {
     * evaluate sequentially over the same exchange — no self-joins, no
     * per-user collect). The per-user step times collapse to one row per
     * user before the final count: a driver-sized aggregate. */
-  def funnelSteps(events: DataFrame): DataFrame = {
+  def funnelSteps(events: DataFrame): DataFrame =
+    funnelFromUs(events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us")))
+
+  /** Core of [[funnelSteps]] over raw (user_id, event_type, us) rows —
+    * shared with [[graft.streaming.StreamFunnel]] so the streaming fold's
+    * readout is the identical computation by construction. */
+  def funnelFromUs(events: DataFrame): DataFrame =
+    funnelTimes(events)
+      .agg(count(col("v_us")).as("n_view"),
+        count(col("c_us")).as("n_click_after_view"),
+        count(col("p_us")).as("n_purchase_after_click"),
+        count(lit(1)).as("n_users"))
+
+  /** Per-user step times (one row per user): first view, first click
+    * after it, first purchase after that. */
+  def funnelTimes(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     events
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       .withColumn("v_us",
         min(when(col("event_type") === "view", col("us"))).over(w))
       .withColumn("c_us",
@@ -198,10 +213,6 @@ object EventsOps {
           col("us"))).over(w))
       .select(col("user_id"), col("v_us"), col("c_us"), col("p_us"))
       .distinct()
-      .agg(count(col("v_us")).as("n_view"),
-        count(col("c_us")).as("n_click_after_view"),
-        count(col("p_us")).as("n_purchase_after_click"),
-        count(lit(1)).as("n_users"))
   }
 
   /** Weekly retention cohorts: users grouped by their FIRST-activity week,

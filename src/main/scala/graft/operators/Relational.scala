@@ -476,6 +476,34 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Frame-function shapes (first_value / last_value over an explicit
+    * full frame): each customer's first and last order price in date
+    * order and the drift between them — the SCD-endpoints pattern. The
+    * frame must be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING explicitly:
+    * last_value over the default frame (..CURRENT ROW) is the current
+    * row, a classic cross-engine silent-wrong. Date ties break by order
+    * key so both endpoints are deterministic; the drift subtraction is
+    * DECIMAL-exact. One shuffle; distinct collapses to one row per
+    * customer. */
+  def customerPriceDrift(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    orders
+      .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+      .withColumn("first_price", first(col("o_totalprice")).over(w))
+      .withColumn("last_price", last(col("o_totalprice")).over(w))
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("first_price"), col("last_price"),
+        (dec(col("last_price")) - dec(col("first_price")))
+          .cast("double").as("drift"),
+        col("n_orders"))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
   /** Analytic window function: top-2 orders per customer by price
     * (row_number over partitioned sort — single shuffle on the partition
     * key, no join back). */

@@ -310,6 +310,38 @@ class StreamingSpec extends SparkSpec {
     assert(table.hashes.count() <= 64L * streamed.length) // ≤ groups·k forever
   }
 
+  test("streaming funnel: out-of-order waves converge to batch, state prunes to the pre-conversion prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamFunnel
+    import graft.operators.EventsOps
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val events = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // adversarial arrival: reverse time order, so every wave delivers
+    // events EARLIER than already-folded ones (late views must retro-
+    // qualify already-seen clicks)
+    val shuffled = events.sortBy(-_._3)
+    val src = MemoryStream[(Long, String, Long)]
+    val table = new StreamFunnel.FunnelTable(spark)
+    val q = StreamFunnel.start(
+      src.toDS().toDF("user_id", "event_type", "us"), table)
+    shuffled.grouped(300).foreach { wave =>
+      src.addData(wave: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = table.funnel.collect()(0)
+    val batch = EventsOps.funnelSteps(Tables.events(spark, sf0001)).collect()(0)
+    assert((0 to 3).map(streamed.getLong) == (0 to 3).map(batch.getLong),
+      s"streamed $streamed != batch $batch")
+    // state kept the pre-conversion prefix only, not the corpus
+    val funnelRows = events.count(e =>
+      Set("view", "click", "purchase")(e._2))
+    assert(table.kept.count() < funnelRows / 2,
+      "pruning should drop post-conversion events")
+  }
+
   test("stream-stream event-time join: quotes match within the horizon, state expires by watermark") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJoin
