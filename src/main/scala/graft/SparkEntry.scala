@@ -188,6 +188,8 @@ object SparkEntry {
     "user_event_types" -> ((s, dir) => EventsOps.userEventTypes(Tables.events(s, dir))),
     "latest_events" -> ((s, dir) => EventsOps.latestEvents(Tables.events(s, dir))),
     "kmv_distinct" -> ((s, dir) => EventsOps.kmvDistinct(Tables.events(s, dir))),
+    "dispersion_by_type" -> ((s, dir) =>
+      EventsOps.dispersionByType(Tables.events(s, dir))),
     "funnel_steps" -> ((s, dir) => EventsOps.funnelSteps(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) =>
       EventsOps.retentionCohorts(Tables.events(s, dir))),
@@ -821,6 +823,26 @@ object SparkEntry {
         |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events
         |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // Exact-decimal moments, double-assembled closed form — native
+    // stddev/var aggregates are combine-order-dependent float sums and
+    // would not hash-match across engines; this does.
+    "dispersion_by_type" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_pop,
+        |  round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS stddev_pop
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // Bottom-k distinct sketch, reproduced hash-for-hash: same h60
     // family, same rank rule, same (k−1)·2^60/kth estimate — the oracle

@@ -134,6 +134,38 @@ object EventsOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bin"))
 
+  /** Dispersion statistics per group — variance/stddev made ENGINE-EXACT.
+    * Naive stddev aggregates are distributed float sums whose combine
+    * order varies run to run; instead the MOMENTS are summed in exact
+    * DECIMAL (values are 2-dp, so x and x² are exact decimals) and the
+    * population variance assembles from the closed form
+    * (n·Σx² − (Σx)²)/n² with one double division at the end — every
+    * float op is a single correctly-rounded IEEE step, identical in any
+    * engine, any partitioning. sqrt is correctly rounded too, so stddev
+    * inherits the guarantee. Map-side partial sums; group-cardinality
+    * result. */
+  def dispersionByType(events: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(18, 2)
+    val x = col("value").cast(d)
+    // assemble in DOUBLE from the exact decimal sums (n·Σx² in decimal
+    // would overflow precision 38 and round engine-specifically; from
+    // identical exact inputs, each double op is one correctly-rounded
+    // IEEE step — portable)
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val varPop = (nD * sxxD - sxD * sxD) / (nD * nD)
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"))
+      .select(col("event_type"), col("n"),
+        round(sxD / nD, 6).as("mean"),
+        round(varPop, 6).as("var_pop"),
+        round(sqrt(varPop), 6).as("stddev_pop"))
+      .orderBy(col("event_type"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group: keep the k
     * smallest distinct h60 hashes of the key; the k-th smallest estimates
     * the cardinality as (k−1)·2^60/kth — the classic bottom-k estimator

