@@ -178,6 +178,8 @@ object SparkEntry {
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "customer_price_drift" -> ((s, dir) =>
       Relational.customerPriceDrift(Tables.orders(s, dir))),
+    "q21_late_suppliers" -> ((s, dir) => Relational.q21LateSuppliers(
+      Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
@@ -704,6 +706,29 @@ object SparkEntry {
         |       AND l_quantity >= 10 AND l_quantity <= 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
+    // The oracle keeps the textbook double-correlated EXISTS/NOT EXISTS;
+    // the Spark plan decorrelates both into one per-order aggregate —
+    // the hash match proves the rewrite.
+    "q21_late_suppliers" ->
+      """WITH cand AS (
+        |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |    AND EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = l1.l_orderkey
+        |                  AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey
+        |                  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM cand JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
 
     // Explicit full frame: last_value over the default frame would be
     // the current row — the cross-engine silent-wrong this query guards.

@@ -476,6 +476,43 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Waiting-supplier analysis (TPC-H Q21 shape) — the double-correlated
+    * EXISTS / NOT EXISTS pattern, the hardest join shape in the TPC-H
+    * suite: suppliers whose lineitem in a MULTI-supplier order shipped
+    * late (> 60 days after ordering; the synthetic schema's proxy for
+    * receipt-past-commit) while EVERY other supplier in that order was on
+    * time. Rather than the literal two correlated subqueries (two extra
+    * probes of lineitem), both conditions decorrelate into per-order
+    * window counts: n distinct suppliers ≥ 2 ∧ exactly 1 distinct late
+    * supplier — which, for a late row, can only be its own supplier. The
+    * DuckDB oracle keeps the textbook EXISTS form, so the hash match
+    * proves the decorrelation, not just the arithmetic. */
+  def q21LateSuppliers(supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, lateDays: Int = 60, k: Int = 20): DataFrame = {
+    // per-order distinct-supplier counts ride a WINDOW over the same
+    // orderkey shuffle the join produced (count-distinct isn't a window
+    // function; size∘collect_set is, and per-order supplier sets are
+    // bounded by order size at any corpus scale) — one lineitem scan,
+    // not a re-aggregated self-join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .withColumn("n_supps", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supps",
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+      .filter(col("late") && col("n_supps") >= 2 && col("n_late_supps") === 1)
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
   /** Frame-function shapes (first_value / last_value over an explicit
     * full frame): each customer's first and last order price in date
     * order and the drift between them — the SCD-endpoints pattern. The

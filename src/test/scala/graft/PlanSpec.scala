@@ -175,6 +175,20 @@ class PlanSpec extends SparkSpec {
       "row_number ≤ k should prune per-partition before the window")
   }
 
+  test("q7 broadcasts both nation aliases; facts shuffle once") {
+    val p = planOf("q7_nation_volume")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      "both nation dim aliases should broadcast")
+  }
+
+  test("q21 decorrelates to one lineitem scan (window counts, no self-joins)") {
+    val p = SparkEntry.queries("q21_late_suppliers")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Relation [") && l.contains("l_orderkey"))
+    assert(liScans == 1, s"q21 scans lineitem $liScans times, expected 1")
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more
