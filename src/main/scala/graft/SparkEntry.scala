@@ -192,6 +192,10 @@ object SparkEntry {
     "kmv_distinct" -> ((s, dir) => EventsOps.kmvDistinct(Tables.events(s, dir))),
     "dispersion_by_type" -> ((s, dir) =>
       EventsOps.dispersionByType(Tables.events(s, dir))),
+    "value_trend_by_type" -> ((s, dir) =>
+      EventsOps.valueTrendByType(Tables.events(s, dir))),
+    "trends_zscore" -> ((s, dir) => Trends.trendsZscore(Tables.events(s, dir),
+      "ts", "event_type", "purchase", "value", TrendsFrom, TrendsTo)),
     "funnel_steps" -> ((s, dir) => EventsOps.funnelSteps(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) =>
       EventsOps.retentionCohorts(Tables.events(s, dir))),
@@ -848,6 +852,65 @@ object SparkEntry {
         |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events
         |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // Five exact-decimal moments, closed forms in double; degenerate
+    // variances emit NULL on both sides (never an engine-divergent ÷0).
+    "value_trend_by_type" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))) AS sy,
+        |    sum(CAST(value AS DECIMAL(18,2))
+        |        * CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))) AS sxy,
+        |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))
+        |        * CAST(epoch_us(ts) // 1000000 AS DECIMAL(19,0))) AS syy
+        |  FROM events GROUP BY event_type
+        |), d AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary
+        |  FROM m
+        |)
+        |SELECT event_type, n,
+        |  CASE WHEN varx > 0 AND vary > 0
+        |       THEN round(cov / (sqrt(varx) * sqrt(vary)), 6) END AS corr_vt,
+        |  CASE WHEN vary > 0
+        |       THEN round(cov / vary * 86400, 6) END AS slope_per_day
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    "trends_zscore" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start,
+         |    round(avg(value), 6) AS v_mean
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
+         |    AND event_type = 'purchase'
+         |  GROUP BY 1
+         |), mo AS (
+         |  SELECT window_start, v_mean,
+         |    CAST(count(*) OVER w AS DOUBLE) AS nn,
+         |    CAST(sum(CAST(v_mean AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(v_mean AS DECIMAL(18,6))
+         |             * CAST(v_mean AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+         |  FROM agg
+         |  WINDOW w AS (ORDER BY window_start
+         |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+         |), st AS (
+         |  SELECT window_start, v_mean,
+         |    round(sx / nn, 6) AS ma,
+         |    round(sqrt((nn * sxx - sx * sx) / (nn * nn)), 6) AS sd
+         |  FROM mo
+         |)
+         |SELECT window_start, v_mean, ma, sd,
+         |  CASE WHEN sd > 0 THEN round((v_mean - ma) / sd, 6) END AS z,
+         |  coalesce(CASE WHEN sd > 0
+         |    THEN abs(round((v_mean - ma) / sd, 6)) > 2.0 END, FALSE) AS anomaly
+         |FROM st ORDER BY window_start""".stripMargin,
 
     // Exact-decimal moments, double-assembled closed form — native
     // stddev/var aggregates are combine-order-dependent float sums and

@@ -166,6 +166,49 @@ object EventsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Trend regression per group — Pearson correlation and least-squares
+    * slope of `value` over TIME, the is-this-metric-drifting query.
+    * Same portability discipline as [[dispersionByType]]: both variables
+    * are exact decimals (2-dp value; whole epoch-seconds), all five
+    * moments (Σx, Σy, Σxy, Σx², Σy²) are exact DECIMAL sums with
+    * magnitudes audited against precision 38, and the closed forms
+    * assemble in double at the end — native corr/regr_slope aggregates
+    * are combine-order float sums and would not hash-match across
+    * engines. Slope is reported per DAY (per-second slopes round to
+    * zero at 6 dp). Degenerate groups (constant value or single instant:
+    * a zero variance) emit NULL, not an engine-divergent ÷0. */
+  def valueTrendByType(events: DataFrame): DataFrame = {
+    val dx = org.apache.spark.sql.types.DecimalType(18, 2)
+    // 19 digits: forces int128-backed decimals in DuckDB too — an
+    // int64-backed (≤18-digit) y² product trips its precision check
+    val dy = org.apache.spark.sql.types.DecimalType(19, 0)
+    val x = col("value").cast(dx)
+    // y in SECONDS, not micros: keeps y² sums ~1e23 ≪ 10^38 (exact);
+    // integer DIV (floor), never a double divide that truncates off-by-one
+    // at a misrounded boundary
+    val y = col("ysec").cast(dy)
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varX = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varY = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    events
+      .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("ysec", expr("us div 1000000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("event_type"), col("n"),
+        when(varX > 0 && varY > 0,
+          round(cov / (sqrt(varX) * sqrt(varY)), 6)).as("corr_vt"),
+        when(varY > 0,
+          round(cov / varY * 86400d, 6)).as("slope_per_day"))
+      .orderBy(col("event_type"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group: keep the k
     * smallest distinct h60 hashes of the key; the k-th smallest estimates
     * the cardinality as (k−1)·2^60/kth — the classic bottom-k estimator

@@ -169,4 +169,44 @@ object Trends {
           .over(w).cast("double") / count(lit(1)).over(w), 6))
       .orderBy(col("window_start"))
   }
+
+  /** Z-score ANOMALY flags over the 10-min series: each window's mean
+    * against the trailing `slots`-window mean and population stddev —
+    * the alerting query a monitoring tier runs on the flagship series.
+    * Dispersion uses the same exact-DECIMAL moment-sum technique as
+    * `dispersionByType` (v_mean is 6-dp, so v and v² are exact decimals;
+    * the closed form assembles in double — engine-portable, unlike a
+    * native stddev window whose float combine order floats). sd = 0
+    * (constant window, or the frame's first row where n = 1) emits a
+    * NULL z rather than an engine-divergent ÷0. The window is
+    * unpartitioned but runs over the RESULT series (calendar
+    * cardinality), not the corpus — single-task is free here. */
+  def trendsZscore(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      keyValue: String,
+      valueCol: String,
+      fromTs: String,
+      toTs: String,
+      slots: Int = 6,
+      flagAt: Double = 2.0): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("window_start")).rowsBetween(-(slots - 1), 0)
+    val v = col("v_mean").cast(d6)
+    val nD = count(lit(1)).over(w).cast("double")
+    val sxD = sum(v).over(w).cast("double")
+    val sxxD = sum(v * v).over(w).cast("double")
+    val varPop = (nD * sxxD - sxD * sxD) / (nD * nD)
+    trendsOf(df, tsCol, keyCol, keyValue, valueCol, fromTs, toTs)
+      .select(col("window_start"), col("v_mean"))
+      .withColumn("ma", round(sxD / nD, 6))
+      .withColumn("sd", round(sqrt(varPop), 6))
+      .withColumn("z",
+        when(col("sd") > 0,
+          round((col("v_mean") - col("ma")) / col("sd"), 6)))
+      .withColumn("anomaly", col("z").isNotNull && abs(col("z")) > flagAt)
+      .orderBy(col("window_start"))
+  }
 }
