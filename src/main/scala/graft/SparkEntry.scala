@@ -26,6 +26,34 @@ object SparkEntry {
   private val TrendsFrom = "2024-01-05 00:00:00"
   private val TrendsTo = "2024-01-25 00:00:00"
 
+  // Written in the common Spark∩DuckDB dialect: these strings are BOTH
+  // the oracle and (via the `*_sql` entries) the Spark query itself —
+  // one piece of SQL, two engines, hash-matched (graft.Sql parity).
+  private val Q1PricingSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val Q6ForecastSql =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= CAST(0.02 AS DOUBLE) AND l_discount <= CAST(0.04 AS DOUBLE)
+      |  AND l_quantity < 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Flagship: 10-min tumbling window min/max/avg/median (SURVEY §2.3) ──
@@ -167,6 +195,9 @@ object SparkEntry {
     "q4_priority_counts" -> ((s, dir) => Relational.q4PriorityCounts(
       Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q6_forecast" -> ((s, dir) => Relational.q6Forecast(Tables.lineitem(s, dir))),
+    // SQL-text dispatch parity (graft.Sql): the oracle string IS the query
+    "q1_pricing_sql" -> ((s, dir) => Sql.run(s, dir, Q1PricingSql)),
+    "q6_forecast_sql" -> ((s, dir) => Sql.run(s, dir, Q6ForecastSql)),
     "q7_nation_volume" -> ((s, dir) => Relational.q7NationVolume(
       Tables.nation(s, dir), Tables.customer(s, dir), Tables.orders(s, dir),
       Tables.lineitem(s, dir), Tables.supplier(s, dir))),
@@ -484,20 +515,9 @@ object SparkEntry {
 
     // Money arithmetic in exact DECIMAL (2-dp sources) then cast to double —
     // identical across engines regardless of float summation order.
-    "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_pricing" -> Q1PricingSql,
+    "q1_pricing_sql" -> Q1PricingSql,
+    "q6_forecast_sql" -> Q6ForecastSql,
 
     "q3_shipping" ->
       """SELECT l_orderkey,
@@ -659,15 +679,7 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
-    "q6_forecast" ->
-      """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |  AND l_discount >= CAST(0.02 AS DOUBLE) AND l_discount <= CAST(0.04 AS DOUBLE)
-        |  AND l_quantity < 10""".stripMargin,
+    "q6_forecast" -> Q6ForecastSql,
 
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
