@@ -225,6 +225,8 @@ object SparkEntry {
       EventsOps.dispersionByType(Tables.events(s, dir))),
     "value_trend_by_type" -> ((s, dir) =>
       EventsOps.valueTrendByType(Tables.events(s, dir))),
+    "quantiles_disc_by_type" -> ((s, dir) =>
+      EventsOps.quantilesDiscByType(Tables.events(s, dir))),
     "trends_zscore" -> ((s, dir) => Trends.trendsZscore(Tables.events(s, dir),
       "ts", "event_type", "purchase", "value", TrendsFrom, TrendsTo)),
     "funnel_steps" -> ((s, dir) => EventsOps.funnelSteps(Tables.events(s, dir))),
@@ -865,6 +867,21 @@ object SparkEntry {
         |  FROM events
         |) t WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    // Explicit cume_dist definition — native percentile_disc tie
+    // conventions differ across engines; this one is spelled out.
+    "quantiles_disc_by_type" ->
+      """WITH cd AS (
+        |  SELECT event_type, value,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  min(CASE WHEN cd >= 0.5 THEN value END) AS p50_disc,
+        |  min(CASE WHEN cd >= 0.9 THEN value END) AS p90_disc,
+        |  min(CASE WHEN cd >= 0.99 THEN value END) AS p99_disc,
+        |  count(*) AS n
+        |FROM cd GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Five exact-decimal moments, closed forms in double; degenerate
     // variances emit NULL on both sides (never an engine-divergent ÷0).
     "value_trend_by_type" ->
@@ -915,7 +932,7 @@ object SparkEntry {
          |), st AS (
          |  SELECT window_start, v_mean,
          |    round(sx / nn, 6) AS ma,
-         |    round(sqrt((nn * sxx - sx * sx) / (nn * nn)), 6) AS sd
+         |    round(sqrt(greatest((nn * sxx - sx * sx) / (nn * nn), 0)), 6) AS sd
          |  FROM mo
          |)
          |SELECT window_start, v_mean, ma, sd,
@@ -936,12 +953,12 @@ object SparkEntry {
         |)
         |SELECT event_type, n,
         |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
-        |  round((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  round(greatest((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_pop,
-        |  round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0), 6) AS var_pop,
+        |  round(sqrt(greatest((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS stddev_pop
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0)), 6) AS stddev_pop
         |FROM m ORDER BY event_type""".stripMargin,
 
     // Bottom-k distinct sketch, reproduced hash-for-hash: same h60
@@ -959,7 +976,8 @@ object SparkEntry {
         |)
         |SELECT event_type, count(*) AS n_kept, max(h) AS kth_min,
         |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-        |       ELSE round(63.0 * (1152921504606846976.0 / CAST(max(h) AS DOUBLE)), 3)
+        |       WHEN max(h) > 0
+        |       THEN round(63.0 * (1152921504606846976.0 / CAST(max(h) AS DOUBLE)), 3)
         |  END AS n_est
         |FROM ranked WHERE rn <= 64
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

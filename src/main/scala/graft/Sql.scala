@@ -21,14 +21,24 @@ object Sql {
   val tableNames: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")
 
-  /** Publish every store table (plus normalized `events`) as temp views. */
-  def register(spark: SparkSession, sfDir: String): Unit = {
-    tableNames.foreach { n =>
-      Tables.table(spark, sfDir, n).createOrReplaceTempView(n)
+  @volatile private var registered: Option[(SparkSession, String)] = None
+
+  /** Publish every store table (plus normalized `events`) as temp views.
+    * Views are the RAW tables — the `spread` repartition some operators
+    * apply to tiny local files is a physical concern; SQL plans
+    * repartition where their own shuffles need it. Re-registering the
+    * same dir re-reads every parquet footer (~0.4 s of driver work), so
+    * registration is memoized per (session, dir). */
+  def register(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!registered.contains((spark, sfDir))) {
+      tableNames.foreach { n =>
+        Tables.table(spark, sfDir, n).createOrReplaceTempView(n)
+      }
+      // events goes through the nanos-normalizing loader, so SQL sees the
+      // same `ts` TimestampType the DataFrame operators do
+      Tables.events(spark, sfDir).createOrReplaceTempView("events")
+      registered = Some((spark, sfDir))
     }
-    // events goes through the nanos-normalizing loader, so SQL sees the
-    // same `ts` TimestampType the DataFrame operators do
-    Tables.events(spark, sfDir).createOrReplaceTempView("events")
   }
 
   def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {

@@ -134,6 +134,27 @@ object EventsOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bin"))
 
+  /** Exact DISCRETE quantiles per group (percentile_disc semantics: the
+    * smallest actual data value whose cumulative distribution reaches p)
+    * — the variant that returns a real observation, where interpolated
+    * percentile_cont (see `quantiles_by_type`) can invent one. Engines
+    * disagree on native percentile_disc tie conventions, so the
+    * definition is spelled out: cume_dist (an exact integer-ratio
+    * division, portable) + conditional mins, all three quantiles from
+    * ONE window pass and one aggregate. */
+  def quantilesDiscByType(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    events
+      .select(col("event_type"), col("value"))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cd") >= 0.5, col("value"))).as("p50_disc"),
+        min(when(col("cd") >= 0.9, col("value"))).as("p90_disc"),
+        min(when(col("cd") >= 0.99, col("value"))).as("p99_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Dispersion statistics per group — variance/stddev made ENGINE-EXACT.
     * Naive stddev aggregates are distributed float sums whose combine
     * order varies run to run; instead the MOMENTS are summed in exact
@@ -154,7 +175,10 @@ object EventsOps {
     val nD = col("n").cast("double")
     val sxD = col("sx").cast("double")
     val sxxD = col("sxx").cast("double")
-    val varPop = (nD * sxxD - sxD * sxD) / (nD * nD)
+    // clamp at 0: float cancellation on a (near-)constant group can land
+    // a hair below zero, and sqrt of that is engine trouble (NaN here,
+    // an error in DuckDB)
+    val varPop = greatest((nD * sxxD - sxD * sxD) / (nD * nD), lit(0d))
     events
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -245,8 +269,10 @@ object EventsOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_min"))
       .select(col("event_type"), col("n_kept"), col("kth_min"),
+        // kth_min = 0 (an all-zero md5 prefix, p≈2^-60) would be an
+        // engine-divergent ÷0 (Spark Inf, DuckDB NULL) — emit NULL
         when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) *
+          .when(col("kth_min") > 0, round(lit((k - 1).toDouble) *
             (lit(math.pow(2, 60)) / col("kth_min")), 3)).as("n_est"))
       .orderBy(col("event_type"))
   }

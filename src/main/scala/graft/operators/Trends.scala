@@ -198,7 +198,9 @@ object Trends {
     val nD = count(lit(1)).over(w).cast("double")
     val sxD = sum(v).over(w).cast("double")
     val sxxD = sum(v * v).over(w).cast("double")
-    val varPop = (nD * sxxD - sxD * sxD) / (nD * nD)
+    // clamped: cancellation on a constant frame can go a hair negative,
+    // and sqrt of that is NaN here / an error in DuckDB
+    val varPop = greatest((nD * sxxD - sxD * sxD) / (nD * nD), lit(0d))
     trendsOf(df, tsCol, keyCol, keyValue, valueCol, fromTs, toTs)
       .select(col("window_start"), col("v_mean"))
       .withColumn("ma", round(sxD / nD, 6))
