@@ -84,6 +84,17 @@ object TradeStore {
   def readBatched(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("trade_date", "batch_id")
 
+  /** Schema-evolution read: a long-lived store accumulates files written
+    * under successive schema versions (a column added after a year of
+    * data exists). `mergeSchema` unions the per-file footers into one
+    * schema; files predating a column yield NULLs for it. Reserved for
+    * migration reads — the footer union walks EVERY file's metadata, so
+    * the steady-state readers above stay on the single-schema fast path,
+    * and a store should be compacted to one schema version after a
+    * migration window rather than paying this forever. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path).drop("trade_date")
+
   /** COMPACTION — the maintenance pass every streaming store needs. The
     * exactly-once sink writes one `batch_id=N/trade_date=D` directory per
     * micro-batch: at a 1 s trigger that is ~86 k directories of tiny

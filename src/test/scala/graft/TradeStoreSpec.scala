@@ -66,6 +66,24 @@ class TradeStoreSpec extends SparkSpec {
       s"scan read ${scan.metrics("numFiles").value} files, expected $inRange")
   }
 
+  test("schema evolution: files from older schema versions read with NULLs for new columns") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // v1 files: no `venue` column
+    TradeStore.write(Seq(t("2024-08-10 09:00:00", 1.0)).toDF(), dir)
+    // v2 files: a column added later
+    TradeStore.write(Seq(t("2024-08-11 09:00:00", 2.0)).toDF()
+      .withColumn("venue", lit("NYC")), dir)
+    val df = TradeStore.readEvolved(spark, dir)
+    assert(df.columns.contains("venue"), "merged schema must include the new column")
+    val got = df.select(col("rate"), col("venue")).collect()
+      .map(r => (r.getDouble(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1.0, None), (2.0, Some("NYC"))))
+    // the plain reader stays on the single-schema fast path: it must not
+    // fail on the mixed store, and serves the latest-footer schema
+    assert(TradeStore.read(spark, dir).count() == 2)
+  }
+
   test("compaction folds per-batch directories into the batch layout, rows intact") {
     import org.apache.spark.sql.functions.col
     def parquetFiles(root: String): Int = {
