@@ -216,6 +216,37 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Double]("mean") == 2.0 && r.getAs[Long]("n") == 2L)
   }
 
+  test("custom bottom-k sketch aggregate runs under streaming: merged partials equal the batch sketch") {
+    // the TypedImperativeAggregate contract (serialize/merge) is what
+    // streaming state requires — this proves the custom sketch is a
+    // first-class aggregate there, not just in batch
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.ApproxQuantile.approx_median_sketch
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val src = MemoryStream[model.Trade]
+    val agg = src.toDF()
+      .withWatermark("time_placed", "1 hour")
+      .groupBy(window(col("time_placed"), "10 minutes"))
+      .agg(approx_median_sketch(col("rate")).as("med"), count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("med"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sk_out")
+      .outputMode("append").start()
+    def t(ts: String, rate: Double) = model.Trade("u", "EUR", "USD",
+      1000000L, (rate * 1e6).toLong, rate, "US", Timestamp.valueOf(ts))
+    // two micro-batches land in the SAME window: state must merge sketches
+    src.addData(t("2024-08-12 10:01:00", 1.0), t("2024-08-12 10:02:00", 5.0))
+    q.processAllAvailable()
+    src.addData(t("2024-08-12 10:03:00", 3.0))
+    q.processAllAvailable()
+    src.addData(t("2024-08-12 12:30:00", 9.0)) // closes the 10:00 window
+    q.processAllAvailable()
+    val out = spark.table("sk_out").collect()
+    q.stop()
+    assert(out.length == 1 && out.head.getAs[Long]("n") == 3L)
+    // k=1024 ≫ n ⇒ the sketch is exact here: median of {1,5,3} = 3
+    assert(out.head.getAs[Double]("med") == 3.0)
+  }
+
   test("continuous SLIDING windows: each event finalizes into two overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[model.Trade]
