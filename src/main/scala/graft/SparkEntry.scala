@@ -211,6 +211,10 @@ object SparkEntry {
       Relational.customerPriceDrift(Tables.orders(s, dir))),
     "q21_late_suppliers" -> ((s, dir) => Relational.q21LateSuppliers(
       Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(
+      Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    "q11_important_nations" -> ((s, dir) => Relational.q11ImportantNations(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
@@ -724,6 +728,37 @@ object SparkEntry {
         |       AND l_quantity >= 10 AND l_quantity <= 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
+    // DECIMAL-exact max-equality: the scalar subquery re-aggregates the
+    // CTE, mirroring the Spark plan's reuse of the grouped aggregate.
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // HAVING vs a global scalar, multiplied through to DECIMAL-exact
+    // integer form (rev·25 > total) — no float fraction.
+    "q11_important_nations" ->
+      """WITH rev AS (
+        |  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue
+        |FROM rev
+        |WHERE rev_dec * 25 > (SELECT sum(rev_dec) FROM rev)
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     // The oracle keeps the textbook double-correlated EXISTS/NOT EXISTS;
     // the Spark plan decorrelates both into one per-order aggregate —

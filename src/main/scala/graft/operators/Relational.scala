@@ -476,6 +476,60 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Top-revenue supplier (TPC-H Q15 shape) — the MAX-OF-AGGREGATE
+    * pattern: an aggregate (revenue per supplier) filtered by equality
+    * against a scalar aggregate OF ITSELF (the max). Decorrelated to one
+    * revenue aggregate + a window max over its own rows — the revenue
+    * table computes ONCE, not once per row. Revenue is DECIMAL-exact, so
+    * the equality cannot miss by a ulp on either engine (a float
+    * formulation of this query is wrong on any engine pair). Ties all
+    * surface (no arbitrary pick). */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    // the max rides an unpartitioned window over the GROUP rows
+    // (supplier cardinality — free, like revenue_share): a second
+    // reference to the aggregate would recompute the fact scan
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    lineitem
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1997-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4)))
+        .as("rev_dec"))
+      .withColumn("max_rev", max(col("rev_dec")).over(w))
+      .filter(col("rev_dec") === col("max_rev"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Important-group filter (TPC-H Q11 shape): groups whose aggregate
+    * exceeds a FRACTION OF THE GLOBAL aggregate — HAVING against a
+    * scalar subquery over the same fact. One grouped aggregate, its
+    * grand total a window sum over the GROUP ROWS (never a second fact
+    * scan). The threshold test multiplies
+    * through to DECIMAL-exact integer form (rev·25 > total) — no float
+    * fraction to disagree across engines. */
+  def q11ImportantNations(customer: DataFrame, orders: DataFrame,
+      nation: DataFrame, fraction: Int = 25): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      .withColumn("total_dec", sum(col("rev_dec")).over(w))
+      .filter(col("rev_dec") * fraction > col("total_dec"))
+      .select(col("n_name"), col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Waiting-supplier analysis (TPC-H Q21 shape) — the double-correlated
     * EXISTS / NOT EXISTS pattern, the hardest join shape in the TPC-H
     * suite: suppliers whose lineitem in a MULTI-supplier order shipped
