@@ -247,6 +247,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Double]("med") == 3.0)
   }
 
+  test("dispersion moments stream natively: complete-mode sums assemble to the exact batch stats") {
+    // count/sum(DECIMAL) are Spark-native streaming aggregates — the
+    // moment-sum formulation makes variance streamable with NO custom
+    // state code, and DECIMAL sums are combine-order-free, so streamed
+    // moments equal batch moments EXACTLY (not just approximately)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.types.DecimalType
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val src = MemoryStream[(String, Double)]
+    val x = col("value").cast(DecimalType(18, 2))
+    val q = src.toDS().toDF("event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .writeStream.format("memory").queryName("disp_out")
+      .outputMode("complete").start()
+    events.grouped(500).foreach { wave =>
+      src.addData(wave: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("disp_out").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString)).toSet
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDecimal(3).toPlainString)).toSet
+    assert(streamed == batch)
+  }
+
   test("continuous SLIDING windows: each event finalizes into two overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[model.Trade]
