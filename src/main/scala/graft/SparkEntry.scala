@@ -284,6 +284,12 @@ object SparkEntry {
       Dedup.dedupGroupsBest(Tables.documents(s, dir), threshold = 0.8)),
     "leakage_safe_split" -> ((s, dir) =>
       Dedup.leakageSafeSplit(Tables.documents(s, dir), threshold = 0.8)),
+    // incoming batch (doc_id ≡ 0 mod 5) checked against the store (rest)
+    "dedup_against" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupAgainst(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), threshold = 0.8)
+    },
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -345,7 +351,13 @@ object SparkEntry {
   /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
     * `pairs(id_a, id_b, jaccard6)` relation — shared by the pairs oracle
     * and the connected-components (dedup_groups) oracle. */
-  private lazy val minhashPairsCtes: String = {
+  private lazy val minhashPairsCtes: String =
+    minhashCtes("a.doc_id < b.doc_id")
+
+  /** Same signature/band/verify chain with a parameterized candidate
+    * condition — `a.doc_id < b.doc_id` for self-dedup, side predicates
+    * for the cross-corpus (ingest-vs-store) variant. */
+  private def minhashCtes(candCond: String): String = {
     val params = graft.functions.PortableHash.minhashParams(64)
     val seedRows = params.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
@@ -379,7 +391,7 @@ object SparkEntry {
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |    ON a.band = b.band AND a.bv = b.bv AND $candCond
        |), common AS (
        |  SELECT c.id_a, c.id_b, count(*) AS n_common
        |  FROM cand c
@@ -1202,6 +1214,12 @@ object SparkEntry {
          |SELECT m.id AS doc_id, least(m.id, min(r.dst)) AS rep_id
          |FROM members m JOIN reach r ON r.src = m.id
          |GROUP BY m.id ORDER BY doc_id""".stripMargin,
+
+    // Cross-corpus variant: same chain, side predicates in cand.
+    "dedup_against" ->
+      s"""WITH ${minhashCtes("a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0")}
+         |SELECT id_a AS new_id, id_b AS corpus_id, jaccard6 FROM pairs
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     // Split key = group representative (recursive CTE as dedup_groups)
     // for members, own id for singletons; hash-mod assignment mirrors

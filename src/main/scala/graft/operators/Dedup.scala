@@ -117,25 +117,31 @@ object Dedup {
           count(lit(1)).as("n_sh"): _*)
   }
 
-  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
-    * bands × rowsPerBand must equal the signature length. */
-  def minhashLshPairs(documents: DataFrame, threshold: Double = 0.5,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val k = bands * rowsPerBand
-    val sigs = minhashSignatures(documents, k)
+  /** Band-bucket rows (doc_id, n_sh, band, bh) for the LSH join —
+    * shingle-set sizes ride along so the verify stage needs no extra
+    * corpus scan for them. */
+  private def lshBuckets(documents: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(documents, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(r =>
           col(s"sig_${b * rowsPerBand + r}").cast("string")): _*).as("bh"))
     }
-    // shingle-set sizes ride through the band join on the bucket rows, so
-    // candidate pairs arrive with (n_a, n_b) attached — no sizes joins and
-    // no extra corpus scans for them (each extra DataFrame reference is a
-    // recompute of its whole subtree unless the runtime can reuse the
-    // exchange; the two bucket sides are identical subtrees and can).
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), col("n_sh"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("n_sh"), col("bk.band"), col("bk.bh"))
+  }
+
+  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
+    * bands × rowsPerBand must equal the signature length. */
+  def minhashLshPairs(documents: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // sizes ride through the band join on the bucket rows — no sizes
+    // joins and no extra corpus scans (each extra DataFrame reference is
+    // a recompute of its whole subtree unless the runtime can reuse the
+    // exchange; the two bucket sides are identical subtrees and can).
+    val buckets = lshBuckets(documents, bands, rowsPerBand)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -159,6 +165,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard6"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** CROSS-CORPUS near-dup check — the incremental-ingest operator: which
+    * INCOMING documents near-duplicate something already IN the corpus?
+    * Self-dedup ([[minhashLshPairs]]) compares a set to itself; ingest
+    * compares a small new batch against the accumulated store, and the
+    * asymmetry is the scale story: the corpus side's band table is
+    * write-time state (computed once per doc ever, exactly like
+    * `EmbeddingStore`'s IVF cells — here it's recomputed because the test
+    * store is parquet-only), while the new batch's signatures are a
+    * per-ingest cost proportional to the BATCH, not the corpus. The band
+    * join probes corpus buckets with new-batch buckets; verification is
+    * exact Jaccard on candidates only. */
+  def dedupAgainst(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val candidates = lshBuckets(newDocs, bands, rowsPerBand).as("a")
+      .join(lshBuckets(corpus, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .distinct()
+    candidates
+      .join(postings(newDocs, 3).select(col("doc_id").as("new_id"), col("sh")),
+        "new_id")
+      .join(postings(corpus, 3).select(col("doc_id").as("corpus_id"),
+        col("sh").as("sh_b")), "corpus_id")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("new_id"), col("corpus_id"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard6"))
+      .orderBy(col("new_id"), col("corpus_id"))
   }
 
   /** Connected components over a near-dup pair set: label propagation to
