@@ -41,6 +41,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus check reports only new-vs-corpus near-dups, not same-side ones") {
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different content about spark engines and columnar stores here"
+    val newDocs = docs(1L -> text, 2L -> text, 3L -> other)   // 1,2 dup EACH OTHER
+    val corpus = docs(10L -> text, 11L -> "unrelated corpus text entirely elsewhere with many more words")
+    val got = Dedup.dedupAgainst(newDocs, corpus, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both copies of the planted text hit the corpus copy; the intra-batch
+    // pair (1,2) and the non-dup 3 are NOT reported
+    assert(got == Set((1L, 10L), (2L, 10L)))
+  }
+
   test("leakage-safe split: groups move together, singletons keyed by own id") {
     import org.apache.spark.sql.functions.col
     val d = Tables.documents(spark, sf0001)
