@@ -76,7 +76,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup/minhash joins are equi-joins, never cartesian") {
-    Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs").foreach { q =>
+    Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
+        "dedup_against").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
