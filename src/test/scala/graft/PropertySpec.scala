@@ -165,6 +165,72 @@ class PropertySpec extends SparkSpec {
     assert(fp <= fresh.length / 100, s"FPR implausibly high: $fp/${fresh.length}")
   }
 
+  test("q21 window decorrelation equals the literal double-EXISTS on random layouts") {
+    import org.apache.spark.sql.functions.col
+    // random (order, supplier, late?) layouts; the decorrelated plan must
+    // equal a direct per-row evaluation of the two correlated conditions
+    (1 to 5).foreach { s =>
+      val rows = Gen.listOfN(120, for {
+        ord <- Gen.choose(1L, 25L)
+        supp <- Gen.choose(1L, 8L)
+        late <- Gen.oneOf(true, false)
+      } yield (ord, supp, late))
+        .apply(Gen.Parameters.default, Seed(400L + s)).get
+      val orders = rows.map(_._1).distinct
+        .map(o => (o, Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("o_orderkey", "o_orderdate")
+      val li = rows.map { case (o, sp, late) =>
+        (o, sp, Timestamp.valueOf(
+          if (late) "2024-06-01 00:00:00" else "2024-01-15 00:00:00"))
+      }.toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      val suppliers = (1L to 8L).map(i => (i, s"S$i")).toDF("s_suppkey", "s_name")
+      val got = graft.operators.Relational
+        .q21LateSuppliers(suppliers, orders, li, lateDays = 60, k = 100)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // scalar reference: literal EXISTS / NOT EXISTS per (order, supplier)
+      val byOrder = rows.groupBy(_._1)
+      val expect = rows.filter(_._3).map(r => (r._1, r._2)).distinct
+        .filter { case (o, sp) =>
+          val others = byOrder(o).filter(_._2 != sp)
+          others.nonEmpty && !others.exists(_._3)
+        }
+        .groupBy(_._2).map { case (sp, os) => (s"S$sp", os.size.toLong) }.toSet
+      assert(got == expect, s"seed $s: $got != $expect")
+    }
+  }
+
+  test("funnel equals a sequential per-user scan on random event streams") {
+    import org.apache.spark.sql.functions.col
+    (1 to 5).foreach { s =>
+      val rows = Gen.listOfN(200, for {
+        u <- Gen.choose(1L, 12L)
+        t <- Gen.oneOf("view", "click", "purchase", "other")
+        sec <- Gen.choose(0L, 5000L)
+      } yield (u, t, sec))
+        .apply(Gen.Parameters.default, Seed(800L + s)).get
+      val df = rows.map { case (u, t, sec) =>
+        (u, t, new Timestamp(baseMs + sec * 1000L))
+      }.toDF("user_id", "event_type", "ts")
+      val r = graft.operators.EventsOps.funnelSteps(df).collect()(0)
+      // scalar reference: per user, first view; first click after it;
+      // first purchase after that — straight sequential scan semantics
+      val perUser = rows.groupBy(_._1).values.map { es =>
+        val v = es.filter(_._2 == "view").map(_._3).minOption
+        val c = v.flatMap(vu =>
+          es.filter(e => e._2 == "click" && e._3 > vu).map(_._3).minOption)
+        val p = c.flatMap(cu =>
+          es.filter(e => e._2 == "purchase" && e._3 > cu).map(_._3).minOption)
+        (v, c, p)
+      }.toSeq
+      val expect = (perUser.count(_._1.isDefined).toLong,
+        perUser.count(_._2.isDefined).toLong,
+        perUser.count(_._3.isDefined).toLong,
+        perUser.size.toLong)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == expect,
+        s"seed $s")
+    }
+  }
+
   test("sequence spans reproduce a sequential packer over any token layout") {
     // model: docs with random token counts laid out in order; spans must
     // equal the straightforward scalar packer
