@@ -190,6 +190,20 @@ class PlanSpec extends SparkSpec {
     assert(liScans == 1, s"q21 scans lineitem $liScans times, expected 1")
   }
 
+  test("funnel chains three step windows over ONE user shuffle") {
+    val p = SparkEntry.queries("funnel_steps")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "funnel should shuffle once on user_id; step windows share the exchange")
+  }
+
+  test("dispersion is a single partial→final aggregate: one shuffle, one scan") {
+    val p = SparkEntry.queries("dispersion_by_type")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more
