@@ -60,13 +60,39 @@ object Bench {
       name -> times
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000
+    def r2(v: Double) = math.rint(v * 100) / 100
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v.min) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2.min).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    // Full detail (per-query min + all three per-run samples, so a
+    // contaminated measurement is self-evident) goes to an EARLIER stdout
+    // line and a file: the harness that records the benchmark keeps only
+    // the last ~2000 characters of output, and with 90+ queries the full
+    // map cannot fit there alongside sbt's trailing "[success]" line.
+    println(full)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // FINAL line — compact so the whole line survives a 2000-char tail:
+    // total + query count + the slowest queries (2dp) that fit a fixed
+    // character budget. The slowest queries are the ones any perf audit
+    // needs; the full map is on the line above and in bench_full.json.
+    val budget = 1500
+    val slowest = results.sortBy(-_._2.min)
+    val sb = new StringBuilder
+    var taken = 0
+    slowest.foreach { case (k, v) =>
+      val frag = (if (taken == 0) "" else ",") + "\"" + k + "\":" + r2(v.min)
+      if (sb.length + frag.length <= budget) { sb.append(frag); taken += 1 }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":{${sb.toString}},"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,10 +31,14 @@ object RangeJoin {
     * must not collide across sides (pre-rename payloads). */
   def rangePairs(left: DataFrame, right: DataFrame, keyCol: String,
       leftUs: String, rightUs: String, windowUs: Long): DataFrame = {
+    // `div` = integer division (repo convention, see retentionCohorts):
+    // a double divide + cast truncates toward zero, which differs from
+    // floor for negative timestamps and relies on the quotient being
+    // exactly representable.
     val lb = left.withColumn("__bin", explode(array(
-      (col(leftUs) / lit(windowUs)).cast("long"),
-      (col(leftUs) / lit(windowUs)).cast("long") - 1)))
-    val rb = right.withColumn("__bin", (col(rightUs) / lit(windowUs)).cast("long"))
+      expr(s"$leftUs div $windowUs"),
+      expr(s"$leftUs div $windowUs") - 1)))
+    val rb = right.withColumn("__bin", expr(s"$rightUs div $windowUs"))
     lb.join(rb, Seq(keyCol, "__bin"))
       .filter(col(rightUs) > col(leftUs) - windowUs && col(rightUs) <= col(leftUs))
       .drop("__bin")
@@ -44,21 +48,27 @@ object RangeJoin {
     * right rows (0 when none) — without a second scan of the left side.
     * The two bin probes left-join independently; an unmatched probe
     * contributes a null right row, excluded by count(when(in-range)), and
-    * the groupBy over the left columns folds the probes back to one row
-    * per left row. */
+    * a groupBy on a per-row surrogate key folds the probes back to one row
+    * per left row. The surrogate (monotonically_increasing_id BEFORE the
+    * explode) makes duplicate left rows keep their own output rows — a
+    * groupBy over the left columns alone would silently collapse them. The
+    * id is partition-layout-dependent but is dropped before returning, so
+    * the output multiset is deterministic. */
   def countInRange(left: DataFrame, right: DataFrame, keyCol: String,
       leftUs: String, rightUs: String, windowUs: Long,
       as: String = "n_matches"): DataFrame = {
     val leftCols = left.columns.toSeq
-    val lb = left.withColumn("__bin", explode(array(
-      (col(leftUs) / lit(windowUs)).cast("long"),
-      (col(leftUs) / lit(windowUs)).cast("long") - 1)))
-    val rb = right.withColumn("__bin", (col(rightUs) / lit(windowUs)).cast("long"))
+    val lb = left.withColumn("__rowid", monotonically_increasing_id())
+      .withColumn("__bin", explode(array(
+        expr(s"$leftUs div $windowUs"),
+        expr(s"$leftUs div $windowUs") - 1)))
+    val rb = right.withColumn("__bin", expr(s"$rightUs div $windowUs"))
     lb.join(rb, Seq(keyCol, "__bin"), "left")
-      .groupBy(leftCols.map(col): _*)
+      .groupBy((col("__rowid") +: leftCols.map(col)): _*)
       .agg(count(when(
         col(rightUs) > col(leftUs) - windowUs && col(rightUs) <= col(leftUs),
         lit(1))).as(as))
+      .drop("__rowid")
   }
 
   /** Registered query shape: for every purchase event, the number of click

@@ -46,6 +46,17 @@ object Sampling {
     * Largest-remainder also makes Σ targets == budget EXACTLY; per-source
     * rounding can drift the total by one per source.
     *
+    * √-upweighting can hand a tiny source a target LARGER than its row
+    * count; a naive `pick_rank <= target` then silently returns fewer than
+    * `budget` rows. Targets therefore allocate by WATERFALL: any source
+    * whose share exceeds its capacity is capped at n_docs and the surplus
+    * re-allocated over the uncapped pool by the same weights + largest
+    * remainder, repeating until every target fits (≤ #sources rounds, on
+    * driver-sized data). Σ targets == min(budget, Σ n_docs) EXACTLY. The
+    * registered query's oracle mirrors the non-saturating path (its data
+    * cannot saturate); the saturating path is property-tested against a
+    * scalar reference in SamplingSpec.
+    *
     * Shape at 100 TB: the per-source count aggregate is map-side combined
     * and its result is driver-sized by definition (sources number in the
     * hundreds — same contract as the IVF centroid table), so targets
@@ -61,16 +72,36 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
-    val ws = counts.map { case (_, n) => isqrt(n) }
-    val wsum = ws.sum
-    val base = counts.zip(ws).map { case ((s, n), w) =>
-      (s, n, w * budget / wsum, w * budget % wsum)
+    // one largest-remainder share of `b` over `pool` (source, n_docs, weight)
+    def allocate(pool: Seq[(String, Long, Long)], b: Long): Map[String, Long] = {
+      val wsum = pool.map(_._3).sum
+      val base = pool.map { case (s, _, w) => (s, w * b / wsum, w * b % wsum) }
+      val short = (b - base.map(_._2).sum).toInt
+      val plusOne = base.sortBy { case (s, _, rem) => (-rem, s) }
+        .take(short).map(_._1).toSet
+      base.map { case (s, fl, _) =>
+        s -> (fl + (if (plusOne(s)) 1L else 0L))
+      }.toMap
     }
-    val short = (budget - base.map(_._3).sum).toInt
-    val plusOne = base.sortBy { case (s, _, _, rem) => (-rem, s) }
-      .take(short).map(_._1).toSet
-    val targets = base.map { case (s, n, fl, _) =>
-      (s, n, fl + (if (plusOne(s)) 1L else 0L))
+    // waterfall: cap saturated sources at capacity, re-share the surplus
+    // over the uncapped pool; strictly shrinks the pool, so ≤ #sources
+    // rounds. Invariant: remaining ≤ pool capacity (seeded by the min).
+    var fixed = Map.empty[String, Long]
+    var pool = counts.map { case (s, n) => (s, n, isqrt(n)) }.toSeq
+    var remaining = budget min counts.map(_._2).sum
+    while (pool.nonEmpty && remaining > 0) {
+      val alloc = allocate(pool, remaining)
+      val over = pool.filter { case (s, n, _) => alloc(s) > n }
+      if (over.isEmpty) { fixed ++= alloc; pool = Nil }
+      else {
+        fixed ++= over.map { case (s, n, _) => s -> n }
+        remaining -= over.map(_._2).sum
+        val capped = over.map(_._1).toSet
+        pool = pool.filterNot { case (s, _, _) => capped(s) }
+      }
+    }
+    val targets = counts.map { case (s, n) =>
+      (s, n, fixed.getOrElse(s, 0L))
     }.toSeq.toDF("source", "n_docs", "target")
     val w = Window.partitionBy(col("source"))
       .orderBy(h60(col("doc_id").cast("string")), col("doc_id"))

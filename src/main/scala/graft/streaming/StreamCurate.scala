@@ -53,7 +53,14 @@ object StreamCurate {
     * Within one micro-batch a group's rows are admitted in doc_id order
     * (deterministic under Spark's unordered group iterator); across
     * batches, admission order is arrival order. Rows after the cap are
-    * dropped forever — the counter never decreases. */
+    * dropped forever — the counter never decreases.
+    *
+    * Per-batch memory is O(room) ≤ O(quota), NOT O(group batch size): an
+    * exhausted source short-circuits without draining its iterator, and an
+    * open one selects its `room` smallest doc_ids through a bounded
+    * max-heap instead of materializing + sorting the whole micro-batch —
+    * a hot source's batch volume never buffers. (State itself stays one
+    * long per source.) */
   def sourceQuota(scored: Dataset[Scored], quota: Int): Dataset[Admitted] = {
     import scored.sparkSession.implicits._
     scored
@@ -62,12 +69,22 @@ object StreamCurate {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (source: String, rows: Iterator[Scored], state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
-          val room = (quota - admitted).max(0L)
-          val take = rows.toSeq.sortBy(_.doc_id).take(
-            room.min(Int.MaxValue).toInt)
-          if (take.nonEmpty) state.update(admitted + take.size)
-          take.iterator.zipWithIndex.map { case (d, i) =>
-            Admitted(d.doc_id, source, d.quality, admitted + i + 1)
+          val room = ((quota - admitted).max(0L)).min(Int.MaxValue).toInt
+          if (room == 0) Iterator.empty
+          else {
+            val heap = scala.collection.mutable.PriorityQueue.empty[Scored](
+              Ordering.by(_.doc_id)) // max-heap: evict the largest doc_id
+            rows.foreach { r =>
+              if (heap.size < room) heap.enqueue(r)
+              else if (r.doc_id < heap.head.doc_id) {
+                heap.dequeue(); heap.enqueue(r)
+              }
+            }
+            val take = heap.dequeueAll.reverse // ascending doc_id
+            if (take.nonEmpty) state.update(admitted + take.size)
+            take.iterator.zipWithIndex.map { case (d, i) =>
+              Admitted(d.doc_id, source, d.quality, admitted + i + 1)
+            }
           }
       }
   }

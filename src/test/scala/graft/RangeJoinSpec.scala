@@ -42,6 +42,22 @@ class RangeJoinSpec extends SparkSpec {
       "sf0.001 should contain at least one zero-click purchase")
   }
 
+  test("countInRange keeps duplicate left rows as distinct output rows") {
+    import spark.implicits._
+    // two identical left rows (same key, same ts) must each get their own
+    // count row — a groupBy over the left columns alone would merge them
+    val left = Seq(("u1", 100L), ("u1", 100L), ("u2", 50L))
+      .toDF("user_id", "us")
+    val right = Seq(("u1", 95L), ("u1", 60L)).toDF("user_id", "c_us")
+    val got = RangeJoin.countInRange(left, right, "user_id", "us", "c_us",
+      windowUs = 10L).collect()
+    assert(got.length == 3, s"expected 3 left rows back, got ${got.length}")
+    val u1 = got.filter(_.getString(0) == "u1")
+    assert(u1.length == 2 && u1.forall(_.getAs[Long]("n_matches") == 1L))
+    assert(got.filter(_.getString(0) == "u2")
+      .forall(_.getAs[Long]("n_matches") == 0L))
+  }
+
   test("plans as an equi-join — no nested loop, no cartesian") {
     val phys = RangeJoin.purchaseClickCounts(events)
       .queryExecution.executedPlan.toString

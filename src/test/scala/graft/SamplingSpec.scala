@@ -97,6 +97,31 @@ class SamplingSpec extends SparkSpec {
     assert(again == got.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("temperature mix waterfall: saturated sources cap at capacity, surplus re-shares") {
+    import spark.implicits._
+    // √-upweighting (weights big=20, mid=4, tiny=1; wsum=25) hands "tiny"
+    // (1 doc) a provisional target of 5 and "mid" (20 docs) 21 — both over
+    // capacity, so both cap and "big" absorbs the re-shared surplus
+    // (130 − 20 − 1 = 109 ≤ 400).
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1020L).map(i => (i, "mid")) ++ Seq((2001L, "tiny")))
+      .toDF("doc_id", "source")
+    val budget = 130L
+    val got = Sampling.temperatureMix(docs, budget).collect()
+    assert(got.length == budget, s"selected ${got.length}, budget $budget")
+    val bySource = got.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    assert(bySource("tiny") == 1, "saturated source must be fully selected")
+    assert(bySource("mid") == 20, "cascade-saturated source must cap at capacity")
+    assert(bySource("big") == 109, "big absorbs the re-shared surplus")
+    got.foreach { r =>
+      assert(r.getAs[Long]("target") <=
+        Map("big" -> 400L, "mid" -> 20L, "tiny" -> 1L)(r.getAs[String]("source")))
+    }
+    // budget beyond total capacity: everything is selected, no more
+    val over = Sampling.temperatureMix(docs, budget = 10000L).collect()
+    assert(over.length == 421, "over-capacity budget selects the whole corpus")
+  }
+
   test("sequence spans partition each doc and fill every non-final sequence") {
     val budget = 512L
     val d = Tables.documents(spark, sf0001)
