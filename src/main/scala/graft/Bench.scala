@@ -41,7 +41,11 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args = subset of query names (targeted iteration)
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) all else all.filter(args.toSet)
+    }
     names.foreach { n => // warmup: JIT + codegen cache, tiny data
       try materialize(n, warmDir)
       catch { case e: Throwable =>

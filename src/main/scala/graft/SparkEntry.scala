@@ -215,6 +215,23 @@ object SparkEntry {
       Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     "q11_important_nations" -> ((s, dir) => Relational.q11ImportantNations(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
+    "q2_min_cost_supplier" -> ((s, dir) => Relational.q2MinCostSupplier(
+      Tables.region(s, dir), Tables.nation(s, dir), Tables.supplier(s, dir),
+      Tables.part(s, dir), Tables.lineitem(s, dir))),
+    "q8_market_share" -> ((s, dir) => Relational.q8MarketShare(
+      Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+      Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir),
+      Tables.part(s, dir))),
+    "q9_profit_shape" -> ((s, dir) => Relational.q9ProfitShape(
+      Tables.nation(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+      Tables.part(s, dir), Tables.orders(s, dir))),
+    "q12_ship_delay" -> ((s, dir) => Relational.q12ShipDelay(
+      Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q16_supplier_cnt" -> ((s, dir) => Relational.q16SupplierCnt(
+      Tables.supplier(s, dir), Tables.part(s, dir), Tables.lineitem(s, dir))),
+    "q20_bulk_shippers" -> ((s, dir) => Relational.q20BulkShippers(
+      Tables.supplier(s, dir), Tables.nation(s, dir), Tables.part(s, dir),
+      Tables.lineitem(s, dir))),
 
     // ── Events: JSON extraction + declarative rate-limit window (ST6) ──
     "events_json_agg" -> ((s, dir) => EventsOps.jsonExtractAgg(Tables.events(s, dir))),
@@ -603,6 +620,112 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+
+    // Q2 shape adapted (no partsupp): lineitem is the supply relation,
+    // pair cost = cheapest shipment price; correlated min decorrelated as
+    // a per-part window min, textbook form on the oracle side too.
+    "q2_min_cost_supplier" ->
+      """WITH regional AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), pairs AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost_dec
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |    AND p_type = 'STANDARD' AND p_size = 5
+        |  JOIN regional ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4, 5, 6
+        |), best AS (
+        |  SELECT *, min(cost_dec) OVER (PARTITION BY p_partkey) AS best_dec
+        |  FROM pairs
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(cost_dec AS DOUBLE) AS supply_cost
+        |FROM best WHERE cost_dec = best_dec
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vols AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |)
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(vol) AS DOUBLE) AS total_volume,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+        |FROM vols GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Q9 shape adapted (no ps_supplycost): cost term = retailprice × qty.
+    "q9_profit_shape" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(7,0))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q12 shape adapted (no shipmode/commit/receipt dates): category =
+    // order→ship delay bucket, integer DATE-day arithmetic both engines.
+    "q12_ship_delay" ->
+      """SELECT CASE
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 0 THEN 'EARLY'
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 'QUICK'
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90 THEN 'NORMAL'
+        |    ELSE 'SLOW' END AS delay_bucket,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY delay_bucket""".stripMargin,
+
+    // Q16 shape adapted: lineitem bridges part↔supplier; the complaint
+    // exclusion is suppliers in arrears (NOT IN → broadcast anti join).
+    "q16_supplier_cnt" ->
+      """SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_type, p_size""".stripMargin,
+
+    // Q20 shape adapted: availqty threshold becomes shipped-qty HAVING;
+    // the nested IN chain stays nested on the oracle side.
+    "q20_bulk_shippers" ->
+      """SELECT s_name, n_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 400)
+        |ORDER BY s_name""".stripMargin,
 
     "group_distinct" ->
       """SELECT o_orderstatus,

@@ -608,4 +608,188 @@ object Relational {
       .filter(col("rn") <= 2)
       .orderBy(col("o_custkey"), col("rn"))
   }
+
+  /** Min-cost supplier per part (TPC-H Q2 shape, adapted: the corpus has
+    * no partsupp relation, so lineitem is the supply relation and a
+    * (part, supplier) pair's cost is its cheapest shipment price —
+    * DECIMAL-exact, no unit-price division). The correlated scalar min
+    * subquery decorrelates as a per-part window min over the PAIR rows
+    * (the q15/q17 pattern: never a second aggregate reference — that
+    * would rescan the fact). Region/nation broadcast; the filtered part
+    * side is selective and left to AQE's size stats. Two shuffles total:
+    * pair aggregate, then the per-part window on the (already driver-small)
+    * group rows. Sort key (acctbal desc, n_name, s_name, p_partkey) is a
+    * total order over the surviving (part, supplier) pairs. */
+  def q2MinCostSupplier(region: DataFrame, nation: DataFrame,
+      supplier: DataFrame, part: DataFrame, lineitem: DataFrame,
+      rName: String = "EUROPE", pType: String = "STANDARD",
+      size: Int = 5, k: Int = 100): DataFrame = {
+    val regional = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === rName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val prt = part.filter(col("p_type") === pType && col("p_size") === size)
+      .select("p_partkey", "p_name")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(regional, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(dec(col("l_extendedprice"))).as("cost_dec"))
+      .withColumn("best_dec", min(col("cost_dec")).over(w))
+      .filter(col("cost_dec") === col("best_dec"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        col("cost_dec").cast("double").as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(k)
+  }
+
+  /** National market share (TPC-H Q8 shape — fully expressible here): a
+    * nation's share of regional revenue for one part type, by order year.
+    * Eight-way join: the customer side walks to region (broadcast nation +
+    * region, dual nation alias for the supplier side), part is a selective
+    * filter, and the share is a conditional aggregate. Both volume sums
+    * are DECIMAL-exact and cast to double only at the end; the share then
+    * divides two bit-identical doubles — one IEEE op, deterministic across
+    * engines (the q14 pattern). */
+  def q8MarketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+      part: DataFrame, rName: String = "ASIA", suppNation: String = "NATION_5",
+      pType: String = "ECONOMY"): DataFrame = {
+    val vol = dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4))
+    val custNation = broadcast(nation
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+    val suppNat = broadcast(nation
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    lineitem
+      .join(orders.filter(
+          col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region.filter(col("r_name") === rName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(part.filter(col("p_type") === pType).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(suppNat, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === suppNation, vol)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double")
+          .as("nation_volume"),
+        sum(vol).cast("double").as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Product-line profit by supplier nation and year (TPC-H Q9 shape,
+    * adapted: no ps_supplycost in the corpus, so the cost term is the
+    * part's retail price × quantity — same join graph, same LIKE-filtered
+    * part side, same (nation, year) rollup). Decimal widths are picked so
+    * the cost product's width exceeds 18 (a ≤18-digit decimal is
+    * int64-backed in DuckDB and its product overflows the precision cap
+    * even when the value fits — repo rule) while the subtraction stays
+    * under DuckDB's 38-digit ceiling: DECIMAL(12,2) × DECIMAL(7,0) →
+    * width-19 product, width-22 difference. */
+  def q9ProfitShape(nation: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, part: DataFrame, orders: DataFrame,
+      namePattern: String = "%widget%"): DataFrame = {
+    val amount = dec(col("l_extendedprice")) * (one - dec(col("l_discount"), 4)) -
+      dec(col("p_retailprice"), 12) * col("l_quantity").cast(DecimalType(7, 0))
+    lineitem
+      .join(part.filter(col("p_name").like(namePattern))
+          .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Shipping-delay priority counts (TPC-H Q12 shape, adapted: the corpus
+    * has no l_shipmode/commitdate/receiptdate, so the category is the
+    * order→ship delay bucket — negative delays exist in the synthetic
+    * data and get their own bucket). Integer day arithmetic on DATE in
+    * both engines; one fact join, conditional counts per bucket. */
+  def q12ShipDelay(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val delay = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    val bucket = when(delay < 0, "EARLY")
+      .when(delay <= 30, "QUICK")
+      .when(delay <= 90, "NORMAL")
+      .otherwise("SLOW")
+    lineitem
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select("l_orderkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(bucket.as("delay_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("delay_bucket"))
+  }
+
+  /** Supplier diversity per part attribute (TPC-H Q16 shape, adapted: the
+    * corpus links parts to suppliers through lineitem, and the excluded
+    * set — the reference's complaint filter — is suppliers in arrears,
+    * s_acctbal < 0). count(DISTINCT) per group over an anti-joined bridge:
+    * the NOT IN side is driver-small and broadcasts as an anti join. */
+  def q16SupplierCnt(supplier: DataFrame, part: DataFrame,
+      lineitem: DataFrame, brandNot: String = "Brand#4",
+      sizes: Seq[Int] = Seq(1, 5, 9, 13, 17, 21, 25, 29)): DataFrame = {
+    val excluded = supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("ex_suppkey"))
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(part.filter(col("p_brand") =!= brandNot &&
+          col("p_size").isin(sizes.map(Integer.valueOf): _*))
+          .select("p_partkey", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .join(excluded, col("l_suppkey") === col("ex_suppkey"), "left_anti")
+      .groupBy(col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
+  }
+
+  /** Bulk-shipper semi-join chain (TPC-H Q20 shape, adapted: partsupp
+    * availability becomes shipped-quantity-over-threshold). The nested
+    * IN-subqueries plan as semi joins end to end: lineitem semi-joins the
+    * LIKE-filtered part keys, aggregates per supplier with a HAVING
+    * threshold, and supplier semi-joins the surviving keys — the fact is
+    * scanned once and only key columns shuffle. */
+  def q20BulkShippers(supplier: DataFrame, nation: DataFrame,
+      part: DataFrame, lineitem: DataFrame, namePattern: String = "%bolt%",
+      minQty: Long = 400L): DataFrame = {
+    val boltKeys = part.filter(col("p_name").like(namePattern))
+      .select("p_partkey")
+    val bulk = lineitem
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(boltKeys, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("bolt_qty"))
+      .filter(col("bolt_qty") > minQty)
+      .select("l_suppkey")
+    supplier
+      .join(bulk, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
 }

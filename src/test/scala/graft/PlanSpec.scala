@@ -204,6 +204,33 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1)
   }
 
+  test("q2 decorrelates the min-cost subquery: one lineitem scan, window min") {
+    val p = SparkEntry.queries("q2_min_cost_supplier")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Relation [") && l.contains("l_partkey"))
+    assert(liScans == 1, s"q2 scans lineitem $liScans times, expected 1")
+    assert(p.contains("windowspecdefinition"),
+      "per-part best cost should ride a window, not a re-aggregated join")
+  }
+
+  test("q20 plans the nested IN chain as semi joins; fact scanned once") {
+    val p = SparkEntry.queries("q20_bulk_shippers")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.split("LeftSemi").length - 1 >= 2,
+      "both IN subqueries should plan as LEFT SEMI joins")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Relation [") && l.contains("l_orderkey"))
+    assert(liScans == 1, s"q20 scans lineitem $liScans times, expected 1")
+  }
+
+  test("q16 anti-joins the excluded suppliers via broadcast") {
+    val p = planOf("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), "NOT IN should plan as a LEFT ANTI join")
+    assert(p.contains("BroadcastHashJoin"),
+      "driver-small excluded set should broadcast")
+  }
+
   test("minhash verify carries sizes through the band join: ≤4 corpus scans") {
     // 2 signature-pass references (identical subtrees, runtime-reusable
     // exchange) + 2 verify posting scans; the old sizes joins added 2 more
