@@ -307,6 +307,10 @@ object SparkEntry {
       Dedup.dedupAgainst(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), threshold = 0.8)
     },
+    "containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), threshold = 0.6)),
+    "line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -1313,6 +1317,70 @@ object SparkEntry {
         |JOIN sizes nb ON nb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same inverted-index + df-cut CTE chain as ngram_jaccard_pairs; only
+    // the scoring differs (per-side containment, pair kept when EITHER
+    // direction clears the threshold — the filter runs on unrounded
+    // doubles exactly like the Spark side).
+    "containment_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT doc_id, unnest(shs) AS s FROM sh
+        |), spost AS (
+        |  SELECT doc_id, s FROM post
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 10
+        |), hot AS (
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM spost GROUP BY 1) d
+        |  WHERE df > 10
+        |), fpost AS (
+        |  SELECT doc_id, s FROM post WHERE s NOT IN (SELECT s FROM hot)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM fpost a JOIN fpost b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE), 6) AS cont_a6,
+        |  round(CAST(n_common AS DOUBLE) / CAST(nb.n_sh AS DOUBLE), 6) AS cont_b6
+        |FROM common
+        |JOIN sizes na ON na.doc_id = id_a
+        |JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE),
+        |               CAST(n_common AS DOUBLE) / CAST(nb.n_sh AS DOUBLE)) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // C4-style corpus line dedup over fixed 8-token blocks; keeper = the
+    // occurrence at the smallest (doc_id, block_idx). string_agg FILTER
+    // needs the coalesce: a doc whose every block loses still emits ''.
+    "line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), blocks AS (
+        |  SELECT doc_id, i AS block_idx,
+        |    array_to_string(t[(i*8+1):(i*8+8)], ' ') AS block
+        |  FROM toks, unnest(generate_series(CAST(0 AS BIGINT),
+        |    CAST((len(t) + 7) // 8 AS BIGINT) - 1)) AS g(i)
+        |), flagged AS (
+        |  SELECT doc_id, block_idx, block,
+        |    row_number() OVER (PARTITION BY block ORDER BY doc_id, block_idx) AS rn
+        |  FROM blocks
+        |)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+        |  coalesce(string_agg(block, ' ' ORDER BY block_idx)
+        |    FILTER (WHERE rn = 1), '') AS clean_text
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Portable sketches: the oracle rebuilds the exact 60-bit md5-derived
     // hashes (h60 = first 15 hex chars of md5 as BIGINT), so MinHash

@@ -68,7 +68,20 @@ object Dedup {
     * dropped boilerplate score lower (standard df-cut semantics, mirrored
     * by the oracle). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
-      n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10): DataFrame = {
+      n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10): DataFrame =
+    overlapWithSizes(documents, n, maxDf, samplePermille)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard6"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Candidate pairs with shared-shingle counts and both set sizes —
+    * the shared generator under the Jaccard and containment scorers
+    * (identical df-cut skew guard, identical plan shape). */
+  private def overlapWithSizes(documents: DataFrame, n: Int, maxDf: Long,
+      samplePermille: Int): DataFrame = {
     import graft.functions.PortableHash.h60
     val post = postings(documents, n)
     val sampleDf = math.max(1L, maxDf * samplePermille / 1000)
@@ -87,12 +100,70 @@ object Dedup {
     common
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard6"))
+  }
+
+  /** CONTAINMENT near-dup pairs — the asymmetric cousin of Jaccard:
+    * c(A→B) = |A∩B| / |A| finds documents largely CONTAINED in another
+    * (quote farms, page subsets, prefix crawls) that symmetric Jaccard
+    * misses whenever the container is much larger (J ≈ |A|/|B| stays
+    * low while c(A→B) ≈ 1). The sub-document dedup rule of the
+    * RefinedWeb/Dolma-style curation stacks. Same inverted-index
+    * generator, df-cut skew guard, and single-IEEE-divide scoring as
+    * [[ngramJaccardPairs]]; a pair survives if EITHER direction clears
+    * `threshold`, and both directions are reported. */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.6,
+      n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10): DataFrame =
+    overlapWithSizes(documents, n, maxDf, samplePermille)
+      .withColumn("cont_a", col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("cont_b", col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a"), 6).as("cont_a6"),
+        round(col("cont_b"), 6).as("cont_b6"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Corpus-level LINE dedup (the C4 rule): drop every repeated
+    * occurrence of a duplicated span, keeping exactly one. The corpus
+    * has no newlines, so a "line" is a fixed block of `blockTokens`
+    * whitespace tokens (the final block may run short); the keeper of a
+    * duplicated block is its occurrence at the smallest (doc_id,
+    * block_idx) — deterministic where C4's shard-order keeper is not,
+    * which is what makes an exact cross-engine oracle possible.
+    *
+    * Scale shape: block building is map-side array arithmetic (slice +
+    * concat_ws, no token-level explode); keeper election is a
+    * partial→final min(struct) aggregate — map-side combine absorbs
+    * boilerplate-block skew (a row_number window over the block key
+    * would put every copy of a hot block in one partition); the join
+    * back on the block key is AQE's skew-join case; reassembly is one
+    * doc_id shuffle. The transform lambda runs interpreted but only
+    * over per-doc block arrays (~doc_len/blockTokens elements). */
+  def lineDedup(documents: DataFrame, blockTokens: Int = 8): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nBlocks = expr(
+      s"(size(split(text, ' ')) + ${blockTokens - 1}) div $blockTokens")
+    val blocks = documents
+      .select(col("doc_id"), toks.as("t"),
+        explode(sequence(lit(0L), nBlocks - 1)).as("block_idx"))
+      .select(col("doc_id"), col("block_idx"),
+        concat_ws(" ", slice(col("t"),
+          (col("block_idx") * blockTokens + 1).cast("int"),
+          lit(blockTokens))).as("block"))
+    val keepers = blocks
+      .groupBy(col("block"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("keeper"))
+    blocks.join(keepers, "block")
+      .withColumn("keep", col("doc_id") === col("keeper.doc_id") &&
+        col("block_idx") === col("keeper.block_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("block_idx"), col("block"))))),
+          s => s.getField("block"))).as("clean_text"))
+      .orderBy(col("doc_id"))
   }
 
   /** MinHash signature columns via the 2-universal family

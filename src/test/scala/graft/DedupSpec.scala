@@ -100,6 +100,55 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.6 && j < 1.0)
   }
 
+  test("containment catches a subset doc that symmetric Jaccard misses") {
+    // A = the first 30 words of B (100 words): c(A→B) = 1.0 while
+    // J = |A|/|B| ≈ 0.29 — the quote/subset case containment exists for
+    val big = (1 to 100).map(i => s"w$i").mkString(" ")
+    val small = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> small, 2L -> big)
+    val cont = Dedup.containmentPairs(d, threshold = 0.9).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getDouble(2) == 1.0, "small-in-big containment should be exact 1.0")
+    assert(r.getDouble(3) < 0.5, "reverse containment stays low")
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.8).collect().isEmpty,
+      "Jaccard at 0.8 must miss the subset pair containment is for")
+  }
+
+  test("line dedup: duplicated blocks keep exactly one occurrence, text reassembles") {
+    val d = Tables.documents(spark, sf0001)
+    val got = Dedup.lineDedup(d).collect()
+    assert(got.length == d.count())
+    // keep-one semantics: Σ kept across the corpus == # distinct blocks
+    val blocks = got.map(_.getAs[Long]("n_blocks")).sum
+    val kept = got.map(_.getAs[Long]("n_kept")).sum
+    assert(kept < blocks, "testdata's planted dups should drop some blocks")
+    import org.apache.spark.sql.functions._
+    val distinctBlocks = d
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(split(text, ' ')) + 7) div 8 - 1)," +
+          " i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))"))
+        .as("block"))
+      .select("block").distinct().count()
+    assert(kept == distinctBlocks,
+      s"kept $kept != distinct blocks $distinctBlocks — keep-one violated")
+    // docs that lost nothing reassemble to their original text verbatim
+    val texts = d.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val untouched = got.filter(r => r.getAs[Long]("n_kept") == r.getAs[Long]("n_blocks"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      assert(r.getAs[String]("clean_text") == texts(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} reassembly drifted")
+    }
+    // deterministic under repartitioning
+    val again = Dedup.lineDedup(d.repartition(7)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"))).sorted.toSeq
+    assert(again == got.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"))).sorted.toSeq)
+  }
+
   test("minhash-LSH recall equals the exact join on the planted testdata dups") {
     val d = Tables.documents(spark, sf0001)
     val exact = Dedup.ngramJaccardPairs(d, threshold = 0.8).collect()
