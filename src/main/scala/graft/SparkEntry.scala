@@ -274,6 +274,16 @@ object SparkEntry {
     "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
     "range_join_counts" -> ((s, dir) =>
       graft.operators.RangeJoin.purchaseClickCounts(Tables.events(s, dir))),
+    // the NAIVE inequality-join formulation, planned scale-safe by the
+    // BinnedRangeJoinRule optimizer rewrite (installed here once per
+    // session; idempotent, and guarded off every already-binned plan)
+    "range_join_auto" -> { (s, dir) =>
+      val rule = graft.plans.BinnedRangeJoinRule
+      if (!s.experimental.extraOptimizations.contains(rule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ rule
+      graft.operators.RangeJoin.purchaseClickCountsNaive(Tables.events(s, dir))
+    },
 
     // Exact interpolated quantiles per group (A3 extension: the multi-
     // quantile shape analytics actually asks for; Spark `percentile` and
@@ -1254,6 +1264,20 @@ object SparkEntry {
       """SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks
         |FROM events p
         |LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND epoch_us(c.ts) > epoch_us(p.ts) - 300000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    // inner form of range_join_counts (zero-click purchases absent): the
+    // Spark side is the NAIVE inequality join, rewritten by the optimizer
+    // rule — the hash match proves the rewrite exact, not just plan-shaped.
+    "range_join_auto" ->
+      """SELECT p.event_id, p.user_id, count(*) AS n_clicks
+        |FROM events p
+        |JOIN events c
         |  ON c.user_id = p.user_id AND c.event_type = 'click'
         | AND epoch_us(c.ts) > epoch_us(p.ts) - 300000000
         | AND epoch_us(c.ts) <= epoch_us(p.ts)

@@ -71,6 +71,31 @@ object RangeJoin {
       .drop("__rowid")
   }
 
+  /** The NAIVE formulation of the same attribution join — written exactly
+    * as a user would: an inner join on user equality plus the raw range
+    * predicates, then a count. Left alone, Spark plans the inequality
+    * pair as BroadcastNestedLoopJoin; under
+    * [[graft.plans.BinnedRangeJoinRule]] the plan rewrites to the
+    * bin-bucketed equi-join automatically (the registered `range_join_auto`
+    * query installs the rule via `spark.experimental.extraOptimizations`).
+    * Inner form: purchases with zero in-range clicks are absent. */
+  def purchaseClickCountsNaive(events: DataFrame,
+      windowUs: Long = 300000000L): DataFrame = {
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_us") > col("us") - windowUs &&
+        col("c_us") <= col("us"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy(col("event_id"))
+  }
+
   /** Registered query shape: for every purchase event, the number of click
     * events by the same user in the preceding 5 minutes (inclusive of the
     * purchase instant). Trailing-window attribution — the join the
