@@ -355,6 +355,24 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.packSequenceSpans(Tables.documents(s, dir))
     }),
+    "priority_sample" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.prioritySample(Tables.documents(s, dir), k = 100)
+    }),
+    // bounded-heap per-group top-k (custom TypedImperativeAggregate) —
+    // the window-sort-free form of "top 3 docs per source"
+    "group_topk" -> ((s, dir) => {
+      import graft.functions.TopKRows.topk_rows
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(topk_rows(col("n_chars"), col("doc_id"), 3).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("idx", "t")))
+        .select(col("source"), (col("idx") + 1).cast("long").as("rank"),
+          col("t.id").as("doc_id"), col("t.score").as("n_chars"))
+        .orderBy(col("source"), col("rank"))
+    }),
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir))),
 
     // ── Text analysis ──
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
@@ -1701,6 +1719,84 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
         |  < (CASE WHEN lang = 'de' THEN 500 WHEN lang = 'en' THEN 100 ELSE 0 END)
         |ORDER BY doc_id""".stripMargin,
+
+    // Priority sampling (Duffield–Thorup): priority = h60 div weight with
+    // INTEGER division on both engines — no float quotient anywhere, so
+    // the k winners are bit-identical (DuckDB `//` = floor division,
+    // Spark `div`; both operands nonnegative, floor == trunc).
+    "priority_sample" ->
+      """SELECT doc_id, source, n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // n_chars AS priority
+        |FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY priority, doc_id
+        |LIMIT 100""".stripMargin,
+
+    // The bounded-heap aggregate is exact, so the oracle is the window
+    // form it replaces at scale.
+    "group_topk" ->
+      """SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
+
+    // Same plane/band CTEs as ann_lsh_topk (16 bands × 4 bits), candidate
+    // pairs from shared band values, exact-cosine verify at 0.4, then the
+    // dedup_groups recursive-CTE closure; kept corpus = ids that are not
+    // a non-representative member of any component.
+    "semantic_dedup" ->
+      """WITH RECURSIVE elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), planes AS (
+        |  SELECT p, i,
+        |    (('0x' || substr(md5(p::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2000001 - 1000000) / CAST(1000000 AS DOUBLE) AS wt
+        |  FROM range(0, 64) rp(p), range(0, 64) ri(i)
+        |), proj AS (
+        |  SELECT e.vec_id, pl.p, sum(e.x * pl.wt) AS pr
+        |  FROM elems e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT vec_id, p // 4 AS band,
+        |    CAST(sum(CASE WHEN pr >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS bv
+        |  FROM proj GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT c.id_a, c.id_b, sum(a.x * b.x) AS dot
+        |  FROM cand c
+        |  JOIN elems a ON a.vec_id = c.id_a
+        |  JOIN elems b ON b.vec_id = c.id_b AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT d.id_a, d.id_b FROM dots d
+        |  JOIN norms na ON na.vec_id = d.id_a
+        |  JOIN norms nb ON nb.vec_id = d.id_b
+        |  WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+        |), und AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+        |), members AS (SELECT DISTINCT a AS id FROM und
+        |), grp AS (
+        |  SELECT m.id, least(m.id, min(r.dst)) AS rep
+        |  FROM members m JOIN reach r ON r.src = m.id GROUP BY m.id
+        |), dropped AS (SELECT id FROM grp WHERE id <> rep)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
+        |ORDER BY e.vec_id""".stripMargin,
 
     "source_quota" ->
       """SELECT doc_id, source, rank_in_source FROM (

@@ -31,6 +31,44 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** WEIGHTED priority sampling (Duffield–Thorup "priority sampling"):
+    * each row gets priority = hash/weight and the k smallest priorities
+    * win, so P(selected) grows with weight — longer documents (more
+    * tokens) are proportionally likelier to be kept, the "sample by token
+    * mass, not by document count" selection a pretraining mix wants.
+    *
+    * The classic scheme draws u ~ U(0,1] and keeps the k largest w/u;
+    * here u is replaced by the portable h60 content hash (deterministic,
+    * engine-reproducible) and the comparison inverted to h60 div w with
+    * INTEGER division — no doubles anywhere, so the selected set is
+    * bit-identical in the DuckDB oracle (a float pow/log formulation
+    * differs in ulps across libm implementations and a boundary ulp flips
+    * a selection). Ties (same quotient) break by doc_id: total order,
+    * exact top-k.
+    *
+    * Scale shape: priority is a scan projection (map-side, no shuffle);
+    * the k smallest ride a TakeOrderedAndProject (per-partition bounded
+    * heaps → driver merge of k×partitions rows), never a global sort.
+    * 100 TB: identical plan — the only cross-node traffic is k rows per
+    * partition. */
+  def prioritySample(documents: DataFrame, k: Int = 100,
+      weightCol: String = "n_chars"): DataFrame = {
+    import graft.functions.PortableHash.h60
+    documents
+      // guard degenerate weights: w ≤ 0 would divide-by-zero or flip sign;
+      // such rows get +∞-equivalent priority via a NULL filter (none exist
+      // in the corpus; the guard is for API safety)
+      .filter(col(weightCol) > 0)
+      .withColumn("__h", h60(col("doc_id").cast("string")))
+      // `div` = INTEGER division (repo convention): h60 spans 60 bits, a
+      // double quotient loses bits past the 53-bit mantissa and floor()
+      // of it can land on the wrong side of a selection boundary
+      .withColumn("priority", expr(s"__h div $weightCol"))
+      .select(col("doc_id"), col("source"), col(weightCol), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Temperature-based source MIXING — the data-mixing operator of a
     * pretraining run: per-source keep-targets ∝ √count (the α = 0.5
     * temperature that up-weights small, curated sources against the web

@@ -246,4 +246,73 @@ object Similarity {
         round(col("cos"), 6).as("cos6"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** SEMANTIC dedup (SemDeDup-family): drop every embedding whose cosine
+    * to an earlier-kept one clears `threshold`, transitively — the
+    * embedding-space analogue of MinHash dedup_groups, used to prune
+    * semantically redundant training examples that share no n-grams.
+    *
+    * Pipeline: multi-band hyperplane-LSH buckets generate candidate pairs
+    * (never all-pairs), the exact cosine verifies each candidate
+    * (precision 1.0 — only recall is probabilistic, controlled by
+    * 1-(1-p^r)^b), pairs close transitively via [[graft.operators.Dedup
+    * .connectedComponents]], and each component keeps its minimum vec_id
+    * (deterministic election; the SemDeDup paper keeps the vector
+    * farthest from the cluster centroid — centroid distance is not
+    * engine-portable, min-id is, and the choice of WHICH member survives
+    * does not change how many survive). Output: the kept corpus.
+    *
+    * Band defaults mirror [[annLsh]] (16×4), tuned to THIS corpus's dup
+    * regime — its near-dups sit at cos ≈ 0.4 (p ≈ 0.63, recall ≈ 0.94), where
+    * recall costs selectivity (a 4-bit band passes 1/16 of random pairs). At
+    * production SemDeDup thresholds (cos ≥ 0.9, p ≥ 0.85) the same knobs
+    * go fewer-and-wider (e.g. 8×12: random-pair pass 8·2⁻¹² ≈ 0.2%,
+    * recall 0.93) — selectivity AND recall rise together as the dup bar
+    * rises; both are per-call, the oracle mirrors whatever is chosen.
+    * 100 TB: signatures are write-time state (computed once per vector,
+    * like EmbeddingStore's IVF cells), the band join is the only corpus
+    * shuffle, and CC runs on the pair set (orders of magnitude smaller
+    * than the corpus). */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
+      bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    val signed = embeddings
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+        lshSignature(col("embedding"), bands * bitsPerBand).as("sig"))
+    val bandCols = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask).as("bv"))
+    }
+    val banded = signed
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // candidate ids first, embeddings joined back after the distinct —
+    // carrying the vectors through the band join would widen the shuffle
+    // by bands× for rows the distinct then collapses
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val vecs = signed.select(col("vec_id"), col("embedding"), col("nrm"))
+    val pairs = cand
+      .join(vecs.select(col("vec_id").as("id_a"),
+        col("embedding").as("e_a"), col("nrm").as("n_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"),
+        col("embedding").as("e_b"), col("nrm").as("n_b")), "id_b")
+      .filter(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val dropped = graft.operators.Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings
+      // no broadcast hint: the drop-set is pair-bounded but a dup-heavy
+      // corpus can make it large; AQE broadcasts it when it is small
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
 }

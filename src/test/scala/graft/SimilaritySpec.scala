@@ -168,4 +168,45 @@ class SimilaritySpec extends SparkSpec {
     // union holds ≈ 1-(1-p⁴)¹⁶ ≈ 0.9 — the point of the band construction
     assert(banded >= 0.7, s"banded recall too low: $banded")
   }
+
+  test("semantic dedup: kept set is dup-free and every drop has a kept witness") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps.dot
+    val emb = Tables.embeddings(spark, sf001)
+    val kept = Similarity.semanticDedup(emb, threshold = 0.4).collect()
+      .map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(kept.subsetOf(all) && kept.size < all.size,
+      "dedup must keep a strict, nonempty subset on this corpus")
+    // exact pair set ≥ threshold (brute force, spec-sized corpus)
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .as[(Long, Long)].collect()
+    // every dropped id must have a KEPT near-dup witness reachable through
+    // the pair graph — dedup never drops an isolated vector (precision 1:
+    // candidates are exact-verified, so any drop edge is a true dup edge)
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val dropped = all -- kept
+    dropped.foreach { d =>
+      assert(adj.contains(d), s"dropped $d has no ≥-threshold neighbor at all")
+    }
+    // and within each connected component exactly the min id survives:
+    // recall<1 can SPLIT a component (keeping several), but whatever was
+    // dropped must be dominated by a kept member of its own component
+    dropped.foreach { d =>
+      var frontier = Set(d); var seen = Set(d); var found = false
+      while (frontier.nonEmpty && !found) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        found = next.exists(kept.contains)
+        seen ++= next; frontier = next
+      }
+      assert(found, s"dropped $d has no kept member in its component")
+    }
+  }
 }
