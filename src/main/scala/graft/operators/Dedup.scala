@@ -278,11 +278,16 @@ object Dedup {
   /** Connected components over a near-dup pair set: label propagation to
     * the minimum reachable doc_id — turning PAIRS into dedup GROUPS (the
     * step production dedup actually needs: pick one representative per
-    * transitive cluster). Deterministic (min label), driver-side loop with
-    * one propagate-and-merge round per iteration; iterations = graph
-    * diameter, and near-dup components are near-cliques (every member
-    * shares most shingles), so 1-2 rounds in practice. `localCheckpoint`
-    * truncates the growing lineage each round — the standard iterative-
+    * transitive cluster). Deterministic (min label), driver-side loop.
+    * Each step is a neighbor-min round followed by a POINTER JUMP
+    * (lab ← lab(lab), the hash-to-min idea from Rastogi et al.,
+    * "Finding Connected Components in Map-Reduce"): the jump propagates
+    * through labels rather than edges, so reachable distance DOUBLES per
+    * step and convergence is O(log diameter) rounds — a chain-shaped
+    * component of diameter d (MinHash chains arise whenever A≈B≈C but
+    * A≉C) converges in ~log₂d steps where pure neighbor-min needs d.
+    * Near-clique components still finish in one step. `localCheckpoint`
+    * truncates the growing lineage each batch — the standard iterative-
     * algorithm hygiene on Spark (GraphX does the same internally).
     * Output: (doc_id, rep_id) for every doc that appears in a pair. */
   def connectedComponents(pairs: DataFrame,
@@ -293,26 +298,53 @@ object Dedup {
     // DataFrame references, so unioning first would execute the whole pair
     // pipeline twice inside the checkpoint job
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // symmetric edges PLUS a self-loop per node: neighbor-min over this
+    // table keeps each node's own label with no union inside the loop
+    // (one operator fewer per round, and Union + self-join aliasing in an
+    // iterated plan trips Catalyst's union constraint rewrite)
     val und = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(p.select(col("id_a").as("src"), col("id_a").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_b").as("dst")))
+        .distinct())
       .localCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
+    def round(cur: DataFrame): DataFrame = {
+      // neighbor min: pull labels across the edges (self-loop included,
+      // so a node's own label competes in the min)
+      val nm = und
+        .join(cur.select(col("id").as("src"), col("lab")), "src")
+        .select(col("dst").as("id"), col("lab"))
+        .groupBy("id").agg(min(col("lab")).as("lab"))
+      // pointer jump: lab ← lab(lab). Every label is itself a member id
+      // (labels start as own-id and only existing ids propagate), so the
+      // self-join hits a row for every label; left+coalesce is belt and
+      // braces, not a semantic need
+      nm.as("x")
+        .join(nm.select(col("id").as("j_id"), col("lab").as("j_lab")).as("y"),
+          col("x.lab") === col("y.j_id"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.j_lab"), col("x.lab")).as("lab"))
+    }
     var converged = false
     while (!converged) {
       // several LAZY rounds per convergence check: the label table is
       // tiny, so chaining rounds in one plan beats a job + checkpoint per
       // round; one checkpoint per batch bounds the iterative lineage
+      var prev = labels
       var next = labels
-      for (_ <- 0 until roundsPerCheck)
-        next = und
-          .join(next.select(col("id").as("src"), col("lab")), "src")
-          .select(col("dst").as("id"), col("lab"))
-          .union(next)
-          .groupBy("id").agg(min(col("lab")).as("lab"))
+      for (_ <- 0 until roundsPerCheck) { prev = next; next = round(next) }
       val batch = next.localCheckpoint(true)
+      // fixpoint test INSIDE the batch: min-label propagation is monotone
+      // decreasing, so last-round == second-to-last-round means THE
+      // fixpoint — near-clique dedup graphs (diameter ≤ roundsPerCheck-1)
+      // finish in ONE batch instead of running a no-op second batch just
+      // to observe stability. `prev` recomputes its (tiny, checkpointed-
+      // rooted) subtree inside this one job — cheaper than another full
+      // batch + checkpoint
       converged = batch
-        .join(labels.withColumnRenamed("lab", "prev"), "id")
+        .join(prev.withColumnRenamed("lab", "prev"), "id")
         .filter(col("lab") < col("prev")).isEmpty
       labels = batch
     }

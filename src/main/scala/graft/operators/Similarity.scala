@@ -285,26 +285,30 @@ object Similarity {
         shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask).as("bv"))
     }
     val banded = signed
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-    // candidate ids first, embeddings joined back after the distinct —
-    // carrying the vectors through the band join would widen the shuffle
-    // by bands× for rows the distinct then collapses
-    val cand = banded.as("a")
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // verify INLINE in the band join: the exact-cosine filter runs in the
+    // join's own stage, so the candidate fanout (bands × bucket² rows —
+    // easily ≫ corpus in a dense-similarity regime) streams through the
+    // codegen'd dot and DIES there; only true dup pairs (rare by
+    // definition) reach a shuffle. The tempting id-only alternative
+    // (distinct the candidate ids, join vectors back) shuffles that
+    // superlinear candidate table three times — measured 1.3M candidate
+    // rows from a 2k-vector corpus. Carrying the vectors widens the
+    // banded shuffle by the embedding payload, a corpus-linear cost that
+    // buys freedom from every candidate-linear shuffle.
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.vec_id") < col("b.vec_id"))
+      .filter(dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")) >= threshold)
+      // a pair can match in several bands; collapse after the verify,
+      // when multiplicity is true-pair-sized
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val vecs = signed.select(col("vec_id"), col("embedding"), col("nrm"))
-    val pairs = cand
-      .join(vecs.select(col("vec_id").as("id_a"),
-        col("embedding").as("e_a"), col("nrm").as("n_a")), "id_a")
-      .join(vecs.select(col("vec_id").as("id_b"),
-        col("embedding").as("e_b"), col("nrm").as("n_b")), "id_b")
-      .filter(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))
-        >= threshold)
-      .select(col("id_a"), col("id_b"))
     val dropped = graft.operators.Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id").as("vec_id"))
