@@ -383,6 +383,7 @@ object SparkEntry {
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
+    "lm_coverage" -> ((s, dir) => TextAnalysis.lmCoverage(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(Tables.documents(s, dir))),
@@ -1882,6 +1883,38 @@ object SparkEntry {
         |WHERE p.slot >= 20
         |GROUP BY 1 HAVING count(*) >= 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Reference-vocab bigram coverage: top-500 corpus bigrams by doc
+    // frequency (ties by bigram string — deterministic cutoff), per-doc
+    // distinct-bigram hit ratio. Integer counts; one rounded division.
+    "lm_coverage" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), big AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1])
+        |    ELSE [] END) AS bs FROM toks
+        |), post AS (
+        |  SELECT doc_id, unnest(bs) AS b FROM big
+        |), vocab AS (
+        |  SELECT b FROM (
+        |    SELECT b, count(*) AS df FROM post GROUP BY 1
+        |    ORDER BY df DESC, b LIMIT 500)
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_hits FROM post
+        |  WHERE b IN (SELECT b FROM vocab) GROUP BY 1
+        |)
+        |SELECT g.doc_id, CAST(len(g.bs) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_in_ref,
+        |  CASE WHEN len(g.bs) > 0
+        |    THEN round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(g.bs), 6)
+        |    ELSE 0.0 END AS coverage6
+        |FROM big g LEFT JOIN hits h ON h.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "repetition_score" ->
       """WITH norm AS (

@@ -458,4 +458,47 @@ object TextAnalysis {
           .as("dup_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** Reference-vocabulary COVERAGE score — the cheap stand-in for an
+    * n-gram language-model quality filter (the KenLM perplexity gate of
+    * CCNet/Gopher pipelines, re-expressed integer-exact): what fraction
+    * of a document's distinct bigrams appear in the corpus's top-`k`
+    * reference bigram vocabulary? In-domain prose scores high; gibberish,
+    * lorem-ipsum, and wrong-language text score near zero. A true LM
+    * score (Σ log p) is a float fold whose value differs across libm
+    * implementations; a coverage RATIO of two integers is bit-portable,
+    * monotone in the same signal, and oracle-exact.
+    *
+    * Scale shape: the reference vocabulary is corpus-derived state — a
+    * two-phase map-combined (bigram → df) aggregate with a
+    * TakeOrderedAndProject at k rows (never a vocabulary sort), same
+    * lifecycle as the IVF centroid table or the LSH band state: built
+    * periodically, broadcast to the scoring pass. Scoring is one corpus
+    * scan: explode distinct bigrams, broadcast-hash join against the
+    * k-row vocabulary, per-doc count — no corpus-side shuffle except the
+    * doc_id re-aggregation of hit counts. */
+  def lmCoverage(documents: DataFrame, vocabSize: Int = 500): DataFrame = {
+    val post = documents
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("b"))
+    // df over per-doc DISTINCT bigrams = document frequency; ties at the
+    // cutoff break by bigram string, so the vocabulary is deterministic
+    val vocab = post.groupBy(col("b"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("b"))
+      .limit(vocabSize)
+      .select(col("b"))
+    val hits = post.join(broadcast(vocab), "b")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    documents
+      .select(col("doc_id"),
+        size(shingles(col("text"), 2)).cast("long").as("n_bigrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_in_ref"),
+        when(col("n_bigrams") > 0,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double"), 6)).otherwise(0.0)
+          .as("coverage6"))
+      .orderBy(col("doc_id"))
+  }
 }

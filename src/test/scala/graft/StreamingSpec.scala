@@ -376,6 +376,40 @@ class StreamingSpec extends SparkSpec {
     assert(table.hashes.count() <= 64L * streamed.length) // ≤ groups·k forever
   }
 
+  test("streaming priority sample: waves fold to the exact batch sample, state bounded at k") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamPrioritySample
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // adversarial arrival: sort by doc_id descending so early waves are
+    // full of rows the final sample mostly evicts
+    val waves = docs.sortBy(-_._1)
+    val src = MemoryStream[(Long, String, Long)]
+    val table = new StreamPrioritySample.SampleTable(spark, k = 50)
+    val q = StreamPrioritySample.start(
+      src.toDS().toDF("doc_id", "source", "n_chars"), table)
+    waves.grouped(100).foreach { wave =>
+      src.addData(wave: _*)
+      q.processAllAvailable()
+    }
+    // at-least-once replay: refeed a wave; same rows ⇒ same priorities ⇒
+    // the distinct absorbs them
+    src.addData(waves.take(100): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = table.sample.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val batch = Sampling.prioritySample(
+      Tables.documents(spark, sf0001), k = 50).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq) // mergeable bottom-k: streamed ≡ batch
+    assert(table.sample.count() <= 50)    // state bounded at k forever
+  }
+
   test("streaming funnel: out-of-order waves converge to batch, state prunes to the pre-conversion prefix") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamFunnel
