@@ -373,6 +373,12 @@ object SparkEntry {
     }),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir))),
+    "semantic_dedup_against" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedupAgainst(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+    }),
 
     // ── Text analysis ──
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
@@ -1798,6 +1804,49 @@ object SparkEntry {
         |SELECT e.vec_id, e.label FROM embeddings e
         |WHERE e.vec_id NOT IN (SELECT id FROM dropped)
         |ORDER BY e.vec_id""".stripMargin,
+
+    // Cross-corpus variant of semantic_dedup: new batch (vec_id%5=0)
+    // probes corpus (vec_id%5<>0) band buckets; inline exact-cosine
+    // verify mirrored as dots over candidate pairs.
+    "semantic_dedup_against" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), planes AS (
+        |  SELECT p, i,
+        |    (('0x' || substr(md5(p::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2000001 - 1000000) / CAST(1000000 AS DOUBLE) AS wt
+        |  FROM range(0, 64) rp(p), range(0, 64) ri(i)
+        |), proj AS (
+        |  SELECT e.vec_id, pl.p, sum(e.x * pl.wt) AS pr
+        |  FROM elems e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT vec_id, p // 4 AS band,
+        |    CAST(sum(CASE WHEN pr >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS bv
+        |  FROM proj GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS new_id, b.vec_id AS corpus_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bv = b.bv
+        |  WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT c.new_id, c.corpus_id, sum(a.x * b.x) AS dot
+        |  FROM cand c
+        |  JOIN elems a ON a.vec_id = c.new_id
+        |  JOIN elems b ON b.vec_id = c.corpus_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.new_id, d.corpus_id,
+        |  round(d.dot / (na.nrm * nb.nrm), 6) AS cos6
+        |FROM dots d
+        |JOIN norms na ON na.vec_id = d.new_id
+        |JOIN norms nb ON nb.vec_id = d.corpus_id
+        |WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     "source_quota" ->
       """SELECT doc_id, source, rank_in_source FROM (

@@ -319,4 +319,42 @@ object Similarity {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
   }
+
+  /** CROSS-CORPUS semantic near-dup check — the embedding twin of
+    * [[graft.operators.Dedup.dedupAgainst]]: which INCOMING vectors
+    * semantically duplicate something already in the corpus? The
+    * asymmetry is the scale story, same as the MinHash side: the corpus
+    * band table is write-time state (signatures computed once per vector
+    * ever — [[graft.store.EmbeddingStore]] territory; recomputed here
+    * because the test store is parquet-only), the new batch's signatures
+    * cost ∝ batch. Band probe + INLINE exact-cosine verify, so only true
+    * cross-dup pairs ever shuffle. Output: (new_id, corpus_id, cos6). */
+  def semanticDedupAgainst(newVecs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.4, bands: Int = 16,
+      bitsPerBand: Int = 4): DataFrame = {
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    def banded(df: DataFrame): DataFrame = {
+      val signed = df.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+        lshSignature(col("embedding"), bands * bitsPerBand).as("sig"))
+      val bandCols = (0 until bands).map { bd =>
+        struct(lit(bd).as("band"),
+          shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask).as("bv"))
+      }
+      signed.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array(bandCols: _*)).as("bk"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("bk.band").as("band"), col("bk.bv").as("bv"))
+    }
+    banded(newVecs).as("a")
+      .join(banded(corpus).as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+      .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))
+        / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"),
+        round(col("cos"), 6).as("cos6"))
+      .distinct()
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
 }

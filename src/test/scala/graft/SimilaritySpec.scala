@@ -169,6 +169,28 @@ class SimilaritySpec extends SparkSpec {
     assert(banded >= 0.7, s"banded recall too low: $banded")
   }
 
+  test("cross-corpus semantic check: exact-precision subset of brute-force cross pairs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps.dot
+    val emb = Tables.embeddings(spark, sf001)
+    val newV = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val corp = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val got = Similarity.semanticDedupAgainst(newV, corp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth: every cross pair ≥ threshold
+    val a = newV.select(col("vec_id").as("na"), col("embedding").as("ea"))
+    val b = corp.select(col("vec_id").as("nb"), col("embedding").as("eb"))
+    val truth = a.crossJoin(b)
+      .filter(dot(col("ea"), col("eb"))
+        / (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb"))))
+        >= 0.4)
+      .select(col("na"), col("nb")).as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "probe found no cross dups on this corpus")
+    assert(got.subsetOf(truth), "inline verify must make precision exact")
+    assert(got.size.toDouble / truth.size >= 0.7,
+      s"cross recall too low: ${got.size}/${truth.size}")
+  }
+
   test("semantic dedup: kept set is dup-free and every drop has a kept witness") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps.dot
