@@ -291,7 +291,7 @@ object Dedup {
     * algorithm hygiene on Spark (GraphX does the same internally).
     * Output: (doc_id, rep_id) for every doc that appears in a pair. */
   def connectedComponents(pairs: DataFrame,
-      roundsPerCheck: Int = 3): DataFrame = {
+      roundsPerCheck: Int = 2): DataFrame = {
     // the (possibly expensive) pair pipeline materializes ONCE — checkpoint
     // BEFORE the symmetric union: the two union branches are separate
     // references to the pairs subtree, and Spark does no logical CSE across
