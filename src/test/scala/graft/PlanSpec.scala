@@ -77,10 +77,19 @@ class PlanSpec extends SparkSpec {
 
   test("dedup/minhash joins are equi-joins, never cartesian") {
     Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
-        "dedup_against").foreach { q =>
+        "dedup_against", "semantic_dedup", "semantic_dedup_against").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
+  }
+
+  test("priority sample rides TakeOrderedAndProject off a shuffle-free scan") {
+    val p = planOf("priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k smallest priorities must not plan a global sort")
+    // priority is a scan projection: no exchange below the TakeOrdered
+    assert(!p.contains("Exchange hashpartitioning"),
+      "priority computation must stay map-side")
   }
 
   test("ngram jaccard: hot-shingle df-cut is live, as a broadcast anti-join") {
