@@ -258,6 +258,8 @@ object SparkEntry {
     "integrity_checksum" -> ((s, dir) =>
       TextAnalysis.integrityChecksum(Tables.documents(s, dir))),
     "value_histogram" -> ((s, dir) => EventsOps.valueHistogram(Tables.events(s, dir))),
+    "equidepth_histogram" -> ((s, dir) => EventsOps.equidepthHistogram(Tables.events(s, dir))),
+    "event_transitions" -> ((s, dir) => EventsOps.eventTransitions(Tables.events(s, dir))),
     // Skew-safe two-phase aggregation over the 5 hot event_type keys;
     // the oracle is the plain GROUP BY — salting must be invisible in
     // results (DECIMAL sums, so partial/final split can't perturb floats).
@@ -272,6 +274,7 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
     "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
+    "asof_next_purchase" -> ((s, dir) => AsOfJoin.nextPurchaseAfter(Tables.events(s, dir))),
     "range_join_counts" -> ((s, dir) =>
       graft.operators.RangeJoin.purchaseClickCounts(Tables.events(s, dir))),
     // the NAIVE inequality-join formulation, planned scale-safe by the
@@ -1268,6 +1271,30 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // ntile over the (value, event_id) total order: identical bucket
+    // boundaries on both engines (a bare value order ties arbitrarily).
+    "equidepth_histogram" ->
+      """SELECT event_type, bucket, count(*) AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS bucket
+        |  FROM events) t
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // lag over the per-user (epoch_us, event_id) order — the tiebreak
+    // keeps same-timestamp neighbors deterministic across engines.
+    "event_transitions" ->
+      """SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+        |  SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events) t
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type
+        |ORDER BY prev_type, next_type""".stripMargin,
+
     "quantiles_by_type" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,
@@ -1319,6 +1346,19 @@ object SparkEntry {
         |FROM events e
         |ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Forward direction: DuckDB ASOF with the inequality flipped picks
+    // the nearest following row — pandas merge_asof direction='forward'.
+    "asof_next_purchase" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, p.purchase_id AS next_purchase_id
+        |FROM events e
+        |ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY e.event_id""".stripMargin,
 
     "dedup_exact" ->

@@ -54,6 +54,54 @@ object AsOfJoin {
       .drop("__ts", "__side", "__payload")
   }
 
+  /** FORWARD as-of: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` on the same key (pandas merge_asof
+    * direction='forward') — the label-joining direction of a training
+    * pipeline: "the next conversion at or after this impression". Same
+    * union + ordered-window shape as [[asOf]], mirrored: lefts sort
+    * BEFORE rights at equal timestamps (side 0 vs 1 — an equal-ts right
+    * must be visible to the left row for inclusive `>=`) and the frame
+    * looks FORWARD (`first(payload, ignoreNulls)` over
+    * [currentRow, unboundedFollowing]). Still one shuffle on the key. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCol: String,
+      as: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right
+      .select(col(keyCol), col(rightTs).as("__ts"), lit(1).as("__side"),
+        col(payloadCol).as("__payload"))
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn(as, first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__ts", "__side", "__payload")
+  }
+
+  /** Forward-direction registered shape: each event joined to the id of
+    * the next 'purchase' of the same user at or after it. */
+  def nextPurchaseAfter(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    asOfForward(
+      left = events.select(col("event_id"), col("user_id"), col("ts")),
+      right = purchases, keyCol = "user_id",
+      leftTs = "ts", rightTs = "ts", payloadCol = "purchase_id",
+      as = "next_purchase_id")
+      .select(col("event_id"), col("user_id"), col("next_purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** The registered query shape: each event joined to the id of the most
     * recent 'purchase' event of the same user at or before it. Right side
     * deduped per (user, ts) so ties are deterministic across engines. */

@@ -362,4 +362,42 @@ object EventsOps {
         (col("in_window") > limit).as("limited"))
       .orderBy(col("event_id"))
   }
+
+  /** Event-type TRANSITION matrix: counts of consecutive (prev → next)
+    * event-type pairs per user timeline — the Markov-chain / user-journey
+    * summary behind "what do users do after a view?". One shuffle on
+    * user_id for the lag window ((us, event_id) order — deterministic
+    * under timestamp ties), then a result-cardinality (|types|²-bounded)
+    * aggregate; first events (no predecessor) drop out. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** EQUI-DEPTH histogram per event type: `buckets` quantile buckets of
+    * equal population (ntile over the (value, event_id) total order —
+    * the tiebreak makes bucket boundaries engine-deterministic where a
+    * bare value order is not), each reporting its population and value
+    * range. The complement of the fixed-width [[valueHistogram]]: width
+    * adapts to density, so heavy-tailed metrics get resolution where the
+    * mass is. One shuffle on event_type; result is |types|·buckets rows. */
+  def equidepthHistogram(events: DataFrame, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
 }

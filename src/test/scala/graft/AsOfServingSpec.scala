@@ -25,6 +25,24 @@ class AsOfServingSpec extends SparkSpec {
       "L3" -> None))         // right exists only after
   }
 
+  test("forward as-of join: earliest right at-or-after each left ts, per key") {
+    val left = Seq(
+      ("k1", 10L, "L1"), ("k1", 20L, "L2"), ("k1", 5L, "L0"),
+      ("k2", 100L, "L3")).toDF("k", "ts", "tag")
+    val right = Seq(
+      ("k1", 10L, "R@10"), ("k1", 15L, "R@15"),
+      ("k2", 50L, "R@50")).toDF("k", "ts", "quote")
+    val got = AsOfJoin.asOfForward(left, right, "k", "ts", "ts", "quote",
+        "next_quote")
+      .select("tag", "next_quote").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      "L0" -> Some("R@10"),  // earliest following
+      "L1" -> Some("R@10"),  // inclusive >= at equal ts
+      "L2" -> None,          // nothing at or after 20
+      "L3" -> None))         // right exists only before
+  }
+
   test("trends result cache: hit within TTL, recompute after expiry (S7/D5)") {
     var now = 0L
     var computes = 0
