@@ -244,6 +244,8 @@ object SparkEntry {
     "kmv_distinct" -> ((s, dir) => EventsOps.kmvDistinct(Tables.events(s, dir))),
     "dispersion_by_type" -> ((s, dir) =>
       EventsOps.dispersionByType(Tables.events(s, dir))),
+    "moments_by_type" -> ((s, dir) =>
+      EventsOps.momentsByType(Tables.events(s, dir))),
     "value_trend_by_type" -> ((s, dir) =>
       EventsOps.valueTrendByType(Tables.events(s, dir))),
     "quantiles_disc_by_type" -> ((s, dir) =>
@@ -1171,6 +1173,49 @@ object SparkEntry {
         |  round(sqrt(greatest((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0)), 6) AS stddev_pop
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // Skewness/kurtosis from exact DECIMAL power sums; formula text is
+    // shared with the Spark side op-for-op (m2·sqrt(m2), never pow — a
+    // libm call whose last ulp differs across implementations).
+    "moments_by_type" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(8,2)) AS x1,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2))
+        |      AS DECIMAL(19,4)) AS x2
+        |  FROM events
+        |), vals2 AS (
+        |  -- staged widths: DuckDB decimals are int64 up to 18 digits and
+        |  -- only promote on the DECLARED result type, so each product is
+        |  -- cast to a width that fits exactly (x4 ≤ 24 digits at scale 8)
+        |  SELECT event_type, x1, x2,
+        |    CAST(x2 * x1 AS DECIMAL(28,6)) AS x3,
+        |    CAST(x2 * x2 AS DECIMAL(38,8)) AS x4
+        |  FROM vals
+        |), s AS (
+        |  SELECT event_type, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+        |    sum(x3) AS s3, sum(x4) AS s4
+        |  FROM vals2 GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+        |    CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+        |  FROM s
+        |), m AS (
+        |  SELECT event_type, n, nd, s1d,
+        |    greatest((nd * s2d - s1d * s1d) / (nd * nd), 0.0) AS m2,
+        |    (nd * nd * s3d - 3 * nd * s1d * s2d + 2 * s1d * s1d * s1d)
+        |      / (nd * nd * nd) AS m3,
+        |    (nd * nd * nd * s4d - 4 * nd * nd * s1d * s3d
+        |      + 6 * nd * s1d * s1d * s2d - 3 * s1d * s1d * s1d * s1d)
+        |      / (nd * nd * nd * nd) AS m4
+        |  FROM d
+        |)
+        |SELECT event_type, n,
+        |  round(s1d / nd, 6) AS mean,
+        |  round(m2, 6) AS var_pop,
+        |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3, 6) END AS kurtosis_ex
         |FROM m ORDER BY event_type""".stripMargin,
 
     // Bottom-k distinct sketch, reproduced hash-for-hash: same h60

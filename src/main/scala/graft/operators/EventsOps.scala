@@ -190,6 +190,46 @@ object EventsOps {
       .orderBy(col("event_type"))
   }
 
+  /** Higher MOMENTS per group — population skewness and excess kurtosis,
+    * the tail-shape statistics behind outlier policies and drift checks,
+    * with the same engine-exactness discipline as [[dispersionByType]]:
+    * Σx..Σx⁴ are EXACT DECIMAL sums (value is 2-dp and cast to
+    * DECIMAL(8,2), so x⁴ is an exact (35,8) — magnitudes audited: 10⁴
+    * rows of x ≤ 10³ keep every sum under 24 digits), and the central
+    * moments assemble in double with one shared formula text on both
+    * engines, each step a single correctly-rounded IEEE op. No `pow`
+    * anywhere — m2^1.5 is written m2·√m2 because pow is a libm call
+    * whose last ulp differs across implementations, while multiply and
+    * sqrt are IEEE-exact. Degenerate (constant) groups yield NULL, not
+    * NaN. Map-side partial sums; group-cardinality result. */
+  def momentsByType(events: DataFrame): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(8, 2)
+    val x = col("value").cast(d)
+    val nD = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double")
+    val s4 = col("s4").cast("double")
+    val m2 = greatest(
+      (nD * s2 - s1 * s1) / (nD * nD), lit(0d))
+    val m3 = (nD * nD * s3 - lit(3d) * nD * s1 * s2
+      + lit(2d) * s1 * s1 * s1) / (nD * nD * nD)
+    val m4 = (nD * nD * nD * s4 - lit(4d) * nD * nD * s1 * s3
+      + lit(6d) * nD * s1 * s1 * s2 - lit(3d) * s1 * s1 * s1 * s1) /
+      (nD * nD * nD * nD)
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select(col("event_type"), col("n"),
+        round(s1 / nD, 6).as("mean"),
+        round(m2, 6).as("var_pop"),
+        when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 6)).as("skewness"),
+        when(m2 > 0, round(m4 / (m2 * m2) - lit(3d), 6)).as("kurtosis_ex"))
+      .orderBy(col("event_type"))
+  }
+
   /** Trend regression per group — Pearson correlation and least-squares
     * slope of `value` over TIME, the is-this-metric-drifting query.
     * Same portability discipline as [[dispersionByType]]: both variables
