@@ -248,6 +248,8 @@ object SparkEntry {
       EventsOps.momentsByType(Tables.events(s, dir))),
     "value_trend_by_type" -> ((s, dir) =>
       EventsOps.valueTrendByType(Tables.events(s, dir))),
+    "winsorize_values" -> ((s, dir) =>
+      EventsOps.winsorizeByType(Tables.events(s, dir))),
     "quantiles_disc_by_type" -> ((s, dir) =>
       EventsOps.quantilesDiscByType(Tables.events(s, dir))),
     "trends_zscore" -> ((s, dir) => Trends.trendsZscore(Tables.events(s, dir),
@@ -1083,6 +1085,25 @@ object SparkEntry {
 
     // Explicit cume_dist definition — native percentile_disc tie
     // conventions differ across engines; this one is spelled out.
+    // Same cume_dist discrete-percentile rule as quantiles_disc; the
+    // clamp is pure comparison, so the output is engine-exact.
+    "winsorize_values" ->
+      """WITH cd AS (
+        |  SELECT event_type, value,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cd >= 0.05 THEN value END) AS p_lo,
+        |    min(CASE WHEN cd >= 0.95 THEN value END) AS p_hi
+        |  FROM cd GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  greatest(least(e.value, b.p_hi), b.p_lo) AS value_winsorized,
+        |  (e.value < b.p_lo OR e.value > b.p_hi) AS clipped
+        |FROM events e JOIN b ON b.event_type = e.event_type
+        |ORDER BY e.event_id""".stripMargin,
+
     "quantiles_disc_by_type" ->
       """WITH cd AS (
         |  SELECT event_type, value,

@@ -155,6 +155,35 @@ object EventsOps {
       .orderBy(col("event_type"))
   }
 
+  /** WINSORIZE per group — clamp each value to its group's exact
+    * discrete [p05, p95] (percentile_disc semantics, spelled out via the
+    * cume_dist integer-ratio rule like [[quantilesDiscByType]] so every
+    * engine elects the same REAL observations as bounds; interpolated
+    * bounds would be engine-float territory). The standard outlier
+    * treatment before training a regression / computing a mean that a
+    * fat tail would own. Two passes over the group: one window for
+    * cume_dist at per-row cardinality, then the group bounds broadcast
+    * back via a result-cardinality join — at 100 TB the bounds table is
+    * |groups| rows, the clamp is map-side. */
+  def winsorizeByType(events: DataFrame, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val bounds = events
+      .select(col("event_type"), col("value"))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cd") >= lo, col("value"))).as("p_lo"),
+        min(when(col("cd") >= hi, col("value"))).as("p_hi"))
+    events
+      .join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        greatest(least(col("value"), col("p_hi")), col("p_lo"))
+          .as("value_winsorized"),
+        (col("value") < col("p_lo") || col("value") > col("p_hi"))
+          .as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
   /** Dispersion statistics per group — variance/stddev made ENGINE-EXACT.
     * Naive stddev aggregates are distributed float sums whose combine
     * order varies run to run; instead the MOMENTS are summed in exact
