@@ -248,6 +248,8 @@ object SparkEntry {
       EventsOps.momentsByType(Tables.events(s, dir))),
     "value_trend_by_type" -> ((s, dir) =>
       EventsOps.valueTrendByType(Tables.events(s, dir))),
+    "scd2_intervals" -> ((s, dir) =>
+      EventsOps.scd2Intervals(Tables.events(s, dir))),
     "winsorize_values" -> ((s, dir) =>
       EventsOps.winsorizeByType(Tables.events(s, dir))),
     "quantiles_disc_by_type" -> ((s, dir) =>
@@ -1085,6 +1087,24 @@ object SparkEntry {
 
     // Explicit cume_dist definition — native percentile_disc tie
     // conventions differ across engines; this one is spelled out.
+    // lag elects change rows, lead closes intervals — both over the
+    // (us, event_id) tie-broken key order; exact double equality.
+    "scd2_intervals" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS prev_value
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_type, value, us, event_id FROM ordered
+        |  WHERE prev_value IS NULL OR value <> prev_value
+        |)
+        |SELECT user_id, event_type, value, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id) AS valid_to_us
+        |FROM changes
+        |ORDER BY user_id, event_type, valid_from_us""".stripMargin,
+
     // Same cume_dist discrete-percentile rule as quantiles_disc; the
     // clamp is pure comparison, so the output is engine-exact.
     "winsorize_values" ->

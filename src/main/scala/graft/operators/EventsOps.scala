@@ -155,6 +155,31 @@ object EventsOps {
       .orderBy(col("event_type"))
   }
 
+  /** SCD TYPE-2 interval construction — turn a change-event stream into
+    * validity ranges: one row per (key, value-run) with
+    * [valid_from, valid_to) microsecond bounds, valid_to NULL for the
+    * current value. The change-data-capture → dimension-table build
+    * every warehouse runs; [[latestEvents]] is its "current snapshot"
+    * projection, `customer_price_drift` its endpoints-only cousin.
+    * Change rows are elected by lag() over the (us, event_id)-tie-broken
+    * per-key order (exact double equality — portable, unlike an epsilon),
+    * then lead() over the surviving rows closes each interval. Two
+    * windows on the SAME key+order: one shuffle, the second window
+    * reuses the partitioning and re-sorts the (smaller) change set. */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_value").isNull || col("value") =!= col("prev_value"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("event_type"), col("valid_from_us"))
+  }
+
   /** WINSORIZE per group — clamp each value to its group's exact
     * discrete [p05, p95] (percentile_disc semantics, spelled out via the
     * cume_dist integer-ratio rule like [[quantilesDiscByType]] so every
