@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.TradeIngest
-import graft.operators.{AsOfJoin, Dedup, EventsOps, Multimodal, Relational, Similarity, TextAnalysis, Trends}
+import graft.operators.{AsOfJoin, Dedup, EventsOps, MarketStats, Multimodal, Relational, Similarity, TextAnalysis, Trends}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -266,6 +266,19 @@ object SparkEntry {
     "value_histogram" -> ((s, dir) => EventsOps.valueHistogram(Tables.events(s, dir))),
     "equidepth_histogram" -> ((s, dir) => EventsOps.equidepthHistogram(Tables.events(s, dir))),
     "event_transitions" -> ((s, dir) => EventsOps.eventTransitions(Tables.events(s, dir))),
+
+    // ── Market-analytics family (MarketStats): the standard market-data
+    // surface over the tick stream — OHLC candles, volume/time-weighted
+    // prices, realized variation, drawdown, cross-pair correlation. All
+    // float answers come from exact DECIMAL sums + one IEEE op. ──
+    "ohlc_bars" -> ((s, dir) => MarketStats.ohlcBars(Tables.events(s, dir))),
+    "vwap_hourly" -> ((s, dir) => MarketStats.vwap(Tables.events(s, dir))),
+    "twap_daily" -> ((s, dir) => MarketStats.twap(Tables.events(s, dir))),
+    "realized_variation" -> ((s, dir) =>
+      MarketStats.realizedVariation(Tables.events(s, dir))),
+    "max_drawdown" -> ((s, dir) => MarketStats.maxDrawdown(Tables.events(s, dir))),
+    "pair_correlation" -> ((s, dir) =>
+      MarketStats.pairCorrelation(Tables.events(s, dir))),
     // Skew-safe two-phase aggregation over the 5 hot event_type keys;
     // the oracle is the plain GROUP BY — salting must be invisible in
     // results (DECIMAL sums, so partial/final split can't perturb floats).
@@ -1380,6 +1393,105 @@ object SparkEntry {
         |WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // ── MarketStats oracles: the same exact-DECIMAL-sums + one-IEEE-op
+    // recipe, written as literal formulas so both engines compute the
+    // identical float. Tick order is (epoch_ns, event_id) throughout. ──
+    "ohlc_bars" ->
+      """SELECT event_type, window_start,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks
+        |FROM (
+        |  SELECT event_type, epoch_ns(ts) // 600000000000 * 600 AS window_start,
+        |    value,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      epoch_ns(ts) // 600000000000
+        |      ORDER BY epoch_ns(ts), event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      epoch_ns(ts) // 600000000000
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |  FROM events) t
+        |GROUP BY event_type, window_start
+        |ORDER BY event_type, window_start""".stripMargin,
+
+    // micro-unit floor price (tf·10⁶ div df convention — a float
+    // quotient of these small-denominator rationals hits .5 rounding
+    // boundaries where engines disagree; integer floor cannot)
+    "vwap_hourly" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
+        |  CASE WHEN sum(CAST(json_extract(props, '$.k') AS BIGINT)) <> 0 THEN
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(8,2)) *
+        |          CAST(json_extract(props, '$.k') AS BIGINT)) * 1000000
+        |        AS HUGEINT) //
+        |      sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    END AS vwap_micro,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS volume,
+        |  count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "twap_daily" ->
+      """SELECT event_type, day,
+        |  CAST(CAST(sum(v * hold_ns) * 1000000 AS HUGEINT) //
+        |    sum(hold_ns) AS BIGINT) AS twap_micro,
+        |  count(*) AS n_ticks
+        |FROM (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(value AS DECIMAL(8,2)) AS v,
+        |    lead(epoch_ns(ts)) OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |      ORDER BY epoch_ns(ts), event_id) - epoch_ns(ts) AS hold_ns
+        |  FROM events) t
+        |WHERE hold_ns IS NOT NULL
+        |GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
+
+    "realized_variation" ->
+      """SELECT event_type, day,
+        |  round(sqrt(CAST(sum(d * d) AS DOUBLE)), 6) AS rvar,
+        |  count(*) AS n_returns
+        |FROM (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(value AS DECIMAL(8,2)) - lag(CAST(value AS DECIMAL(8,2)))
+        |      OVER (PARTITION BY event_type, epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts), event_id) AS d
+        |  FROM events) t
+        |WHERE d IS NOT NULL
+        |GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
+
+    "max_drawdown" ->
+      """SELECT event_type,
+        |  round(max((peak - value) / peak), 6) AS max_drawdown,
+        |  count(*) AS n_ticks
+        |FROM (
+        |  SELECT event_type, value,
+        |    max(value) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_ns(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "pair_correlation" ->
+      """WITH buckets AS (
+        |  SELECT event_type, epoch_ns(ts) // 600000000000 * 600 AS window_start,
+        |    CAST(sum(CAST(value AS DECIMAL(8,2))) AS DECIMAL(19,2)) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.sv AS x, b.sv AS y
+        |  FROM buckets a JOIN buckets b USING (window_start)
+        |  WHERE a.event_type < b.event_type
+        |)
+        |SELECT type_a, type_b,
+        |  round((CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
+        |      CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |    (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |      sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))), 6) AS corr,
+        |  count(*) AS n_windows
+        |FROM pairs GROUP BY type_a, type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "quantiles_by_type" ->
       """SELECT event_type,

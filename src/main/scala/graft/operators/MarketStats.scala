@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Market-analytics operators over the tick stream (`events` as trades:
+ * `event_type` = instrument, `value` = rate, `props.$.k` = size). The
+ * reference serves one windowed min/max/avg/median trend query
+ * (`trends/listing/service.go:49-63`); this family is the rest of the
+ * standard market-data surface a currency-pulse engine is expected to
+ * answer — OHLC candles, volume/time-weighted prices, realized
+ * variation, drawdown, and cross-pair co-movement.
+ *
+ * Determinism contract (the driver hash-compares against DuckDB): every
+ * aggregate rides exact DECIMAL sums (ticks are 2-decimal doubles, sizes
+ * integers, weights integer nanos — all exactly representable), then a
+ * single cast-to-double followed by IEEE-deterministic ops (÷, sqrt)
+ * produces the float answer. No double is ever SUMMED, so partition
+ * order can never perturb a result bit.
+ *
+ * Scale notes (100 TB): each operator is one shuffle on
+ * (instrument[, window]) — uniform keys by construction (windows bound
+ * group size; instruments are the natural clustering key the store
+ * already sorts by, see graft.store). OHLC's two window orderings share
+ * one Exchange (same partition key). Nothing collects to the driver.
+ */
+object MarketStats {
+
+  private val NanosPerSec = 1000000000L
+
+  /** value is generated with 2 decimals — DECIMAL(8,2) holds it exactly. */
+  private def vDec = col("value").cast(DecimalType(8, 2))
+
+  /** Integer `div` (the repo's convention for epoch bucketing — a double
+    * `/` would round-trip >2^53 nano-epochs through FP). */
+  private def winStart(windowSec: Long) =
+    expr(s"ts_ns div ${windowSec * NanosPerSec}") * windowSec
+
+  private def dayIdx = expr(s"ts_ns div ${86400L * NanosPerSec}")
+
+  /** OHLC candlestick bars: per instrument × tumbling window, the first
+    * (open) / max (high) / min (low) / last (close) tick and tick count.
+    * Open/close are row_number picks over (ts_ns, event_id) — the repo's
+    * deterministic tick order (same-nanosecond ties broken by id, so the
+    * answer is stable across engines, retries, and partitionings). Both
+    * orderings run inside ONE Exchange on (instrument, window); all five
+    * outputs are exact value picks, so no rounding is needed. */
+  def ohlcBars(events: DataFrame, windowSec: Long = 600L): DataFrame = {
+    val wstart = winStart(windowSec)
+    val part = Window.partitionBy(col("event_type"), col("window_start"))
+    val asc = part.orderBy(col("ts_ns").asc, col("event_id").asc)
+    val desc = part.orderBy(col("ts_ns").desc, col("event_id").desc)
+    events
+      .select(col("event_type"), wstart.as("window_start"), col("value"),
+        col("ts_ns"), col("event_id"))
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Volume-weighted average price per instrument × window: Σ(rate·size)
+    * ÷ Σ size, sizes pulled from the JSON props (`$.k`, the trade size).
+    * rate·size is DECIMAL(8,2)×BIGINT — exact; the price is reported in
+    * integer MICRO-units via floor division of the exact totals (the
+    * repo's tf·10⁶ div df convention): a float quotient rounded to 6
+    * places can land exactly on a .5 boundary — pv/vol is a small-
+    * denominator rational, so it DOES in practice — and engines disagree
+    * there. Floor on exact integers cannot. One shuffle. */
+  def vwap(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val wstart = winStart(windowSec)
+    events
+      .select(col("event_type"), wstart.as("window_start"), vDec.as("v"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(
+        sum(col("v") * col("size")).as("pv"),
+        sum(col("size")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      // a window can trade zero total size (all ticks k=0) — VWAP is
+      // undefined there; NULL, not a 0/0 (ANSI divide would throw)
+      .select(col("event_type"), col("window_start"),
+        when(col("volume") =!= 0,
+          expr("(pv * 1000000) div volume")).as("vwap_micro"),
+        col("volume"), col("n_ticks"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Time-weighted average price per instrument × day: each tick is
+    * weighted by how long its rate was current (nanos until the next
+    * tick in the same day; the day's last tick has no residence interval
+    * and drops out — both sides of the oracle agree on that convention).
+    * Weights are integer nanos, so Σ(rate·w) is exact DECIMAL; one
+    * shuffle on (instrument, day), the lead() rides the same sort. */
+  def twap(events: DataFrame): DataFrame = {
+    val day = dayIdx.as("day")
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    events
+      .select(col("event_type"), day, vDec.as("v"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("hold_ns", lead(col("ts_ns"), 1).over(w) - col("ts_ns"))
+      .where(col("hold_ns").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        sum(col("v") * col("hold_ns")).as("vw"),
+        sum(col("hold_ns")).as("w_ns"),
+        count(lit(1)).as("n_ticks"))
+      // micro-unit floor price, same rationale as [[vwap]]; w_ns > 0 by
+      // construction (a surviving tick has a successor)
+      .select(col("event_type"), col("day"),
+        expr("(vw * 1000000) div w_ns").as("twap_micro"),
+        col("n_ticks"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Realized variation per instrument × day: √Σ(Δrate²) over the day's
+    * tick-to-tick moves (absolute, not log, returns — Δ is an exact
+    * DECIMAL difference of 2-decimal ticks, so the sum of squares is
+    * exact and the single sqrt is IEEE-correctly-rounded: bit-identical
+    * across engines, which log returns could not promise since libm log
+    * is not required to be correctly rounded). */
+  def realizedVariation(events: DataFrame): DataFrame = {
+    val day = dayIdx.as("day")
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    events
+      .select(col("event_type"), day, vDec.as("v"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("d", col("v") - lag(col("v"), 1).over(w))
+      .where(col("d").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        round(sqrt(sum(col("d") * col("d")).cast("double")), 6).as("rvar"),
+        count(lit(1)).as("n_returns"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Maximum drawdown per instrument: the worst peak-to-trough relative
+    * drop along the full tick path. The running max is an exact window
+    * aggregate; each per-row (peak − rate) ÷ peak is one IEEE division
+    * of exact doubles; max() then picks one exactly — deterministic with
+    * no decimal machinery at all. One shuffle on instrument. */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_type"), col("value"), col("ts_ns"), col("event_id"))
+      .withColumn("peak", max(col("value")).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        round(max((col("peak") - col("value")) / col("peak")), 6)
+          .as("max_drawdown"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Cross-pair co-movement: Pearson correlation of the per-window value
+    * totals of every instrument pair, over windows where both traded.
+    * The five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact DECIMALs;
+    * the textbook formula then runs once in double — identical literal
+    * arithmetic on both engines, so no Welford-vs-naive divergence.
+    * Buckets-per-pair is a SMALL relation (instruments² × windows), so
+    * the pair join broadcasts at any corpus scale; the one data-sized
+    * shuffle is the windowed pre-aggregate. */
+  def pairCorrelation(events: DataFrame, windowSec: Long = 600L): DataFrame = {
+    val wstart = winStart(windowSec)
+    val buckets = events
+      .select(col("event_type"), wstart.as("window_start"),
+        vDec.as("v"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(sum(col("v")).cast(DecimalType(19, 2)).as("sv"))
+    val a = buckets.select(col("event_type").as("type_a"),
+      col("window_start"), col("sv").as("x"))
+    val b = buckets.select(col("event_type").as("type_b"),
+      col("window_start"), col("sv").as("y"))
+    val joined = a.join(b, Seq("window_start"))
+      .where(col("type_a") < col("type_b"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x")).cast("double")
+    val sy = sum(col("y")).cast("double")
+    val sxy = sum(col("x") * col("y")).cast("double")
+    val sxx = sum(col("x") * col("x")).cast("double")
+    val syy = sum(col("y") * col("y")).cast("double")
+    joined
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        round((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+          .as("corr"),
+        count(lit(1)).as("n_windows"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+}

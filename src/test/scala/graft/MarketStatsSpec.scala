@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.MarketStats
+
+/** Hand-built tick paths with known OHLC/TWAP/drawdown answers, plus the
+  * plan shape that keeps the family one-shuffle at scale. */
+class MarketStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (event_id, ts_ns, event_type, value, props) ticks. */
+  private def ticks(rows: (Long, Long, String, Double, String)*) =
+    rows.toDF("event_id", "ts_ns", "event_type", "value", "props")
+
+  test("ohlcBars picks first/last by (ts_ns, event_id) and exact extremes") {
+    // one 600 s window; same-nanos tie on the open decided by event_id
+    val df = ticks(
+      (2L, 1000L, "eurusd", 1.10, "{}"),
+      (1L, 1000L, "eurusd", 1.20, "{}"), // wins the open tie (lower id)
+      (3L, 2000L, "eurusd", 0.90, "{}"),
+      (4L, 3000L, "eurusd", 1.15, "{}"))
+    val r = MarketStats.ohlcBars(df).collect()
+    assert(r.length == 1)
+    val Row(_, _, open, high, low, close, n) = r(0)
+    assert((open, high, low, close, n) == (1.20, 1.20, 0.90, 1.15, 4L))
+  }
+
+  test("ohlcBars splits windows on the tumbling boundary") {
+    val ns = 600L * 1000000000L
+    val df = ticks(
+      (1L, ns - 1, "a", 1.0, "{}"),
+      (2L, ns, "a", 2.0, "{}"))
+    val r = MarketStats.ohlcBars(df).orderBy("window_start").collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(0L, 600L))
+    assert(r.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("vwap weights by props.k, floors to micro-units, NULLs zero volume") {
+    val df = ticks(
+      (1L, 1000L, "a", 2.00, """{"k": 1}"""),
+      (2L, 2000L, "a", 4.00, """{"k": 3}"""),
+      // all-zero-size window for instrument b
+      (3L, 1000L, "b", 9.99, """{"k": 0}"""))
+    val r = MarketStats.vwap(df).orderBy("event_type").collect()
+    // (2*1 + 4*3) / 4 = 3.5 → 3_500_000 micro
+    assert(r(0).getLong(2) == 3500000L && r(0).getLong(3) == 4L)
+    assert(r(1).isNullAt(2) && r(1).getLong(3) == 0L)
+  }
+
+  test("twap weights each tick by its residence time; last tick drops") {
+    val df = ticks(
+      (1L, 0L, "a", 1.00, "{}"), // held 100 ns
+      (2L, 100L, "a", 3.00, "{}"), // held 300 ns
+      (3L, 400L, "a", 9.99, "{}")) // no successor → excluded
+    val r = MarketStats.twap(df).collect()
+    // (1*100 + 3*300) / 400 = 2.5 → 2_500_000 micro, 2 weighted ticks
+    assert(r.length == 1 && r(0).getLong(2) == 2500000L && r(0).getLong(3) == 2L)
+  }
+
+  test("realizedVariation is sqrt of exact sum of squared tick moves") {
+    val df = ticks(
+      (1L, 0L, "a", 1.00, "{}"),
+      (2L, 100L, "a", 4.00, "{}"), // Δ = 3
+      (3L, 200L, "a", 0.00, "{}")) // Δ = -4
+    val r = MarketStats.realizedVariation(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(2) == 5.0 && r(0).getLong(3) == 2L)
+  }
+
+  test("maxDrawdown finds the worst peak-to-trough drop along the path") {
+    // path 4 → 2 (dd .5) → 5 → 1 (dd .8) → 10
+    val df = ticks(
+      (1L, 0L, "a", 4.0, "{}"), (2L, 1L, "a", 2.0, "{}"),
+      (3L, 2L, "a", 5.0, "{}"), (4L, 3L, "a", 1.0, "{}"),
+      (5L, 4L, "a", 10.0, "{}"))
+    val r = MarketStats.maxDrawdown(df).collect()
+    assert(r(0).getDouble(1) == 0.8 && r(0).getLong(2) == 5L)
+  }
+
+  test("pairCorrelation is ±1 on exactly co-/anti-moving pairs") {
+    val ns = 600L * 1000000000L
+    // three windows; b = 2·a (corr +1), c = −a + 10 (corr −1)
+    val rows = Seq(1.0, 2.0, 4.0).zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 3 + 1L, i * ns, "a", v, "{}"),
+        (i * 3 + 2L, i * ns, "b", 2 * v, "{}"),
+        (i * 3 + 3L, i * ns, "c", 10 - v, "{}"))
+    }
+    val r = MarketStats.pairCorrelation(ticks(rows: _*))
+      .orderBy("type_a", "type_b").collect()
+    val byPair = r.map(x => ((x.getString(0), x.getString(1)), x.getDouble(2))).toMap
+    assert(byPair(("a", "b")) == 1.0)
+    assert(byPair(("a", "c")) == -1.0)
+    assert(byPair(("b", "c")) == -1.0)
+    assert(r.forall(_.getLong(3) == 3L))
+  }
+
+  test("ohlcBars plans ONE exchange for both window orderings + the agg") {
+    val p = MarketStats.ohlcBars(Tables.events(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"open/close orderings and the aggregate must share one shuffle:\n$p")
+  }
+
+  test("market stats agree with the sf0.001 brute force") {
+    val ev = Tables.events(spark, sf0001)
+    // drawdown cross-check: driver-side scalar fold over the sorted path
+    val path = ev.select("event_type", "ts_ns", "event_id", "value")
+      .orderBy("event_type", "ts_ns", "event_id")
+      .collect().groupBy(_.getString(0))
+    val expect = path.map { case (t, rows) =>
+      var peak = Double.MinValue; var dd = 0.0
+      rows.foreach { r =>
+        val v = r.getDouble(3); peak = math.max(peak, v)
+        dd = math.max(dd, (peak - v) / peak)
+      }
+      t -> BigDecimal(dd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = MarketStats.maxDrawdown(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+  }
+}
