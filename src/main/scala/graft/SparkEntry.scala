@@ -279,6 +279,10 @@ object SparkEntry {
     "max_drawdown" -> ((s, dir) => MarketStats.maxDrawdown(Tables.events(s, dir))),
     "pair_correlation" -> ((s, dir) =>
       MarketStats.pairCorrelation(Tables.events(s, dir))),
+    "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
+    "bm25_scores" -> ((s, dir) => TextAnalysis.bm25Scores(Tables.documents(s, dir))),
+    "unpivot_metrics" -> ((s, dir) =>
+      Relational.unpivotLineitemMetrics(Tables.lineitem(s, dir))),
     // Skew-safe two-phase aggregation over the 5 hot event_type keys;
     // the oracle is the plain GROUP BY — salting must be invisible in
     // results (DECIMAL sums, so partial/final split can't perturb floats).
@@ -1470,6 +1474,63 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
         |  FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "mad_by_type" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS m FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, round(median(abs(e.value - med.m)), 6) AS mad,
+        |  count(*) AS n
+        |FROM events e JOIN med USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // BM25 keeps its ln() (unlike tf-idf's integer surrogate): inputs
+    // are exact integer aggregates, the double formula is written in the
+    // identical literal shape on both engines, and the 6-dp round
+    // absorbs the 1-ulp libm latitude on these irrational scores.
+    "bm25_scores" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS term FROM norm
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN ('spark', 'hash', 'vector', 'merge') GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS tot FROM dl
+        |)
+        |SELECT doc_id,
+        |  round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |             (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * 2.2) /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |      (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "unpivot_metrics" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'quantity' AS metric,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS amount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'extendedprice',
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'discount',
+        |    CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax',
+        |    CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+        |)
+        |SELECT l_returnflag, metric, CAST(sum(amount) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pair_correlation" ->
       """WITH buckets AS (

@@ -494,4 +494,22 @@ object EventsOps {
         min(col("value")).as("lo"), max(col("value")).as("hi"))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  /** Median absolute deviation per group — the robust dispersion measure
+    * (outlier-immune where stddev is not; the robust-stats sibling of
+    * [[winsorizeByType]]). Two exact interpolated medians: the per-group
+    * median joins back BROADCAST (group cardinality is small by
+    * definition), each |x − med| is one correctly-rounded double op, and
+    * the second median re-sorts the same group partition. Two shuffles on
+    * the group key, nothing driver-side. */
+  def madByType(events: DataFrame): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    events.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("ad"))
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(ad, 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
 }

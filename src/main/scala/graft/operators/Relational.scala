@@ -792,4 +792,31 @@ object Relational {
       .select(col("s_name"), col("n_name"), col("s_acctbal"))
       .orderBy(col("s_name"))
   }
+
+  /** Wide→long UNPIVOT (melt): lineitem's four money/measure columns as
+    * (metric, amount) rows, re-aggregated per return flag — the inverse
+    * of [[pivot_status_counts]]'s long→wide and the reshape every
+    * metrics-export pipeline needs. Spark's native `unpivot` is a
+    * zero-shuffle Expand (4× row fan-out map-side, columnar input read
+    * ONCE — not 4 self-unioned scans); the only shuffle is the final
+    * (flag, metric) aggregate on 12 keys. DECIMAL sums, cast once. */
+  def unpivotLineitemMetrics(lineitem: DataFrame): DataFrame = {
+    val d = DecimalType(18, 2)
+    lineitem
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(d).as("quantity"),
+        col("l_extendedprice").cast(d).as("extendedprice"),
+        col("l_discount").cast(d).as("discount"),
+        col("l_tax").cast(d).as("tax"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("quantity"), col("extendedprice"),
+          col("discount"), col("tax")),
+        variableColumnName = "metric",
+        valueColumnName = "amount")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(sum(col("amount")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
 }

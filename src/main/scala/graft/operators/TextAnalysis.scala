@@ -368,6 +368,50 @@ object TextAnalysis {
     * (drop terms above a document-frequency ceiling, as in the ngram
     * pipeline) bounds the partition before it matters — tf·idf of a
     * universal term is ~0 by definition. */
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer a training-data pipeline runs to mine topical
+    * subsets (and the classic lexical baseline next to the ANN embedding
+    * path in Similarity). Okapi parameters k1=1.2, b=0.75.
+    *
+    * Float determinism: unlike tf-idf's integer surrogate, BM25 keeps
+    * its logarithm — ln() may differ by 1 ulp across libm builds, so the
+    * score is rounded to 6 dp (an ulp perturbation of these irrational
+    * values cannot straddle a rounding boundary) and output is keyed by
+    * doc_id, never ranked by float. All formula inputs (tf, df, dl, N,
+    * Σdl) are exact integer aggregates; the double arithmetic is written
+    * in the same literal shape as the oracle SQL.
+    *
+    * Shape at 100 TB: the query-term filter lands directly on the
+    * exploded token stream (a handful of terms → the (doc,term) shuffle
+    * carries matched terms only); dl is a second aggregate of the same
+    * scan; df and the corpus scalars (N, avgdl) are tiny frames that
+    * broadcast. No full-vocabulary state anywhere. */
+  def bm25Scores(documents: DataFrame,
+      terms: Seq[String] = Seq("spark", "hash", "vector", "merge")): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val contrib = expr(
+      """ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |         (CAST(df AS DOUBLE) + 0.5)) *
+        |(CAST(tf AS DOUBLE) * 2.2) /
+        |(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |  (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin)
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("doc_id"))
+  }
+
   def tfidfTopTerm(documents: DataFrame): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
