@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.TradeIngest
-import graft.operators.{AsOfJoin, Dedup, EventsOps, MarketStats, Multimodal, Relational, Similarity, TextAnalysis, Trends}
+import graft.operators.{AsOfJoin, Dedup, EventsOps, MarketStats, Multimodal, Profiling, Relational, Similarity, TextAnalysis, Trends}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -280,6 +280,12 @@ object SparkEntry {
     "pair_correlation" -> ((s, dir) =>
       MarketStats.pairCorrelation(Tables.events(s, dir))),
     "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
+    "bollinger_bands" -> ((s, dir) =>
+      MarketStats.bollingerBands(Tables.events(s, dir))),
+    "candle_patterns" -> ((s, dir) =>
+      MarketStats.candlePatterns(Tables.events(s, dir))),
+    "profile_lineitem" -> ((s, dir) =>
+      Profiling.profile(Tables.lineitem(s, dir))),
     "bm25_scores" -> ((s, dir) => TextAnalysis.bm25Scores(Tables.documents(s, dir))),
     "unpivot_metrics" -> ((s, dir) =>
       Relational.unpivotLineitemMetrics(Tables.lineitem(s, dir))),
@@ -1474,6 +1480,80 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
         |  FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // rolling-window sums are exact DECIMALs; mean is the micro-int
+    // surrogate, σ is irrational (safe to round), and the band flags
+    // compare the SAME doubles both engines compute from those sums
+    "bollinger_bands" ->
+      """SELECT event_type, event_id,
+        |  CAST(CAST(s * 1000000 AS HUGEINT) // cnt AS BIGINT) AS mean_micro,
+        |  round(sqrt(greatest(CAST(cnt AS DOUBLE) * CAST(ss AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0)) /
+        |    CAST(cnt AS DOUBLE), 6) AS sd,
+        |  value > CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) +
+        |    2.0 * (sqrt(greatest(CAST(cnt AS DOUBLE) * CAST(ss AS DOUBLE) -
+        |        CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0)) /
+        |      CAST(cnt AS DOUBLE)) AS above,
+        |  value < CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) -
+        |    2.0 * (sqrt(greatest(CAST(cnt AS DOUBLE) * CAST(ss AS DOUBLE) -
+        |        CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0)) /
+        |      CAST(cnt AS DOUBLE)) AS below
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    count(*) OVER w AS cnt,
+        |    sum(CAST(value AS DECIMAL(8,2))) OVER w AS s,
+        |    sum(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2)))
+        |      OVER w AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY epoch_ns(ts), event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |) t ORDER BY event_type, event_id""".stripMargin,
+
+    "candle_patterns" ->
+      """WITH bars AS (
+        |  SELECT event_type, window_start,
+        |    max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |    max(value) AS high, min(value) AS low,
+        |    max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 600000000000 * 600 AS window_start,
+        |      value,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 600000000000
+        |        ORDER BY epoch_ns(ts), event_id) AS rn_a,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 600000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |    FROM events) t
+        |  GROUP BY event_type, window_start
+        |), lagged AS (
+        |  SELECT *,
+        |    lag(open) OVER (PARTITION BY event_type ORDER BY window_start)
+        |      AS p_open,
+        |    lag(close) OVER (PARTITION BY event_type ORDER BY window_start)
+        |      AS p_close
+        |  FROM bars
+        |)
+        |SELECT event_type, window_start,
+        |  abs(close - open) * 10.0 <= high - low AS doji,
+        |  (p_close < p_open AND close > open AND open <= p_close AND
+        |    close >= p_open) AS bullish_engulfing,
+        |  (p_close > p_open AND close < open AND open >= p_close AND
+        |    close <= p_open) AS bearish_engulfing
+        |FROM lagged ORDER BY event_type, window_start""".stripMargin,
+
+    "profile_lineitem" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column",
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "mad_by_type" ->
       """WITH med AS (

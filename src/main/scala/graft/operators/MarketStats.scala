@@ -165,6 +165,67 @@ object MarketStats {
       .orderBy(col("event_type"))
   }
 
+  /** Bollinger bands over a rolling N-tick window per instrument: rolling
+    * mean ± 2σ, with per-tick breakout flags. The window sums (n, Σv,
+    * Σv²) are exact DECIMALs over a ROWS frame; mean/σ/band edges are
+    * then identical literal double arithmetic on both engines, so the
+    * BOOLEAN flags — double comparisons — are bit-deterministic even
+    * though the mean itself may not round cleanly (it is reported as the
+    * micro-int floor surrogate; σ is irrational, so its 6-dp round is
+    * safe). One shuffle on instrument; the rolling frame is O(1) state
+    * per tick in the window executor. */
+  def bollingerBands(events: DataFrame, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val cnt = "CAST(cnt AS DOUBLE)"
+    val s = "CAST(s AS DOUBLE)"
+    val ss = "CAST(ss AS DOUBLE)"
+    events
+      .select(col("event_type"), col("event_id"), col("value"), vDec.as("v"),
+        col("ts_ns"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("ss", sum(col("v") * col("v")).over(w))
+      // greatest(…, 0): n·Σv² − (Σv)² can land an ulp below zero in
+      // double on a near-constant window; both engines clamp the SAME
+      // double, so determinism holds
+      .withColumn("sd",
+        expr(s"sqrt(greatest($cnt * $ss - $s * $s, 0.0)) / $cnt"))
+      .select(col("event_type"), col("event_id"),
+        expr("(s * 1000000) div cnt").as("mean_micro"),
+        round(col("sd"), 6).as("sd"),
+        (col("value") > expr(s"$s / $cnt") + lit(2.0) * col("sd"))
+          .as("above"),
+        (col("value") < expr(s"$s / $cnt") - lit(2.0) * col("sd"))
+          .as("below"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** Candlestick pattern flags over the OHLC bar series: doji (body ≤
+    * 1/10 of the range) and bullish/bearish engulfing (the previous
+    * bar's body contained in an opposite-direction body). All flags are
+    * comparisons of exact tick values (one multiply for the doji ratio —
+    * no division, no rounding), lag() rides the bars' existing
+    * (instrument, window) order. The bar series is already ~10⁶× smaller
+    * than the ticks, so this stage is free at any scale. */
+  def candlePatterns(events: DataFrame, windowSec: Long = 600L): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+    ohlcBars(events, windowSec)
+      .withColumn("p_open", lag(col("open"), 1).over(w))
+      .withColumn("p_close", lag(col("close"), 1).over(w))
+      .select(col("event_type"), col("window_start"),
+        (abs(col("close") - col("open")) * 10.0 <=
+          col("high") - col("low")).as("doji"),
+        (col("p_close") < col("p_open") && col("close") > col("open") &&
+          col("open") <= col("p_close") && col("close") >= col("p_open"))
+          .as("bullish_engulfing"),
+        (col("p_close") > col("p_open") && col("close") < col("open") &&
+          col("open") >= col("p_close") && col("close") <= col("p_open"))
+          .as("bearish_engulfing"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
   /** Cross-pair co-movement: Pearson correlation of the per-window value
     * totals of every instrument pair, over windows where both traded.
     * The five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact DECIMALs;

@@ -96,6 +96,38 @@ class MarketStatsSpec extends SparkSpec {
     assert(r.forall(_.getLong(3) == 3L))
   }
 
+  test("bollingerBands: constant series has sd 0 and no breakouts; a spike flags") {
+    val flat = (1L to 25L).map(i => (i, i * 1000L, "a", 5.00, "{}"))
+    val r = MarketStats.bollingerBands(ticks(flat: _*)).collect()
+    assert(r.forall(x => x.getDouble(3) == 0.0))
+    // mean stays 5.0 → micro 5_000_000 everywhere
+    assert(r.forall(_.getLong(2) == 5000000L))
+    // a breakout tick far above the band
+    val spike = flat :+ ((26L, 26000L, "a", 50.0, "{}"))
+    val r2 = MarketStats.bollingerBands(ticks(spike: _*)).collect()
+    assert(r2.last.getBoolean(4) && !r2.last.getBoolean(5))
+    assert(r2.init.forall(x => !x.getBoolean(4)))
+  }
+
+  test("candlePatterns flags doji and engulfing bars") {
+    val ns = 600L * 1000000000L
+    val df = ticks(
+      // bar 0: red body 2.0 → 1.0
+      (1L, 0L, "a", 2.00, "{}"), (2L, 1L, "a", 1.00, "{}"),
+      // bar 1: green body 0.90 → 2.10 engulfs bar 0's body
+      (3L, ns, "a", 0.90, "{}"), (4L, ns + 1, "a", 2.10, "{}"),
+      // bar 2: doji — open == close, nonzero range
+      (5L, 2 * ns, "a", 1.50, "{}"), (6L, 2 * ns + 1, "a", 3.00, "{}"),
+      (7L, 2 * ns + 2, "a", 1.50, "{}"))
+    val r = MarketStats.candlePatterns(df).orderBy("window_start").collect()
+    assert(r.length == 3)
+    assert(r(1).getBoolean(3) && !r(1).getBoolean(4)) // bullish engulfing
+    assert(r(2).getBoolean(2)) // doji
+    // first bar: no previous → Kleene AND: NULL∧false=false (bullish,
+    // since this bar is red), NULL∧true=NULL (bearish)
+    assert(!r(0).getBoolean(3) && r(0).isNullAt(4))
+  }
+
   test("ohlcBars plans ONE exchange for both window orderings + the agg") {
     val p = MarketStats.ohlcBars(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString
