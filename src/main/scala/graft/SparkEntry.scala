@@ -280,6 +280,13 @@ object SparkEntry {
     "pair_correlation" -> ((s, dir) =>
       MarketStats.pairCorrelation(Tables.events(s, dir))),
     "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
+    "session_ohlc" -> ((s, dir) => MarketStats.sessionOhlc(Tables.events(s, dir))),
+    "hourly_seasonality" -> ((s, dir) =>
+      MarketStats.hourlySeasonality(Tables.events(s, dir))),
+    "volume_profile" -> ((s, dir) =>
+      MarketStats.volumeProfile(Tables.events(s, dir))),
+    "dup_triangles" -> ((s, dir) =>
+      Dedup.dupTriangles(Tables.embeddings(s, dir))),
     "bollinger_bands" -> ((s, dir) =>
       MarketStats.bollingerBands(Tables.events(s, dir))),
     "candle_patterns" -> ((s, dir) =>
@@ -1480,6 +1487,77 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
         |  FROM events) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // lag/cumsum session numbering (the events_sessionize convention) +
+    // the OHLC rn picks, both on the (epoch_ns, event_id) tick order
+    "session_ohlc" ->
+      """WITH o AS (
+        |  SELECT event_type, epoch_ns(ts) AS tns, event_id, value,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= 1800000000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY event_type
+        |    ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, sid
+        |      ORDER BY tns, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, sid
+        |      ORDER BY tns DESC, event_id DESC) AS rn_d
+        |  FROM s
+        |)
+        |SELECT event_type, min(tns) // 1000 AS session_start_us,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks,
+        |  max(tns) // 1000 - min(tns) // 1000 AS duration_us
+        |FROM r GROUP BY event_type, sid
+        |ORDER BY event_type, session_start_us""".stripMargin,
+
+    "hourly_seasonality" ->
+      """SELECT event_type, epoch_ns(ts) // 3600000000000 % 24 AS hour_utc,
+        |  count(*) AS n_ticks,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS volume,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(8,2))) * 1000000 AS HUGEINT) //
+        |    count(*) AS BIGINT) AS mean_micro
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "volume_profile" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS volume,
+        |  count(*) AS n_ticks
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // triangle closure over the exact near-dup pair relation (id ordering
+    // makes each triangle count once); pairs reuse the embedding_dups CTE
+    "dup_triangles" ->
+      """WITH elems AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b
+        |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM dots
+        |  JOIN norms na ON na.vec_id = id_a
+        |  JOIN norms nb ON nb.vec_id = id_b
+        |  WHERE dot/(na.nrm*nb.nrm) >= 0.3
+        |)
+        |SELECT l.label, count(*) AS n_triangles
+        |FROM pairs p1
+        |JOIN pairs p2 ON p1.id_b = p2.id_a
+        |JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+        |JOIN embeddings l ON l.vec_id = p1.id_a
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // rolling-window sums are exact DECIMALs; mean is the micro-int
     // surrogate, σ is irrational (safe to round), and the band flags

@@ -463,6 +463,34 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Triangle count per block over the embedding near-dup graph — the
+    * graph-density audit on top of [[embeddingCosineDups]]: a near-dup
+    * cluster that is also triangle-dense is a true template family
+    * (transitive), while a triangle-poor pair set is chained false
+    * positives — the cheap structural signal before committing to
+    * connected-components dedup at corpus scale.
+    *
+    * The pair list is materialized ONCE (localCheckpoint, as in
+    * [[connectedComponents]] — three plan references would otherwise
+    * re-derive the whole cosine join per self-join arm), then the
+    * standard two-hop + closing-edge join counts each triangle exactly
+    * once via the id_a < id_b < id_c ordering the pair generator already
+    * guarantees. Pairs are block-bounded by construction, so the
+    * self-joins are block-local and never quadratic in the corpus. */
+  def dupTriangles(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val pairs = embeddingCosineDups(embeddings, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    pairs.as("p1")
+      .join(pairs.as("p2"), col("p1.id_b") === col("p2.id_a"))
+      .join(pairs.as("p3"), col("p3.id_a") === col("p1.id_a") &&
+        col("p3.id_b") === col("p2.id_b"))
+      .join(labels, col("vec_id") === col("p1.id_a"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("label"))
+  }
+
   /** 60-bit SimHash of the token multiset: bit j is the sign of the
     * count-weighted sum of ±1 over token-hash bit j. Single explode +
     * groupBy; the 60 per-bit sums are one aggregation pass. 60 bits (not

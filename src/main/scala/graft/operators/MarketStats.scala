@@ -165,6 +165,80 @@ object MarketStats {
       .orderBy(col("event_type"))
   }
 
+  /** OHLC over TRADING SESSIONS instead of fixed windows: maximal tick
+    * runs with inter-tick gaps < `gap` (the liquidity-aware bar a
+    * 24h-but-bursty currency feed wants — fixed windows straddle dead
+    * air). Sessions are the lag/cumsum formulation (boundary flag →
+    * running sum) shared with events_sessionize, so the oracle agrees on
+    * every boundary; open/close are the usual deterministic rn picks.
+    * Two shuffles: the per-instrument session numbering, then the
+    * (instrument, session) aggregate. */
+  def sessionOhlc(events: DataFrame, gapNs: Long = 1800L * NanosPerSec): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .select(col("event_type"), col("ts_ns"), col("event_id"), col("value"))
+      .withColumn("new_s",
+        when(lag(col("ts_ns"), 1).over(wOrd).isNull ||
+          col("ts_ns") - lag(col("ts_ns"), 1).over(wOrd) >= gapNs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+    val part = Window.partitionBy(col("event_type"), col("sid"))
+    val asc = part.orderBy(col("ts_ns").asc, col("event_id").asc)
+    val desc = part.orderBy(col("ts_ns").desc, col("event_id").desc)
+    sess
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("event_type"), col("sid"))
+      .agg(
+        expr("min(ts_ns) div 1000").as("session_start_us"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_ticks"),
+        // micros, not nanos: μs is the repo's portable time resolution
+        // (DuckDB's parquet reader truncates TIMESTAMP(NANOS) to μs, so
+        // a nano-precision duration is unverifiable — see eventGaps)
+        (expr("max(ts_ns) div 1000") - expr("min(ts_ns) div 1000"))
+          .as("duration_us"))
+      .drop("sid")
+      .orderBy(col("event_type"), col("session_start_us"))
+  }
+
+  /** Hour-of-day activity profile per instrument — the "pulse" view the
+    * reference's product name promises: tick count, traded size, and
+    * mean rate (micro-int surrogate) for each UTC hour. Integer bucket
+    * arithmetic on raw nanos (no timezone/calendar functions — engines
+    * disagree on those), one shuffle onto 24×instruments keys. */
+  def hourlySeasonality(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr(s"(ts_ns div ${3600L * NanosPerSec}) % 24").as("hour_utc"),
+        vDec.as("v"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .groupBy(col("event_type"), col("hour_utc"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        sum(col("size")).as("volume"),
+        sum(col("v")).as("sv"))
+      .select(col("event_type"), col("hour_utc"), col("n_ticks"),
+        col("volume"), expr("(sv * 1000000) div n_ticks").as("mean_micro"))
+      .orderBy(col("event_type"), col("hour_utc"))
+
+  /** Volume profile: traded size per price bin per instrument — where
+    * the liquidity sits on the price axis (the market-depth histogram).
+    * Map-side bin projection + one aggregate on bounded keys. */
+  def volumeProfile(events: DataFrame, binWidth: Double = 10.0): DataFrame =
+    events
+      .select(col("event_type"),
+        expr(s"CAST(floor(value / $binWidth) AS BIGINT)").as("bin"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("size")).as("volume"), count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type"), col("bin"))
+
   /** Bollinger bands over a rolling N-tick window per instrument: rolling
     * mean ± 2σ, with per-tick breakout flags. The window sums (n, Σv,
     * Σv²) are exact DECIMALs over a ROWS frame; mean/σ/band edges are

@@ -178,4 +178,18 @@ class DedupSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(got.head.getDouble(2) == 1.0)
   }
+
+  test("dupTriangles counts each closed triple once, per block") {
+    // block 0: vectors {1,2,3} pairwise identical (one triangle) plus 4
+    // attached to 1 only (wedges, no extra triangle); block 1: a pair
+    // only — no triangle, so the label is absent from the output
+    val v = Array(1.0f, 0.0f)
+    val w = Array(0.0f, 1.0f)
+    val e = Seq(
+      (1L, v, 0), (2L, v, 0), (3L, v, 0), (4L, w, 0),
+      (5L, v, 1), (6L, v, 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.dupTriangles(e, threshold = 0.9).collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 1L)))
+  }
 }

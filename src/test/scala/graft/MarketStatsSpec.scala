@@ -128,6 +128,31 @@ class MarketStatsSpec extends SparkSpec {
     assert(!r(0).getBoolean(3) && r(0).isNullAt(4))
   }
 
+  test("sessionOhlc splits on gaps >= the threshold, merges below it") {
+    val m = 60L * 1000000000L // one minute in nanos
+    val df = ticks(
+      (1L, 0L, "a", 1.00, "{}"),
+      (2L, 29 * m, "a", 2.00, "{}"), // 29 min gap < 30 → same session
+      (3L, 60 * m, "a", 3.00, "{}"), // 31 min gap > 30 → new session
+      (4L, 90 * m, "a", 4.00, "{}")) // exactly 30 min → NEW (>= boundary)
+    val r = MarketStats.sessionOhlc(df).collect()
+    assert(r.map(x => (x.getDouble(2), x.getDouble(5), x.getLong(6))).toSeq ==
+      Seq((1.00, 2.00, 2L), (3.00, 3.00, 1L), (4.00, 4.00, 1L)))
+    // duration is μs of (last − first) within the session
+    assert(r(0).getLong(7) == 29 * m / 1000)
+  }
+
+  test("hourlySeasonality buckets by UTC hour with exact micro means") {
+    val h = 3600L * 1000000000L
+    val df = ticks(
+      (1L, 0L, "a", 1.00, """{"k": 2}"""),
+      (2L, 1000L, "a", 2.00, """{"k": 3}"""),
+      (3L, 25 * h, "a", 9.00, """{"k": 1}""")) // next day, hour 1
+    val r = MarketStats.hourlySeasonality(df).orderBy("hour_utc").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .toSeq == Seq((0L, 2L, 5L, 1500000L), (1L, 1L, 1L, 9000000L)))
+  }
+
   test("ohlcBars plans ONE exchange for both window orderings + the agg") {
     val p = MarketStats.ohlcBars(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString
