@@ -287,6 +287,10 @@ object SparkEntry {
       MarketStats.volumeProfile(Tables.events(s, dir))),
     "dup_triangles" -> ((s, dir) =>
       Dedup.dupTriangles(Tables.embeddings(s, dir))),
+    "daily_returns" -> ((s, dir) =>
+      MarketStats.dailyCloseReturns(Tables.events(s, dir))),
+    "session_overlaps" -> ((s, dir) =>
+      graft.operators.RangeJoin.sessionOverlapCounts(Tables.events(s, dir))),
     "bollinger_bands" -> ((s, dir) =>
       MarketStats.bollingerBands(Tables.events(s, dir))),
     "candle_patterns" -> ((s, dir) =>
@@ -1558,6 +1562,52 @@ object SparkEntry {
         |JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
         |JOIN embeddings l ON l.vec_id = p1.id_a
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // floor() of the double quotient (not // or div): returns go
+    // negative, where Spark's div truncates but DuckDB's // floors; the
+    // shared floor(double) path is exact at these magnitudes
+    "daily_returns" ->
+      """SELECT event_type, day, close,
+        |  CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)
+        |    AS ret_micro
+        |FROM (
+        |  SELECT event_type, day, close, cents,
+        |    lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p_cents
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      value AS close,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1
+        |) l ORDER BY event_type, day""".stripMargin,
+
+    // the oracle states overlap DIRECTLY as the inequality join the
+    // operator's bin-bucketed plan must reproduce pair-for-pair
+    "session_overlaps" ->
+      """WITH o AS (
+        |  SELECT event_type, epoch_ns(ts) AS tns,
+        |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+        |         OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w >= 1800000000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY event_type
+        |    ORDER BY tns ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), iv AS (
+        |  SELECT event_type, min(tns) // 1000 AS s_us, max(tns) // 1000 AS e_us
+        |  FROM s GROUP BY event_type, sid
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_overlaps
+        |FROM iv a JOIN iv b
+        |  ON a.event_type < b.event_type
+        |  AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // rolling-window sums are exact DECIMALs; mean is the micro-int
     // surrogate, σ is irrational (safe to round), and the band flags

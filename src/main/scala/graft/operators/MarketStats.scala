@@ -207,6 +207,33 @@ object MarketStats {
       .orderBy(col("event_type"), col("session_start_us"))
   }
 
+  /** Day-over-day close-to-close returns per instrument, in integer
+    * micro-fractions. The close is the deterministic last-tick pick; the
+    * return is floor((close − prev)·10⁶ / prev) on exact integer CENTS —
+    * floor (not div) because returns go negative and `div` truncates
+    * toward zero while DuckDB's `//` floors: they disagree on every
+    * losing day. The floor of the double quotient is provably the exact
+    * floor here (|numerator·denominator| < 4.5e15 keeps the correctly-
+    * rounded quotient on the right side of every integer). */
+  def dailyCloseReturns(events: DataFrame): DataFrame = {
+    val day = dayIdx.as("day")
+    val wDesc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    events
+      .select(col("event_type"), day, col("value"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(wDesc))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("day"), col("value").as("close"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("p_cents", lag(col("cents"), 1).over(wLag))
+      .select(col("event_type"), col("day"), col("close"),
+        expr("CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)")
+          .as("ret_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Hour-of-day activity profile per instrument — the "pulse" view the
     * reference's product name promises: tick count, traded size, and
     * mean rate (micro-int surrogate) for each UTC hour. Integer bucket

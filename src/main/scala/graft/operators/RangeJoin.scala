@@ -114,4 +114,60 @@ object RangeJoin {
       .select(col("event_id"), col("user_id"), col("n_clicks"))
       .orderBy(col("event_id"))
   }
+
+  /** INTERVAL×INTERVAL overlap join, bin-bucketed — the third member of
+    * the temporal-join family (as-of = point→latest-point, rangePairs =
+    * point→trailing-window, this = interval→interval). Each interval
+    * explodes to every `binUs`-wide bin it spans (`sequence` — fan-out
+    * ceil(len/binUs)+1, bounded when interval lengths are); candidates
+    * equi-join on the bin, the exact overlap predicate prunes them, and
+    * the (bin-count × bin-count) duplicate matches collapse through
+    * `distinct` on the pair identity. Never an inequality nested-loop:
+    * one shuffle per side on bin + one distinct shuffle, all bounded by
+    * per-bin interval density.
+    *
+    * Inputs carry (`idCol`, `startUs`, `endUs`) with distinct names on
+    * each side; `pred` adds the non-temporal join condition (e.g.
+    * different instruments). */
+  def intervalOverlapPairs(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String, rightStart: String,
+      rightEnd: String, binUs: Long,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val lb = left.withColumn("__bin_l", explode(
+      expr(s"sequence($leftStart div $binUs, $leftEnd div $binUs)")))
+    val rb = right.withColumn("__bin_r", explode(
+      expr(s"sequence($rightStart div $binUs, $rightEnd div $binUs)")))
+    lb.join(rb, col("__bin_l") === col("__bin_r") && pred &&
+        col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .drop("__bin_l", "__bin_r")
+      .distinct()
+  }
+
+  /** Registered query shape: for every pair of instruments, how many of
+    * their trading sessions (the session_ohlc intervals) overlap in time
+    * — the cross-liquidity coincidence matrix. Sessions are intervals of
+    * bounded length (gap-split), so the bin fan-out is bounded; the
+    * distinct collapses multi-bin duplicates on the session-start pair
+    * identity. */
+  def sessionOverlapCounts(events: DataFrame,
+      gapNs: Long = 1800L * 1000000000L,
+      binUs: Long = 3600000000L): DataFrame = {
+    // materialized once: the two join arms would otherwise re-derive the
+    // whole sessionization per plan reference (no CSE across references)
+    val sess = MarketStats.sessionOhlc(events, gapNs)
+      .select(col("event_type"), col("session_start_us"),
+        (col("session_start_us") + col("duration_us")).as("session_end_us"))
+      .localCheckpoint()
+    val a = sess.select(col("event_type").as("type_a"),
+      col("session_start_us").as("a_start"),
+      col("session_end_us").as("a_end"))
+    val b = sess.select(col("event_type").as("type_b"),
+      col("session_start_us").as("b_start"),
+      col("session_end_us").as("b_end"))
+    intervalOverlapPairs(a, b, "a_start", "a_end", "b_start", "b_end",
+      binUs, col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

@@ -153,6 +153,18 @@ class MarketStatsSpec extends SparkSpec {
       .toSeq == Seq((0L, 2L, 5L, 1500000L), (1L, 1L, 1L, 9000000L)))
   }
 
+  test("dailyCloseReturns floors negative returns like the oracle's //") {
+    val d = 86400L * 1000000000L
+    val df = ticks(
+      (1L, 0L, "a", 3.00, "{}"), // day 0 close 3.00
+      (2L, d, "a", 1.00, "{}"), // day 1 close 1.00: −2/3 → floor −666667
+      (3L, 2 * d, "a", 2.00, "{}")) // day 2: +100% → 1000000
+    val r = MarketStats.dailyCloseReturns(df).collect()
+    assert(r(0).isNullAt(3)) // no previous close
+    assert(r(1).getLong(3) == -666667L) // floor, NOT truncation (-666666)
+    assert(r(2).getLong(3) == 1000000L)
+  }
+
   test("ohlcBars plans ONE exchange for both window orderings + the agg") {
     val p = MarketStats.ohlcBars(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString

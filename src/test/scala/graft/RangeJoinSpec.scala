@@ -110,4 +110,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(pairs.filter(col("r_us") <= col("l_us") - 300000000L ||
       col("r_us") > col("l_us")).count() == 0)
   }
+
+  test("intervalOverlapPairs: multi-bin spans dedupe; touching counts; disjoint doesn't") {
+    import spark.implicits._
+    // bin width 100: interval A spans bins 0-25 (long), B overlaps it in
+    // the middle (candidate pair appears in MANY shared bins → must
+    // surface once); C touches A exactly at its end point; D is disjoint
+    val a = Seq(("A", 0L, 2500L), ("C2", 4000L, 5000L))
+      .toDF("id_a", "a_s", "a_e")
+    val b = Seq(("B", 1000L, 1200L), ("C", 2500L, 2600L), ("D", 3000L, 3500L))
+      .toDF("id_b", "b_s", "b_e")
+    val got = RangeJoin.intervalOverlapPairs(a, b, "a_s", "a_e", "b_s", "b_e",
+      binUs = 100L, pred = org.apache.spark.sql.functions.lit(true))
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(got == Set(("A", "B"), ("A", "C")))
+  }
+
+  test("sessionOverlapCounts matches the naive inequality join at sf0.001") {
+    val ev = Tables.events(spark, sf0001)
+    val sess = graft.operators.MarketStats.sessionOhlc(ev)
+      .select(col("event_type"), col("session_start_us").as("s_us"),
+        (col("session_start_us") + col("duration_us")).as("e_us"))
+    val naive = sess.as("a").join(sess.as("b"),
+        col("a.event_type") < col("b.event_type") &&
+        col("a.s_us") <= col("b.e_us") && col("b.s_us") <= col("a.e_us"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("type_a"), col("type_b")).collect().toSeq
+    val got = RangeJoin.sessionOverlapCounts(ev).collect().toSeq
+    assert(got == naive)
+  }
 }
