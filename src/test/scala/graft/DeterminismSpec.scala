@@ -49,6 +49,17 @@ class DeterminismSpec extends SparkSpec {
     assert(mix(docs) == mix(docs.orderBy(col("doc_id").desc)))
   }
 
+  test("market stats are invariant under repartitioning (no float sums)") {
+    import graft.operators.MarketStats
+    val ev = Tables.events(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) = Seq(
+      MarketStats.ohlcBars(df).collect().toSeq,
+      MarketStats.vwap(df).collect().toSeq,
+      MarketStats.realizedVariation(df).collect().toSeq,
+      MarketStats.pairCorrelation(df).collect().toSeq)
+    assert(run(ev) == run(ev.repartition(17)))
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(

@@ -248,4 +248,26 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Relation \\[").length - 1 <= 4,
       "minhash_lsh_pairs re-scans documents for sizes")
   }
+
+  test("temporal joins stay equi-keyed: no nested-loop/cartesian anywhere") {
+    // session_overlaps states an interval inequality; the bin bucketing
+    // must turn it into a hash/merge join on __bin, never a BNLJ
+    Seq("session_overlaps", "dup_triangles", "range_join_counts").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n$p")
+    }
+  }
+
+  test("market aggregates keep ONE data-sized shuffle") {
+    // vwap/hourly/volume profile: scan → partial agg → single exchange →
+    // final agg (+ the output sort's range exchange, which is rows-bounded)
+    Seq("vwap_hourly", "hourly_seasonality", "volume_profile").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"$q shuffles more than once:\n$p")
+    }
+  }
 }
