@@ -315,6 +315,7 @@ object SparkEntry {
     },
     "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
     "asof_next_purchase" -> ((s, dir) => AsOfJoin.nextPurchaseAfter(Tables.events(s, dir))),
+    "asof_interpolated" -> ((s, dir) => AsOfJoin.asOfInterpolated(Tables.events(s, dir))),
     "range_join_counts" -> ((s, dir) =>
       graft.operators.RangeJoin.purchaseClickCounts(Tables.events(s, dir))),
     // the NAIVE inequality-join formulation, planned scale-safe by the
@@ -1827,6 +1828,37 @@ object SparkEntry {
         |ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    // exact integer interpolation: nonnegative numerator ⇒ truncating
+    // division IS floor, so hugeint // matches Spark's decimal div
+    "asof_interpolated" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS uts, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS cents, CAST(NULL AS BIGINT) AS rus
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT), epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'
+        |), w AS (
+        |  SELECT *,
+        |    last_value(cents IGNORE NULLS) OVER wb AS pc,
+        |    last_value(rus IGNORE NULLS) OVER wb AS pus,
+        |    first_value(cents IGNORE NULLS) OVER wf AS nc,
+        |    first_value(rus IGNORE NULLS) OVER wf AS nus
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY uts, side
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY uts, side DESC
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_id, uts AS us,
+        |  CASE WHEN pc IS NULL OR nc IS NULL THEN NULL
+        |       WHEN nus = pus THEN pc * 10000
+        |       ELSE CAST((CAST(pc AS HUGEINT) * (nus - pus) +
+        |         CAST(nc - pc AS HUGEINT) * (uts - pus)) * 10000
+        |         // (nus - pus) AS BIGINT) END AS interp_micro
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -102,6 +102,56 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** INTERPOLATED as-of — the third temporal-join direction (backward,
+    * forward, between): each left row gets the right-side value LINEARLY
+    * INTERPOLATED between the straddling pair (latest right ≤ t, earliest
+    * right ≥ t) — the state-estimation join (sensor fusion, mark-to-time
+    * pricing) that pandas merge_asof cannot express at all.
+    *
+    * One union, ONE shuffle on the key, two sorts inside the same
+    * exchange (the backward pass orders rights before lefts at equal ts,
+    * the forward pass the reverse — both inclusive, like [[asOf]] /
+    * [[asOfForward]]).
+    *
+    * The interpolation is EXACT integer arithmetic end-to-end:
+    * v(t)·10⁶ = (pc·(nus−pus) + (nc−pc)·(t−pus))·10⁴ div (nus−pus)
+    * on cents and μs — the numerator is nonnegative (values are, and t
+    * lies inside [pus, nus]), so truncating `div` IS floor and Spark and
+    * DuckDB agree; products ride DECIMAL/HUGEINT (they overflow int64).
+    * NULL when unstraddled; the exact-hit / zero-span case returns the
+    * right value itself. */
+  def asOfInterpolated(events: DataFrame, leftType: String = "purchase",
+      rightType: String = "click"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), expr("ts_ns div 1000").as("uts"),
+        lit(1).as("__side"), col("event_id"),
+        lit(null).cast("long").as("cents"), lit(null).cast("long").as("rus"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id"), expr("ts_ns div 1000").as("uts"),
+        lit(0).as("__side"), lit(null).cast("long").as("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"),
+        expr("ts_ns div 1000").as("rus"))
+    val part = Window.partitionBy(col("user_id"))
+    val wb = part.orderBy(col("uts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = part.orderBy(col("uts").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wb))
+      .withColumn("pus", last(col("rus"), ignoreNulls = true).over(wb))
+      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wf))
+      .withColumn("nus", first(col("rus"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .select(col("event_id"), col("uts").as("us"),
+        expr("""CASE WHEN pc IS NULL OR nc IS NULL THEN NULL
+                |     WHEN nus = pus THEN pc * 10000
+                |     ELSE CAST((CAST(pc AS DECIMAL(38,0)) * (nus - pus) +
+                |       CAST(nc - pc AS DECIMAL(38,0)) * (uts - pus)) * 10000
+                |       div (nus - pus) AS BIGINT) END""".stripMargin)
+          .as("interp_micro"))
+      .orderBy(col("event_id"))
+  }
+
   /** The registered query shape: each event joined to the id of the most
     * recent 'purchase' event of the same user at or before it. Right side
     * deduped per (user, ts) so ties are deterministic across engines. */

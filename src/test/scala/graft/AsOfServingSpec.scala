@@ -43,6 +43,33 @@ class AsOfServingSpec extends SparkSpec {
       "L3" -> None))         // right exists only before
   }
 
+  test("interpolated as-of: exact integer lerp between the straddling ticks") {
+    // user 1: clicks at t=1000μs (v 1.00) and t=2000μs (v 3.00);
+    // purchases at t=1500 (midpoint → 2.00), t=1000 (exact hit → 1.00),
+    // t=500 (before first click → NULL), t=3000 (after last → NULL)
+    def ev(id: Long, us: Long, t: String, v: Double) =
+      (id, us * 1000L, 1L, t, v, "{}")
+    val df = Seq(
+      ev(1, 1000, "click", 1.00), ev(2, 2000, "click", 3.00),
+      ev(3, 1500, "purchase", 9.99), ev(4, 1000, "purchase", 9.99),
+      ev(5, 500, "purchase", 9.99), ev(6, 3000, "purchase", 9.99))
+      .toDF("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+    val got = AsOfJoin.asOfInterpolated(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      3L -> Some(2000000L), // (1.00 + 3.00)/2 in micro
+      4L -> Some(1000000L), // exact hit: the click's own value
+      5L -> None, 6L -> None))
+    // non-midpoint: 1/4 of the way, floor semantics
+    val df2 = Seq(
+      ev(1, 1000, "click", 1.00), ev(2, 2000, "click", 2.00),
+      ev(3, 1250, "purchase", 0.0)).toDF(
+      "event_id", "ts_ns", "user_id", "event_type", "value", "props")
+    val g2 = AsOfJoin.asOfInterpolated(df2).collect()
+    assert(g2(0).getLong(2) == 1250000L)
+  }
+
   test("trends result cache: hit within TTL, recompute after expiry (S7/D5)") {
     var now = 0L
     var computes = 0

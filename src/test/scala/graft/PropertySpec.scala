@@ -261,4 +261,31 @@ class PropertySpec extends SparkSpec {
     }.sortBy(t => (t._1, t._2))
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("intervalOverlapPairs equals the scalar overlap scan on random intervals") {
+    import graft.operators.RangeJoin
+    import org.apache.spark.sql.functions.lit
+    val genIv: Gen[(Long, Long, Long)] = for {
+      id <- Gen.choose(0L, 1000000L)
+      start <- Gen.choose(0L, 5000L)
+      len <- Gen.choose(0L, 700L) // spans 0..8 bins at width 100
+    } yield (id, start, start + len)
+    (1 to 5).foreach { i =>
+      val ivs = Gen.listOfN(40, genIv)
+        .apply(Gen.Parameters.default, Seed(90L + i)).get
+        .distinctBy(_._1) // unique ids so pair identity is well-defined
+      val a = ivs.toDF("id_a", "a_s", "a_e")
+      val b = ivs.toDF("id_b", "b_s", "b_e")
+      val got = RangeJoin.intervalOverlapPairs(
+        a, b, "a_s", "a_e", "b_s", "b_e", binUs = 100L,
+        pred = org.apache.spark.sql.functions.col("id_a") <
+          org.apache.spark.sql.functions.col("id_b"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        x <- ivs; y <- ivs
+        if x._1 < y._1 && x._2 <= y._3 && y._2 <= x._3
+      } yield (x._1, y._1)).toSet
+      assert(got == expect, s"seed ${90 + i}: ${got.size} vs ${expect.size}")
+    }
+  }
 }
