@@ -280,6 +280,10 @@ object SparkEntry {
     "pair_correlation" -> ((s, dir) =>
       MarketStats.pairCorrelation(Tables.events(s, dir))),
     "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
+    "sliding_active_users" -> ((s, dir) =>
+      EventsOps.slidingActiveUsers(Tables.events(s, dir))),
+    "log2_histogram" -> ((s, dir) =>
+      EventsOps.log2Histogram(Tables.events(s, dir))),
     "session_ohlc" -> ((s, dir) => MarketStats.sessionOhlc(Tables.events(s, dir))),
     "hourly_seasonality" -> ((s, dir) =>
       MarketStats.hourlySeasonality(Tables.events(s, dir))),
@@ -1683,6 +1687,26 @@ object SparkEntry {
            |  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "sliding_active_users" ->
+      """SELECT event_type, slot * 1800 AS window_start,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT event_type, user_id,
+        |    unnest([epoch_ns(ts) // 1800000000000,
+        |            epoch_ns(ts) // 1800000000000 - 1]) AS slot
+        |  FROM events) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // floor(log2) as binary-string length on exact integer cents — no
+    // libm log whose power-of-two-boundary ulp the engines could split on
+    "log2_histogram" ->
+      """SELECT event_type,
+        |  length(printf('%b',
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))) - 1 AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "mad_by_type" ->
       """WITH med AS (

@@ -495,6 +495,42 @@ object EventsOps {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Distinct users per SLIDING window (1 h every 30 min) per type — the
+    * rolling-reach metric. Each event explodes to its two overlapping
+    * windows (slide = width/2 ⇒ exactly 2), then one exact
+    * count-distinct per (type, window). At true user-cardinality scale
+    * the same shape takes approx_count_distinct or the KMV sketch
+    * ([[kmvDistinct]]) — the explode+group skeleton is unchanged. */
+  def slidingActiveUsers(events: DataFrame, slideSec: Long = 1800L): DataFrame = {
+    val slotNs = slideSec * 1000000000L
+    events
+      .select(col("event_type"), col("user_id"),
+        explode(array(expr(s"ts_ns div $slotNs"),
+          expr(s"ts_ns div $slotNs") - 1)).as("slot"))
+      .select(col("event_type"), col("user_id"),
+        (col("slot") * slideSec).as("window_start"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Log₂-scale value histogram per type — the heavy-tail profile a
+    * linear-bin histogram ([[valueHistogram]]) flattens. The bin is
+    * floor(log₂ cents) computed as binary-string length on the EXACT
+    * integer cents — no libm log whose ulp at power-of-two boundaries
+    * the engines could disagree on. Map-side projection, one aggregate
+    * on ≤ ~25 bins per type. */
+  def log2Histogram(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+      .select(col("event_type"),
+        (length(expr("bin(cents)")) - 1).as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
   /** Median absolute deviation per group — the robust dispersion measure
     * (outlier-immune where stddev is not; the robust-stats sibling of
     * [[winsorizeByType]]). Two exact interpolated medians: the per-group

@@ -60,4 +60,23 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(1704067200L / 604800 == 2817L)
     assert(got == Set((2817L, 0L, 1L), (2817L, 1L, 1L), (2818L, 0L, 1L)))
   }
+
+  test("sliding windows cover every event exactly twice; log2 bins conserve counts") {
+    val ev = Tables.events(spark, sf0001)
+    val total = ev.count()
+    val sliding = EventsOps.slidingActiveUsers(ev)
+    assert(sliding.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0) == 2 * total)
+    // n_users never exceeds n_events, and is positive
+    assert(sliding.filter(col("n_users") > col("n_events") ||
+      col("n_users") < 1).count() == 0)
+    val hist = EventsOps.log2Histogram(ev)
+    assert(hist.agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0) == total)
+    // exact bin check: 1.00 → cents 100 → floor(log2 100) = 6
+    import spark.implicits._
+    val one = EventsOps.log2Histogram(
+      Seq((1L, "x", 1.00)).toDF("event_id", "event_type", "value")).collect()
+    assert(one.head.getInt(1) == 6)
+  }
 }
