@@ -73,6 +73,9 @@ object SparkEntry {
     "trends_gapfill" -> ((s, dir) =>
       Trends.trendsGapfill(Tables.events(s, dir), "ts", "event_type",
         "purchase", "value", TrendsFrom, TrendsTo)),
+    "trends_gapfill_locf" -> ((s, dir) =>
+      Trends.trendsGapfillLocf(Tables.events(s, dir), "ts", "event_type",
+        "purchase", "value", TrendsFrom, TrendsTo)),
 
     // 1-hour trailing moving average over the 10-min series.
     "trends_moving_avg" -> ((s, dir) =>
@@ -545,6 +548,28 @@ object SparkEntry {
          |SELECT s.window_start, coalesce(a.n, 0) AS n, a.v_mean
          |FROM spine s LEFT JOIN agg a USING (window_start)
          |ORDER BY 1""".stripMargin,
+
+    "trends_gapfill_locf" ->
+      s"""WITH agg AS (
+         |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start,
+         |    round(avg(value), 6) AS v_mean, count(*) AS n
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
+         |    AND event_type = 'purchase'
+         |  GROUP BY 1
+         |), spine AS (
+         |  SELECT unnest(generate_series(
+         |    CAST(floor(epoch(TIMESTAMP '$TrendsFrom')/600)*600 AS BIGINT),
+         |    CAST(floor(epoch(TIMESTAMP '$TrendsTo')/600)*600 AS BIGINT),
+         |    CAST(600 AS BIGINT))) AS window_start
+         |)
+         |SELECT window_start, n, v_mean,
+         |  last_value(v_mean IGNORE NULLS) OVER (ORDER BY window_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         |FROM (
+         |  SELECT s.window_start, coalesce(a.n, 0) AS n, a.v_mean
+         |  FROM spine s LEFT JOIN agg a USING (window_start)
+         |) t ORDER BY window_start""".stripMargin,
 
     "trends_moving_avg" ->
       s"""WITH agg AS (

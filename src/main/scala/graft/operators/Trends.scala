@@ -143,6 +143,30 @@ object Trends {
       .orderBy(col("window_start"))
   }
 
+  /** LOCF (last-observation-carried-forward) fill over the gap-filled
+    * series: empty windows repeat the last known mean instead of NULL —
+    * the step-function read a pricing/serving tier wants ("the rate IS
+    * 1.0842 until a new tick says otherwise"). `last(_, ignoreNulls)`
+    * over the spine order; the series is result-cardinality, so the
+    * single-task unpartitioned window is free (same argument as
+    * revenueShare) — the corpus never sees it. Leading windows before
+    * the first observation stay NULL (nothing to carry). */
+  def trendsGapfillLocf(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      keyValue: String,
+      valueCol: String,
+      fromTs: String,
+      toTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trendsGapfill(df, tsCol, keyCol, keyValue, valueCol, fromTs, toTs)
+      .withColumn("v_filled", last(col("v_mean"), ignoreNulls = true).over(w))
+      .orderBy(col("window_start"))
+  }
+
   /** Trailing moving average over the 10-minute series (6-slot ≈ 1 h
     * frame) — the smoothing pass a charting tier applies on top of the
     * flagship aggregate. The frame sum runs in exact DECIMAL over the
