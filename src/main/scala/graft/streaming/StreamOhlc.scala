@@ -42,4 +42,29 @@ object StreamOhlc {
       .select(col("event_type"), col("window.start").as("window_start"),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
   }
+
+  /** Streaming SESSION candles — the incremental form of
+    * [[graft.operators.MarketStats.sessionOhlc]]: MERGING session
+    * windows (`session_window`) instead of fixed ones, so a candle's
+    * extent itself is data-driven and two micro-batches' partial
+    * sessions coalesce when a late tick bridges their gap — the hard
+    * case a fixed-window pipeline never faces. Same O(1) min_by/max_by
+    * state per OPEN session; the watermark closes a session once no
+    * bridging tick can still arrive (gap + watermark past its end). */
+  def sessionCandles(ticks: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val ord = struct(unix_micros(col("ts")).as("us"), col("event_id"))
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), session_window(col("ts"), gap))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("event_type"),
+        col("session_window.start").as("session_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+  }
 }

@@ -61,6 +61,32 @@ class StreamOhlcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session candles merge when a late tick bridges two partial sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Tick]
+    val q = StreamOhlc.sessionCandles(src.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess_candles")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // two ticks 16 min apart: separate sessions at first...
+      src.addData(
+        Tick(1, t("2024-08-12 10:00:00"), "eurusd", 1.00),
+        Tick(2, t("2024-08-12 10:16:00"), "eurusd", 3.00))
+      q.processAllAvailable()
+      assert(spark.table("sess_candles").count() == 2)
+      // ...until a bridging tick lands between them (8 min to each —
+      // both gaps < 10 min): the two session states must MERGE
+      src.addData(Tick(3, t("2024-08-12 10:08:00"), "eurusd", 2.00))
+      q.processAllAvailable()
+      val rows = spark.table("sess_candles").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getLong(6)) == (1.00, 3.00, 1.00, 3.00, 3L))
+      assert(r.getTimestamp(1).toString == "2024-08-12 10:00:00.0")
+    } finally q.stop()
+  }
+
   test("append mode emits a candle only once the watermark closes it") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Tick]
