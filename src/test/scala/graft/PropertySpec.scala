@@ -262,6 +262,44 @@ class PropertySpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("asOfInterpolated equals the scalar lerp on random tick/query sets") {
+    import graft.operators.AsOfJoin
+    val genRow: Gen[(Long, Long, String, Double)] = for {
+      user <- Gen.choose(1L, 3L)
+      us <- Gen.choose(0L, 100000L)
+      isClick <- Gen.oneOf(true, false)
+      cents <- Gen.choose(1L, 49000L)
+    } yield (user, us, if (isClick) "click" else "purchase", cents / 100.0)
+    (1 to 5).foreach { i =>
+      val rows = Gen.listOfN(60, genRow)
+        .apply(Gen.Parameters.default, Seed(700L + i)).get
+        .distinctBy(r => (r._1, r._2)) // unique (user, μs) like the testdata
+        .zipWithIndex.map { case ((u, us, t, v), id) => (id.toLong, us, u, t, v) }
+      val df = rows.map { case (id, us, u, t, v) =>
+        (id, us * 1000L, u, t, v, "{}") }
+        .toDF("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+      val got = AsOfJoin.asOfInterpolated(df).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      // scalar reference: for each purchase, straddling clicks + exact lerp
+      rows.filter(_._4 == "purchase").foreach { case (id, us, u, _, _) =>
+        val clicks = rows.filter(r => r._4 == "click" && r._3 == u)
+        val prev = clicks.filter(_._2 <= us).sortBy(_._2).lastOption
+        val next = clicks.filter(_._2 >= us).sortBy(_._2).headOption
+        val expect = (prev, next) match {
+          case (Some(p), Some(n)) =>
+            val pc = BigInt((BigDecimal(p._5).setScale(2) * 100).toLongExact)
+            val nc = BigInt((BigDecimal(n._5).setScale(2) * 100).toLongExact)
+            if (n._2 == p._2) Some((pc * 10000).toLong)
+            else Some(((pc * (n._2 - p._2) + (nc - pc) * (us - p._2)) * 10000
+              / (n._2 - p._2)).toLong)
+          case _ => None
+        }
+        assert(got(id) == expect, s"seed ${700 + i}, purchase $id")
+      }
+    }
+  }
+
   test("intervalOverlapPairs equals the scalar overlap scan on random intervals") {
     import graft.operators.RangeJoin
     import org.apache.spark.sql.functions.lit
