@@ -296,6 +296,7 @@ object SparkEntry {
       Dedup.dupTriangles(Tables.embeddings(s, dir))),
     "daily_returns" -> ((s, dir) =>
       MarketStats.dailyCloseReturns(Tables.events(s, dir))),
+    "cusum_drift" -> ((s, dir) => MarketStats.cusumDrift(Tables.events(s, dir))),
     "session_overlaps" -> ((s, dir) =>
       graft.operators.RangeJoin.sessionOverlapCounts(Tables.events(s, dir))),
     "bollinger_bands" -> ((s, dir) =>
@@ -1613,6 +1614,33 @@ object SparkEntry {
         |    FROM events) t
         |  WHERE rn = 1
         |) l ORDER BY event_type, day""".stripMargin,
+
+    // the CUSUM recursion telescoped to prefix-min windows on exact
+    // integer cents (X_i = cents − i·k) — see MarketStats.cusumDrift
+    "cusum_drift" ->
+      """SELECT event_type, day,
+        |  max(x_up - m_up) AS max_s_up,
+        |  max(x_dn - m_dn) AS max_s_dn,
+        |  sum(CASE WHEN x_up - m_up > 5000 THEN 1 ELSE 0 END) AS n_alarms_up,
+        |  sum(CASE WHEN x_dn - m_dn > 5000 THEN 1 ELSE 0 END) AS n_alarms_dn
+        |FROM (
+        |  SELECT event_type, day, x_up, x_dn,
+        |    min(x_up) OVER wr AS m_up, min(x_dn) OVER wr AS m_dn
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      epoch_ns(ts) AS tns, event_id,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) -
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts), event_id) * 50 AS x_up,
+        |      -CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) -
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts), event_id) * 50 AS x_dn
+        |    FROM events) b
+        |  WINDOW wr AS (PARTITION BY event_type, day ORDER BY tns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |) t GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
 
     // the oracle states overlap DIRECTLY as the inequality join the
     // operator's bin-bucketed plan must reproduce pair-for-pair

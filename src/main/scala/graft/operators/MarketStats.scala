@@ -234,6 +234,37 @@ object MarketStats {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Two-sided CUSUM drift detector per instrument × day — the
+    * changepoint alarm a market-surveillance tier runs on the rate
+    * series. The textbook recursion S_i = max(0, S_{i-1} + d_i − k)
+    * TELESCOPES: with X_i = cents_i − i·k, S_i = X_i − min_{j≤i} X_j —
+    * so both sides are prefix-min windows over exact integer cents, not
+    * a sequential fold: one shuffle, whole-stage codegen, and
+    * bit-portable to the oracle (k in cents per tick absorbs drift; an
+    * alarm fires when S crosses h cents). */
+  def cusumDrift(events: DataFrame, kCents: Long = 50L,
+      hCents: Long = 5000L): DataFrame = {
+    val day = dayIdx.as("day")
+    val wOrd = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_type"), day, col("ts_ns"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("x_up", col("cents") - col("rn") * kCents)
+      .withColumn("x_dn", -col("cents") - col("rn") * kCents)
+      .withColumn("s_up", col("x_up") - min(col("x_up")).over(wRun))
+      .withColumn("s_dn", col("x_dn") - min(col("x_dn")).over(wRun))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(col("s_up")).as("max_s_up"),
+        max(col("s_dn")).as("max_s_dn"),
+        sum(when(col("s_up") > hCents, 1L).otherwise(0L)).as("n_alarms_up"),
+        sum(when(col("s_dn") > hCents, 1L).otherwise(0L)).as("n_alarms_dn"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Hour-of-day activity profile per instrument — the "pulse" view the
     * reference's product name promises: tick count, traded size, and
     * mean rate (micro-int surrogate) for each UTC hour. Integer bucket

@@ -165,6 +165,28 @@ class MarketStatsSpec extends SparkSpec {
     assert(r(2).getLong(3) == 1000000L)
   }
 
+  test("cusumDrift's telescoped windows equal the textbook recursion") {
+    val path = Seq(5.00, 5.10, 5.05, 9.00, 12.00, 11.90, 15.00, 2.00, 1.00)
+    val df = ticks(path.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i * 1000L, "a", v, "{}") }: _*)
+    val k = 50L; val h = 300L
+    val got = MarketStats.cusumDrift(df, kCents = k, hCents = h).collect()(0)
+    // scalar recursion S_i = max(0, S_{i-1} + d_i - (+/-)k) on cents
+    val cents = path.map(v => math.round(v * 100))
+    def run(sign: Long) = {
+      var s = 0L; var mx = 0L; var alarms = 0L
+      cents.zip(cents.head +: cents.init).foreach { case (c, p) =>
+        s = math.max(0L, s + sign * (c - p) - k)
+        mx = math.max(mx, s); if (s > h) alarms += 1
+      }
+      (mx, alarms)
+    }
+    // NOTE the telescoped form measures vs the day's FIRST tick baseline
+    // (S_1 uses d_1 = 0 in the recursion above — same convention)
+    assert((got.getLong(2), got.getLong(4)) == run(1L))
+    assert((got.getLong(3), got.getLong(5)) == run(-1L))
+  }
+
   test("ohlcBars plans ONE exchange for both window orderings + the agg") {
     val p = MarketStats.ohlcBars(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString
