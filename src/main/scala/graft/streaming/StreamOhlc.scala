@@ -43,6 +43,26 @@ object StreamOhlc {
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
   }
 
+  /** Streaming VWAP per instrument × window: Σ(rate·size) and Σsize as
+    * exact DECIMAL/long running state (mergeable across micro-batches —
+    * the same no-float-sums contract as the batch operator), the
+    * division deferred to emission. NULL on zero traded size. */
+  def vwapStream(ticks: DataFrame, window: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(8, 2)) *
+          col("size")).as("pv"),
+        sum(col("size")).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        when(col("volume") =!= 0, expr("(pv * 1000000) div volume"))
+          .as("vwap_micro"),
+        col("volume"), col("n_ticks"))
+
   /** Streaming SESSION candles — the incremental form of
     * [[graft.operators.MarketStats.sessionOhlc]]: MERGING session
     * windows (`session_window`) instead of fixed ones, so a candle's

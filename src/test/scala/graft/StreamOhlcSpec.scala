@@ -87,6 +87,25 @@ class StreamOhlcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming VWAP accumulates exact sums across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String, Double, Long)]
+    val df = src.toDF().toDF("event_id", "ts", "event_type", "value", "size")
+    val q = StreamOhlc.vwapStream(df)
+      .writeStream.format("memory").queryName("vwap_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      src.addData((1L, t("2024-08-12 10:10:00"), "eurusd", 2.00, 1L))
+      q.processAllAvailable()
+      src.addData((2L, t("2024-08-12 10:50:00"), "eurusd", 4.00, 3L))
+      q.processAllAvailable()
+      val r = spark.table("vwap_stream").collect()
+      // (2·1 + 4·3)/4 = 3.5 — exact across the two micro-batches
+      assert(r.length == 1 && r(0).getLong(2) == 3500000L &&
+        r(0).getLong(3) == 4L && r(0).getLong(4) == 2L)
+    } finally q.stop()
+  }
+
   test("append mode emits a candle only once the watermark closes it") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Tick]
