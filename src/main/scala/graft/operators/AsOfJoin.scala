@@ -119,7 +119,13 @@ object AsOfJoin {
     * lies inside [pus, nus]), so truncating `div` IS floor and Spark and
     * DuckDB agree; products ride DECIMAL/HUGEINT (they overflow int64).
     * NULL when unstraddled; the exact-hit / zero-span case returns the
-    * right value itself. */
+    * right value itself.
+    *
+    * Precondition (shared with the oracle): right-side ticks are unique
+    * per (user, μs) — true of the tick stream by construction (verified:
+    * zero collisions at every SF). If a feed could violate it, dedupe
+    * per (key, μs) first, as [[lastPurchaseBefore]] does, or the
+    * last()/first() picks among equal-μs rights tie-break arbitrarily. */
   def asOfInterpolated(events: DataFrame, leftType: String = "purchase",
       rightType: String = "click"): DataFrame = {
     val l = events.filter(col("event_type") === leftType)
