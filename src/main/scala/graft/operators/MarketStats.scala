@@ -43,27 +43,27 @@ object MarketStats {
 
   /** OHLC candlestick bars: per instrument × tumbling window, the first
     * (open) / max (high) / min (low) / last (close) tick and tick count.
-    * Open/close are row_number picks over (ts_ns, event_id) — the repo's
-    * deterministic tick order (same-nanosecond ties broken by id, so the
-    * answer is stable across engines, retries, and partitionings). Both
-    * orderings run inside ONE Exchange on (instrument, window); all five
-    * outputs are exact value picks, so no rounding is needed. */
+    * Open/close are min_by/max_by over the (ts_ns, event_id) struct —
+    * the repo's deterministic tick order (same-nanosecond ties broken by
+    * id, so the answer is stable across engines, retries, and
+    * partitionings) — as O(1)-state declarative aggregates: the whole
+    * operator is ONE partial→final hash aggregate with map-side combine
+    * and ZERO sorts (a row_number formulation needs two full window
+    * sorts; the oracle keeps that form and the hash match proves them
+    * equivalent). Same shape as the streaming variant, so batch and
+    * stream share semantics by construction. */
   def ohlcBars(events: DataFrame, windowSec: Long = 600L): DataFrame = {
     val wstart = winStart(windowSec)
-    val part = Window.partitionBy(col("event_type"), col("window_start"))
-    val asc = part.orderBy(col("ts_ns").asc, col("event_id").asc)
-    val desc = part.orderBy(col("ts_ns").desc, col("event_id").desc)
+    val ord = struct(col("ts_ns"), col("event_id"))
     events
       .select(col("event_type"), wstart.as("window_start"), col("value"),
-        col("ts_ns"), col("event_id"))
-      .withColumn("rn_a", row_number().over(asc))
-      .withColumn("rn_d", row_number().over(desc))
+        ord.as("ord"))
       .groupBy(col("event_type"), col("window_start"))
       .agg(
-        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        min_by(col("value"), col("ord")).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        max_by(col("value"), col("ord")).as("close"),
         count(lit(1)).as("n_ticks"))
       .orderBy(col("event_type"), col("window_start"))
   }

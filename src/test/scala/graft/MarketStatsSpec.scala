@@ -187,11 +187,13 @@ class MarketStatsSpec extends SparkSpec {
     assert((got.getLong(3), got.getLong(5)) == run(-1L))
   }
 
-  test("ohlcBars plans ONE exchange for both window orderings + the agg") {
+  test("ohlcBars is ONE hash aggregate: single exchange, no window sorts") {
     val p = MarketStats.ohlcBars(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
-      s"open/close orderings and the aggregate must share one shuffle:\n$p")
+      s"OHLC must be one partial→final aggregate shuffle:\n$p")
+    assert(!p.contains("Window"),
+      s"min_by/max_by replaced the window sorts — none may remain:\n$p")
   }
 
   test("market stats agree with the sf0.001 brute force") {
