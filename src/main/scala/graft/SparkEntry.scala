@@ -305,6 +305,9 @@ object SparkEntry {
       MarketStats.candlePatterns(Tables.events(s, dir))),
     "profile_lineitem" -> ((s, dir) =>
       Profiling.profile(Tables.lineitem(s, dir))),
+    // same operator, different schema — the generic claim gated twice
+    "profile_documents" -> ((s, dir) =>
+      Profiling.profile(Tables.table(s, dir, "documents"))),
     "bm25_scores" -> ((s, dir) => TextAnalysis.bm25Scores(Tables.documents(s, dir))),
     "unpivot_metrics" -> ((s, dir) =>
       Relational.unpivotLineitemMetrics(Tables.lineitem(s, dir))),
@@ -459,6 +462,16 @@ object SparkEntry {
   /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
     * `pairs(id_a, id_b, jaccard6)` relation — shared by the pairs oracle
     * and the connected-components (dedup_groups) oracle. */
+  /** UNION-ALL per-column profile oracle (the Spark side is one Expand
+    * scan; DuckDB re-scans per column — fine at oracle scale). */
+  private def profileOracle(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) AS BIGINT) AS n_rows FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
   private lazy val minhashPairsCtes: String =
     minhashCtes("a.doc_id < b.doc_id")
 
@@ -1729,17 +1742,12 @@ object SparkEntry {
         |    close <= p_open) AS bearish_engulfing
         |FROM lagged ORDER BY event_type, window_start""".stripMargin,
 
-    "profile_lineitem" -> {
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "profile_lineitem" -> profileOracle("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        "l_returnflag", "l_linestatus", "l_shipdate")
-      cols.map { c =>
-        s"""SELECT '$c' AS "column",
-           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
-           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-           |  CAST(count(*) AS BIGINT) AS n_rows FROM lineitem""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-    },
+        "l_returnflag", "l_linestatus", "l_shipdate")),
+    "profile_documents" -> profileOracle("documents",
+      Seq("doc_id", "text", "lang", "source", "n_chars")),
 
     "sliding_active_users" ->
       """SELECT event_type, slot * 1800 AS window_start,
