@@ -24,18 +24,30 @@ object Tables {
     * to micros (`DIV`, not `/` — nano-epoch values exceed 2^53 so a double
     * roundtrip would corrupt them) and rebuild a proper TimestampType.
     *
-    * The raw nanos column is kept as `ts_ns`: predicates on the derived
-    * `ts` cannot be pushed through the arithmetic to the parquet scan, so
-    * time-filtering operators transpose their bounds onto `ts_ns` (see
-    * Trends.trendsOf) — that filter DOES reach the scan and prunes row
-    * groups, which is what keeps a time-range query cheap at 100 TB.
+    * `ts_ns` is the μs-ALIGNED nano column (`raw DIV 1000 * 1000`): the
+    * DuckDB oracle's parquet reader truncates TIMESTAMP(NANOS) to μs, so
+    * μs resolution is the portable contract — every ordering, bucket
+    * division, gap threshold, and duration sum downstream then agrees
+    * with the oracle bit-for-bit instead of relying on sub-μs
+    * perturbations staying under each query's output granularity (the
+    * corpus DOES carry sub-μs nanos; timestamps are globally unique at μs
+    * resolution, so ordering is unaffected — asserted in MarketStatsSpec).
+    *
+    * `ts_ns_raw` is the untouched scan attribute, kept ONLY as the
+    * pushdown target: predicates can't cross the truncation arithmetic,
+    * but a range filter on the raw column reaches the parquet scan and
+    * prunes row groups (see Trends.trendsOf) — what keeps a time-range
+    * query cheap at 100 TB. Query bounds are ms-aligned, so raw and
+    * truncated filters admit exactly the same rows.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts_ns_raw", org.apache.spark.sql.functions.col("ts"))
+      .withColumn("ts_ns", org.apache.spark.sql.functions.expr(
+        "ts DIV 1000 * 1000"))
       .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+        "timestamp_micros(ts_ns DIV 1000)"))
   }
   /** Spread a small-file scan across the cluster before CPU-heavy per-row
     * stages (shingling, scoring, vector math): a file smaller than one

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.DecimalType
  * integers, weights integer nanos — all exactly representable), then a
  * single cast-to-double followed by IEEE-deterministic ops (÷, sqrt)
  * produces the float answer. No double is ever SUMMED, so partition
- * order can never perturb a result bit.
+ * order can never perturb a result bit. Tick order is (ts_ns, event_id);
+ * the oracle can only observe μs (DuckDB truncates TIMESTAMP(NANOS)), so
+ * Tables.events serves ts_ns μs-ALIGNED — orderings, bucket edges, gap
+ * thresholds, and duration sums (twap's hold_ns) all see exactly the
+ * resolution the oracle sees (asserted in MarketStatsSpec).
  *
  * Scale notes (100 TB): each operator is one shuffle on
  * (instrument[, window]) — uniform keys by construction (windows bound

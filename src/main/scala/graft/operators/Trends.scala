@@ -75,22 +75,26 @@ object Trends {
       slide: Option[String] = None): DataFrame = {
     val from = Timestamp.valueOf(fromTs)
     val to = Timestamp.valueOf(toTs)
-    // When the source keeps a raw nanos column (ts_ns) under a derived
-    // timestamp, transpose the range bounds onto it: predicates on the
-    // derived column can't cross the conversion arithmetic, but the raw
-    // bounds are pushed to the parquet scan and prune row groups. The
+    // When the source keeps a raw nanos column under a derived timestamp,
+    // transpose the range bounds onto it: predicates on the derived
+    // column can't cross the conversion arithmetic, but the raw bounds
+    // are pushed to the parquet scan and prune row groups. Prefer the
+    // untouched scan attribute (ts_ns_raw) — the μs-aligned ts_ns is
+    // itself derived (DIV 1000 * 1000) and would not push; the bounds are
+    // ms-aligned, so raw and truncated filters admit the same rows. The
     // ns-precision bounds are AUTHORITATIVE (exact [from, to] at full
-    // resolution, matching an engine that compares un-truncated
-    // timestamps): an event in (to, to+1µs) is excluded here even though
+    // resolution): an event in (to, to+1µs) is excluded here even though
     // its micro-truncated ts still equals `to`. The tsCol filter below is
     // then implied (floor(ns/1000) is monotone) but kept for sources
     // without a raw-nanos column.
     val prefiltered =
-      if (df.columns.contains("ts_ns"))
-        df.filter(
-          col("ts_ns") >= lit(from.getTime * 1000000L) &&
-          col("ts_ns") <= lit(to.getTime * 1000000L))
-      else df
+      Seq("ts_ns_raw", "ts_ns").find(df.columns.contains) match {
+        case Some(c) =>
+          df.filter(
+            col(c) >= lit(from.getTime * 1000000L) &&
+            col(c) <= lit(to.getTime * 1000000L))
+        case None => df
+      }
     prefiltered
       .filter(
         col(tsCol) >= lit(from) &&

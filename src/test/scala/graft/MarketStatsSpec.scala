@@ -187,6 +187,24 @@ class MarketStatsSpec extends SparkSpec {
     assert((got.getLong(3), got.getLong(5)) == run(-1L))
   }
 
+  test("loader truncates ts_ns to μs; μs timestamps are collision-free") {
+    // The DuckDB oracle can only observe μs (its parquet reader truncates
+    // TIMESTAMP(NANOS)); the corpus DOES carry sub-μs nanos. Tables.events
+    // therefore serves ts_ns μs-ALIGNED so every ordering, bucket edge,
+    // gap threshold, and duration sum agrees with the oracle exactly —
+    // assert both the truncation and the collision-freedom that makes the
+    // truncated order equal to the raw order (so the loader change could
+    // not have perturbed any previously-verified pick).
+    val ev = Tables.events(spark, sf0001)
+    assert(ev.where(expr("ts_ns % 1000 != 0")).isEmpty,
+      "ts_ns must be μs-aligned (oracle-observable resolution)")
+    val dupUs = ev.groupBy(expr("ts_ns div 1000")).count()
+      .where(col("count") > 1).count()
+    assert(dupUs == 0L,
+      s"$dupUs μs instants hold >1 event — truncated order would need " +
+        "tiebreaks the raw order didn't")
+  }
+
   test("ohlcBars is ONE hash aggregate: single exchange, no window sorts") {
     val p = MarketStats.ohlcBars(Tables.events(spark, sf0001))
       .queryExecution.executedPlan.toString
