@@ -36,9 +36,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       // iterative queries (k-means, connected components) leave
       // localCheckpoint blocks behind; drop them so queries are hermetic
-      // and no storage pressure accumulates across the run
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // and no storage pressure accumulates across the run — EXCEPT the
+      // cross-query memos SparkEntry pins (truncated lineage: sweeping
+      // them would strand later readers, see SparkEntry.pinnedRddIds)
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!SparkEntry.pinnedRddIds.contains(id))
+            rdd.unpersist(blocking = false)
+        }
     }
 
     // optional args = subset of query names (targeted iteration)
@@ -88,7 +93,9 @@ object Bench {
     // total + query count + the slowest queries (2dp) that fit a fixed
     // character budget. The slowest queries are the ones any perf audit
     // needs; the full map is on the line above and in bench_full.json.
-    val budget = 1500
+    // 1200 chars + ~200 of fixed JSON + sbt's trailing "[success]" line
+    // stays well inside the harness's 2000-char tail even as nq grows
+    val budget = 1200
     val slowest = results.sortBy(-_._2.min)
     val sb = new StringBuilder
     var taken = 0

@@ -25,9 +25,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop any localCheckpoint blocks an iterative query left behind
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // drop any localCheckpoint blocks an iterative query left behind,
+      // except cross-query memos (truncated lineage — see SparkEntry)
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!SparkEntry.pinnedRddIds.contains(id))
+            rdd.unpersist(blocking = false)
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -50,9 +50,13 @@ case class TopKRowsAgg(
     b.mergeWith(o); b
   }
 
-  /** Array of struct(score, id), best-first (score DESC, id ASC). */
+  /** Array of struct(score, id), best-first (score DESC, id ASC).
+    * Explicit comparator, not sortBy(-s): negating Long.MinValue
+    * overflows back to itself and would sort the worst score first. */
   override def eval(b: TopKHeap): Any = {
-    val sorted = b.entries.sortBy { case (s, i) => (-s, i) }
+    val sorted = b.entries.sortWith { case ((s1, i1), (s2, i2)) =>
+      if (s1 != s2) s1 > s2 else i1 < i2
+    }
     new GenericArrayData(sorted.map { case (s, i) =>
       new GenericInternalRow(Array[Any](s, i))
     })

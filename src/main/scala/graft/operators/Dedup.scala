@@ -368,9 +368,17 @@ object Dedup {
     * group-members fraction of the corpus, broadcast into one left join
     * over a single corpus scan. */
   def leakageSafeSplit(documents: DataFrame, threshold: Double = 0.8,
+      testPermille: Int = 100): DataFrame =
+    leakageSafeSplitFrom(documents, dedupGroups(documents, threshold),
+      testPermille)
+
+  /** [[leakageSafeSplit]] over a precomputed groups relation — the shape
+    * a pipeline that already ran [[dedupGroups]] uses (compute the LSH+CC
+    * prefix once, consume it from split/best/audit stages; SparkEntry
+    * memoizes it per run the same way). */
+  def leakageSafeSplitFrom(documents: DataFrame, groups: DataFrame,
       testPermille: Int = 100): DataFrame = {
     import graft.functions.PortableHash.h60
-    val groups = dedupGroups(documents, threshold)
     documents.select(col("doc_id"))
       .join(broadcast(groups), Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("rep_id"), col("doc_id")))
@@ -390,12 +398,19 @@ object Dedup {
     * (portable across engines, unlike packed arg-max conventions); the
     * join is group-members-only, a vanishing fraction of the corpus. */
   def dedupGroupsBest(documents: DataFrame,
-      threshold: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      threshold: Double = 0.8): DataFrame =
     // checkpoint: groups is referenced twice below, and each DataFrame
     // reference recomputes its subtree — without this the whole LSH+CC
     // pipeline would run twice
-    val groups = dedupGroups(documents, threshold).localCheckpoint(true)
+    dedupGroupsBestFrom(documents,
+      dedupGroups(documents, threshold).localCheckpoint(true))
+
+  /** [[dedupGroupsBest]] over a precomputed (already materialized —
+    * checkpointed or table-backed) groups relation; see
+    * [[leakageSafeSplitFrom]] for why the split exists. */
+  def dedupGroupsBestFrom(documents: DataFrame,
+      groups: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // score ONLY group members (a vanishing fraction of the corpus at
     // scale — never compute corpus-wide quality for a members-only join);
     // the tiny groups table broadcasts into the restriction

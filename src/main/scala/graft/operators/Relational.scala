@@ -567,31 +567,30 @@ object Relational {
       .limit(k)
   }
 
-  /** Frame-function shapes (first_value / last_value over an explicit
-    * full frame): each customer's first and last order price in date
-    * order and the drift between them — the SCD-endpoints pattern. The
-    * frame must be UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING explicitly:
-    * last_value over the default frame (..CURRENT ROW) is the current
-    * row, a classic cross-engine silent-wrong. Date ties break by order
-    * key so both endpoints are deterministic; the drift subtraction is
-    * DECIMAL-exact. One shuffle; distinct collapses to one row per
-    * customer. */
+  /** SCD-endpoints pattern: each customer's first and last order price
+    * in date order and the drift between them. The oracle keeps the
+    * window form (first_value/last_value over an explicit UNBOUNDED
+    * PRECEDING..UNBOUNDED FOLLOWING frame + DISTINCT); here it is a
+    * sort-free hash aggregate — min_by/max_by over the
+    * (o_orderdate, o_orderkey) struct pick the endpoint prices with a
+    * partial→final aggregate, no per-customer window buffering and no
+    * distinct pass (same refactor as MarketStats.ohlcBars). Date ties
+    * break by order key so both endpoints are deterministic; the drift
+    * subtraction is DECIMAL-exact. One shuffle on o_custkey; partial
+    * aggregation makes it skew-immune at 100 TB. */
   def customerPriceDrift(orders: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ord = struct(col("o_orderdate"), col("o_orderkey"))
     orders
       .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
-      .withColumn("first_price", first(col("o_totalprice")).over(w))
-      .withColumn("last_price", last(col("o_totalprice")).over(w))
-      .withColumn("n_orders", count(lit(1)).over(w))
+      .groupBy(col("o_custkey"))
+      .agg(
+        min_by(col("o_totalprice"), ord).as("first_price"),
+        max_by(col("o_totalprice"), ord).as("last_price"),
+        count(lit(1)).as("n_orders"))
       .select(col("o_custkey"), col("first_price"), col("last_price"),
         (dec(col("last_price")) - dec(col("first_price")))
           .cast("double").as("drift"),
         col("n_orders"))
-      .distinct()
       .orderBy(col("o_custkey"))
   }
 
