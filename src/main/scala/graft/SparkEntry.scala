@@ -335,6 +335,14 @@ object SparkEntry {
       MarketStats.bollingerBands(Tables.events(s, dir))),
     "candle_patterns" -> ((s, dir) =>
       MarketStats.candlePatterns(Tables.events(s, dir))),
+    "rsi_daily" -> ((s, dir) => MarketStats.rsi(Tables.events(s, dir))),
+    "donchian_channels" -> ((s, dir) =>
+      MarketStats.donchianChannels(Tables.events(s, dir))),
+    "atr_bars" -> ((s, dir) => MarketStats.atr(Tables.events(s, dir))),
+    "order_flow_imbalance" -> ((s, dir) =>
+      MarketStats.orderFlowImbalance(Tables.events(s, dir))),
+    "amihud_illiquidity" -> ((s, dir) =>
+      MarketStats.amihudIlliquidity(Tables.events(s, dir))),
     "profile_lineitem" -> ((s, dir) =>
       Profiling.profile(Tables.lineitem(s, dir))),
     // same operator, different schema — the generic claim gated twice
@@ -1661,6 +1669,155 @@ object SparkEntry {
         |    FROM events) t
         |  WHERE rn = 1
         |) l ORDER BY event_type, day""".stripMargin,
+
+    // Cutler RSI on integer cent diffs of the deterministic daily
+    // closes; micro-percent floor surrogate — no float path
+    "rsi_daily" ->
+      """WITH closes AS (
+        |  SELECT event_type, day,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1
+        |), diffs AS (
+        |  SELECT event_type, day,
+        |    cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS d
+        |  FROM closes
+        |), rolled AS (
+        |  SELECT event_type, day,
+        |    sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER wr AS g,
+        |    sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER wr AS l,
+        |    count(d) OVER wr AS n_win
+        |  FROM diffs
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |  CASE WHEN g + l <> 0
+        |    THEN CAST(CAST(g AS HUGEINT) * 100000000 // (g + l) AS BIGINT)
+        |    END AS rsi_micro
+        |FROM rolled WHERE n_win = 14
+        |ORDER BY event_type, day""".stripMargin,
+
+    // pure max/min comparisons over the PRECEDING-n frame — no
+    // arithmetic, bit-portable by construction
+    "donchian_channels" ->
+      """SELECT event_type, event_id, value, ch_high, ch_low,
+        |  value > ch_high AS breakout_up,
+        |  value < ch_low AS breakout_dn
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    max(value) OVER w AS ch_high,
+        |    min(value) OVER w AS ch_low,
+        |    count(value) OVER w AS n_win
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) t
+        |WHERE n_win = 20
+        |ORDER BY event_type, event_id""".stripMargin,
+
+    // true range on exact DECIMAL bar extremes (bars = the ohlc_bars
+    // oracle as a CTE); ATR is the trailing-14 micro-int floor mean
+    "atr_bars" ->
+      """WITH bars AS (
+        |  SELECT event_type, window_start,
+        |    max(value) AS high, min(value) AS low,
+        |    max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 600000000000 * 600 AS window_start,
+        |      value,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 600000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |    FROM events) t
+        |  GROUP BY event_type, window_start
+        |), tr AS (
+        |  SELECT event_type, window_start,
+        |    CASE WHEN prev_close IS NULL
+        |      THEN CAST(high AS DECIMAL(8,2)) - CAST(low AS DECIMAL(8,2))
+        |      ELSE greatest(
+        |        CAST(high AS DECIMAL(8,2)) - CAST(low AS DECIMAL(8,2)),
+        |        abs(CAST(high AS DECIMAL(8,2)) - prev_close),
+        |        abs(CAST(low AS DECIMAL(8,2)) - prev_close)) END AS tr
+        |  FROM (
+        |    SELECT *, lag(CAST(close AS DECIMAL(8,2))) OVER
+        |      (PARTITION BY event_type ORDER BY window_start) AS prev_close
+        |    FROM bars) b
+        |)
+        |SELECT event_type, window_start,
+        |  CAST(CAST(s_tr * 1000000 AS HUGEINT) // n_bars AS BIGINT) AS atr_micro,
+        |  n_bars
+        |FROM (
+        |  SELECT event_type, window_start,
+        |    sum(tr) OVER wr AS s_tr, count(tr) OVER wr AS n_bars
+        |  FROM tr
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY window_start
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) x
+        |ORDER BY event_type, window_start""".stripMargin,
+
+    // tick-rule trade signing (zero-ticks inherit the last nonzero
+    // change sign via last_value ignore nulls); integer signed volume
+    "order_flow_imbalance" ->
+      """SELECT event_type, window_start,
+        |  CAST(sum(sign * size) AS BIGINT) AS imbalance,
+        |  CAST(sum(CASE WHEN sign = 1 THEN size ELSE 0 END) AS BIGINT) AS buy_vol,
+        |  CAST(sum(CASE WHEN sign = -1 THEN size ELSE 0 END) AS BIGINT) AS sell_vol,
+        |  count(*) AS n_ticks
+        |FROM (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS size,
+        |    coalesce(last_value(chg_sign IGNORE NULLS) OVER wc, 0) AS sign
+        |  FROM (
+        |    SELECT event_type, ts, event_id, props,
+        |      CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END AS chg_sign
+        |    FROM (
+        |      SELECT event_type, ts, event_id, props,
+        |        CAST(value AS DECIMAL(8,2)) -
+        |          lag(CAST(value AS DECIMAL(8,2))) OVER
+        |            (PARTITION BY event_type
+        |             ORDER BY epoch_ns(ts), event_id) AS d
+        |      FROM events) a
+        |  ) b
+        |  WINDOW wc AS (PARTITION BY event_type
+        |    ORDER BY epoch_ns(ts), event_id ROWS UNBOUNDED PRECEDING)
+        |) c
+        |GROUP BY event_type, window_start
+        |ORDER BY event_type, window_start""".stripMargin,
+
+    // |daily return| per unit size — both inputs are this family's
+    // integer surrogates, so the impact ratio is one floor division
+    "amihud_illiquidity" ->
+      """WITH rets AS (
+        |  SELECT event_type, day,
+        |    CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)
+        |      AS ret_micro
+        |  FROM (
+        |    SELECT event_type, day, cents,
+        |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p_cents
+        |    FROM (
+        |      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |    WHERE rn = 1) l
+        |), vols AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |      AS volume
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT r.event_type, r.day, r.ret_micro, v.volume,
+        |  CASE WHEN r.ret_micro IS NOT NULL AND v.volume <> 0
+        |    THEN abs(r.ret_micro) * 1000 // v.volume END AS amihud_nano
+        |FROM rets r JOIN vols v
+        |  ON r.event_type = v.event_type AND r.day = v.day
+        |ORDER BY r.event_type, r.day""".stripMargin,
 
     // the CUSUM recursion telescoped to prefix-min windows on exact
     // integer cents (X_i = cents − i·k) — see MarketStats.cusumDrift

@@ -362,6 +362,155 @@ object MarketStats {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** RSI (relative strength index) over daily closes per instrument —
+    * the SMA (Cutler) form, not Wilder's exponential smoothing: the
+    * recursion doesn't telescope, SMA does, and the two only differ by a
+    * smoothing constant. Gains/losses are exact integer cent diffs of
+    * the deterministic daily closes; RSI = 100·G/(G+L) is emitted as the
+    * micro-percent floor surrogate ((G·1e8) div (G+L)) — exact integer
+    * division, no float path at all. Rows appear once a full N-day
+    * window exists; flat windows (G+L=0) are NULL. The close series is
+    * ~10⁶× smaller than ticks, so the rolling window is free. */
+  def rsi(events: DataFrame, n: Int = 14): DataFrame = {
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wRoll = wLag.rowsBetween(-(n - 1), Window.currentRow)
+    dailyCloses(events)
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(wLag))
+      .withColumn("gain", when(col("d") > 0, col("d")).otherwise(0L))
+      .withColumn("loss", when(col("d") < 0, -col("d")).otherwise(0L))
+      .withColumn("g", sum(col("gain")).over(wRoll))
+      .withColumn("l", sum(col("loss")).over(wRoll))
+      .withColumn("n_win", count(col("d")).over(wRoll))
+      .where(col("n_win") === n)
+      .select(col("event_type"), col("day"),
+        when(col("g") + col("l") =!= 0,
+          expr("(g * 100000000) div (g + l)")).as("rsi_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Donchian channel over a rolling N-tick window per instrument: the
+    * highest high / lowest low of the PRECEDING n ticks plus breakout
+    * flags for the current tick — pure exact-double max/min comparisons,
+    * no arithmetic at all, so bit-portable by construction. Emitted from
+    * the (n+1)-th tick of each instrument (a breakout needs a full prior
+    * channel). One shuffle on instrument; O(1) state per row. */
+  def donchianChannels(events: DataFrame, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+      .rowsBetween(-n, -1)
+    events
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("ts_ns"))
+      .withColumn("ch_high", max(col("value")).over(w))
+      .withColumn("ch_low", min(col("value")).over(w))
+      .withColumn("n_win", count(col("value")).over(w))
+      .where(col("n_win") === n)
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("ch_high"), col("ch_low"),
+        (col("value") > col("ch_high")).as("breakout_up"),
+        (col("value") < col("ch_low")).as("breakout_dn"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** ATR (average true range) over the 10-min OHLC bar series: true
+    * range = greatest(high−low, |high−prevClose|, |low−prevClose|) on
+    * exact DECIMAL ticks, averaged over the trailing N full bars as the
+    * micro-int floor ((ΣTR·1e6) div n). Rides [[ohlcBars]], so the tick
+    * shuffle is shared and this stage runs on the ~10⁶×-smaller bar
+    * relation. First bar of each instrument has no prevClose and seeds
+    * TR = high−low (the textbook convention). */
+  def atr(events: DataFrame, windowSec: Long = 600L, n: Int = 14): DataFrame = {
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+    val wRoll = wLag.rowsBetween(-(n - 1), Window.currentRow)
+    val d = (c: String) => col(c).cast(DecimalType(8, 2))
+    ohlcBars(events, windowSec)
+      .withColumn("prev_close", lag(d("close"), 1).over(wLag))
+      .withColumn("tr",
+        when(col("prev_close").isNull, d("high") - d("low"))
+          .otherwise(greatest(d("high") - d("low"),
+            abs(d("high") - col("prev_close")),
+            abs(d("low") - col("prev_close")))))
+      .withColumn("s_tr", sum(col("tr")).over(wRoll))
+      .withColumn("n_bars", count(col("tr")).over(wRoll))
+      .select(col("event_type"), col("window_start"),
+        expr("(s_tr * 1000000) div n_bars").as("atr_micro"),
+        col("n_bars"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Order-flow imbalance per instrument × hour via the TICK RULE: each
+    * trade is signed by the direction of the last price CHANGE (upticks
+    * buy, downticks sell, zero-ticks inherit the previous sign — the
+    * standard Lee–Ready-without-quotes classification). The carry-
+    * forward is last_value(ignore nulls) over the tick order — a window
+    * O(1)-state pass, not a recursion. Imbalance = Σ sign·size on exact
+    * integers. First ticks (no prior change) stay sign 0 and count as
+    * neither side — both engines agree on that convention. */
+  def orderFlowImbalance(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val wCarry = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wstart = winStart(windowSec)
+    events
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        wstart.as("window_start"), vDec.as("v"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .withColumn("d", col("v") - lag(col("v"), 1).over(wOrd))
+      .withColumn("chg_sign",
+        when(col("d") > 0, 1L).when(col("d") < 0, -1L)) // 0/null → null
+      .withColumn("sign",
+        coalesce(last(col("chg_sign"), ignoreNulls = true).over(wCarry),
+          lit(0L)))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(
+        sum(col("sign") * col("size")).cast("long").as("imbalance"),
+        sum(when(col("sign") === 1, col("size")).otherwise(0L))
+          .cast("long").as("buy_vol"),
+        sum(when(col("sign") === -1, col("size")).otherwise(0L))
+          .cast("long").as("sell_vol"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Amihud illiquidity per instrument × day: |daily return| per unit of
+    * traded size — the price-impact proxy. Both inputs are this family's
+    * exact integer surrogates (ret_micro from [[dailyCloseReturns]],
+    * volume = Σ props.k), so the ratio is one integer floor division,
+    * scaled ×10³ (nano-fractions per unit) to keep resolution. Days with
+    * no return (first day) or zero volume are NULL, matching the
+    * oracle's CASE. Two group-cardinality relations join on (type, day)
+    * — broadcast-sized at any corpus scale. */
+  def amihudIlliquidity(events: DataFrame): DataFrame = {
+    val day = dayIdx.as("day")
+    val vol = events
+      .select(col("event_type"), day,
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("size")).cast("long").as("volume"))
+    dailyCloseReturns(events)
+      .join(vol, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("ret_micro"), col("volume"),
+        when(col("ret_micro").isNotNull && col("volume") =!= 0,
+          expr("(abs(ret_micro) * 1000) div volume")).as("amihud_nano"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Deterministic (event_type, day, close-in-cents) daily close series —
+    * the shared prefix of [[dailyCloseReturns]], [[rsi]], and
+    * [[amihudIlliquidity]]: last tick of each day by (ts_ns, event_id). */
+  private def dailyCloses(events: DataFrame): DataFrame = {
+    val day = dayIdx.as("day")
+    val wDesc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    events
+      .select(col("event_type"), day, col("value"), col("ts_ns"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(wDesc))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("day"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+  }
+
   /** Cross-pair co-movement: Pearson correlation of the per-window value
     * totals of every instrument pair, over windows where both traded.
     * The five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact DECIMALs;

@@ -187,6 +187,67 @@ class MarketStatsSpec extends SparkSpec {
     assert((got.getLong(3), got.getLong(5)) == run(-1L))
   }
 
+  test("rsi: SMA form on cent diffs, full-window rows only, flat → NULL") {
+    // 15 daily closes for one instrument: alternating +1/−2 cents →
+    // after day 15 the trailing-14 window holds 7 gains (+100 total? no:
+    // +1 cent = +0.01) — use explicit integers: closes in cents
+    val day = 86400L * 1000000000L
+    val cents = Seq(10000L, 10100L, 10050L, 10150L, 10100L, 10200L, 10150L,
+      10250L, 10200L, 10300L, 10250L, 10350L, 10300L, 10400L, 10350L)
+    val df = ticks(cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, i * day, "a", c / 100.0, "{}")
+    }: _*)
+    val r = MarketStats.rsi(df, n = 14).collect()
+    // day idx 14 is the first with 14 diffs: 7 gains ×100, 7 losses ×50
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 14L)
+    // g=700, l=350 → 700e8 div 1050 = 66666666
+    assert(r(0).getLong(2) == 66666666L)
+  }
+
+  test("donchian: channel is the PRECEDING frame; breakout flags exact") {
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, "{}"),
+      (2L, 2000L, "a", 2.00, "{}"),
+      (3L, 3000L, "a", 3.00, "{}")) // channel of previous 2 = [1,2] → up
+    val r = MarketStats.donchianChannels(df, n = 2).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 3L)
+    assert(r(0).getBoolean(5) && !r(0).getBoolean(6))
+  }
+
+  test("atr: first bar seeds TR=high−low; later bars use prev close") {
+    val ns = 600L * 1000000000L
+    val df = ticks(
+      (1L, 0L, "a", 1.00, "{}"), (2L, 1L, "a", 2.00, "{}"), // bar0 h2 l1 c2
+      (3L, ns, "a", 5.00, "{}"), (4L, ns + 1, "a", 4.00, "{}")) // bar1 h5 l4 c4
+    val r = MarketStats.atr(df, n = 14).orderBy("window_start").collect()
+    // bar0 TR=1.00; bar1 TR=max(1, |5−2|, |4−2|)=3 → ATR=(1+3)/2=2
+    assert(r.map(_.getLong(2)).toSeq == Seq(1000000L, 2000000L))
+    assert(r.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+  }
+
+  test("order flow: tick rule with zero-tick inheritance; first tick neutral") {
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, """{"k": 10}"""), // no prior change → 0
+      (2L, 2000L, "a", 2.00, """{"k": 3}"""), // uptick → +3
+      (3L, 3000L, "a", 2.00, """{"k": 5}"""), // zero-tick inherits + → +5
+      (4L, 4000L, "a", 1.50, """{"k": 2}""")) // downtick → −2
+    val r = MarketStats.orderFlowImbalance(df).collect()
+    assert(r.length == 1)
+    val Row(_, _, imb, buy, sell, n) = r(0)
+    assert((imb, buy, sell, n) == (6L, 8L, 2L, 4L))
+  }
+
+  test("amihud: |ret|·1000 div volume; first day and zero volume NULL") {
+    val day = 86400L * 1000000000L
+    val df = ticks(
+      (1L, 0L, "a", 100.00, """{"k": 4}"""),
+      (2L, day, "a", 101.00, """{"k": 5}""")) // ret=+10000 μ, vol=5
+    val r = MarketStats.amihudIlliquidity(df).orderBy("day").collect()
+    assert(r(0).isNullAt(4)) // first day: no return
+    assert(r(1).getLong(4) == 10000L * 1000L / 5L)
+  }
+
   test("loader truncates ts_ns to μs; μs timestamps are collision-free") {
     // The DuckDB oracle can only observe μs (its parquet reader truncates
     // TIMESTAMP(NANOS)); the corpus DOES carry sub-μs nanos. Tables.events
