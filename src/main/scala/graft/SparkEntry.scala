@@ -277,6 +277,7 @@ object SparkEntry {
     "user_event_types" -> ((s, dir) => EventsOps.userEventTypes(Tables.events(s, dir))),
     "latest_events" -> ((s, dir) => EventsOps.latestEvents(Tables.events(s, dir))),
     "kmv_distinct" -> ((s, dir) => EventsOps.kmvDistinct(Tables.events(s, dir))),
+    "hll_distinct" -> ((s, dir) => EventsOps.hllDistinct(Tables.events(s, dir))),
     "dispersion_by_type" -> ((s, dir) =>
       EventsOps.dispersionByType(Tables.events(s, dir))),
     "moments_by_type" -> ((s, dir) =>
@@ -326,6 +327,8 @@ object SparkEntry {
       MarketStats.volumeProfile(Tables.events(s, dir))),
     "dup_triangles" -> ((s, dir) =>
       Dedup.dupTriangles(Tables.embeddings(s, dir))),
+    "dup_degrees" -> ((s, dir) =>
+      Dedup.dupDegrees(Tables.embeddings(s, dir))),
     "daily_returns" -> ((s, dir) =>
       MarketStats.dailyCloseReturns(Tables.events(s, dir))),
     "cusum_drift" -> ((s, dir) => MarketStats.cusumDrift(Tables.events(s, dir))),
@@ -489,6 +492,10 @@ object SparkEntry {
     "lm_coverage" -> ((s, dir) => TextAnalysis.lmCoverage(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir))),
+    "ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
     "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(Tables.documents(s, dir))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(Tables.documents(s, dir))),
     "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(Tables.documents(s, dir))),
@@ -1400,6 +1407,41 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 64
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // register-exact HLL (m=64): bucket = h60 mod m, register = ρ of the
+    // 54-bit remainder via bin() length (both engines drop leading
+    // zeros); harmonic sum assembled as an exact BIGINT numerator so the
+    // estimate is one correctly-rounded IEEE divide — no float fold
+    "hll_distinct" ->
+      """WITH hashed AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events
+        |), regs AS (
+        |  SELECT event_type, h % 64 AS bucket,
+        |    max(CASE WHEN h // 64 = 0 THEN 55
+        |        ELSE 55 - length(bin(h // 64)) END) AS reg
+        |  FROM hashed GROUP BY 1, 2
+        |), per AS (
+        |  SELECT event_type, count(*) AS n_used, max(reg) AS max_reg
+        |  FROM regs GROUP BY 1
+        |), asm AS (
+        |  SELECT r.event_type, p.n_used, p.max_reg,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(p.max_reg - r.reg AS INT))
+        |      AS BIGINT) AS s_present
+        |  FROM regs r JOIN per p USING (event_type)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type,
+        |  CAST(64 - n_used AS BIGINT) AS v_zero,
+        |  max_reg,
+        |  s_present + (64 - n_used) *
+        |    (CAST(1 AS BIGINT) << CAST(max_reg AS INT)) AS s_num,
+        |  round(0.709 * 64 * 64 * pow(2.0, max_reg) /
+        |    CAST(s_present + (64 - n_used) *
+        |      (CAST(1 AS BIGINT) << CAST(max_reg AS INT)) AS DOUBLE), 6)
+        |    AS hll_est
+        |FROM asm ORDER BY event_type""".stripMargin,
+
     // Chained step windows: each CTE layer adds the next step's
     // conditional min, mirroring the Spark window chain exactly.
     "funnel_steps" ->
@@ -1648,6 +1690,33 @@ object SparkEntry {
         |JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
         |JOIN embeddings l ON l.vec_id = p1.id_a
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // degree histogram over the same exact pair relation (each endpoint
+    // of each undirected pair counts once)
+    "dup_degrees" ->
+      """WITH elems AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b
+        |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM dots
+        |  JOIN norms na ON na.vec_id = id_a
+        |  JOIN norms nb ON nb.vec_id = id_b
+        |  WHERE dot/(na.nrm*nb.nrm) >= 0.3
+        |), deg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT id_a AS id FROM pairs
+        |    UNION ALL SELECT id_b FROM pairs) u
+        |  GROUP BY 1
+        |)
+        |SELECT degree, count(*) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
 
     // floor() of the double quotient (not // or div): returns go
     // negative, where Spark's div truncates but DuckDB's // floors; the
@@ -2852,6 +2921,57 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM tok GROUP BY 1
         |ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin,
+
+    // every ADJACENT pair occurrence (non-distinct, unlike the shingle
+    // SET): generate_series(1, len-1) indexes each neighbor pair
+    "bpe_pair_counts" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS toks FROM norm
+        |), pairs AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS pair
+        |  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM pairs GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+
+    // novelty = fraction of a doc's distinct trigram shingles whose
+    // corpus document-frequency is exactly 1 (integer counts, one 6-dp
+    // ratio); docs without shingles score 0
+    "ngram_novelty" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), shing AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END)) AS sh
+        |  FROM toks
+        |), dfs AS (
+        |  SELECT sh, count(*) AS df FROM shing GROUP BY 1
+        |), per AS (
+        |  SELECT s.doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM shing s JOIN dfs d USING (sh) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN coalesce(p.n_shingles, 0) > 0
+        |    THEN round(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 6)
+        |    ELSE 0.0 END AS novelty6
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // window=200, stride=150: n_chunks = 1 + ceil(max(0,len-200)/150);
     // substr is 1-based chars in both engines.

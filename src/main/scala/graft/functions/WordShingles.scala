@@ -21,16 +21,18 @@ import org.apache.spark.unsafe.types.UTF8String
  * Input must already be normalized (see TextOps.normalize); tokens are
  * space-separated.
  */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int,
+    distinct: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.shingle(input.asInstanceOf[UTF8String], n)
+    WordShingles.shingle(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shingle($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordShingles.shingle($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -40,23 +42,33 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShingles {
 
-  /** Invoked from generated code — keep signature stable. */
-  def shingle(s: UTF8String, n: Int): GenericArrayData = {
+  /** Invoked from generated code — keep signature stable. `distinct`
+    * gates the set semantics: dedup/novelty want the distinct shingle
+    * SET, the BPE pair census wants every adjacent occurrence. */
+  def shingle(s: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     val words = s.toString.split(' ').filter(_.nonEmpty)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
-    // LinkedHashSet: distinct with deterministic first-occurrence order
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    // LinkedHashSet: distinct with deterministic first-occurrence order;
+    // plain list in occurrence mode
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]()
+      else new java.util.ArrayList[UTF8String](words.length - n + 1)
     var i = 0
     while (i + n <= words.length) {
       val sb = new java.lang.StringBuilder(words(i))
       var j = 1
       while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
-      seen.add(UTF8String.fromString(sb.toString))
+      out.add(UTF8String.fromString(sb.toString))
       i += 1
     }
-    new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]))
   }
 
   def word_shingles(c: Column, n: Int): Column =
     GraftBridge.toColumn(WordShingles(GraftBridge.toExpression(c), n))
+
+  /** Every adjacent word n-gram occurrence (non-distinct). */
+  def word_ngrams(c: Column, n: Int): Column =
+    GraftBridge.toColumn(
+      WordShingles(GraftBridge.toExpression(c), n, distinct = false))
 }

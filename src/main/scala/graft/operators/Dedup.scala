@@ -506,6 +506,25 @@ object Dedup {
       .orderBy(col("label"))
   }
 
+  /** Degree HISTOGRAM of the embedding near-dup graph — the structural
+    * audit run before committing to connected-components at corpus
+    * scale: a long low-degree tail means chained borderline pairs (CC
+    * will build giant fragile components; raise the threshold), a thick
+    * high-degree head means true template families (CC is safe and the
+    * keep-best step will reclaim the most rows). Pairs checkpoint once
+    * (two union arms would re-derive the cosine join); degrees are one
+    * aggregate on node ids, the histogram one more on the ≤ max-degree
+    * distinct degree values. */
+  def dupDegrees(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val pairs = embeddingCosineDups(embeddings, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
   /** 60-bit SimHash of the token multiset: bit j is the sign of the
     * count-weighted sum of ±1 over token-hash bit j. Single explode +
     * groupBy; the 60 per-bit sums are one aggregation pass. 60 bits (not

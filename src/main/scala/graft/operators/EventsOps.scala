@@ -371,6 +371,65 @@ object EventsOps {
       .orderBy(col("event_type"))
   }
 
+  /** HyperLogLog distinct-user estimate per event_type, REGISTER-EXACT
+    * against the SQL oracle — the other canonical mergeable-distinct
+    * sketch next to [[kmvDistinct]] (KMV's error is ~1.3/√k with k·8
+    * bytes; HLL gets ~1.04/√m from m·6 BITS, the production choice when
+    * millions of group sketches must ship over a shuffle or live in a
+    * serving store). m = 2^b registers; bucket = h60 mod m, and the
+    * register is ρ(remaining 54-bit field) = leading-zeros + 1 —
+    * computed portably as 55 − length(bin(rem)) (both engines' `bin`
+    * drops leading zeros; the all-zero field takes rank 55).
+    *
+    * Everything after the per-(type, bucket) max is EXACT integer
+    * arithmetic: the harmonic sum Σ2^(−M_j) is assembled as
+    * Σ 2^(maxM−M_j) / 2^maxM with a BIGINT numerator (≤ m·2^55 < 2^62),
+    * so the one double division at the end is a single correctly-rounded
+    * IEEE op — no float fold, no libm, engine-identical. Empty registers
+    * enter as 2^maxM each. The raw-HLL small-range bias correction
+    * (linear counting) needs ln — libm, NOT portable — so this emits
+    * the raw estimate plus the zero-register count V; a consumer applies
+    * corrections driver-side where bit-portability no longer matters.
+    *
+    * Shape at scale: partial-aggregated (type, bucket) max — ≤ m rows
+    * per group cross the shuffle regardless of input size — then a
+    * group-cardinality assembly. Registers max-merge, so the streaming /
+    * cross-shard union is the same fold. */
+  def hllDistinct(events: DataFrame, b: Int = 6): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val m = 1 << b
+    val alpha = 0.709 // canonical α_64 (Flajolet et al.)
+    val regs = events
+      .select(col("event_type"), h60(col("user_id").cast("string")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("rem", expr(s"h div $m"))
+      .withColumn("rho",
+        when(col("rem") === 0, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rem")))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    // Σ 2^(maxM − M_j) needs maxM first: one tiny pass over the ≤ m·|types|
+    // register rows, joined back for the exact-integer assembly
+    val perType = regs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_used"), max(col("reg")).as("max_reg"))
+    regs.join(perType, "event_type")
+      .groupBy(col("event_type"), col("n_used"), col("max_reg"))
+      .agg(sum(expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(max_reg - reg AS INT)) AS BIGINT)"))
+        .cast("long").as("s_present"))
+      .withColumn("s_num", col("s_present") +
+        (lit(m.toLong) - col("n_used")) *
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(max_reg AS INT)) AS BIGINT)"))
+      .select(col("event_type"),
+        (lit(m.toLong) - col("n_used")).as("v_zero"),
+        col("max_reg"), col("s_num"),
+        // α_m·m² is exact (0.709 · 2^12 scales the exponent only), so the
+        // whole estimate is one correctly-rounded IEEE divide
+        round(lit(alpha * m * m) * pow(lit(2.0), col("max_reg")) /
+          col("s_num").cast("double"), 6).as("hll_est"))
+      .orderBy(col("event_type"))
+  }
+
   /** ORDERED funnel conversion (view → click → purchase): how many users
     * completed each step IN ORDER — a click only counts after the user's
     * first view, a purchase only after that click. Three chained

@@ -545,4 +545,61 @@ object TextAnalysis {
           .as("coverage6"))
       .orderBy(col("doc_id"))
   }
+
+  /** BPE merge census: corpus-wide frequency of every ADJACENT token
+    * pair — exactly the statistic the first byte-pair-encoding merge
+    * step maximizes (and each later step recomputes after merging). A
+    * tokenizer-training pipeline runs this over the full corpus, takes
+    * the top pair, merges, repeats; the census is the distributed-heavy
+    * part, the merge loop is driver-sized. Non-distinct occurrences
+    * (unlike the shingle SET the dedup family uses), counted with a
+    * map-combined two-phase aggregate + TakeOrderedAndProject at k —
+    * never a full vocabulary sort. Ties at the cutoff break by pair
+    * string, so the census is deterministic. */
+  def bpePairCounts(documents: DataFrame, k: Int = 50): DataFrame = {
+    import graft.functions.WordShingles
+    documents
+      .select(col("doc_id"),
+        explode(WordShingles.word_ngrams(normalize(col("text")), 2))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** N-gram NOVELTY per document: the fraction of a document's distinct
+    * word n-grams that appear in NO other document — the memorization /
+    * boilerplate dial of a training-data audit (novelty ≈ 1 is unique
+    * prose, ≈ 0 is template text every near-dup detector should have
+    * caught). A shingle is "novel" iff its corpus document-frequency is
+    * exactly 1; integer counts and one 6-dp ratio keep it oracle-exact.
+    *
+    * Scale shape: one explode of per-doc DISTINCT shingles, the df
+    * aggregate and the df-join both shuffle on the shingle key (the
+    * second exchange reuses the first's partitioning on the agg side),
+    * then a doc_id re-aggregate of two counters. Linear in corpus
+    * shingle volume, no quadratic term, no skew (shingle keys are
+    * near-uniform; the df cut that guards the PAIR generators is not
+    * needed here — nothing joins doc×doc). */
+  def ngramNovelty(documents: DataFrame, n: Int = 3): DataFrame = {
+    val post = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+    val df = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val novel = post.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    documents.select(col("doc_id"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          round(col("n_novel").cast("double") /
+            col("n_shingles").cast("double"), 6)).otherwise(0.0)
+          .as("novelty6"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -227,4 +227,39 @@ class TextMultimodalSpec extends SparkSpec {
         s"doc $id tail not covered")
     }
   }
+
+  test("bpe pair census counts every adjacent occurrence, not the set") {
+    val docs = Seq(
+      (1L, "a b a b a", "en", "s", 9L), // pairs: ab ba ab ba → ab×2 ba×2
+      (2L, "a b", "en", "s", 3L), // ab×1
+      (3L, "x", "en", "s", 1L)) // no pairs
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.bpePairCounts(docs, k = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("a b", 3L, 2L), ("b a", 2L, 1L)))
+  }
+
+  test("ngram novelty: shared shingles score 0, unique prose scores 1") {
+    val shared = "the quick brown fox jumps over dogs"
+    val docs = Seq(
+      (1L, shared, "en", "s", 1L),
+      (2L, shared, "en", "s", 1L), // exact dup: every shingle df=2
+      (3L, "completely different words appear here tonight", "en", "s", 1L),
+      (4L, "xy", "en", "s", 1L)) // too short: no shingles
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.ngramNovelty(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) == 0.0 && r(2L) == 0.0)
+    assert(r(3L) == 1.0)
+    assert(r(4L) == 0.0) // no shingles → 0 by convention
+  }
+
+  test("dup degree histogram: handshake identity on the corpus graph") {
+    import graft.operators.Dedup
+    val emb = Tables.embeddings(spark, sf0001)
+    val nPairs = Dedup.embeddingCosineDups(emb, threshold = 0.3).count()
+    val hist = Dedup.dupDegrees(emb, threshold = 0.3).collect()
+    val sumDeg = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(sumDeg == 2 * nPairs, "Σ degree·n_nodes must equal 2·|E|")
+  }
 }
