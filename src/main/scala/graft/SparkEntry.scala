@@ -348,9 +348,12 @@ object SparkEntry {
       MarketStats.amihudIlliquidity(Tables.events(s, dir))),
     "profile_lineitem" -> ((s, dir) =>
       Profiling.profile(Tables.lineitem(s, dir))),
-    // same operator, different schema — the generic claim gated twice
+    // same operator, different schema — the generic claim gated thrice
     "profile_documents" -> ((s, dir) =>
       Profiling.profile(Tables.table(s, dir, "documents"))),
+    "profile_events" -> ((s, dir) =>
+      Profiling.profile(Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))),
     "bm25_scores" -> ((s, dir) => TextAnalysis.bm25Scores(Tables.documents(s, dir))),
     "unpivot_metrics" -> ((s, dir) =>
       Relational.unpivotLineitemMetrics(Tables.lineitem(s, dir))),
@@ -368,6 +371,7 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
     "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
+    "asof_within" -> ((s, dir) => AsOfJoin.lastPurchaseWithin(Tables.events(s, dir))),
     "asof_next_purchase" -> ((s, dir) => AsOfJoin.nextPurchaseAfter(Tables.events(s, dir))),
     "asof_interpolated" -> ((s, dir) => AsOfJoin.asOfInterpolated(Tables.events(s, dir))),
     "range_join_counts" -> ((s, dir) =>
@@ -433,6 +437,8 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => // no SQL oracle: approximate by design
       Similarity.annIvf(Tables.embeddings(s, dir))),
+    "quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 
     // ── Deterministic sampling (training-data selection) ──
     "sample_hash" -> ((s, dir) => {
@@ -1691,6 +1697,31 @@ object SparkEntry {
         |JOIN embeddings l ON l.vec_id = p1.id_a
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // int8 quantization audit: identical double expression + identical
+    // round-half-away in both engines → bit-portable integer checksums
+    "quantize_int8" ->
+      """WITH mx AS (
+        |  SELECT vec_id,
+        |    CAST(len(embedding) AS BIGINT) AS n_dims,
+        |    list_aggregate(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+        |  FROM embeddings
+        |)
+        |SELECT m.vec_id, m.n_dims,
+        |  CASE WHEN m.maxabs > 0 THEN round(m.maxabs / 127.0, 6) END AS scale6,
+        |  CASE WHEN m.maxabs > 0 THEN
+        |    CAST(list_aggregate(list_transform(e.embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.maxabs, 0)
+        |        AS BIGINT)), 'sum') AS BIGINT)
+        |    ELSE 0 END AS q_sum,
+        |  CASE WHEN m.maxabs > 0 THEN
+        |    CAST(list_aggregate(list_transform(e.embedding,
+        |      x -> abs(CAST(round(CAST(x AS DOUBLE) * 127.0 / m.maxabs, 0)
+        |        AS BIGINT))), 'sum') AS BIGINT)
+        |    ELSE 0 END AS q_l1
+        |FROM mx m JOIN embeddings e USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
     // degree histogram over the same exact pair relation (each endpoint
     // of each undirected pair counts once)
     "dup_degrees" ->
@@ -2008,6 +2039,10 @@ object SparkEntry {
         "l_returnflag", "l_linestatus", "l_shipdate")),
     "profile_documents" -> profileOracle("documents",
       Seq("doc_id", "text", "lang", "source", "n_chars")),
+    // ts distinct-counts agree across engines because μs instants are
+    // collision-free (MarketStatsSpec asserts it)
+    "profile_events" -> profileOracle("events",
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
 
     "sliding_active_users" ->
       """SELECT event_type, slot * 1800 AS window_start,
@@ -2156,6 +2191,23 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
         |)
         |SELECT e.event_id, e.user_id, p.purchase_id AS last_purchase_id
+        |FROM events e
+        |ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    // merge_asof tolerance= semantics stated as a CASE over plain ASOF:
+    // matches older than 1h are as good as no match
+    "asof_within" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= 3600000000
+        |    THEN p.purchase_id END AS last_purchase_id,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(p.ts) <= 3600000000
+        |    THEN epoch_us(e.ts) - epoch_us(p.ts) END AS staleness_us
         |FROM events e
         |ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts

@@ -174,4 +174,35 @@ object AsOfJoin {
       .select(col("event_id"), col("user_id"), col("last_purchase_id"))
       .orderBy(col("event_id"))
   }
+
+  /** TOLERANCE-BOUNDED as-of (pandas merge_asof `tolerance=`, DuckDB has
+    * no equivalent): the backward match is kept only while it is fresh —
+    * a state older than `toleranceSec` is as good as no state (the
+    * feature-staleness rule every training pipeline enforces when
+    * joining signals onto examples). Implemented by carrying the matched
+    * row's timestamp in the payload struct and nulling stale matches
+    * after the same one-shuffle union-window pass as [[asOf]]; emits the
+    * match's staleness in μs alongside (NULL when unmatched or stale).
+    * The oracle states the same rule as a CASE over a plain ASOF join. */
+  def lastPurchaseWithin(events: DataFrame,
+      toleranceSec: Long = 3600L): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+      .select(col("user_id"), col("ts"),
+        struct(unix_micros(col("ts")).as("pus"),
+          col("purchase_id").as("pid")).as("p"))
+    asOf(
+      left = events.select(col("event_id"), col("user_id"), col("ts")),
+      right = purchases, keyCol = "user_id",
+      leftTs = "ts", rightTs = "ts", payloadCol = "p", as = "m")
+      .withColumn("stale_us", unix_micros(col("ts")) - col("m.pus"))
+      .select(col("event_id"), col("user_id"),
+        when(col("stale_us") <= toleranceSec * 1000000L, col("m.pid"))
+          .as("last_purchase_id"),
+        when(col("stale_us") <= toleranceSec * 1000000L, col("stale_us"))
+          .as("staleness_us"))
+      .orderBy(col("event_id"))
+  }
 }

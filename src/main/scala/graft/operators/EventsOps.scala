@@ -397,10 +397,17 @@ object EventsOps {
     * cross-shard union is the same fold. */
   def hllDistinct(events: DataFrame, b: Int = 6): DataFrame = {
     import graft.functions.PortableHash.h60
+    hllEstimate(hllRegisters(
+      events.select(col("event_type"),
+        h60(col("user_id").cast("string")).as("h")), b), b)
+  }
+
+  /** (event_type, bucket, reg) register table from raw (event_type, h)
+    * rows — the partial-aggregated, max-MERGEABLE sketch state shared
+    * with the streaming fold ([[graft.streaming.StreamHll]]). */
+  def hllRegisters(hashes: DataFrame, b: Int = 6): DataFrame = {
     val m = 1 << b
-    val alpha = 0.709 // canonical α_64 (Flajolet et al.)
-    val regs = events
-      .select(col("event_type"), h60(col("user_id").cast("string")).as("h"))
+    hashes
       .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
       .withColumn("rem", expr(s"h div $m"))
       .withColumn("rho",
@@ -408,6 +415,14 @@ object EventsOps {
           .otherwise(lit(55L) - length(bin(col("rem")))))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Exact-integer estimate assembly over a register table — same
+    * projection for batch and stream, so streamed ≡ batch by
+    * construction. */
+  def hllEstimate(regs: DataFrame, b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val alpha = 0.709 // canonical α_64 (Flajolet et al.)
     // Σ 2^(maxM − M_j) needs maxM first: one tiny pass over the ≤ m·|types|
     // register rows, joined back for the exact-integer assembly
     val perType = regs.groupBy(col("event_type"))

@@ -357,4 +357,36 @@ object Similarity {
       .distinct()
       .orderBy(col("new_id"), col("corpus_id"))
   }
+
+  /** INT8 symmetric quantization audit of the embedding column — the
+    * 4× vector-store compression every production ANN tier applies
+    * (scale = max|x|/127 per vector, q_i = round(x_i·127/max|x|)). The
+    * gated output is the per-vector audit summary, not the int8 array
+    * itself (array columns hash differently across engine result
+    * formats): dim count, the 6-dp scale, and the exact integer sum /
+    * L1-mass of the quantized vector — any single q_i differing flips a
+    * checksum. Both engines evaluate the identical double expression
+    * (float→double widening is exact, one multiply, one divide) and the
+    * identical round-half-away-from-zero, so the integers are
+    * bit-portable. Zero vectors quantize to all-zero (scale NULL).
+    * Map-side per-row arithmetic at scan speed; no shuffle but the
+    * presentation sort. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        expr("CAST(size(embedding) AS BIGINT)").as("n_dims"),
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))").as("maxabs"))
+      .select(col("vec_id"), col("n_dims"),
+        when(col("maxabs") > 0.0, round(col("maxabs") / 127.0, 6))
+          .as("scale6"),
+        when(col("maxabs") > 0.0, expr(
+          "aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + " +
+            "CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs, 0) AS BIGINT))"))
+          .otherwise(0L).as("q_sum"),
+        when(col("maxabs") > 0.0, expr(
+          "aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + " +
+            "abs(CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs, 0) AS BIGINT)))"))
+          .otherwise(0L).as("q_l1"))
+      .orderBy(col("vec_id"))
 }

@@ -43,6 +43,31 @@ class AsOfServingSpec extends SparkSpec {
       "L3" -> None))         // right exists only before
   }
 
+  test("tolerance as-of: stale matches null out, fresh ones carry staleness") {
+    import org.apache.spark.sql.functions._
+    // purchases at t=0 and t=5000s; events probe at 0s, 3599s after the
+    // first (fresh), 3601s after (stale), and between purchases
+    def ev(id: Long, sec: Long, t: String) =
+      (id, sec * 1000000000L, 1L, t, 1.0, "{}")
+    val df = Seq(
+      ev(1, 0, "purchase"),
+      ev(2, 3599, "view"),   // 3599s stale → fresh (≤ 3600)
+      ev(3, 3601, "view"),   // 3601s stale → nulled
+      ev(4, 5000, "purchase"),
+      ev(5, 5100, "view"))   // 100s after the second purchase
+      .toDF("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+    val got = AsOfJoin.lastPurchaseWithin(df, toleranceSec = 3600L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    assert(got(1L) == Some((1L, 0L)))            // self-match, zero stale
+    assert(got(2L) == Some((1L, 3599000000L)))
+    assert(got(3L) == None)                      // beyond tolerance
+    assert(got(5L) == Some((4L, 100000000L)))
+  }
+
   test("interpolated as-of: exact integer lerp between the straddling ticks") {
     // user 1: clicks at t=1000μs (v 1.00) and t=2000μs (v 3.00);
     // purchases at t=1500 (midpoint → 2.00), t=1000 (exact hit → 1.00),

@@ -376,6 +376,32 @@ class StreamingSpec extends SparkSpec {
     assert(table.hashes.count() <= 64L * streamed.length) // ≤ groups·k forever
   }
 
+  test("streaming HLL: waves of events max-merge to the exact batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamHll
+    import graft.operators.EventsOps
+    val events = Tables.events(spark, sf0001)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val src = MemoryStream[(String, Long)]
+    val table = new StreamHll.HllTable(spark, b = 6)
+    val q = StreamHll.start(src.toDS().toDF("event_type", "user_id"), table)
+    events.grouped(300).foreach { wave =>
+      src.addData(wave: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = table.estimate.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val batch = EventsOps.hllDistinct(Tables.events(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // max-mergeable registers: streamed ≡ batch exactly, arrival order moot
+    assert(streamed.toSeq == batch.toSeq)
+    assert(table.registers.count() <= 64L * streamed.length) // ≤ groups·m
+  }
+
   test("streaming priority sample: waves fold to the exact batch sample, state bounded at k") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamPrioritySample
