@@ -346,6 +346,9 @@ object SparkEntry {
       MarketStats.orderFlowImbalance(Tables.events(s, dir))),
     "amihud_illiquidity" -> ((s, dir) =>
       MarketStats.amihudIlliquidity(Tables.events(s, dir))),
+    "markout_30s" -> ((s, dir) => MarketStats.markout(Tables.events(s, dir))),
+    "session_attribution" -> ((s, dir) =>
+      EventsOps.sessionAttribution(Tables.events(s, dir))),
     "profile_lineitem" -> ((s, dir) =>
       Profiling.profile(Tables.lineitem(s, dir))),
     // same operator, different schema — the generic claim gated thrice
@@ -1887,6 +1890,54 @@ object SparkEntry {
         |) c
         |GROUP BY event_type, window_start
         |ORDER BY event_type, window_start""".stripMargin,
+
+    // forward as-of shifted by the horizon: future price = first tick of
+    // the same instrument at or after t+30s; exact integer cents
+    "markout_30s" ->
+      """WITH t AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |  f.cents AS future_cents,
+        |  f.cents - e.cents AS markout_cents
+        |FROM t e
+        |ASOF LEFT JOIN t f
+        |  ON e.event_type = f.event_type
+        |  AND f.ts >= e.ts + INTERVAL 30 SECOND
+        |ORDER BY e.event_id""".stripMargin,
+
+    // first-touch attribution: purchases credited to the session's
+    // earliest click; the arg-min id is recovered via a μs-equality
+    // join (μs instants are collision-free, spec-asserted)
+    "session_attribution" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, event_type, us, sid,
+        |    min(CASE WHEN event_type = 'click' THEN us END) OVER ws AS fc_us,
+        |    min(us) OVER ws AS session_start_us
+        |  FROM s
+        |  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT p.purchase_id, p.user_id,
+        |  c.event_id AS first_click_id, p.session_start_us
+        |FROM p LEFT JOIN s c
+        |  ON c.user_id = p.user_id AND c.us = p.fc_us
+        |  AND c.event_type = 'click'
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.purchase_id""".stripMargin,
 
     // |daily return| per unit size — both inputs are this family's
     // integer surrogates, so the impact ratio is one floor division

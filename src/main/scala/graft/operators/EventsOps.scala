@@ -73,6 +73,44 @@ object EventsOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** FIRST-TOUCH session attribution: each purchase credited to the
+    * EARLIEST click in its own session (30-min-gap sessions over the
+    * user's full event stream) — the marketing-attribution join next to
+    * the as-of family's last-touch direction. Sessionization is the
+    * shared lag/cumsum boundary-flag formulation; the first click is a
+    * running conditional min over the (us, event_id) struct — O(1)
+    * window state, no self-join — and NULL for click-less sessions.
+    * Two window partitionings (user, then user×session) but the second
+    * sort rides the first's order; one data-sized shuffle each.
+    * The oracle recovers the arg-min id via a μs-equality join, exact
+    * because μs instants are collision-free (spec-asserted). */
+  def sessionAttribution(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(wOrd).isNull ||
+          col("us") - lag(col("us"), 1).over(wOrd) >= gapSec * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+    val wSess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess
+      .withColumn("first_click",
+        min(when(col("event_type") === "click",
+          struct(col("us"), col("event_id")))).over(wSess))
+      .withColumn("session_start_us", min(col("us")).over(wSess))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("first_click.event_id").as("first_click_id"),
+        col("session_start_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Log COMPACTION: the latest event per (user, type) — the
     * keep-newest-per-key upsert/SCD shape every event-sourced store
     * compacts with. row_number over (ts desc, event_id desc) so

@@ -495,6 +495,33 @@ object MarketStats {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Post-trade MARKOUT: each tick's price drift `horizonSec` later —
+    * the realized price-impact measure (a systematically negative
+    * markout on one's own trades is the adverse-selection red flag).
+    * future price = the first tick of the same instrument at or after
+    * t + horizon (the forward as-of direction, shifted), so the whole
+    * operator is one AsOfJoin.asOfForward pass: one shuffle on the
+    * instrument, no per-row range probe. Exact integer cents in and
+    * out; NULL markout past the end of the series. Precondition: μs
+    * instants are collision-free (loader-asserted), so the forward pick
+    * is unique. */
+  def markout(events: DataFrame, horizonSec: Long = 30L): DataFrame = {
+    val ticks = events.select(col("event_type"),
+      expr("ts_ns div 1000").as("tus"),
+      expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("fcents"))
+    val left = events.select(col("event_id"), col("event_type"),
+      expr("ts_ns div 1000 + " + (horizonSec * 1000000L)).as("qus"),
+      expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+    AsOfJoin.asOfForward(
+      left = left, right = ticks, keyCol = "event_type",
+      leftTs = "qus", rightTs = "tus", payloadCol = "fcents",
+      as = "future_cents")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("future_cents"),
+        (col("future_cents") - col("cents")).as("markout_cents"))
+      .orderBy(col("event_id"))
+  }
+
   /** Deterministic (event_type, day, close-in-cents) daily close series —
     * the shared prefix of [[dailyCloseReturns]], [[rsi]], and
     * [[amihudIlliquidity]]: last tick of each day by (ts_ns, event_id). */

@@ -79,4 +79,29 @@ class EventsAnalyticsSpec extends SparkSpec {
       Seq((1L, "x", 1.00)).toDF("event_id", "event_type", "value")).collect()
     assert(one.head.getInt(1) == 6)
   }
+
+  test("first-touch attribution: session-scoped earliest click, NULL without one") {
+    def row(id: Long, u: Long, t: String, sec: Long) =
+      (id, u, t, sec * 1000000L)
+    val df = Seq(
+      // user 1, session A: click@10, view@20, purchase@30 → credited 1
+      row(1, 1, "click", 10), row(2, 1, "view", 20), row(3, 1, "purchase", 30),
+      // 31-min gap → session B: purchase first, click after it → NULL
+      // (first-touch only looks at clicks AT OR BEFORE the purchase)
+      row(4, 1, "purchase", 30 + 1900), row(5, 1, "click", 30 + 1910),
+      // another purchase later in B: now click 5 is the first touch
+      row(6, 1, "purchase", 30 + 1920),
+      // user 2: clicks straddle; earliest in-session click wins
+      row(7, 2, "click", 100), row(8, 2, "click", 200),
+      row(9, 2, "purchase", 300))
+      .map { case (id, u, t, us) => (id, u, t, us * 1000L) }
+      .toDF("event_id", "user_id", "event_type", "ts_ns")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts_ns DIV 1000)").as("ts"))
+    val got = EventsOps.sessionAttribution(df).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map(3L -> Some(1L), 4L -> None, 6L -> Some(5L),
+      9L -> Some(7L)))
+  }
 }

@@ -248,6 +248,21 @@ class MarketStatsSpec extends SparkSpec {
     assert(r(1).getLong(4) == 10000L * 1000L / 5L)
   }
 
+  test("markout: first tick ≥ t+30s, integer cents, NULL past series end") {
+    val s = 1000000000L // 1s in ns
+    val df = ticks(
+      (1L, 0L, "a", 1.00, "{}"),
+      (2L, 29L * s, "a", 2.00, "{}"), // 29s: not yet the 30s future of t=0
+      (3L, 31L * s, "a", 1.50, "{}"), // first ≥ 30s for tick 1
+      (4L, 70L * s, "a", 9.00, "{}"))
+    val r = MarketStats.markout(df).orderBy("event_id").collect()
+    // tick1 → tick3 (+50c); tick2 → tick4 (59s≥... 29+30=59 ≤ 70 → tick4)
+    assert(r(0).getLong(4) == 50L)
+    assert(r(1).getLong(4) == 700L)
+    assert(r(2).getLong(4) == 750L) // 31+30=61 ≤ 70 → tick4
+    assert(r(3).isNullAt(4)) // nothing ≥ 100s
+  }
+
   test("loader truncates ts_ns to μs; μs timestamps are collision-free") {
     // The DuckDB oracle can only observe μs (its parquet reader truncates
     // TIMESTAMP(NANOS)); the corpus DOES carry sub-μs nanos. Tables.events
