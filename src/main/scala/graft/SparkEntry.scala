@@ -349,6 +349,8 @@ object SparkEntry {
     "markout_30s" -> ((s, dir) => MarketStats.markout(Tables.events(s, dir))),
     "session_attribution" -> ((s, dir) =>
       EventsOps.sessionAttribution(Tables.events(s, dir))),
+    "conversion_rate_1h" -> ((s, dir) =>
+      EventsOps.clickConversionRate(Tables.events(s, dir))),
     "profile_lineitem" -> ((s, dir) =>
       Profiling.profile(Tables.lineitem(s, dir))),
     // same operator, different schema — the generic claim gated thrice
@@ -410,8 +412,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), threshold = 0.8)),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8)),
-    // the three groups consumers share one memoized LSH+CC prefix
+    // the groups consumers share one memoized LSH+CC prefix
     "dedup_groups" -> ((s, dir) => groupsFor(s, dir, 0.8)),
+    "dedup_group_sizes" -> ((s, dir) =>
+      groupsFor(s, dir, 0.8)
+        .groupBy(col("rep_id")).agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))),
     "dedup_groups_best" -> ((s, dir) =>
       Dedup.dedupGroupsBestFrom(Tables.documents(s, dir),
         groupsFor(s, dir, 0.8))),
@@ -505,6 +512,8 @@ object SparkEntry {
       TextAnalysis.bpePairCounts(Tables.documents(s, dir))),
     "ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
+    "token_gini" -> ((s, dir) =>
+      TextAnalysis.tokenGini(Tables.documents(s, dir))),
     "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(Tables.documents(s, dir))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(Tables.documents(s, dir))),
     "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(Tables.documents(s, dir))),
@@ -1891,6 +1900,30 @@ object SparkEntry {
         |GROUP BY event_type, window_start
         |ORDER BY event_type, window_start""".stripMargin,
 
+    // bounded funnel KPI: forward ASOF to the next purchase, horizon
+    // CASE, exact micro-int rate
+    "conversion_rate_1h" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |), clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), conv AS (
+        |  SELECT c.event_id,
+        |    CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |      THEN 1 ELSE 0 END AS converted
+        |  FROM clicks c
+        |  ASOF LEFT JOIN purchases p
+        |    ON c.user_id = p.user_id AND p.ts >= c.ts
+        |)
+        |SELECT count(*) AS n_clicks,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CASE WHEN count(*) > 0
+        |    THEN CAST(sum(converted) AS BIGINT) * 1000000 // count(*)
+        |    END AS rate_micro
+        |FROM conv""".stripMargin,
+
     // forward as-of shifted by the horizon: future price = first tick of
     // the same instrument at or after t+30s; exact integer cents
     "markout_30s" ->
@@ -2441,6 +2474,26 @@ object SparkEntry {
          |SELECT m.id AS doc_id, least(m.id, min(r.dst)) AS rep_id
          |FROM members m JOIN reach r ON r.src = m.id
          |GROUP BY m.id ORDER BY doc_id""".stripMargin,
+
+    // group-size histogram over the same transitive closure
+    "dedup_group_sizes" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |und AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+         |), members AS (SELECT DISTINCT a AS id FROM und),
+         |groups AS (
+         |  SELECT m.id AS doc_id, least(m.id, min(r.dst)) AS rep_id
+         |  FROM members m JOIN reach r ON r.src = m.id GROUP BY m.id
+         |), gsz AS (
+         |  SELECT rep_id, count(*) AS group_size FROM groups GROUP BY 1
+         |)
+         |SELECT group_size, count(*) AS n_groups
+         |FROM gsz GROUP BY 1 ORDER BY group_size""".stripMargin,
 
     // Cross-corpus variant: same chain, side predicates in cand.
     "dedup_against" ->
@@ -3024,6 +3077,32 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM tok GROUP BY 1
         |ORDER BY n_occurrences DESC, tok LIMIT 50""".stripMargin,
+
+    // Gini impurity of the token multiset — the integer-exact entropy
+    // surrogate: (n² − Σc²)·10⁶ div n² on exact counts
+    "token_gini" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS tok FROM norm
+        |), cnt AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2
+        |), per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+        |  CASE WHEN coalesce(p.n_tokens, 0) > 0
+        |    THEN (p.n_tokens * p.n_tokens - p.s2) * 1000000 //
+        |      (p.n_tokens * p.n_tokens)
+        |    ELSE 0 END AS gini_micro
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // every ADJACENT pair occurrence (non-distinct, unlike the shingle
     // SET): generate_series(1, len-1) indexes each neighbor pair

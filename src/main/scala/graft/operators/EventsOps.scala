@@ -73,6 +73,37 @@ object EventsOps {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Click→purchase CONVERSION RATE within a horizon: the fraction of
+    * clicks followed by the same user's purchase inside `horizonSec` —
+    * the bounded-funnel KPI (the unbounded ordered funnel is
+    * [[funnelSteps]]). One forward-as-of pass carries the next
+    * purchase's μs in the payload struct; the horizon test and the
+    * rate's micro-int floor are exact integer arithmetic. Single
+    * summary row (NULL rate when no clicks — the empty-input case). */
+  def clickConversionRate(events: DataFrame,
+      horizonSec: Long = 3600L): DataFrame = {
+    import graft.operators.AsOfJoin
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+      .select(col("user_id"), col("ts"),
+        struct(unix_micros(col("ts")).as("pus")).as("p"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    AsOfJoin.asOfForward(
+      left = clicks, right = purchases, keyCol = "user_id",
+      leftTs = "ts", rightTs = "ts", payloadCol = "p", as = "m")
+      .select((col("m.pus") - unix_micros(col("ts")) <=
+        horizonSec * 1000000L).as("converted"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("converted"), 1L).otherwise(0L)).cast("long")
+          .as("n_converted"))
+      .select(col("n_clicks"), col("n_converted"),
+        when(col("n_clicks") > 0,
+          expr("(n_converted * 1000000) div n_clicks")).as("rate_micro"))
+  }
+
   /** FIRST-TOUCH session attribution: each purchase credited to the
     * EARLIEST click in its own session (30-min-gap sessions over the
     * user's full event stream) — the marketing-attribution join next to

@@ -546,6 +546,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token DIVERSITY via Gini impurity — the integer-exact stand-in for
+    * token entropy (entropy needs Σ c·log c: libm, not bit-portable;
+    * Gini = 1 − Σ(c/n)² = (n² − Σc²)/n² is a ratio of exact integers
+    * and ranks the same signal): near 0 = one token repeated (spam
+    * loops), near 1 − 1/n = maximally diverse. Emitted as the
+    * micro-int floor; token-less docs score 0 by convention. One
+    * explode + (doc, token) count + per-doc fold — shingle-free, so
+    * strictly cheaper than the n-gram family. */
+  def tokenGini(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+      .join(documents.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(col("n_tokens") > 0, expr(
+          "((n_tokens * n_tokens - s2) * 1000000) div (n_tokens * n_tokens)"))
+          .otherwise(0L).as("gini_micro"))
+      .orderBy(col("doc_id"))
+
   /** BPE merge census: corpus-wide frequency of every ADJACENT token
     * pair — exactly the statistic the first byte-pair-encoding merge
     * step maximizes (and each later step recomputes after merging). A

@@ -80,6 +80,21 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(one.head.getInt(1) == 6)
   }
 
+  test("conversion rate: horizon-bounded, micro-floored, NULL on no clicks") {
+    def row(id: Long, u: Long, t: String, sec: Long) =
+      (id, u, t, sec * 1000000000L)
+    val df = Seq(
+      row(1, 1, "click", 0), row(2, 1, "purchase", 3600), // exactly 1h → in
+      row(3, 2, "click", 0), row(4, 2, "purchase", 3601), // 1h+1s → out
+      row(5, 3, "click", 0)) // never converts
+      .toDF("event_id", "user_id", "event_type", "ts_ns")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts_ns DIV 1000)").as("ts"))
+    val r = EventsOps.clickConversionRate(df).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (3L, 1L))
+    assert(r.getLong(2) == 333333L) // floor(1e6/3)
+  }
+
   test("first-touch attribution: session-scoped earliest click, NULL without one") {
     def row(id: Long, u: Long, t: String, sec: Long) =
       (id, u, t, sec * 1000000L)

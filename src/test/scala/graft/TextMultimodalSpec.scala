@@ -254,6 +254,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r(4L) == 0.0) // no shingles → 0 by convention
   }
 
+  test("token gini: 0 for a one-token loop, → 1−1/n for all-distinct text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam", "en", "s", 1L), // one type → gini 0
+      (2L, "a b c d", "en", "s", 1L), // 4 distinct → 1 − 1/4 = 0.75
+      (3L, "", "en", "s", 0L)) // token-less → 0 by convention
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.tokenGini(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 750000L, 3L -> 0L))
+  }
+
+  test("dedup group sizes: mass identity against the groups relation") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val groups = Dedup.dedupGroups(docs, threshold = 0.8)
+    val hist = groups
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+      .collect()
+    val mass = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(mass == groups.count(), "Σ size·n_groups must equal |members|")
+  }
+
   test("dup degree histogram: handshake identity on the corpus graph") {
     import graft.operators.Dedup
     val emb = Tables.embeddings(spark, sf0001)
