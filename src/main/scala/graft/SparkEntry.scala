@@ -315,6 +315,12 @@ object SparkEntry {
     "max_drawdown" -> ((s, dir) => MarketStats.maxDrawdown(Tables.events(s, dir))),
     "pair_correlation" -> ((s, dir) =>
       MarketStats.pairCorrelation(Tables.events(s, dir))),
+    "pair_correlation_daily" -> ((s, dir) =>
+      MarketStats.pairCorrelationDaily(Tables.events(s, dir))),
+    "trimmed_mean" -> ((s, dir) =>
+      EventsOps.trimmedMeanByType(Tables.events(s, dir))),
+    "type_pair_lift" -> ((s, dir) =>
+      EventsOps.typePairLift(Tables.events(s, dir))),
     "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
     "sliding_active_users" -> ((s, dir) =>
       EventsOps.slidingActiveUsers(Tables.events(s, dir))),
@@ -2226,6 +2232,84 @@ object SparkEntry {
         |  count(*) AS n_windows
         |FROM pairs GROUP BY type_a, type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // per-(pair, day) regime series of the same exact moment sums; NULL
+    // where either leg is constant across the day's windows
+    "pair_correlation_daily" ->
+      """WITH buckets AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 600000000000 * 600 AS window_start,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(8,2))) AS DECIMAL(19,2)) AS sv
+        |  FROM events GROUP BY 1, 2, 3
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, day,
+        |    a.sv AS x, b.sv AS y
+        |  FROM buckets a JOIN buckets b USING (day, window_start)
+        |  WHERE a.event_type < b.event_type
+        |)
+        |SELECT type_a, type_b, day,
+        |  round(CASE WHEN
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
+        |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |      (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |          CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |          CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+        |    END, 6) AS corr,
+        |  count(*) AS n_windows
+        |FROM pairs GROUP BY type_a, type_b, day
+        |ORDER BY type_a, type_b, day""".stripMargin,
+
+    // robust location: drop outside the exact-discrete [p05, p95], mean
+    // of survivors as the micro-int floor of an exact DECIMAL sum
+    "trimmed_mean" ->
+      """WITH cd AS (
+        |  SELECT event_type, value,
+        |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cd >= 0.05 THEN value END) AS p_lo,
+        |    min(CASE WHEN cd >= 0.95 THEN value END) AS p_hi
+        |  FROM cd GROUP BY event_type
+        |)
+        |SELECT e.event_type,
+        |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2))) * 1000000 AS HUGEINT)
+        |    // count(*) AS BIGINT) AS trimmed_mean_micro,
+        |  count(*) AS n_kept
+        |FROM events e JOIN b ON b.event_type = e.event_type
+        |WHERE e.value >= b.p_lo AND e.value <= b.p_hi
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // association lift = N·c_ab/(c_a·c_b) on exact integers — the
+    // log-free PMI surrogate; products ride HUGEINT
+    "type_pair_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), totals AS (
+        |  SELECT event_type, count(*) AS c FROM ut GROUP BY 1
+        |), n AS (
+        |  SELECT count(DISTINCT user_id) AS n_users FROM ut
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS c_ab
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.type_a, p.type_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+        |  CAST(CAST(n.n_users AS HUGEINT) * p.c_ab * 1000000 //
+        |    (CAST(ta.c AS HUGEINT) * tb.c) AS BIGINT) AS lift_micro
+        |FROM pairs p
+        |JOIN totals ta ON ta.event_type = p.type_a
+        |JOIN totals tb ON tb.event_type = p.type_b
+        |CROSS JOIN n
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
 
     "quantiles_by_type" ->
       """SELECT event_type,

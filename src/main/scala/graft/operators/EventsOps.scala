@@ -278,6 +278,67 @@ object EventsOps {
       .orderBy(col("event_id"))
   }
 
+  /** TRIMMED mean per group — the robust-location companion to
+    * [[winsorizeByType]]: drop values outside the exact-discrete
+    * [p05, p95] bounds instead of clamping them, then take the mean of
+    * the survivors as the micro-int floor of an exact DECIMAL sum.
+    * Same one-window bounds pass, broadcast join-back, map-side filter;
+    * n_kept > 0 always (the bounds are attained corpus values). */
+  def trimmedMeanByType(events: DataFrame, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val bounds = events
+      .select(col("event_type"), col("value"))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cd") >= lo, col("value"))).as("p_lo"),
+        min(when(col("cd") >= hi, col("value"))).as("p_hi"))
+    events
+      .join(broadcast(bounds), "event_type")
+      .filter(col("value") >= col("p_lo") && col("value") <= col("p_hi"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("value")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sv"),
+        count(lit(1)).as("n_kept"))
+      .select(col("event_type"),
+        expr("(sv * 1000000) div n_kept").as("trimmed_mean_micro"),
+        col("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Market-basket LIFT between event types: for each type pair, how
+    * much more often one user does BOTH than independence predicts —
+    * lift = N·c_ab/(c_a·c_b). The log-free PMI surrogate (PMI is just
+    * log lift, and log is a libm call that is not bit-portable):
+    * monotone in the same association signal, exact integers end to
+    * end. Per-user distinct types are a tiny relation (users × ≤
+    * |types|); the pair self-join is user-local and |types|²-bounded;
+    * the totals join back broadcast. Products ride DECIMAL/HUGEINT —
+    * N·c_ab·10⁶ overflows int64 at ~10⁹ users. */
+  def typePairLift(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("c").as("c_a"))), "type_a")
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("c").as("c_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("c_ab"),
+        expr("CAST(CAST(n_users AS DECIMAL(38,0)) * c_ab * 1000000 div " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_micro"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Dispersion statistics per group — variance/stddev made ENGINE-EXACT.
     * Naive stddev aggregates are distributed float sums whose combine
     * order varies run to run; instead the MOMENTS are summed in exact

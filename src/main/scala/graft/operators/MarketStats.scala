@@ -574,4 +574,46 @@ object MarketStats {
         count(lit(1)).as("n_windows"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** ROLLING co-movement: [[pairCorrelation]] keyed additionally by day
+    * — the correlation-regime time series risk monitoring actually
+    * watches (a stable global ρ can hide a sign flip mid-sample). Same
+    * exact-DECIMAL moment sums and one literal closed form per
+    * (pair, day); windows-per-day bounds the join input, so the pair
+    * join stays broadcast-sized at any corpus scale. Degenerate days
+    * (either leg constant across the day's windows) emit NULL — a ÷0
+    * each engine would render differently. */
+  def pairCorrelationDaily(events: DataFrame,
+      windowSec: Long = 600L): DataFrame = {
+    val wstart = winStart(windowSec)
+    // 86400 % windowSec == 0 for the supported windows, so a window
+    // never straddles days and the tick's day IS the window's day
+    val buckets = events
+      .select(col("event_type"), wstart.as("window_start"),
+        dayIdx.as("day"), vDec.as("v"))
+      .groupBy(col("event_type"), col("day"), col("window_start"))
+      .agg(sum(col("v")).cast(DecimalType(19, 2)).as("sv"))
+    val a = buckets.select(col("event_type").as("type_a"), col("day"),
+      col("window_start"), col("sv").as("x"))
+    val b = buckets.select(col("event_type").as("type_b"), col("day"),
+      col("window_start"), col("sv").as("y"))
+    val joined = a.join(b, Seq("day", "window_start"))
+      .where(col("type_a") < col("type_b"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x")).cast("double")
+    val sy = sum(col("y")).cast("double")
+    val sxy = sum(col("x") * col("y")).cast("double")
+    val sxx = sum(col("x") * col("x")).cast("double")
+    val syy = sum(col("y") * col("y")).cast("double")
+    joined
+      .groupBy(col("type_a"), col("type_b"), col("day"))
+      .agg(
+        round(when(
+          (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
+          .as("corr"),
+        count(lit(1)).as("n_windows"))
+      .orderBy(col("type_a"), col("type_b"), col("day"))
+  }
 }

@@ -95,6 +95,33 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(r.getLong(2) == 333333L) // floor(1e6/3)
   }
 
+  test("trimmed mean drops the tails the winsorizer would clamp") {
+    // 1..99 plus one huge outlier: cume_dist(v) = v-ish/100, so the
+    // exact-discrete bounds are p_lo = 5 (cd .05) and p_hi = 95 (cd .95)
+    val vals = (1 to 99).map(_.toDouble) :+ 1000000.0
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("event_id", "event_type", "value")
+    val r = EventsOps.trimmedMeanByType(df).collect()(0)
+    // survivors 5..95: n 91, sum 4550 → mean exactly 50
+    assert((r.getLong(1), r.getLong(2)) == (50000000L, 91L))
+  }
+
+  test("type-pair lift is N·c_ab/(c_a·c_b) over distinct user-type pairs") {
+    // u1{a,b,c} u2{a,b,c} u3{a} u4{b}; duplicates must not inflate counts
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (4L, "b"))
+      .toDF("user_id", "event_type")
+    val got = EventsOps.typePairLift(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // N=4: (a,b) 4·2/(3·3) → floor 888888; (a,c),(b,c) 4·2/(3·2) → 1333333
+    assert(got == Map(("a", "b") -> (2L, 888888L),
+      ("a", "c") -> (2L, 1333333L), ("b", "c") -> (2L, 1333333L)))
+  }
+
   test("first-touch attribution: session-scoped earliest click, NULL without one") {
     def row(id: Long, u: Long, t: String, sec: Long) =
       (id, u, t, sec * 1000000L)

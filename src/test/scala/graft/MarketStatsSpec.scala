@@ -96,6 +96,23 @@ class MarketStatsSpec extends SparkSpec {
     assert(r.forall(_.getLong(3) == 3L))
   }
 
+  test("pairCorrelationDaily keys the same moments by day; a sign flip shows") {
+    val wNs = 600L * 1000000000L
+    val dayNs = 86400L * 1000000000L
+    // day 0: b = 2·a across 3 windows (ρ +1); day 1: b = 10 − a (ρ −1)
+    val rows = Seq(1.0, 2.0, 4.0).zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 4 + 1L, i * wNs, "a", v, "{}"),
+        (i * 4 + 2L, i * wNs, "b", 2 * v, "{}"),
+        (i * 4 + 3L, dayNs + i * wNs, "a", v, "{}"),
+        (i * 4 + 4L, dayNs + i * wNs, "b", 10 - v, "{}"))
+    }
+    val r = MarketStats.pairCorrelationDaily(ticks(rows: _*)).collect()
+    val byDay = r.map(x => x.getLong(2) -> x.getDouble(3)).toMap
+    assert(byDay == Map(0L -> 1.0, 1L -> -1.0))
+    assert(r.forall(x => (x.getString(0), x.getString(1), x.getLong(4))
+      == ("a", "b", 3L)))
+  }
+
   test("bollingerBands: constant series has sd 0 and no breakouts; a spike flags") {
     val flat = (1L to 25L).map(i => (i, i * 1000L, "a", 5.00, "{}"))
     val r = MarketStats.bollingerBands(ticks(flat: _*)).collect()
