@@ -317,6 +317,13 @@ object SparkEntry {
       MarketStats.pairCorrelation(Tables.events(s, dir))),
     "pair_correlation_daily" -> ((s, dir) =>
       MarketStats.pairCorrelationDaily(Tables.events(s, dir))),
+    "obv_daily" -> ((s, dir) => MarketStats.obvDaily(Tables.events(s, dir))),
+    "stochastic_k" -> ((s, dir) =>
+      MarketStats.stochasticK(Tables.events(s, dir))),
+    "kyle_lambda" -> ((s, dir) =>
+      MarketStats.kyleLambda(Tables.events(s, dir))),
+    "ret_autocorr" -> ((s, dir) =>
+      MarketStats.retAutocorr(Tables.events(s, dir))),
     "trimmed_mean" -> ((s, dir) =>
       EventsOps.trimmedMeanByType(Tables.events(s, dir))),
     "type_pair_lift" -> ((s, dir) =>
@@ -2264,6 +2271,162 @@ object SparkEntry {
         |  count(*) AS n_windows
         |FROM pairs GROUP BY type_a, type_b, day
         |ORDER BY type_a, type_b, day""".stripMargin,
+
+    // running signed-volume sum on exact integers; the cumulative sum
+    // widens to HUGEINT in DuckDB → CAST back to BIGINT
+    "obv_daily" ->
+      """WITH closes AS (
+        |  SELECT event_type, day, cents FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1
+        |), vols AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |      AS volume
+        |  FROM events GROUP BY 1, 2
+        |), steps AS (
+        |  SELECT c.event_type, c.day, v.volume,
+        |    CASE WHEN c.cents - lag(c.cents) OVER w > 0 THEN v.volume
+        |         WHEN c.cents - lag(c.cents) OVER w < 0 THEN -v.volume
+        |         ELSE 0 END AS step
+        |  FROM closes c JOIN vols v
+        |    ON v.event_type = c.event_type AND v.day = c.day
+        |  WINDOW w AS (PARTITION BY c.event_type ORDER BY c.day)
+        |)
+        |SELECT event_type, day, volume,
+        |  CAST(sum(step) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+        |FROM steps ORDER BY event_type, day""".stripMargin,
+
+    // band position on exact cents; numerator nonnegative so floor (//)
+    // and Spark's truncating div agree
+    "stochastic_k" ->
+      """WITH daily AS (
+        |  SELECT event_type, day, max(cents) AS high_c, min(cents) AS low_c,
+        |    max(CASE WHEN rn_d = 1 THEN cents END) AS close_c
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |    FROM events) t
+        |  GROUP BY event_type, day
+        |), rolled AS (
+        |  SELECT event_type, day, close_c,
+        |    max(high_c) OVER wr AS hh, min(low_c) OVER wr AS ll,
+        |    count(*) OVER wr AS n_win
+        |  FROM daily
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day, hh, ll,
+        |  CASE WHEN hh <> ll
+        |    THEN (close_c - ll) * 1000000 // (hh - ll) END AS k_micro
+        |FROM rolled WHERE n_win = 14 ORDER BY event_type, day""".stripMargin,
+
+    // OLS slope Δp ~ λ·flow: exact integer moment sums (HUGEINT), ONE
+    // literal double evaluation — the pair_correlation pattern
+    "kyle_lambda" ->
+      """WITH bars AS (
+        |  SELECT event_type, window_start,
+        |    CAST(CAST(max(CASE WHEN rn_d = 1 THEN value END)
+        |        AS DECIMAL(8,2)) * 100 AS BIGINT) -
+        |      CAST(CAST(max(CASE WHEN rn_a = 1 THEN value END)
+        |        AS DECIMAL(8,2)) * 100 AS BIGINT) AS dp
+        |  FROM (
+        |    SELECT event_type,
+        |      epoch_ns(ts) // 3600000000000 * 3600 AS window_start, value,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 3600000000000
+        |        ORDER BY epoch_ns(ts), event_id) AS rn_a,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 3600000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |    FROM events) t
+        |  GROUP BY event_type, window_start
+        |), flow AS (
+        |  SELECT event_type, window_start,
+        |    CAST(sum(sign * size) AS BIGINT) AS imbalance
+        |  FROM (
+        |    SELECT event_type,
+        |      epoch_ns(ts) // 3600000000000 * 3600 AS window_start,
+        |      CAST(json_extract(props, '$.k') AS BIGINT) AS size,
+        |      coalesce(last_value(chg_sign IGNORE NULLS) OVER wc, 0) AS sign
+        |    FROM (
+        |      SELECT event_type, ts, event_id, props,
+        |        CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END AS chg_sign
+        |      FROM (
+        |        SELECT event_type, ts, event_id, props,
+        |          CAST(value AS DECIMAL(8,2)) -
+        |            lag(CAST(value AS DECIMAL(8,2))) OVER
+        |              (PARTITION BY event_type
+        |               ORDER BY epoch_ns(ts), event_id) AS d
+        |        FROM events) a
+        |    ) b
+        |    WINDOW wc AS (PARTITION BY event_type
+        |      ORDER BY epoch_ns(ts), event_id ROWS UNBOUNDED PRECEDING)
+        |  ) c
+        |  GROUP BY event_type, window_start
+        |), xy AS (
+        |  SELECT b.event_type, f.imbalance AS x, b.dp AS y
+        |  FROM bars b JOIN flow f
+        |    ON f.event_type = b.event_type
+        |    AND f.window_start = b.window_start
+        |)
+        |SELECT event_type,
+        |  round(CASE WHEN CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+        |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) > 0.0
+        |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |    END, 6) AS lambda_cents,
+        |  count(*) AS n_windows
+        |FROM xy GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Pearson over (r_t, r_{t-1}) pairs of the integer micro-returns
+    "ret_autocorr" ->
+      """WITH rets AS (
+        |  SELECT event_type, day,
+        |    CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)
+        |      AS ret_micro
+        |  FROM (
+        |    SELECT event_type, day, cents,
+        |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p_cents
+        |    FROM (
+        |      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |    WHERE rn = 1) l
+        |), pairs AS (
+        |  SELECT event_type, ret_micro AS x,
+        |    lag(ret_micro) OVER (PARTITION BY event_type ORDER BY day) AS y
+        |  FROM rets WHERE ret_micro IS NOT NULL
+        |)
+        |SELECT event_type,
+        |  round(CASE WHEN
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
+        |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |      (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |          CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |          CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+        |    END, 6) AS autocorr_lag1,
+        |  count(*) AS n_pairs
+        |FROM pairs WHERE y IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // robust location: drop outside the exact-discrete [p05, p95], mean
     // of survivors as the micro-int floor of an exact DECIMAL sum

@@ -575,6 +575,138 @@ object MarketStats {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** On-balance volume per instrument × day: the running sum of each
+    * day's traded size signed by that day's close-to-close direction —
+    * the classic volume-confirms-price indicator (divergence between
+    * OBV and price flags unsustained moves). Rides [[dailyCloses]] plus
+    * the same daily volume aggregate as [[amihudIlliquidity]]; the
+    * cumulative sum runs on the tiny (instrument × day) relation, so
+    * the only data-sized work is the two pre-aggregates. Exact integers
+    * end to end; first day (no prior close) and unchanged closes
+    * contribute 0, the textbook convention. */
+  def obvDaily(events: DataFrame): DataFrame = {
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val day = dayIdx.as("day")
+    val vol = events
+      .select(col("event_type"), day,
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("size")).cast("long").as("volume"))
+    dailyCloses(events)
+      .join(vol, Seq("event_type", "day"))
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(wLag))
+      .withColumn("step",
+        when(col("d") > 0, col("volume"))
+          .when(col("d") < 0, -col("volume"))
+          .otherwise(lit(0L)))
+      .select(col("event_type"), col("day"), col("volume"),
+        sum(col("step")).over(wCum).as("obv"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Stochastic oscillator %K per instrument × day: where today's close
+    * sits inside the trailing-N-day [lowest low, highest high] band,
+    * as the micro-int floor ((close−ll)·10⁶ div (hh−ll)) on exact
+    * integer cents — the numerator is nonnegative by construction, so
+    * Spark's truncating div and the oracle's floor agree. The daily
+    * high/low/close pre-aggregate is ONE sort-free hash aggregate
+    * (close = max_by over the (ts_ns, event_id) tick order, the
+    * [[ohlcBars]] pattern); the rolling band then runs on the tiny
+    * daily relation. Emitted only for full N-day windows, like [[rsi]];
+    * NULL when the band is degenerate (hh = ll). */
+  def stochasticK(events: DataFrame, n: Int = 14): DataFrame = {
+    val day = dayIdx.as("day")
+    val ord = struct(col("ts_ns"), col("event_id"))
+    val cents = expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+    val daily = events
+      .select(col("event_type"), day, cents.as("cents"), ord.as("ord"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+        max_by(col("cents"), col("ord")).as("close_c"))
+    val wRoll = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    daily
+      .withColumn("hh", max(col("high_c")).over(wRoll))
+      .withColumn("ll", min(col("low_c")).over(wRoll))
+      .withColumn("n_win", count(col("close_c")).over(wRoll))
+      .where(col("n_win") === n)
+      .select(col("event_type"), col("day"), col("hh"), col("ll"),
+        when(col("hh") =!= col("ll"),
+          expr("((close_c - ll) * 1000000) div (hh - ll)")).as("k_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Kyle's lambda per instrument: the price-impact slope of the
+    * regression Δp ~ λ·(signed volume) over hourly windows — how many
+    * cents one unit of net order flow moves the price. x = the tick-rule
+    * imbalance from [[orderFlowImbalance]], y = close−open in exact
+    * cents from [[ohlcBars]]; the OLS slope (nΣxy−ΣxΣy)/(nΣxx−(Σx)²)
+    * rides exact DECIMAL moment sums with ONE literal double evaluation
+    * at the end (the [[pairCorrelation]] determinism pattern). Both
+    * inputs are hour-cardinality relations, so the join and the final
+    * aggregate are broadcast-sized at any corpus scale; NULL when the
+    * flow series has zero variance. */
+  def kyleLambda(events: DataFrame): DataFrame = {
+    val bars = ohlcBars(events, 3600L)
+      .select(col("event_type"), col("window_start"),
+        expr("CAST(CAST(close AS DECIMAL(8,2)) * 100 AS BIGINT) - " +
+          "CAST(CAST(open AS DECIMAL(8,2)) * 100 AS BIGINT)").as("dp"))
+    val flow = orderFlowImbalance(events, 3600L)
+      .select(col("event_type"), col("window_start"), col("imbalance"))
+    val joined = bars.join(flow, Seq("event_type", "window_start"))
+      .select(col("event_type"),
+        col("imbalance").cast(DecimalType(19, 0)).as("x"),
+        col("dp").cast(DecimalType(19, 0)).as("y"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x")).cast("double")
+    val sy = sum(col("y")).cast("double")
+    val sxy = sum(col("x") * col("y")).cast("double")
+    val sxx = sum(col("x") * col("x")).cast("double")
+    joined
+      .groupBy(col("event_type"))
+      .agg(
+        round(when(n * sxx - sx * sx > 0.0,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx)), 6)
+          .as("lambda_cents"),
+        count(lit(1)).as("n_windows"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Lag-1 autocorrelation of daily returns per instrument — the
+    * momentum-vs-mean-reversion diagnostic (positive: trends persist;
+    * negative: moves revert). Pairs (rₜ, rₜ₋₁) come from ONE lag over
+    * [[dailyCloseReturns]]'s integer micro-returns; the Pearson closed
+    * form rides exact DECIMAL moment sums with a single literal double
+    * evaluation, the [[pairCorrelation]] pattern. Day-cardinality
+    * input, so everything after the daily-close pre-aggregate is
+    * broadcast-sized. NULL when either margin is constant. */
+  def retAutocorr(events: DataFrame): DataFrame = {
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pairs = dailyCloseReturns(events)
+      .where(col("ret_micro").isNotNull)
+      .select(col("event_type"), col("day"),
+        col("ret_micro").cast(DecimalType(19, 0)).as("x"))
+      .withColumn("y", lag(col("x"), 1).over(wLag))
+      .where(col("y").isNotNull)
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x")).cast("double")
+    val sy = sum(col("y")).cast("double")
+    val sxy = sum(col("x") * col("y")).cast("double")
+    val sxx = sum(col("x") * col("x")).cast("double")
+    val syy = sum(col("y") * col("y")).cast("double")
+    pairs
+      .groupBy(col("event_type"))
+      .agg(
+        round(when(
+          (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
+          .as("autocorr_lag1"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy(col("event_type"))
+  }
+
   /** ROLLING co-movement: [[pairCorrelation]] keyed additionally by day
     * — the correlation-regime time series risk monitoring actually
     * watches (a stable global ρ can hide a sign flip mid-sample). Same

@@ -96,6 +96,61 @@ class MarketStatsSpec extends SparkSpec {
     assert(r.forall(_.getLong(3) == 3L))
   }
 
+  test("obvDaily signs each day's volume by the close direction, first day 0") {
+    val dayNs = 86400L * 1000000000L
+    // closes 1.00 → 2.00 (up) → 1.50 (down); volumes 10, 5, 7
+    val df = ticks(
+      (1L, 0L, "a", 1.00, """{"k": 10}"""),
+      (2L, dayNs, "a", 2.00, """{"k": 5}"""),
+      (3L, 2 * dayNs, "a", 1.50, """{"k": 7}"""))
+    val r = MarketStats.obvDaily(df).collect()
+    assert(r.map(_.getLong(3)).toSeq == Seq(0L, 5L, -2L))
+    assert(r.map(_.getLong(2)).toSeq == Seq(10L, 5L, 7L))
+  }
+
+  test("stochasticK places the close inside the trailing band; flat band NULL") {
+    val dayNs = 86400L * 1000000000L
+    // a: daily closes 1.00, 3.00, 2.00, then a 1.00→4.00 day closing 4.00
+    val rows = Seq(
+      (1L, 0L, "a", 1.00, "{}"), (2L, dayNs, "a", 3.00, "{}"),
+      (3L, 2 * dayNs, "a", 2.00, "{}"),
+      (4L, 3 * dayNs, "a", 1.00, "{}"), (5L, 3 * dayNs + 1000L, "a", 4.00, "{}")) ++
+      // b: constant price → degenerate band
+      (0 to 3).map(i => (10L + i, i * dayNs, "b", 5.00, "{}"))
+    val r = MarketStats.stochasticK(ticks(rows: _*), n = 3).collect()
+    val byKey = r.map(x => (x.getString(0), x.getLong(1)) ->
+      (if (x.isNullAt(4)) None else Some(x.getLong(4)))).toMap
+    // day2: band [100,300], close 200 → 500000; day3: band [100,400], close 400
+    assert(byKey(("a", 2L)) == Some(500000L))
+    assert(byKey(("a", 3L)) == Some(1000000L))
+    assert(byKey(("b", 2L)).isEmpty && byKey(("b", 3L)).isEmpty)
+  }
+
+  test("kyleLambda recovers an exact dp = 0.2·flow slope") {
+    val hNs = 3600L * 1000000000L
+    // hour 0: open 1.00 (first tick, sign 0), uptick to 1.02 on size 10
+    //   → flow +10, dp +2; hour 1: two downticks on size 5 → flow −10, dp −2
+    val df = ticks(
+      (1L, 0L, "a", 1.00, """{"k": 10}"""),
+      (2L, 1000L, "a", 1.02, """{"k": 10}"""),
+      (3L, hNs, "a", 1.01, """{"k": 5}"""),
+      (4L, hNs + 1000L, "a", 0.99, """{"k": 5}"""))
+    val r = MarketStats.kyleLambda(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(1) == 0.2 && r(0).getLong(2) == 2L)
+  }
+
+  test("retAutocorr is −1 on a perfectly alternating return series") {
+    val dayNs = 86400L * 1000000000L
+    // closes 1.00, 2.00, 1.00, 2.00, 1.00 → returns alternate ±, lag-1 ρ −1
+    val df = ticks(Seq(1.00, 2.00, 1.00, 2.00, 1.00).zipWithIndex.map {
+      case (v, i) => (i + 1L, i * dayNs, "a", v, "{}")
+    }: _*)
+    val r = MarketStats.retAutocorr(df).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(1) == -1.0 && r(0).getLong(2) == 3L)
+  }
+
   test("pairCorrelationDaily keys the same moments by day; a sign flip shows") {
     val wNs = 600L * 1000000000L
     val dayNs = 86400L * 1000000000L
