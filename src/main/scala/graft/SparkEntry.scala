@@ -528,6 +528,9 @@ object SparkEntry {
     "token_gini" -> ((s, dir) =>
       TextAnalysis.tokenGini(Tables.documents(s, dir))),
     "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(Tables.documents(s, dir))),
+    "winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(Tables.documents(s, dir))),
+    "readability" -> ((s, dir) => TextAnalysis.readability(Tables.documents(s, dir))),
+    "length_deciles" -> ((s, dir) => TextAnalysis.lengthDeciles(Tables.documents(s, dir))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(Tables.documents(s, dir))),
     "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(Tables.documents(s, dir))),
     "temperature_mix" -> ((s, dir) => {
@@ -3545,6 +3548,83 @@ object SparkEntry {
         |       + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
         |              THEN 1.0 ELSE 0.5 END) / CAST(4 AS DOUBLE), 6) AS quality
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // winnowing (MOSS): per-window min of the portable 60-bit gram
+    // hashes; matching on the surviving fingerprints with an exact
+    // df-cut; jaccard threshold applied on the unrounded double
+    "winnow_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |      1, 15))::BIGINT AS h
+        |  FROM toks, unnest(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3
+        |), wins AS (
+        |  SELECT doc_id, min(h) OVER ww AS mh, count(*) OVER ww AS nw
+        |  FROM grams
+        |  WINDOW ww AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, mh FROM wins WHERE nw = 4
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1
+        |), hot AS (
+        |  SELECT mh FROM (SELECT mh, count(*) AS df FROM fps GROUP BY 1) d
+        |  WHERE df > 10
+        |), kept AS (
+        |  SELECT doc_id, mh FROM fps WHERE mh NOT IN (SELECT mh FROM hot)
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM kept a JOIN kept b ON a.mh = b.mh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) /
+        |    CAST(na.n_fp + nb.n_fp - n_common AS DOUBLE), 6) AS jaccard6
+        |FROM common
+        |JOIN sizes na ON na.doc_id = id_a
+        |JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) /
+        |  CAST(na.n_fp + nb.n_fp - n_common AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // integer milli-score; nonnegative numerators so // == Spark div
+    "readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      ' +', ' ', 'g')), ' '), x -> len(x) > 0)) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 AND n_sentences > 0
+        |    THEN 206835 - (1015 * n_words) // n_sentences -
+        |      (84600 * n_syllables) // n_words
+        |    END AS flesch_milli
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the oracle's single-partition ntile window IS the spec; the Spark
+    // side derives the identical buckets from the length histogram
+    "length_deciles" ->
+      """WITH ranked AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS n_chars,
+        |    ntile(10) OVER (ORDER BY length(text), doc_id) AS decile
+        |  FROM documents
+        |)
+        |SELECT decile, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM ranked GROUP BY decile ORDER BY decile""".stripMargin,
 
     "lang_id" ->
       """WITH norm AS (

@@ -628,4 +628,116 @@ object TextAnalysis {
           .as("novelty6"))
       .orderBy(col("doc_id"))
   }
+
+  /** Winnowing fingerprint near-dup pairs — the MOSS selection scheme
+    * (Schleimer, Wilkerson, Aiken, SIGMOD 2003): hash every word n-gram
+    * occurrence, keep the MINIMUM hash of each sliding window of `w`
+    * consecutive grams, and match documents on the surviving
+    * fingerprints. Winnowing guarantees ~2/(w+1) selection density, so
+    * the posting lists this joins on are ~(w+1)/2× smaller than the
+    * full shingle index [[ngramJaccard]] builds — the cheap screen to
+    * its exhaustive one. Hashes are [[graft.functions.PortableHash]]
+    * 60-bit md5 prefixes (oracle-reproducible bit-for-bit); hot
+    * fingerprints past `dfCap` are dropped from MATCHING by a broadcast
+    * anti-join (the skew guard — sizes still count them, mirroring the
+    * oracle). Pairs scored by fingerprint-set Jaccard with the
+    * threshold applied on the unrounded double, like the shingle ops. */
+  def winnowPairs(documents: DataFrame, n: Int = 3, w: Int = 4,
+      dfCap: Long = 10L, minJaccard: Double = 0.5): DataFrame = {
+    import graft.functions.{PortableHash, WordShingles}
+    val grams = documents.select(col("doc_id"),
+      posexplode(WordShingles.word_ngrams(normalize(col("text")), n))
+        .as(Seq("pos", "gram")))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val fps = grams
+      .select(col("doc_id"), col("pos"),
+        PortableHash.h60(col("gram")).as("h"))
+      .withColumn("mh", min(col("h")).over(wWin))
+      .withColumn("nw", count(col("h")).over(wWin))
+      .where(col("nw") === w)
+      .select(col("doc_id"), col("mh")).distinct()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val hot = fps.groupBy(col("mh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap).select(col("mh"))
+    val kept = fps.join(broadcast(hot), Seq("mh"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.mh") === col("b.mh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("na")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("nb")),
+        "id_b")
+      .withColumn("jac", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("jac"), 6).as("jaccard6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Flesch-style readability as an exact INTEGER milli-score:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), each
+    * ratio floored at milli resolution (numerators nonnegative, so
+    * Spark's truncating div and the oracle's floor-// agree). Syllables
+    * are the standard cheap surrogate — maximal vowel-group runs
+    * ([aeiouy]+) of the lowercased raw text; sentences are terminal-
+    * punctuation runs ([.!?]+). Pure per-row regexp_count projections:
+    * map-side, scan-speed, no shuffle. NULL score when a doc has no
+    * words or no sentence terminator (division would be undefined). */
+  def readability(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long")
+        .as("n_sentences"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+        .as("n_syllables"))
+      .withColumn("flesch_milli",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(206835L) - expr("(1015 * n_words) div n_sentences") -
+            expr("(84600 * n_syllables) div n_words")))
+      .orderBy(col("doc_id"))
+
+  /** Per-decile document-length profile WITHOUT a global sort: the
+    * oracle states it as ntile(10) over (n_chars, doc_id) — a single-
+    * partition window that cannot scale — while this side derives the
+    * identical answer from the LENGTH HISTOGRAM: group by n_chars (the
+    * one data-sized aggregate; distinct lengths are bounded by max doc
+    * length, not corpus size), cumulative ranks on that tiny relation,
+    * then closed-form ntile bucket edges (first N mod k buckets take
+    * the extra row) looked up by rank range. The doc_id tiebreak never
+    * matters — every emitted stat is a function of values, not ids —
+    * and the driver hash proves the two forms equal. The rank-range
+    * lookup is a broadcast nested-loop over (k × distinct lengths)
+    * rows: corpus-size-independent by construction. */
+  def lengthDeciles(documents: DataFrame, k: Int = 10): DataFrame = {
+    val hist = documents
+      .select(length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("lo", col("cum") - col("cnt") + 1)
+    val deciles = documents.agg(count(lit(1)).as("n"))
+      .select(explode(sequence(lit(1), lit(k))).as("decile"), col("n"))
+      .select(col("decile"),
+        expr(s"(decile - 1) * (n div $k) + least(decile - 1, n % $k) + 1")
+          .as("start_r"),
+        expr(s"decile * (n div $k) + least(decile, n % $k)").as("end_r"))
+      .where(col("end_r") >= col("start_r"))
+    broadcast(deciles)
+      .join(cum, col("start_r") >= col("lo") && col("start_r") <= col("cum"))
+      .select(col("decile"), col("start_r"), col("end_r"),
+        col("n_chars").as("min_chars"))
+      .hint("broadcast")
+      .join(cum.select(col("n_chars").as("max_chars"), col("lo").as("lo2"),
+        col("cum").as("cum2")),
+        col("end_r") >= col("lo2") && col("end_r") <= col("cum2"))
+      .select(col("decile"), (col("end_r") - col("start_r") + 1).as("n_docs"),
+        col("min_chars"), col("max_chars"))
+      .orderBy(col("decile"))
+  }
 }

@@ -254,6 +254,76 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r(4L) == 0.0) // no shingles → 0 by convention
   }
 
+  test("winnowing: identical docs share all fingerprints, disjoint docs none") {
+    val text = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, text, "en", "s", 1L),
+      (2L, text, "en", "s", 1L), // identical → jaccard 1.0
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.winnowPairs(docs).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getDouble(3))
+      == (1L, 2L, 1.0))
+  }
+
+  test("winnowing density: fingerprints ≪ grams, every long doc covered") {
+    val docs = Tables.documents(spark, sf0001)
+    val fps = TextAnalysis.winnowPairs(docs) // exercises the chain end-to-end
+    fps.collect() // no assertion on pairs — corpus-dependent
+    // density sanity on the fingerprint relation itself
+    import graft.functions.{PortableHash, WordShingles}
+    val grams = docs.select(col("doc_id"),
+      posexplode(WordShingles.word_ngrams(
+        graft.functions.TextOps.normalize(col("text")), 3))
+        .as(Seq("pos", "gram")))
+    val nGrams = grams.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(-3, 0)
+    val nFps = grams
+      .select(col("doc_id"), PortableHash.h60(col("gram")).as("h"),
+        col("pos"))
+      .withColumn("mh", min(col("h")).over(w))
+      .withColumn("nw", count(col("h")).over(w))
+      .where(col("nw") === 4)
+      .select(col("doc_id"), col("mh")).distinct().count()
+    // winnowing guarantees ≈ 2/(w+1) = 0.4 density; allow corpus slack
+    assert(nFps > 0 && nFps < nGrams / 2 + 1)
+  }
+
+  test("readability: exact milli-score on a hand-counted sentence pair") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!", "en", "s", 1L),
+      (2L, "no terminal punctuation here", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.readability(docs).collect()
+    // 6 words, 2 sentence runs, 6 single-vowel groups:
+    // 206835 − (1015·6)//2 − (84600·6)//6 = 206835 − 3045 − 84600
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == (6L, 2L, 6L))
+    assert(r(0).getLong(4) == 119190L)
+    assert(r(1).isNullAt(4)) // no sentences → NULL score
+  }
+
+  test("length deciles: histogram closed form equals a real ntile, ties included") {
+    // 23 docs, heavy length ties → uneven buckets (N % 10 = 3)
+    val docs = (1 to 23).map { i =>
+      (i.toLong, "x" * (i % 7 + 1), "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.lengthDeciles(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(length(col("text")), col("doc_id"))
+    val want = docs
+      .select(length(col("text")).cast("long").as("n_chars"),
+        ntile(10).over(w).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("decile")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("token gini: 0 for a one-token loop, → 1−1/n for all-distinct text") {
     val docs = Seq(
       (1L, "spam spam spam spam", "en", "s", 1L), // one type → gini 0
