@@ -324,6 +324,14 @@ object SparkEntry {
       MarketStats.kyleLambda(Tables.events(s, dir))),
     "ret_autocorr" -> ((s, dir) =>
       MarketStats.retAutocorr(Tables.events(s, dir))),
+    "money_flow_index" -> ((s, dir) =>
+      MarketStats.moneyFlowIndex(Tables.events(s, dir))),
+    "chaikin_ad" -> ((s, dir) =>
+      MarketStats.chaikinAd(Tables.events(s, dir))),
+    "ulcer_index" -> ((s, dir) =>
+      MarketStats.ulcerIndex(Tables.events(s, dir))),
+    "tick_burstiness" -> ((s, dir) =>
+      MarketStats.tickBurstiness(Tables.events(s, dir))),
     "trimmed_mean" -> ((s, dir) =>
       EventsOps.trimmedMeanByType(Tables.events(s, dir))),
     "type_pair_lift" -> ((s, dir) =>
@@ -2391,6 +2399,125 @@ object SparkEntry {
         |    END, 6) AS lambda_cents,
         |  count(*) AS n_windows
         |FROM xy GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // volume-weighted RSI on ×3 typical prices (exact cents, no ÷3);
+    // flows ride HUGEINT, micro-percent floor like rsi_daily
+    "money_flow_index" ->
+      """WITH daily AS (
+        |  SELECT event_type, day, max(cents) AS high_c, min(cents) AS low_c,
+        |    max(CASE WHEN rn_d = 1 THEN cents END) AS close_c,
+        |    CAST(sum(size) AS BIGINT) AS volume
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      CAST(json_extract(props, '$.k') AS BIGINT) AS size,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |    FROM events) t
+        |  GROUP BY event_type, day
+        |), flows AS (
+        |  SELECT event_type, day,
+        |    tp3 - lag(tp3) OVER (PARTITION BY event_type ORDER BY day) AS d,
+        |    CAST(tp3 AS HUGEINT) * volume AS flow
+        |  FROM (SELECT event_type, day, high_c + low_c + close_c AS tp3,
+        |    volume FROM daily) b
+        |), rolled AS (
+        |  SELECT event_type, day,
+        |    sum(CASE WHEN d > 0 THEN flow ELSE 0 END) OVER wr AS pf,
+        |    sum(CASE WHEN d < 0 THEN flow ELSE 0 END) OVER wr AS nf,
+        |    count(d) OVER wr AS n_win
+        |  FROM flows
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |  CASE WHEN pf + nf <> 0
+        |    THEN CAST((pf * 100000000) // (pf + nf) AS BIGINT)
+        |    END AS mfi_micro
+        |FROM rolled WHERE n_win = 14
+        |ORDER BY event_type, day""".stripMargin,
+
+    // close-location flow with the +1 shift: floor on a NONNEGATIVE
+    // numerator (portable), signed flow recovered after the floor
+    "chaikin_ad" ->
+      """WITH daily AS (
+        |  SELECT event_type, day, max(cents) AS high_c, min(cents) AS low_c,
+        |    max(CASE WHEN rn_d = 1 THEN cents END) AS close_c,
+        |    CAST(sum(size) AS BIGINT) AS volume
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      CAST(json_extract(props, '$.k') AS BIGINT) AS size,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |    FROM events) t
+        |  GROUP BY event_type, day
+        |), mfvs AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN high_c <> low_c
+        |      THEN CAST((2 * (close_c - low_c) * CAST(volume AS HUGEINT)
+        |          * 1000000) // (high_c - low_c)
+        |        - CAST(volume AS HUGEINT) * 1000000 AS BIGINT)
+        |      ELSE 0 END AS mfv_micro
+        |  FROM daily
+        |)
+        |SELECT event_type, day, mfv_micro,
+        |  CAST(sum(mfv_micro) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ad_micro
+        |FROM mfvs ORDER BY event_type, day""".stripMargin,
+
+    // RMS drawdown off the prefix-max closes; ONE IEEE sqrt, floored
+    // onto the x10^8 integer scale (a 6-dp round on a ~10^8 double is a
+    // cross-engine rounding boundary)
+    "ulcer_index" ->
+      """WITH closes AS (
+        |  SELECT event_type, day, cents FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1
+        |), dds AS (
+        |  SELECT event_type, day,
+        |    ((peak - cents) * 100000000) // peak AS dd
+        |  FROM (
+        |    SELECT event_type, day, cents,
+        |      max(cents) OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING) AS peak
+        |    FROM closes) p
+        |), rolled AS (
+        |  SELECT event_type, day,
+        |    sum(CAST(dd AS HUGEINT) * dd) OVER wr AS ssq,
+        |    count(*) OVER wr AS n_win
+        |  FROM dds
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |  CAST(floor(sqrt(CAST(CAST(ssq // n_win AS BIGINT) AS DOUBLE)))
+        |    AS BIGINT) AS ulcer_x8
+        |FROM rolled WHERE n_win = 14
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Fano factor of observed-window tick counts: exact moments, one
+    // literal double evaluation
+    "tick_burstiness" ->
+      """WITH counts AS (
+        |  SELECT event_type, epoch_ns(ts) // 600000000000 AS w,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  round(CASE WHEN CAST(sum(c) AS DOUBLE) > 0.0
+        |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(c * c) AS DOUBLE) -
+        |        CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) /
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+        |    END, 6) AS fano6,
+        |  count(*) AS n_windows
+        |FROM counts GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Pearson over (r_t, r_{t-1}) pairs of the integer micro-returns
     "ret_autocorr" ->

@@ -575,6 +575,138 @@ object MarketStats {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Shared daily bar relation: (event_type, day, high_c, low_c,
+    * close_c, volume) — ONE sort-free hash aggregate (close = max_by
+    * over the (ts_ns, event_id) tick order) + the daily volume sum,
+    * reused by [[moneyFlowIndex]] and [[chaikinAd]]. */
+  private def dailyBars(events: DataFrame): DataFrame = {
+    val day = dayIdx.as("day")
+    val ord = struct(col("ts_ns"), col("event_id"))
+    val cents = expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+    events
+      .select(col("event_type"), day, cents.as("cents"), ord.as("ord"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+        max_by(col("cents"), col("ord")).as("close_c"),
+        sum(col("size")).cast("long").as("volume"))
+  }
+
+  /** Money flow index per instrument × day: the volume-weighted RSI.
+    * Typical price rides ×3 (high+low+close — exact cents, no ÷3);
+    * each day's scaled flow 3tp·volume joins the positive or negative
+    * side by the typical-price direction (unchanged days join neither,
+    * the textbook rule), and MFI = posFlow·10⁸ div (posFlow+negFlow)
+    * over the trailing 14 full days — the [[rsi]] micro-percent
+    * convention. Flow products ride DECIMAL/HUGEINT (day-volume ×
+    * cents overflows int64 at exchange scale); everything after
+    * [[dailyBars]] runs on the tiny daily relation. */
+  def moneyFlowIndex(events: DataFrame, n: Int = 14): DataFrame = {
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wRoll = wLag.rowsBetween(-(n - 1), Window.currentRow)
+    dailyBars(events)
+      .withColumn("tp3", col("high_c") + col("low_c") + col("close_c"))
+      .withColumn("d", col("tp3") - lag(col("tp3"), 1).over(wLag))
+      .withColumn("flow",
+        col("tp3").cast(DecimalType(38, 0)) * col("volume"))
+      .withColumn("pos",
+        when(col("d") > 0, col("flow")).otherwise(lit(0L)))
+      .withColumn("neg",
+        when(col("d") < 0, col("flow")).otherwise(lit(0L)))
+      .withColumn("pf", sum(col("pos")).over(wRoll))
+      .withColumn("nf", sum(col("neg")).over(wRoll))
+      .withColumn("n_win", count(col("d")).over(wRoll))
+      .where(col("n_win") === n)
+      .select(col("event_type"), col("day"),
+        when(col("pf") + col("nf") =!= 0,
+          expr("CAST((pf * 100000000) div (pf + nf) AS BIGINT)"))
+          .as("mfi_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Chaikin accumulation/distribution per instrument × day, as an
+    * exact-integer surrogate: the close-location value is kept
+    * NONNEGATIVE by the +1 shift — mfv' = (2·(close−low)·vol·10⁶) div
+    * (high−low) — so the floor division is portable (Spark truncation
+    * == oracle floor on nonnegative numerators), then the true signed
+    * flow is recovered by subtracting vol·10⁶ AFTER the floor — an
+    * identical expression on both engines, so identical bits. Flat days
+    * (high = low) contribute 0, the standard convention. The A/D line
+    * is the running sum on the tiny daily relation. */
+  def chaikinAd(events: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dailyBars(events)
+      .withColumn("mfv",
+        when(col("high_c") =!= col("low_c"),
+          expr("CAST((2 * (close_c - low_c) * CAST(volume AS DECIMAL(38,0))" +
+            " * 1000000) div (high_c - low_c)" +
+            " - CAST(volume AS DECIMAL(38,0)) * 1000000 AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .select(col("event_type"), col("day"), col("mfv").as("mfv_micro"),
+        sum(col("mfv")).over(wCum).as("ad_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Ulcer index per instrument × day: RMS of the running-peak drawdown
+    * over the trailing 14 days — the downside-only volatility measure.
+    * Per-day drawdown is the micro-int floor (peak−close)·10⁸ div peak
+    * (nonnegative numerator, portable floor) off the prefix-max of the
+    * exact cent closes; the trailing mean of squared drawdowns is one
+    * more floor on exact integers, and the final sqrt is the single
+    * IEEE op (same literal both engines), FLOORED onto the x10^8
+    * integer scale the drawdowns already carry — a 6-dp round here
+    * would sit a decimal-rounding boundary on an ~10^8-magnitude
+    * double, where Spark's BigDecimal-of-shortest-string and the
+    * oracle's float rounding disagree by one step (observed); floor of
+    * the identical IEEE sqrt cannot. */
+  def ulcerIndex(events: DataFrame, n: Int = 14): DataFrame = {
+    val wPeak = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRoll = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    dailyCloses(events)
+      .withColumn("peak", max(col("cents")).over(wPeak))
+      .withColumn("dd",
+        expr("((peak - cents) * 100000000) div peak"))
+      .withColumn("sq", col("dd").cast(DecimalType(38, 0)) * col("dd"))
+      .withColumn("ssq", sum(col("sq")).over(wRoll))
+      .withColumn("n_win", count(col("dd")).over(wRoll))
+      .where(col("n_win") === n)
+      .select(col("event_type"), col("day"),
+        expr("CAST(floor(sqrt(CAST(CAST(ssq div n_win AS BIGINT) " +
+          "AS DOUBLE))) AS BIGINT)").as("ulcer_x8"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Tick burstiness per instrument: the Fano factor (variance-to-mean
+    * ratio) of the per-10-min tick counts over OBSERVED windows — 1 for
+    * a Poisson flow, ≫1 for clustered (bursty) arrivals, the cheap
+    * Hawkes-clustering diagnostic. Conditional on observed windows by
+    * design (the gap-filled variant would hide the regime the statistic
+    * measures at sparse instruments). Exact integer moment sums, one
+    * literal double evaluation, 6-dp round — the [[pairCorrelation]]
+    * determinism pattern; the only data-sized work is the windowed
+    * count. */
+  def tickBurstiness(events: DataFrame, windowSec: Long = 600L): DataFrame = {
+    val wstart = winStart(windowSec)
+    val counts = events
+      .select(col("event_type"), wstart.as("window_start"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("c").cast(DecimalType(19, 0)).as("x"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x")).cast("double")
+    val sxx = sum(col("x") * col("x")).cast("double")
+    counts
+      .groupBy(col("event_type"))
+      .agg(
+        round(when(sx > 0.0, (n * sxx - sx * sx) / (n * sx)), 6)
+          .as("fano6"),
+        count(lit(1)).as("n_windows"))
+      .orderBy(col("event_type"))
+  }
+
   /** On-balance volume per instrument × day: the running sum of each
     * day's traded size signed by that day's close-to-close direction —
     * the classic volume-confirms-price indicator (divergence between

@@ -151,6 +151,62 @@ class MarketStatsSpec extends SparkSpec {
     assert(r(0).getDouble(1) == -1.0 && r(0).getLong(2) == 3L)
   }
 
+  test("moneyFlowIndex splits ×3-typical-price flows by direction") {
+    val dayNs = 86400L * 1000000000L
+    // one tick per day: closes 1.00, 2.00, 1.00; volumes 10, 5, 7
+    val df = ticks(
+      (1L, 0L, "a", 1.00, """{"k": 10}"""),
+      (2L, dayNs, "a", 2.00, """{"k": 5}"""),
+      (3L, 2 * dayNs, "a", 1.00, """{"k": 7}"""))
+    val r = MarketStats.moneyFlowIndex(df, n = 2).collect()
+    // only day 2 has a full 2-diff window: pf = 600·5, nf = 300·7
+    assert(r.length == 1 && r(0).getLong(1) == 2L)
+    assert(r(0).getLong(2) == 300000000000L / 5100L) // 58823529
+  }
+
+  test("chaikinAd: close-at-high day +vol, flat day 0, close-at-low −vol") {
+    val dayNs = 86400L * 1000000000L
+    val df = ticks(
+      // day 0: 1.00 → 2.00, sizes 4+6 → close at high, mfv = +10·10⁶
+      (1L, 0L, "a", 1.00, """{"k": 4}"""),
+      (2L, 1000L, "a", 2.00, """{"k": 6}"""),
+      // day 1: single tick → high = low → 0
+      (3L, dayNs, "a", 1.50, """{"k": 5}"""),
+      // day 2: 3.00 → 2.00, sizes 1+2 → close at low, mfv = −3·10⁶
+      (4L, 2 * dayNs, "a", 3.00, """{"k": 1}"""),
+      (5L, 2 * dayNs + 1000L, "a", 2.00, """{"k": 2}"""))
+    val r = MarketStats.chaikinAd(df).collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(10000000L, 0L, -3000000L))
+    assert(r.map(_.getLong(3)).toSeq == Seq(10000000L, 10000000L, 7000000L))
+  }
+
+  test("ulcerIndex: RMS of ×10⁸ drawdowns off the running peak, floored") {
+    val dayNs = 86400L * 1000000000L
+    // closes 2.00, 1.00, 1.00 → dd 0, 5·10⁷, 5·10⁷
+    val df = ticks(
+      (1L, 0L, "a", 2.00, "{}"),
+      (2L, dayNs, "a", 1.00, "{}"),
+      (3L, 2 * dayNs, "a", 1.00, "{}"))
+    val r = MarketStats.ulcerIndex(df, n = 2).collect()
+    // day1: floor(sqrt((0 + 25e14) div 2)) = 35355339; day2: exactly 5e7
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 35355339L), (2L, 50000000L)))
+  }
+
+  test("tickBurstiness: Fano 0 for even flow, 0.5 for a 3-vs-1 split") {
+    val wNs = 600L * 1000000000L
+    val df = ticks(
+      // a: 3 ticks then 1 → var/mean = 0.5
+      (1L, 0L, "a", 1.0, "{}"), (2L, 1000L, "a", 1.0, "{}"),
+      (3L, 2000L, "a", 1.0, "{}"), (4L, wNs, "a", 1.0, "{}"),
+      // b: 2 and 2 → 0
+      (5L, 0L, "b", 1.0, "{}"), (6L, 1000L, "b", 1.0, "{}"),
+      (7L, wNs, "b", 1.0, "{}"), (8L, wNs + 1000L, "b", 1.0, "{}"))
+    val r = MarketStats.tickBurstiness(df).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getLong(2))).toMap
+    assert(r("a") == (0.5, 2L) && r("b") == (0.0, 2L))
+  }
+
   test("pairCorrelationDaily keys the same moments by day; a sign flip shows") {
     val wNs = 600L * 1000000000L
     val dayNs = 86400L * 1000000000L
