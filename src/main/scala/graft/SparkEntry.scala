@@ -336,6 +336,12 @@ object SparkEntry {
       EventsOps.trimmedMeanByType(Tables.events(s, dir))),
     "type_pair_lift" -> ((s, dir) =>
       EventsOps.typePairLift(Tables.events(s, dir))),
+    "temporal_copresence" -> ((s, dir) =>
+      EventsOps.temporalCopresence(Tables.events(s, dir))),
+    "user_type_gini" -> ((s, dir) =>
+      EventsOps.userTypeGini(Tables.events(s, dir))),
+    "lexical_richness" -> ((s, dir) =>
+      TextAnalysis.lexicalRichness(Tables.documents(s, dir))),
     "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
     "sliding_active_users" -> ((s, dir) =>
       EventsOps.slidingActiveUsers(Tables.events(s, dir))),
@@ -2579,6 +2585,38 @@ object SparkEntry {
         |WHERE e.value >= b.p_lo AND e.value <= b.p_hi
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    // time-bounded association numerator: distinct (user, window, type)
+    // cells, window-local pair join, exact counts
+    "temporal_copresence" ->
+      """WITH cells AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 600000000000 AS w, event_type
+        |  FROM events
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_copresent
+        |FROM cells a JOIN cells b
+        |  ON a.user_id = b.user_id AND a.w = b.w
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Gini impurity of each user's type distribution: exact integers,
+    // (N² − Σc²)·10⁶ div N²; products ride HUGEINT
+    "user_type_gini" ->
+      """WITH census AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), per AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT) * c) AS ssq,
+        |    count(*) AS n_types
+        |  FROM census GROUP BY 1
+        |)
+        |SELECT user_id, n AS n_events, n_types,
+        |  CAST(((CAST(n AS HUGEINT) * n - ssq) * 1000000) //
+        |    (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_micro
+        |FROM per ORDER BY user_id""".stripMargin,
+
     // association lift = N·c_ab/(c_a·c_b) on exact integers — the
     // log-free PMI surrogate; products ride HUGEINT
     "type_pair_lift" ->
@@ -3720,6 +3758,34 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) /
         |  CAST(na.n_fp + nb.n_fp - n_common AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // one (doc, token) census; TTR and hapax ratios as micro floors
+    "lexical_richness" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS tok FROM norm
+        |), census AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+        |), per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM census GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_tokens, 0) AS n_tokens,
+        |  CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+        |  coalesce(p.n_hapax, 0) AS n_hapax,
+        |  CASE WHEN coalesce(p.n_tokens, 0) > 0
+        |    THEN (p.n_types * 1000000) // p.n_tokens END AS ttr_micro,
+        |  CASE WHEN coalesce(p.n_types, 0) > 0
+        |    THEN (p.n_hapax * 1000000) // p.n_types END AS hapax_micro
+        |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // integer milli-score; nonnegative numerators so // == Spark div
     "readability" ->

@@ -339,6 +339,54 @@ object EventsOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Time-bounded association: event-type pairs CO-PRESENT for the same
+    * user inside the same 10-minute window — [[typePairLift]]'s
+    * numerator with a temporal bound (a pair a user does months apart
+    * is not the session-level signal recommenders and abuse detectors
+    * want). Distinct (user, window, type) triples first (the dedup that
+    * keeps heavy users from quadratic blowup), then a (user, window)-
+    * local self-join bounded by |types|² per cell. Exact integer
+    * counts; one shuffle on (user, window). */
+  def temporalCopresence(events: DataFrame,
+      windowSec: Long = 600L): DataFrame = {
+    val cells = events
+      .select(col("user_id"),
+        expr(s"ts_ns div ${windowSec * 1000000000L}").as("w"),
+        col("event_type"))
+      .distinct()
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.w") === col("b.w") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_copresent"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Behavioral concentration per user: Gini impurity of the user's
+    * event-type distribution — 0 for a single-type user, → 1−1/k for a
+    * uniform k-type one (the bot-vs-browser dial). The identity
+    * 1 − Σ(cᵢ/N)² = (N² − Σcᵢ²)·10⁶ div N² keeps it exact-integer end
+    * to end (same convention as the token Gini). Two-level aggregation:
+    * (user, type) census then per-user rollup — both shuffles on keys
+    * that cannot skew beyond the type cardinality. */
+  def userTypeGini(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * col("c"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ssq"),
+        count(lit(1)).as("n_types"))
+      .select(col("user_id"), col("n").cast("long").as("n_events"),
+        col("n_types"),
+        expr("CAST(((CAST(n AS DECIMAL(38,0)) * n - ssq) * 1000000)" +
+          " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("gini_micro"))
+      .orderBy(col("user_id"))
+
   /** Dispersion statistics per group — variance/stddev made ENGINE-EXACT.
     * Naive stddev aggregates are distributed float sums whose combine
     * order varies run to run; instead the MOMENTS are summed in exact

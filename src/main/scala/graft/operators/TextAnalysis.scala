@@ -629,6 +629,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Lexical richness per document: type-token ratio (distinct tokens ÷
+    * token occurrences) and hapax-legomena ratio (types occurring
+    * exactly once ÷ types) as exact micro-int floors — the vocabulary-
+    * diversity dials (template/boilerplate text scores low TTR; natural
+    * prose keeps hapax mass). One (doc, token) census shuffle, then a
+    * per-doc rollup; token-less docs emit zero counts and NULL ratios.
+    * Token cardinality per doc bounds every group, so no skew. */
+  def lexicalRichness(documents: DataFrame): DataFrame = {
+    val census = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    documents.select(col("doc_id"))
+      .join(census, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("ttr_micro",
+        when(col("n_tokens") > 0,
+          expr("(n_types * 1000000) div n_tokens")))
+      .withColumn("hapax_micro",
+        when(col("n_types") > 0,
+          expr("(n_hapax * 1000000) div n_types")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprint near-dup pairs — the MOSS selection scheme
     * (Schleimer, Wilkerson, Aiken, SIGMOD 2003): hash every word n-gram
     * occurrence, keep the MINIMUM hash of each sliding window of `w`

@@ -122,6 +122,33 @@ class EventsAnalyticsSpec extends SparkSpec {
       ("a", "c") -> (2L, 1333333L), ("b", "c") -> (2L, 1333333L)))
   }
 
+  test("temporal copresence: same-window pairs only, per-cell distinct") {
+    val wNs = 600L * 1000000000L
+    val df = Seq(
+      // u1 window 0: a+b; u1 window 1: a+c
+      (1L, "a", 0L), (1L, "b", 10L * 1000000000L),
+      (1L, "a", wNs + 1000L), (1L, "c", wNs + 2000L),
+      // u2 window 0: a + b twice (distinct must collapse the dup)
+      (2L, "a", 0L), (2L, "b", 5L * 1000000000L), (2L, "b", 8L * 1000000000L))
+      .toDF("user_id", "event_type", "ts_ns")
+    val got = EventsOps.temporalCopresence(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L))
+  }
+
+  test("user type gini: 0 single-type, 0.5 even split, exact micro floors") {
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"), // one type → 0
+      (2L, "a"), (2L, "a"), (2L, "b"), (2L, "b"), // 2+2 → 0.5
+      (3L, "a"), (3L, "b"), (3L, "c"), (3L, "c")) // 1+1+2 → 0.625
+      .toDF("user_id", "event_type")
+    val got = EventsOps.userTypeGini(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(1L -> (4L, 1L, 0L), 2L -> (4L, 2L, 500000L),
+      3L -> (4L, 3L, 625000L)))
+  }
+
   test("first-touch attribution: session-scoped earliest click, NULL without one") {
     def row(id: Long, u: Long, t: String, sec: Long) =
       (id, u, t, sec * 1000000L)

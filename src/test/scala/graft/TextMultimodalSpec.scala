@@ -254,6 +254,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r(4L) == 0.0) // no shingles → 0 by convention
   }
 
+  test("lexical richness: TTR and hapax micro floors, empty doc NULLs") {
+    val docs = Seq(
+      (1L, "a a b", "en", "s", 1L), // 3 tokens, 2 types, 1 hapax
+      (2L, "", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.lexicalRichness(docs).collect()
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5)) == (3L, 2L, 1L, 666666L, 500000L))
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3))
+      == (0L, 0L, 0L))
+    assert(r(1).isNullAt(4) && r(1).isNullAt(5))
+  }
+
   test("winnowing: identical docs share all fingerprints, disjoint docs none") {
     val text = "one two three four five six seven eight nine ten"
     val docs = Seq(
