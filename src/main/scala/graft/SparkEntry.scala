@@ -332,6 +332,10 @@ object SparkEntry {
       MarketStats.ulcerIndex(Tables.events(s, dir))),
     "tick_burstiness" -> ((s, dir) =>
       MarketStats.tickBurstiness(Tables.events(s, dir))),
+    "ret_moments" -> ((s, dir) =>
+      MarketStats.retMoments(Tables.events(s, dir))),
+    "lead_lag_corr" -> ((s, dir) =>
+      MarketStats.leadLagCorr(Tables.events(s, dir))),
     "trimmed_mean" -> ((s, dir) =>
       EventsOps.trimmedMeanByType(Tables.events(s, dir))),
     "type_pair_lift" -> ((s, dir) =>
@@ -2524,6 +2528,82 @@ object SparkEntry {
         |    END, 6) AS fano6,
         |  count(*) AS n_windows
         |FROM counts GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // central moments from exact HUGEINT power sums; the closed forms
+    // run once in double with the identical literal expression (m2^1.5
+    // spelled m2*sqrt(m2), never pow)
+    "ret_moments" ->
+      """WITH rets AS (
+        |  SELECT event_type,
+        |    CAST(CAST(floor((cents - p_cents) * 1000000.0 / p_cents)
+        |      AS BIGINT) AS HUGEINT) AS x
+        |  FROM (
+        |    SELECT event_type, day, cents,
+        |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p_cents
+        |    FROM (
+        |      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |    WHERE rn = 1) l
+        |  WHERE p_cents IS NOT NULL
+        |), sums AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1,
+        |    CAST(sum(x * x) AS DOUBLE) AS s2,
+        |    CAST(sum(x * x * x) AS DOUBLE) AS s3,
+        |    CAST(sum(x * x * x * x) AS DOUBLE) AS s4,
+        |    count(*) AS n_days
+        |  FROM rets GROUP BY 1
+        |)
+        |SELECT event_type,
+        |  round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0.0 THEN
+        |    (s3 / n - 3 * (s1 / n) * (s2 / n)
+        |      + 2 * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |    ((s2 / n - (s1 / n) * (s1 / n)) *
+        |      sqrt(s2 / n - (s1 / n) * (s1 / n))) END, 6) AS skew6,
+        |  round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0.0 THEN
+        |    (s4 / n - 4 * (s1 / n) * (s3 / n)
+        |      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |    ((s2 / n - (s1 / n) * (s1 / n)) *
+        |      (s2 / n - (s1 / n) * (s1 / n))) - 3 END, 6) AS kurt6,
+        |  n_days
+        |FROM sums ORDER BY event_type""".stripMargin,
+
+    // asymmetric lagged co-movement: a's window vs b's PREVIOUS window
+    "lead_lag_corr" ->
+      """WITH buckets AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 600000000000 * 600 AS window_start,
+        |    CAST(sum(CAST(value AS DECIMAL(8,2))) AS DECIMAL(19,2)) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.sv AS x, b.sv AS y
+        |  FROM buckets a JOIN buckets b
+        |    ON a.window_start = b.window_start + 600
+        |    AND a.event_type <> b.event_type
+        |)
+        |SELECT type_a, type_b,
+        |  round(CASE WHEN
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
+        |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |      (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |          CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |          CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+        |    END, 6) AS corr_lag1,
+        |  count(*) AS n_windows
+        |FROM pairs GROUP BY type_a, type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // Pearson over (r_t, r_{t-1}) pairs of the integer micro-returns
     "ret_autocorr" ->

@@ -839,6 +839,79 @@ object MarketStats {
       .orderBy(col("event_type"))
   }
 
+  /** Higher return moments per instrument: skewness (crash asymmetry)
+    * and excess kurtosis (tail weight) of the daily micro-returns — the
+    * two numbers a risk desk reads after variance. Raw power sums
+    * Σx..Σx⁴ are exact DECIMAL (micro-return⁴ ≈ 10²⁴ rides 38-digit
+    * arithmetic; the oracle's HUGEINT holds the same), then the central-
+    * moment closed forms run ONCE in double with the IDENTICAL literal
+    * expression on both engines — m2^1.5 spelled m2·sqrt(m2), never
+    * pow() (libm pow is not correctly-rounded; sqrt is). NULL when the
+    * return series is constant. Day-cardinality input. */
+  def retMoments(events: DataFrame): DataFrame = {
+    val rets = dailyCloseReturns(events)
+      .where(col("ret_micro").isNotNull)
+      .select(col("event_type"),
+        col("ret_micro").cast(DecimalType(19, 0)).as("x"))
+    val n = count(lit(1)).cast("double")
+    val s1 = sum(col("x")).cast("double")
+    val s2 = sum(col("x") * col("x")).cast("double")
+    val s3 = sum(col("x") * col("x") * col("x")).cast("double")
+    val s4 = sum(col("x") * col("x") * col("x") * col("x")).cast("double")
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+      lit(6.0) * mean * mean * (s2 / n) -
+      lit(3.0) * mean * mean * mean * mean
+    rets
+      .groupBy(col("event_type"))
+      .agg(
+        round(when(m2 > 0.0, m3 / (m2 * sqrt(m2))), 6).as("skew6"),
+        round(when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurt6"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Lead–lag cross-correlation: Pearson of instrument a's window total
+    * against instrument b's PREVIOUS window total — nonzero at positive
+    * lag means b's flow anticipates a's (the price-discovery direction
+    * [[pairCorrelation]]'s symmetric ρ cannot see; the matrix is
+    * deliberately asymmetric, both (a,b) and (b,a) emitted). Identical
+    * exact-moment + one-literal-double-evaluation machinery; the lag
+    * join is window-cardinality, broadcast-sized at any corpus scale. */
+  def leadLagCorr(events: DataFrame, windowSec: Long = 600L): DataFrame = {
+    val wstart = winStart(windowSec)
+    val buckets = events
+      .select(col("event_type"), wstart.as("window_start"), vDec.as("v"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(sum(col("v")).cast(DecimalType(19, 2)).as("sv"))
+    val a = buckets.select(col("event_type").as("type_a"),
+      col("window_start"), col("sv").as("x"))
+    val b = buckets.select(col("event_type").as("type_b"),
+      (col("window_start") + windowSec).as("window_start"),
+      col("sv").as("y"))
+    val joined = a.join(b, Seq("window_start"))
+      .where(col("type_a") =!= col("type_b"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x")).cast("double")
+    val sy = sum(col("y")).cast("double")
+    val sxy = sum(col("x") * col("y")).cast("double")
+    val sxx = sum(col("x") * col("x")).cast("double")
+    val syy = sum(col("y") * col("y")).cast("double")
+    joined
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        round(when(
+          (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
+          .as("corr_lag1"),
+        count(lit(1)).as("n_windows"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** ROLLING co-movement: [[pairCorrelation]] keyed additionally by day
     * — the correlation-regime time series risk monitoring actually
     * watches (a stable global ρ can hide a sign flip mid-sample). Same

@@ -207,6 +207,50 @@ class MarketStatsSpec extends SparkSpec {
     assert(r("a") == (0.5, 2L) && r("b") == (0.0, 2L))
   }
 
+  test("retMoments equals a scalar moment computation; constant series NULL") {
+    val dayNs = 86400L * 1000000000L
+    val closes = Seq(1.00, 2.00, 1.00, 2.00, 1.00, 3.00)
+    val df = ticks(closes.zipWithIndex.map { case (v, i) =>
+      (i + 1L, i * dayNs, "a", v, "{}")
+    } ++ (0 to 2).map(i => (10L + i, i * dayNs, "b", 5.00, "{}")): _*)
+    val r = MarketStats.retMoments(df).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // scalar reference over the known micro-returns
+    val cents = closes.map(v => math.round(v * 100))
+    val xs = cents.sliding(2).map { case Seq(p, c) =>
+      math.floor((c - p) * 1000000.0 / p) }.toSeq
+    val n = xs.length.toDouble
+    val (s1, s2, s3, s4) = (xs.sum, xs.map(x => x * x).sum,
+      xs.map(x => x * x * x).sum, xs.map(x => x * x * x * x).sum)
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+    val m4 = s4 / n - 4.0 * mean * (s3 / n) +
+      6.0 * mean * mean * (s2 / n) - 3.0 * mean * mean * mean * mean
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("a").getDouble(1) == r6(m3 / (m2 * math.sqrt(m2))))
+    assert(r("a").getDouble(2) == r6(m4 / (m2 * m2) - 3.0))
+    assert(r("a").getLong(3) == 5L)
+    assert(r("b").isNullAt(1) && r("b").isNullAt(2)) // zero variance
+  }
+
+  test("leadLagCorr sees b leading a at one window lag, asymmetrically") {
+    val wNs = 600L * 1000000000L
+    // b posts 1,2,4,8 in windows 0..3; a = 10 − previous b in 1..3
+    val rows =
+      Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex.map { case (v, i) =>
+        (10L + i, i * wNs, "b", v, "{}")
+      } ++ Seq(9.0, 8.0, 6.0).zipWithIndex.map { case (v, i) =>
+        (20L + i, (i + 1) * wNs, "a", v, "{}")
+      }
+    val r = MarketStats.leadLagCorr(ticks(rows: _*)).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getDouble(2), x.getLong(3))).toMap
+    assert(r(("a", "b")) == (-1.0, 3L)) // a_t = 10 − b_{t−1}, 3 pairs
+    assert(r(("b", "a")) == (-1.0, 2L)) // two points are collinear
+  }
+
   test("pairCorrelationDaily keys the same moments by day; a sign flip shows") {
     val wNs = 600L * 1000000000L
     val dayNs = 86400L * 1000000000L
