@@ -752,23 +752,33 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("lo", col("cum") - col("cnt") + 1)
-    val deciles = documents.agg(count(lit(1)).as("n"))
+    // N from the histogram itself, not a second corpus scan — the agg
+    // subplan is identical to cum's input, so the exchange feeding both
+    // is reused at runtime (2 column-pruned scans statically, asserted)
+    val deciles = hist.agg(sum(col("cnt")).cast("long").as("n"))
       .select(explode(sequence(lit(1), lit(k))).as("decile"), col("n"))
       .select(col("decile"),
         expr(s"(decile - 1) * (n div $k) + least(decile - 1, n % $k) + 1")
           .as("start_r"),
         expr(s"decile * (n div $k) + least(decile, n % $k)").as("end_r"))
       .where(col("end_r") >= col("start_r"))
-    broadcast(deciles)
-      .join(cum, col("start_r") >= col("lo") && col("start_r") <= col("cum"))
-      .select(col("decile"), col("start_r"), col("end_r"),
-        col("n_chars").as("min_chars"))
-      .hint("broadcast")
-      .join(cum.select(col("n_chars").as("max_chars"), col("lo").as("lo2"),
-        col("cum").as("cum2")),
-        col("end_r") >= col("lo2") && col("end_r") <= col("cum2"))
-      .select(col("decile"), (col("end_r") - col("start_r") + 1).as("n_docs"),
-        col("min_chars"), col("max_chars"))
+    // both bucket-edge lookups through ONE pass over cum: 2k rank rows
+    // (start/end per decile) broadcast against the histogram, value-at-
+    // rank recovered by the [lo, cum] containment, then folded back
+    val ranks = deciles
+      .select(col("decile"),
+        (col("end_r") - col("start_r") + 1).as("n_docs"),
+        explode(array(
+          struct(lit("s").as("side"), col("start_r").as("r")),
+          struct(lit("e").as("side"), col("end_r").as("r")))).as("sr"))
+      .select(col("decile"), col("n_docs"), col("sr.side").as("side"),
+        col("sr.r").as("r"))
+    broadcast(ranks)
+      .join(cum, col("r") >= col("lo") && col("r") <= col("cum"))
+      .groupBy(col("decile"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        min(when(col("side") === "s", col("n_chars"))).as("min_chars"),
+        min(when(col("side") === "e", col("n_chars"))).as("max_chars"))
       .orderBy(col("decile"))
   }
 }

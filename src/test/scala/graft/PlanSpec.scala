@@ -260,6 +260,56 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-5 pair ops stay equi-keyed: no nested-loop/cartesian") {
+    // (type_pair_lift is excluded: its crossJoin broadcasts the 1-row
+    // n_users scalar — an intentional, bounded nested loop)
+    Seq("winnow_pairs", "temporal_copresence",
+        "lead_lag_corr", "pair_correlation_daily").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n$p")
+    }
+  }
+
+  test("winnowing df-cut is live, as a broadcast anti-join") {
+    val p = planOf("winnow_pairs")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-fingerprint cut must be a broadcast anti-join:\n$p")
+  }
+
+  test("length deciles: 2 pruned scans, one reused exchange, one tiny BNLJ") {
+    val p = planOf("length_deciles")
+    // histogram (cum) + total branches — identical agg subplans whose
+    // exchange AQE reuses at runtime; both scans prune to the text column
+    val opt = SparkEntry.queries("length_deciles")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.split("Relation \\[").length - 1 == 2,
+      s"histogram and total should be the only corpus scans:\n$opt")
+    // ONE rank lookup join: nested-loop by necessity, but the BROADCAST
+    // side is the 2k-row rank table and the streamed side the
+    // (≤ distinct-lengths) histogram — corpus-size-independent
+    assert(p.split("\\(\\d+\\) BroadcastNestedLoopJoin").length - 1 == 1,
+      s"both bucket edges must resolve through one lookup pass:\n$p")
+    val df = SparkEntry.queries("length_deciles")(spark, sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "the histogram exchange must be shared between cum and total")
+  }
+
+  test("daily-bar family: tick-sized work is ONE sort-free hash aggregate") {
+    Seq("stochastic_k", "money_flow_index", "chaikin_ad").foreach { q =>
+      val p = planOf(q)
+      // the daily high/low/close/volume extraction is min_by/max_by in a
+      // hash aggregate — a row_number formulation would plan a
+      // WindowGroupLimit + data-sized sort before the aggregate
+      assert(!p.contains("WindowGroupLimit"),
+        s"$q extracts daily bars via row_number, not max_by:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+        s"$q shuffles more than agg + daily-relation window:\n$p")
+    }
+  }
+
   test("market aggregates keep ONE data-sized shuffle") {
     // vwap/hourly/volume profile: scan → partial agg → single exchange →
     // final agg (+ the output sort's range exchange, which is rows-bounded)
