@@ -60,6 +60,20 @@ class DeterminismSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(17)))
   }
 
+  test("round-5 moment/flow stats are invariant under repartitioning") {
+    import graft.operators.MarketStats
+    val ev = Tables.events(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) = Seq(
+      MarketStats.kyleLambda(df).collect().toSeq,
+      MarketStats.retMoments(df).collect().toSeq,
+      MarketStats.leadLagCorr(df).collect().toSeq,
+      MarketStats.moneyFlowIndex(df).collect().toSeq,
+      MarketStats.chaikinAd(df).collect().toSeq,
+      MarketStats.ulcerIndex(df).collect().toSeq,
+      MarketStats.tickBurstiness(df).collect().toSeq)
+    assert(run(ev) == run(ev.repartition(17)))
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(
