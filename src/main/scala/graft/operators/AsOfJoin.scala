@@ -58,11 +58,19 @@ object AsOfJoin {
     * `right.ts >= left.ts` on the same key (pandas merge_asof
     * direction='forward') — the label-joining direction of a training
     * pipeline: "the next conversion at or after this impression". Same
-    * union + ordered-window shape as [[asOf]], mirrored: lefts sort
-    * BEFORE rights at equal timestamps (side 0 vs 1 — an equal-ts right
-    * must be visible to the left row for inclusive `>=`) and the frame
-    * looks FORWARD (`first(payload, ignoreNulls)` over
-    * [currentRow, unboundedFollowing]). Still one shuffle on the key. */
+    * union + ordered-window shape as [[asOf]], mirrored by REVERSING the
+    * sort (ts desc, side desc) so the "next right at or after t" becomes
+    * a RUNNING `last(payload, ignoreNulls)` over
+    * [unboundedPreceding, currentRow] — at equal ts the right (side 1)
+    * sorts first in the reversed order, so it is already visible to the
+    * left row: inclusive `>=`. Still one shuffle on the key.
+    *
+    * Why reversed, not a forward frame: Spark evaluates a
+    * [currentRow, unboundedFollowing] frame by rescanning the rest of
+    * the partition PER ROW — O(n²) per key, catastrophic on low-key
+    * streams (a per-instrument markout over ~1e5 ticks/instrument ran
+    * 200+ s). The reversed running frame is the incremental O(n)
+    * `UnboundedPrecedingWindowFunctionFrame` path. */
   def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, payloadCol: String,
       as: String): DataFrame = {
@@ -78,10 +86,10 @@ object AsOfJoin {
       (leftCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")): _*)
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(as, first(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn(as, last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 0)
       .drop("__ts", "__side", "__payload")
   }
@@ -109,9 +117,12 @@ object AsOfJoin {
     * pricing) that pandas merge_asof cannot express at all.
     *
     * One union, ONE shuffle on the key, two sorts inside the same
-    * exchange (the backward pass orders rights before lefts at equal ts,
-    * the forward pass the reverse — both inclusive, like [[asOf]] /
-    * [[asOfForward]]).
+    * exchange: the backward pass is a running last() over (uts asc), the
+    * forward pass a running last() over the REVERSED sort (uts desc) —
+    * both inclusive at equal ts (rights ordered before lefts in each
+    * pass's direction), and both on the incremental O(n) running-frame
+    * path (a [currentRow, unboundedFollowing] frame would rescan the
+    * partition tail per row — O(n²), see [[asOfForward]]).
     *
     * The interpolation is EXACT integer arithmetic end-to-end:
     * v(t)·10⁶ = (pc·(nus−pus) + (nc−pc)·(t−pus))·10⁴ div (nus−pus)
@@ -140,13 +151,13 @@ object AsOfJoin {
     val part = Window.partitionBy(col("user_id"))
     val wb = part.orderBy(col("uts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = part.orderBy(col("uts").asc, col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wf = part.orderBy(col("uts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wb))
       .withColumn("pus", last(col("rus"), ignoreNulls = true).over(wb))
-      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wf))
-      .withColumn("nus", first(col("rus"), ignoreNulls = true).over(wf))
+      .withColumn("nc", last(col("cents"), ignoreNulls = true).over(wf))
+      .withColumn("nus", last(col("rus"), ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)
       .select(col("event_id"), col("uts").as("us"),
         expr("""CASE WHEN pc IS NULL OR nc IS NULL THEN NULL
