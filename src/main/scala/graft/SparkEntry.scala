@@ -558,6 +558,12 @@ object SparkEntry {
 
     // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
     "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
+
+    // ── Distribution drift / corpus mixing (operators/Drift.scala) ──
+    "value_drift" -> ((s, dir) =>
+      graft.operators.Drift.valueDrift(Tables.events(s, dir))),
+    "vocab_jaccard" -> ((s, dir) =>
+      graft.operators.Drift.vocabJaccard(Tables.documents(s, dir))),
   )
 
   /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
@@ -4005,5 +4011,63 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum,
         |  md5(text) AS md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Two-sample chi-square drift between time halves; every numerator a
+    // square (nonnegative), so // == truncating div == floor on both
+    // engines; intermediates ride HUGEINT, final CAST to BIGINT (the
+    // driver hashes HUGEINT differently).
+    "value_drift" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN epoch_us(ts) <= m.mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM events, m GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1, count(*) AS n_bins
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT b.event_type, max(t.n0) AS n_early, max(t.n1) AS n_late,
+        |  max(t.n_bins) AS n_bins,
+        |  CASE WHEN max(t.n0) = 0 OR max(t.n1) = 0 THEN NULL
+        |    ELSE CAST(sum((CAST(c0 AS HUGEINT) * n1 -
+        |                   CAST(c1 AS HUGEINT) * n0) *
+        |                  (CAST(c0 AS HUGEINT) * n1 -
+        |                   CAST(c1 AS HUGEINT) * n0) * 1000000
+        |                  // (c0 + c1))
+        |         // (CAST(max(t.n0) AS HUGEINT) * max(t.n1)) AS BIGINT)
+        |    END AS chi2_micro
+        |FROM b JOIN t ON b.event_type = t.event_type
+        |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin,
+
+    // Full pairwise source-vocabulary mixing matrix; same normalization
+    // CTE as lexical_richness, counts stay BIGINT throughout.
+    "vocab_jaccard" ->
+      """WITH norm AS (
+        |  SELECT source, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), v AS (
+        |  SELECT DISTINCT source, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS tok FROM norm
+        |), sz AS (
+        |  SELECT source, count(*) AS vs FROM v GROUP BY 1
+        |), i AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+        |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |  x.vs AS vocab_a, y.vs AS vocab_b,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  coalesce(i.n_inter, 0) * 1000000
+        |    // (x.vs + y.vs - coalesce(i.n_inter, 0)) AS jaccard_micro
+        |FROM sz x JOIN sz y ON x.source < y.source
+        |LEFT JOIN i ON i.sa = x.source AND i.sb = y.source
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/**
+ * Distribution-drift detection — the audit that decides whether a new
+ * corpus drop still looks like the corpus a model was trained on. Two
+ * first-class shapes:
+ *
+ *  - [[valueDrift]]: chi-square homogeneity of the per-type value
+ *    histogram between the EARLY and LATE halves of the time range
+ *    (feature drift over time — the retrain trigger);
+ *  - [[vocabJaccard]]: pairwise vocabulary Jaccard between sources
+ *    (corpus-mixing audit: how much two feeds overlap lexically).
+ *
+ * Both are exact-integer end to end (micro-scaled floors), so the DuckDB
+ * oracle reproduces every bit; the chi-square intermediates ride
+ * DECIMAL/HUGEINT (a count product squared overflows int64).
+ *
+ * Reference scope: the reference engine has no drift surface
+ * (trends/listing/service.go:47-62 is its one query); this extends the
+ * same tick/corpus tables toward the training-pipeline feature set.
+ */
+object Drift {
+
+  /** Per-type chi-square drift statistic between time halves.
+    *
+    * Split point = (min μs + max μs) div 2 over the WHOLE stream (one
+    * tiny agg, broadcast) — a fixed wall-clock midpoint, not a row-count
+    * median, so both engines and any partitioning agree. Bins reuse the
+    * `value_histogram` width (10.0; exact-double floors on 2-dp values).
+    *
+    * χ²·10⁶ = (Σ_b (c0·n1 − c1·n0)²·10⁶ div (c0+c1)) div (n0·n1),
+    * summed per type — the two-sample homogeneity form with per-bin
+    * floors; every numerator is a square (nonnegative), so truncating
+    * div IS floor on both engines. NULL when a half is empty (the
+    * statistic is undefined; DuckDB's integer x//0 NULL convention is
+    * not relied on — both sides CASE it explicitly).
+    *
+    * Shape at 100 TB: ONE data-sized shuffle — the (type, bin) partial
+    * aggregate (histogram cardinality is types × bins regardless of
+    * corpus size); totals join back on the bins×types relation,
+    * broadcast-sized by construction. */
+  def valueDrift(events: DataFrame, width: Double = 10.0): DataFrame = {
+    val mid = events.agg(
+      expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("mid"))
+    val binned = events
+      .select(col("event_type"), expr("ts_ns div 1000").as("us"),
+        floor(col("value") / width).cast("long").as("bin"))
+      .crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("c0"),
+        sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("c1"))
+    val totals = binned.groupBy(col("event_type"))
+      .agg(sum(col("c0")).cast("long").as("n0"),
+        sum(col("c1")).cast("long").as("n1"),
+        count(lit(1)).as("n_bins"))
+    binned.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n0")).as("n_early"), max(col("n1")).as("n_late"),
+        max(col("n_bins")).as("n_bins"),
+        sum(expr("""(CAST(c0 AS DECIMAL(19,0)) * n1 -
+                    | CAST(c1 AS DECIMAL(19,0)) * n0) *
+                    |(CAST(c0 AS DECIMAL(19,0)) * n1 -
+                    | CAST(c1 AS DECIMAL(19,0)) * n0) * 1000000
+                    | div (c0 + c1)""".stripMargin)).as("s"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("n_bins"),
+        expr("""CASE WHEN n_early = 0 OR n_late = 0 THEN NULL
+                |ELSE CAST(s div (CAST(n_early AS DECIMAL(19,0)) * n_late)
+                |          AS BIGINT) END""".stripMargin).as("chi2_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Pairwise source vocabulary Jaccard — every unordered source pair,
+    * zero-overlap pairs included (the full mixing matrix).
+    *
+    * jaccard_micro = |A∩B|·10⁶ div (|A|+|B|−|A∩B|), exact BIGINTs.
+    *
+    * Shape at 100 TB: the (source, token) DISTINCT is the one data-sized
+    * shuffle (its output is bounded by sources × vocabulary, not corpus
+    * rows); the intersection self-join keys on token over that bounded
+    * relation, and the pair matrix itself is sources² — driver-trivial.
+    * Tokenization is the repo-wide [[TextOps.tokens]] normalization, so
+    * the oracle reproduces it 1:1. */
+  def vocabJaccard(documents: DataFrame): DataFrame = {
+    val vocab = documents
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source"))
+      .agg(count(lit(1)).as("v"))
+    val inter = vocab.toDF("sa", "tok")
+      .join(vocab.toDF("sb", "tok"), Seq("tok"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = broadcast(sizes.toDF("sa", "va"))
+      .join(broadcast(sizes.toDF("sb", "vb")), col("sa") < col("sb"))
+    pairs.join(inter, Seq("sa", "sb"), "left")
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("va").as("vocab_a"), col("vb").as("vocab_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard_micro",
+        expr("n_inter * 1000000 div (vocab_a + vocab_b - n_inter)"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.Drift
+
+/** Hand-computed drift statistics on crafted inputs; correctness at
+  * volume is the driver oracle (`value_drift`, `vocab_jaccard`). */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String, Double)*) =
+    rows.map { case (id, ns, t, v) => (id, ns, t, v, "{}") }
+      .toDF("event_id", "ts_ns", "event_type", "value", "props")
+
+  test("valueDrift: identical halves give chi2 = 0") {
+    // type a: same histogram both halves (mid = (0 + 3000000000)/2 ns→μs)
+    val df = ev(
+      (1L, 0L, "a", 5.0), (2L, 1000000000L, "a", 15.0),
+      (3L, 2000000000L, "a", 5.0), (4L, 3000000000L, "a", 15.0))
+    val r = Drift.valueDrift(df).collect()
+    assert(r.length == 1)
+    val Row(_, n0, n1, nBins, chi2) = r(0)
+    assert((n0, n1, nBins, chi2) == (2L, 2L, 2L, 0L))
+  }
+
+  test("valueDrift matches the hand-evaluated two-sample chi-square") {
+    // type a: early = {bin0: 2, bin1: 1}, late = {bin0: 1, bin1: 2}
+    // n0 = 3, n1 = 3; per-bin term: (c0*n1 - c1*n0)^2 * 1e6 div (c0+c1)
+    //   bin0: (6-3)^2 * 1e6 div 3 = 3000000; bin1 symmetric = 3000000
+    // chi2_micro = 6000000 div 9 = 666666
+    val df = ev(
+      (1L, 0L, "a", 1.0), (2L, 1000L, "a", 2.0), (3L, 2000L, "a", 11.0),
+      (4L, 6000000000L, "a", 1.0), (5L, 6000001000L, "a", 11.0),
+      (6L, 6000002000L, "a", 12.0))
+    val r = Drift.valueDrift(df).collect()
+    val Row(_, n0, n1, nBins, chi2) = r(0)
+    assert((n0, n1, nBins) == (3L, 3L, 2L))
+    assert(chi2 == 666666L)
+  }
+
+  test("valueDrift: a half with no rows for a type yields NULL, not error") {
+    // type b exists only before the global midpoint
+    val df = ev(
+      (1L, 0L, "b", 1.0), (2L, 1000L, "b", 2.0),
+      (3L, 6000000000L, "a", 1.0), (4L, 0L, "a", 1.0))
+    val r = Drift.valueDrift(df).collect().map(x => x.getString(0) -> x)
+      .toMap
+    assert(r("b").isNullAt(4))
+    assert(!r("a").isNullAt(4))
+  }
+
+  test("vocabJaccard: hand-counted overlap, zero-overlap pair included") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "beta gamma delta", "s2"),
+      (3L, "omega", "s3"))
+      .toDF("doc_id", "text", "source")
+    val r = Drift.vocabJaccard(docs).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.size == 3)
+    // s1 ∩ s2 = {beta, gamma} = 2; union = 4 → 500000
+    val Row(_, _, va, vb, ni, j) = r(("s1", "s2"))
+    assert((va, vb, ni, j) == (3L, 3L, 2L, 500000L))
+    // s1 ∩ s3 = 0, pair still present with jaccard 0
+    val Row(_, _, _, _, ni13, j13) = r(("s1", "s3"))
+    assert((ni13, j13) == (0L, 0L))
+  }
+}
