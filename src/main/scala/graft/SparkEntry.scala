@@ -564,6 +564,8 @@ object SparkEntry {
       graft.operators.Drift.valueDrift(Tables.events(s, dir))),
     "vocab_jaccard" -> ((s, dir) =>
       graft.operators.Drift.vocabJaccard(Tables.documents(s, dir))),
+    "ks_drift" -> ((s, dir) =>
+      graft.operators.Drift.ksDrift(Tables.events(s, dir))),
   )
 
   /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
@@ -4069,5 +4071,40 @@ object SparkEntry {
         |FROM sz x JOIN sz y ON x.source < y.source
         |LEFT JOIN i ON i.sa = x.source AND i.sb = y.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // Two-sample KS: max empirical-CDF gap over distinct values between
+    // the same wall-clock halves as value_drift; exact HUGEINT
+    // cross-products, final CAST to BIGINT.
+    "ks_drift" ->
+      """WITH m AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, value,
+        |    CAST(sum(CASE WHEN epoch_us(ts) <= m.mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN epoch_us(ts) > m.mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM events, m GROUP BY 1, 2
+        |), k AS (
+        |  SELECT event_type, value, c0, c1,
+        |    sum(c0) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS k0,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS k1
+        |  FROM c
+        |), t AS (
+        |  SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT k.event_type, max(t.n0) AS n_early, max(t.n1) AS n_late,
+        |  CASE WHEN max(t.n0) = 0 OR max(t.n1) = 0 THEN NULL
+        |    ELSE CAST(max(abs(CAST(k.k0 AS HUGEINT) * t.n1 -
+        |                      CAST(k.k1 AS HUGEINT) * t.n0)) * 1000000
+        |      // (CAST(max(t.n0) AS HUGEINT) * max(t.n1)) AS BIGINT)
+        |    END AS ks_micro
+        |FROM k JOIN t ON k.event_type = t.event_type
+        |GROUP BY k.event_type ORDER BY k.event_type""".stripMargin,
   )
 }

@@ -75,6 +75,53 @@ object Drift {
       .orderBy(col("event_type"))
   }
 
+  /** Per-type two-sample Kolmogorov–Smirnov drift statistic between the
+    * same wall-clock halves as [[valueDrift]] — the binning-free
+    * companion (chi-square sees density shifts; KS sees location/shape
+    * shifts a coarse histogram can miss).
+    *
+    * D·10⁶ = max over distinct values of |k0·n1 − k1·n0|·10⁶
+    * div (n0·n1), where k0/k1 are cumulative counts at-or-below the
+    * value — the empirical-CDF gap in exact integers (DECIMAL/HUGEINT
+    * intermediates; at corpus scale the count product overflows int64).
+    * NULL when a half is empty.
+    *
+    * Shape at 100 TB: one (type, value) partial aggregate (output
+    * bounded by types × value domain — 2-dp values, not corpus rows),
+    * then a per-type running-sum window over that bounded relation. */
+  def ksDrift(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mid = events.agg(
+      expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("mid"))
+    val counts = events
+      .select(col("event_type"), expr("ts_ns div 1000").as("us"),
+        col("value"))
+      .crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("c0"),
+        sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("c1"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("c0")).cast("long").as("n0"),
+        sum(col("c1")).cast("long").as("n1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("k0", sum(col("c0")).over(w))
+      .withColumn("k1", sum(col("c1")).over(w))
+      .join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n0")).as("n_early"), max(col("n1")).as("n_late"),
+        max(expr("""abs(CAST(k0 AS DECIMAL(19,0)) * n1 -
+                    |    CAST(k1 AS DECIMAL(19,0)) * n0)""".stripMargin))
+          .as("gap"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        expr("""CASE WHEN n_early = 0 OR n_late = 0 THEN NULL
+                |ELSE CAST(gap * 1000000
+                |  div (CAST(n_early AS DECIMAL(19,0)) * n_late)
+                |  AS BIGINT) END""".stripMargin).as("ks_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pairwise source vocabulary Jaccard — every unordered source pair,
     * zero-overlap pairs included (the full mixing matrix).
     *

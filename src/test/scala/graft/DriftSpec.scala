@@ -50,6 +50,29 @@ class DriftSpec extends SparkSpec {
     assert(!r("a").isNullAt(4))
   }
 
+  test("ksDrift matches the hand-evaluated max CDF gap") {
+    // type a, early values {1, 2, 3}, late values {3, 4, 5}; n0 = n1 = 3
+    // CDF gaps at v=1: |1*3-0| = 3; v=2: 6; v=3: |3*3-1*3| = 6;
+    // v=4: |9-6| = 3; v=5: 0 → max = 6 → 6*1e6 div 9 = 666666
+    val df = ev(
+      (1L, 0L, "a", 1.0), (2L, 1000L, "a", 2.0), (3L, 2000L, "a", 3.0),
+      (4L, 6000000000L, "a", 3.0), (5L, 6000001000L, "a", 4.0),
+      (6L, 6000002000L, "a", 5.0))
+    val r = Drift.ksDrift(df).collect()
+    val Row(_, n0, n1, ks) = r(0)
+    assert((n0, n1, ks) == (3L, 3L, 666666L))
+  }
+
+  test("ksDrift: identical halves give D = 0; one-sided type gives NULL") {
+    val df = ev(
+      (1L, 0L, "a", 1.0), (2L, 1000L, "a", 2.0),
+      (3L, 6000000000L, "a", 1.0), (4L, 6000001000L, "a", 2.0),
+      (5L, 0L, "b", 9.0))
+    val r = Drift.ksDrift(df).collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getLong(3) == 0L)
+    assert(r("b").isNullAt(3))
+  }
+
   test("vocabJaccard: hand-counted overlap, zero-overlap pair included") {
     val docs = Seq(
       (1L, "alpha beta gamma", "s1"),
