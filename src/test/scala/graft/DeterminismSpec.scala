@@ -74,6 +74,18 @@ class DeterminismSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(17)))
   }
 
+  test("drift statistics are invariant under repartitioning") {
+    import graft.operators.Drift
+    val ev = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    def run(e: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) = Seq(
+      Drift.valueDrift(e).collect().toSeq,
+      Drift.ksDrift(e).collect().toSeq,
+      Drift.vocabJaccard(d).collect().toSeq)
+    assert(run(ev, docs) == run(ev.repartition(17), docs.repartition(13)))
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(
