@@ -566,6 +566,8 @@ object SparkEntry {
       graft.operators.Drift.vocabJaccard(Tables.documents(s, dir))),
     "ks_drift" -> ((s, dir) =>
       graft.operators.Drift.ksDrift(Tables.events(s, dir))),
+    "dup_pagerank" -> ((s, dir) =>
+      Dedup.dupPagerank(Tables.embeddings(s, dir))),
   )
 
   /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
@@ -4106,5 +4108,52 @@ object SparkEntry {
         |    END AS ks_micro
         |FROM k JOIN t ON k.event_type = t.event_type
         |GROUP BY k.event_type ORDER BY k.event_type""".stripMargin,
+
+    // Exact-integer damped PageRank, three unrolled iterations over the
+    // same cosine pair CTE as dup_triangles; per-edge floors then
+    // order-independent integer sums — bit-portable. DuckDB sum() widens
+    // to HUGEINT, final CAST back to BIGINT.
+    "dup_pagerank" ->
+      """WITH elems AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b
+        |    ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM dots
+        |  JOIN norms na ON na.vec_id = id_a
+        |  JOIN norms nb ON nb.vec_id = id_b
+        |  WHERE dot/(na.nrm*nb.nrm) >= 0.3
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), deg AS (
+        |  SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1
+        |), r0 AS (
+        |  SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg
+        |), r1 AS (
+        |  SELECT e.dst AS id,
+        |    150000 + CAST(sum((r.r * 85) // (d.deg * 100)) AS BIGINT) AS r
+        |  FROM edges e JOIN r0 r ON r.id = e.src
+        |  JOIN deg d ON d.id = e.src GROUP BY 1
+        |), r2 AS (
+        |  SELECT e.dst AS id,
+        |    150000 + CAST(sum((r.r * 85) // (d.deg * 100)) AS BIGINT) AS r
+        |  FROM edges e JOIN r1 r ON r.id = e.src
+        |  JOIN deg d ON d.id = e.src GROUP BY 1
+        |), r3 AS (
+        |  SELECT e.dst AS id,
+        |    150000 + CAST(sum((r.r * 85) // (d.deg * 100)) AS BIGINT) AS r
+        |  FROM edges e JOIN r2 r ON r.id = e.src
+        |  JOIN deg d ON d.id = e.src GROUP BY 1
+        |)
+        |SELECT deg.id AS vec_id, deg.deg AS degree, r3.r AS pr_micro
+        |FROM deg JOIN r3 ON r3.id = deg.id
+        |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -525,6 +525,47 @@ object Dedup {
       .orderBy(col("degree"))
   }
 
+  /** Damped PAGERANK over the near-dup graph — centrality for the
+    * keep-best election and template-hub detection (the highest-rank
+    * node of a near-dup family is its most-connected exemplar; a rank
+    * spike across families flags a boilerplate hub that pairwise counts
+    * miss because its edges spread over many blocks).
+    *
+    * EXACT INTEGER fixed-iteration form, so the oracle reproduces every
+    * bit with three unrolled CTEs:
+    *   r_0(v)     = 10⁶
+    *   r_{k+1}(v) = 0.15·10⁶ + Σ_{u~v} (r_k(u)·85) div (deg(u)·100)
+    * Per-edge floors then an order-independent integer sum — no float
+    * mass to diverge across engines or partitionings. Every graph node
+    * has deg ≥ 1 (it appears in a pair), so each iteration covers all
+    * nodes: no row-count drift between iterations.
+    *
+    * Shape at 100 TB: the classic edge-partitioned PageRank — K
+    * (edges ⋈ ranks) shuffles on src over the BOUNDED near-dup pair
+    * relation (block-local by construction, not corpus-quadratic);
+    * pairs and the degree-weighted edge list materialize once
+    * (localCheckpoint) so no iteration re-derives the cosine join. */
+  def dupPagerank(embeddings: DataFrame, threshold: Double = 0.3,
+      iters: Int = 3): DataFrame = {
+    val pairs = embeddingCosineDups(embeddings, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outW = edges.join(deg, Seq("src")).localCheckpoint()
+    var r = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      r = outW.join(r, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(expr("(r * 85) div (deg * 100)"))).as("nr"))
+        .select(col("dst").as("id"), col("nr").as("r"))
+    }
+    deg.select(col("src").as("vec_id"), col("deg").as("degree"))
+      .join(r, col("id") === col("vec_id"))
+      .select(col("vec_id"), col("degree"), col("r").as("pr_micro"))
+      .orderBy(col("vec_id"))
+  }
+
   /** 60-bit SimHash of the token multiset: bit j is the sign of the
     * count-weighted sum of ±1 over token-hash bit j. Single explode +
     * groupBy; the 60 per-bit sums are one aggregation pass. 60 bits (not

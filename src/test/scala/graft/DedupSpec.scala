@@ -192,4 +192,31 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.dupTriangles(e, threshold = 0.9).collect()
     assert(got.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 1L)))
   }
+
+  test("dupPagerank: star graph matches the hand-iterated integer ranks") {
+    // star 1–2, 1–3: cos(1,2) = cos(1,3) = 1/√2 ≥ 0.3; cos(2,3) = 0 < 0.3
+    // deg(1) = 2, deg(2) = deg(3) = 1; r_k+1 = 150000 + Σ (r·85) div (deg·100)
+    //   r1: a = 150000+2·850000 = 1850000; b = 150000+425000 = 575000
+    //   r2: a = 150000+2·488750 = 1127500; b = 150000+786250 = 936250
+    //   r3: a = 150000+2·795812 = 1741624; b = 150000+479187 = 629187
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 1.0f), 0),
+      (3L, Array(1.0f, -1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.dupPagerank(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 1741624L), 2L -> (1L, 629187L),
+      3L -> (1L, 629187L)))
+  }
+
+  test("dupPagerank: a regular component is a fixed point at 10^6") {
+    // triangle of identical vectors: deg 2 everywhere; each iteration
+    // returns 150000 + 2·(10^6·85 div 200) = 10^6 exactly
+    val v = Array(1.0f, 0.0f)
+    val e = Seq((1L, v, 0), (2L, v, 0), (3L, v, 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.dupPagerank(e).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1000000L, 1000000L, 1000000L))
+  }
 }
