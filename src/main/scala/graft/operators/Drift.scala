@@ -54,6 +54,15 @@ object Drift {
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("c0"),
         sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("c1"))
+    chiSquare(binned)
+  }
+
+  /** The chi-square assembly over a generic (event_type, bin, c0, c1)
+    * count relation — shared by [[valueDrift]] (time halves) and
+    * `streaming.StreamDrift` (frozen reference vs live counts), so the
+    * streamed statistic equals the batch one by construction. The input
+    * is group-cardinality (types × bins), never corpus-sized. */
+  def chiSquare(binned: DataFrame): DataFrame = {
     val totals = binned.groupBy(col("event_type"))
       .agg(sum(col("c0")).cast("long").as("n0"),
         sum(col("c1")).cast("long").as("n1"),
