@@ -568,6 +568,8 @@ object SparkEntry {
       graft.operators.Drift.ksDrift(Tables.events(s, dir))),
     "dup_pagerank" -> ((s, dir) =>
       Dedup.dupPagerank(Tables.embeddings(s, dir))),
+    "embedding_drift" -> ((s, dir) =>
+      graft.operators.Drift.embeddingDrift(Tables.embeddings(s, dir))),
   )
 
   /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
@@ -4155,5 +4157,39 @@ object SparkEntry {
         |SELECT deg.id AS vec_id, deg.deg AS degree, r3.r AS pr_micro
         |FROM deg JOIN r3 ON r3.id = deg.id
         |ORDER BY vec_id""".stripMargin,
+
+    // Per-label centroid shift between vec_id halves, exact integers:
+    // micro-floored dims with a +1e6 offset (positive means ⇒ truncating
+    // div IS floor on both engines); per-dim means bounded by the value
+    // range, so every column is BIGINT — no HUGEINT (tripwire-safe).
+    "embedding_drift" ->
+      """WITH m AS (
+        |  SELECT (min(vec_id) + max(vec_id)) // 2 AS mid FROM embeddings
+        |), elems AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    CASE WHEN vec_id <= m.mid THEN 0 ELSE 1 END AS half,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) + 1000000 AS xi
+        |  FROM embeddings, m
+        |), dims AS (
+        |  SELECT label, i,
+        |    CAST(sum(CASE WHEN half = 0 THEN xi END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c0,
+        |    CAST(sum(CASE WHEN half = 1 THEN xi END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1
+        |  FROM elems GROUP BY 1, 2
+        |), diffs AS (
+        |  SELECT label, c0, c1,
+        |    CASE WHEN c0 = 0 OR c1 = 0 THEN NULL
+        |      ELSE (s0 // c0) - (s1 // c1) END AS d
+        |  FROM dims
+        |)
+        |SELECT label, max(c0) AS n_ref, max(c1) AS n_new,
+        |  CAST(sum(d * d) AS BIGINT) AS shift2_micro2,
+        |  max(abs(d)) AS max_dim_shift_micro
+        |FROM diffs GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -131,6 +131,55 @@ object Drift {
       .orderBy(col("event_type"))
   }
 
+  /** Per-label centroid shift in EMBEDDING space between the early and
+    * late vec_id halves (ingest-order surrogate: "did the new drop's
+    * vectors move?") — the embedding-modality member of the drift
+    * family (chi-square/KS see scalar values; this sees representation
+    * drift the value columns can't).
+    *
+    * Exact-integer end to end: each float dim is floored onto a micro
+    * scale WITH a +10⁶ offset so every per-dim sum and mean stays
+    * strictly positive — truncating integer division then IS floor on
+    * both engines (Spark `div` truncates toward zero, DuckDB `//`
+    * floors; they only agree on nonnegative operands). The offset
+    * cancels in the mean difference. Per-dim means are bounded by the
+    * value range REGARDLESS of corpus size, so d, d², and Σd² over 64
+    * dims all fit BIGINT at any scale — no HUGEINT anywhere.
+    *
+    *   shift2_micro2 = Σ_i ((s0_i div c0) − (s1_i div c1))²   [micro²]
+    *   max_dim_shift_micro = max_i |…|                        [micro]
+    *
+    * NULL when a half has no vectors for the label (both engines CASE
+    * it explicitly). Shape at 100 TB: ONE data-sized shuffle — the
+    * (label, dim) partial aggregate (output bounded by labels × dims);
+    * everything after runs on that bounded relation. */
+  def embeddingDrift(embeddings: DataFrame): DataFrame = {
+    val mid = embeddings.agg(
+      expr("(min(vec_id) + max(vec_id)) div 2").as("mid"))
+    val dims = embeddings
+      .crossJoin(broadcast(mid))
+      .select(col("label").cast("long").as("label"),
+        when(col("vec_id") <= col("mid"), 0).otherwise(1).as("half"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("half"), col("i"),
+        (floor(col("x").cast("double") * 1000000).cast("long") +
+          1000000L).as("xi"))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(when(col("half") === 0, col("xi"))).as("s0"),
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1, col("xi"))).as("s1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    dims
+      .select(col("label"), col("c0"), col("c1"),
+        expr("""CASE WHEN c0 = 0 OR c1 = 0 THEN NULL
+                |ELSE (s0 div c0) - (s1 div c1) END""".stripMargin).as("d"))
+      .groupBy(col("label"))
+      .agg(max(col("c0")).as("n_ref"), max(col("c1")).as("n_new"),
+        sum(expr("d * d")).as("shift2_micro2"),
+        max(abs(col("d"))).as("max_dim_shift_micro"))
+      .orderBy(col("label"))
+  }
+
   /** Pairwise source vocabulary Jaccard — every unordered source pair,
     * zero-overlap pairs included (the full mixing matrix).
     *

@@ -73,6 +73,33 @@ class DriftSpec extends SparkSpec {
     assert(r("b").isNullAt(3))
   }
 
+  test("embeddingDrift matches the hand-evaluated centroid shift") {
+    // mid = (0+3) div 2 = 1 → ref = {0,1}, new = {2,3}.
+    // label 1, dim0: ref mean micro = (100000+300000) div 2 + 1e6 →
+    //   offset cancels → d = 200000 − 500000 = −300000; dim1: d = 0.
+    // shift2 = 9e10; max |d| = 300000.
+    val df = Seq(
+      (0L, Seq(0.1f, 1.0f), 1), (1L, Seq(0.3f, -1.0f), 1),
+      (2L, Seq(0.5f, 1.0f), 1), (3L, Seq(0.5f, -1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Drift.embeddingDrift(df).collect()
+    assert(r.length == 1)
+    val Row(label, nRef, nNew, shift2, maxShift) = r(0)
+    assert((label, nRef, nNew) == (1L, 2L, 2L))
+    assert((shift2, maxShift) == (90000000000L, 300000L))
+  }
+
+  test("embeddingDrift: a label missing from one half yields NULL") {
+    val df = Seq(
+      (0L, Seq(0.1f), 1), (1L, Seq(0.2f), 2),
+      (2L, Seq(0.3f), 1), (3L, Seq(0.4f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Drift.embeddingDrift(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(2L).isNullAt(3) && r(2L).isNullAt(4))
+    assert(!r(1L).isNullAt(3))
+  }
+
   test("vocabJaccard: hand-counted overlap, zero-overlap pair included") {
     val docs = Seq(
       (1L, "alpha beta gamma", "s1"),
