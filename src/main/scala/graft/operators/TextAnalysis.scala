@@ -388,12 +388,17 @@ object TextAnalysis {
     * broadcast. No full-vocabulary state anywhere. */
   def bm25Scores(documents: DataFrame,
       terms: Seq[String] = Seq("spark", "hash", "vector", "merge")): DataFrame = {
-    val tok = documents
+    // ONE tokenize pass: tf and dl both derive from the same
+    // (doc_id, term) count aggregate, so its exchange subtree is
+    // byte-identical on both paths and ReuseExchange materializes the
+    // corpus scan + explode + partial agg once (plan-asserted in
+    // PlanSpec) instead of twice.
+    val tokCounts = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = tok.filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = tokCounts.filter(col("term").isin(terms: _*))
+    val dl = tokCounts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val contrib = expr(

@@ -297,6 +297,16 @@ class PlanSpec extends SparkSpec {
       "the histogram exchange must be shared between cum and total")
   }
 
+  test("bm25: tf and dl share one tokenize pass via a reused exchange") {
+    // tf (term-filtered) and dl (per-doc length) both derive from the
+    // same (doc_id, term) count aggregate; its exchange must be
+    // materialized once, not re-tokenize the corpus per consumer
+    val df = SparkEntry.queries("bm25_scores")(spark, sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "tokCounts exchange must be shared between tf and dl")
+  }
+
   test("daily-bar family: tick-sized work is ONE sort-free hash aggregate") {
     Seq("stochastic_k", "money_flow_index", "chaikin_ad").foreach { q =>
       val p = planOf(q)
