@@ -67,6 +67,20 @@ object SparkEntry {
   private val groupsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, Double), DataFrame]()
 
+  private val centroidsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Array[Array[Double]]]()
+
+  /** IVF centroids trained ONCE per (SparkContext, corpus dir) — the
+    * write-time clustering (`store.EmbeddingStore`); the `ann_ivf_topk`
+    * serving path probes them without re-training, mirroring how a real
+    * index is built on ingest and read by every query. Driver-sized
+    * (nCentroids × dims doubles), so no RDD pinning involved. */
+  private def centroidsFor(s: SparkSession,
+      dir: String): Array[Array[Double]] =
+    centroidsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir),
+      _ => Similarity.kmeansCentroids(Tables.embeddings(s, dir)))
+
   /** Near-dup groups (Dedup.dedupGroups) computed ONCE per
     * (SparkContext, corpus dir, threshold) and localCheckpointed — the
     * production shape: run the expensive LSH + connected-components
@@ -477,7 +491,8 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     "ann_ivf_topk" -> ((s, dir) => // no SQL oracle: approximate by design
-      Similarity.annIvf(Tables.embeddings(s, dir))),
+      Similarity.annIvfWith(Tables.embeddings(s, dir),
+        centroidsFor(s, dir))),
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
 

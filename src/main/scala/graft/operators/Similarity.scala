@@ -122,12 +122,22 @@ object Similarity {
    */
   def annIvf(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
       k: Int = 10, nCentroids: Int = 12, nProbe: Int = 4,
-      kmeansIters: Int = 3, fitPermille: Int = 1000): DataFrame = {
+      kmeansIters: Int = 3, fitPermille: Int = 1000): DataFrame =
+    annIvfWith(embeddings,
+      kmeansCentroids(embeddings, nCentroids, kmeansIters, fitPermille),
+      queryIds, k, nProbe)
+
+  /** The QUERY-TIME half of IVF search, over centroids trained at WRITE
+    * time ([[kmeansCentroids]] / `store.EmbeddingStore`) — production
+    * never re-clusters per query, so the serving path takes the trained
+    * centroids as an argument (SparkEntry memoizes them per corpus,
+    * exactly like the dedup-groups prefix). */
+  def annIvfWith(embeddings: DataFrame, cents: Array[Array[Double]],
+      queryIds: Seq[Long] = 0L to 4L, k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
     import graft.functions.NearestCentroid.nearest_centroid
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(embeddings, nCentroids, kmeansIters,
-      fitPermille)
     val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
     val base = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
