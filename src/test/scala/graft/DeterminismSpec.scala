@@ -78,12 +78,16 @@ class DeterminismSpec extends SparkSpec {
     import graft.operators.Drift
     val ev = Tables.events(spark, sf0001)
     val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
     def run(e: org.apache.spark.sql.DataFrame,
-        d: org.apache.spark.sql.DataFrame) = Seq(
+        d: org.apache.spark.sql.DataFrame,
+        m: org.apache.spark.sql.DataFrame) = Seq(
       Drift.valueDrift(e).collect().toSeq,
       Drift.ksDrift(e).collect().toSeq,
-      Drift.vocabJaccard(d).collect().toSeq)
-    assert(run(ev, docs) == run(ev.repartition(17), docs.repartition(13)))
+      Drift.vocabJaccard(d).collect().toSeq,
+      Drift.embeddingDrift(m).collect().toSeq)
+    assert(run(ev, docs, emb) ==
+      run(ev.repartition(17), docs.repartition(13), emb.repartition(11)))
   }
 
   test("approximate count-distinct lands within tolerance of exact") {
