@@ -169,6 +169,16 @@ object Drift {
         sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("half") === 1, col("xi"))).as("s1"),
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    centroidShift(dims)
+  }
+
+  /** The centroid-shift assembly over a generic (label, i, s0, c0, s1,
+    * c1) per-dim sum/count relation — shared by [[embeddingDrift]]
+    * (vec_id halves) and `streaming.StreamEmbeddingDrift` (frozen
+    * reference vs live sums), so the streamed statistic equals the
+    * batch one by construction. Input is labels × dims, never
+    * corpus-sized. */
+  def centroidShift(dims: DataFrame): DataFrame =
     dims
       .select(col("label"), col("c0"), col("c1"),
         expr("""CASE WHEN c0 = 0 OR c1 = 0 THEN NULL
@@ -178,7 +188,6 @@ object Drift {
         sum(expr("d * d")).as("shift2_micro2"),
         max(abs(col("d"))).as("max_dim_shift_micro"))
       .orderBy(col("label"))
-  }
 
   /** Pairwise source vocabulary Jaccard — every unordered source pair,
     * zero-overlap pairs included (the full mixing matrix).
