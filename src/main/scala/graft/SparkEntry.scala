@@ -313,6 +313,18 @@ object SparkEntry {
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "integrity_checksum" -> ((s, dir) =>
       TextAnalysis.integrityChecksum(Tables.documents(s, dir))),
+    // version diff between two deterministic synthetic drops of the one
+    // corpus: old = all but doc_id≡3 (mod 11); new = all but ≡7
+    // (mod 11), with doc_id≡0 (mod 5) texts rewritten — exercises all
+    // four statuses with an exactly mirrorable oracle
+    "corpus_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.corpusDiff(
+        docs.filter(pmod(col("doc_id"), lit(11)) =!= 3),
+        docs.filter(pmod(col("doc_id"), lit(11)) =!= 7)
+          .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+    },
     "value_histogram" -> ((s, dir) => EventsOps.valueHistogram(Tables.events(s, dir))),
     "equidepth_histogram" -> ((s, dir) => EventsOps.equidepthHistogram(Tables.events(s, dir))),
     "event_transitions" -> ((s, dir) => EventsOps.eventTransitions(Tables.events(s, dir))),
@@ -1584,6 +1596,32 @@ object SparkEntry {
         |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 15))::BIGINT)
         |    AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Drop-over-drop diff: digest compare on doc_id over the same
+    // deterministic synthetic versions the Spark side builds.
+    "corpus_diff" ->
+      """WITH v_old AS (
+        |  SELECT doc_id, source, md5(text) AS dig,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |), v_new AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |             ELSE text END) AS dig,
+        |    CAST(length(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |                     ELSE text END) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 11 <> 7
+        |)
+        |SELECT coalesce(v_new.source, v_old.source) AS source,
+        |  CASE WHEN v_old.dig IS NULL THEN 'added'
+        |       WHEN v_new.dig IS NULL THEN 'removed'
+        |       WHEN v_old.dig = v_new.dig THEN 'unchanged'
+        |       ELSE 'modified' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(v_new.len, 0) - coalesce(v_old.len, 0))
+        |    AS BIGINT) AS chars_delta
+        |FROM v_old FULL OUTER JOIN v_new USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "mode_by_type" ->
       """SELECT event_type, mode_value, n FROM (

@@ -786,4 +786,38 @@ object TextAnalysis {
         min(when(col("side") === "e", col("n_chars"))).as("max_chars"))
       .orderBy(col("decile"))
   }
+
+  /** Corpus drop-over-drop diff audit: what changed between two
+    * versions of a corpus — per (source, status) doc counts and the
+    * character delta, status ∈ added / removed / modified / unchanged
+    * by content-digest comparison on doc_id.
+    *
+    * The ingest-side answer to "is this refresh the delta we expect,
+    * or did a feed silently rewrite half its history?" — run before
+    * any expensive re-dedup of an updated drop.
+    *
+    * Shape at 100 TB: each side collapses to (doc_id, source, digest,
+    * len) AT THE SCAN (map-side md5), so the one full-outer shuffle on
+    * doc_id carries 32-char digests, never text; the (source, status)
+    * rollup is group-cardinality. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def sig(df: DataFrame, tag: String) =
+      df.select(col("doc_id"), col("source").as(s"src_$tag"),
+        md5(col("text")).as(s"dig_$tag"),
+        length(col("text")).cast("long").as(s"len_$tag"))
+    sig(oldDocs, "old").join(sig(newDocs, "new"), Seq("doc_id"),
+        "full_outer")
+      .select(
+        coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("dig_old").isNull, "added")
+          .when(col("dig_new").isNull, "removed")
+          .when(col("dig_old") === col("dig_new"), "unchanged")
+          .otherwise("modified").as("status"),
+        (coalesce(col("len_new"), lit(0L)) -
+          coalesce(col("len_old"), lit(0L))).as("delta"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("delta")).as("chars_delta"))
+      .orderBy(col("source"), col("status"))
+  }
 }

@@ -8,6 +8,21 @@ import graft.operators.{Multimodal, TextAnalysis}
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("corpusDiff: four statuses by digest compare, signed char deltas") {
+    import graft.operators.TextAnalysis
+    val vOld = Seq((1L, "aaa", "s"), (2L, "bbb", "s"), (3L, "ccc", "s"))
+      .toDF("doc_id", "text", "source")
+    val vNew = Seq((2L, "bbb", "s"), (3L, "cccc", "s"), (4L, "dd", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.corpusDiff(vOld, vNew).collect()
+      .map(x => (x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r == Map(
+      "added" -> (1L, 2L),      // doc 4: +2 chars
+      "modified" -> (1L, 1L),   // doc 3: ccc -> cccc
+      "removed" -> (1L, -3L),   // doc 1: -3 chars
+      "unchanged" -> (1L, 0L))) // doc 2
+  }
+
   test("RollingHash matches the reference recurrence and handles empty input") {
     def expected(s: String): Long =
       s.getBytes("UTF-8").foldLeft(0L)((h, b) =>
