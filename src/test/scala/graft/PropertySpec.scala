@@ -326,4 +326,57 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"seed ${90 + i}: ${got.size} vs ${expect.size}")
     }
   }
+
+  test("corpusDiff statuses partition the id universe on random versions") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.sum
+    val genDoc: Gen[(Long, String, String)] = for {
+      id <- Gen.choose(0L, 60L) // small id space forces overlap
+      text <- Gen.alphaStr.map(_.take(12))
+      src <- Gen.oneOf("s1", "s2")
+    } yield (id, text, src)
+    (1 to 5).foreach { i =>
+      val vOld = Gen.listOfN(30, genDoc)
+        .apply(Gen.Parameters.default, Seed(400L + i)).get.distinctBy(_._1)
+      val vNew = Gen.listOfN(30, genDoc)
+        .apply(Gen.Parameters.default, Seed(500L + i)).get.distinctBy(_._1)
+      val r = TextAnalysis.corpusDiff(
+        vOld.toDF("doc_id", "text", "source"),
+        vNew.toDF("doc_id", "text", "source")).collect()
+        .groupBy(_.getString(1)).view
+        .mapValues(_.map(_.getLong(2)).sum).toMap.withDefaultValue(0L)
+      val oldIds = vOld.map(_._1).toSet
+      val newIds = vNew.map(_._1).toSet
+      val oldBy = vOld.map(d => d._1 -> d._2).toMap
+      val newBy = vNew.map(d => d._1 -> d._2).toMap
+      assert(r("added") == (newIds -- oldIds).size)
+      assert(r("removed") == (oldIds -- newIds).size)
+      val shared = oldIds & newIds
+      assert(r("unchanged") == shared.count(id => oldBy(id) == newBy(id)))
+      assert(r("modified") == shared.count(id => oldBy(id) != newBy(id)))
+      // the four statuses tile old ∪ new exactly
+      assert(r("added") + r("removed") + r("unchanged") + r("modified") ==
+        (oldIds ++ newIds).size)
+    }
+  }
+
+  test("embeddingDrift: identical halves give zero shift on random vectors") {
+    import graft.operators.Drift
+    val genVec: Gen[Seq[Float]] =
+      Gen.listOfN(8, Gen.choose(-1.0f, 1.0f)).map(_.toSeq)
+    (1 to 5).foreach { i =>
+      val vecs = Gen.listOfN(12, genVec)
+        .apply(Gen.Parameters.default, Seed(600L + i)).get
+      // mirror each vector into both vec_id halves: ids 0..11 and 12..23
+      val rows = vecs.zipWithIndex.flatMap { case (v, j) =>
+        Seq((j.toLong, v, j % 3), ((j + 12).toLong, v, j % 3))
+      }
+      val r = Drift.embeddingDrift(
+        rows.toDF("vec_id", "embedding", "label")).collect()
+      r.foreach { x =>
+        assert(x.getLong(3) == 0L && x.getLong(4) == 0L,
+          s"seed ${600 + i}: nonzero shift for label ${x.getLong(0)}")
+      }
+    }
+  }
 }
