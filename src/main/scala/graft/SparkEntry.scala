@@ -129,14 +129,25 @@ object SparkEntry {
         "purchase", "value", TrendsFrom, TrendsTo)),
 
     // ClickHouse-median parity variant: same window aggregate with the
-    // custom bottom-k TypedImperativeAggregate (approximate ⇒ no SQL
-    // oracle; determinism + accuracy asserted in ApproxQuantileSpec).
+    // custom bottom-k TypedImperativeAggregate. The selection hash is the
+    // portable h60 of the value floored onto the micros grid, so the
+    // DuckDB oracle rebuilds the IDENTICAL sample (rank by the same md5
+    // prefix, keep rn ≤ k) and hash-matches the sketch's error — the same
+    // technique that gates vocab_cms/kmv_distinct. Quantizing the sketch
+    // INPUT to micros is the documented contract of the approx variant
+    // (the exact-median query `trends_10min` is unquantized).
     "trends_10min_approx" -> { (s, dir) =>
-      import graft.functions.ApproxQuantile.approx_median_sketch
+      import graft.functions.ApproxQuantile.keyed_median_sketch
+      import graft.functions.PortableHash.h60
+      val vm = floor(col("value") * lit(1e6)).cast("long")
       Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
+        .withColumn("__vm", vm)
+        .withColumn("__h", h60(col("__vm").cast("string")))
         .groupBy(window(col("ts"), "10 minutes"))
-        .agg(approx_median_sketch(col("value")).as("median_approx"),
+        .agg(
+          (keyed_median_sketch(col("__h"), col("__vm").cast("double")) /
+            lit(1000000.0)).as("median_approx"),
           count(lit(1)).as("n"))
         .select(col("window.start").cast("long").as("window_start"),
           col("median_approx"), col("n"))
@@ -684,6 +695,47 @@ object SparkEntry {
          |WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
          |  AND event_type = 'purchase'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bottom-k median sketch reproduced hash-for-hash: same micros floor,
+    // same h60 selection hash, same rank rule (keep rn ≤ 1024), same
+    // linear interpolation pos = 0.5·(nk−1) over the kept sample — the
+    // oracle matches the sketch's ERROR, not just its target. The
+    // interpolation operands are integer micros (exact doubles), so both
+    // engines produce bit-identical IEEE results.
+    "trends_10min_approx" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'
+        |), hashed AS (
+        |  SELECT window_start, vm,
+        |    ('0x' || substr(md5(CAST(vm AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM b
+        |), ranked AS (
+        |  SELECT window_start, vm,
+        |    row_number() OVER (PARTITION BY window_start ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY window_start) AS n_all
+        |  FROM hashed
+        |), kept AS (
+        |  SELECT window_start, vm, n_all,
+        |    row_number() OVER (PARTITION BY window_start ORDER BY vm) AS vrn,
+        |    count(*) OVER (PARTITION BY window_start) AS nk
+        |  FROM ranked WHERE rn <= 1024
+        |), med AS (
+        |  SELECT window_start, max(n_all) AS n, max(nk) AS nk,
+        |    max(CASE WHEN vrn = (nk - 1) // 2 + 1 THEN vm END) AS vlo,
+        |    max(CASE WHEN vrn = CASE WHEN (nk - 1) // 2 + 2 > nk
+        |                            THEN nk ELSE (nk - 1) // 2 + 2 END
+        |        THEN vm END) AS vhi
+        |  FROM kept GROUP BY window_start
+        |)
+        |SELECT window_start,
+        |  (CAST(vlo AS DOUBLE) +
+        |    (0.5 * (nk - 1) - ((nk - 1) // 2)) *
+        |    (CAST(vhi AS DOUBLE) - CAST(vlo AS DOUBLE))) / 1000000.0
+        |    AS median_approx,
+        |  CAST(n AS BIGINT) AS n
+        |FROM med ORDER BY window_start""".stripMargin,
 
     "trends_gapfill" ->
       s"""WITH agg AS (

@@ -70,6 +70,65 @@ case class ApproxQuantileSketch(
   override def prettyName: String = "approx_quantile_sketch"
 }
 
+/**
+ * Oracle-reproducible variant: the selection hash is supplied as a second
+ * child instead of being derived from the IEEE bits, so callers can pass
+ * the engine-portable [[PortableHash.h60]] of a canonical (integer) form
+ * of the value. DuckDB can then rebuild the IDENTICAL bottom-k sample —
+ * `('0x' || substr(md5(x),1,15))::BIGINT`, rank, keep rn ≤ k — and the
+ * oracle matches the sketch's error, not just its target (the same
+ * technique that gates `vocab_cms`/`kmv_distinct`).
+ *
+ * Determinism requires the hash to be injective on the kept value (equal
+ * hash ⇒ equal value): boundary ties at the kth hash are then resolution-
+ * independent as a value multiset. h60 of the value's canonical integer
+ * string satisfies this up to 60-bit md5-prefix collisions.
+ */
+case class KeyedQuantileSketch(
+    hash: Expression,
+    value: Expression,
+    k: Int = 1024,
+    q: Double = 0.5,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKSketch] {
+
+  override def createAggregationBuffer(): BottomKSketch = new BottomKSketch(k)
+
+  override def update(b: BottomKSketch, input: InternalRow): BottomKSketch = {
+    val h = hash.eval(input)
+    val v = value.eval(input)
+    if (h != null && v != null)
+      b.addRaw(h.asInstanceOf[Long], v.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b: BottomKSketch, o: BottomKSketch): BottomKSketch = {
+    b.mergeWith(o); b
+  }
+
+  override def eval(b: BottomKSketch): Any = b.quantile(q) match {
+    case Some(x) => x
+    case None => null
+  }
+
+  override def serialize(b: BottomKSketch): Array[Byte] = b.toBytes
+  override def deserialize(bytes: Array[Byte]): BottomKSketch =
+    BottomKSketch.fromBytes(bytes, k)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(hash, value)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KeyedQuantileSketch =
+    copy(hash = newChildren(0), value = newChildren(1))
+  override def withNewMutableAggBufferOffset(o: Int): KeyedQuantileSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KeyedQuantileSketch =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "keyed_quantile_sketch"
+}
+
 /** Max-heap of (hash, value) keeping the k smallest hashes. */
 final class BottomKSketch(val k: Int) {
   // parallel arrays as a binary max-heap on hash
@@ -165,5 +224,14 @@ object ApproxQuantile {
   def approx_quantile_sketch(c: Column, q: Double, k: Int = 1024): Column =
     GraftBridge.toColumn(
       ApproxQuantileSketch(GraftBridge.toExpression(c), k, q)
+        .toAggregateExpression())
+
+  /** Bottom-k median where the selection hash is caller-supplied (use
+    * [[PortableHash.h60]] of a canonical integer form of the value so the
+    * DuckDB oracle can rebuild the identical sample). */
+  def keyed_median_sketch(h: Column, v: Column, k: Int = 1024): Column =
+    GraftBridge.toColumn(
+      KeyedQuantileSketch(
+        GraftBridge.toExpression(h), GraftBridge.toExpression(v), k, 0.5)
         .toAggregateExpression())
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.ApproxQuantile.approx_median_sketch
+import graft.functions.ApproxQuantile.{approx_median_sketch, keyed_median_sketch}
 
 /** The custom TypedImperativeAggregate (ClickHouse-median analogue). */
 class ApproxQuantileSpec extends SparkSpec {
@@ -43,5 +43,36 @@ class ApproxQuantileSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(got("a") == Some(2.0))
     assert(got("b").isEmpty) // all-null group -> null, not a crash
+  }
+
+  // ── keyed variant (oracle-reproducible selection hash) ──
+
+  test("keyed sketch equals a scalar bottom-k-by-h60 reference") {
+    import graft.functions.PortableHash.{h60, h60String}
+    // overflow the sketch (n > k) so the selection path is exercised
+    val vms = (1 to 5000).map(i => (i * 2654435761L % 100003L))
+    val got = vms.toDF("vm")
+      .withColumn("h", h60(col("vm").cast("string")))
+      .agg(keyed_median_sketch(col("h"), col("vm").cast("double"), k = 256))
+      .collect().head.getDouble(0)
+    // driver-side twin of the oracle SQL: rank by h60, keep rn <= k,
+    // linear-interpolate pos = 0.5*(nk-1) over the kept sample
+    val kept = vms.sortBy(v => h60String(v.toString)).take(256)
+      .map(_.toDouble).sorted
+    val pos = 0.5 * (kept.length - 1)
+    val lo = pos.toInt; val hi = math.min(lo + 1, kept.length - 1)
+    val want = kept(lo) + (pos - lo) * (kept(hi) - kept(lo))
+    assert(got == want) // bit-identical, not approximately
+  }
+
+  test("keyed sketch deterministic across partitioning") {
+    import graft.functions.PortableHash.h60
+    def run(parts: Int, xs: Seq[Long]): Double =
+      xs.toDF("vm").repartition(parts)
+        .withColumn("h", h60(col("vm").cast("string")))
+        .agg(keyed_median_sketch(col("h"), col("vm").cast("double"), k = 128))
+        .collect().head.getDouble(0)
+    val xs = (1 to 3000).map(i => (i * 40503L % 65521L))
+    assert(run(1, xs) == run(32, xs) && run(32, xs) == run(7, xs.reverse))
   }
 }
