@@ -513,7 +513,12 @@ object SparkEntry {
     // ── Similarity search over embeddings ──
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
-    "ann_ivf_topk" -> ((s, dir) => // no SQL oracle: approximate by design
+    // Gated by a full oracle: the write-time index state (centroids +
+    // cell assignments) is dumped as aux parquet by Verify — it is DATA
+    // the index wrote at ingest, like the tables themselves — and DuckDB
+    // independently recomputes the probe lists and the exact cosine
+    // top-k over the probed cells (see `auxTables`).
+    "ann_ivf_topk" -> ((s, dir) =>
       Similarity.annIvfWith(Tables.embeddings(s, dir),
         centroidsFor(s, dir))),
     "quantize_int8" -> ((s, dir) =>
@@ -679,6 +684,28 @@ object SparkEntry {
        |  WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
        |)""".stripMargin
   }
+
+  /** Write-time index state dumped by Verify to `outDir/_aux/<name>` so
+    * oracles can read it (`__AUX__` in the SQL is replaced with the
+    * absolute aux dir at dump time). These are the tables an ingest-time
+    * index build MATERIALIZES — the IVF coarse quantizer and the
+    * cell-per-vector layout (`store.EmbeddingStore.writeClustered`'s
+    * partition column) — i.e. data a production deployment would already
+    * have on disk, not query-time help for the oracle. The oracle then
+    * independently recomputes the query-time half (probe selection +
+    * exact cosine top-k over the probed cells). */
+  def auxTables: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_centroids" -> ((s, dir) => {
+      import s.implicits._
+      centroidsFor(s, dir).zipWithIndex.flatMap { case (w, cid) =>
+        w.zipWithIndex.map { case (x, pos) => (cid, pos, x) }
+      }.toSeq.toDF("c_id", "pos", "w")
+    }),
+    "ivf_cells" -> ((s, dir) => {
+      import graft.functions.NearestCentroid.nearest_centroid
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        nearest_centroid(col("embedding"), centroidsFor(s, dir)).as("c_id"))
+    }))
 
   /** DuckDB-equivalent SQL per query (tables resolved by the driver against
     * the same parquet dir). */
@@ -3347,6 +3374,62 @@ object SparkEntry {
         |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.x*b.x) AS dot
         |  FROM elems a JOIN elems b ON a.i = b.i
         |    AND a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, rank, cand_id AS neighbor_id, round(cos, 6) AS cos6
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF search replayed over the write-time index state (__AUX__ =
+    // Verify's aux dump: the coarse quantizer and the cell-per-vector
+    // layout — ingest-time data, like the tables). DuckDB independently
+    // recomputes BOTH query-time halves: probe selection (score
+    // dot(q,c)/|c|, zero-norm guard, rank desc with ties to the lowest
+    // c_id — mirroring Similarity.annIvfWith) and the exact cosine top-k
+    // over the probed cells (same CTE shape as ann_topk).
+    "ann_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT c_id, pos, w FROM read_parquet('__AUX__/ivf_centroids/*.parquet')
+        |), cnorm AS (
+        |  SELECT c_id, sqrt(sum(w*w)) AS cn FROM cents GROUP BY 1
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), qdot AS (
+        |  SELECT e.vec_id AS query_id, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM elems e JOIN cents c ON c.pos = e.i - 1
+        |  WHERE e.vec_id <= 4
+        |  GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, q.c_id, row_number() OVER (
+        |      PARTITION BY q.query_id ORDER BY
+        |        CASE WHEN n.cn = 0 THEN -1e308 ELSE q.dot / n.cn END DESC,
+        |        q.c_id) AS r
+        |    FROM qdot q JOIN cnorm n ON n.c_id = q.c_id) t
+        |  WHERE r <= 4
+        |), cands AS (
+        |  SELECT p.query_id, cl.vec_id AS cand_id
+        |  FROM probes p
+        |  JOIN read_parquet('__AUX__/ivf_cells/*.parquet') cl
+        |    ON cl.c_id = p.c_id
+        |  WHERE cl.vec_id <> p.query_id
+        |), dots AS (
+        |  SELECT cd.query_id, cd.cand_id, sum(a.x * b.x) AS dot
+        |  FROM cands cd
+        |  JOIN elems a ON a.vec_id = cd.query_id
+        |  JOIN elems b ON b.vec_id = cd.cand_id AND b.i = a.i
         |  GROUP BY 1, 2
         |), sims AS (
         |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
