@@ -61,7 +61,16 @@ object Drift {
     * count relation — shared by [[valueDrift]] (time halves) and
     * `streaming.StreamDrift` (frozen reference vs live counts), so the
     * streamed statistic equals the batch one by construction. The input
-    * is group-cardinality (types × bins), never corpus-sized. */
+    * is group-cardinality (types × bins), never corpus-sized.
+    *
+    * Count bound: the exact-integer numerator (c0·n1 − c1·n0)²·10⁶
+    * needs (n0·n1)²·10⁶ ≤ 10³⁸ (DECIMAL38 / DuckDB HUGEINT), i.e.
+    * per-type per-half counts up to ~10⁸ rows — raw-event drift checks
+    * beyond that should pre-aggregate (count rows per (type, bin) at
+    * coarser grain, or rescale both halves by a common factor before
+    * the assembly: χ² is scale-covariant, χ²(c/s) = χ²(c)/s). Past the
+    * bound, non-ANSI Spark would overflow DECIMAL to NULL while DuckDB
+    * errors — neither silently lies, but the statistic is lost. */
   def chiSquare(binned: DataFrame): DataFrame = {
     val totals = binned.groupBy(col("event_type"))
       .agg(sum(col("c0")).cast("long").as("n0"),
@@ -142,7 +151,11 @@ object Drift {
     * strictly positive — truncating integer division then IS floor on
     * both engines (Spark `div` truncates toward zero, DuckDB `//`
     * floors; they only agree on nonnegative operands). The offset
-    * cancels in the mean difference. Per-dim means are bounded by the
+    * cancels in the mean difference. The offset is derived from the
+    * embedding data contract |x| ≤ 1 (unit-normalized components): a
+    * dim below −1 would make xi negative and silently reintroduce the
+    * trunc-vs-floor divergence — DriftSpec asserts the precondition on
+    * the corpus alongside the μ-alignment invariant. Per-dim means are bounded by the
     * value range REGARDLESS of corpus size, so d, d², and Σd² over 64
     * dims all fit BIGINT at any scale — no HUGEINT anywhere.
     *

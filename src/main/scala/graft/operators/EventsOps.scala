@@ -585,12 +585,16 @@ object EventsOps {
     * with the streaming fold ([[graft.streaming.StreamHll]]). */
   def hllRegisters(hashes: DataFrame, b: Int = 6): DataFrame = {
     val m = 1 << b
+    // the remainder field is 60−b bits wide, so the leading-zero rank of
+    // an all-zero field is (60−b)+1 and otherwise (61−b) − bitlen(rem) —
+    // derived from b, not pinned to the b=6 constants (55)
+    val zeroRank = (61 - b).toLong
     hashes
       .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
       .withColumn("rem", expr(s"h div $m"))
       .withColumn("rho",
-        when(col("rem") === 0, lit(55L))
-          .otherwise(lit(55L) - length(bin(col("rem")))))
+        when(col("rem") === 0, lit(zeroRank))
+          .otherwise(lit(zeroRank) - length(bin(col("rem")))))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
   }
@@ -600,7 +604,14 @@ object EventsOps {
     * construction. */
   def hllEstimate(regs: DataFrame, b: Int = 6): DataFrame = {
     val m = 1 << b
-    val alpha = 0.709 // canonical α_64 (Flajolet et al.)
+    // canonical α_m (Flajolet et al.): table values for small m, the
+    // asymptotic formula otherwise — matches the b the registers carry
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     // Σ 2^(maxM − M_j) needs maxM first: one tiny pass over the ≤ m·|types|
     // register rows, joined back for the exact-integer assembly
     val perType = regs.groupBy(col("event_type"))

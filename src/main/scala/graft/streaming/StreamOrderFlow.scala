@@ -22,6 +22,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * the batch re-window to classify exactly. Emitted rows carry the signed
  * size and the tumbling window start, so the hourly imbalance is one
  * ordinary streaming aggregation downstream of this operator.
+ *
+ * Memory bound: the carried state is O(1) per instrument, but `classify`
+ * buffers and sorts each (instrument, micro-batch) group in executor
+ * memory to impose deterministic order — per-batch cost is the hottest
+ * instrument's rows in ONE trigger interval, not the stream's history.
+ * Size triggers so a hot key's per-interval volume fits an executor; for
+ * interval-unbounded producers, pre-sort upstream (sortWithinPartitions
+ * by (ts, id)) so the group iterator could be consumed streaming.
  */
 object StreamOrderFlow {
 

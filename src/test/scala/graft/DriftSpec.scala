@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, explode, max, min}
 
 import graft.operators.Drift
 
@@ -98,6 +99,20 @@ class DriftSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x).toMap
     assert(r(2L).isNullAt(3) && r(2L).isNullAt(4))
     assert(!r(1L).isNullAt(3))
+  }
+
+  // embeddingDrift's +10⁶ micro-offset keeps every floored dim
+  // nonnegative ONLY under the data contract |x| ≤ 1 — a dim below −1
+  // would silently reintroduce the Spark-trunc vs DuckDB-floor
+  // divergence, so the precondition is pinned on the corpus like the
+  // loader invariants (ADVICE r5).
+  test("embeddingDrift precondition: corpus components are within [-1, 1]") {
+    val mm = Tables.embeddings(spark, sf001)
+      .select(explode(col("embedding")).as("x"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()(0)
+    assert(mm.getFloat(0) >= -1.0f && mm.getFloat(1) <= 1.0f,
+      s"embedding components outside [-1,1]: [${mm.getFloat(0)}, ${mm.getFloat(1)}]")
   }
 
   test("vocabJaccard: hand-counted overlap, zero-overlap pair included") {

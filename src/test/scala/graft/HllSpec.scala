@@ -56,6 +56,47 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  // ρ must derive from b (field width 60−b), not the b=6 constants —
+  // the regression ADVICE r5 called out: any b≠6 was uniformly off by b−6
+  private def hllScalarB(users: Seq[Long], b: Int): (Long, Long, Long, Double) = {
+    val m = 1 << b
+    val zeroRank = 61 - b
+    val regs = new Array[Long](m)
+    users.distinct.foreach { u =>
+      val h = PortableHash.h60String(u.toString)
+      val bkt = (h % m).toInt
+      val rem = h / m
+      val rho = if (rem == 0) zeroRank.toLong
+        else zeroRank.toLong - java.lang.Long.toBinaryString(rem).length
+      if (rho > regs(bkt)) regs(bkt) = rho
+    }
+    val used = regs.count(_ > 0)
+    val maxReg = regs.max
+    val sNum = regs.map(r => 1L << (maxReg - r)).sum
+    val alpha = m match {
+      case 16 => 0.673; case 32 => 0.697; case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val est = alpha * m * m * math.pow(2.0, maxReg.toDouble) / sNum.toDouble
+    (m.toLong - used, maxReg, sNum,
+      BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("non-default precisions match the scalar fold (b = 5, 7, 10)") {
+    val users = (1L to 500L)
+    for (b <- Seq(5, 7, 10)) {
+      val regs = EventsOps.hllRegisters(
+        toEvents(users).select(col("event_type"),
+          graft.functions.PortableHash.h60(col("user_id").cast("string")).as("h")), b)
+      val r = EventsOps.hllEstimate(regs, b).collect()
+      assert(r.length == 1)
+      val (vz, mr, sn, est) = hllScalarB(users, b)
+      assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == (vz, mr, sn),
+        s"b=$b register state")
+      assert(r(0).getDouble(4) == est, s"b=$b estimate")
+    }
+  }
+
   test("sketch is a max-merge: union of shards equals the whole") {
     val a = (1L to 200L); val b = (150L to 400L)
     val whole = EventsOps.hllDistinct(toEvents(a ++ b)).collect()(0)
