@@ -421,6 +421,11 @@ object SparkEntry {
       EventsOps.clickConversionRate(Tables.events(s, dir))),
     "profile_lineitem" -> ((s, dir) =>
       Profiling.profile(Tables.lineitem(s, dir))),
+    // the scale path demonstrated, not just documented: HLL++ distincts —
+    // one scan and NO Expand fan-out (plan + error envelope in
+    // ProfilingSpec; rows-only gate — HLL++ is not rebuildable in DuckDB)
+    "profile_lineitem_approx" -> ((s, dir) =>
+      Profiling.profileApprox(Tables.lineitem(s, dir))),
     // same operator, different schema — the generic claim gated thrice
     "profile_documents" -> ((s, dir) =>
       Profiling.profile(Tables.table(s, dir, "documents"))),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -15,19 +15,36 @@ import org.apache.spark.sql.functions._
  * expanded row carries one column's value, so the shuffle is
  * per-column-distinct-keyed and partial aggregation collapses
  * duplicates map-side. For columns whose cardinality itself is at data
- * scale (primary keys), swap count_distinct for approx_count_distinct
- * (HLL++) — the plan shape is identical; the exact form is kept here
- * because the driver's oracle must hash-match.
+ * scale (primary keys), [[profileApprox]] swaps count_distinct for
+ * approx_count_distinct (HLL++): the per-column state crossing the
+ * shuffle becomes a FIXED-SIZE register set instead of the distinct
+ * values themselves — AND the Expand disappears entirely (the fan-out
+ * only exists to split exact distincts into per-column groups; sketch
+ * aggregates each carry their own buffer through one HashAggregate),
+ * so the 100 TB variant is one scan + one tiny shuffle of N register
+ * sets. The exact form is kept as the oracle-gated query; the approx
+ * swap is gated rows-only plus a relative-error + plan-shape spec
+ * (Spark's HLL++ is not rebuildable in the oracle engine).
  */
 object Profiling {
 
   /** One row per column: nulls, exact distincts, and the global row
     * count (the denominators a null-rate/constancy check needs). */
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame): DataFrame =
+    assemble(df, c => count_distinct(col(c)))
+
+  /** The 100 TB variant: HLL++ distincts (bounded sketch state per
+    * column across the shuffle), identical one-scan Expand plan —
+    * asserted in ProfilingSpec, not just claimed. */
+  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame =
+    assemble(df, c => approx_count_distinct(col(c), rsd))
+
+  private def assemble(df: DataFrame,
+      distinctAgg: String => Column): DataFrame = {
     val cols = df.schema.fieldNames.toIndexedSeq
     val aggs = cols.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__distinct"))
+        distinctAgg(c).as(s"${c}__distinct"))
     } :+ count(lit(1)).as("__rows")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // wide 1-row frame → long (column, n_nulls, n_distinct, n_rows):

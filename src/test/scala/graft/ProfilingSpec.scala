@@ -27,4 +27,32 @@ class ProfilingSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).length == 1,
       s"profiler must read the table once:\n$plan")
   }
+
+  test("approx profiler: one scan, NO Expand fan-out, HLL++ error envelope") {
+    val li = Tables.lineitem(spark, sf0001)
+    val approxPlan =
+      Profiling.profileApprox(li).queryExecution.executedPlan.toString
+    // one scan like the exact form — and strictly better: N exact
+    // distincts force an Expand (N× row fan-out); N HLL++ aggregates
+    // each carry a fixed register buffer, so no fan-out at all
+    assert("Scan parquet".r.findAllIn(approxPlan).length == 1, approxPlan)
+    assert(!approxPlan.contains("Expand"), approxPlan)
+    val exact = Profiling.profile(li).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val approx = Profiling.profileApprox(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    exact.foreach { case (c, n) =>
+      val (_, nd, _) = approx(c)
+      // rsd = 0.05 ⇒ allow 4σ = 20% relative error
+      assert(math.abs(nd - n) <= math.max(1L, (0.2 * n).toLong),
+        s"$c: approx $nd vs exact $n")
+    }
+    // null counts and row count are EXACT in both variants
+    val exactFull = Profiling.profile(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    exactFull.foreach { case (c, (nulls, rows)) =>
+      assert((approx(c)._1, approx(c)._3) == (nulls, rows), c)
+    }
+  }
 }
