@@ -70,6 +70,25 @@ object SparkEntry {
   private val centroidsMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), Array[Array[Double]]]()
 
+  private val bandStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+
+  /** Banded LSH index persisted ONCE per (SparkContext, corpus dir) via
+    * `EmbeddingStore.writeBanded` — the write-time state the
+    * cross-corpus semantic check probes. The indexed corpus is the
+    * store split the gated query checks against (vec_id ≢ 0 mod 5);
+    * queries pay only the batch-side signatures + the probe. */
+  private def bandStoreFor(s: SparkSession, dir: String): String =
+    bandStoreMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_emb_index").toString
+        graft.store.EmbeddingStore.writeBanded(
+          Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          path)
+        path
+      })
+
   /** IVF centroids trained ONCE per (SparkContext, corpus dir) — the
     * write-time clustering (`store.EmbeddingStore`); the `ann_ivf_topk`
     * serving path probes them without re-training, mirroring how a real
@@ -568,11 +587,16 @@ object SparkEntry {
     }),
     "semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir))),
+    // incoming batch probed against the PERSISTED banded index (write-
+    // time state — see bandStoreFor); result identical to the inline
+    // overload, spec-pinned
     "semantic_dedup_against" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.semanticDedupAgainst(
+      val store = bandStoreFor(s, dir)
+      Similarity.semanticDedupAgainstStore(
         emb.filter(pmod(col("vec_id"), lit(5)) === 0),
-        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+        graft.store.EmbeddingStore.readBandedSigs(s, store),
+        graft.store.EmbeddingStore.readBandedVecs(s, store))
     }),
 
     // ── Text analysis ──

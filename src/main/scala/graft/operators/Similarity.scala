@@ -285,20 +285,7 @@ object Similarity {
     * than the corpus). */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.4,
       bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
-    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    val signed = embeddings
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-        lshSignature(col("embedding"), bands * bitsPerBand).as("sig"))
-    val bandCols = (0 until bands).map { bd =>
-      struct(lit(bd).as("band"),
-        shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask).as("bv"))
-    }
-    val banded = signed
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val banded = bandTable(embeddings, bands, bitsPerBand)
     // verify INLINE in the band join: the exact-cosine filter runs in the
     // join's own stage, so the candidate fanout (bands × bucket² rows —
     // easily ≫ corpus in a dense-similarity regime) streams through the
@@ -330,41 +317,76 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The banded hyperplane-LSH table (vec_id, embedding, nrm, band, bv)
+    * — the WRITE-TIME index state of the semantic-dedup family, shared
+    * by [[semanticDedup]] (self-join), [[semanticDedupAgainstStore]]
+    * (probe side), and `store.EmbeddingStore.writeBanded` (persistence).
+    * Plane weights are engine-portable, so signatures are a pure
+    * function of the embedding — computed once per vector ever. */
+  def bandTable(df: DataFrame, bands: Int = 16,
+      bitsPerBand: Int = 4): DataFrame = {
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    val signed = df.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+      lshSignature(col("embedding"), bands * bitsPerBand).as("sig"))
+    val bandCols = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask).as("bv"))
+    }
+    signed.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
   /** CROSS-CORPUS semantic near-dup check — the embedding twin of
     * [[graft.operators.Dedup.dedupAgainst]]: which INCOMING vectors
     * semantically duplicate something already in the corpus? The
     * asymmetry is the scale story, same as the MinHash side: the corpus
     * band table is write-time state (signatures computed once per vector
-    * ever — [[graft.store.EmbeddingStore]] territory; recomputed here
-    * because the test store is parquet-only), the new batch's signatures
-    * cost ∝ batch. Band probe + INLINE exact-cosine verify, so only true
-    * cross-dup pairs ever shuffle. Output: (new_id, corpus_id, cos6). */
+    * ever), the new batch's signatures cost ∝ batch. This overload
+    * computes both sides inline (self-contained form); the gated query
+    * uses [[semanticDedupAgainstStore]] over an index persisted by
+    * `store.EmbeddingStore.writeBanded`. */
   def semanticDedupAgainst(newVecs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.4, bands: Int = 16,
+      bitsPerBand: Int = 4): DataFrame =
+    semanticDedupAgainstStore(newVecs,
+      bandTable(corpus, bands, bitsPerBand).select("vec_id", "band", "bv"),
+      corpus.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm")),
+      threshold, bands, bitsPerBand)
+
+  /** The PROBE half of the cross-corpus check, over a persisted index:
+    * `corpusSigs` (vec_id, band, bv) and `corpusVecs` (vec_id,
+    * embedding, nrm) are write-time state read back from
+    * [[graft.store.EmbeddingStore]] — the batch never pays the corpus's
+    * signature cost. Shape: new-batch bands probe the signature table
+    * (the only corpus-keyed join is on 3 small integer columns, not
+    * payloads); candidates are batch-bounded id pairs; the exact-cosine
+    * verify joins vectors back for candidates only — the same
+    * candidates-then-verify shape as `Dedup.dedupAgainst`'s postings
+    * probe. Output: (new_id, corpus_id, cos6), identical to the inline
+    * overload (spec-pinned). */
+  def semanticDedupAgainstStore(newVecs: DataFrame, corpusSigs: DataFrame,
+      corpusVecs: DataFrame, threshold: Double = 0.4, bands: Int = 16,
       bitsPerBand: Int = 4): DataFrame = {
-    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    def banded(df: DataFrame): DataFrame = {
-      val signed = df.select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-        lshSignature(col("embedding"), bands * bitsPerBand).as("sig"))
-      val bandCols = (0 until bands).map { bd =>
-        struct(lit(bd).as("band"),
-          shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask).as("bv"))
-      }
-      signed.select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(array(bandCols: _*)).as("bk"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("bk.band").as("band"), col("bk.bv").as("bv"))
-    }
-    banded(newVecs).as("a")
-      .join(banded(corpus).as("b"),
+    val cands = bandTable(newVecs, bands, bitsPerBand).as("a")
+      .join(corpusSigs.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
-      .withColumn("cos", dot(col("a.embedding"), col("b.embedding"))
-        / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"),
-        round(col("cos"), 6).as("cos6"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
       .distinct()
+    val newSide = newVecs.select(col("vec_id").as("new_id"),
+      col("embedding").as("e_a"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n_a"))
+    cands
+      .join(newSide, "new_id")
+      .join(corpusVecs.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("e_b"), col("nrm").as("n_b")), "corpus_id")
+      .withColumn("cos", dot(col("e_a"), col("e_b"))
+        / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("cos"), 6).as("cos6"))
       .orderBy(col("new_id"), col("corpus_id"))
   }
 

@@ -42,4 +42,30 @@ object EmbeddingStore {
   def readProbed(spark: SparkSession, path: String,
       probeLists: Seq[Int]): DataFrame =
     read(spark, path).filter(col("c_id").isin(probeLists: _*))
+
+  /** Persist the banded hyperplane-LSH index for the semantic-dedup
+    * family — the signature table computed ONCE per vector at ingest
+    * (`sigs/`: vec_id, band, bv — 3 small integers per band, clustered
+    * by band) plus the vector payloads with their precomputed norms
+    * (`vecs/`: vec_id, embedding, nrm). Cross-corpus checks
+    * ([[graft.operators.Similarity.semanticDedupAgainstStore]]) then
+    * probe `sigs` with a new batch's bands and verify candidates
+    * against `vecs` — the corpus's signature cost is never paid at
+    * query time, mirroring the MinHash side's write-time band state. */
+  def writeBanded(embeddings: DataFrame, path: String, bands: Int = 16,
+      bitsPerBand: Int = 4): Unit = {
+    import graft.functions.VectorOps.dot
+    val bt = graft.operators.Similarity.bandTable(embeddings, bands, bitsPerBand)
+    bt.select(col("vec_id"), col("band"), col("bv"))
+      .write.partitionBy("band").mode("overwrite").parquet(s"$path/sigs")
+    embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
+  }
+
+  def readBandedSigs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sigs")
+
+  def readBandedVecs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vecs")
 }

@@ -191,6 +191,27 @@ class SimilaritySpec extends SparkSpec {
       s"cross recall too low: ${got.size}/${truth.size}")
   }
 
+  test("persisted banded index: store probe equals the inline overload") {
+    import org.apache.spark.sql.functions._
+    import graft.store.EmbeddingStore
+    val emb = Tables.embeddings(spark, sf001)
+    val newV = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val corp = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_band_store_spec").toString
+    EmbeddingStore.writeBanded(corp, path)
+    val fromStore = Similarity.semanticDedupAgainstStore(newV,
+      EmbeddingStore.readBandedSigs(spark, path),
+      EmbeddingStore.readBandedVecs(spark, path)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Similarity.semanticDedupAgainst(newV, corp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // bit-identical incl. cos6: signatures and norms round-trip parquet
+    // exactly, so write-time state changes WHERE work happens, not WHAT
+    assert(fromStore == inline)
+    assert(fromStore.nonEmpty)
+  }
+
   test("semantic dedup: kept set is dup-free and every drop has a kept witness") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps.dot
