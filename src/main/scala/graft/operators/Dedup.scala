@@ -38,8 +38,11 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** (doc_id, shingle) postings, deduped per doc. */
-  private def postings(documents: DataFrame, n: Int) =
+  /** (doc_id, shingle) postings, deduped per doc — the tokenize-once
+    * prefix of the whole candidate-join family (Jaccard, containment,
+    * MinHash-LSH all consume this same table; SparkEntry checkpoints it
+    * once per corpus and fans the family out from the materialization). */
+  def postings(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
 
@@ -69,7 +72,16 @@ object Dedup {
     * by the oracle). */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = 0.5,
       n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10): DataFrame =
-    overlapWithSizes(documents, n, maxDf, samplePermille)
+    ngramJaccardPairsFrom(
+      overlapWithSizesFrom(postings(documents, n), maxDf, samplePermille),
+      threshold)
+
+  /** The Jaccard scorer over a precomputed overlap relation (see
+    * [[overlapWithSizesFrom]]) — lets the jaccard and containment gates
+    * share ONE generator materialization. */
+  def ngramJaccardPairsFrom(overlap: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    overlap
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
@@ -79,14 +91,17 @@ object Dedup {
 
   /** Candidate pairs with shared-shingle counts and both set sizes —
     * the shared generator under the Jaccard and containment scorers
-    * (identical df-cut skew guard, identical plan shape). */
-  private def overlapWithSizes(documents: DataFrame, n: Int, maxDf: Long,
-      samplePermille: Int): DataFrame = {
+    * (identical df-cut skew guard, identical plan shape), over a
+    * postings table the caller may have materialized once for the whole
+    * family. The hot-shingle sample filters the POSTINGS by the same
+    * portable doc hash (per-doc explode commutes with a doc filter, so
+    * this equals sampling the documents first). */
+  def overlapWithSizesFrom(post: DataFrame, maxDf: Long = 1000,
+      samplePermille: Int = 10): DataFrame = {
     import graft.functions.PortableHash.h60
-    val post = postings(documents, n)
     val sampleDf = math.max(1L, maxDf * samplePermille / 1000)
-    val sampled = postings(documents.filter(
-      pmod(h60(col("doc_id").cast("string")), lit(1000L)) < samplePermille), n)
+    val sampled = post.filter(
+      pmod(h60(col("doc_id").cast("string")), lit(1000L)) < samplePermille)
     val hot = sampled.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > sampleDf)
       .select("sh")
@@ -113,7 +128,14 @@ object Dedup {
     * `threshold`, and both directions are reported. */
   def containmentPairs(documents: DataFrame, threshold: Double = 0.6,
       n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10): DataFrame =
-    overlapWithSizes(documents, n, maxDf, samplePermille)
+    containmentPairsFrom(
+      overlapWithSizesFrom(postings(documents, n), maxDf, samplePermille),
+      threshold)
+
+  /** The containment scorer over a precomputed overlap relation. */
+  def containmentPairsFrom(overlap: DataFrame,
+      threshold: Double = 0.6): DataFrame =
+    overlap
       .withColumn("cont_a", col("n_common").cast("double") / col("n_a").cast("double"))
       .withColumn("cont_b", col("n_common").cast("double") / col("n_b").cast("double"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
@@ -172,10 +194,15 @@ object Dedup {
     * and the DuckDB oracle reproduces every signature bit-for-bit.
     * The same pass also emits `n_sh` (the doc's shingle-set size) so the
     * LSH verify stage doesn't need a second corpus scan for sizes. */
-  def minhashSignatures(documents: DataFrame, k: Int = 64): DataFrame = {
+  def minhashSignatures(documents: DataFrame, k: Int = 64): DataFrame =
+    minhashSignaturesFrom(postings(documents, 3), k)
+
+  /** Signature build over a precomputed postings table (the family's
+    * shared tokenize-once prefix). */
+  def minhashSignaturesFrom(post: DataFrame, k: Int = 64): DataFrame = {
     import graft.functions.PortableHash.{h60, minhashParams, MinhashP}
     val params = minhashParams(k)
-    val based = postings(documents, 3)
+    val based = post
       .withColumn("h1", pmod(h60(col("sh")), lit(MinhashP)))
     def sig(i: Int) = {
       val (a, b) = params(i)
@@ -192,8 +219,12 @@ object Dedup {
     * shingle-set sizes ride along so the verify stage needs no extra
     * corpus scan for them. */
   private def lshBuckets(documents: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    lshBucketsFromSigs(minhashSignatures(documents, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  private def lshBucketsFromSigs(sigs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val sigs = minhashSignatures(documents, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rowsPerBand).map(r =>
@@ -207,12 +238,21 @@ object Dedup {
   /** MinHash-LSH candidate pairs, verified with exact Jaccard.
     * bands × rowsPerBand must equal the signature length. */
   def minhashLshPairs(documents: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    minhashLshPairsFrom(postings(documents, 3), threshold, bands, rowsPerBand)
+
+  /** The LSH pipeline over a precomputed postings table — signature
+    * build, band join, and the exact-Jaccard verify all read the ONE
+    * materialized prefix instead of re-shingling the corpus (three
+    * scans' worth at default params). */
+  def minhashLshPairsFrom(post: DataFrame, threshold: Double = 0.5,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     // sizes ride through the band join on the bucket rows — no sizes
     // joins and no extra corpus scans (each extra DataFrame reference is
     // a recompute of its whole subtree unless the runtime can reuse the
     // exchange; the two bucket sides are identical subtrees and can).
-    val buckets = lshBuckets(documents, bands, rowsPerBand)
+    val buckets = lshBucketsFromSigs(
+      minhashSignaturesFrom(post, bands * rowsPerBand), bands, rowsPerBand)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -221,7 +261,6 @@ object Dedup {
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
     // exact-Jaccard verification of candidates only (precision = 1.0)
-    val post = postings(documents, 3)
     candidates
       .join(post.select(col("doc_id").as("id_a"), col("sh")), "id_a")
       .join(post.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
