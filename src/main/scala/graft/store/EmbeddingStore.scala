@@ -2,6 +2,7 @@ package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Write-time IVF clustering — the storage layout that makes
@@ -63,9 +64,22 @@ object EmbeddingStore {
       .write.mode("overwrite").parquet(s"$path/vecs")
   }
 
+  // explicit schemas: an EMPTY corpus writes no parquet footer to infer
+  // from (only _SUCCESS), and a fresh deployment's store IS empty —
+  // schema inference would throw UNABLE_TO_INFER_SCHEMA exactly there
+  private val sigsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("bv", LongType),
+    StructField("band", IntegerType))) // partition column, discovered last
+
+  private val vecsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("nrm", DoubleType)))
+
   def readBandedSigs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/sigs")
+    spark.read.schema(sigsSchema).parquet(s"$path/sigs")
 
   def readBandedVecs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/vecs")
+    spark.read.schema(vecsSchema).parquet(s"$path/vecs")
 }

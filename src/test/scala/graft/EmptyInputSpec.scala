@@ -43,6 +43,7 @@ class EmptyInputSpec extends SparkSpec {
           val expect: Long => Boolean = name match {
             case _ if oneRowAggregates(name) => _ == 1L
             case "profile_lineitem" => _ == 11L // one row per column
+            case "profile_lineitem_approx" => _ == 11L // one row per column
             case "profile_documents" => _ == 5L // one row per column
             case "profile_events" => _ == 6L // one row per column
             case "trends_gapfill" | "trends_gapfill_locf" => _ > 0L // spine

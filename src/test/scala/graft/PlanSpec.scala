@@ -93,10 +93,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ngram jaccard: hot-shingle df-cut is live, as a broadcast anti-join") {
-    val p = SparkEntry.queries("ngram_jaccard_pairs")(spark, sf0001)
-      .queryExecution.optimizedPlan.toString
+    // the REGISTERED query reads the family's checkpointed prefix
+    // (LogicalRDD), so the guard is asserted on the generator it
+    // materializes — the operator-API form builds the full plan
+    val q = graft.operators.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sf0001), threshold = 0.8)
+    val p = q.queryExecution.optimizedPlan.toString
     assert(p.contains("LeftAnti"), "df-cut skew guard not in the plan")
-    val phys = planOf("ngram_jaccard_pairs")
+    val phys = q.queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftAnti"),
       "hot-shingle set should broadcast into the anti-join")
   }
