@@ -6,16 +6,27 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
   * Methodology: one warmup pass at sf0.001 first (JIT/codegen warm — the
-  * plans are identical, only the data volume differs), then each query is
-  * timed THREE times on the target scale factor with a full materialization
-  * through the noop sink (all columns computed, no collect/driver funnel,
-  * no sink cost) and the minimum reported — first-execution JIT of a heavy
-  * generated class can add ~10s of noise that would poison cross-round
-  * comparisons. The per-run times are ALL emitted (`runs` map) so a
-  * contaminated measurement — e.g. a concurrent sbt/test run competing for
-  * cores, which has produced 19× outliers on shuffle-heavy queries — is
-  * self-evident in the artifact: a clean run has tight per-run spreads,
-  * contention shows as one inflated sample.
+  * plans are identical, only the data volume differs), then THREE full
+  * INTERLEAVED passes over all queries on the target scale factor with a
+  * full materialization through the noop sink (all columns computed, no
+  * collect/driver funnel, no sink cost) and the per-query minimum across
+  * passes reported — first-execution JIT of a heavy generated class can
+  * add ~10s of noise that would poison cross-round comparisons. The
+  * three samples per query are scheduled as TWO back-to-back runs
+  * followed by one final full interleaved pass (every query once more):
+  * the back-to-back pair keeps the whole-stage-codegen cache warm
+  * (Spark's generated-class cache is LRU-bounded well below our query
+  * count, so a fully interleaved schedule would recompile every class
+  * per sample and inflate every min), while the separated third sample
+  * defends against a transient contamination window — a concurrent
+  * process competing for cores for ~15s lands on the back-to-back pair
+  * of ONE query but on a DIFFERENT query in the final pass, so the
+  * per-query min absorbs it. With three back-to-back samples the same
+  * window poisons all of them and the min is defenseless (observed: a
+  * driver capture showing runs [4.7, 6.0, 5.1] on a query whose clean
+  * time is 0.4s). The per-run times are ALL emitted (`runs` map) so any
+  * remaining contamination is self-evident in the artifact: a clean run
+  * has tight per-run spreads, contention shows as inflated samples.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,17 +68,18 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
-    val results = names.map { name =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(name, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    def timed(name: String): Double = {
+      val t0 = System.nanoTime()
+      try materialize(name, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> times
+      (System.nanoTime() - t0) / 1e9
     }
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    names.foreach { n => samples(n) = Vector(timed(n), timed(n)) }
+    names.foreach { n => samples(n) = samples(n) :+ timed(n) }
+    val results = names.map(n => n -> samples(n))
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def r2(v: Double) = math.rint(v * 100) / 100
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v.min) }
