@@ -649,6 +649,7 @@ object SparkEntry {
     "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
     "lm_coverage" -> ((s, dir) => TextAnalysis.lmCoverage(Tables.documents(s, dir))),
+    "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -3768,6 +3769,53 @@ object SparkEntry {
         |    ELSE 0.0 END AS coverage6
         |FROM big g LEFT JOIN hits h ON h.doc_id = g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    // Laplace-smoothed bigram LM trained on the corpus itself; each
+    // bigram's log-prob is floored onto the integer micro grid BEFORE the
+    // per-doc sum (a float sum of hundreds of ln() terms is
+    // order-dependent), so both engines sum exact BIGINTs; the single
+    // float division of exact integers at the end is deterministic.
+    // V = |{w1} ∪ {w2}| over bigram TYPES (single-token docs are outside
+    // the model's event space by construction — documented in Scaladoc).
+    "lm_perplexity" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), big AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1])
+        |    ELSE [] END) AS b FROM toks
+        |), tf AS (
+        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM big GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT b, CAST(sum(tf) AS BIGINT) AS cb,
+        |    split_part(b, ' ', 1) AS w1 FROM tf GROUP BY 1
+        |), hist AS (
+        |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM lm GROUP BY 1
+        |), vocab AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v FROM (
+        |    SELECT w1 AS w FROM lm UNION SELECT split_part(b, ' ', 2) FROM lm)
+        |), per AS (
+        |  SELECT doc_id,
+        |    CAST(sum(tf * CAST(floor(ln(
+        |      (CAST(cb AS DOUBLE) + 1.0) /
+        |      (CAST(cw AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0)
+        |    AS BIGINT)) AS BIGINT) AS lp,
+        |    CAST(sum(tf) AS BIGINT) AS n
+        |  FROM tf JOIN lm USING (b) JOIN hist USING (w1) CROSS JOIN vocab
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(p.lp, 0) AS BIGINT) AS logprob_micro,
+        |  CASE WHEN coalesce(p.n, 0) > 0
+        |    THEN round(CAST(p.lp AS DOUBLE) / p.n, 6)
+        |    ELSE 0.0 END AS avg_logprob_micro6
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "repetition_score" ->
       """WITH norm AS (

@@ -551,6 +551,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model quality score — the CCNet/KenLM-style filter:
+    * train a Laplace-smoothed bigram LM on the corpus itself, score every
+    * document by its average per-bigram log-probability. Low scores mark
+    * gibberish / boilerplate / wrong-language text whose token
+    * transitions the corpus LM finds surprising; the classic quality
+    * gate a training-data pipeline runs next to [[lmCoverage]]'s
+    * vocabulary test (coverage asks "known words?", this asks "plausible
+    * word ORDER?").
+    *
+    * Model: p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), where c(w1·) is
+    * the count of w1 as a bigram history (= Σ_w2 c(w1 w2)) and V is the
+    * vocabulary observed in bigrams (|{w1}| ∪ |{w2}| over bigram types —
+    * tokens of single-token documents never enter a bigram and are
+    * deliberately outside the model's event space).
+    *
+    * Float determinism: a per-doc SUM of hundreds of ln() doubles is
+    * order-dependent (IEEE addition does not associate; partition order
+    * is not deterministic) — the one float-sum shape the determinism
+    * ladder (SCALE.md) forbids. Each bigram's log-prob is therefore
+    * floored onto the integer micro grid FIRST (floor is toward −∞ for
+    * these negative values in both engines) and the per-doc sum runs in
+    * exact BIGINT; the only float op after the sum is one division of
+    * exact integers, rounded to 6 dp. A 1-ulp libm ln() disagreement
+    * flips a micro floor only within ~1e-10 of a grid line — the same
+    * budget every micro-floor surrogate in this repo carries.
+    *
+    * Shape at 100 TB: ONE tokenize of the corpus feeds everything — the
+    * (doc, bigram) count aggregate is the shared frame (its exchange is
+    * reused, the bm25 lesson); the LM table (bigram census), history
+    * counts, and V all derive from IT, never from a second corpus scan.
+    * Scoring joins the (doc, bigram) frame to the LM table bigram-keyed
+    * — both sides are aggregates, raw text never shuffles. Stopword-
+    * grade hot bigrams skew the join; AQE skew-split handles the gated
+    * scale, a df-cut on the LM table (universal bigrams carry ≈0
+    * distinguishing signal) bounds it beyond. */
+  def lmPerplexity(documents: DataFrame): DataFrame = {
+    import graft.functions.WordShingles.word_ngrams
+    val big = documents
+      .select(col("doc_id"),
+        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val lm = big.groupBy(col("b")).agg(sum(col("tf")).as("cb"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val hist = lm.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val vocab = lm.select(col("w1").as("w"))
+      .union(lm.select(substring_index(col("b"), " ", -1).as("w")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val contrib = expr(
+      """tf * CAST(floor(ln(
+        |  (CAST(cb AS DOUBLE) + 1.0) /
+        |  (CAST(cw AS DOUBLE) + CAST(v AS DOUBLE))) * 1000000.0)
+        |AS BIGINT)""".stripMargin)
+    val per = big
+      .join(lm.select(col("b"), col("cb"), col("w1")), "b")
+      .join(hist, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", contrib)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp")).as("lp"), sum(col("tf")).as("n"))
+    documents.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp"), lit(0L)).as("logprob_micro"),
+        when(coalesce(col("n"), lit(0L)) > 0,
+          round(col("lp").cast("double") / col("n"), 6))
+          .otherwise(lit(0.0)).as("avg_logprob_micro6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token DIVERSITY via Gini impurity — the integer-exact stand-in for
     * token entropy (entropy needs Σ c·log c: libm, not bit-portable;
     * Gini = 1 − Σ(c/n)² = (n² − Σc²)/n² is a ratio of exact integers

@@ -311,6 +311,17 @@ class PlanSpec extends SparkSpec {
       "tokCounts exchange must be shared between tf and dl")
   }
 
+  test("lm perplexity: LM table, history counts and V reuse the one tokenize pass") {
+    // the (doc, bigram) count aggregate is referenced by the scoring
+    // join AND (via the bigram census) by hist and V — the corpus must
+    // be tokenized once, every derived frame reading the materialized
+    // exchange
+    val df = SparkEntry.queries("lm_perplexity")(spark, sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "(doc, bigram) aggregate exchange must be shared across LM frames")
+  }
+
   test("daily-bar family: tick-sized work is ONE sort-free hash aggregate") {
     Seq("stochastic_k", "money_flow_index", "chaikin_ad").foreach { q =>
       val p = planOf(q)

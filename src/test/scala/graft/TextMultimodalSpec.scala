@@ -352,6 +352,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("lm perplexity: scalar Laplace-bigram reference on a tiny corpus") {
+    // corpus: "a b a b", "a b c", "z" (single-token: outside event space)
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    // bigram census: (a b)=3, (b a)=1, (b c)=1 → hist a·=3, b·=2
+    // vocab over bigram types: {a, b} ∪ {b, a, c} = {a, b, c} → V=3
+    def lp(cb: Long, cw: Long): Long =
+      math.floor(math.log((cb + 1.0) / (cw + 3.0)) * 1e6).toLong
+    val want = Map(
+      1L -> (3L, 2 * lp(3, 3) + lp(1, 2)),  // a b, b a, a b
+      2L -> (2L, lp(3, 3) + lp(1, 2)),      // a b, b c
+      3L -> (0L, 0L))
+    val got = TextAnalysis.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // avg of doc 2 is the exact integer ratio rounded
+    val avg2 = TextAnalysis.lmPerplexity(docs)
+      .filter(col("doc_id") === 2L).collect().head.getDouble(3)
+    assert(avg2 == math.rint((lp(3, 3) + lp(1, 2)) / 2.0 * 1e6) / 1e6)
+  }
+
+  test("lm perplexity: repartition-invariant (exact integer sums)") {
+    val docs = Tables.documents(spark, sf0001).limit(120).cache()
+    val a = TextAnalysis.lmPerplexity(docs).collect().toSeq
+    val b = TextAnalysis.lmPerplexity(docs.repartition(13)).collect().toSeq
+    assert(a == b)
+    docs.unpersist()
+  }
+
   test("token gini: 0 for a one-token loop, → 1−1/n for all-distinct text") {
     val docs = Seq(
       (1L, "spam spam spam spam", "en", "s", 1L), // one type → gini 0
