@@ -650,6 +650,7 @@ object SparkEntry {
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
     "lm_coverage" -> ((s, dir) => TextAnalysis.lmCoverage(Tables.documents(s, dir))),
     "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
+    "gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -3815,6 +3816,55 @@ object SparkEntry {
         |    THEN round(CAST(p.lp AS DOUBLE) / p.n, 6)
         |    ELSE 0.0 END AS avg_logprob_micro6
         |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Gopher word-level repetition gates: character mass of an n-gram =
+    // count × len(gram) (internal spaces included); duplicated-5-gram
+    // mass can exceed the text (overlaps) — threshold signal by design.
+    // Pure integer ratios on the micro grid; nonneg ⇒ div == // on both
+    // engines. Top-gram tie breaks to the smallest gram string (Spark
+    // side: sort-free min(struct(-cnt, gram)) partial aggregate).
+    "gopher_repetition" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, t, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), c2 AS (
+        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w)-1),
+        |           i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END) AS b FROM toks) GROUP BY 1, 2
+        |), top2 AS (
+        |  SELECT doc_id, cnt AS top2_cnt, b AS top2_gram FROM (
+        |    SELECT doc_id, b, cnt, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY cnt DESC, b) AS rn FROM c2)
+        |  WHERE rn = 1
+        |), c5 AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+        |      THEN list_transform(generate_series(1, len(w)-4),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |                w[i+3] || ' ' || w[i+4])
+        |      ELSE [] END) AS g FROM toks) GROUP BY 1, 2
+        |), dup5 AS (
+        |  SELECT doc_id, CAST(sum(cnt * len(g)) AS BIGINT) AS dup5_chars
+        |  FROM c5 WHERE cnt >= 2 GROUP BY 1
+        |)
+        |SELECT s.doc_id, CAST(len(s.t) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(t.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+        |  coalesce(t.top2_gram, '') AS top2_gram,
+        |  CAST(CASE WHEN len(s.t) > 0
+        |    THEN coalesce(t.top2_cnt, 0) * len(coalesce(t.top2_gram, ''))
+        |         * 1000000 // len(s.t)
+        |    ELSE 0 END AS BIGINT) AS top2_frac_micro,
+        |  CAST(CASE WHEN len(s.t) > 0
+        |    THEN coalesce(d.dup5_chars, 0) * 1000000 // len(s.t)
+        |    ELSE 0 END AS BIGINT) AS dup5_frac_micro
+        |FROM norm s LEFT JOIN top2 t USING (doc_id)
+        |  LEFT JOIN dup5 d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "repetition_score" ->

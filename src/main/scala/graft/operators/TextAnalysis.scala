@@ -508,6 +508,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style repetition gates, word-level (the line-based rules of
+    * the family need newline structure this corpus lacks — documented):
+    * the fraction of characters covered by the single most frequent word
+    * 2-gram, and the fraction of characters inside DUPLICATED word
+    * 5-grams (occurring ≥ 2 times). Both are the published
+    * repetitious-text filters a curation pipeline thresholds on (Gopher
+    * §A1.1: "fraction of characters in the most common n-gram",
+    * "fraction of characters in duplicated n-grams"); a spam loop scores
+    * high on the first, templated boilerplate on the second, and clean
+    * prose near zero on both.
+    *
+    * Conventions (documented, mirrored in the oracle): character mass of
+    * an n-gram occurrence = its string length including internal spaces
+    * (count × len(gram)); duplicated-gram mass sums over occurrences, so
+    * overlapping occurrences can push the ratio past 1 — it is a
+    * threshold signal, not a partition of the text. Top-gram ties break
+    * to the lexicographically smallest gram. Everything is a ratio of
+    * exact integers on the micro grid (numerator·10⁶ div chars, both
+    * nonnegative ⇒ div = floor on both engines) — no doubles anywhere.
+    *
+    * Scale shape: two (doc, gram) count aggregates over one normalized
+    * scan (codegen'd n-gram explode); the top-gram election is a
+    * sort-free min(struct(-cnt, gram)) partial aggregate (skew-immune,
+    * no window); per-doc joins are doc-cardinality. */
+  def gopherRepetition(documents: DataFrame): DataFrame = {
+    import graft.functions.WordShingles.word_ngrams
+    val base = documents.select(col("doc_id"),
+      normalize(col("text")).as("t"))
+    val stats = base.select(col("doc_id"),
+      length(col("t")).cast("long").as("n_chars"))
+    val top2 = base
+      .select(col("doc_id"), explode(word_ngrams(col("t"), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("b").as("b"))).as("m"))
+      .select(col("doc_id"), (-col("m.nc")).as("top2_cnt"),
+        col("m.b").as("top2_gram"))
+    val dup5 = base
+      .select(col("doc_id"), explode(word_ngrams(col("t"), 5)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * length(col("g")).cast("long")).as("dup5_chars"))
+    stats
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+        coalesce(col("top2_gram"), lit("")).as("top2_gram"),
+        when(col("n_chars") > 0,
+          expr("""coalesce(top2_cnt, 0) * length(coalesce(top2_gram, ''))
+                 |* 1000000 div n_chars""".stripMargin))
+          .otherwise(lit(0L)).as("top2_frac_micro"),
+        when(col("n_chars") > 0,
+          expr("coalesce(dup5_chars, 0) * 1000000 div n_chars"))
+          .otherwise(lit(0L)).as("dup5_frac_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reference-vocabulary COVERAGE score — the cheap stand-in for an
     * n-gram language-model quality filter (the KenLM perplexity gate of
     * CCNet/Gopher pipelines, re-expressed integer-exact): what fraction

@@ -381,6 +381,33 @@ class TextMultimodalSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("gopher repetition: hand-computed spam loop; clean prose near zero") {
+    // doc 1: "buy now " × 6 — top 2-gram "buy now" (or "now buy")
+    //   appears 6 (resp. 5) times; every 5-gram repeats.
+    // doc 2: all-distinct words — no duplicated 5-gram, top2 cnt 1.
+    // doc 3: one word — no 2-grams at all (left-join zeros path).
+    val docs = Seq(
+      (1L, Array.fill(6)("buy now").mkString(" ")),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    // normalized text = 47 chars; "buy now" wins the tie over "now buy"
+    // (6 occurrences vs 5); char mass 6*7 = 42
+    assert(d1.getLong(1) == 47 && d1.getLong(2) == 6 &&
+      d1.getString(3) == "buy now")
+    assert(d1.getLong(4) == 42L * 1000000 / 47)
+    // 12 tokens → 8 5-gram occurrences, 2 distinct types ("buy now buy
+    // now buy" ×4, "now buy now buy now" ×4, 19 chars each): all duplicated
+    assert(d1.getLong(5) == (4L * 19 + 4L * 19) * 1000000 / 47)
+    val d2 = r(2L)
+    assert(d2.getLong(2) == 1 && d2.getLong(5) == 0)
+    val d3 = r(3L)
+    assert(d3.getLong(2) == 0 && d3.getString(3) == "" &&
+      d3.getLong(4) == 0 && d3.getLong(5) == 0)
+  }
+
   test("token gini: 0 for a one-token loop, → 1−1/n for all-distinct text") {
     val docs = Seq(
       (1L, "spam spam spam spam", "en", "s", 1L), // one type → gini 0
