@@ -651,6 +651,8 @@ object SparkEntry {
     "lm_coverage" -> ((s, dir) => TextAnalysis.lmCoverage(Tables.documents(s, dir))),
     "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
     "gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(Tables.documents(s, dir))),
+    "hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -3866,6 +3868,76 @@ object SparkEntry {
         |FROM norm s LEFT JOIN top2 t USING (doc_id)
         |  LEFT JOIN dup5 d USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Reciprocal-rank fusion of the BM25 depth-100 list (same CTEs as
+    // bm25_scores, ranked on the 6-dp-rounded score, doc_id ties) and
+    // the cosine depth-100 list for query vector 0 (same CTE shape as
+    // ann_topk). Each contribution is the exact integer 10⁹//(60+rank);
+    // a doc on one list only keeps the other contribution at 0.
+    "hybrid_rrf" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS term FROM norm
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN ('spark', 'hash', 'vector', 'merge') GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS tot FROM dl
+        |), bm AS (
+        |  SELECT doc_id,
+        |    round(sum(
+        |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |               (CAST(df AS DOUBLE) + 0.5)) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+        |        (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 6) AS bm25
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id
+        |), lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_lex
+        |  FROM (SELECT doc_id, bm25 FROM bm
+        |        ORDER BY bm25 DESC, doc_id LIMIT 100)
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT b.vec_id AS doc_id, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |    AND a.vec_id = 0 AND b.vec_id <> 0
+        |  GROUP BY 1
+        |), sims AS (
+        |  SELECT doc_id, CASE WHEN na.nrm * nb.nrm <> 0
+        |    THEN dot / (na.nrm * nb.nrm) END AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = 0
+        |  JOIN norms nb ON nb.vec_id = doc_id
+        |), sem AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_sem
+        |  FROM (SELECT doc_id, cos FROM sims
+        |        ORDER BY cos DESC, doc_id LIMIT 100)
+        |)
+        |SELECT doc_id,
+        |  CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+        |  CAST(coalesce(s.rank_sem, 0) AS BIGINT) AS rank_sem,
+        |  CAST(CASE WHEN l.rank_lex IS NOT NULL
+        |         THEN 1000000000 // (60 + l.rank_lex) ELSE 0 END
+        |     + CASE WHEN s.rank_sem IS NOT NULL
+        |         THEN 1000000000 // (60 + s.rank_sem) ELSE 0 END
+        |    AS BIGINT) AS rrf_nano
+        |FROM lex l FULL JOIN sem s USING (doc_id)
+        |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin,
 
     "repetition_score" ->
       """WITH norm AS (

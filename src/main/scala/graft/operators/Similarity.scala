@@ -53,6 +53,62 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard way a
+    * training-data miner combines the lexical (BM25) and semantic
+    * (embedding-cosine) views of the same corpus: each system returns
+    * its depth-`depth` ranked list, and a document's fused score is
+    * Σ 1/(k + rank_s) over the systems that retrieved it (RRF,
+    * Cormack et al.; k=60). Documents ranked by only one system still
+    * fuse (the other contribution is 0) — the union-of-lists semantics
+    * that makes RRF robust to a system missing a hit.
+    *
+    * Determinism: each 1/(k+rank) contribution is the exact integer
+    * `10⁹ div (k+rank)` (nonnegative ⇒ div = floor on both engines) and
+    * the fused score is a sum of two such integers — no float ranking
+    * anywhere in the fusion. The input ranks themselves follow the
+    * ann_topk precedent (cosine desc, id tiebreak) and bm25's 6-dp
+    * rounded score (ties to doc_id).
+    *
+    * Scale shape: both systems cut to `depth` with TakeOrderedAndProject
+    * (never a global sort); the fusion then works on two depth-sized
+    * lists — broadcast-joinable at any corpus size. The semantic side
+    * here is the brute-force scorer for oracle-exactness; at 100 TB the
+    * same fusion consumes the IVF/LSH top-`depth` list instead (the
+    * rank list is the interface, the retriever is pluggable). */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+      terms: Seq[String] = Seq("spark", "hash", "vector", "merge"),
+      queryId: Long = 0L, kRrf: Int = 60, depth: Int = 100,
+      topN: Int = 20): DataFrame = {
+    val lexList = graft.operators.TextAnalysis.bm25Scores(documents, terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(depth)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_lex"))
+    val q = broadcast(embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn")))
+    val denom = sqrt(dot(col("embedding"), col("embedding"))) * col("qn")
+    val semList = embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .select(col("vec_id").as("doc_id"),
+        when(denom =!= 0.0, dot(col("embedding"), col("qe")) / denom)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(depth)
+      .withColumn("rank_sem", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank_sem"))
+    lexList.join(semList, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_sem"), lit(0L)).as("rank_sem"),
+        (when(col("rank_lex").isNotNull,
+            expr(s"1000000000 div ($kRrf + rank_lex)")).otherwise(lit(0L)) +
+         when(col("rank_sem").isNotNull,
+            expr(s"1000000000 div ($kRrf + rank_sem)")).otherwise(lit(0L)))
+          .as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id")).limit(topN)
+  }
+
   /**
    * Spherical k-means (Lloyd) for the IVF coarse quantizer. Structurally
    * deterministic: seeds are the `nCentroids` lowest vec_ids (measured

@@ -191,6 +191,34 @@ class SimilaritySpec extends SparkSpec {
       s"cross recall too low: ${got.size}/${truth.size}")
   }
 
+  test("hybrid RRF: hand-computed fusion; one-list docs still fuse") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // lexical view: docs 1 and 2 contain query terms ("spark" twice vs
+    // once → rank_lex 1, 2); doc 3 has none (lex-absent).
+    val docs = Seq(
+      (1L, "spark spark fast"), (2L, "spark slow"), (3L, "plain prose"))
+      .toDF("doc_id", "text")
+    // semantic view: query vec 0; doc 3 aligned (rank_sem 1), doc 2
+    // orthogonal-ish, doc 1 opposite (rank_sem 3)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, Seq(1f, 0f)), Row(1L, Seq(-1f, 0f)),
+        Row(2L, Seq(0.1f, 1f)), Row(3L, Seq(1f, 0.01f))),
+      schema)
+    val got = Similarity.hybridRrf(docs, vecs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def c(rank: Long) = 1000000000L / (60 + rank)
+    assert(got(1L) == ((1L, 3L, c(1) + c(3))))
+    assert(got(2L) == ((2L, 2L, c(2) + c(2))))
+    assert(got(3L) == ((0L, 1L, c(1))))   // lex-absent: sem-only fusion
+    // fused order: doc 1 (both lists, best lex) first
+    assert(got.toSeq.maxBy(_._2._3)._1 == 1L)
+  }
+
   test("persisted banded index: store probe equals the inline overload") {
     import org.apache.spark.sql.functions._
     import graft.store.EmbeddingStore
