@@ -653,6 +653,7 @@ object SparkEntry {
     "gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(Tables.documents(s, dir))),
     "hybrid_rrf" -> ((s, dir) =>
       Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+    "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -3938,6 +3939,65 @@ object SparkEntry {
         |    AS BIGINT) AS rrf_nano
         |FROM lex l FULL JOIN sem s USING (doc_id)
         |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin,
+
+    // DSIR importance weights: bigrams hashed into 4096 buckets by the
+    // portable h60 (md5-prefix, reproduced below), Laplace-smoothed
+    // target-vs-raw log-ratio per bucket floored onto the micro grid
+    // (ONE ln per bucket), doc weight = exact integer Σ tf·lr. Target
+    // domain = sources src0/src1; selected = top-100 by (weight, doc_id).
+    "dsir_weights" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), big AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1])
+        |    ELSE [] END) AS b FROM toks
+        |), tf AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(b), 1, 15))::BIGINT % 4096 AS bk,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM big GROUP BY 1, 2
+        |), raw AS (
+        |  SELECT bk, CAST(sum(tf) AS BIGINT) AS cr FROM tf GROUP BY 1
+        |), tgt AS (
+        |  SELECT bk, CAST(sum(tf) AS BIGINT) AS ct FROM tf
+        |  WHERE doc_id IN (SELECT doc_id FROM documents
+        |                   WHERE source IN ('src0', 'src1'))
+        |  GROUP BY 1
+        |), scal AS (
+        |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+        |         (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt
+        |), lr AS (
+        |  SELECT bk, CAST(floor(ln(
+        |    ((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) *
+        |     (CAST(nr AS DOUBLE) + 4096.0)) /
+        |    ((CAST(cr AS DOUBLE) + 1.0) *
+        |     (CAST(coalesce(nt, 0) AS DOUBLE) + 4096.0))) * 1000000.0)
+        |  AS BIGINT) AS lr_micro
+        |  FROM raw LEFT JOIN tgt USING (bk) CROSS JOIN scal
+        |), weights AS (
+        |  SELECT doc_id, CAST(sum(tf * lr_micro) AS BIGINT) AS w,
+        |    CAST(sum(tf) AS BIGINT) AS n
+        |  FROM tf JOIN lr USING (bk) GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(ww.n, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(ww.w, 0) AS BIGINT) AS logratio_micro
+        |  FROM documents d LEFT JOIN weights ww USING (doc_id)
+        |), topk AS (
+        |  SELECT doc_id FROM scored
+        |  ORDER BY logratio_micro DESC, doc_id LIMIT 100
+        |)
+        |SELECT s.doc_id, s.n_bigrams, s.logratio_micro,
+        |  CAST(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS selected
+        |FROM scored s LEFT JOIN topk t USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "repetition_score" ->
       """WITH norm AS (

@@ -508,6 +508,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-bigram features are
+    * under a TARGET domain's distribution than under the raw corpus's,
+    * then select the top-k. The modern replacement for binary quality
+    * gates — instead of keep/drop, the corpus is re-weighted toward the
+    * domain a training run cares about.
+    *
+    * Features are bigrams hashed into `nBuckets` buckets (the paper's
+    * trick that makes the estimator corpus-size-independent: both
+    * distributions live on a FIXED 4096-cell table regardless of
+    * vocabulary growth — same bounded-state argument as the CMS/HLL
+    * sketches). Both bucket distributions are Laplace-smoothed; a
+    * document's weight is Σ_buckets tf·ln(p_target/p_raw).
+    *
+    * Determinism: the per-bucket log-ratio is ONE ln() of a ratio of
+    * exactly-representable products, floored onto the integer micro grid
+    * (≤ nBuckets evaluations per corpus, the floor-straddle budget every
+    * micro surrogate carries); doc weights are then exact integer dot
+    * products. Selection is top-k by (weight, doc_id) — no float
+    * comparison crosses an engine boundary.
+    *
+    * Scale shape: one tokenize pass; the (doc, bucket) tf aggregate is
+    * the shared frame (raw counts derive from it — exchange reuse); the
+    * target side joins a broadcast doc-id list; the log-ratio table is
+    * nBuckets rows → BROADCAST to the scoring join (never a shuffle);
+    * selection is TakeOrderedAndProject + broadcast-back flag, the
+    * winsorize pattern — no global rank materializes. */
+  def dsirWeights(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      nBuckets: Int = 4096, k: Int = 100): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import graft.functions.WordShingles.word_ngrams
+    val tf = documents
+      .select(col("doc_id"),
+        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+      .select(col("doc_id"), pmod(h60(col("b")), lit(nBuckets.toLong)).as("bk"))
+      .groupBy(col("doc_id"), col("bk"))
+      .agg(count(lit(1)).as("tf"))
+    val targetIds = broadcast(
+      documents.filter(col("source").isin(targetSources: _*))
+        .select(col("doc_id")))
+    val raw = tf.groupBy(col("bk")).agg(sum(col("tf")).as("cr"))
+    val tgt = tf.join(targetIds, "doc_id")
+      .groupBy(col("bk")).agg(sum(col("tf")).as("ct"))
+    val scal = raw.agg(sum(col("cr")).as("nr")).crossJoin(
+      tgt.agg(sum(col("ct")).as("nt")))
+    val lr = raw.join(tgt, Seq("bk"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("bk"), expr(
+        s"""CAST(floor(ln(
+           |  ((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) *
+           |   (CAST(nr AS DOUBLE) + $nBuckets.0)) /
+           |  ((CAST(cr AS DOUBLE) + 1.0) *
+           |   (CAST(coalesce(nt, 0) AS DOUBLE) + $nBuckets.0))) * 1000000.0)
+           |AS BIGINT)""".stripMargin).as("lr_micro"))
+    val weights = tf.join(broadcast(lr), "bk")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("lr_micro")).as("w"), sum(col("tf")).as("n"))
+    val scored = documents.select(col("doc_id")).join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("w"), lit(0L)).as("logratio_micro"))
+    val topk = broadcast(scored
+      .orderBy(col("logratio_micro").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), lit(1L).as("selected")))
+    scored.join(topk, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("logratio_micro"),
+        coalesce(col("selected"), lit(0L)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition gates, word-level (the line-based rules of
     * the family need newline structure this corpus lacks — documented):
     * the fraction of characters covered by the single most frequent word

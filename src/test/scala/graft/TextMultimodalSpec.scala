@@ -381,6 +381,33 @@ class TextMultimodalSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("dsir weights: selection tilts toward the target domain; repartition-invariant") {
+    // engineered domains: targets speak "quantum flux", decoys mimic
+    // them, noise docs speak something else entirely
+    val target = (0L until 5L).map(i =>
+      (i, "quantum flux drive quantum flux core", "tgt"))
+    val decoys = (10L until 13L).map(i =>
+      (i, "quantum flux drive engaged", "raw"))
+    val noise = (20L until 30L).map(i =>
+      (i, s"parrot banana umbrella kettle${i} stone moss", "raw"))
+    val docs = (target ++ decoys ++ noise).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.dsirWeights(docs, targetSources = Seq("tgt"), k = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    val selected = r.filter(_._3 == 1L).map(_._1).toSet
+    // the 8 slots go to the 5 targets + the 3 target-like decoys; every
+    // noise doc's bigrams are rare-under-target, so they rank below
+    assert(selected == ((0L until 5L) ++ (10L until 13L)).toSet,
+      s"got $selected")
+    // selected == scalar top-k over the emitted weights (flag honesty)
+    val topk = r.sortBy(x => (-x._2, x._1)).take(8).map(_._1).toSet
+    assert(selected == topk)
+    // exact integer weights ⇒ identical under any partitioning
+    val b = TextAnalysis.dsirWeights(docs.repartition(7),
+      targetSources = Seq("tgt"), k = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == b.toSeq)
+  }
+
   test("gopher repetition: hand-computed spam loop; clean prose near zero") {
     // doc 1: "buy now " × 6 — top 2-gram "buy now" (or "now buy")
     //   appears 6 (resp. 5) times; every 5-gram repeats.
