@@ -322,6 +322,19 @@ class PlanSpec extends SparkSpec {
       "(doc, bigram) aggregate exchange must be shared across LM frames")
   }
 
+  test("dsir: raw census and doc weights share the (doc, bucket) aggregate") {
+    // tf is referenced by the scoring join AND by the raw bucket census;
+    // the corpus must be tokenized+hashed once, and the log-ratio table
+    // must reach the scoring join as a broadcast, never a shuffle
+    val df = SparkEntry.queries("dsir_weights")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "(doc, bucket) tf exchange must be shared")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "log-ratio table must broadcast to the scoring join")
+  }
+
   test("daily-bar family: tick-sized work is ONE sort-free hash aggregate") {
     Seq("stochastic_k", "money_flow_index", "chaikin_ad").foreach { q =>
       val p = planOf(q)
