@@ -654,6 +654,8 @@ object SparkEntry {
     "hybrid_rrf" -> ((s, dir) =>
       Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
+    "decontaminate_frac" -> ((s, dir) =>
+      TextAnalysis.decontaminationFraction(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -3741,6 +3743,40 @@ object SparkEntry {
         |WHERE p.slot >= 20
         |GROUP BY 1 HAVING count(*) >= 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Graded decontamination: per-train-doc fraction of distinct
+    // 3-grams shared with the eval slice, zero-hit docs included.
+    // Integer micro ratio (nonneg ⇒ div = // on both engines).
+    "decontaminate_frac" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), shl AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS slot,
+        |    list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT doc_id, slot, unnest(shs) AS s FROM shl
+        |), ev AS (
+        |  SELECT DISTINCT s FROM post WHERE slot < 20
+        |), hits AS (
+        |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM post p JOIN ev ON ev.s = p.s
+        |  WHERE p.slot >= 20 GROUP BY 1
+        |)
+        |SELECT l.doc_id, CAST(len(l.shs) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN len(l.shs) > 0
+        |    THEN coalesce(h.n_hits, 0) * 1000000 // len(l.shs)
+        |    ELSE 0 END AS BIGINT) AS contam_frac_micro
+        |FROM shl l LEFT JOIN hits h USING (doc_id)
+        |WHERE l.slot >= 20
+        |ORDER BY l.doc_id""".stripMargin,
 
     // Reference-vocab bigram coverage: top-500 corpus bigrams by doc
     // frequency (ties by bigram string — deterministic cutoff), per-doc

@@ -251,6 +251,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Graded decontamination — the audit form of [[decontaminate]]: every
+    * training document with its CONTAMINATION FRACTION (shared distinct
+    * n-grams / its distinct n-grams), zero-hit docs included. The binary
+    * flag answers "drop or keep"; the fraction is what a release audit
+    * reports (contamination mass by decile, trend across corpus
+    * versions) and what graded-leakage policies threshold on (e.g. drop
+    * > 10 %, down-weight 1-10 %). Integer micro ratio of exact counts —
+    * both nonnegative, so div = floor on both engines.
+    *
+    * Same scale shape as the flag form: eval n-grams broadcast (or the
+    * Bloom variant beyond broadcast size), ONE corpus scan, per-doc
+    * count aggregate. */
+  def decontaminationFraction(documents: DataFrame, n: Int = 3,
+      evalPermille: Int = 20): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val isEval =
+      pmod(h60(col("doc_id").cast("string")), lit(1000L)) < evalPermille
+    val train = documents.filter(!isEval)
+    val evalNgrams = documents.filter(isEval)
+      .select(explode(shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val hits = train
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
+      .join(broadcast(evalNgrams), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    train
+      .select(col("doc_id"),
+        size(shingles(col("text"), n)).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_shingles") > 0,
+          expr("coalesce(n_hits, 0) * 1000000 div n_shingles"))
+          .otherwise(lit(0L)).as("contam_frac_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom-filtered decontamination — the shape for benchmark suites too
     * large to broadcast as an exact n-gram set (10⁸ n-grams ≈ 3 GB as
     * rows, 2 MB as a 2²⁴-bit bloom): the eval n-grams build a portable
@@ -539,14 +577,25 @@ object TextAnalysis {
   def dsirWeights(documents: DataFrame,
       targetSources: Seq[String] = Seq("src0", "src1"),
       nBuckets: Int = 4096, k: Int = 100): DataFrame = {
-    import graft.functions.PortableHash.h60
-    import graft.functions.WordShingles.word_ngrams
-    val tf = documents
-      .select(col("doc_id"),
-        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
-      .select(col("doc_id"), pmod(h60(col("b")), lit(nBuckets.toLong)).as("bk"))
-      .groupBy(col("doc_id"), col("bk"))
-      .agg(count(lit(1)).as("tf"))
+    val scored = dsirScore(documents, dsirLogRatios(documents,
+      targetSources, nBuckets), nBuckets)
+    val topk = broadcast(scored
+      .orderBy(col("logratio_micro").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), lit(1L).as("selected")))
+    scored.join(topk, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("logratio_micro"),
+        coalesce(col("selected"), lit(0L)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The TRAIN half of DSIR: the per-bucket log-ratio table — `nBuckets`
+    * rows of write-time state, same lifecycle as the IVF centroids or
+    * the LSH band index (estimated periodically, broadcast/persisted,
+    * probed by scoring passes and streams). */
+  def dsirLogRatios(documents: DataFrame,
+      targetSources: Seq[String] = Seq("src0", "src1"),
+      nBuckets: Int = 4096): DataFrame = {
+    val tf = dsirTf(documents, nBuckets)
     val targetIds = broadcast(
       documents.filter(col("source").isin(targetSources: _*))
         .select(col("doc_id")))
@@ -555,7 +604,7 @@ object TextAnalysis {
       .groupBy(col("bk")).agg(sum(col("tf")).as("ct"))
     val scal = raw.agg(sum(col("cr")).as("nr")).crossJoin(
       tgt.agg(sum(col("ct")).as("nt")))
-    val lr = raw.join(tgt, Seq("bk"), "left")
+    raw.join(tgt, Seq("bk"), "left")
       .crossJoin(broadcast(scal))
       .select(col("bk"), expr(
         s"""CAST(floor(ln(
@@ -564,20 +613,33 @@ object TextAnalysis {
            |  ((CAST(cr AS DOUBLE) + 1.0) *
            |   (CAST(coalesce(nt, 0) AS DOUBLE) + $nBuckets.0))) * 1000000.0)
            |AS BIGINT)""".stripMargin).as("lr_micro"))
-    val weights = tf.join(broadcast(lr), "bk")
+  }
+
+  /** The SCORE half of DSIR: weight `documents` against a (possibly
+    * persisted) log-ratio table — stateless, broadcast-joined, the form
+    * a streaming ingest scorer runs per batch. */
+  def dsirScore(documents: DataFrame, logRatios: DataFrame,
+      nBuckets: Int = 4096): DataFrame = {
+    val weights = dsirTf(documents, nBuckets)
+      .join(broadcast(logRatios), "bk")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("lr_micro")).as("w"), sum(col("tf")).as("n"))
-    val scored = documents.select(col("doc_id")).join(weights, Seq("doc_id"), "left")
+    documents.select(col("doc_id")).join(weights, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_bigrams"),
         coalesce(col("w"), lit(0L)).as("logratio_micro"))
-    val topk = broadcast(scored
-      .orderBy(col("logratio_micro").desc, col("doc_id")).limit(k)
-      .select(col("doc_id"), lit(1L).as("selected")))
-    scored.join(topk, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_bigrams"), col("logratio_micro"),
-        coalesce(col("selected"), lit(0L)).as("selected"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** Shared hashed-bigram feature frame: (doc_id, bucket, tf). */
+  private def dsirTf(documents: DataFrame, nBuckets: Int): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import graft.functions.WordShingles.word_ngrams
+    documents
+      .select(col("doc_id"),
+        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+      .select(col("doc_id"), pmod(h60(col("b")), lit(nBuckets.toLong)).as("bk"))
+      .groupBy(col("doc_id"), col("bk"))
+      .agg(count(lit(1)).as("tf"))
   }
 
   /** Gopher-style repetition gates, word-level (the line-based rules of

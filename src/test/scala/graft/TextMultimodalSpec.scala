@@ -154,6 +154,27 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("graded decontamination agrees with the flag form; zero-hit docs included") {
+    val docs = Tables.documents(spark, sf001).limit(150).cache()
+    val frac = TextAnalysis.decontaminationFraction(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val flagged = TextAnalysis.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical hit counts on the flagged set; every other train doc is
+    // present with 0 hits and 0 fraction
+    flagged.foreach { case (id, hits) => assert(frac(id)._2 == hits) }
+    (frac.keySet -- flagged.keySet).foreach { id =>
+      assert(frac(id)._2 == 0L && frac(id)._3 == 0L)
+    }
+    // fraction = exact integer micro ratio
+    frac.values.foreach { case (n, h, f) =>
+      assert(f == (if (n > 0) h * 1000000 / n else 0L))
+    }
+    assert(frac.nonEmpty && flagged.nonEmpty)
+    docs.unpersist()
+  }
+
   test("bloom decontamination: no false negatives vs the exact operator, codegen'd test") {
     val d = Tables.documents(spark, sf0001)
     val exact = TextAnalysis.decontaminate(d).collect()
