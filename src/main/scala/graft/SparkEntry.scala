@@ -656,6 +656,7 @@ object SparkEntry {
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "decontaminate_frac" -> ((s, dir) =>
       TextAnalysis.decontaminationFraction(Tables.documents(s, dir))),
+    "bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -785,7 +786,42 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (tables resolved by the driver against
     * the same parquet dir). */
+  /** The BPE training loop replayed as chained CTEs: stage i counts the
+    * bigrams of text table t{i}, elects the top pair (count desc, pair
+    * asc — the operator's tie-break), and rewrites t{i+1} with the same
+    * space-doubling replace the operator uses (left-to-right
+    * non-overlapping `replace` is identical in both engines). */
+  private def bpeOracleSql(steps: Int): String = {
+    val stages = (0 until steps).map { i =>
+      s"""p$i AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(w) >= 2
+         |      THEN list_transform(generate_series(1, len(w)-1),
+         |           j -> w[j] || ' ' || w[j+1]) ELSE [] END) AS b FROM (
+         |      SELECT list_filter(string_split(t, ' '), x -> len(x) > 0) AS w
+         |      FROM t$i))
+         |  GROUP BY 1 ORDER BY cnt DESC, b LIMIT 1
+         |), t${i + 1} AS (
+         |  SELECT doc_id, trim(replace(replace(
+         |    ' ' || replace(t, ' ', '  ') || ' ',
+         |    ' ' || replace(p.b, ' ', '  ') || ' ',
+         |    ' ' || replace(p.b, ' ', '_') || ' '), '  ', ' ')) AS t
+         |  FROM t$i CROSS JOIN p$i p
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (0 until steps).map { i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, b AS pair, cnt AS pair_count FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+       |), $stages
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_merges" -> bpeOracleSql(5),
 
     "trends_10min" ->
       s"""SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start,

@@ -251,6 +251,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE tokenizer TRAINING — the actual merge loop, not just the pair
+    * census ([[bpe_pair_counts]] is one step's statistics; this runs the
+    * algorithm): `steps` rounds of [count all adjacent token pairs →
+    * merge the most frequent pair corpus-wide → repeat on the rewritten
+    * corpus]. Word-level BPE over the normalized token stream; the
+    * output is the learned merge table (step, pair, count) — the
+    * artifact a tokenizer ships.
+    *
+    * Determinism & portability: the top pair breaks ties to the
+    * lexicographically smallest string; the merge rewrite is expressed
+    * ONLY with `replace`/`concat`/`trim`, whose left-to-right
+    * non-overlapping semantics are identical in Spark and DuckDB. The
+    * space-doubling trick makes single-pass replace safe: doubling every
+    * inter-token space gives each token private padding, so replacing
+    * `␣a␣␣b␣` with `␣a_b␣` consumes no neighbor's delimiter and
+    * consecutive occurrences (`a b a b`) merge exactly like greedy
+    * left-to-right BPE. Merged tokens use `_` (normalize() strips it, so
+    * no merged token can collide with a raw one — and the corpus is only
+    * normalized ONCE, before step 1). The oracle replays the identical
+    * loop as chained CTEs.
+    *
+    * Scale shape: each step is one (pair → count) partial-agg shuffle +
+    * a TakeOrdered(1) — the collect is ONE ROW per step (driver-sized by
+    * construction) broadcast back into the rewrite projection; the
+    * corpus text itself never leaves the executors. `steps` is the only
+    * sequential dimension, exactly as in any BPE trainer. */
+  def bpeMerges(documents: DataFrame, steps: Int = 5): DataFrame = {
+    import graft.functions.WordShingles.word_ngrams
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var cur = documents.select(col("doc_id"), normalize(col("text")).as("t"))
+    val learned = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = cur.select(explode(word_ngrams(col("t"), 2)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        learned += ((step.toLong, pair, top.head.getLong(1)))
+        val doubled = pair.replace(" ", "  ")
+        val merged = pair.replace(' ', '_')
+        import org.apache.spark.sql.functions.{replace => sreplace}
+        cur = cur.select(col("doc_id"),
+          trim(sreplace(  // un-double the private padding back
+            sreplace(
+              concat(lit(" "), sreplace(col("t"), lit(" "), lit("  ")),
+                lit(" ")),
+              lit(s" $doubled "), lit(s" $merged ")),
+            lit("  "), lit(" "))).as("t"))
+      }
+      step += 1
+    }
+    learned.toSeq.toDF("step", "pair", "pair_count")
+      .orderBy(col("step"))
+  }
+
   /** Graded decontamination — the audit form of [[decontaminate]]: every
     * training document with its CONTAMINATION FRACTION (shared distinct
     * n-grams / its distinct n-grams), zero-hit docs included. The binary

@@ -402,6 +402,35 @@ class TextMultimodalSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("bpe merges: greedy left-to-right counts; merged tokens feed later steps") {
+    // step 1: "a b" appears 3× in doc 1 (consecutive overlaps merge
+    // greedily) + 1× in doc 2 → count 4, beating everything else.
+    // step 2: doc 2's "a_b c" (the MERGED token as pair member) plus
+    // doc 3's tie-break fodder.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c"),
+      (3L, "x y"), (4L, "x y"), (5L, "x z")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(docs, steps = 3).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r(0) == ((1L, "a b", 4L)))
+    // after step 1: doc1 = "a_b a_b a_b", doc2 = "a_b c"
+    // step 2 candidates: "a_b a_b"×2, "a_b c"×1, "x y"×2, "x z"×1
+    // → count tie 2 2, lexicographic: "a_b a_b" < "x y"
+    assert(r(1) == ((2L, "a_b a_b", 2L)))
+    // after step 2: doc1 = "a_b_a_b a_b" (left-to-right non-overlapping)
+    // step 3: all remaining pairs count ≤ 2: "x y"×2 wins over 1-counts
+    assert(r(2) == ((3L, "x y", 2L)))
+    // the "a a a" shape: one non-overlapping merge, remainder survives
+    val odd = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.bpeMerges(odd, steps = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    // census counts 2 overlapping "a a", but the rewrite merges only the
+    // non-overlapping first — the remainder then pairs with the merge
+    assert(r2(0) == ((1L, "a a", 2L)))
+    assert(r2(1) == ((2L, "a_a a", 1L)))
+  }
+
   test("dsir weights: selection tilts toward the target domain; repartition-invariant") {
     // engineered domains: targets speak "quantum flux", decoys mimic
     // them, noise docs speak something else entirely
