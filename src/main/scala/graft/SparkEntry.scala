@@ -657,6 +657,7 @@ object SparkEntry {
     "decontaminate_frac" -> ((s, dir) =>
       TextAnalysis.decontaminationFraction(Tables.documents(s, dir))),
     "bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(Tables.documents(s, dir))),
+    "chunk_dedup" -> ((s, dir) => TextAnalysis.chunkDedup(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
     "bpe_pair_counts" -> ((s, dir) =>
@@ -822,6 +823,34 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeOracleSql(5),
+
+    // Chunk-level dedup: same chunking CTE as chunk_docs; keeper of a
+    // digest = lowest (doc_id, chunk_idx); n_dup counts chunks whose
+    // keeper is a DIFFERENT document.
+    "chunk_dedup" ->
+      """WITH sized AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    1 + (greatest(len - 200, 0) + 149) // 150 AS n_chunks
+        |  FROM documents WHERE length(text) > 0
+        |), ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |    md5(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5
+        |  FROM (SELECT doc_id, text,
+        |    unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_idx
+        |    FROM sized)
+        |), keepers AS (
+        |  SELECT chunk_md5, doc_id AS keeper_doc FROM (
+        |    SELECT chunk_md5, doc_id, row_number() OVER (
+        |      PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn
+        |    FROM ch) WHERE rn = 1
+        |)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN k.keeper_doc = c.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN k.keeper_doc <> c.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup
+        |FROM ch c JOIN keepers k USING (chunk_md5)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "trends_10min" ->
       s"""SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT) AS window_start,

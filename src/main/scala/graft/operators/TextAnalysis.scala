@@ -446,6 +446,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Chunk-level deduplication — dedup at sub-document granularity: the
+    * corpus is cut into [[chunkDocs]]'s stride-overlapped windows, each
+    * chunk keyed by its content digest, and for every digest the FIRST
+    * occurrence (lowest (doc_id, chunk_idx)) is elected keeper. The
+    * per-doc report (chunks, kept, duplicated-elsewhere) is the
+    * CommonCrawl-style audit that catches boilerplate pages sharing
+    * paragraphs with earlier documents even when no whole-document dedup
+    * fires — the granularity between [[Dedup.lineDedup]]'s lines and
+    * whole-doc digests.
+    *
+    * Keeper election is min(struct(doc_id, chunk_idx)) per digest — a
+    * partial-aggregated, skew-immune shuffle of (digest → 2 ints), never
+    * text (the same election shape as line_dedup). A doc's `n_dup`
+    * counts its chunks whose keeper lives in ANOTHER document (its own
+    * overlapping self-repeats stay kept — stride overlap is by design,
+    * not duplication). */
+  def chunkDedup(documents: DataFrame, window: Int = 200,
+      stride: Int = 150): DataFrame = {
+    val chunks = chunkDocs(documents, window, stride)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
+    val keepers = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+      .select(col("chunk_md5"), col("k.doc_id").as("keeper_doc"))
+    chunks.join(keepers, "chunk_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keeper_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("keeper_doc") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF-style top term per document: the term most specific to each
     * doc, ranked by tf/df (monotone in tf·idf for any fixed corpus size,
     * since idf = f(N/df) with N constant — so the ranking IS the tf·idf

@@ -402,6 +402,26 @@ class TextMultimodalSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("chunk dedup: first doc keeps, later copies flagged, counts partition") {
+    // window 200 / stride 150: a 200-char doc is ONE chunk. Doc 1 and 3
+    // are identical; doc 2 is distinct. Keeper = lowest doc_id.
+    val page = "lorem " * 33 + "xy"   // 200 chars
+    assert(page.length == 200)
+    val docs = Seq((1L, page), (2L, "другой " * 28), (3L, page))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkDedup(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) == ((1L, 1L, 0L)))  // keeper
+    assert(r(3L) == ((1L, 0L, 1L)))  // duplicate of doc 1's chunk
+    assert(r(2L)._3 == 0L)           // unique content: nothing dup
+    // counts partition on the corpus: kept + dup = chunks, every doc
+    val corpus = Tables.documents(spark, sf001)
+    TextAnalysis.chunkDedup(corpus).collect().foreach { x =>
+      assert(x.getLong(1) == x.getLong(2) + x.getLong(3))
+    }
+  }
+
   test("bpe merges: greedy left-to-right counts; merged tokens feed later steps") {
     // step 1: "a b" appears 3× in doc 1 (consecutive overlaps merge
     // greedily) + 1× in doc 2 → count 4, beating everything else.
