@@ -276,12 +276,17 @@ object TextAnalysis {
     * a TakeOrdered(1) — the collect is ONE ROW per step (driver-sized by
     * construction) broadcast back into the rewrite projection; the
     * corpus text itself never leaves the executors. `steps` is the only
-    * sequential dimension, exactly as in any BPE trainer. */
+    * sequential dimension, exactly as in any BPE trainer. The rewritten
+    * corpus is persisted each step and the previous step dropped —
+    * WITHOUT it, step k's lineage replays all k rewrites from the scan
+    * and the loop is quadratic in `steps` (the connectedComponents
+    * checkpoint lesson applied to a driver-sequential loop). */
   def bpeMerges(documents: DataFrame, steps: Int = 5): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
     val spark = documents.sparkSession
     import spark.implicits._
     var cur = documents.select(col("doc_id"), normalize(col("text")).as("t"))
+    var prev: DataFrame = null
     val learned = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
     var step = 1
     var exhausted = false
@@ -302,10 +307,16 @@ object TextAnalysis {
               concat(lit(" "), sreplace(col("t"), lit(" "), lit("  ")),
                 lit(" ")),
               lit(s" $doubled "), lit(s" $merged ")),
-            lit("  "), lit(" "))).as("t"))
+            lit("  "), lit(" "))).as("t")).persist()
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = cur
       }
       step += 1
     }
+    // the merge table is a driver-side buffer by construction (one row
+    // per step) — the result does not reference `cur`, so the last
+    // persisted corpus can drop immediately
+    if (prev != null) prev.unpersist(blocking = false)
     learned.toSeq.toDF("step", "pair", "pair_count")
       .orderBy(col("step"))
   }
