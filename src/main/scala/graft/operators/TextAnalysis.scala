@@ -435,6 +435,16 @@ object TextAnalysis {
     * text gets ≥1 chunk, every character lands in ≥1 chunk, chunk starts
     * step by `stride`. */
   def chunkDocs(documents: DataFrame, window: Int = 200,
+      stride: Int = 150): DataFrame =
+    chunkProjection(documents.select(col("doc_id"), col("text")),
+        window, stride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The order-free chunking projection — pure per-row explode+substring
+    * (stream-safe: [[graft.streaming.StreamChunkDedup]] applies it to a
+    * streaming frame, where a sort is both illegal and meaningless).
+    * Extra non-(doc_id, text) input columns pass through untouched. */
+  def chunkProjection(documents: DataFrame, window: Int = 200,
       stride: Int = 150): DataFrame = {
     require(stride > 0 && window >= stride,
       "need 0 < stride <= window for gap-free coverage")
@@ -443,18 +453,20 @@ object TextAnalysis {
     val nChunks = lit(1L) + floor(
       (greatest(len - window, lit(0)) + (stride - 1)) / lit(stride.toDouble))
       .cast("long")
+    val passthrough = documents.columns.filter(c => c != "doc_id" && c != "text")
+      .map(col).toIndexedSeq
     documents
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col("doc_id") +: col("text") +:
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx") +:
+        passthrough: _*)
       .filter(len > 0)
-      .select(col("doc_id"), col("chunk_idx"),
-        (col("chunk_idx") * stride + 1).cast("long").as("start_pos"),
+      .select(col("doc_id") +: col("chunk_idx") +:
+        (col("chunk_idx") * stride + 1).cast("long").as("start_pos") +:
         substring(col("text"), (col("chunk_idx") * stride + 1).cast("int"),
-          lit(window)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
-        length(col("chunk")).cast("long").as("n_chars"),
-        md5(col("chunk")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+          lit(window)).as("chunk") +: passthrough: _*)
+      .select(col("doc_id") +: col("chunk_idx") +: col("start_pos") +:
+        length(col("chunk")).cast("long").as("n_chars") +:
+        md5(col("chunk")).as("chunk_md5") +: passthrough: _*)
   }
 
   /** Chunk-level deduplication — dedup at sub-document granularity: the
