@@ -440,6 +440,10 @@ object SparkEntry {
     "lexical_richness" -> ((s, dir) =>
       TextAnalysis.lexicalRichness(Tables.documents(s, dir))),
     "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
+    "anomaly_mad" -> ((s, dir) => EventsOps.anomalyMad(Tables.events(s, dir))),
+    "rfm_segments" -> ((s, dir) => EventsOps.rfmSegments(Tables.events(s, dir))),
+    "user_path_topk" -> ((s, dir) =>
+      EventsOps.userPathTopK(Tables.events(s, dir))),
     "sliding_active_users" -> ((s, dir) =>
       EventsOps.slidingActiveUsers(Tables.events(s, dir))),
     "log2_histogram" -> ((s, dir) =>
@@ -2475,6 +2479,68 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events e JOIN med USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // Integer-exact Hampel gate: both engines interpolate integer medians
+    // to multiples of 1/2, so doubling before the BIGINT cast is exact and
+    // the 2·dev2 > 3·mad4 comparison never touches a float.
+    "anomaly_mad" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, CAST(2 * median(cents) AS BIGINT) AS med2
+        |  FROM base GROUP BY 1
+        |), dev AS (
+        |  SELECT b.event_type, abs(b.cents * 2 - m.med2) AS dev2
+        |  FROM base b JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.dev2 * 2 > m.mad4 * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  max(m2.med2) AS med2, max(m.mad4) AS mad4
+        |FROM dev d JOIN mad m USING (event_type)
+        |  JOIN med m2 USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ntile over tie-broken total orders (metric, user_id) — bucket
+    // membership identical across engines, like equidepth_histogram.
+    "rfm_segments" ->
+      """WITH per_user AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), scored AS (
+        |  SELECT cents,
+        |    ntile(4) OVER (ORDER BY last_us, user_id) AS r_score,
+        |    ntile(4) OVER (ORDER BY freq, user_id) AS f_score,
+        |    ntile(4) OVER (ORDER BY cents, user_id) AS m_score
+        |  FROM per_user
+        |)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS segment_cents
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // lead() over the per-user (epoch_us, event_id) order — ts_ns is
+    // μs-aligned so the Spark (ts_ns, event_id) order is identical; the
+    // (count DESC, path) sort is total because path is unique post-group.
+    "user_path_topk" ->
+      """WITH ordered AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS b,
+        |    lead(event_type, 2) OVER w AS c
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |)
+        |SELECT event_type || '>' || b || '>' || c AS path,
+        |  count(*) AS n_paths
+        |FROM ordered WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin,
 
     // BM25 keeps its ln() (unlike tf-idf's integer surrogate): inputs
     // are exact integer aggregates, the double formula is written in the

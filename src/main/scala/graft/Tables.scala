@@ -19,35 +19,52 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects by default. Read nanos as raw long, then integer-divide
-    * to micros (`DIV`, not `/` — nano-epoch values exceed 2^53 so a double
-    * roundtrip would corrupt them) and rebuild a proper TimestampType.
+  /** `events.parquet` has shipped `ts` under two physical layouts across
+    * driver testdata generations — parquet TIMESTAMP(NANOS) (rounds ≤5)
+    * and TIMESTAMP(MICROS) (round 6 regen) — so the loader detects the
+    * scan type and normalizes BOTH to one downstream contract:
     *
-    * `ts_ns` is the μs-ALIGNED nano column (`raw DIV 1000 * 1000`): the
-    * DuckDB oracle's parquet reader truncates TIMESTAMP(NANOS) to μs, so
-    * μs resolution is the portable contract — every ordering, bucket
-    * division, gap threshold, and duration sum downstream then agrees
-    * with the oracle bit-for-bit instead of relying on sub-μs
-    * perturbations staying under each query's output granularity (the
-    * corpus DOES carry sub-μs nanos; timestamps are globally unique at μs
-    * resolution, so ordering is unaffected — asserted in MarketStatsSpec).
+    * `ts_ns` is the μs-ALIGNED nano column (BIGINT): the DuckDB oracle's
+    * parquet reader truncates TIMESTAMP(NANOS) to μs (and μs storage has
+    * no sub-μs to begin with), so μs resolution is the portable contract —
+    * every ordering, bucket division, gap threshold, and duration sum
+    * downstream then agrees with the oracle bit-for-bit. Under the nanos
+    * layout this is `raw DIV 1000 * 1000` (integer `DIV`, not `/` —
+    * nano-epoch values exceed 2^53 so a double roundtrip would corrupt
+    * them); under the micros layout it's `unix_micros(ts) * 1000` —
+    * identical values by construction.
     *
-    * `ts_ns_raw` is the untouched scan attribute, kept ONLY as the
-    * pushdown target: predicates can't cross the truncation arithmetic,
-    * but a range filter on the raw column reaches the parquet scan and
-    * prunes row groups (see Trends.trendsOf) — what keeps a time-range
-    * query cheap at 100 TB. Query bounds are ms-aligned, so raw and
-    * truncated filters admit exactly the same rows.
+    * `ts` is a proper TimestampType at μs resolution in both layouts.
+    *
+    * `ts_ns_raw` (nanos layout only) is the untouched scan attribute,
+    * kept ONLY as the pushdown target: predicates can't cross the
+    * truncation arithmetic, but a range filter on the raw column reaches
+    * the parquet scan and prunes row groups (see Trends.trendsOf) — what
+    * keeps a time-range query cheap at 100 TB. Under the micros layout
+    * `ts` itself is the untouched scan attribute, so the tsCol range
+    * filter pushes down natively and no raw alias is needed.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts_ns_raw", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts_ns", org.apache.spark.sql.functions.expr(
-        "ts DIV 1000 * 1000"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts_ns DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw
+          .withColumn("ts_ns_raw", col("ts"))
+          .withColumn("ts_ns", expr("ts DIV 1000 * 1000"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      case _ =>
+        // TIMESTAMP(MICROS), NTZ (naive writer). Session tz is UTC in
+        // every entry point, so the NTZ→TIMESTAMP cast is the identity
+        // instant mapping DuckDB applies — and Spark still pushes range
+        // predicates on the cast column down to the parquet scan
+        // (verified: PushedFilters carries the ts bounds), so the raw
+        // alias the nanos path needs is unnecessary here.
+        raw
+          .withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
   /** Spread a small-file scan across the cluster before CPU-heavy per-row
     * stages (shingling, scoring, vector math): a file smaller than one

@@ -811,4 +811,91 @@ object EventsOps {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
+
+  /** MAD-based robust outlier flags per type — [[madByType]]'s decision
+    * form: |x − median| > 3·MAD, the standard robust z-score gate (the
+    * Hampel identifier at the conventional 3σ-equivalent cut). Exact
+    * integers end to end: on cent values, dev2 = |2·cents − med2| and
+    * mad4 = 2·median(dev2) are integers (an interpolated median of
+    * integers is a multiple of ½, so doubling it is an exact double →
+    * BIGINT cast), and the flag |x−m| > 3·MAD becomes 2·dev2 > 3·mad4 —
+    * no float comparison anywhere, so the count can't flip on a ulp.
+    *
+    * Shape at 100 TB: same as [[madByType]] — two group-keyed
+    * aggregates with the tiny median relation broadcast back; the flag
+    * itself is a map-side projection. */
+  def anomalyMad(events: DataFrame): DataFrame = {
+    val cents =
+      expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents")
+    val base = events.select(col("event_type"), cents)
+    val med = base.groupBy(col("event_type"))
+      .agg(expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)").as("med2"))
+    val dev = base.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med2"),
+        abs(col("cents") * 2 - col("med2")).as("dev2"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(2 * percentile(dev2, 0.5) AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("med2")).as("med2"), max(col("mad4")).as("mad4"))
+      .orderBy(col("event_type"))
+  }
+
+  /** RFM (recency / frequency / monetary) quartile segmentation over the
+    * purchase stream — the standard customer-value grid. Per user:
+    * recency = last purchase instant, frequency = purchase count,
+    * monetary = exact cent sum; each scored 1–4 by `ntile(4)` over a
+    * TIE-BROKEN total order (metric, then user_id), so bucket membership
+    * is engine-deterministic. The output is the 4×4×4 segment grid with
+    * user counts and exact monetary mass.
+    *
+    * Shape at 100 TB: the windowed relation is USER-cardinality (one row
+    * per user after the first aggregate), orders of magnitude below the
+    * event count; beyond sort-able user counts the closed-form histogram
+    * ntile of `length_deciles` applies unchanged (bucket edges from a
+    * metric histogram instead of a global sort). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+    def score(metric: String) = ntile(4).over(
+      Window.orderBy(col(metric), col("user_id")))
+    perUser
+      .withColumn("r_score", score("last_us"))
+      .withColumn("f_score", score("freq"))
+      .withColumn("m_score", score("cents"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("segment_cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Top-k most common 3-step user journeys — the event-type trigram
+    * census over per-user time-ordered paths ([[eventTransitions]] is the
+    * bigram form; three steps is where funnels and loops become visible).
+    * Path order is the deterministic (ts_ns, event_id) total order within
+    * a user; counts are global; top-k by (count desc, path).
+    *
+    * Shape at 100 TB: ONE user-keyed shuffle for the lead() window, then
+    * an aggregate bounded by |types|³ rows and a TakeOrdered cut — no
+    * global sort of data-sized relations. */
+  def userPathTopK(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("b", lead(col("event_type"), 1).over(w))
+      .withColumn("c", lead(col("event_type"), 2).over(w))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("b"), col("c")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -173,4 +173,52 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got == Map(3L -> Some(1L), 4L -> None, 6L -> Some(5L),
       9L -> Some(7L)))
   }
+
+  test("anomalyMad: integer Hampel gate — outlier iff 2·dev2 > 3·mad4") {
+    // cents [100,102,104,106,10000]: med2=208, dev2=[8,4,0,4,19792],
+    // mad4=8 → gate dev2 > 12 flags only the 10000-cent point
+    val df = Seq(1.00, 1.02, 1.04, 1.06, 100.00).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) }
+      .toDF("event_id", "event_type", "value")
+    val r = EventsOps.anomalyMad(df).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) == (5L, 1L, 208L, 8L))
+  }
+
+  test("anomalyMad: even count interpolates the median to an exact half") {
+    // cents [100, 101]: median 100.5 → med2=201 (exact), dev2=[1,1],
+    // mad4=2; gate 2·1 > 3·2 is false → no outliers
+    val df = Seq((1L, "a", 1.00), (2L, "a", 1.01))
+      .toDF("event_id", "event_type", "value")
+    val r = EventsOps.anomalyMad(df).collect()
+    assert((r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+      == (0L, 201L, 2L))
+  }
+
+  test("rfmSegments scores each axis independently on its own order") {
+    // 4 purchase users, each a distinct quartile on every axis; the
+    // non-purchase row must not contribute
+    val rows = (1 to 4).map { i =>
+      (i.toLong, i.toLong, "purchase", i * 1.00, i * 1000000L * 1000L)
+    } :+ (9L, 9L, "view", 99.0, 1L)
+    val df = rows.toDF("event_id", "user_id", "event_type", "value", "ts_ns")
+    val got = EventsOps.rfmSegments(df).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(got == (1 to 4).map(i =>
+      ((i, i, i), (1L, i * 100L))).toMap)
+  }
+
+  test("userPathTopK counts trigrams over the per-user (ts_ns, event_id) order") {
+    // u1: a b c d → a>b>c, b>c>d; u2: a b c → a>b>c (count 2)
+    val df = Seq(
+      (1L, 1L, "a", 1000L), (2L, 1L, "b", 2000L),
+      (3L, 1L, "c", 3000L), (4L, 1L, "d", 4000L),
+      (5L, 2L, "a", 1000L), (6L, 2L, "b", 2000L), (7L, 2L, "c", 3000L))
+      .toDF("event_id", "user_id", "event_type", "ts_ns")
+    val got = EventsOps.userPathTopK(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 2L), ("b>c>d", 1L)))
+  }
 }
