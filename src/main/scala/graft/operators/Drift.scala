@@ -44,17 +44,71 @@ object Drift {
     * aggregate (histogram cardinality is types × bins regardless of
     * corpus size); totals join back on the bins×types relation,
     * broadcast-sized by construction. */
-  def valueDrift(events: DataFrame, width: Double = 10.0): DataFrame = {
+  def valueDrift(events: DataFrame, width: Double = 10.0): DataFrame =
+    chiSquare(binnedHalves(events, width))
+
+  /** The shared (event_type, bin, c0, c1) histogram between the
+    * wall-clock halves — the input frame for [[chiSquare]] and [[psi]].
+    * Split point = (min μs + max μs) div 2 over the WHOLE stream (one
+    * tiny agg, broadcast) — a fixed wall-clock midpoint, not a
+    * row-count median, so both engines and any partitioning agree. */
+  private def binnedHalves(events: DataFrame, width: Double): DataFrame = {
     val mid = events.agg(
       expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("mid"))
-    val binned = events
+    events
       .select(col("event_type"), expr("ts_ns div 1000").as("us"),
         floor(col("value") / width).cast("long").as("bin"))
       .crossJoin(broadcast(mid))
       .groupBy(col("event_type"), col("bin"))
       .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("c0"),
         sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("c1"))
-    chiSquare(binned)
+  }
+
+  /** Per-type Population Stability Index between the same wall-clock
+    * halves as [[valueDrift]] — the retrain-trigger metric model-ops
+    * dashboards threshold on (PSI < 0.1 stable, > 0.25 drifted), read
+    * next to chi² (significance) and KS (shape).
+    *
+    * PSI = Σ_b (p1 − p0)·ln(p1/p0) with +1 Laplace smoothing over the
+    * OBSERVED (type, bin) set: p0 = (c0+1)/(n0+B), p1 = (c1+1)/(n1+B),
+    * B = bins observed for the type — every observed bin contributes,
+    * zero-count halves included, and the smoothed ratios are strictly
+    * positive so ln() is total. Each term is ≥ 0 ((p1−p0) and
+    * ln(p1/p0) share sign), so the statistic is a sum of nonnegative
+    * terms.
+    *
+    * Float determinism: a cross-row double sum is order-dependent — the
+    * shape the determinism ladder forbids — so each term is floored
+    * onto the integer micro grid FIRST (the [[TextAnalysis.lmPerplexity]]
+    * surrogate) and the per-type sum runs in exact BIGINT. NULL when a
+    * half is empty (the statistic is undefined). */
+  def psiDrift(events: DataFrame, width: Double = 10.0): DataFrame =
+    psi(binnedHalves(events, width))
+
+  /** The PSI assembly over a generic (event_type, bin, c0, c1) count
+    * relation — the [[chiSquare]] twin, shared so a streaming variant
+    * (frozen reference vs live counts) equals the batch statistic by
+    * construction. Input is group-cardinality (types × bins). */
+  def psi(binned: DataFrame): DataFrame = {
+    val totals = binned.groupBy(col("event_type"))
+      .agg(sum(col("c0")).cast("long").as("n0"),
+        sum(col("c1")).cast("long").as("n1"),
+        count(lit(1)).as("nb"))
+    binned.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n0")).as("n_early"), max(col("n1")).as("n_late"),
+        max(col("nb")).as("n_bins"),
+        sum(expr("""CAST(floor(
+            |  ((CAST(c1 + 1 AS DOUBLE) / (n1 + nb)) -
+            |   (CAST(c0 + 1 AS DOUBLE) / (n0 + nb))) *
+            |  ln((CAST(c1 + 1 AS DOUBLE) / (n1 + nb)) /
+            |     (CAST(c0 + 1 AS DOUBLE) / (n0 + nb))) * 1000000)
+            |AS BIGINT)""".stripMargin)).as("s"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("n_bins"),
+        expr("CASE WHEN n_early = 0 OR n_late = 0 THEN NULL ELSE s END")
+          .as("psi_micro"))
+      .orderBy(col("event_type"))
   }
 
   /** The chi-square assembly over a generic (event_type, bin, c0, c1)
@@ -233,5 +287,49 @@ object Drift {
       .withColumn("jaccard_micro",
         expr("n_inter * 1000000 div (vocab_a + vocab_b - n_inter)"))
       .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Per-source unigram KL divergence vs the whole corpus — the mixing
+    * diagnostic that ranks sources by how far their token distribution
+    * sits from the blend they feed ([[vocabJaccard]] compares vocabulary
+    * SETS pairwise; this weighs the FREQUENCIES against the mixture).
+    * High-KL sources dominate a temperature-mix decision: they are the
+    * ones whose up/down-weighting actually moves the blend.
+    *
+    * KL(p_s ‖ p_c) = Σ_{t: c_s(t)>0} p_s·ln(p_s/p_c), p_s = c_s(t)/n_s,
+    * p_c = c(t)/N — both ratios of exact counts; terms where the source
+    * lacks the token contribute 0 by the 0·ln0 convention, and p_c > 0
+    * whenever p_s > 0 (a source token IS a corpus token), so ln() is
+    * total. Per-term contributions carry MIXED signs (total ≥ 0); each
+    * is floored onto the integer micro grid first and the per-source
+    * sum runs in exact BIGINT (the [[TextAnalysis.lmPerplexity]]
+    * surrogate — floor is toward −∞ for negatives on both engines).
+    *
+    * Shape at 100 TB: ONE tokenize feeds the (source, token) count
+    * aggregate — bounded by sources × vocabulary, not corpus rows; the
+    * per-token corpus totals re-aggregate THAT relation and join back
+    * token-keyed; source totals and the corpus grand total broadcast. */
+  def sourceKl(documents: DataFrame): DataFrame = {
+    val cnt = documents
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("ns"),
+        count(lit(1)).as("vocab"))
+    val termTot = cnt.groupBy(col("tok"))
+      .agg(sum(col("c")).cast("long").as("ct"))
+    val corpus = srcTot.agg(sum(col("ns")).cast("long").as("n"))
+    cnt.join(termTot, Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"), max(col("vocab")).as("vocab"),
+        sum(expr("""CAST(floor(
+            |  (CAST(c AS DOUBLE) / ns) *
+            |  ln((CAST(c AS DOUBLE) / ns) /
+            |     (CAST(ct AS DOUBLE) / n)) * 1000000)
+            |AS BIGINT)""".stripMargin)).as("kl_micro"))
+      .orderBy(col("source"))
   }
 }

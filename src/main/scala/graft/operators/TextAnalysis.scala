@@ -282,9 +282,27 @@ object TextAnalysis {
     * and the loop is quadratic in `steps` (the connectedComponents
     * checkpoint lesson applied to a driver-sequential loop). */
   def bpeMerges(documents: DataFrame, steps: Int = 5): DataFrame = {
-    import graft.functions.WordShingles.word_ngrams
     val spark = documents.sparkSession
     import spark.implicits._
+    val (learned, fin) = bpeTrain(documents, steps)
+    // the merge table is a driver-side buffer by construction (one row
+    // per step) — the result does not reference the corpus, so the last
+    // persisted rewrite can drop immediately
+    fin.unpersist(blocking = false)
+    learned.toDF("step", "pair", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** The BPE training loop itself: returns (merge table rows, FINAL
+    * rewritten corpus). The final corpus comes back PERSISTED (the loop
+    * persists each step and drops the previous one — see the scale note
+    * on [[bpeMerges]]); the caller owns the unpersist, which lets
+    * [[bpeMerges]] drop it at once while `bpe_encode` keeps serving
+    * per-doc encodings from it (memoized in SparkEntry, the dedup-family
+    * prefix pattern). */
+  def bpeTrain(documents: DataFrame,
+      steps: Int): (Seq[(Long, String, Long)], DataFrame) = {
+    import graft.functions.WordShingles.word_ngrams
     var cur = documents.select(col("doc_id"), normalize(col("text")).as("t"))
     var prev: DataFrame = null
     val learned = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
@@ -313,12 +331,39 @@ object TextAnalysis {
       }
       step += 1
     }
-    // the merge table is a driver-side buffer by construction (one row
-    // per step) — the result does not reference `cur`, so the last
-    // persisted corpus can drop immediately
-    if (prev != null) prev.unpersist(blocking = false)
-    learned.toSeq.toDF("step", "pair", "pair_count")
-      .orderBy(col("step"))
+    (learned.toSeq, cur)
+  }
+
+  /** BPE tokenizer INFERENCE over the trained merge table — the encode
+    * half of the tokenizer story ([[bpeMerges]] learns the merges; this
+    * reports what they do to each document): per-doc raw whitespace
+    * token count, encoded token count after all merges, and the saved
+    * fraction in exact integer micros. `encoded` is the final rewritten
+    * corpus from [[bpeTrain]] — training already materializes every
+    * rewrite, so encoding is a JOIN, not a recompute (apply-merges =
+    * replay the same replace chain; the trainer's last state IS the
+    * encoded corpus, exactly as in a real BPE pipeline where the
+    * training run emits the tokenized corpus as a byproduct).
+    *
+    * n_bpe ≤ n_raw always (a merge only fuses adjacent tokens), so
+    * saved_micro = (n_raw − n_bpe)·10⁶ div n_raw is a nonneg integer
+    * ratio — truncating div IS floor on both engines.
+    *
+    * Shape at 100 TB: one normalize pass for the raw counts + one
+    * doc_id-keyed join against the persisted encoded corpus — both
+    * data-sized single passes; no per-merge work at query time. */
+  def bpeEncode(documents: DataFrame, encoded: DataFrame): DataFrame = {
+    def ntok(c: org.apache.spark.sql.Column) =
+      size(filter(split(c, " "), x => x =!= "")).cast("long")
+    documents
+      .select(col("doc_id"), ntok(normalize(col("text"))).as("n_raw"))
+      .join(encoded.select(col("doc_id"), ntok(col("t")).as("n_bpe")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_raw"), col("n_bpe"),
+        when(col("n_raw") > 0,
+          expr("(n_raw - n_bpe) * 1000000 div n_raw"))
+          .otherwise(lit(0L)).as("saved_micro"))
+      .orderBy(col("doc_id"))
   }
 
   /** Graded decontamination — the audit form of [[decontaminate]]: every

@@ -131,4 +131,56 @@ class DriftSpec extends SparkSpec {
     val Row(_, _, _, _, ni13, j13) = r(("s1", "s3"))
     assert((ni13, j13) == (0L, 0L))
   }
+
+  test("psiDrift: identical halves give PSI = 0; one-sided type gives NULL") {
+    val same = ev(
+      (1L, 0L, "a", 5.0), (2L, 1000000000L, "a", 15.0),
+      (3L, 2000000000L, "a", 5.0), (4L, 3000000000L, "a", 15.0))
+    val r = Drift.psiDrift(same).collect()
+    val Row(_, n0, n1, nBins, psi) = r(0)
+    assert((n0, n1, nBins, psi) == (2L, 2L, 2L, 0L))
+    // type b only before the global midpoint → undefined → NULL
+    val oneSided = ev(
+      (1L, 0L, "b", 1.0),
+      (2L, 6000000000L, "a", 1.0), (3L, 0L, "a", 1.0))
+    val m = Drift.psiDrift(oneSided).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(m("b").isNullAt(4))
+    assert(!m("a").isNullAt(4))
+  }
+
+  test("psiDrift matches the hand-evaluated smoothed PSI") {
+    // early = {bin0: 2, bin1: 1}, late = {bin0: 1, bin1: 2}, B = 2
+    // p0(bin0) = 3/5, p1(bin0) = 2/5 → (−0.2)·ln(2/3) = 0.0810930…
+    // bin1 symmetric → per-bin micro floor 81093, total 162186
+    val df = ev(
+      (1L, 0L, "a", 1.0), (2L, 1000L, "a", 2.0), (3L, 2000L, "a", 11.0),
+      (4L, 6000000000L, "a", 1.0), (5L, 6000001000L, "a", 11.0),
+      (6L, 6000002000L, "a", 12.0))
+    val Row(_, n0, n1, nBins, psi) = Drift.psiDrift(df).collect()(0)
+    assert((n0, n1, nBins) == (3L, 3L, 2L))
+    assert(psi == 162186L)
+  }
+
+  test("sourceKl: a single source has zero divergence from the blend") {
+    val docs = Seq((1L, "alpha beta alpha", "s1"), (2L, "beta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val Row(_, nTok, vocab, kl) = Drift.sourceKl(docs).collect()(0)
+    assert((nTok, vocab, kl) == (4L, 2L, 0L))
+  }
+
+  test("sourceKl matches the hand-evaluated micro-floored KL") {
+    // A: {x:2, y:1} (n=3), B: {x:1, z:1} (n=2); corpus {x:3, y:1, z:1}/5
+    // A: (2/3)ln((2/3)/(3/5)) + (1/3)ln((1/3)/(1/5))
+    //    → floor 70240 + floor 170275 = 240515
+    // B: (1/2)ln((1/2)/(3/5)) + (1/2)ln((1/2)/(1/5))
+    //    → floor(−91160.7…) = −91161, floor 458145 → 366984
+    val docs = Seq((1L, "x x y", "A"), (2L, "x z", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Drift.sourceKl(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3))).toMap
+    assert(r("A") == ((3L, 2L, 240515L)))
+    assert(r("B") == ((2L, 2L, 366984L)))
+  }
 }

@@ -451,6 +451,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r2(1) == ((2L, "a_a a", 1L)))
   }
 
+  test("bpe encode: per-doc raw vs encoded counts, saved fraction in micros") {
+    // steps=2 on this corpus learns "a b" then "a_b a_b":
+    // doc1 "a b a b a b" → "a_b_a_b a_b" (6 → 2 tokens, saved 666666)
+    // doc2 "a b c" → "a_b c" (3 → 2, saved 333333); doc3 empty → 0/0/0
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val (learned, fin) = TextAnalysis.bpeTrain(docs, 2)
+    assert(learned.map(_._2) == Seq("a b", "a_b a_b"))
+    val r = TextAnalysis.bpeEncode(docs, fin).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    fin.unpersist(blocking = false)
+    assert(r(1L) == ((6L, 2L, 666666L)))
+    assert(r(2L) == ((3L, 2L, 333333L)))
+    assert(r(3L) == ((0L, 0L, 0L)))
+  }
+
   test("dsir weights: selection tilts toward the target domain; repartition-invariant") {
     // engineered domains: targets speak "quantum flux", decoys mimic
     // them, noise docs speak something else entirely
