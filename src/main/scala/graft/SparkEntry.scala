@@ -481,6 +481,12 @@ object SparkEntry {
       Dedup.dupTriangles(Tables.embeddings(s, dir))),
     "dup_degrees" -> ((s, dir) =>
       Dedup.dupDegrees(Tables.embeddings(s, dir))),
+    "ewma_daily" -> ((s, dir) =>
+      MarketStats.ewmaDaily(Tables.events(s, dir))),
+    "dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpans(Tables.documents(s, dir))),
+    "knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir))),
     "daily_returns" -> ((s, dir) =>
       MarketStats.dailyCloseReturns(Tables.events(s, dir))),
     "cusum_drift" -> ((s, dir) => MarketStats.cusumDrift(Tables.events(s, dir))),
@@ -2139,6 +2145,110 @@ object SparkEntry {
         |)
         |SELECT degree, count(*) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    // The α=1/2 EWMA recurrence replayed verbatim as a recursive CTE
+    // over the daily-bar relation; (m + c·10⁶)//2 on nonneg BIGINTs
+    // matches Spark's div exactly.
+    "ewma_daily" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value,
+        |    row_number() OVER (
+        |      PARTITION BY event_type, epoch_ns(ts) // 86400000000000
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |), bars AS (
+        |  SELECT event_type, day,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+        |  FROM raw WHERE rn = 1
+        |), e AS (
+        |  SELECT event_type, day, cents, k, cents * 1000000 AS ewma_microcents
+        |  FROM bars WHERE k = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.day, b.cents, b.k,
+        |    (e.ewma_microcents + b.cents * 1000000) // 2
+        |  FROM bars b JOIN e ON b.event_type = e.event_type AND b.k = e.k + 1
+        |)
+        |SELECT event_type, day, cents, ewma_microcents FROM e
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Interval-union span coverage over duplicated trigrams: sorted-gap
+    // identity (first span 3, then min(3, gap)), exact BIGINTs.
+    "dup_spans" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), wl AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w
+        |  FROM norm
+        |), raw AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w) - 2),
+        |         j -> {'j': j, 'sh': w[j] || ' ' || w[j+1] || ' ' || w[j+2]})
+        |    ELSE [] END) AS u
+        |  FROM wl
+        |), tri AS (
+        |  SELECT doc_id, u.j AS j, u.sh AS sh FROM raw
+        |), dup AS (
+        |  SELECT sh FROM (
+        |    SELECT sh, count(DISTINCT doc_id) AS nd FROM tri GROUP BY 1)
+        |  WHERE nd >= 2
+        |), g AS (
+        |  SELECT doc_id, j, j - lag(j) OVER (
+        |    PARTITION BY doc_id ORDER BY j) AS d
+        |  FROM tri WHERE sh IN (SELECT sh FROM dup)
+        |), cov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_pos,
+        |    CAST(sum(CASE WHEN d IS NULL THEN 3 ELSE least(3, d) END)
+        |      AS BIGINT) AS covered
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT wl.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  coalesce(cov.n_dup_pos, 0) AS n_dup_pos,
+        |  coalesce(cov.covered, 0) AS covered,
+        |  CAST(CASE WHEN len(w) > 0
+        |    THEN coalesce(cov.covered, 0) * 1000000 // len(w)
+        |    ELSE 0 END AS BIGINT) AS dup_cov_micro
+        |FROM wl LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same dot/norm CTE shape as ann_topk; holdout = vec_id ≡ 0 (mod
+    // 10), k = 5 votes, majority with ties to the smallest label.
+    "knn_classify" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |    AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM sims
+        |), votes AS (
+        |  SELECT query_id, l.label, count(*) AS v
+        |  FROM ranked JOIN embeddings l ON l.vec_id = ranked.cand_id
+        |  WHERE rank <= 5 GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT query_id, label, v, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY v DESC, label) AS rn
+        |  FROM votes
+        |)
+        |SELECT p.query_id, q.label AS true_label, p.label AS pred_label,
+        |  CAST(p.v AS BIGINT) AS votes,
+        |  CAST(CASE WHEN p.label = q.label THEN 1 ELSE 0 END AS BIGINT)
+        |    AS correct
+        |FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+        |WHERE p.rn = 1 ORDER BY p.query_id""".stripMargin,
 
     // floor() of the double quotient (not // or div): returns go
     // negative, where Spark's div truncates but DuckDB's // floors; the

@@ -388,6 +388,43 @@ object MarketStats {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Daily-close EWMA (α = 1/2) per instrument, in exact integer
+    * micro-cents — the classic trend line next to [[rsi]]'s oscillator.
+    * Recurrence: m_1 = cents_1·10⁶; m_n = (m_{n-1} + cents_n·10⁶) div 2
+    * — α = ½ keeps every intermediate an integer division by 2, so the
+    * whole series is exact BIGINT and bit-portable (an arbitrary-α EWMA
+    * is a cross-row float sum, the shape the determinism ladder
+    * forbids).
+    *
+    * The per-step floor makes the recurrence genuinely sequential:
+    * unlike [[cusumDrift]]'s max-recursion (which telescopes to prefix
+    * windows), compounding floors admit no closed form, so this is the
+    * repo's one justified typed-API fold (`KeyValueGroupedDataset
+    * .flatMapGroups`, SURVEY §7 preference (d)) — justified because the
+    * fold input is the DAILY-BAR relation (calendar-bounded: years ×
+    * 365 rows per instrument, already aggregated by [[dailyCloses]]'s
+    * one tick shuffle), never the tick stream; the in-memory per-group
+    * sort is bounded by the same calendar. The oracle replays the
+    * identical recurrence as a recursive CTE. */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    dailyCloses(events)
+      .select(col("event_type"), col("day"), col("cents"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (typ: String, it: Iterator[(String, Long, Long)]) =>
+        val bars = it.toSeq.sortBy(_._2)
+        var m = 0L
+        bars.iterator.zipWithIndex.map { case ((_, day, cents), i) =>
+          m = if (i == 0) cents * 1000000L else (m + cents * 1000000L) / 2
+          (typ, day, cents, m)
+        }
+      }
+      .toDF("event_type", "day", "cents", "ewma_microcents")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Donchian channel over a rolling N-tick window per instrument: the
     * highest high / lowest low of the PRECEDING n ticks plus breakout
     * flags for the current tick — pure exact-double max/min comparisons,

@@ -53,6 +53,57 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** kNN majority-label classification over the embedding corpus — the
+    * standard label-propagation / quality-probe read on an embedded
+    * dataset (kNN accuracy is the classic "are these embeddings any
+    * good" check, and the same shape assigns labels to unlabeled drops).
+    * Holdout = vec_id ≡ 0 (mod `modulus`); each holdout vector is
+    * scored against every NON-holdout vector by exact cosine, votes are
+    * its k nearest (cosine desc, vec_id tiebreak — the [[annBruteForce]]
+    * order), prediction = majority label with ties to the smallest
+    * label. Output: per-query true/predicted label, the winning vote
+    * count, and the correctness flag.
+    *
+    * Shape at 100 TB: identical to [[annBruteForce]] — holdout set
+    * broadcast, candidates stream through one corpus scan; beyond
+    * broadcastable holdouts the IVF probe path ([[annIvfWith]]) serves
+    * the same votes from write-time cells. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5,
+      modulus: Int = 10): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("label"),
+      col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val holdout = pmod(col("vec_id"), lit(modulus.toLong)) === 0
+    val queries = broadcast(
+      corpus.filter(holdout)
+        .select(col("vec_id").as("query_id"),
+          col("label").as("true_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val denom = col("nrm") * col("q_nrm")
+    val votes = corpus.filter(!holdout)
+      .crossJoin(queries)
+      .select(col("query_id"), col("true_label"), col("vec_id"),
+        col("label"),
+        when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
+          .as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("v"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("v").desc, col("label"))
+    votes
+      .withColumn("rn", row_number().over(wVote))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("v").as("votes"),
+        when(col("label") === col("true_label"), 1L).otherwise(0L)
+          .as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion — the standard way a
     * training-data miner combines the lexical (BM25) and semantic
     * (embedding-cosine) views of the same corpus: each system returns

@@ -1058,6 +1058,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document DUPLICATED-SPAN coverage — the span-level view of
+    * corpus duplication (Lee et al.'s substring-dedup lens):
+    * [[ngramNovelty]] counts how many of a doc's shingles are unique;
+    * this measures how much of the doc's SURFACE is covered by shingles
+    * that also occur in OTHER documents, via exact interval union over
+    * shingle spans. A doc can have low novelty but low coverage
+    * (scattered common trigrams) or high coverage (a wholesale-copied
+    * block) — coverage is what memorization audits threshold on.
+    *
+    * covered = |∪ [p, p+n−1]| over duplicated-shingle positions p,
+    * computed with the sorted-gap identity: gain(p) = min(n, p − prev p)
+    * (first span counts n) — exact integers, no approximation.
+    * dup_cov_micro = covered·10⁶ div n_tokens.
+    *
+    * Shape at 100 TB: the (doc, pos, shingle) occurrence relation is the
+    * one data-sized shuffle (same scale as the dedup postings table);
+    * the duplicated-shingle set is a shingle-keyed semi join (AQE
+    * skew-split absorbs stopword-grade hot shingles — they cannot be
+    * df-cut here: hot shingles are precisely the duplicated ones); the
+    * per-doc window runs over each doc's own positions. */
+  def dupSpans(documents: DataFrame, n: Int = 3): DataFrame = {
+    import graft.functions.WordShingles.word_ngrams
+    val tri = documents
+      .select(col("doc_id"),
+        posexplode(word_ngrams(normalize(col("text")), n)))
+      .withColumnRenamed("col", "sh")
+    val dup = tri.groupBy(col("sh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("sh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = tri.join(dup, Seq("sh"), "left_semi")
+      .withColumn("gain",
+        when(lag(col("pos"), 1).over(w).isNull, lit(n.toLong))
+          .otherwise(least(lit(n.toLong),
+            (col("pos") - lag(col("pos"), 1).over(w)).cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_pos"), sum(col("gain")).as("covered"))
+    documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        when(col("n_tokens") > 0,
+          expr("coalesce(covered, 0) * 1000000 div n_tokens"))
+          .otherwise(lit(0L)).as("dup_cov_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Lexical richness per document: type-token ratio (distinct tokens ÷
     * token occurrences) and hapax-legomena ratio (types occurring
     * exactly once ÷ types) as exact micro-int floors — the vocabulary-

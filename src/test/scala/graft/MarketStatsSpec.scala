@@ -337,6 +337,21 @@ class MarketStatsSpec extends SparkSpec {
     assert(r(2).getLong(3) == 1000000L)
   }
 
+  test("ewmaDaily replays the integer α=1/2 recurrence, floors included") {
+    val d = 86400L * 1000000000L
+    // day 0 closes on the LAST tick (0.02 beats the earlier 9.99 pick);
+    // days 1..7 all close 0.01 — the recurrence halves toward 1e6 and
+    // first floors at day 7: (1015625 + 1000000) / 2 = 1007812.5 → 1007812
+    val rows = Seq((1L, 0L, "a", 9.99, "{}"), (2L, 10L, "a", 0.02, "{}")) ++
+      (1 to 7).map(i => ((i + 2).toLong, i * d, "a", 0.01, "{}"))
+    val r = MarketStats.ewmaDaily(ticks(rows: _*)).collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (0L, 2L, 2000000L), (1L, 1L, 1500000L), (2L, 1L, 1250000L),
+      (3L, 1L, 1125000L), (4L, 1L, 1062500L), (5L, 1L, 1031250L),
+      (6L, 1L, 1015625L), (7L, 1L, 1007812L)))
+  }
+
   test("cusumDrift's telescoped windows equal the textbook recursion") {
     val path = Seq(5.00, 5.10, 5.05, 9.00, 12.00, 11.90, 15.00, 2.00, 1.00)
     val df = ticks(path.zipWithIndex.map { case (v, i) =>

@@ -18,6 +18,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.last.getDouble(3) == -1.0)  // antipode
   }
 
+  test("knnClassify: majority vote, vote ties to the smallest label") {
+    // query 0 (label 1): candidates 1,2 (label 1) and 3,4 (label 2) are
+    // the 4 nearest, candidate 5 (label 3) the farthest — with k = 5 all
+    // vote: 2-2-1, tie between labels 1 and 2 → smallest label wins.
+    // query 10 (label 2): moved next to the label-1 cluster → majority 2
+    // of its k=3 nearest are label 1 → misclassified.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.1f), 1), (2L, Array(1.0f, -0.1f), 1),
+      (3L, Array(0.9f, 0.3f), 2), (4L, Array(0.9f, -0.3f), 2),
+      (5L, Array(0.0f, 1.0f), 3),
+      (10L, Array(1.0f, 0.05f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val full = Similarity.knnClassify(vecs, k = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(full(0L) == ((1, 1, 2L, 1L))) // 2-2-1 tie → label 1, correct
+    val k3 = Similarity.knnClassify(vecs, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(k3(10L) == ((2, 1, 2L, 0L))) // label-1 neighbors outvote
+  }
+
   test("IVF top-k: probed-list search recalls most brute-force neighbors") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = Seq(0L, 1L, 2L)

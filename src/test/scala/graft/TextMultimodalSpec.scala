@@ -451,6 +451,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r2(1) == ((2L, "a_a a", 1L)))
   }
 
+  test("dup spans: cross-doc trigrams only; interval union handles overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // shares only "a b c" with doc 2
+      (2L, "a b c x y z"),
+      (3L, "p q r p q r p q r"),  // self-repetition: NOT cross-doc dup
+      (4L, "m n o p q m n o p q"), // overlapping dup spans union to all 10
+      (5L, "m n o p q"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.dupSpans(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) == ((6L, 1L, 3L, 500000L)))
+    assert(r(2L) == ((6L, 1L, 3L, 500000L)))
+    assert(r(3L) == ((9L, 0L, 0L, 0L)))
+    // doc4 dup positions {0,1,2,5,6,7} → gains 3,1,1,3,1,1 = 10 = all
+    assert(r(4L) == ((10L, 6L, 10L, 1000000L)))
+    assert(r(5L) == ((5L, 3L, 5L, 1000000L)))
+  }
+
   test("bpe encode: per-doc raw vs encoded counts, saved fraction in micros") {
     // steps=2 on this corpus learns "a b" then "a_b a_b":
     // doc1 "a b a b a b" → "a_b_a_b a_b" (6 → 2 tokens, saved 666666)
