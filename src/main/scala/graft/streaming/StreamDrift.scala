@@ -47,17 +47,23 @@ object StreamDrift {
         .agg(sum(col("c")).cast("long").as("c"))
         .localCheckpoint(true)
     }
-    /** Chi-square drift of live vs reference, one row per type. */
-    def stat: DataFrame = {
-      val joined = ref.select(col("event_type"), col("bin"),
-          col("c").as("c0"))
+    /** The (type, bin, c0, c1) reference-vs-live count frame both
+      * statistics assemble from. */
+    private def joined: DataFrame =
+      ref.select(col("event_type"), col("bin"), col("c").as("c0"))
         .join(live.select(col("event_type"), col("bin"),
           col("c").as("c1")), Seq("event_type", "bin"), "full_outer")
         .select(col("event_type"), col("bin"),
           coalesce(col("c0"), lit(0L)).as("c0"),
           coalesce(col("c1"), lit(0L)).as("c1"))
-      Drift.chiSquare(joined)
-    }
+
+    /** Chi-square drift of live vs reference, one row per type. */
+    def stat: DataFrame = Drift.chiSquare(joined)
+
+    /** PSI of live vs reference off the same folded counts — assembled
+      * by the shared [[Drift.psi]], so streamed ≡ batch by construction
+      * (the chi-square argument verbatim). */
+    def psiStat: DataFrame = Drift.psi(joined)
   }
 
   /** Stream of events (event_type, value) → continuously-folded counts. */

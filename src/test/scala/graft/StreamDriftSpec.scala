@@ -39,6 +39,10 @@ class StreamDriftSpec extends SparkSpec {
     val streamed = table.stat.collect().map(_.toSeq)
     val batch = Drift.valueDrift(ev).collect().map(_.toSeq)
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    // the PSI read on the SAME folded counts equals batch psiDrift too
+    val streamedPsi = table.psiStat.collect().map(_.toSeq)
+    val batchPsi = Drift.psiDrift(ev).collect().map(_.toSeq)
+    assert(streamedPsi.nonEmpty && streamedPsi.toSeq == batchPsi.toSeq)
   }
 
   test("frozen centroid state vs streamed vectors equals batch embeddingDrift") {
