@@ -677,6 +677,10 @@ object SparkEntry {
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))),
+    "zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(Tables.documents(s, dir))),
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
@@ -4752,6 +4756,67 @@ object SparkEntry {
         |       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same marker CTE as lang_id with the label carried; langs² matrix.
+    "lang_confusion" ->
+      """WITH norm AS (
+        |  SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT lang, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), sc AS (
+        |  SELECT lang,
+        |    len(list_filter(w, x -> list_contains(['the','and','of','is','a'], x))) AS he,
+        |    len(list_filter(w, x -> list_contains(['der','und','die','das','ist'], x))) AS hd,
+        |    len(list_filter(w, x -> list_contains(['le','et','les','des','est'], x))) AS hf,
+        |    len(list_filter(w, x -> list_contains(['el','y','los','de','es'], x))) AS hs
+        |  FROM toks
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |         WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |         WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+        |         WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM sc
+        |)
+        |SELECT lang, lang_pred, count(*) AS n FROM pred
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // OLS of micro-floored ln(freq) on ln(rank) over the tie-broken
+    // top-100 ranks; moment sums exact, ONE double division, 6 dp.
+    "zipf_slope" ->
+      """WITH norm AS (
+        |  SELECT source, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tk AS (
+        |  SELECT source, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS tok FROM norm
+        |), cnt AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT source, c, row_number() OVER (
+        |    PARTITION BY source ORDER BY c DESC, tok) AS r
+        |  FROM cnt
+        |), pts AS (
+        |  SELECT source,
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM ranked WHERE r <= 100
+        |), mom AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pts GROUP BY 1
+        |)
+        |SELECT source, n_ranks,
+        |  CASE WHEN n_ranks * sxx - sx * sx = 0 THEN NULL
+        |  ELSE round(CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6)
+        |  END AS slope6
+        |FROM mom ORDER BY source""".stripMargin,
 
     // Composed curation run: quality + langID scoring → filters → exact
     // dedup keep-lowest-id. Same building blocks as the standalone oracles.

@@ -146,6 +146,73 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID CONFUSION MATRIX — the classifier eval the labeled
+    * `lang` column exists for: predicted vs labeled language with
+    * counts, the standard read before trusting [[langId]] as a corpus
+    * filter (which mislabelings would a lang-filtered drop lose?).
+    * Same marker scoring as [[langId]], with the label carried through
+    * the one scan; output is bounded by langs² rows. */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    import graft.functions.TokenSetCount
+    val hits = documents
+      .select(col("lang"), normalize(col("text")).as("norm"))
+      .select(col("lang") +: langMarkers.map { case (lang, m) =>
+        TokenSetCount.token_set_count(col("norm"), m).as(s"hits_$lang")
+      }: _*)
+    val cols = langMarkers.map { case (lang, _) => lang -> col(s"hits_$lang") }
+    val best = cols.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = cols.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+    hits.select(col("lang"), pred.as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  /** Zipf rank-frequency slope per source — the power-law fit
+    * corpus-linguistics uses as a naturalness check (natural language
+    * sits near slope −1; template/boilerplate and synthetic text bend
+    * the curve). OLS of ln(freq) on ln(rank) over the top `ranks`
+    * terms, rank = row_number by (count desc, term) — a tie-broken
+    * total order, so the fitted point set is engine-deterministic.
+    *
+    * Portability: ln(rank) and ln(count) are micro-floored to BIGINT
+    * per point (the [[lmPerplexity]] surrogate), the five moment sums
+    * run exact, and the slope is ONE double division of exact integers
+    * rounded to 6 dp (the pair_correlation recipe — no cross-row float
+    * sum anywhere).
+    *
+    * Shape at 100 TB: the (source, term) census is bounded by sources ×
+    * vocabulary; the per-source top-`ranks` window runs on that bounded
+    * relation; the regression aggregates `ranks` rows per source. */
+  def zipfSlope(documents: DataFrame, ranks: Int = 100): DataFrame = {
+    val cnt = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok"))
+    cnt
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= ranks)
+      .select(col("source"),
+        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("x"),
+        expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("source"), col("n_ranks"),
+        expr("""CASE WHEN n_ranks * sxx - sx * sx = 0 THEN NULL
+                |ELSE round(CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
+                |           CAST(n_ranks * sxx - sx * sx AS DOUBLE), 6)
+                |END""".stripMargin).as("slope6"))
+      .orderBy(col("source"))
+  }
+
   /** The composed curation pipeline — what a training-data run actually
     * executes: language filter → quality floor → exact dedup (keep lowest
     * doc_id per content) → curated ids with their scores. ONE corpus scan:

@@ -451,6 +451,44 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r2(1) == ((2L, "a_a a", 1L)))
   }
 
+  test("lang confusion: predicted vs labeled matrix over one scan") {
+    val docs = Seq(
+      (1L, "the and of time", "en"),   // correctly en
+      (2L, "der und die zeit", "en"),  // mislabeled corpus row → (en, de)
+      (3L, "zzz qqq", "fr"))           // no markers → (fr, und)
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("en", "en", 1L), ("en", "de", 1L), ("fr", "und", 1L)))
+  }
+
+  test("zipf slope: matches a BigInt scalar reference; degenerate source NULL") {
+    val docs = Seq(
+      (1L, "a a a a b b c", "s1"),
+      (2L, "only", "s2")) // single rank → zero denominator → NULL
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.zipfSlope(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // scalar reference: counts {a:4, b:2, c:1} → ranks 1..3, the same
+    // micro-floor + exact moment formula evaluated independently
+    val pts = Seq((1L, 4L), (2L, 2L), (3L, 1L)).map { case (rk, c) =>
+      (math.floor(math.log(rk.toDouble) * 1e6).toLong,
+        math.floor(math.log(c.toDouble) * 1e6).toLong)
+    }
+    val n = BigInt(pts.size)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val expect = BigDecimal((n * sxy - sx * sy).toDouble /
+      (n * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("s1").getLong(1) == 3L)
+    assert(r("s1").getDouble(2) == expect)
+    assert(expect < -1.0 && expect > -1.5) // Zipf-ish corpus sits near −1
+    assert(r("s2").isNullAt(2))
+  }
+
   test("dup spans: cross-doc trigrams only; interval union handles overlaps") {
     val docs = Seq(
       (1L, "a b c d e f"),        // shares only "a b c" with doc 2
