@@ -8,13 +8,16 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.MarketStats
 import graft.streaming.StreamOhlc
 
+/** Top-level so the tuple encoder codegen can instantiate it (an inner
+  * case class needs the spec's outer pointer — Janino then falls back
+  * to interpreted projections for every batch). */
+private[graft] case class Tick(event_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+
 /** Streaming candles: incremental min_by/max_by state must agree with the
   * batch OHLC operator over the same ticks, across micro-batch splits. */
 class StreamOhlcSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Tick(event_id: Long, ts: Timestamp, event_type: String,
-      value: Double)
 
   private def t(s: String) = Timestamp.valueOf(s)
 
