@@ -484,7 +484,8 @@ object SparkEntry {
     "ewma_daily" -> ((s, dir) =>
       MarketStats.ewmaDaily(Tables.events(s, dir))),
     "dup_spans" -> ((s, dir) =>
-      TextAnalysis.dupSpans(Tables.documents(s, dir))),
+      TextAnalysis.dupSpans(Tables.documents(s, dir),
+        postings = Some(postingsFor(s, dir)))),
     "knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir))),
     "daily_returns" -> ((s, dir) =>

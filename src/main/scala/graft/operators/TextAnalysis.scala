@@ -1145,14 +1145,22 @@ object TextAnalysis {
     * skew-split absorbs stopword-grade hot shingles — they cannot be
     * df-cut here: hot shingles are precisely the duplicated ones); the
     * per-doc window runs over each doc's own positions. */
-  def dupSpans(documents: DataFrame, n: Int = 3): DataFrame = {
+  def dupSpans(documents: DataFrame, n: Int = 3,
+      postings: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
     val tri = documents
       .select(col("doc_id"),
         posexplode(word_ngrams(normalize(col("text")), n)))
       .withColumnRenamed("col", "sh")
-    val dup = tri.groupBy(col("sh"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
+    // the duplicated-shingle set off the per-doc-DISTINCT postings
+    // relation (distinct per doc ⇒ count(*) IS the distinct-doc count —
+    // no Expand). When the memoized candidate-join postings prefix is
+    // supplied (SparkEntry), the shingle pass is shared, not recomputed.
+    val dup = postings
+      .getOrElse(documents.select(col("doc_id"),
+        explode(shingles(col("text"), n)).as("sh")))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("sh"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
