@@ -311,6 +311,15 @@ class PlanSpec extends SparkSpec {
       "tokCounts exchange must be shared between tf and dl")
   }
 
+  test("source_kl: one tokenize — census exchange shared by all derived totals") {
+    // srcTot, termTot and the corpus grand total all re-aggregate the
+    // (source, token) census; its exchange must materialize once
+    val df = SparkEntry.queries("source_kl")(spark, sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "(source, token) census exchange must be shared across totals")
+  }
+
   test("lm perplexity: LM table, history counts and V reuse the one tokenize pass") {
     // the (doc, bigram) count aggregate is referenced by the scoring
     // join AND (via the bigram census) by hist and V — the corpus must
