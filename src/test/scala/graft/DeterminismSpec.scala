@@ -90,6 +90,28 @@ class DeterminismSpec extends SparkSpec {
       run(ev.repartition(17), docs.repartition(13), emb.repartition(11)))
   }
 
+  test("round-6 statistics are invariant under repartitioning") {
+    import graft.operators.{Drift, EventsOps, MarketStats, Similarity, TextAnalysis}
+    val ev = Tables.events(spark, sf0001)
+    val d = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def run(e: org.apache.spark.sql.DataFrame,
+        dd: org.apache.spark.sql.DataFrame,
+        m: org.apache.spark.sql.DataFrame) = Seq(
+      Drift.psiDrift(e).collect().toSeq,
+      Drift.sourceKl(dd).collect().toSeq,
+      TextAnalysis.zipfSlope(dd).collect().toSeq,
+      TextAnalysis.dupSpans(dd).collect().toSeq,
+      TextAnalysis.langConfusion(dd).collect().toSeq,
+      EventsOps.anomalyMad(e).collect().toSeq,
+      EventsOps.rfmSegments(e).collect().toSeq,
+      EventsOps.userPathTopK(e).collect().toSeq,
+      MarketStats.ewmaDaily(e).collect().toSeq,
+      Similarity.knnClassify(m).collect().toSeq)
+    assert(run(ev, d, emb) ==
+      run(ev.repartition(17), d.repartition(13), emb.repartition(11)))
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(
