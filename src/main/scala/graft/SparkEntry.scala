@@ -693,6 +693,8 @@ object SparkEntry {
     "hybrid_rrf" -> ((s, dir) =>
       Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
+    "contamination_deciles" -> ((s, dir) =>
+      TextAnalysis.contaminationDeciles(Tables.documents(s, dir))),
     "decontaminate_frac" -> ((s, dir) =>
       TextAnalysis.decontaminationFraction(Tables.documents(s, dir))),
     "bpe_merges" -> ((s, dir) => {
@@ -4049,6 +4051,48 @@ object SparkEntry {
     // Graded decontamination: per-train-doc fraction of distinct
     // 3-grams shared with the eval slice, zero-hit docs included.
     // Integer micro ratio (nonneg ⇒ div = // on both engines).
+    // Release-audit rollup of decontaminate_frac: same CTE chain, then
+    // equal-population deciles over (fraction, doc_id); exact integer
+    // mean via sum // count.
+    "contamination_deciles" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), shl AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS slot,
+        |    list_distinct(CASE WHEN len(w) >= 3
+        |      THEN list_transform(generate_series(1, len(w)-2),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |      ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT doc_id, slot, unnest(shs) AS s FROM shl
+        |), ev AS (
+        |  SELECT DISTINCT s FROM post WHERE slot < 20
+        |), hits AS (
+        |  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM post p JOIN ev ON ev.s = p.s
+        |  WHERE p.slot >= 20 GROUP BY 1
+        |), frac AS (
+        |  SELECT l.doc_id,
+        |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |    CAST(CASE WHEN len(l.shs) > 0
+        |      THEN coalesce(h.n_hits, 0) * 1000000 // len(l.shs)
+        |      ELSE 0 END AS BIGINT) AS contam_frac_micro
+        |  FROM shl l LEFT JOIN hits h USING (doc_id)
+        |  WHERE l.slot >= 20
+        |), dec AS (
+        |  SELECT n_hits, contam_frac_micro, ntile(10) OVER (
+        |    ORDER BY contam_frac_micro, doc_id) AS decile FROM frac
+        |)
+        |SELECT decile, count(*) AS n_docs,
+        |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+        |  CAST(sum(contam_frac_micro) // count(*) AS BIGINT)
+        |    AS mean_contam_micro
+        |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "decontaminate_frac" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

@@ -1125,6 +1125,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination mass by decile — the release-audit rollup of
+    * [[decontaminationFraction]]: training docs ranked by contamination
+    * fraction (ties to doc_id), cut into 10 equal-population buckets,
+    * each reporting its doc count, total shared n-grams, and exact mean
+    * micro fraction (sum div n — both nonnegative, so div is floor on
+    * both engines). The shape a release report actually prints:
+    * "contamination is concentrated in the top decile" vs "smeared".
+    *
+    * The global ntile runs on the per-doc fraction relation (training-
+    * corpus cardinality); beyond sortable doc counts the closed-form
+    * histogram ntile of `length_deciles` applies unchanged. */
+  def contaminationDeciles(documents: DataFrame, n: Int = 3,
+      evalPermille: Int = 20): DataFrame = {
+    val frac = decontaminationFraction(documents, n, evalPermille)
+    val w = Window.orderBy(col("contam_frac_micro"), col("doc_id"))
+    frac
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_hits")).as("total_hits"),
+        expr("sum(contam_frac_micro) div count(1)").as("mean_contam_micro"))
+      .orderBy(col("decile"))
+  }
+
   /** Per-document DUPLICATED-SPAN coverage — the span-level view of
     * corpus duplication (Lee et al.'s substring-dedup lens):
     * [[ngramNovelty]] counts how many of a doc's shingles are unique;
