@@ -128,23 +128,32 @@ object TextAnalysis {
     * declared language order, "und" when nothing matches. (An n-gram model
     * would train on labeled text; the operator shape — per-row scoring at
     * scan speed — is what matters at 100 TB.) */
-  def langId(documents: DataFrame): DataFrame = {
+  /** One `hits_<lang>` column per marker set off a normalized text
+    * column — the shared scoring stage of [[langId]]/[[langConfusion]]. */
+  private def langHits(documents: DataFrame, keep: Column): DataFrame = {
     import graft.functions.TokenSetCount
-    // staged like qualityScore: one normalize, one pass per marker set
-    val hits = documents
-      .select(col("doc_id"), normalize(col("text")).as("norm"))
-      .select(col("doc_id") +: langMarkers.map { case (lang, m) =>
+    documents
+      .select(keep.as("k"), normalize(col("text")).as("norm"))
+      .select(col("k") +: langMarkers.map { case (lang, m) =>
         TokenSetCount.token_set_count(col("norm"), m).as(s"hits_$lang")
       }: _*)
+  }
+
+  /** argmax marker prediction over [[langHits]] columns — first-match-
+    * wins in declaration order (en > de > fr > es), "und" on zero. */
+  private def langPredOfHits: Column = {
     val cols = langMarkers.map { case (lang, _) => lang -> col(s"hits_$lang") }
     val best = cols.map(_._2).reduce((a, b) => greatest(a, b))
-    // first-match-wins in declaration order (en > de > fr > es)
-    val pred = cols.foldRight(lit("und")) { case ((lang, s), els) =>
+    cols.foldRight(lit("und")) { case ((lang, s), els) =>
       when(s === best && best > 0, lit(lang)).otherwise(els)
     }
-    hits.select(col("doc_id"), col("hits_en"), pred.as("lang_pred"))
-      .orderBy(col("doc_id"))
   }
+
+  def langId(documents: DataFrame): DataFrame =
+    langHits(documents, col("doc_id"))
+      .select(col("k").as("doc_id"), col("hits_en"),
+        langPredOfHits.as("lang_pred"))
+      .orderBy(col("doc_id"))
 
   /** Language-ID CONFUSION MATRIX — the classifier eval the labeled
     * `lang` column exists for: predicted vs labeled language with
@@ -152,23 +161,12 @@ object TextAnalysis {
     * filter (which mislabelings would a lang-filtered drop lose?).
     * Same marker scoring as [[langId]], with the label carried through
     * the one scan; output is bounded by langs² rows. */
-  def langConfusion(documents: DataFrame): DataFrame = {
-    import graft.functions.TokenSetCount
-    val hits = documents
-      .select(col("lang"), normalize(col("text")).as("norm"))
-      .select(col("lang") +: langMarkers.map { case (lang, m) =>
-        TokenSetCount.token_set_count(col("norm"), m).as(s"hits_$lang")
-      }: _*)
-    val cols = langMarkers.map { case (lang, _) => lang -> col(s"hits_$lang") }
-    val best = cols.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = cols.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(s === best && best > 0, lit(lang)).otherwise(els)
-    }
-    hits.select(col("lang"), pred.as("lang_pred"))
+  def langConfusion(documents: DataFrame): DataFrame =
+    langHits(documents, col("lang"))
+      .select(col("k").as("lang"), langPredOfHits.as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_pred"))
-  }
 
   /** Zipf rank-frequency slope per source — the power-law fit
     * corpus-linguistics uses as a naturalness check (natural language
