@@ -76,9 +76,26 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-speed calibration: a fixed pure-CPU probe (xxhash64 fold over
+    // spark.range across all cores — data-independent, plan-trivial, no
+    // IO) timed min-of-3 AROUND the query passes. Cross-round totals can
+    // only be compared after normalizing by this: the sandbox shares a
+    // physical host, and sustained sibling contention has been observed
+    // to inflate EVERY query ~1.5× (identical code and data, tight
+    // per-run spreads — e.g. trade_ingest 0.55 s vs 0.83 s between two
+    // same-day runs). calib_sec makes that factor measured, not argued.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{col, max, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(1000000000L).select(xxhash64(col("id")).as("h"))
+        .agg(max(col("h"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibPre = calibrate()
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     names.foreach { n => samples(n) = Vector(timed(n), timed(n)) }
     names.foreach { n => samples(n) = samples(n) :+ timed(n) }
+    val calib = math.min(calibPre, math.min(calibrate(), calibrate()))
     val results = names.map(n => n -> samples(n))
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def r2(v: Double) = math.rint(v * 100) / 100
@@ -89,7 +106,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2.min).sum)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${r3(calib)},"queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
     // Full detail (per-query min + all three per-run samples, so a
     // contaminated measurement is self-evident) goes to an EARLIER stdout
     // line and a file: the harness that records the benchmark keeps only
@@ -115,7 +132,7 @@ object Bench {
       val frag = (if (taken == 0) "" else ",") + "\"" + k + "\":" + r2(v.min)
       if (sb.length + frag.length <= budget) { sb.append(frag); taken += 1 }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"queries":{${sb.toString}},"detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"calib_sec":${r3(calib)},"queries":{${sb.toString}},"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,6 +175,23 @@ class TextMultimodalSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("contamination deciles: equal-population cut conserving hits; ordered means") {
+    val docs = Tables.documents(spark, sf001).limit(200).cache()
+    val frac = TextAnalysis.decontaminationFraction(docs).collect()
+    val dec = TextAnalysis.contaminationDeciles(docs).collect()
+    docs.unpersist()
+    assert(dec.map(_.getInt(0)).toSeq == (1 to 10))
+    // equal population (±1) and exact conservation of docs + hits
+    val sizes = dec.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sum == frac.length)
+    assert(dec.map(_.getLong(2)).sum == frac.map(_.getLong(2)).sum)
+    // means are nondecreasing across deciles (ntile by fraction) and
+    // each is the floor-mean of its bucket's micro fractions
+    val means = dec.map(_.getLong(3))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b })
+  }
+
   test("bloom decontamination: no false negatives vs the exact operator, codegen'd test") {
     val d = Tables.documents(spark, sf0001)
     val exact = TextAnalysis.decontaminate(d).collect()
