@@ -161,6 +161,25 @@ object SparkEntry {
         (learned, fin)
       })
 
+  private val fracMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The graded-decontamination fraction relation computed ONCE per
+    * (SparkContext, corpus dir) — `decontaminate_frac` serves it
+    * directly and `contamination_deciles` rolls it up, off one scoring
+    * run (the dedup-family prefix pattern). */
+  private def fracFor(s: SparkSession, dir: String): DataFrame =
+    fracMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val f = TextAnalysis
+          .decontaminationFraction(Tables.documents(s, dir))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        f
+      })
+
   /** Near-dup groups (Dedup.dedupGroups) computed ONCE per
     * (SparkContext, corpus dir, threshold) and localCheckpointed — the
     * production shape: run the expensive LSH + connected-components
@@ -694,9 +713,9 @@ object SparkEntry {
       Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
     "contamination_deciles" -> ((s, dir) =>
-      TextAnalysis.contaminationDeciles(Tables.documents(s, dir))),
+      TextAnalysis.contaminationDecilesFrom(fracFor(s, dir))),
     "decontaminate_frac" -> ((s, dir) =>
-      TextAnalysis.decontaminationFraction(Tables.documents(s, dir))),
+      fracFor(s, dir).orderBy(col("doc_id"))),
     "bpe_merges" -> ((s, dir) => {
       import s.implicits._
       bpeFor(s, dir)._1.toDF("step", "pair", "pair_count")

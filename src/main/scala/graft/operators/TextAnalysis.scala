@@ -1135,8 +1135,15 @@ object TextAnalysis {
     * corpus cardinality); beyond sortable doc counts the closed-form
     * histogram ntile of `length_deciles` applies unchanged. */
   def contaminationDeciles(documents: DataFrame, n: Int = 3,
-      evalPermille: Int = 20): DataFrame = {
-    val frac = decontaminationFraction(documents, n, evalPermille)
+      evalPermille: Int = 20): DataFrame =
+    contaminationDecilesFrom(decontaminationFraction(documents, n,
+      evalPermille))
+
+  /** The decile rollup over an already-computed fraction relation — the
+    * form SparkEntry serves so `decontaminate_frac` and the decile
+    * report share ONE memoized scoring run (the dedup-family prefix
+    * pattern). */
+  def contaminationDecilesFrom(frac: DataFrame): DataFrame = {
     val w = Window.orderBy(col("contam_frac_micro"), col("doc_id"))
     frac
       .withColumn("decile", ntile(10).over(w))
