@@ -115,7 +115,10 @@ object Bench {
     println(full)
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
+        // targeted (subset) iterations must not clobber the committed
+        // full-board record
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          if (args.isEmpty) "bench_full.json" else "bench_subset.json")),
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // FINAL line — compact so the whole line survives a 2000-char tail:
