@@ -600,6 +600,8 @@ object SparkEntry {
       Dedup.minhashLshPairsFrom(postingsFor(s, dir), threshold = 0.8)),
     // the groups consumers share one memoized LSH+CC prefix
     "dedup_groups" -> ((s, dir) => groupsFor(s, dir, 0.8)),
+    "source_dup_rate" -> ((s, dir) => Dedup.sourceDupRate(
+      Tables.documents(s, dir), groupsFor(s, dir, 0.8))),
     "dedup_group_sizes" -> ((s, dir) =>
       groupsFor(s, dir, 0.8)
         .groupBy(col("rep_id")).agg(count(lit(1)).as("group_size"))
@@ -3496,6 +3498,24 @@ object SparkEntry {
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard6 FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Membership-only wrap of the same verified-pair CTEs: a doc is
+    // "dup" iff it appears in any pair; per-source exact micro rate.
+    "source_dup_rate" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |und AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), members AS (SELECT DISTINCT a AS id FROM und)
+         |SELECT source, n_docs, n_dup_docs,
+         |  CAST(n_dup_docs * 1000000 // n_docs AS BIGINT) AS dup_frac_micro
+         |FROM (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN m.id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_dup_docs
+         |  FROM documents d LEFT JOIN members m ON m.id = d.doc_id
+         |  GROUP BY 1
+         |) ORDER BY source""".stripMargin,
 
     // Transitive closure of the verified pairs via a recursive CTE —
     // mirrors Dedup.connectedComponents' min-label propagation.

@@ -396,6 +396,26 @@ object Dedup {
   def dedupGroups(documents: DataFrame, threshold: Double = 0.8): DataFrame =
     connectedComponents(minhashLshPairs(documents, threshold))
 
+  /** Per-source near-duplicate rate — the corpus-health dashboard read
+    * that decides which FEED to fix (a boilerplate-heavy source shows
+    * up here long before it skews a global dedup pass): every source
+    * with its doc count, the number of docs that sit in a near-dup
+    * group, and the exact micro rate. `groups` is the (doc_id, rep_id)
+    * membership relation from [[dedupGroups]] — one row per member doc,
+    * so membership is a doc_id-keyed left join, and SparkEntry serves
+    * the memoized family prefix (no LSH re-run). Output is
+    * source-cardinality. */
+  def sourceDupRate(documents: DataFrame, groups: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"))
+      .join(groups.select(col("doc_id"), lit(1L).as("is_dup")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_frac_micro"))
+      .orderBy(col("source"))
+
   /** LEAKAGE-SAFE train/test split: the eval-integrity operator a naive
     * per-document hash split gets wrong. If a test document's near-dups
     * land in train, the holdout is contaminated — so the split key is the

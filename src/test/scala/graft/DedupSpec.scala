@@ -219,4 +219,16 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.dupPagerank(e).collect()
     assert(got.map(_.getLong(2)).toSeq == Seq(1000000L, 1000000L, 1000000L))
   }
+
+  test("sourceDupRate: member docs counted per source, dup-free sources zero") {
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, txt, "A"), (2L, txt, "A"), (3L, "one more unrelated file", "A"),
+      (4L, "completely different text entirely here", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceDupRate(docs, Dedup.dedupGroups(docs)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map("A" -> ((3L, 2L, 666666L)), "B" -> ((1L, 0L, 0L))))
+  }
 }
