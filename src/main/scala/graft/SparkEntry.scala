@@ -698,6 +698,8 @@ object SparkEntry {
     // ── Text analysis ──
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "quality_by_source" -> ((s, dir) =>
+      TextAnalysis.qualityBySource(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
@@ -4840,6 +4842,45 @@ object SparkEntry {
         |       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same scoring CTEs as curate_pipeline with source carried; per-doc
+    // quality micro-floored, then exact BIGINT min/mean/max per source.
+    "quality_by_source" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, text, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, source, text, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(w) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE) AS sumlen
+        |  FROM toks
+        |), r AS (
+        |  SELECT source,
+        |    CASE WHEN ntok > 0 THEN nstop/ntok ELSE 0 END AS stop_ratio,
+        |    CASE WHEN nchars > 0 THEN npunct/nchars ELSE 0 END AS punct_ratio,
+        |    CASE WHEN ntok > 0 THEN sumlen/ntok ELSE 0 END AS mean_word_len,
+        |    nchars FROM m
+        |), q AS (
+        |  SELECT source, CAST(floor(
+        |    round((least(nchars/CAST(200 AS DOUBLE), 1.0)
+        |         + least(stop_ratio*CAST(5 AS DOUBLE), 1.0)
+        |         + greatest(CAST(0 AS DOUBLE), 1.0 - punct_ratio*CAST(10 AS DOUBLE))
+        |         + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |                THEN 1.0 ELSE 0.5 END) / CAST(4 AS DOUBLE), 6)
+        |    * 1000000) AS BIGINT) AS q
+        |  FROM r
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  min(q) AS min_q_micro,
+        |  CAST(sum(q) // count(*) AS BIGINT) AS mean_q_micro,
+        |  max(q) AS max_q_micro
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same marker CTE as lang_id with the label carried; langs² matrix.
     "lang_confusion" ->

@@ -106,6 +106,26 @@ object TextAnalysis {
       qualityExpr.as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Per-source quality profile — the dashboard row next to
+    * [[graft.operators.Dedup.sourceDupRate]], [[graft.operators.Drift.sourceKl]]
+    * and [[zipfSlope]]: every source with its doc count and the
+    * min / mean / max of the per-doc quality score. The 6-dp quality is
+    * floored onto the integer micro grid per doc FIRST, so the
+    * per-source mean is an exact BIGINT sum div count (a mean of raw
+    * doubles is the order-dependent float sum the determinism ladder
+    * forbids); min/max need no such care (comparisons only). One scan,
+    * source-cardinality output. */
+  def qualityBySource(documents: DataFrame): DataFrame =
+    rowStats(documents, withLang = false, keep = Seq("source"))
+      .select(col("source"),
+        floor(qualityExpr * 1000000).cast("long").as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("q")).as("min_q_micro"),
+        expr("sum(q) div count(1)").as("mean_q_micro"),
+        max(col("q")).as("max_q_micro"))
+      .orderBy(col("source"))
+
   /** Streaming-safe per-row scored projection: quality + language per
     * document with `keep` columns passed through, NO sort and NO
     * aggregation — legal under any streaming output mode and the per-row
