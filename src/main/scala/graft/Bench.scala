@@ -113,12 +113,13 @@ object Bench {
     // the last ~2000 characters of output, and with 90+ queries the full
     // map cannot fit there alongside sbt's trailing "[success]" line.
     println(full)
+    // targeted (subset) iterations must not clobber the committed
+    // full-board record
+    val detailFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (args.isEmpty) "bench_full.json" else "bench_subset.json")
     try {
       java.nio.file.Files.write(
-        // targeted (subset) iterations must not clobber the committed
-        // full-board record
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-          if (args.isEmpty) "bench_full.json" else "bench_subset.json")),
+        java.nio.file.Paths.get(detailFile),
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // FINAL line — compact so the whole line survives a 2000-char tail:
@@ -135,7 +136,7 @@ object Bench {
       val frag = (if (taken == 0) "" else ",") + "\"" + k + "\":" + r2(v.min)
       if (sb.length + frag.length <= budget) { sb.append(frag); taken += 1 }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"calib_sec":${r3(calib)},"queries":{${sb.toString}},"detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nq":${results.size},"calib_sec":${r3(calib)},"queries":{${sb.toString}},"detail":"$detailFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

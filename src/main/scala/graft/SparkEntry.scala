@@ -2177,8 +2177,9 @@ object SparkEntry {
         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
 
     // The α=1/2 EWMA recurrence replayed verbatim as a recursive CTE
-    // over the daily-bar relation; (m + c·10⁶)//2 on nonneg BIGINTs
-    // matches Spark's div exactly.
+    // over the daily-bar relation; `//` FLOORS, and the operator's fold
+    // uses Math.floorDiv to match — Scala's / truncates toward zero and
+    // would diverge on odd negative intermediates.
     "ewma_daily" ->
       """WITH RECURSIVE raw AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value,

@@ -417,7 +417,11 @@ object MarketStats {
         val bars = it.toSeq.sortBy(_._2)
         var m = 0L
         bars.iterator.zipWithIndex.map { case ((_, day, cents), i) =>
-          m = if (i == 0) cents * 1000000L else (m + cents * 1000000L) / 2
+          // floorDiv, not /: the oracle's `//` floors, and Scala's /
+          // truncates toward zero — they disagree on every odd NEGATIVE
+          // intermediate, and nothing forbids negative closes
+          m = if (i == 0) cents * 1000000L
+              else Math.floorDiv(m + cents * 1000000L, 2L)
           (typ, day, cents, m)
         }
       }

@@ -159,20 +159,10 @@ object TextAnalysis {
       }: _*)
   }
 
-  /** argmax marker prediction over [[langHits]] columns — first-match-
-    * wins in declaration order (en > de > fr > es), "und" on zero. */
-  private def langPredOfHits: Column = {
-    val cols = langMarkers.map { case (lang, _) => lang -> col(s"hits_$lang") }
-    val best = cols.map(_._2).reduce((a, b) => greatest(a, b))
-    cols.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(s === best && best > 0, lit(lang)).otherwise(els)
-    }
-  }
-
   def langId(documents: DataFrame): DataFrame =
     langHits(documents, col("doc_id"))
       .select(col("k").as("doc_id"), col("hits_en"),
-        langPredOfHits.as("lang_pred"))
+        langPredExpr.as("lang_pred"))
       .orderBy(col("doc_id"))
 
   /** Language-ID CONFUSION MATRIX — the classifier eval the labeled
@@ -183,7 +173,7 @@ object TextAnalysis {
     * the one scan; output is bounded by langs² rows. */
   def langConfusion(documents: DataFrame): DataFrame =
     langHits(documents, col("lang"))
-      .select(col("k").as("lang"), langPredOfHits.as("lang_pred"))
+      .select(col("k").as("lang"), langPredExpr.as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_pred"))
@@ -389,14 +379,22 @@ object TextAnalysis {
       steps: Int): (Seq[(Long, String, Long)], DataFrame) = {
     import graft.functions.WordShingles.word_ngrams
     var cur = documents.select(col("doc_id"), normalize(col("text")).as("t"))
-    var prev: DataFrame = null
+    // `parent` = the frame `cur` rewrites FROM. It must stay cached until
+    // cur itself is materialized (the next census collect, or the final
+    // count below) — unpersisting it as soon as the new frame is CREATED
+    // would drop the blocks before their only reader runs, so every step
+    // would replay the whole replace chain from the scan (quadratic in
+    // steps, the exact failure the persist exists to prevent).
+    var parent: DataFrame = null
     val learned = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= steps && !exhausted) {
+      // materializes `cur` (cached) — the previous frame is now drainable
       val top = cur.select(explode(word_ngrams(col("t"), 2)).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("b")).limit(1).collect()
+      if (parent != null) { parent.unpersist(blocking = false); parent = null }
       if (top.isEmpty) exhausted = true
       else {
         val pair = top.head.getString(0)
@@ -404,18 +402,22 @@ object TextAnalysis {
         val doubled = pair.replace(" ", "  ")
         val merged = pair.replace(' ', '_')
         import org.apache.spark.sql.functions.{replace => sreplace}
-        cur = cur.select(col("doc_id"),
+        val next = cur.select(col("doc_id"),
           trim(sreplace(  // un-double the private padding back
             sreplace(
               concat(lit(" "), sreplace(col("t"), lit(" "), lit("  ")),
                 lit(" ")),
               lit(s" $doubled "), lit(s" $merged ")),
             lit("  "), lit(" "))).as("t")).persist()
-        if (prev != null) prev.unpersist(blocking = false)
-        prev = cur
+        parent = cur
+        cur = next
       }
       step += 1
     }
+    // materialize the final rewrite off its still-cached parent, then
+    // drop the parent — the caller receives a cached, lineage-warm frame
+    cur.count()
+    if (parent != null) parent.unpersist(blocking = false)
     (learned.toSeq, cur)
   }
 

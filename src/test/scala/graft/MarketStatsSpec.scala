@@ -350,6 +350,13 @@ class MarketStatsSpec extends SparkSpec {
       (0L, 2L, 2000000L), (1L, 1L, 1500000L), (2L, 1L, 1250000L),
       (3L, 1L, 1125000L), (4L, 1L, 1062500L), (5L, 1L, 1031250L),
       (6L, 1L, 1015625L), (7L, 1L, 1007812L)))
+    // negative closes: the fold must FLOOR like the oracle's `//`, not
+    // truncate — halving -1e6 toward zero seven times ends at -7812,
+    // flooring ends at -7813
+    val neg = Seq((1L, 0L, "n", -0.01, "{}")) ++
+      (1 to 7).map(i => ((i + 1).toLong, i * d, "n", 0.00, "{}"))
+    val rn = MarketStats.ewmaDaily(ticks(neg: _*)).collect()
+    assert(rn.last.getLong(3) == -7813L)
   }
 
   test("cusumDrift's telescoped windows equal the textbook recursion") {
