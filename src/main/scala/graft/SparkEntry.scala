@@ -700,6 +700,8 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "quality_by_source" -> ((s, dir) =>
       TextAnalysis.qualityBySource(Tables.documents(s, dir))),
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
@@ -4843,6 +4845,40 @@ object SparkEntry {
         |       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Exact Heaps curve: first occurrence = min(doc_id) over the census;
+    // cumulative windows over the 10-row bucket relation, BIGINT casts
+    // (DuckDB widens window sums to HUGEINT).
+    "vocab_growth" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS tok FROM norm
+        |), b AS (
+        |  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1
+        |), fd AS (
+        |  SELECT tok, min(doc_id) AS fdoc FROM tk GROUP BY 1
+        |), nv AS (
+        |  SELECT b.bucket, CAST(count(*) AS BIGINT) AS new_vocab
+        |  FROM fd JOIN b ON b.doc_id = fd.fdoc GROUP BY 1
+        |), bt AS (
+        |  SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(coalesce(cnt.n, 0)) AS BIGINT) AS n_toks
+        |  FROM b LEFT JOIN cnt USING (doc_id) GROUP BY 1
+        |)
+        |SELECT bt.bucket,
+        |  CAST(sum(bt.n_docs) OVER w AS BIGINT) AS cum_docs,
+        |  CAST(sum(bt.n_toks) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nv.new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+        |FROM bt LEFT JOIN nv USING (bucket)
+        |WINDOW w AS (ORDER BY bt.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bt.bucket""".stripMargin,
 
     // Same scoring CTEs as curate_pipeline with source carried; per-doc
     // quality micro-floored, then exact BIGINT min/mean/max per source.

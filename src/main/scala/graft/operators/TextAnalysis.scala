@@ -106,6 +106,48 @@ object TextAnalysis {
       qualityExpr.as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary-growth curve (Heaps' law) — cumulative distinct
+    * vocabulary vs cumulative token mass at equal-population doc_id
+    * checkpoints. The corpus-linguistics health read: natural corpora
+    * grow vocabulary ~ tokens^β with β≈0.5; a flattening curve means
+    * duplication/templating, a super-linear one means noise (OCR
+    * garbage, random strings). Exact integers throughout: a token's
+    * first occurrence is min(doc_id) over the census, so the bucket-k
+    * vocabulary is the count of tokens whose first doc lands in buckets
+    * ≤ k — no approximate distinct anywhere.
+    *
+    * Shape at 100 TB: ONE tokenize feeds the (doc, token) census; the
+    * first-occurrence aggregate and per-doc counts re-aggregate it; the
+    * cumulative windows run on the `checkpoints`-row relation. The
+    * bucket ntile rides the doc-cardinality relation (the
+    * length_deciles closed form applies beyond sortable doc counts). */
+  def vocabGrowth(documents: DataFrame, checkpoints: Int = 10): DataFrame = {
+    val b = documents.select(col("doc_id"),
+      ntile(checkpoints).over(Window.orderBy(col("doc_id"))).as("bucket"))
+    val census = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val cnt = census.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val perBucket = b.join(cnt, Seq("doc_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n"), lit(0L))).cast("long").as("n_toks"))
+    val newVocab = census.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("fdoc"))
+      .join(b.withColumnRenamed("doc_id", "fdoc"), Seq("fdoc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newVocab, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_toks"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+      .select(col("bucket"),
+        sum(col("n_docs")).over(w).cast("long").as("cum_docs"),
+        sum(col("n_toks")).over(w).cast("long").as("cum_tokens"),
+        sum(col("new_vocab")).over(w).cast("long").as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-source quality profile — the dashboard row next to
     * [[graft.operators.Dedup.sourceDupRate]], [[graft.operators.Drift.sourceKl]]
     * and [[zipfSlope]]: every source with its doc count and the

@@ -468,6 +468,18 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r2(1) == ((2L, "a_a a", 1L)))
   }
 
+  test("vocab growth: first-occurrence accounting; empty docs hold the curve flat") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, ""), (4L, "b c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 2L, 2L),   // {a, b}
+      (2, 2L, 4L, 3L),   // +c
+      (3, 3L, 4L, 3L),   // empty doc: docs advance, tokens/vocab flat
+      (4, 4L, 7L, 4L)))  // +d
+  }
+
   test("lang confusion: predicted vs labeled matrix over one scan") {
     val docs = Seq(
       (1L, "the and of time", "en"),   // correctly en
