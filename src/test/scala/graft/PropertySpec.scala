@@ -379,4 +379,35 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("round-6 invariants: PSI sign, span bounds, RFM conservation, Heaps monotonicity") {
+    import graft.operators.{Drift, EventsOps, TextAnalysis}
+    val ev = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    // PSI: every Laplace-smoothed term is ≥ 0, so the floored sum is too
+    Drift.psiDrift(ev).collect().foreach { r =>
+      assert(r.isNullAt(4) || r.getLong(4) >= 0L)
+    }
+    // span coverage can never exceed the doc surface
+    TextAnalysis.dupSpans(docs).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1)) // covered ≤ n_tokens
+      assert(r.getLong(4) <= 1000000L)
+    }
+    // RFM: the grid partitions the purchase users; scores live in 1..4
+    val users = ev.filter(org.apache.spark.sql.functions.col("event_type")
+      === "purchase").select("user_id").distinct().count()
+    val grid = EventsOps.rfmSegments(ev).collect()
+    assert(grid.map(_.getLong(3)).sum == users)
+    grid.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(s =>
+        assert(s >= 1 && s <= 4))
+    }
+    // Heaps curve: all three cumulatives nondecreasing; vocab ≤ tokens
+    val curve = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    curve.zip(curve.tail).foreach { case ((d0, t0, v0), (d1, t1, v1)) =>
+      assert(d0 <= d1 && t0 <= t1 && v0 <= v1)
+    }
+    curve.foreach { case (_, t, v) => assert(v <= t) }
+  }
 }
