@@ -702,6 +702,9 @@ object SparkEntry {
       TextAnalysis.qualityBySource(Tables.documents(s, dir))),
     "vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
+    "ngram_growth" -> ((s, dir) =>
+      TextAnalysis.ngramGrowth(Tables.documents(s, dir),
+        postings = Some(postingsFor(s, dir)))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
@@ -4845,6 +4848,44 @@ object SparkEntry {
         |       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same curve over the per-doc-DISTINCT trigram census (the postings
+    // relation the candidate-join family shares).
+    "ngram_growth" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), wl AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w
+        |  FROM norm
+        |), tk AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END)) AS tok FROM wl
+        |), b AS (
+        |  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1
+        |), fd AS (
+        |  SELECT tok, min(doc_id) AS fdoc FROM tk GROUP BY 1
+        |), nv AS (
+        |  SELECT b.bucket, CAST(count(*) AS BIGINT) AS new_vocab
+        |  FROM fd JOIN b ON b.doc_id = fd.fdoc GROUP BY 1
+        |), bt AS (
+        |  SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(coalesce(cnt.n, 0)) AS BIGINT) AS n_toks
+        |  FROM b LEFT JOIN cnt USING (doc_id) GROUP BY 1
+        |)
+        |SELECT bt.bucket,
+        |  CAST(sum(bt.n_docs) OVER w AS BIGINT) AS cum_docs,
+        |  CAST(sum(bt.n_toks) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nv.new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+        |FROM bt LEFT JOIN nv USING (bucket)
+        |WINDOW w AS (ORDER BY bt.bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bt.bucket""".stripMargin,
 
     // Exact Heaps curve: first occurrence = min(doc_id) over the census;
     // cumulative windows over the 10-row bucket relation, BIGINT casts

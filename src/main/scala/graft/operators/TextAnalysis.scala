@@ -121,11 +121,36 @@ object TextAnalysis {
     * cumulative windows run on the `checkpoints`-row relation. The
     * bucket ntile rides the doc-cardinality relation (the
     * length_deciles closed form applies beyond sortable doc counts). */
-  def vocabGrowth(documents: DataFrame, checkpoints: Int = 10): DataFrame = {
+  def vocabGrowth(documents: DataFrame, checkpoints: Int = 10): DataFrame =
+    growthCurve(documents,
+      documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok")),
+      checkpoints)
+
+  /** Trigram (shingle) growth curve — the dedup-saturation companion of
+    * [[vocabGrowth]]: cumulative DISTINCT trigrams vs cumulative per-doc
+    * distinct-trigram mass. Unigram vocabulary saturates fast on any
+    * corpus; the trigram curve is what actually flattens when new
+    * documents stop bringing new SURFACE — the live signal for "this
+    * feed is re-crawling what we already have". `postings` is the
+    * (doc_id, sh) relation the candidate-join family shares (SparkEntry
+    * serves the memoized prefix — no re-shingling). */
+  def ngramGrowth(documents: DataFrame,
+      postings: Option[DataFrame] = None,
+      checkpoints: Int = 10): DataFrame =
+    growthCurve(documents,
+      postings.getOrElse(documents.select(col("doc_id"),
+        explode(shingles(col("text"), 3)).as("sh")))
+        .select(col("doc_id"), col("sh").as("tok")),
+      checkpoints)
+
+  /** The shared growth-curve assembly over any (doc_id, tok) census:
+    * first occurrence = min(doc_id) per tok (exact — no approximate
+    * distinct), per-bucket doc/occurrence/new-tok counts, cumulative
+    * windows on the `checkpoints`-row relation. */
+  private def growthCurve(documents: DataFrame, census: DataFrame,
+      checkpoints: Int): DataFrame = {
     val b = documents.select(col("doc_id"),
       ntile(checkpoints).over(Window.orderBy(col("doc_id"))).as("bucket"))
-    val census = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val cnt = census.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val perBucket = b.join(cnt, Seq("doc_id"), "left")
       .groupBy(col("bucket"))
