@@ -470,6 +470,14 @@ object SparkEntry {
       MarketStats.tickBurstiness(Tables.events(s, dir))),
     "ret_moments" -> ((s, dir) =>
       MarketStats.retMoments(Tables.events(s, dir))),
+    "range_volatility" -> ((s, dir) =>
+      MarketStats.rangeVolatility(Tables.events(s, dir))),
+    "variance_ratio" -> ((s, dir) =>
+      MarketStats.varianceRatio(Tables.events(s, dir))),
+    "market_beta" -> ((s, dir) =>
+      MarketStats.marketBeta(Tables.events(s, dir))),
+    "vpin_buckets" -> ((s, dir) =>
+      MarketStats.vpinBuckets(Tables.events(s, dir))),
     "lead_lag_corr" -> ((s, dir) =>
       MarketStats.leadLagCorr(Tables.events(s, dir))),
     "trimmed_mean" -> ((s, dir) =>
@@ -621,6 +629,8 @@ object SparkEntry {
     },
     "containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairsFrom(overlapFor(s, dir), threshold = 0.6)),
+    "jaccard_histogram" -> ((s, dir) =>
+      Dedup.jaccardHistogramFrom(overlapFor(s, dir))),
     "line_dedup" -> ((s, dir) =>
       Dedup.lineDedup(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
@@ -643,6 +653,8 @@ object SparkEntry {
         centroidsFor(s, dir))),
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir))),
 
     // ── Deterministic sampling (training-data selection) ──
     "sample_hash" -> ((s, dir) => {
@@ -3197,6 +3209,169 @@ object SparkEntry {
         |FROM pairs WHERE y IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // daily OHLC in exact cents (id-broken open/close election), each
+    // ln() micro-floored FIRST, then literal-double estimator + floor —
+    // the same one-ln budget as dsir/lm_perplexity
+    "range_volatility" ->
+      """WITH daily AS (
+        |  SELECT event_type, day,
+        |    max(CASE WHEN rn_a = 1 THEN cents END) AS open_c,
+        |    max(cents) AS high_c, min(cents) AS low_c,
+        |    max(CASE WHEN rn_d = 1 THEN cents END) AS close_c,
+        |    count(*) AS n_ticks
+        |  FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts), event_id) AS rn_a,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+        |    FROM events) t
+        |  GROUP BY event_type, day
+        |), logs AS (
+        |  SELECT event_type, day, n_ticks,
+        |    CAST(floor(ln(CAST(high_c AS DOUBLE) / CAST(low_c AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS lhl_micro,
+        |    CAST(floor(ln(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS lco_micro
+        |  FROM daily
+        |)
+        |SELECT event_type, day, n_ticks, lhl_micro, lco_micro,
+        |  CAST(floor(CAST(lhl_micro * lhl_micro AS DOUBLE)
+        |    / (4.0 * ln(2.0)) / 1000000.0) AS BIGINT) AS parkinson_micro,
+        |  CAST(floor((0.5 * CAST(lhl_micro * lhl_micro AS DOUBLE)
+        |    - (2.0 * ln(2.0) - 1.0) * CAST(lco_micro * lco_micro AS DOUBLE))
+        |    / 1000000.0) AS BIGINT) AS gk_micro
+        |FROM logs ORDER BY event_type, day""".stripMargin,
+
+    // uncentered VR(5): exact HUGEINT second moments of the daily and
+    // 5-day-rolling return sums, one nonnegative integral division
+    "variance_ratio" ->
+      """WITH rets AS (
+        |  SELECT event_type, day,
+        |    CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)
+        |      AS ret_micro
+        |  FROM (
+        |    SELECT event_type, day, cents,
+        |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p_cents
+        |    FROM (
+        |      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |    WHERE rn = 1) l
+        |), seq AS (
+        |  SELECT event_type, ret_micro AS r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    sum(ret_micro) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5
+        |  FROM rets WHERE ret_micro IS NOT NULL
+        |)
+        |SELECT event_type, count(*) AS n_days,
+        |  CASE WHEN count(CASE WHEN rn >= 5 THEN 1 END) >= 1
+        |      AND sum(CAST(r AS HUGEINT) * r) > 0 THEN
+        |    CAST((sum(CASE WHEN rn >= 5 THEN CAST(s5 AS HUGEINT) * s5 END)
+        |        * count(*) * 1000000)
+        |      // (5 * sum(CAST(r AS HUGEINT) * r)
+        |        * count(CASE WHEN rn >= 5 THEN 1 END)) AS BIGINT)
+        |  END AS vr_micro
+        |FROM seq GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // equal-weighted market day-return on the exact nano grid, OLS beta
+    // via HUGEINT moment sums + toward-zero integral division (verified:
+    // Spark `div` ≡ DuckDB `//` on negatives), ρ via the literal-double
+    // closed form
+    "market_beta" ->
+      """WITH rets AS (
+        |  SELECT event_type, day,
+        |    CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)
+        |      AS ret_micro
+        |  FROM (
+        |    SELECT event_type, day, cents,
+        |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p_cents
+        |    FROM (
+        |      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |    WHERE rn = 1) l
+        |), nn AS (
+        |  SELECT event_type, day, ret_micro FROM rets
+        |  WHERE ret_micro IS NOT NULL
+        |), mkt AS (
+        |  SELECT day, CAST(floor(CAST(sum(ret_micro) AS DOUBLE) * 1000.0
+        |    / count(*)) AS BIGINT) AS mkt_nano
+        |  FROM nn GROUP BY day
+        |), j AS (
+        |  SELECT event_type, CAST(mkt_nano AS HUGEINT) AS x,
+        |    CAST(ret_micro AS HUGEINT) * 1000 AS y
+        |  FROM nn JOIN mkt USING (day)
+        |)
+        |SELECT event_type, count(*) AS n_days,
+        |  CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0 THEN
+        |    CAST(((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000000)
+        |      // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+        |  END AS beta_micro,
+        |  round(CASE WHEN
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
+        |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |      (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |          CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |          CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+        |    END, 6) AS corr6
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // tick-rule signs with IGNORE-NULLS inheritance, volume-clock bucket
+    // assignment off the exclusive cumulative prefix, exact micro
+    // imbalance — both running windows ride one per-instrument sort
+    "vpin_buckets" ->
+      """WITH ticks AS (
+        |  SELECT event_type, epoch_ns(ts) AS tns, event_id,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS size
+        |  FROM events
+        |), signed AS (
+        |  SELECT event_type, tns, event_id, size,
+        |    cents - lag(cents) OVER (PARTITION BY event_type
+        |      ORDER BY tns, event_id) AS d
+        |  FROM ticks
+        |), sgn AS (
+        |  SELECT event_type, size,
+        |    coalesce(last_value(CASE WHEN d > 0 THEN 1
+        |        WHEN d < 0 THEN -1 END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY tns, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sign,
+        |    coalesce(CAST(sum(size) OVER (PARTITION BY event_type
+        |      ORDER BY tns, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cum_prev
+        |  FROM signed
+        |)
+        |SELECT event_type, cum_prev // 2000 AS bucket,
+        |  CAST(sum(CASE WHEN sign = 1 THEN size ELSE 0 END) AS BIGINT)
+        |    AS buy_vol,
+        |  CAST(sum(CASE WHEN sign = -1 THEN size ELSE 0 END) AS BIGINT)
+        |    AS sell_vol,
+        |  CAST(sum(size) AS BIGINT) AS bucket_vol,
+        |  count(*) AS n_ticks,
+        |  CASE WHEN sum(size) > 0 THEN
+        |    CAST(abs(sum(CASE WHEN sign = 1 THEN size ELSE 0 END) -
+        |        sum(CASE WHEN sign = -1 THEN size ELSE 0 END)) * 1000000
+        |      // sum(size) AS BIGINT) END AS imb_micro
+        |FROM sgn GROUP BY event_type, cum_prev // 2000
+        |ORDER BY event_type, bucket""".stripMargin,
+
     // robust location: drop outside the exact-discrete [p05, p95], mean
     // of survivors as the micro-int floor of an exact DECIMAL sum
     "trimmed_mean" ->
@@ -3476,6 +3651,46 @@ object SparkEntry {
         |WHERE greatest(CAST(n_common AS DOUBLE) / CAST(na.n_sh AS DOUBLE),
         |               CAST(n_common AS DOUBLE) / CAST(nb.n_sh AS DOUBLE)) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same inverted-index CTE chain; final select buckets the exact
+    // micro Jaccard into deciles (all nonnegative integral divisions)
+    "jaccard_histogram" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT doc_id, unnest(shs) AS s FROM sh
+        |), spost AS (
+        |  SELECT doc_id, s FROM post
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 10
+        |), hot AS (
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM spost GROUP BY 1) d
+        |  WHERE df > 10
+        |), fpost AS (
+        |  SELECT doc_id, s FROM post WHERE s NOT IN (SELECT s FROM hot)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM fpost a JOIN fpost b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jm AS (
+        |  SELECT n_common * 1000000 // (na.n_sh + nb.n_sh - n_common)
+        |    AS j_micro
+        |  FROM common
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |)
+        |SELECT j_micro // 100000 AS bucket, count(*) AS n_pairs,
+        |  CAST(max(j_micro) AS BIGINT) AS max_j_micro
+        |FROM jm GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C4-style corpus line dedup over fixed 8-token blocks; keeper = the
     // occurrence at the smallest (doc_id, block_idx). string_agg FILTER
@@ -3813,6 +4028,41 @@ object SparkEntry {
         |  FROM sims
         |)
         |SELECT query_id, rank, cand_id AS neighbor_id, round(cos, 6) AS cos6
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the ann_topk scorer restricted to different-label candidates —
+    // the label filter runs BEFORE the rank window, like the Spark plan
+    "hard_negatives" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), lab AS (
+        |  SELECT vec_id, label FROM embeddings
+        |), dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |    AND a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), ranked AS (
+        |  SELECT s.query_id, s.cand_id, s.cos,
+        |    la.label AS q_label, lb.label AS neighbor_label,
+        |    row_number() OVER (PARTITION BY s.query_id
+        |      ORDER BY s.cos DESC, s.cand_id) AS rank
+        |  FROM sims s
+        |  JOIN lab la ON la.vec_id = s.query_id
+        |  JOIN lab lb ON lb.vec_id = s.cand_id
+        |  WHERE la.label <> lb.label
+        |)
+        |SELECT query_id, q_label, rank, cand_id AS neighbor_id,
+        |  neighbor_label, round(cos, 6) AS cos6
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

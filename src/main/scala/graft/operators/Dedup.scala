@@ -89,6 +89,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard6"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Candidate-pair Jaccard HISTOGRAM — the dedup-threshold tuning view:
+    * decile counts of the similarity mass across every candidate pair
+    * the inverted index surfaces (bucket = ⌊J·10⌋, so bucket 8 = pairs
+    * with J ∈ [0.8, 0.9)). Reading this before picking a threshold is
+    * how a curation run chooses 0.7 vs 0.8 — the histogram shows where
+    * the near-dup mode separates from the background. Rides the SAME
+    * memoized overlap relation as the jaccard/containment gates (zero
+    * extra corpus work); J is the exact micro floor n_common·10⁶ div
+    * (n_a + n_b − n_common), all nonnegative, and the decile is one
+    * more integral division — no floats anywhere. Output is ≤ 11 rows
+    * per corpus: broadcast-sized at any scale. */
+  def jaccardHistogramFrom(overlap: DataFrame): DataFrame =
+    overlap
+      .withColumn("j_micro",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .withColumn("bucket", expr("j_micro div 100000"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("j_micro")).as("max_j_micro"))
+      .orderBy(col("bucket"))
+
   /** Candidate pairs with shared-shingle counts and both set sizes —
     * the shared generator under the Jaccard and containment scorers
     * (identical df-cut skew guard, identical plan shape), over a

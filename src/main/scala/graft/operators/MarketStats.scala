@@ -994,4 +994,224 @@ object MarketStats {
         count(lit(1)).as("n_windows"))
       .orderBy(col("type_a"), col("type_b"), col("day"))
   }
+
+  /** Range-based daily volatility estimators per instrument × day —
+    * Parkinson (high/low range) and Garman–Klass (range + open/close),
+    * the close-to-close-variance alternatives a risk desk prefers when
+    * intraday extremes are observable (5–7× more efficient per day of
+    * data than squared close returns):
+    *
+    *   σ²_P  = ln(H/L)² / (4·ln 2)
+    *   σ²_GK = 0.5·ln(H/L)² − (2·ln 2 − 1)·ln(C/O)²
+    *
+    * Determinism: H/L/O/C are exact integer cents (the [[ohlcBars]]
+    * min_by/max_by election, so same-nanosecond ties are id-broken
+    * identically on both engines); each log term is floored onto the
+    * integer micro grid FIRST (the one ln() evaluation carries the
+    * repo-wide 1-ulp libm budget), then the estimator combines the
+    * EXACT squared integers in one literal double expression and floors
+    * once more — no double is summed, no pow() (ln(2) is evaluated from
+    * the same literal on both engines). GK can go negative on
+    * close-dominated days; floor (not div) keeps the two engines on the
+    * same side of zero. Degenerate days (H = L with C = O) emit zeros,
+    * not NULLs — a zero range is a zero-volatility observation.
+    *
+    * Shape at 100 TB: ONE sort-free partial→final hash aggregate to day
+    * bars (the [[ohlcBars]] shape), then per-row arithmetic on the tiny
+    * (instrument × day) relation. */
+  def rangeVolatility(events: DataFrame): DataFrame = {
+    val day = dayIdx.as("day")
+    val ord = struct(col("ts_ns"), col("event_id"))
+    val cents = expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+    events
+      .select(col("event_type"), day, cents.as("cents"), ord.as("ord"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        min_by(col("cents"), col("ord")).as("open_c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max_by(col("cents"), col("ord")).as("close_c"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("lhl_micro", expr(
+        """CAST(floor(ln(CAST(high_c AS DOUBLE) / CAST(low_c AS DOUBLE))
+          | * 1000000.0) AS BIGINT)""".stripMargin))
+      .withColumn("lco_micro", expr(
+        """CAST(floor(ln(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE))
+          | * 1000000.0) AS BIGINT)""".stripMargin))
+      .select(col("event_type"), col("day"), col("n_ticks"),
+        col("lhl_micro"), col("lco_micro"),
+        expr(
+          """CAST(floor(CAST(lhl_micro * lhl_micro AS DOUBLE)
+            | / (4.0 * ln(2.0)) / 1000000.0) AS BIGINT)""".stripMargin)
+          .as("parkinson_micro"),
+        expr(
+          """CAST(floor((0.5 * CAST(lhl_micro * lhl_micro AS DOUBLE)
+            | - (2.0 * ln(2.0) - 1.0) * CAST(lco_micro * lco_micro AS DOUBLE))
+            | / 1000000.0) AS BIGINT)""".stripMargin)
+          .as("gk_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Lo–MacKinlay variance ratio VR(q) per instrument over the daily
+    * micro-return series — the classic random-walk test: VR ≈ 1 under
+    * i.i.d. returns, > 1 under momentum (q-day variance grows faster
+    * than q·daily), < 1 under mean reversion. The UNCENTERED variant
+    * (raw second moments, no mean subtraction) — daily-return means are
+    * ~0 and centering would put a rational mean inside every square,
+    * breaking integer exactness; the convention is documented and
+    * mirrored in the oracle.
+    *
+    *   VR(q)·10⁶ = (Σ_t S_t² · n · 10⁶) div (q · Σ_t r_t² · m)
+    *
+    * where S_t is the q-day rolling return sum (full windows only),
+    * n = #days with a return, m = n − q + 1 windows. Every term is an
+    * exact integer (returns are [[dailyCloseReturns]] micros; squares
+    * and products ride DECIMAL(38,0) / HUGEINT), all nonnegative, so
+    * the single integral division is floor on both engines. NULL when
+    * the return series is all-zero or shorter than q days.
+    *
+    * Shape: everything after the daily-close pre-aggregate runs on the
+    * (instrument × day) relation — the rolling sum is a bounded window
+    * over it, the moments one tiny hash aggregate. */
+  def varianceRatio(events: DataFrame, q: Int = 5): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wRoll = wOrd.rowsBetween(-(q - 1), 0)
+    dailyCloseReturns(events)
+      .where(col("ret_micro").isNotNull)
+      .select(col("event_type"), col("day"),
+        col("ret_micro").cast(DecimalType(19, 0)).as("r"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("s_q",
+        when(col("rn") >= q, sum(col("r")).over(wRoll)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r") * col("r")).cast(DecimalType(38, 0)).as("s1"),
+        sum(col("s_q") * col("s_q")).cast(DecimalType(38, 0)).as("sq"),
+        count(col("s_q")).as("m"))
+      .select(col("event_type"), col("n_days"),
+        when(col("m") >= 1 && col("s1") > 0, expr(
+          s"""CAST((sq * n_days * 1000000) div ($q * s1 * m) AS BIGINT)"""))
+          .as("vr_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Full-sample market beta and correlation per instrument vs the
+    * equal-weighted market return — the index-model decomposition
+    * (systematic vs idiosyncratic risk) every cross-sectional desk
+    * runs. The market day-return is the equal-weighted mean of that
+    * day's instrument returns (the instrument itself INCLUDED, the
+    * index-beta convention), floored onto the integer NANO grid so it
+    * shuffles as an exact integer:
+    *
+    *   mkt_nano(d) = floor(Σ_i r_i(d) · 1000 / k(d)),  r in micros
+    *
+    * β rides the OLS closed form on exact DECIMAL(38,0) moment sums
+    * with ONE integral division at the end — num·10⁶ div den, both
+    * engines truncating toward zero (verified: Spark's `div` and
+    * DuckDB's HUGEINT `//` agree on negatives — the numerator CAN be
+    * negative for an anti-cyclical instrument, so the toward-zero
+    * convention is documented rather than floor). ρ reuses the same
+    * sums through the [[pairCorrelation]] literal-double closed form.
+    *
+    * Shape: day-cardinality everything — the market aggregate and the
+    * per-instrument join both run on the (instrument × day) relation;
+    * the only data-sized work is the shared daily-close prefix. */
+  def marketBeta(events: DataFrame): DataFrame = {
+    val rets = dailyCloseReturns(events)
+      .where(col("ret_micro").isNotNull)
+      .select(col("event_type"), col("day"), col("ret_micro"))
+    val mkt = rets.groupBy(col("day"))
+      .agg(sum(col("ret_micro")).cast("long").as("msum"),
+        count(lit(1)).as("k"))
+      .select(col("day"), expr(
+        "CAST(floor(CAST(msum AS DOUBLE) * 1000.0 / k) AS BIGINT)")
+        .as("mkt_nano"))
+    val joined = rets.join(broadcast(mkt), "day")
+      .select(col("event_type"),
+        col("mkt_nano").cast(DecimalType(19, 0)).as("x"),
+        (col("ret_micro") * 1000).cast(DecimalType(19, 0)).as("y"))
+    val n = count(lit(1)).cast(DecimalType(38, 0))
+    val sx = sum(col("x")).cast(DecimalType(38, 0))
+    val sy = sum(col("y")).cast(DecimalType(38, 0))
+    val sxy = sum(col("x") * col("y")).cast(DecimalType(38, 0))
+    val sxx = sum(col("x") * col("x")).cast(DecimalType(38, 0))
+    val syy = sum(col("y") * col("y")).cast(DecimalType(38, 0))
+    joined
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        (n * sxy - sx * sy).as("num"),
+        (n * sxx - sx * sx).as("den"),
+        round(when(
+          // the positivity check multiplies in DOUBLE — the product of
+          // two ~1e21 DECIMAL(38,0) variances overflows 38 digits
+          (n * sxx - sx * sx).cast("double") *
+            (n * syy - sy * sy).cast("double") > 0.0,
+          (n * sxy - sx * sy).cast("double") /
+            (sqrt((n * sxx - sx * sx).cast("double")) *
+              sqrt((n * syy - sy * sy).cast("double")))), 6)
+          .as("corr6"))
+      .select(col("event_type"), col("n_days"),
+        when(col("den") > 0,
+          expr("CAST((num * 1000000) div den AS BIGINT)")).as("beta_micro"),
+        col("corr6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** VPIN-style volume-synchronized flow toxicity per instrument —
+    * ticks are signed by the tick rule (up-tick = buy, down-tick =
+    * sell, unchanged inherits the last signed direction; leading ticks
+    * before any price change carry sign 0), assigned to EQUAL-VOLUME
+    * buckets by their exclusive cumulative-volume prefix
+    * (bucket = cumPrev div V — volume clock, not wall clock: toxicity
+    * concentrates where volume does, Easley/López de Prado/O'Hara),
+    * and each bucket reports its absolute buy/sell imbalance as the
+    * micro floor |buy − sell|·10⁶ div vol. The bucket series IS the
+    * VPIN input (VPIN = rolling mean of imb over buckets); emitting the
+    * buckets keeps every downstream window choice open.
+    *
+    * Exact integers end to end — cents for the tick rule, sizes from
+    * the trade-size JSON key, nonnegative micro division. The sign
+    * inheritance is last(…, ignoreNulls) over the running tick order
+    * ((ts_ns, event_id), the repo's deterministic order), which both
+    * engines express natively — no sequential fold.
+    *
+    * Shape at 100 TB: one shuffle on instrument; the two running
+    * windows (sign inheritance, volume clock) ride the SAME
+    * per-instrument sort, and the bucket aggregate is a hash agg over
+    * bounded groups (V caps bucket volume; tick count per bucket is
+    * V / min-size bounded). A per-(instrument, day) key would shard the
+    * sort further if a single instrument's history outgrew a partition. */
+  def vpinBuckets(events: DataFrame, bucketVol: Long = 2000L): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(wOrd))
+      .withColumn("tick_sign",
+        when(col("d") > 0, 1L).when(col("d") < 0, -1L))
+      .withColumn("sign",
+        coalesce(last(col("tick_sign"), ignoreNulls = true).over(wRun),
+          lit(0L)))
+      .withColumn("cum_prev",
+        coalesce(sum(col("size")).over(wPrev), lit(0L)))
+      .withColumn("bucket", expr(s"cum_prev div $bucketVol"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        sum(when(col("sign") === 1L, col("size")).otherwise(0L))
+          .cast("long").as("buy_vol"),
+        sum(when(col("sign") === -1L, col("size")).otherwise(0L))
+          .cast("long").as("sell_vol"),
+        sum(col("size")).cast("long").as("bucket_vol"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("event_type"), col("bucket"), col("buy_vol"),
+        col("sell_vol"), col("bucket_vol"), col("n_ticks"),
+        when(col("bucket_vol") > 0,
+          expr("abs(buy_vol - sell_vol) * 1000000 div bucket_vol"))
+          .as("imb_micro"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
 }

@@ -53,6 +53,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training — for each query
+    * vector, the top-k most-similar vectors carrying a DIFFERENT label:
+    * exactly the "hard negatives" a retrieval/embedding trainer pairs
+    * with each anchor (random negatives are too easy; the near-miss
+    * wrong-label neighbors are where the gradient signal is). Same
+    * exact-cosine scoring, (cos desc, vec_id) rank order, and
+    * broadcast-queries/stream-corpus shape as [[annBruteForce]] — the
+    * label inequality is one extra pushed filter on the candidate scan,
+    * so the plan is the ANN plan minus the same-label candidates. At
+    * 100 TB the IVF/LSH retrievers substitute as with ANN; mining then
+    * probes write-time cells instead of scanning. */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
+      k: Int = 10): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("label"),
+      col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val queries = broadcast(
+      corpus
+        .filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val denom = col("nrm") * col("q_nrm")
+    corpus
+      .crossJoin(queries)
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+        when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        round(col("cos"), 6).as("cos6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** kNN majority-label classification over the embedding corpus — the
     * standard label-propagation / quality-probe read on an embedded
     * dataset (kNN accuracy is the classic "are these embeddings any

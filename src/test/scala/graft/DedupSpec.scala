@@ -100,6 +100,16 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.6 && j < 1.0)
   }
 
+  test("jaccardHistogram buckets exact micro Jaccard into deciles") {
+    import spark.implicits._
+    // (1,2): J = 5/5 = 1.0 → bucket 10; (3,4): J = 1/7 → bucket 1
+    val overlap = Seq((1L, 2L, 5L, 5L, 5L), (3L, 4L, 1L, 4L, 4L))
+      .toDF("id_a", "id_b", "n_common", "n_a", "n_b")
+    val got = Dedup.jaccardHistogramFrom(overlap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 142857L), (10L, 1L, 1000000L)))
+  }
+
   test("containment catches a subset doc that symmetric Jaccard misses") {
     // A = the first 30 words of B (100 words): c(A→B) = 1.0 while
     // J = |A|/|B| ≈ 0.29 — the quote/subset case containment exists for

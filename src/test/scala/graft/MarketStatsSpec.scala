@@ -502,4 +502,81 @@ class MarketStatsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got == expect)
   }
+
+  test("rangeVolatility: hand-evaluated Parkinson and Garman–Klass") {
+    // one day: O=100, H=121, L=100, C=110 cents
+    // ln(121/100)·1e6 → 190620, ln(110/100)·1e6 → 95310
+    // P = ⌊190620²/(4·ln2)/1e6⌋ = 13105; GK = ⌊(0.5·190620² −
+    //   (2·ln2−1)·95310²)/1e6⌋ = 14658 — all safely off grid lines
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, "{}"),
+      (2L, 2000L, "a", 1.21, "{}"),
+      (3L, 3000L, "a", 1.10, "{}"))
+    val r = MarketStats.rangeVolatility(df).collect()
+    assert(r.length == 1)
+    val Row(_, _, n, lhl, lco, park, gk) = r(0)
+    assert((n, lhl, lco, park, gk) == (3L, 190620L, 95310L, 13105L, 14658L))
+  }
+
+  test("rangeVolatility: flat day scores zero, not NULL") {
+    val df = ticks((1L, 1000L, "a", 1.00, "{}"), (2L, 2000L, "a", 1.00, "{}"))
+    val r = MarketStats.rangeVolatility(df).collect()
+    assert(r(0).getLong(3) == 0L && r(0).getLong(5) == 0L &&
+      r(0).getLong(6) == 0L)
+  }
+
+  test("varianceRatio: constant returns give VR = q exactly") {
+    // closes double daily → ret_micro = 1_000_000 every day; the
+    // uncentered VR of a constant series is exactly q (= 5 → 5e6 micro)
+    val day = 86400L * 1000000000L
+    val df = ticks((0L to 6L).map(d =>
+      (d + 1, d * day + 1000L, "a", 100.0 * (1L << d.toInt), "{}")): _*)
+    val r = MarketStats.varianceRatio(df).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 6L &&
+      r(0).getLong(2) == 5000000L)
+  }
+
+  test("varianceRatio: series shorter than q emits NULL") {
+    val day = 86400L * 1000000000L
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, "{}"),
+      (2L, day + 1000L, "a", 1.10, "{}"))
+    val r = MarketStats.varianceRatio(df).collect()
+    assert(r.length == 1 && r(0).isNullAt(2))
+  }
+
+  test("marketBeta: a 2× levered instrument shows beta 2× the other") {
+    // r_a = {0.1, 0.3}, r_b = {0.2, 0.6} → mkt = {0.15, 0.45};
+    // β_a = 2/3 (truncated 666666 micro), β_b = 4/3; both ρ = 1
+    val day = 86400L * 1000000000L
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, "{}"),
+      (2L, day + 1000L, "a", 1.10, "{}"),
+      (3L, 2 * day + 1000L, "a", 1.43, "{}"),
+      (4L, 1000L, "b", 1.00, "{}"),
+      (5L, day + 1000L, "b", 1.20, "{}"),
+      (6L, 2 * day + 1000L, "b", 1.92, "{}"))
+    val r = MarketStats.marketBeta(df).orderBy("event_type").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(666666L, 1333333L))
+    assert(r.map(_.getDouble(3)).toSeq == Seq(1.0, 1.0))
+  }
+
+  test("vpinBuckets: tick-rule signs inherit and buckets cut on volume") {
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, """{"k": 4}"""), // no prior price → sign 0
+      (2L, 2000L, "a", 1.10, """{"k": 4}"""), // up-tick → +1
+      (3L, 3000L, "a", 1.05, """{"k": 4}"""), // down-tick → −1
+      (4L, 4000L, "a", 1.05, """{"k": 5}"""), // unchanged → inherits −1
+      (5L, 5000L, "a", 1.20, """{"k": 7}""")) // up-tick → +1
+    val r = MarketStats.vpinBuckets(df, bucketVol = 10L)
+      .orderBy("bucket").collect()
+    assert(r.length == 2)
+    // bucket 0 (cumPrev 0,4,8): buy 4, sell 4, imb 0
+    val Row(_, b0, buy0, sell0, vol0, n0, imb0) = r(0)
+    assert((b0, buy0, sell0, vol0, n0, imb0) == (0L, 4L, 4L, 12L, 3L, 0L))
+    // bucket 1 (cumPrev 12, 17): buy 7, sell 5, imb ⌊2e6/12⌋
+    val Row(_, b1, buy1, sell1, vol1, n1, imb1) = r(1)
+    assert((b1, buy1, sell1, vol1, n1, imb1) ==
+      (1L, 7L, 5L, 12L, 2L, 166666L))
+  }
 }

@@ -18,6 +18,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.last.getDouble(3) == -1.0)  // antipode
   }
 
+  test("hardNegatives: same-label near-misses are excluded from the ranking") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),   // identical BUT same label → excluded
+      (2L, Array(0.9f, 0.1f), 1),   // hardest different-label negative
+      (3L, Array(0.0f, 1.0f), 1)    // easy negative
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, queryIds = Seq(0L), k = 2)
+      .collect()
+    assert(got.map(_.getLong(3)).toSeq == Seq(2L, 3L))
+    assert(got.map(_.getInt(4)).toSeq == Seq(1, 1))
+    assert(got.map(_.getInt(1)).toSeq == Seq(0, 0)) // anchor label carried
+  }
+
   test("knnClassify: majority vote, vote ties to the smallest label") {
     // query 0 (label 1): candidates 1,2 (label 1) and 3,4 (label 2) are
     // the 4 nearest, candidate 5 (label 3) the farthest — with k = 5 all
