@@ -744,6 +744,8 @@ object SparkEntry {
     }),
     "bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(Tables.documents(s, dir), bpeFor(s, dir)._2)),
+    "bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(Tables.documents(s, dir), bpeFor(s, dir)._2)),
     "chunk_dedup" -> ((s, dir) => TextAnalysis.chunkDedup(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
@@ -933,9 +935,28 @@ object SparkEntry {
        |    ELSE 0 END AS BIGINT) AS saved_micro
        |FROM cnt ORDER BY doc_id""".stripMargin
 
+  private def bpeFertilityOracleSql(steps: Int): String =
+    s"""WITH ${bpeStagesSql(steps)},
+       |cnt AS (
+       |  SELECT t0.doc_id,
+       |    CAST(len(list_filter(string_split(t0.t, ' '),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_raw,
+       |    CAST(len(list_filter(string_split(tn.t, ' '),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_bpe
+       |  FROM t0 JOIN t$steps tn USING (doc_id))
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(n_raw) AS BIGINT) AS raw_tokens,
+       |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(CASE WHEN sum(n_raw) > 0
+       |    THEN sum(n_bpe) * 1000000 // sum(n_raw)
+       |    ELSE 0 END AS BIGINT) AS tokens_per_word_micro
+       |FROM cnt JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeOracleSql(5),
     "bpe_encode" -> bpeEncodeOracleSql(5),
+    "bpe_fertility" -> bpeFertilityOracleSql(5),
 
     // Chunk-level dedup: same chunking CTE as chunk_docs; keeper of a
     // digest = lowest (doc_id, chunk_idx); n_dup counts chunks whose

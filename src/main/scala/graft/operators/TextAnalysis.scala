@@ -520,6 +520,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility by source — BPE tokens per whitespace word,
+    * the per-domain "how well does the tokenizer fit this corpus slice"
+    * report a tokenizer-training run reads before freezing merges
+    * (code-heavy or out-of-domain sources show systematically higher
+    * fertility = worse compression = wasted sequence length at
+    * training). Rides the SAME memoized training rewrite as
+    * [[bpeEncode]] — zero additional merge work at query time; the
+    * ratio is source-aggregate (Σ tokens · 10⁶ div Σ words, exact
+    * integers, nonnegative) rather than a float mean of per-doc ratios,
+    * so short docs don't dominate. Source-cardinality output. */
+  def bpeFertility(documents: DataFrame, encoded: DataFrame): DataFrame = {
+    def ntok(c: org.apache.spark.sql.Column) =
+      size(filter(split(c, " "), x => x =!= "")).cast("long")
+    documents
+      .select(col("doc_id"), col("source"),
+        ntok(normalize(col("text"))).as("n_raw"))
+      .join(encoded.select(col("doc_id"), ntok(col("t")).as("n_bpe")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_raw")).cast("long").as("raw_tokens"),
+        sum(col("n_bpe")).cast("long").as("bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("bpe_tokens"),
+        when(col("raw_tokens") > 0,
+          expr("bpe_tokens * 1000000 div raw_tokens"))
+          .otherwise(lit(0L)).as("tokens_per_word_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Graded decontamination — the audit form of [[decontaminate]]: every
     * training document with its CONTAMINATION FRACTION (shared distinct
     * n-grams / its distinct n-grams), zero-hit docs included. The binary
