@@ -478,6 +478,12 @@ object SparkEntry {
       MarketStats.marketBeta(Tables.events(s, dir))),
     "vpin_buckets" -> ((s, dir) =>
       MarketStats.vpinBuckets(Tables.events(s, dir))),
+    "roll_spread" -> ((s, dir) =>
+      MarketStats.rollSpread(Tables.events(s, dir))),
+    "vol_signature" -> ((s, dir) =>
+      MarketStats.volSignature(Tables.events(s, dir))),
+    "bigram_pmi" -> ((s, dir) =>
+      TextAnalysis.bigramPmi(Tables.documents(s, dir))),
     "lead_lag_corr" -> ((s, dir) =>
       MarketStats.leadLagCorr(Tables.events(s, dir))),
     "trimmed_mean" -> ((s, dir) =>
@@ -3393,6 +3399,65 @@ object SparkEntry {
         |FROM sgn GROUP BY event_type, cum_prev // 2000
         |ORDER BY event_type, bucket""".stripMargin,
 
+    // serial covariance of consecutive cent changes; sign test on the
+    // exact integer numerator, ONE literal double (divide, sqrt, ×2)
+    "roll_spread" ->
+      """WITH ticks AS (
+        |  SELECT event_type, epoch_ns(ts) AS tns, event_id,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), dd AS (
+        |  SELECT event_type, tns, event_id,
+        |    cents - lag(cents) OVER (PARTITION BY event_type
+        |      ORDER BY tns, event_id) AS d
+        |  FROM ticks
+        |), pairs AS (
+        |  SELECT event_type, CAST(d AS HUGEINT) AS x,
+        |    CAST(lag(d) OVER (PARTITION BY event_type
+        |      ORDER BY tns, event_id) AS HUGEINT) AS y
+        |  FROM dd
+        |)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  round(CASE WHEN count(*) * sum(x * y) - sum(x) * sum(y) < 0
+        |    THEN 2.0 * sqrt(
+        |      CAST(-(count(*) * sum(x * y) - sum(x) * sum(y)) AS DOUBLE) /
+        |      CAST(count(*) * count(*) AS DOUBLE))
+        |  END, 6) AS roll_spread6
+        |FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // bar closes at each frequency from ONE tick relation crossed with
+    // the frequency list; RV = exact Σr² of the differenced closes
+    "vol_signature" ->
+      """WITH f AS (
+        |  SELECT CAST(unnest([60, 300, 600, 1800]) AS BIGINT) AS freq_sec
+        |), ticks AS (
+        |  SELECT event_type, epoch_ns(ts) AS tns, event_id,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), wb AS (
+        |  SELECT t.event_type, f.freq_sec,
+        |    tns // (f.freq_sec * 1000000000) * f.freq_sec AS window_start,
+        |    cents,
+        |    row_number() OVER (PARTITION BY t.event_type, f.freq_sec,
+        |      tns // (f.freq_sec * 1000000000)
+        |      ORDER BY tns DESC, event_id DESC) AS rn_d
+        |  FROM ticks t CROSS JOIN f
+        |), bars AS (
+        |  SELECT event_type, freq_sec, window_start, cents AS close_c
+        |  FROM wb WHERE rn_d = 1
+        |), r AS (
+        |  SELECT event_type, freq_sec,
+        |    close_c - lag(close_c) OVER (PARTITION BY event_type, freq_sec
+        |      ORDER BY window_start) AS r
+        |  FROM bars
+        |)
+        |SELECT event_type, freq_sec, count(*) AS n_bars,
+        |  CAST(sum(CAST(r AS HUGEINT) * r) AS BIGINT) AS rv_cents2
+        |FROM r WHERE r IS NOT NULL
+        |GROUP BY event_type, freq_sec
+        |ORDER BY event_type, freq_sec""".stripMargin,
+
     // robust location: drop outside the exact-discrete [p05, p95], mean
     // of survivors as the micro-int floor of an exact DECIMAL sum
     "trimmed_mean" ->
@@ -4481,6 +4546,44 @@ object SparkEntry {
     // float division of exact integers at the end is deterministic.
     // V = |{w1} ∪ {w2}| over bigram TYPES (single-token docs are outside
     // the model's event space by construction — documented in Scaladoc).
+    // unigram + bigram censuses off one tokenize; ONE ln() on the
+    // literal ratio cb·n1²/(n2·c1·c2), micro-floored; (pmi desc, bigram)
+    // total order makes the k-cutoff deterministic
+    "bigram_pmi" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+        |    SELECT unnest(w) AS w FROM toks) GROUP BY 1
+        |), n1 AS (
+        |  SELECT CAST(sum(cw) AS BIGINT) AS n1 FROM uni
+        |), big AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1])
+        |    ELSE [] END) AS b FROM toks
+        |), bc AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS cb FROM big
+        |  GROUP BY 1 HAVING count(*) >= 5
+        |), n2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n2 FROM big
+        |), j AS (
+        |  SELECT bc.b AS bigram, bc.cb, u1.cw AS c1, u2.cw AS c2,
+        |    CAST(floor(ln(
+        |      (CAST(bc.cb AS DOUBLE) * CAST(n1.n1 AS DOUBLE) * CAST(n1.n1 AS DOUBLE)) /
+        |      (CAST(n2.n2 AS DOUBLE) * CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS pmi_micro
+        |  FROM bc
+        |  JOIN uni u1 ON u1.w = split_part(bc.b, ' ', 1)
+        |  JOIN uni u2 ON u2.w = split_part(bc.b, ' ', 2)
+        |  CROSS JOIN n1 CROSS JOIN n2
+        |)
+        |SELECT bigram, cb, c1, c2, pmi_micro FROM j
+        |ORDER BY pmi_micro DESC, bigram LIMIT 20""".stripMargin,
+
     "lm_perplexity" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

@@ -1157,6 +1157,92 @@ object MarketStats {
       .orderBy(col("event_type"))
   }
 
+  /** Roll's implied bid–ask spread per instrument — the classic
+    * trades-only microstructure estimator: bid–ask bounce makes
+    * consecutive price CHANGES negatively serially correlated, and
+    * Roll (1984) inverts that into spread = 2·√(−cov(Δp_t, Δp_{t−1})).
+    * The one spread number you can extract with no quote data at all —
+    * read next to [[kyleLambda]] (impact) and [[amihudIlliquidity]]
+    * (depth). NULL when the serial covariance is nonnegative (the
+    * estimator is undefined there — the textbook convention, reported
+    * rather than clamped, since a nonnegative cov is itself the signal
+    * that trending dominates bounce).
+    *
+    * Determinism: Δp pairs are exact integer cents off one
+    * (ts_ns, event_id)-ordered window pass; the covariance numerator
+    * n·Σxy − Σx·Σy rides exact DECIMAL sums and the sign test runs ON
+    * the exact integer; only then does ONE literal double expression
+    * (divide, sqrt, ×2) produce the 6-dp answer — the
+    * [[pairCorrelation]] pattern. Both lags ride the same sort.
+    *
+    * Shape at 100 TB: one shuffle on instrument, windows in-sort, then
+    * a group-cardinality moment aggregate. */
+  def rollSpread(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val pairs = events
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(wOrd))
+      .withColumn("pd", lag(col("d"), 1).over(wOrd))
+      .where(col("d").isNotNull && col("pd").isNotNull)
+      .select(col("event_type"),
+        col("d").cast(DecimalType(19, 0)).as("x"),
+        col("pd").cast(DecimalType(19, 0)).as("y"))
+    val n = count(lit(1)).cast(DecimalType(38, 0))
+    val num = n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))
+    pairs
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(when(num < 0,
+          lit(2.0) * sqrt((-num).cast("double") /
+            (n * n).cast("double"))), 6).as("roll_spread6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Volatility signature plot per instrument — realized variance of
+    * bar-close returns at SEVERAL sampling frequencies from one tick
+    * scan. The microstructure-noise diagnostic: for a semimartingale
+    * price, RV is flat in the sampling frequency; bid–ask bounce makes
+    * RV blow up as the interval shrinks, and the frequency where the
+    * curve flattens is the highest safe sampling rate for
+    * [[realizedVariation]]-style estimators (Andersen et al.'s
+    * signature plot).
+    *
+    * Exact integers end to end: closes are the deterministic max_by
+    * tick election in cents, bar returns are integer diffs, RV = Σr²
+    * rides DECIMAL then lands in BIGINT cents². Per frequency, bars
+    * with no predecessor drop out (n_bars counts the differenced
+    * series) — both engines agree via the same lag-over-window shape.
+    *
+    * Shape at 100 TB: the frequency list EXPLODES inside the one scan
+    * (|freqs|× row fan-out into the bar aggregate — one scan, one
+    * shuffle keyed (instrument, freq, window)) rather than |freqs|
+    * separate scans: at corpus scale the scan dominates, so one pass
+    * over the ticks wins even carrying the fan-out. Bar relations and
+    * everything after are window-cardinality. */
+  def volSignature(events: DataFrame,
+      freqs: Seq[Long] = Seq(60L, 300L, 600L, 1800L)): DataFrame = {
+    val ord = struct(col("ts_ns"), col("event_id"))
+    val wLag = Window.partitionBy(col("event_type"), col("freq_sec"))
+      .orderBy(col("window_start"))
+    events
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("freq_sec", explode(array(freqs.map(lit(_)): _*)))
+      .withColumn("window_start",
+        expr("ts_ns div (freq_sec * 1000000000) * freq_sec"))
+      .groupBy(col("event_type"), col("freq_sec"), col("window_start"))
+      .agg(max_by(col("cents"), ord).as("close_c"))
+      .withColumn("r", col("close_c") - lag(col("close_c"), 1).over(wLag))
+      .where(col("r").isNotNull)
+      .groupBy(col("event_type"), col("freq_sec"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("r").cast(DecimalType(19, 0)) * col("r"))
+          .cast("long").as("rv_cents2"))
+      .orderBy(col("event_type"), col("freq_sec"))
+  }
+
   /** VPIN-style volume-synchronized flow toxicity per instrument —
     * ticks are signed by the tick rule (up-tick = buy, down-tick =
     * sell, unchanged inherits the last signed direction; leading ticks

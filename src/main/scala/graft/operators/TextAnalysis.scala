@@ -550,6 +550,52 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Collocation mining via bigram PMI — the phrase-extraction pass a
+    * tokenizer/vocabulary pipeline runs to find multi-word units worth
+    * promoting to single tokens ("new york", "machine learning"):
+    * PMI = ln(p(ab) / (p(a)·p(b))) over adjacent word pairs, reported
+    * for the top-k pairs above a count floor (PMI without a floor
+    * surfaces hapax noise — the floor is the published fix).
+    *
+    * Determinism: counts are exact (unigram census, bigram census, both
+    * totals); the single ln() runs on one literal double ratio
+    * cb·n1²/(n2·c1·c2) and is floored onto the micro grid (the
+    * repo-wide 1-ulp budget); ranking is (pmi_micro desc, bigram) — a
+    * total order, so the k-cutoff is deterministic on both engines.
+    *
+    * Shape at 100 TB: one tokenize feeds both censuses; the PMI join
+    * keys bigrams to their two unigram counts (vocabulary-bounded,
+    * skew-split by AQE on stopword heads); selection is
+    * TakeOrderedAndProject at depth k — no global sort. */
+  def bigramPmi(documents: DataFrame, minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    import graft.functions.WordShingles.word_ngrams
+    val toksD = documents.select(explode(tokens(col("text"))).as("w"))
+    val uni = toksD.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val n1 = broadcast(uni.agg(sum(col("cw")).cast("long").as("n1")))
+    val bigD = documents
+      .select(explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+    val n2 = broadcast(bigD.agg(count(lit(1)).as("n2")))
+    bigD
+      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(n1).crossJoin(n2)
+      .withColumn("pmi_micro", expr(
+        """CAST(floor(ln(
+          |  (CAST(cb AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) /
+          |  (CAST(n2 AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+          |  * 1000000.0) AS BIGINT)""".stripMargin))
+      .orderBy(col("pmi_micro").desc, col("b"))
+      .limit(k)
+      .select(col("b").as("bigram"), col("cb"), col("c1"), col("c2"),
+        col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram"))
+  }
+
   /** Graded decontamination — the audit form of [[decontaminate]]: every
     * training document with its CONTAMINATION FRACTION (shared distinct
     * n-grams / its distinct n-grams), zero-hit docs included. The binary

@@ -561,6 +561,42 @@ class MarketStatsSpec extends SparkSpec {
     assert(r.map(_.getDouble(3)).toSeq == Seq(1.0, 1.0))
   }
 
+  test("rollSpread: pure bid-ask bounce recovers a positive spread") {
+    // cents 100,102,100,102,100 → Δ = +2,−2,+2,−2; serial pairs n=3,
+    // num = 3·(−12) − (−2)(+2) = −32 < 0 → 2·√(32/9) = 3.771236
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, "{}"), (2L, 2000L, "a", 1.02, "{}"),
+      (3L, 3000L, "a", 1.00, "{}"), (4L, 4000L, "a", 1.02, "{}"),
+      (5L, 5000L, "a", 1.00, "{}"))
+    val r = MarketStats.rollSpread(df).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 3L &&
+      r(0).getDouble(2) == 3.771236)
+  }
+
+  test("rollSpread: trending prices (nonnegative cov) emit NULL") {
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, "{}"), (2L, 2000L, "a", 1.02, "{}"),
+      (3L, 3000L, "a", 1.04, "{}"), (4L, 4000L, "a", 1.06, "{}"))
+    val r = MarketStats.rollSpread(df).collect()
+    assert(r.length == 1 && r(0).isNullAt(2))
+  }
+
+  test("volSignature: per-frequency bar returns square-sum exactly") {
+    val s = 1000000000L
+    val df = ticks(
+      (1L, 0L, "a", 1.00, "{}"),
+      (2L, 61L * s, "a", 1.10, "{}"),
+      (3L, 121L * s, "a", 1.05, "{}"))
+    val r = MarketStats.volSignature(df, freqs = Seq(60L, 120L))
+      .orderBy("freq_sec").collect()
+    // 60 s bars: closes 100,110,105 → r = +10,−5 → rv 125 over 2 bars
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) ==
+      (60L, 2L, 125L))
+    // 120 s bars: closes 110,105 → r = −5 → rv 25 over 1 bar
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) ==
+      (120L, 1L, 25L))
+  }
+
   test("vpinBuckets: tick-rule signs inherit and buckets cut on volume") {
     val df = ticks(
       (1L, 1000L, "a", 1.00, """{"k": 4}"""), // no prior price → sign 0

@@ -55,6 +55,16 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[Int]("n_punct") == 3) // comma, bang, apostrophe
   }
 
+  test("bigramPmi: count floor drops hapax pairs, PMI is the micro floor") {
+    // "x y" occurs 5×, "y x" 4× (below the floor); tokens x:5 y:5,
+    // n1 = 10, n2 = 9 → PMI(x y) = ⌊ln(5·10²/(9·5·5))·10⁶⌋ = 798507
+    val d = Seq((1L, ("x y " * 5).trim)).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramPmi(d).collect()
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4)) == ("x y", 5L, 5L, 5L, 798507L))
+  }
+
   test("quality score is bounded and rewards stopword-bearing prose") {
     val d = Seq(
       (1L, "the cat sat on the mat and looked at the dog for a while in the sun"),
