@@ -484,6 +484,10 @@ object SparkEntry {
       MarketStats.volSignature(Tables.events(s, dir))),
     "bigram_pmi" -> ((s, dir) =>
       TextAnalysis.bigramPmi(Tables.documents(s, dir))),
+    "ret_acf" -> ((s, dir) =>
+      MarketStats.retAcf(Tables.events(s, dir))),
+    "hurst_rs" -> ((s, dir) =>
+      MarketStats.hurstRs(Tables.events(s, dir))),
     "lead_lag_corr" -> ((s, dir) =>
       MarketStats.leadLagCorr(Tables.events(s, dir))),
     "trimmed_mean" -> ((s, dir) =>
@@ -3398,6 +3402,107 @@ object SparkEntry {
         |      // sum(size) AS BIGINT) END AS imb_micro
         |FROM sgn GROUP BY event_type, cum_prev // 2000
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // observation-lag ACF via a row_number self-join — one exploded
+    // relation serves all five lags; pearson per (type, lag)
+    "ret_acf" ->
+      """WITH rets AS (
+        |  SELECT event_type, day,
+        |    CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)
+        |      AS ret_micro
+        |  FROM (
+        |    SELECT event_type, day, cents,
+        |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p_cents
+        |    FROM (
+        |      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |    WHERE rn = 1) l
+        |), seq AS (
+        |  SELECT event_type, ret_micro AS r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM rets WHERE ret_micro IS NOT NULL
+        |), lags AS (
+        |  SELECT CAST(unnest([1, 2, 3, 4, 5]) AS BIGINT) AS lag
+        |), pairs AS (
+        |  SELECT a.event_type, l.lag, a.r AS x, b.r AS y
+        |  FROM seq a CROSS JOIN lags l
+        |  JOIN seq b ON b.event_type = a.event_type AND b.rn = a.rn - l.lag
+        |)
+        |SELECT event_type, lag,
+        |  round(CASE WHEN
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
+        |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |      (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |          CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |          CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+        |    END, 6) AS acf6,
+        |  count(*) AS n_pairs
+        |FROM pairs GROUP BY event_type, lag
+        |ORDER BY event_type, lag""".stripMargin,
+
+    // scaled-integer R/S per full block (X_i = n·C_i − i·S exact, one
+    // sqrt+divide per block, micro-floored BEFORE the exact-integer
+    // cross-block mean)
+    "hurst_rs" ->
+      """WITH rets AS (
+        |  SELECT event_type, day,
+        |    CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)
+        |      AS ret_micro
+        |  FROM (
+        |    SELECT event_type, day, cents,
+        |      lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p_cents
+        |    FROM (
+        |      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |        CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |        row_number() OVER (PARTITION BY event_type,
+        |          epoch_ns(ts) // 86400000000000
+        |          ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |    WHERE rn = 1) l
+        |), seq AS (
+        |  SELECT event_type, ret_micro AS r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM rets WHERE ret_micro IS NOT NULL
+        |), sizes AS (
+        |  SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS block_n
+        |), e AS (
+        |  SELECT s.event_type, z.block_n, (s.rn - 1) // z.block_n AS blk,
+        |    (s.rn - 1) % z.block_n + 1 AS i, s.r
+        |  FROM seq s CROSS JOIN sizes z
+        |), w AS (
+        |  SELECT event_type, block_n, blk, i, r,
+        |    sum(r) OVER (PARTITION BY event_type, block_n, blk ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |    sum(r) OVER (PARTITION BY event_type, block_n, blk) AS s_blk,
+        |    count(*) OVER (PARTITION BY event_type, block_n, blk) AS cnt
+        |  FROM e
+        |), xb AS (
+        |  SELECT event_type, block_n, blk,
+        |    max(block_n * c - i * s_blk) - min(block_n * c - i * s_blk)
+        |      AS r_scaled,
+        |    block_n * sum(CAST(r AS HUGEINT) * r) -
+        |      sum(CAST(r AS HUGEINT)) * sum(CAST(r AS HUGEINT)) AS den
+        |  FROM w WHERE cnt = block_n
+        |  GROUP BY event_type, block_n, blk
+        |), rsm AS (
+        |  SELECT event_type, block_n,
+        |    CAST(floor(CAST(r_scaled AS DOUBLE) / sqrt(CAST(den AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS rs_micro
+        |  FROM xb WHERE den > 0
+        |)
+        |SELECT event_type, block_n, count(*) AS n_blocks,
+        |  CAST(sum(rs_micro) // count(*) AS BIGINT) AS mean_rs_micro
+        |FROM rsm GROUP BY event_type, block_n
+        |ORDER BY event_type, block_n""".stripMargin,
 
     // serial covariance of consecutive cent changes; sign test on the
     // exact integer numerator, ONE literal double (divide, sqrt, ×2)

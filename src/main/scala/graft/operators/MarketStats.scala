@@ -1157,6 +1157,103 @@ object MarketStats {
       .orderBy(col("event_type"))
   }
 
+  /** Multi-lag autocorrelation function of daily returns per instrument
+    * — the generalization of [[retAutocorr]] a desk actually plots: ACF
+    * at lags 1..maxLag, the momentum-decay profile (how many days a
+    * move keeps predicting). Lags are OBSERVATION lags (previous trading
+    * day in the series, the [[retAutocorr]] convention), realized by a
+    * row_number self-join rather than `lag()` so ONE exploded relation
+    * serves every lag — the volSignature one-scan lesson on the
+    * day-cardinality frame. Same exact-DECIMAL moment sums + one
+    * literal-double Pearson evaluation per (instrument, lag); NULL on
+    * degenerate margins. Output is instruments × maxLag rows. */
+  def retAcf(events: DataFrame, maxLag: Int = 5): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val rets = dailyCloseReturns(events)
+      .where(col("ret_micro").isNotNull)
+      .withColumn("rn", row_number().over(wOrd))
+      .select(col("event_type"), col("rn"),
+        col("ret_micro").cast(DecimalType(19, 0)).as("r"))
+    val pairs = rets
+      .withColumn("lag", explode(array((1 to maxLag).map(lit(_)): _*)))
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        (col("rn") - col("lag")).as("rn_prev"), col("r").as("x"))
+      .join(rets.select(col("event_type"), col("rn").as("rn_prev"),
+        col("r").as("y")), Seq("event_type", "rn_prev"))
+    val n = count(lit(1)).cast("double")
+    val sx = sum(col("x")).cast("double")
+    val sy = sum(col("y")).cast("double")
+    val sxy = sum(col("x") * col("y")).cast("double")
+    val sxx = sum(col("x") * col("x")).cast("double")
+    val syy = sum(col("y") * col("y")).cast("double")
+    pairs
+      .groupBy(col("event_type"), col("lag"))
+      .agg(
+        round(when(
+          (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
+          .as("acf6"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Hurst rescaled-range table per instrument — mean R/S over
+    * consecutive FULL blocks of the daily return series at several
+    * block sizes; the long-memory diagnostic (R/S grows ~ n^H: slope
+    * ≈ 0.5 random walk, > 0.5 persistent, < 0.5 mean-reverting — the
+    * slope is read off this table). Scaled-integer formulation keeps
+    * the block mean OUT of the arithmetic: with block sum S and
+    * running sums C_i, the cumulative deviation ×n is
+    * X_i = n·C_i − i·S (exact BIGINT; X_n = 0 so the 0 anchor is
+    * included by construction), R·n = max X − min X, and
+    * σ·n = √(n·Σr² − S²) — so R/σ = (max X − min X)/√(n·Σr² − S²)
+    * with ONE sqrt + divide per block, micro-floored BEFORE the
+    * cross-block mean (which then runs in exact integers — no float
+    * sum). Degenerate blocks (constant returns) are skipped; block
+    * counts are reported so a thin tail is visible.
+    *
+    * Shape: everything after the daily-close prefix is day-cardinality;
+    * the sizes list explodes inside it (volSignature pattern) and both
+    * windows ride the per-(instrument, size, block) sort. */
+  def hurstRs(events: DataFrame,
+      sizes: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val rets = dailyCloseReturns(events)
+      .where(col("ret_micro").isNotNull)
+      .withColumn("rn", row_number().over(wOrd))
+      .select(col("event_type"), col("rn"), col("ret_micro").as("r"))
+      .withColumn("block_n", explode(array(sizes.map(s => lit(s.toLong)): _*)))
+      .withColumn("blk", expr("(rn - 1) div block_n"))
+      .withColumn("i", expr("(rn - 1) % block_n + 1"))
+    val wBlk = Window.partitionBy(col("event_type"), col("block_n"),
+      col("blk"))
+    val wRun = wBlk.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = rets
+      .withColumn("c", sum(col("r")).over(wRun))
+      .withColumn("s_blk", sum(col("r")).over(wBlk))
+      .withColumn("cnt", count(lit(1)).over(wBlk))
+      .where(col("cnt") === col("block_n")) // full blocks only
+      .withColumn("x", col("block_n") * col("c") - col("i") * col("s_blk"))
+      .groupBy(col("event_type"), col("block_n"), col("blk"))
+      .agg((max(col("x")) - min(col("x"))).as("r_scaled"),
+        (max(col("block_n")).cast(DecimalType(19, 0)) *
+          sum(col("r").cast(DecimalType(19, 0)) * col("r")) -
+          sum(col("r").cast(DecimalType(19, 0))) *
+            sum(col("r").cast(DecimalType(19, 0)))).as("den"))
+      .where(col("den") > 0)
+      .select(col("event_type"), col("block_n"),
+        expr("""CAST(floor(CAST(r_scaled AS DOUBLE)
+          | / sqrt(CAST(den AS DOUBLE)) * 1000000.0) AS BIGINT)"""
+          .stripMargin).as("rs_micro"))
+    blocks
+      .groupBy(col("event_type"), col("block_n"))
+      .agg(count(lit(1)).as("n_blocks"),
+        expr("sum(rs_micro) div count(1)").as("mean_rs_micro"))
+      .orderBy(col("event_type"), col("block_n"))
+  }
+
   /** Roll's implied bid–ask spread per instrument — the classic
     * trades-only microstructure estimator: bid–ask bounce makes
     * consecutive price CHANGES negatively serially correlated, and

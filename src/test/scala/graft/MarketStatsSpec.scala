@@ -561,6 +561,46 @@ class MarketStatsSpec extends SparkSpec {
     assert(r.map(_.getDouble(3)).toSeq == Seq(1.0, 1.0))
   }
 
+  test("retAcf at lag 1 equals retAutocorr exactly") {
+    val ev = Tables.events(spark, sf0001)
+    val acf1 = MarketStats.retAcf(ev).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val auto = MarketStats.retAutocorr(ev).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(acf1 == auto)
+  }
+
+  test("hurstRs matches a scalar fold over the daily return series") {
+    val ev = Tables.events(spark, sf0001)
+    val rets = MarketStats.dailyCloseReturns(ev).collect()
+      .filter(!_.isNullAt(3)).groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq }
+    val expect = (for {
+      (t, rs) <- rets.toSeq; n <- Seq(8, 16, 32)
+      blocks = rs.grouped(n).filter(_.length == n).toSeq
+      rsm = blocks.flatMap { b =>
+        val s = b.map(BigInt(_)).sum
+        val cums = b.scanLeft(BigInt(0))((a, r) => a + BigInt(r)).tail
+        val xs = cums.zipWithIndex.map { case (c, i0) =>
+          BigInt(n) * c - BigInt(i0 + 1) * s }
+        val den = BigInt(n) * b.map(r => BigInt(r) * BigInt(r)).sum - s * s
+        if (den > 0)
+          Some(math.floor((xs.max - xs.min).toDouble /
+            math.sqrt(den.toDouble) * 1e6).toLong)
+        else None
+      }
+      if rsm.nonEmpty
+    } yield (t, n.toLong) -> (rsm.length.toLong, rsm.sum / rsm.length)).toMap
+    val got = MarketStats.hurstRs(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+  }
+
   test("rollSpread: pure bid-ask bounce recovers a positive spread") {
     // cents 100,102,100,102,100 → Δ = +2,−2,+2,−2; serial pairs n=3,
     // num = 3·(−12) − (−2)(+2) = −32 < 0 → 2·√(32/9) = 3.771236
