@@ -60,6 +60,21 @@ class DeterminismSpec extends SparkSpec {
     assert(run(ev) == run(ev.repartition(17)))
   }
 
+  test("round-6 microstructure/risk stats are invariant under repartitioning") {
+    import graft.operators.MarketStats
+    val ev = Tables.events(spark, sf0001)
+    def run(df: org.apache.spark.sql.DataFrame) = Seq(
+      MarketStats.rangeVolatility(df).collect().toSeq,
+      MarketStats.varianceRatio(df).collect().toSeq,
+      MarketStats.marketBeta(df).collect().toSeq,
+      MarketStats.vpinBuckets(df).collect().toSeq,
+      MarketStats.rollSpread(df).collect().toSeq,
+      MarketStats.volSignature(df).collect().toSeq,
+      MarketStats.retAcf(df).collect().toSeq,
+      MarketStats.hurstRs(df).collect().toSeq)
+    assert(run(ev) == run(ev.repartition(19)))
+  }
+
   test("round-5 moment/flow stats are invariant under repartitioning") {
     import graft.operators.MarketStats
     val ev = Tables.events(spark, sf0001)
