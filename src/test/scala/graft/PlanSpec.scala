@@ -367,4 +367,32 @@ class PlanSpec extends SparkSpec {
         s"$q shuffles more than once:\n$p")
     }
   }
+
+  test("vol_signature fans the frequency list out of ONE tick scan") {
+    val p = SparkEntry.queries("vol_signature")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.split("Relation \\[").length - 1 == 1,
+      s"vol_signature scans events more than once:\n$p")
+  }
+
+  test("vpin_buckets rides ONE per-instrument sort for both running windows") {
+    val p = SparkEntry.queries("vpin_buckets")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // one data-sized hash exchange (instrument) feeds the shared sort;
+    // the final orderBy adds only a rows-bounded range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"vpin_buckets shuffles more than once:\n$p")
+    // the data-sized (instrument, tick-order) sort appears ONCE — the
+    // second Window rides it; the output orderBy is a separate
+    // rows-bounded range sort and doesn't count
+    assert("Sort \\[event_type[^\\]]*ts_ns".r.findAllIn(p).length == 1,
+      s"vpin_buckets re-sorts the ticks per window:\n$p")
+  }
+
+  test("bigram_pmi cuts to k via TakeOrderedAndProject, no global sort") {
+    val p = SparkEntry.queries("bigram_pmi")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bigram_pmi sorts the whole PMI relation:\n$p")
+  }
 }
