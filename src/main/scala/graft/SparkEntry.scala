@@ -137,6 +137,32 @@ object SparkEntry {
         o
       })
 
+  private val bigramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, b) word-bigram OCCURRENCE table tokenized ONCE per
+    * (SparkContext, corpus dir) and localCheckpointed — the family
+    * prefix under lm_perplexity, lm_coverage, dsir_weights,
+    * gopher_repetition and bigram_pmi, which otherwise each re-run
+    * normalize + the bigram explode over the corpus (the postingsFor
+    * lesson applied to the bigram family: one tokenize, many readers;
+    * distinct-per-doc and hashed-bucket views all DERIVE from the
+    * occurrence table). */
+  private def bigramsFor(s: SparkSession, dir: String): DataFrame =
+    bigramsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        import graft.functions.TextOps.normalize
+        import graft.functions.WordShingles.word_ngrams
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val b = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        b
+      })
+
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (Seq[(Long, String, Long)], DataFrame)]()
 
@@ -482,8 +508,8 @@ object SparkEntry {
       MarketStats.rollSpread(Tables.events(s, dir))),
     "vol_signature" -> ((s, dir) =>
       MarketStats.volSignature(Tables.events(s, dir))),
-    "bigram_pmi" -> ((s, dir) =>
-      TextAnalysis.bigramPmi(Tables.documents(s, dir))),
+    "bigram_pmi" -> ((s, dir) => TextAnalysis.bigramPmi(
+      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
     "ret_acf" -> ((s, dir) =>
       MarketStats.retAcf(Tables.events(s, dir))),
     "hurst_rs" -> ((s, dir) =>
@@ -737,12 +763,17 @@ object SparkEntry {
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
-    "lm_coverage" -> ((s, dir) => TextAnalysis.lmCoverage(Tables.documents(s, dir))),
-    "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(Tables.documents(s, dir))),
-    "gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(Tables.documents(s, dir))),
+    // the bigram family fans out from one tokenized prefix (bigramsFor)
+    "lm_coverage" -> ((s, dir) => TextAnalysis.lmCoverage(
+      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+    "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(
+      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+    "gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(
+      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
     "hybrid_rrf" -> ((s, dir) =>
       Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))),
-    "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(Tables.documents(s, dir))),
+    "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(
+      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
     "contamination_deciles" -> ((s, dir) =>
       TextAnalysis.contaminationDecilesFrom(fracFor(s, dir))),
     "decontaminate_frac" -> ((s, dir) =>

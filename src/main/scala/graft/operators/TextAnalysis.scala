@@ -568,13 +568,13 @@ object TextAnalysis {
     * skew-split by AQE on stopword heads); selection is
     * TakeOrderedAndProject at depth k — no global sort. */
   def bigramPmi(documents: DataFrame, minCount: Long = 5L,
-      k: Int = 20): DataFrame = {
+      k: Int = 20, bigrams: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
     val toksD = documents.select(explode(tokens(col("text"))).as("w"))
     val uni = toksD.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val n1 = broadcast(uni.agg(sum(col("cw")).cast("long").as("n1")))
-    val bigD = documents
-      .select(explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+    val bigD = bigrams.map(_.select(col("b"))).getOrElse(documents
+      .select(explode(word_ngrams(normalize(col("text")), 2)).as("b")))
     val n2 = broadcast(bigD.agg(count(lit(1)).as("n2")))
     bigD
       .groupBy(col("b")).agg(count(lit(1)).as("cb"))
@@ -967,9 +967,10 @@ object TextAnalysis {
     * winsorize pattern — no global rank materializes. */
   def dsirWeights(documents: DataFrame,
       targetSources: Seq[String] = Seq("src0", "src1"),
-      nBuckets: Int = 4096, k: Int = 100): DataFrame = {
+      nBuckets: Int = 4096, k: Int = 100,
+      bigrams: Option[DataFrame] = None): DataFrame = {
     val scored = dsirScore(documents, dsirLogRatios(documents,
-      targetSources, nBuckets), nBuckets)
+      targetSources, nBuckets, bigrams), nBuckets, bigrams)
     val topk = broadcast(scored
       .orderBy(col("logratio_micro").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), lit(1L).as("selected")))
@@ -985,8 +986,8 @@ object TextAnalysis {
     * probed by scoring passes and streams). */
   def dsirLogRatios(documents: DataFrame,
       targetSources: Seq[String] = Seq("src0", "src1"),
-      nBuckets: Int = 4096): DataFrame = {
-    val tf = dsirTf(documents, nBuckets)
+      nBuckets: Int = 4096, bigrams: Option[DataFrame] = None): DataFrame = {
+    val tf = dsirTf(documents, nBuckets, bigrams)
     val targetIds = broadcast(
       documents.filter(col("source").isin(targetSources: _*))
         .select(col("doc_id")))
@@ -1010,8 +1011,8 @@ object TextAnalysis {
     * persisted) log-ratio table — stateless, broadcast-joined, the form
     * a streaming ingest scorer runs per batch. */
   def dsirScore(documents: DataFrame, logRatios: DataFrame,
-      nBuckets: Int = 4096): DataFrame = {
-    val weights = dsirTf(documents, nBuckets)
+      nBuckets: Int = 4096, bigrams: Option[DataFrame] = None): DataFrame = {
+    val weights = dsirTf(documents, nBuckets, bigrams)
       .join(broadcast(logRatios), "bk")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("lr_micro")).as("w"), sum(col("tf")).as("n"))
@@ -1022,12 +1023,13 @@ object TextAnalysis {
   }
 
   /** Shared hashed-bigram feature frame: (doc_id, bucket, tf). */
-  private def dsirTf(documents: DataFrame, nBuckets: Int): DataFrame = {
+  private def dsirTf(documents: DataFrame, nBuckets: Int,
+      bigrams: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableHash.h60
     import graft.functions.WordShingles.word_ngrams
-    documents
+    bigrams.getOrElse(documents
       .select(col("doc_id"),
-        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+        explode(word_ngrams(normalize(col("text")), 2)).as("b")))
       .select(col("doc_id"), pmod(h60(col("b")), lit(nBuckets.toLong)).as("bk"))
       .groupBy(col("doc_id"), col("bk"))
       .agg(count(lit(1)).as("tf"))
@@ -1057,14 +1059,16 @@ object TextAnalysis {
     * scan (codegen'd n-gram explode); the top-gram election is a
     * sort-free min(struct(-cnt, gram)) partial aggregate (skew-immune,
     * no window); per-doc joins are doc-cardinality. */
-  def gopherRepetition(documents: DataFrame): DataFrame = {
+  def gopherRepetition(documents: DataFrame,
+      bigrams: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
     val base = documents.select(col("doc_id"),
       normalize(col("text")).as("t"))
     val stats = base.select(col("doc_id"),
       length(col("t")).cast("long").as("n_chars"))
-    val top2 = base
-      .select(col("doc_id"), explode(word_ngrams(col("t"), 2)).as("b"))
+    val top2 = bigrams
+      .getOrElse(base
+        .select(col("doc_id"), explode(word_ngrams(col("t"), 2)).as("b")))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("cnt")).as("nc"), col("b").as("b"))).as("m"))
@@ -1110,9 +1114,14 @@ object TextAnalysis {
     * scan: explode distinct bigrams, broadcast-hash join against the
     * k-row vocabulary, per-doc count — no corpus-side shuffle except the
     * doc_id re-aggregation of hit counts. */
-  def lmCoverage(documents: DataFrame, vocabSize: Int = 500): DataFrame = {
-    val post = documents
-      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("b"))
+  def lmCoverage(documents: DataFrame, vocabSize: Int = 500,
+      bigrams: Option[DataFrame] = None): DataFrame = {
+    // distinct-per-doc bigrams; the shared occurrence prefix DERIVES
+    // this view (distinct commutes with the per-doc explode)
+    val post = bigrams
+      .map(_.select(col("doc_id"), col("b")).distinct())
+      .getOrElse(documents
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("b")))
     // df over per-doc DISTINCT bigrams = document frequency; ties at the
     // cutoff break by bigram string, so the vocabulary is deterministic
     val vocab = post.groupBy(col("b"))
@@ -1122,13 +1131,16 @@ object TextAnalysis {
       .select(col("b"))
     val hits = post.join(broadcast(vocab), "b")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val nBig = post.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"))
     documents
-      .select(col("doc_id"),
-        size(shingles(col("text"), 2)).cast("long").as("n_bigrams"))
+      .select(col("doc_id"))
+      .join(nBig, Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_bigrams"),
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_hits"), lit(0L)).as("n_in_ref"),
-        when(col("n_bigrams") > 0,
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
           round(coalesce(col("n_hits"), lit(0L)).cast("double") /
             col("n_bigrams").cast("double"), 6)).otherwise(0.0)
           .as("coverage6"))
@@ -1170,11 +1182,12 @@ object TextAnalysis {
     * grade hot bigrams skew the join; AQE skew-split handles the gated
     * scale, a df-cut on the LM table (universal bigrams carry ≈0
     * distinguishing signal) bounds it beyond. */
-  def lmPerplexity(documents: DataFrame): DataFrame = {
+  def lmPerplexity(documents: DataFrame,
+      bigrams: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
-    val big = documents
+    val big = bigrams.getOrElse(documents
       .select(col("doc_id"),
-        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+        explode(word_ngrams(normalize(col("text")), 2)).as("b")))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("tf"))
     val lm = big.groupBy(col("b")).agg(sum(col("tf")).as("cb"))
