@@ -163,6 +163,28 @@ object SparkEntry {
         b
       })
 
+  private val tokensMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, tok) word-token OCCURRENCE table tokenized ONCE per
+    * (SparkContext, corpus dir) and localCheckpointed — the unigram
+    * sibling of [[bigramsFor]], the family prefix under the vocabulary/
+    * richness/tf-idf consumers. Corpus-level, per-source (via a
+    * broadcast doc→source join) and per-doc census views all DERIVE
+    * from the occurrence table. */
+  private def tokensFor(s: SparkSession, dir: String): DataFrame =
+    tokensMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        import graft.functions.TextOps.tokens
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        t
+      })
+
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (Seq[(Long, String, Long)], DataFrame)]()
 
@@ -509,7 +531,8 @@ object SparkEntry {
     "vol_signature" -> ((s, dir) =>
       MarketStats.volSignature(Tables.events(s, dir))),
     "bigram_pmi" -> ((s, dir) => TextAnalysis.bigramPmi(
-      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)),
+      toks = Some(tokensFor(s, dir)))),
     "ret_acf" -> ((s, dir) =>
       MarketStats.retAcf(Tables.events(s, dir))),
     "hurst_rs" -> ((s, dir) =>
@@ -524,8 +547,8 @@ object SparkEntry {
       EventsOps.temporalCopresence(Tables.events(s, dir))),
     "user_type_gini" -> ((s, dir) =>
       EventsOps.userTypeGini(Tables.events(s, dir))),
-    "lexical_richness" -> ((s, dir) =>
-      TextAnalysis.lexicalRichness(Tables.documents(s, dir))),
+    "lexical_richness" -> ((s, dir) => TextAnalysis.lexicalRichness(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
     "anomaly_mad" -> ((s, dir) => EventsOps.anomalyMad(Tables.events(s, dir))),
     "rfm_segments" -> ((s, dir) => EventsOps.rfmSegments(Tables.events(s, dir))),
@@ -748,16 +771,16 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "quality_by_source" -> ((s, dir) =>
       TextAnalysis.qualityBySource(Tables.documents(s, dir))),
-    "vocab_growth" -> ((s, dir) =>
-      TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
+    "vocab_growth" -> ((s, dir) => TextAnalysis.vocabGrowth(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "ngram_growth" -> ((s, dir) =>
       TextAnalysis.ngramGrowth(Tables.documents(s, dir),
         postings = Some(postingsFor(s, dir)))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
-    "zipf_slope" -> ((s, dir) =>
-      TextAnalysis.zipfSlope(Tables.documents(s, dir))),
+    "zipf_slope" -> ((s, dir) => TextAnalysis.zipfSlope(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(Tables.documents(s, dir))),
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
@@ -789,19 +812,22 @@ object SparkEntry {
       TextAnalysis.bpeFertility(Tables.documents(s, dir), bpeFor(s, dir)._2)),
     "chunk_dedup" -> ((s, dir) => TextAnalysis.chunkDedup(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
-    "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(Tables.documents(s, dir))),
+    "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "bpe_pair_counts" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir))),
     "ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
-    "token_gini" -> ((s, dir) =>
-      TextAnalysis.tokenGini(Tables.documents(s, dir))),
-    "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(Tables.documents(s, dir))),
+    "token_gini" -> ((s, dir) => TextAnalysis.tokenGini(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+    "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(Tables.documents(s, dir))),
     "readability" -> ((s, dir) => TextAnalysis.readability(Tables.documents(s, dir))),
     "length_deciles" -> ((s, dir) => TextAnalysis.lengthDeciles(Tables.documents(s, dir))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(Tables.documents(s, dir))),
-    "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(Tables.documents(s, dir))),
+    "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(
+      Tables.documents(s, dir), toksIn = Some(tokensFor(s, dir)))),
     "temperature_mix" -> ((s, dir) => {
       import graft.operators.Sampling
       Sampling.temperatureMix(Tables.documents(s, dir))
@@ -815,8 +841,8 @@ object SparkEntry {
       graft.operators.Drift.valueDrift(Tables.events(s, dir))),
     "psi_drift" -> ((s, dir) =>
       graft.operators.Drift.psiDrift(Tables.events(s, dir))),
-    "source_kl" -> ((s, dir) =>
-      graft.operators.Drift.sourceKl(Tables.documents(s, dir))),
+    "source_kl" -> ((s, dir) => graft.operators.Drift.sourceKl(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "vocab_jaccard" -> ((s, dir) =>
       graft.operators.Drift.vocabJaccard(Tables.documents(s, dir))),
     "ks_drift" -> ((s, dir) =>

@@ -309,9 +309,15 @@ object Drift {
     * aggregate — bounded by sources × vocabulary, not corpus rows; the
     * per-token corpus totals re-aggregate THAT relation and join back
     * token-keyed; source totals and the corpus grand total broadcast. */
-  def sourceKl(documents: DataFrame): DataFrame = {
-    val cnt = documents
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+  def sourceKl(documents: DataFrame,
+      toks: Option[DataFrame] = None): DataFrame = {
+    // per-source view derives from the shared per-doc occurrence table
+    // via a broadcast doc->source join (doc-cardinality)
+    val cnt = toks.map(_.join(
+        broadcast(documents.select(col("doc_id"), col("source"))), "doc_id")
+        .select(col("source"), col("tok")))
+      .getOrElse(documents
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok")))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val srcTot = cnt.groupBy(col("source"))

@@ -121,9 +121,11 @@ object TextAnalysis {
     * cumulative windows run on the `checkpoints`-row relation. The
     * bucket ntile rides the doc-cardinality relation (the
     * length_deciles closed form applies beyond sortable doc counts). */
-  def vocabGrowth(documents: DataFrame, checkpoints: Int = 10): DataFrame =
+  def vocabGrowth(documents: DataFrame, checkpoints: Int = 10,
+      toks: Option[DataFrame] = None): DataFrame =
     growthCurve(documents,
-      documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok")),
+      toks.getOrElse(documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))),
       checkpoints)
 
   /** Trigram (shingle) growth curve — the dedup-saturation companion of
@@ -261,9 +263,15 @@ object TextAnalysis {
     * Shape at 100 TB: the (source, term) census is bounded by sources ×
     * vocabulary; the per-source top-`ranks` window runs on that bounded
     * relation; the regression aggregates `ranks` rows per source. */
-  def zipfSlope(documents: DataFrame, ranks: Int = 100): DataFrame = {
-    val cnt = documents
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+  def zipfSlope(documents: DataFrame, ranks: Int = 100,
+      toks: Option[DataFrame] = None): DataFrame = {
+    // per-source view DERIVES from the shared per-doc occurrences via a
+    // broadcast doc->source join (doc-cardinality, never token-sized)
+    val cnt = toks.map(_.join(
+        broadcast(documents.select(col("doc_id"), col("source"))), "doc_id")
+        .select(col("source"), col("tok")))
+      .getOrElse(documents
+        .select(col("source"), explode(tokens(col("text"))).as("tok")))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("source"))
@@ -568,9 +576,11 @@ object TextAnalysis {
     * skew-split by AQE on stopword heads); selection is
     * TakeOrderedAndProject at depth k — no global sort. */
   def bigramPmi(documents: DataFrame, minCount: Long = 5L,
-      k: Int = 20, bigrams: Option[DataFrame] = None): DataFrame = {
+      k: Int = 20, bigrams: Option[DataFrame] = None,
+      toks: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
-    val toksD = documents.select(explode(tokens(col("text"))).as("w"))
+    val toksD = toks.map(_.select(col("tok").as("w")))
+      .getOrElse(documents.select(explode(tokens(col("text"))).as("w")))
     val uni = toksD.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val n1 = broadcast(uni.agg(sum(col("cw")).cast("long").as("n1")))
     val bigD = bigrams.map(_.select(col("b"))).getOrElse(documents
@@ -672,9 +682,10 @@ object TextAnalysis {
     * aggregate (map-side combined on the token key — uniform, skew-free)
     * and the top-k is TakeOrderedAndProject at k rows, never a global
     * sort of the vocabulary. */
-  def vocabTopK(documents: DataFrame, k: Int = 50): DataFrame =
-    documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  def vocabTopK(documents: DataFrame, k: Int = 50,
+      toks: Option[DataFrame] = None): DataFrame =
+    toks.getOrElse(documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -846,9 +857,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  def tfidfTopTerm(documents: DataFrame): DataFrame = {
-    val tf = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+  def tfidfTopTerm(documents: DataFrame,
+      toks: Option[DataFrame] = None): DataFrame = {
+    val tf = toks
+      .map(_.select(col("doc_id"), col("tok").as("term")))
+      .getOrElse(documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val wTerm = Window.partitionBy(col("term"))
@@ -885,9 +899,11 @@ object TextAnalysis {
     * shared by the batch top-k audit and the streaming sketch maintainer
     * (cells are integer counts: merging per-batch cell tables by sum IS
     * the sketch merge, exactly). */
-  def cmsCells(documents: DataFrame, w: Int = 16384, d: Int = 4): DataFrame = {
+  def cmsCells(documents: DataFrame, w: Int = 16384, d: Int = 4,
+      toks: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableHash.{h60, MinhashP}
-    documents.select(explode(tokens(col("text"))).as("tok"))
+    toks.map(_.select(col("tok")))
+      .getOrElse(documents.select(explode(tokens(col("text"))).as("tok")))
       .select(pmod(h60(col("tok")), lit(MinhashP)).as("h1"))
       .select(explode(array((0 until d).map(i =>
         struct(lit(i).as("seed"), cmsPosOf(i, col("h1"), w).as("pos"))): _*)).as("c"))
@@ -896,11 +912,12 @@ object TextAnalysis {
   }
 
   def vocabCmsTopK(documents: DataFrame, k: Int = 50, w: Int = 16384,
-      d: Int = 4): DataFrame = {
+      d: Int = 4, toksIn: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableHash.{h60, MinhashP}
     def posOf(i: Int, h1: Column): Column = cmsPosOf(i, h1, w)
-    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
-    val cells = cmsCells(documents, w, d)
+    val toks = toksIn.map(_.select(col("tok")))
+      .getOrElse(documents.select(explode(tokens(col("text"))).as("tok")))
+    val cells = cmsCells(documents, w, d, toksIn)
     val top = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("tok"))
@@ -1226,9 +1243,10 @@ object TextAnalysis {
     * micro-int floor; token-less docs score 0 by convention. One
     * explode + (doc, token) count + per-doc fold — shingle-free, so
     * strictly cheaper than the n-gram family. */
-  def tokenGini(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  def tokenGini(documents: DataFrame,
+      toks: Option[DataFrame] = None): DataFrame =
+    toks.getOrElse(documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -1398,9 +1416,10 @@ object TextAnalysis {
     * prose keeps hapax mass). One (doc, token) census shuffle, then a
     * per-doc rollup; token-less docs emit zero counts and NULL ratios.
     * Token cardinality per doc bounds every group, so no skew. */
-  def lexicalRichness(documents: DataFrame): DataFrame = {
-    val census = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  def lexicalRichness(documents: DataFrame,
+      toks: Option[DataFrame] = None): DataFrame = {
+    val census = toks.getOrElse(documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

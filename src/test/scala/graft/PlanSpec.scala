@@ -160,10 +160,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("tfidf: ONE corpus scan — df rides a window, not a re-aggregated join") {
+    // the query now reads the memoized token prefix (a LogicalRDD
+    // checkpoint scan), so count BOTH scan shapes: exactly one total
+    // means df is window-formulated, never a join re-scan
     val p = SparkEntry.queries("tfidf_top_term")(spark, sf0001)
       .queryExecution.optimizedPlan.toString
-    assert(p.split("Relation \\[").length - 1 == 1,
-      "tfidf_top_term re-scans documents (join-formulated df)")
+    val scans = (p.split("Relation \\[").length - 1) +
+      (p.split("LogicalRDD \\[").length - 1)
+    assert(scans == 1,
+      s"tfidf_top_term re-scans documents (join-formulated df):\n$p")
   }
 
   test("q6: all three range predicates reach the parquet scan") {
