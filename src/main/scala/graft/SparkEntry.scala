@@ -714,6 +714,8 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
+    "ivf_purity" -> ((s, dir) =>
+      Similarity.ivfPurity(Tables.embeddings(s, dir), centroidsFor(s, dir))),
 
     // ── Deterministic sampling (training-data selection) ──
     "sample_hash" -> ((s, dir) => {
@@ -4313,6 +4315,30 @@ object SparkEntry {
         |  neighbor_label, round(cos, 6) AS cos6
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // label purity per write-time IVF cell, replayed from the SAME aux
+    // cell dump ann_ivf_topk verifies against; majority ties to the
+    // smallest label like the Spark min(struct) election
+    "ivf_purity" ->
+      """WITH cl AS (
+        |  SELECT c.c_id, e.label
+        |  FROM read_parquet('__AUX__/ivf_cells/*.parquet') c
+        |  JOIN embeddings e USING (vec_id)
+        |), cnts AS (
+        |  SELECT c_id, label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cl GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT c_id, CAST(sum(cnt) AS BIGINT) AS n_vecs
+        |  FROM cnts GROUP BY 1
+        |), maj AS (
+        |  SELECT c_id, label AS maj_label, cnt AS maj_cnt FROM (
+        |    SELECT c_id, label, cnt, row_number() OVER (
+        |      PARTITION BY c_id ORDER BY cnt DESC, label) AS rn
+        |    FROM cnts) WHERE rn = 1
+        |)
+        |SELECT c_id, n_vecs, maj_label, maj_cnt,
+        |  maj_cnt * 1000000 // n_vecs AS purity_micro
+        |FROM tot JOIN maj USING (c_id) ORDER BY c_id""".stripMargin,
 
     // IVF search replayed over the write-time index state (__AUX__ =
     // Verify's aux dump: the coarse quantizer and the cell-per-vector

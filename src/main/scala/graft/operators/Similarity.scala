@@ -272,6 +272,37 @@ object Similarity {
       kmeansCentroids(embeddings, nCentroids, kmeansIters, fitPermille),
       queryIds, k, nProbe)
 
+  /** Per-cell LABEL PURITY of the write-time IVF clustering — the
+    * clustering-quality audit an embedding pipeline reads before
+    * trusting the cells for ANN serving or stratified sampling: a cell
+    * whose members share a label is a coherent region; low-purity cells
+    * flag centroid starvation or an embedding space that doesn't
+    * separate the classes. Majority election is the sort-free
+    * min(struct(−cnt, label)) partial aggregate (ties to the smallest
+    * label — the [[gopherRepetition]] pattern); purity is the exact
+    * micro floor maj·10⁶ div n. One map-side centroid assignment
+    * (codegen'd [[graft.functions.NearestCentroid]], no shuffle of the
+    * vectors) feeding a cells × labels bounded aggregate — nothing
+    * data-sized after the scan at any corpus scale. The oracle replays
+    * the assignment from the SAME write-time cell dump the
+    * `ann_ivf_topk` gate uses. */
+  def ivfPurity(embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    embeddings
+      .select(col("label"),
+        nearest_centroid(col("embedding"), cents).as("c_id"))
+      .groupBy(col("c_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("c_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_vecs"),
+        min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+      .select(col("c_id"), col("n_vecs"), col("m.l").as("maj_label"),
+        (-col("m.nc")).as("maj_cnt"))
+      .withColumn("purity_micro", expr("maj_cnt * 1000000 div n_vecs"))
+      .orderBy(col("c_id"))
+  }
+
   /** The QUERY-TIME half of IVF search, over centroids trained at WRITE
     * time ([[kmeansCentroids]] / `store.EmbeddingStore`) — production
     * never re-clusters per query, so the serving path takes the trained

@@ -32,6 +32,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getInt(1)).toSeq == Seq(0, 0)) // anchor label carried
   }
 
+  test("ivfPurity: majority per cell, ties to the smallest label") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.8f, 0.2f), 1), // cell 0: labels 0,0,1 → maj 0, 2/3
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 2)
+      // cell 1: labels 1,2 tie → smallest label 1, purity 1/2
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.ivfPurity(vecs, cents).collect()
+      .map(x => x.getInt(0) ->
+        (x.getLong(1), x.getInt(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(0) == ((3L, 0, 2L, 666666L)))
+    assert(r(1) == ((2L, 1, 1L, 500000L)))
+  }
+
   test("knnClassify: majority vote, vote ties to the smallest label") {
     // query 0 (label 1): candidates 1,2 (label 1) and 3,4 (label 2) are
     // the 4 nearest, candidate 5 (label 3) the farthest — with k = 5 all
