@@ -410,4 +410,42 @@ class PropertySpec extends SparkSpec {
     }
     curve.foreach { case (_, t, v) => assert(v <= t) }
   }
+
+  test("round-6 microstructure invariants: volume conservation, ACF/purity bounds") {
+    import graft.operators.{MarketStats, Similarity}
+    import org.apache.spark.sql.functions.{col, get_json_object, sum => fsum}
+    val ev = Tables.events(spark, sf0001)
+    // VPIN buckets partition the tape: bucket volumes sum to the total
+    // traded size, buy + sell ≤ volume (sign-0 ticks are neither)
+    val buckets = MarketStats.vpinBuckets(ev).collect()
+    val totalVol = ev.select(fsum(
+      get_json_object(col("props"), "$.k").cast("long"))).head.getLong(0)
+    assert(buckets.map(_.getLong(4)).sum == totalVol)
+    buckets.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(4))
+      assert(r.isNullAt(6) || r.getLong(6) <= 1000000L) // |imb| ≤ vol
+    }
+    // ACF is a correlation: |ρ| ≤ 1 at every lag; pair counts shrink
+    // as the lag grows (observation lags eat the series head)
+    val acf = MarketStats.retAcf(ev).collect()
+    acf.foreach(r => assert(r.isNullAt(2) || math.abs(r.getDouble(2)) <= 1.0))
+    acf.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byLag = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      byLag.zip(byLag.tail).foreach { case (a, b) => assert(b <= a) }
+    }
+    // range volatility: lhl ≥ |lco| (the range bounds the open-close
+    // move), Parkinson ≥ 0
+    MarketStats.rangeVolatility(ev).collect().foreach { r =>
+      assert(r.getLong(3) >= math.abs(r.getLong(4)) - 1) // floor slack
+      assert(r.getLong(5) >= 0L)
+    }
+    // IVF purity: majority count ≤ cell size, purity in (0, 1e6]
+    val purity = Similarity.ivfPurity(Tables.embeddings(spark, sf0001),
+      Similarity.kmeansCentroids(Tables.embeddings(spark, sf0001))).collect()
+    assert(purity.nonEmpty)
+    purity.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(4) > 0L && r.getLong(4) <= 1000000L)
+    }
+  }
 }
