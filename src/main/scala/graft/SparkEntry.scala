@@ -543,6 +543,8 @@ object SparkEntry {
       EventsOps.trimmedMeanByType(Tables.events(s, dir))),
     "type_pair_lift" -> ((s, dir) =>
       EventsOps.typePairLift(Tables.events(s, dir))),
+    "user_communities" -> ((s, dir) =>
+      EventsOps.userCommunities(Tables.events(s, dir))),
     "temporal_copresence" -> ((s, dir) =>
       EventsOps.temporalCopresence(Tables.events(s, dir))),
     "user_type_gini" -> ((s, dir) =>
@@ -3645,6 +3647,36 @@ object SparkEntry {
 
     // time-bounded association numerator: distinct (user, window, type)
     // cells, window-local pair join, exact counts
+    // co-presence pair generator (hot cells above 20 users dropped,
+    // the df-cut pattern) + the dedup_groups recursive-CTE closure
+    "user_communities" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 600000000000 AS w, event_type
+        |  FROM events
+        |), keep AS (
+        |  SELECT w, event_type FROM cells
+        |  GROUP BY 1, 2 HAVING count(*) <= 20
+        |), bounded AS (
+        |  SELECT c.user_id, c.w, c.event_type
+        |  FROM cells c JOIN keep USING (w, event_type)
+        |), pairs AS (
+        |  SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b
+        |  FROM bounded a JOIN bounded b
+        |    ON a.w = b.w AND a.event_type = b.event_type
+        |    AND a.user_id < b.user_id
+        |), und AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+        |), members AS (SELECT DISTINCT a AS id FROM und)
+        |SELECT m.id AS user_id, least(m.id, min(r.dst)) AS community_id
+        |FROM members m JOIN reach r ON r.src = m.id
+        |GROUP BY m.id ORDER BY user_id""".stripMargin,
+
     "temporal_copresence" ->
       """WITH cells AS (
         |  SELECT DISTINCT user_id,

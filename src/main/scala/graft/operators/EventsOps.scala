@@ -364,6 +364,47 @@ object EventsOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Behavioral user COMMUNITIES: connected components over the
+    * co-presence graph — two users are linked when they acted in the
+    * same (window, event_type) cell, and communities are the transitive
+    * closure (the fraud-ring / bot-farm / shared-session structure
+    * [[temporalCopresence]]'s type-pair counts can't see; the entity-
+    * resolution shape applied to behavior instead of content). Reuses
+    * the dedup family's pointer-jumped min-label CC
+    * ([[Dedup.connectedComponents]]) on a different pair relation —
+    * the component machinery is generic, the GENERATOR is what changes.
+    *
+    * Scale guard: a cell self-join is quadratic in the cell's user
+    * count, and one viral window would blow it up — cells above
+    * `maxCell` distinct users are dropped from PAIRING (the df-cut /
+    * hot-shingle pattern: mass-event windows carry no linking signal,
+    * exactly like stopword shingles). Output: (user_id, community_id)
+    * for every user with at least one link — min member id labels the
+    * community, the dedup-groups convention. */
+  def userCommunities(events: DataFrame, windowSec: Long = 600L,
+      maxCell: Long = 20L): DataFrame = {
+    val cells = events
+      .select(col("user_id"),
+        expr(s"ts_ns div ${windowSec * 1000000000L}").as("w"),
+        col("event_type"))
+      .distinct()
+    val keep = cells.groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell)
+      .select(col("w"), col("event_type"))
+    val bounded = cells.join(keep, Seq("w", "event_type"))
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.w") === col("b.w") &&
+          col("a.event_type") === col("b.event_type") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("id_a"), col("b.user_id").as("id_b"))
+      .distinct()
+    graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("user_id"), col("rep_id").as("community_id"))
+      .orderBy(col("user_id"))
+  }
+
   /** Behavioral concentration per user: Gini impurity of the user's
     * event-type distribution — 0 for a single-type user, → 1−1/k for a
     * uniform k-type one (the bot-vs-browser dial). The identity

@@ -136,6 +136,23 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L))
   }
 
+  test("user communities: transitive closure over cells, hot cells dropped") {
+    val wNs = 600L * 1000000000L
+    val df = Seq(
+      // window 0 cell "a": users 1,2 linked; window 1 cell "a": users 2,3
+      // → {1,2,3} one community labeled by min id 1
+      (1L, "a", 0L), (2L, "a", 1000L),
+      (2L, "a", wNs + 1L), (3L, "a", wNs + 2L),
+      // users 10,11 share a cell → their own community
+      (10L, "b", 0L), (11L, "b", 5L),
+      // a HOT cell (3 users > maxCell=2) must link nobody
+      (20L, "c", 0L), (21L, "c", 1L), (22L, "c", 2L))
+      .toDF("user_id", "event_type", "ts_ns")
+    val got = EventsOps.userCommunities(df, maxCell = 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("user type gini: 0 single-type, 0.5 even split, exact micro floors") {
     val df = Seq(
       (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"), // one type → 0
