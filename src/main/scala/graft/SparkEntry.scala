@@ -537,6 +537,10 @@ object SparkEntry {
       MarketStats.retAcf(Tables.events(s, dir))),
     "hurst_rs" -> ((s, dir) =>
       MarketStats.hurstRs(Tables.events(s, dir))),
+    "theil_sen_trend" -> ((s, dir) =>
+      MarketStats.theilSenTrend(Tables.events(s, dir))),
+    "drawdown_durations" -> ((s, dir) =>
+      MarketStats.drawdownDurations(Tables.events(s, dir))),
     "lead_lag_corr" -> ((s, dir) =>
       MarketStats.leadLagCorr(Tables.events(s, dir))),
     "trimmed_mean" -> ((s, dir) =>
@@ -3463,6 +3467,77 @@ object SparkEntry {
         |      // sum(size) AS BIGINT) END AS imb_micro
         |FROM sgn GROUP BY event_type, cum_prev // 2000
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // pairwise day-close slopes (exact micro floors), discrete lower
+    // median picked by rank — a value that exists, integer-exact
+    "theil_sen_trend" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, day, cents FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1
+        |), slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(floor((b.cents - a.cents) * 1000000.0 /
+        |      (b.day - a.day)) AS BIGINT) AS slope_micro
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |), ranked AS (
+        |  SELECT event_type, slope_micro,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_micro) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM slopes
+        |)
+        |SELECT event_type, n AS n_pairs, slope_micro AS ts_slope_micro
+        |FROM ranked WHERE rn = (n + 1) // 2
+        |ORDER BY event_type""").stripMargin,
+
+    // strict-below-prior-peak flags, gaps-and-islands spell lengths
+    "drawdown_durations" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, day, cents FROM (
+        |    SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |      CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY event_type,
+        |        epoch_ns(ts) // 86400000000000
+        |        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1
+        |), f AS (
+        |  SELECT event_type, day, cents,
+        |    max(cents) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS peak,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily
+        |), g AS (
+        |  SELECT event_type, rn,
+        |    CASE WHEN peak IS NOT NULL AND cents < peak
+        |      THEN 1 ELSE 0 END AS uw,
+        |    sum(CASE WHEN peak IS NOT NULL AND cents < peak
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY event_type ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ru
+        |  FROM f
+        |), spells AS (
+        |  SELECT event_type, rn - ru AS island, count(*) AS len
+        |  FROM g WHERE uw = 1 GROUP BY event_type, rn - ru
+        |), tot AS (
+        |  SELECT event_type, CAST(sum(uw) AS BIGINT) AS underwater_days
+        |  FROM g GROUP BY 1
+        |), sp AS (
+        |  SELECT event_type, count(*) AS n_spells,
+        |    CAST(max(len) AS BIGINT) AS longest_spell
+        |  FROM spells GROUP BY 1
+        |)
+        |SELECT t.event_type, t.underwater_days,
+        |  coalesce(s.n_spells, 0) AS n_spells,
+        |  coalesce(s.longest_spell, 0) AS longest_spell
+        |FROM tot t LEFT JOIN sp s USING (event_type)
+        |ORDER BY event_type""").stripMargin,
 
     // observation-lag ACF via a row_number self-join — one exploded
     // relation serves all five lags; pearson per (type, lag)

@@ -1254,6 +1254,80 @@ object MarketStats {
       .orderBy(col("event_type"), col("block_n"))
   }
 
+  /** Theil–Sen robust trend per instrument — the median of all pairwise
+    * day-close slopes: the estimator a surveillance tier uses when a
+    * handful of fat-finger closes would drag OLS (breakdown point 29%
+    * vs OLS's zero). Slopes are exact micro floors
+    * ⌊(c_j − c_i)·10⁶ / (day_j − day_i)⌋ (double-floor exact at these
+    * magnitudes, negative-safe on both engines); the median is the
+    * DISCRETE lower median (element ⌈n/2⌉ in slope order — no
+    * interpolation, so the pick is a value that exists and the gate is
+    * integer-exact; documented convention, mirrored in the oracle).
+    *
+    * Shape: the O(days²) pair join runs on the day-cardinality close
+    * relation — 300 days → 45k pairs per instrument, bounded by the
+    * CALENDAR at any corpus size (ticks never pair). */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val daily = dailyCloses(events)
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("""CAST(floor((b.cents - a.cents) * 1000000.0 /
+          |  (b.day - a.day)) AS BIGINT)""".stripMargin).as("slope_micro"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope_micro"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        col("slope_micro").as("ts_slope_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Drawdown DURATION statistics per instrument — how LONG the
+    * instrument stays underwater, the dimension [[maxDrawdown]]'s depth
+    * number misses (a shallow two-year drawdown and a deep two-day one
+    * read very differently on a risk desk). A day is underwater when
+    * its close sits strictly below the running peak of all prior
+    * closes (observation days, the daily-series convention). Runs of
+    * consecutive underwater OBSERVATIONS are islands via the
+    * rn − rn_underwater gaps-and-islands identity — pure integer
+    * window arithmetic, no fold. Reports the number of drawdown
+    * spells, the longest spell, and total underwater days; instruments
+    * that never dip emit zeros.
+    *
+    * Shape: everything after the daily-close prefix is
+    * day-cardinality; both windows ride the per-instrument day sort. */
+  def drawdownDurations(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wPeak = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = dailyCloses(events)
+      .withColumn("peak", max(col("cents")).over(wPeak))
+      .withColumn("uw",
+        when(col("peak").isNotNull && col("cents") < col("peak"), 1L)
+          .otherwise(0L))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("ru", sum(col("uw")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spells = flagged
+      .where(col("uw") === 1L)
+      .withColumn("island", col("rn") - col("ru"))
+      .groupBy(col("event_type"), col("island"))
+      .agg(count(lit(1)).as("len"))
+    flagged.groupBy(col("event_type"))
+      .agg(sum(col("uw")).cast("long").as("underwater_days"))
+      .join(spells.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_spells"), max(col("len")).as("longest_spell")),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("underwater_days"),
+        coalesce(col("n_spells"), lit(0L)).as("n_spells"),
+        coalesce(col("longest_spell"), lit(0L)).as("longest_spell"))
+      .orderBy(col("event_type"))
+  }
+
   /** Roll's implied bid–ask spread per instrument — the classic
     * trades-only microstructure estimator: bid–ask bounce makes
     * consecutive price CHANGES negatively serially correlated, and

@@ -601,6 +601,32 @@ class MarketStatsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("theilSenTrend: discrete lower median of pairwise slopes") {
+    // closes 100, 200, 150 cents → slopes {1e8, 25e6, −50e6};
+    // sorted median (rn 2 of 3) = 25e6 — a value that exists
+    val day = 86400L * 1000000000L
+    val df = ticks(
+      (1L, 1000L, "a", 1.00, "{}"),
+      (2L, day + 1000L, "a", 2.00, "{}"),
+      (3L, 2 * day + 1000L, "a", 1.50, "{}"))
+    val r = MarketStats.theilSenTrend(df).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 3L &&
+      r(0).getLong(2) == 25000000L)
+  }
+
+  test("drawdownDurations: gaps-and-islands spells below the prior peak") {
+    val day = 86400L * 1000000000L
+    val closes = Seq(1.00, 0.90, 0.95, 1.20, 1.10, 1.05, 1.30)
+    val df = ticks(closes.zipWithIndex.map { case (v, i) =>
+      (i + 1L, i * day + 1000L, "a", v, "{}")
+    } :+ (100L, 1000L, "b", 1.00, "{}") :+ (101L, day + 1000L, "b", 1.10, "{}"): _*)
+    val r = MarketStats.drawdownDurations(df).orderBy("event_type").collect()
+    // a: underwater days {90,95},{110,105} → 4 days, 2 spells, longest 2
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3)) == (4L, 2L, 2L))
+    // b never dips → zeros
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3)) == (0L, 0L, 0L))
+  }
+
   test("rollSpread: pure bid-ask bounce recovers a positive spread") {
     // cents 100,102,100,102,100 → Δ = +2,−2,+2,−2; serial pairs n=3,
     // num = 3·(−12) − (−2)(+2) = −32 < 0 → 2·√(32/9) = 3.771236
