@@ -549,6 +549,10 @@ object SparkEntry {
       EventsOps.typePairLift(Tables.events(s, dir))),
     "user_communities" -> ((s, dir) =>
       EventsOps.userCommunities(Tables.events(s, dir))),
+    "session_stats" -> ((s, dir) =>
+      EventsOps.sessionStats(Tables.events(s, dir))),
+    "volume_hhi" -> ((s, dir) =>
+      EventsOps.volumeHhi(Tables.events(s, dir))),
     "temporal_copresence" -> ((s, dir) =>
       EventsOps.temporalCopresence(Tables.events(s, dir))),
     "user_type_gini" -> ((s, dir) =>
@@ -3751,6 +3755,60 @@ object SparkEntry {
         |SELECT m.id AS user_id, least(m.id, min(r.dst)) AS community_id
         |FROM members m JOIN reach r ON r.src = m.id
         |GROUP BY m.id ORDER BY user_id""".stripMargin,
+
+    // lag/cumsum session assembly on the (ts, event_id) order; entry =
+    // first event per session; exact micro ratios
+    "session_stats" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, event_type, event_id, us, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), per AS (
+        |  SELECT user_id, sid,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+        |    count(*) AS n_events
+        |  FROM (
+        |    SELECT user_id, sid, event_type, row_number() OVER (
+        |      PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+        |    FROM s) t
+        |  GROUP BY user_id, sid
+        |)
+        |SELECT entry_type, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bounce_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS bounce_micro,
+        |  CAST(sum(n_events) * 1000000 // count(*) AS BIGINT)
+        |    AS mean_events_micro
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-user volume shares squared on HUGEINT — no float shares summed
+    "volume_hhi" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, count(*) AS n_users,
+        |  CAST(sum(v) AS BIGINT) AS total_vol,
+        |  CASE WHEN sum(v) > 0 THEN
+        |    CAST((sum(CAST(v AS HUGEINT) * v) * 1000000)
+        |      // (CAST(sum(v) AS HUGEINT) * sum(v)) AS BIGINT) END
+        |    AS hhi_micro,
+        |  CASE WHEN sum(v) > 0 THEN
+        |    CAST((CAST(max(v) AS HUGEINT) * 1000000)
+        |      // CAST(sum(v) AS HUGEINT) AS BIGINT) END
+        |    AS top_share_micro
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "temporal_copresence" ->
       """WITH cells AS (

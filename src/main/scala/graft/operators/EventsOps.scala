@@ -364,6 +364,77 @@ object EventsOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Session depth / bounce statistics per ENTRY type — the product
+    * funnel's front door: of the sessions that started with X, how many
+    * bounced (single-event sessions) and how deep did the rest go. The
+    * session assembly is the lag/cumsum gap rule (30 min, the
+    * [[sessionize]] semantics) with the (ts, event_id) tick order so
+    * boundaries and the entry election are engine-deterministic; the
+    * entry event is a sort-free min_by over the session. Ratios are
+    * exact micro floors (nonnegative). One user-keyed shuffle; the
+    * rollup runs on the session-cardinality relation. */
+  def sessionStats(events: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(wOrd).isNull ||
+          col("us") - lag(col("us"), 1).over(wOrd) >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+    sess
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min_by(col("event_type"),
+        struct(col("us"), col("event_id"))).as("entry_type"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .cast("long").as("bounce_sessions"),
+        sum(col("n_events")).cast("long").as("total_events"))
+      .select(col("entry_type"), col("n_sessions"), col("bounce_sessions"),
+        expr("bounce_sessions * 1000000 div n_sessions").as("bounce_micro"),
+        expr("total_events * 1000000 div n_sessions")
+          .as("mean_events_micro"))
+      .orderBy(col("entry_type"))
+  }
+
+  /** Volume CONCENTRATION per instrument — Herfindahl–Hirschman index
+    * of each user's share of traded size, plus the top trader's share:
+    * the wash-trading / dominant-account surveillance dial (HHI → 10⁶
+    * means one account IS the market; 10⁶/n means perfectly spread).
+    * HHI·10⁶ = Σv_u²·10⁶ div V² on exact DECIMAL/HUGEINT — no float
+    * shares are ever summed. Two hash aggregates, both on keys bounded
+    * by (instrument × users) then instruments. */
+  def volumeHhi(events: DataFrame): DataFrame = {
+    val per = events
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("size"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("size")).cast("long").as("v"))
+    per.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("tot"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+          col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("ssq"),
+        max(col("v")).as("maxv"))
+      .select(col("event_type"), col("n_users"),
+        col("tot").cast("long").as("total_vol"),
+        when(col("tot") > 0,
+          expr("CAST((ssq * 1000000) div (tot * tot) AS BIGINT)"))
+          .as("hhi_micro"),
+        when(col("tot") > 0,
+          expr("CAST((maxv * 1000000) div tot AS BIGINT)"))
+          .as("top_share_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** Behavioral user COMMUNITIES: connected components over the
     * co-presence graph — two users are linked when they acted in the
     * same (window, event_type) cell, and communities are the transitive

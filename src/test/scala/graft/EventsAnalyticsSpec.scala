@@ -153,6 +153,39 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("sessionStats: entry election, bounce and depth per entry type") {
+    val us = 1000000L
+    val df = Seq(
+      // u1 session 1: view → click (depth 2, entry view)
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 60L * us),
+      // u1 session 2 after a 31-min gap: single view → bounce
+      (3L, 1L, "view", (60L + 31L * 60L) * us),
+      // u2: single click session → bounce, entry click
+      (4L, 2L, "click", 0L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"))
+    val got = EventsOps.sessionStats(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("view") == ((2L, 1L, 500000L, 1500000L)))
+    assert(got("click") == ((1L, 1L, 1000000L, 1000000L)))
+  }
+
+  test("volumeHhi: one dominant account vs an even split") {
+    val df = Seq(
+      // type a: one user trades everything → HHI = 1e6, top share 1e6
+      (1L, 1L, "a", """{"k": 10}"""), (2L, 1L, "a", """{"k": 30}"""),
+      // type b: 2 users at 20/20 → HHI = 0.5, top share 0.5
+      (3L, 2L, "b", """{"k": 20}"""), (4L, 3L, "b", """{"k": 20}"""))
+      .toDF("event_id", "user_id", "event_type", "props")
+    val got = EventsOps.volumeHhi(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((1L, 40L, 1000000L, 1000000L)))
+    assert(got("b") == ((2L, 40L, 500000L, 500000L)))
+  }
+
   test("user type gini: 0 single-type, 0.5 even split, exact micro floors") {
     val df = Seq(
       (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"), // one type → 0
