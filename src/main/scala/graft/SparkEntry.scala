@@ -541,6 +541,8 @@ object SparkEntry {
       MarketStats.theilSenTrend(Tables.events(s, dir))),
     "drawdown_durations" -> ((s, dir) =>
       MarketStats.drawdownDurations(Tables.events(s, dir))),
+    "markout_curve" -> ((s, dir) =>
+      MarketStats.markoutCurve(Tables.events(s, dir))),
     "lead_lag_corr" -> ((s, dir) =>
       MarketStats.leadLagCorr(Tables.events(s, dir))),
     "trimmed_mean" -> ((s, dir) =>
@@ -2563,6 +2565,46 @@ object SparkEntry {
 
     // forward as-of shifted by the horizon: future price = first tick of
     // the same instrument at or after t+30s; exact integer cents
+    // tick-rule-signed markouts at four horizons off one signed pass +
+    // one native forward ASOF per probe row; toward-zero integral mean
+    "markout_curve" ->
+      """WITH t AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), sg AS (
+        |  SELECT event_type, ts, event_id, cents,
+        |    coalesce(last_value(CASE WHEN d > 0 THEN 1
+        |        WHEN d < 0 THEN -1 END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sign
+        |  FROM (
+        |    SELECT *, cents - lag(cents) OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS d
+        |    FROM t)
+        |), h AS (
+        |  SELECT CAST(unnest([1, 5, 30, 120]) AS BIGINT) AS horizon_sec
+        |), q AS (
+        |  SELECT sg.event_type, sg.cents, sg.sign, h.horizon_sec,
+        |    sg.ts + to_microseconds(h.horizon_sec * 1000000) AS qts
+        |  FROM sg CROSS JOIN h
+        |), j AS (
+        |  SELECT q.event_type, q.horizon_sec, q.sign,
+        |    f.cents - q.cents AS m
+        |  FROM q ASOF LEFT JOIN t f
+        |    ON q.event_type = f.event_type AND f.ts >= q.qts
+        |)
+        |SELECT event_type, horizon_sec, count(m) AS n_marked,
+        |  CAST(coalesce(sum(CASE WHEN m IS NOT NULL
+        |    THEN CAST(sign AS HUGEINT) * m END), 0) AS BIGINT)
+        |    AS signed_sum_cents,
+        |  CASE WHEN count(m) > 0 THEN
+        |    CAST((coalesce(sum(CASE WHEN m IS NOT NULL
+        |      THEN CAST(sign AS HUGEINT) * m END), 0) * 1000000)
+        |      // count(m) AS BIGINT) END AS mean_signed_micro
+        |FROM j GROUP BY event_type, horizon_sec
+        |ORDER BY event_type, horizon_sec""".stripMargin,
+
     "markout_30s" ->
       """WITH t AS (
         |  SELECT event_type, ts, event_id,

@@ -563,6 +563,59 @@ object MarketStats {
       .orderBy(col("event_id"))
   }
 
+  /** Price-impact DECAY curve per instrument — the tick-rule-signed
+    * mean markout at several horizons from one scan: E[sign·(p_{t+h} −
+    * p_t)] as h grows is the standard informed-flow read (a curve that
+    * starts positive and decays to zero = transient impact / bounce; a
+    * curve that grows = flow keeps predicting price, the adverse-
+    * selection signature [[markout]]'s single horizon can't show).
+    *
+    * One signed pass (the [[vpinBuckets]] tick-rule inheritance), the
+    * horizon list EXPLODED into the probe side (the [[volSignature]]
+    * one-scan lesson), and ONE forward as-of pass serves every
+    * (tick, horizon) probe — |horizons| separate joins would rescan
+    * the tape. Sums are exact signed cents; the mean is an integral
+    * division truncated TOWARD ZERO on both engines (negative means
+    * possible — verified Spark `div` ≡ DuckDB `//`). Ticks with no
+    * future at the horizon drop out of n_marked.
+    *
+    * Shape: one shuffle on instrument for the sign pass, one for the
+    * union-window as-of (both data-sized but linear); the rollup is
+    * instruments × horizons. */
+  def markoutCurve(events: DataFrame,
+      horizons: Seq[Long] = Seq(1L, 5L, 30L, 120L)): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.select(col("event_type"), col("event_id"),
+      expr("ts_ns div 1000").as("tus"),
+      expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
+    val signed = base
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(wOrd))
+      .withColumn("sign", coalesce(
+        last(when(col("d") > 0, 1L).when(col("d") < 0, -1L),
+          ignoreNulls = true).over(wRun), lit(0L)))
+      .drop("d")
+    val left = signed
+      .withColumn("horizon_sec", explode(array(horizons.map(lit(_)): _*)))
+      .withColumn("qus", col("tus") + col("horizon_sec") * 1000000L)
+    val ticks = base.select(col("event_type"), col("tus").as("ftus"),
+      col("cents").as("fcents"))
+    AsOfJoin.asOfForward(left, ticks, "event_type", "qus", "ftus",
+      "fcents", "future_cents")
+      .withColumn("m", col("future_cents") - col("cents"))
+      .groupBy(col("event_type"), col("horizon_sec"))
+      .agg(count(col("m")).as("n_marked"),
+        sum(when(col("m").isNotNull, col("sign") * col("m")))
+          .cast("long").as("signed_sum_cents"))
+      .select(col("event_type"), col("horizon_sec"), col("n_marked"),
+        coalesce(col("signed_sum_cents"), lit(0L)).as("signed_sum_cents"),
+        when(col("n_marked") > 0,
+          expr("(signed_sum_cents * 1000000) div n_marked"))
+          .as("mean_signed_micro"))
+      .orderBy(col("event_type"), col("horizon_sec"))
+  }
+
   /** Deterministic (event_type, day, close-in-cents) daily close series —
     * the shared prefix of [[dailyCloseReturns]], [[rsi]], and
     * [[amihudIlliquidity]]: last tick of each day by (ts_ns, event_id). */

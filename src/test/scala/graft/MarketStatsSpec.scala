@@ -601,6 +601,23 @@ class MarketStatsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("markoutCurve: signed markouts per horizon, toward-zero mean") {
+    val s = 1000000000L
+    val df = ticks(
+      (1L, 0L, "a", 1.00, "{}"),       // sign 0
+      (2L, 2L * s, "a", 1.10, "{}"),   // up-tick +1
+      (3L, 10L * s, "a", 1.05, "{}"))  // down-tick −1, no future
+    val r = MarketStats.markoutCurve(df, horizons = Seq(1L, 5L))
+      .orderBy("horizon_sec").collect()
+    // h=1: tick1→110 (sign 0 ⇒ 0), tick2→105 (+1·−5), tick3 unmarked
+    //   → n 2, sum −5, mean trunc(−2.5e6) = −2500000
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) == (1L, 2L, -5L, -2500000L))
+    // h=5: tick1→105 (0), tick2→105 (−5) → same aggregate
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3),
+      r(1).getLong(4)) == (5L, 2L, -5L, -2500000L))
+  }
+
   test("theilSenTrend: discrete lower median of pairwise slopes") {
     // closes 100, 200, 150 cents → slopes {1e8, 25e6, −50e6};
     // sorted median (rn 2 of 3) = 25e6 — a value that exists
