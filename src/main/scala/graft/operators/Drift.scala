@@ -312,9 +312,11 @@ object Drift {
   def sourceKl(documents: DataFrame,
       toks: Option[DataFrame] = None): DataFrame = {
     // per-source view derives from the shared per-doc occurrence table
-    // via a broadcast doc->source join (doc-cardinality)
+    // via a doc->source join (doc-cardinality; size-based planning
+    // broadcasts while it fits — no forced broadcast, which would cap
+    // out at corpus scale)
     val cnt = toks.map(_.join(
-        broadcast(documents.select(col("doc_id"), col("source"))), "doc_id")
+        documents.select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"), col("tok")))
       .getOrElse(documents
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok")))

@@ -429,8 +429,9 @@ object EventsOps {
         when(col("tot") > 0,
           expr("CAST((ssq * 1000000) div (tot * tot) AS BIGINT)"))
           .as("hhi_micro"),
-        when(col("tot") > 0,
-          expr("CAST((maxv * 1000000) div tot AS BIGINT)"))
+        when(col("tot") > 0, expr(
+          """CAST((CAST(maxv AS DECIMAL(38,0)) * 1000000) div tot
+            | AS BIGINT)""".stripMargin))
           .as("top_share_micro"))
       .orderBy(col("event_type"))
   }

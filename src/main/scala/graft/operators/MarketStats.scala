@@ -605,13 +605,17 @@ object MarketStats {
       "fcents", "future_cents")
       .withColumn("m", col("future_cents") - col("cents"))
       .groupBy(col("event_type"), col("horizon_sec"))
+      // sum in DECIMAL like rollSpread/volSignature — a plain Long sum
+      // wraps silently at corpus scale while the oracle's HUGEINT stays
+      // exact
       .agg(count(col("m")).as("n_marked"),
-        sum(when(col("m").isNotNull, col("sign") * col("m")))
-          .cast("long").as("signed_sum_cents"))
+        sum(when(col("m").isNotNull,
+          (col("sign") * col("m")).cast(DecimalType(19, 0))))
+          .cast(DecimalType(38, 0)).as("ssd"))
       .select(col("event_type"), col("horizon_sec"), col("n_marked"),
-        coalesce(col("signed_sum_cents"), lit(0L)).as("signed_sum_cents"),
+        coalesce(col("ssd").cast("long"), lit(0L)).as("signed_sum_cents"),
         when(col("n_marked") > 0,
-          expr("(signed_sum_cents * 1000000) div n_marked"))
+          expr("CAST((ssd * 1000000) div n_marked AS BIGINT)"))
           .as("mean_signed_micro"))
       .orderBy(col("event_type"), col("horizon_sec"))
   }

@@ -266,9 +266,11 @@ object TextAnalysis {
   def zipfSlope(documents: DataFrame, ranks: Int = 100,
       toks: Option[DataFrame] = None): DataFrame = {
     // per-source view DERIVES from the shared per-doc occurrences via a
-    // broadcast doc->source join (doc-cardinality, never token-sized)
+    // doc->source join (doc-cardinality, never token-sized; size-based
+    // planning broadcasts it while it fits and shuffles beyond — a
+    // forced broadcast would hit the 8 GB cap at corpus scale)
     val cnt = toks.map(_.join(
-        broadcast(documents.select(col("doc_id"), col("source"))), "doc_id")
+        documents.select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"), col("tok")))
       .getOrElse(documents
         .select(col("source"), explode(tokens(col("text"))).as("tok")))
@@ -552,8 +554,9 @@ object TextAnalysis {
         sum(col("n_bpe")).cast("long").as("bpe_tokens"))
       .select(col("source"), col("n_docs"), col("raw_tokens"),
         col("bpe_tokens"),
-        when(col("raw_tokens") > 0,
-          expr("bpe_tokens * 1000000 div raw_tokens"))
+        when(col("raw_tokens") > 0, expr(
+          """CAST((CAST(bpe_tokens AS DECIMAL(38,0)) * 1000000)
+            | div raw_tokens AS BIGINT)""".stripMargin))
           .otherwise(lit(0L)).as("tokens_per_word_micro"))
       .orderBy(col("source"))
   }

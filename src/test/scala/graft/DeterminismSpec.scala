@@ -71,7 +71,10 @@ class DeterminismSpec extends SparkSpec {
       MarketStats.rollSpread(df).collect().toSeq,
       MarketStats.volSignature(df).collect().toSeq,
       MarketStats.retAcf(df).collect().toSeq,
-      MarketStats.hurstRs(df).collect().toSeq)
+      MarketStats.hurstRs(df).collect().toSeq,
+      MarketStats.markoutCurve(df).collect().toSeq,
+      MarketStats.theilSenTrend(df).collect().toSeq,
+      MarketStats.drawdownDurations(df).collect().toSeq)
     assert(run(ev) == run(ev.repartition(19)))
   }
 
