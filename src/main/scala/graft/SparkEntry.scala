@@ -638,6 +638,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     },
     "asof_last_purchase" -> ((s, dir) => AsOfJoin.lastPurchaseBefore(Tables.events(s, dir))),
+    // the same semantics through the NATIVE sort-merge operator
+    // (logical node + strategy + SparkPlan — plans.AsOfJoinPhysical)
+    "asof_exec" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.plans.AsOfJoinPhysical.asOf(
+        ev.select(col("event_id"), col("user_id"), col("ts")), purchases,
+        "user_id", "ts", "ts", "purchase_id", "last_purchase_id")
+        .select(col("event_id"), col("user_id"), col("last_purchase_id"))
+        .orderBy(col("event_id"))
+    },
     "asof_within" -> ((s, dir) => AsOfJoin.lastPurchaseWithin(Tables.events(s, dir))),
     "asof_next_purchase" -> ((s, dir) => AsOfJoin.nextPurchaseAfter(Tables.events(s, dir))),
     "asof_interpolated" -> ((s, dir) => AsOfJoin.asOfInterpolated(Tables.events(s, dir))),
@@ -3948,6 +3961,19 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id
         |ORDER BY p.event_id""".stripMargin,
+
+    // identical oracle to asof_last_purchase: the native exec must
+    // reproduce the declarative operator's answer bit-for-bit
+    "asof_exec" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, p.purchase_id AS last_purchase_id
+        |FROM events e
+        |ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "asof_last_purchase" ->
       """WITH purchases AS (
