@@ -741,6 +741,10 @@ object SparkEntry {
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "ivf_purity" -> ((s, dir) =>
       Similarity.ivfPurity(Tables.embeddings(s, dir), centroidsFor(s, dir))),
+    "rnn_pairs" -> ((s, dir) =>
+      Similarity.mutualKnn(Tables.embeddings(s, dir))),
+    "mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir))),
 
     // ── Deterministic sampling (training-data selection) ──
     "sample_hash" -> ((s, dir) => {
@@ -767,6 +771,12 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.prioritySample(Tables.documents(s, dir), k = 100)
     }),
+    "shard_balance" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.shardBalance(Tables.documents(s, dir))
+    }),
+    "k_anonymity" -> ((s, dir) =>
+      TextAnalysis.kAnonymity(Tables.documents(s, dir))),
     // bounded-heap per-group top-k (custom TypedImperativeAggregate) —
     // the window-sort-free form of "top 3 docs per source"
     "group_topk" -> ((s, dir) => {
@@ -4549,6 +4559,127 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // reciprocal-kNN pair mining: the ann_topk scorer in BOTH
+    // directions, pairs kept only when each side is inside the other's
+    // top-5 (a < b emits each pair once)
+    "rnn_pairs" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS cand_id, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT src, cand_id, dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = src
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), ranked AS (
+        |  SELECT src, cand_id, cos, rank FROM (
+        |    SELECT src, cand_id, cos, row_number() OVER (
+        |      PARTITION BY src ORDER BY cos DESC, cand_id) AS rank
+        |    FROM sims) t WHERE rank <= 5
+        |)
+        |SELECT x.src AS a, x.cand_id AS b, x.rank AS rank_ab,
+        |  y.rank AS rank_ba, round(x.cos, 6) AS cos6
+        |FROM ranked x JOIN ranked y
+        |  ON y.src = x.cand_id AND y.cand_id = x.src AND x.src < x.cand_id
+        |ORDER BY a, b""".stripMargin,
+
+    // MMR diversified re-rank: top-20 candidate cut, then the greedy
+    // λ=0.7 selection unrolled five steps — every score is the exact
+    // integer 7·rel_micro − 3·maxsim_micro on micro-FLOORED cosines,
+    // ties to the smallest vec_id, empty-set maxsim = 0
+    "mmr_rerank" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), qd AS (
+        |  SELECT b.vec_id, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |  WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |  GROUP BY 1
+        |), scored AS (
+        |  SELECT q.vec_id,
+        |    CASE WHEN na.nrm * nb.nrm <> 0
+        |      THEN q.dot/(na.nrm*nb.nrm) ELSE 0 END AS cos
+        |  FROM qd q
+        |  JOIN norms na ON na.vec_id = 0
+        |  JOIN norms nb ON nb.vec_id = q.vec_id
+        |), cand AS (
+        |  SELECT vec_id, CAST(floor(cos * 1000000) AS BIGINT) AS rel
+        |  FROM scored ORDER BY cos DESC, vec_id LIMIT 20
+        |), pdots AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j, sum(a.x*b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+        |    AND b.vec_id IN (SELECT vec_id FROM cand)
+        |    AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2
+        |), psim AS (
+        |  SELECT i, j, CAST(floor(
+        |    CASE WHEN na.nrm * nb.nrm <> 0
+        |      THEN dot/(na.nrm*nb.nrm) ELSE 0 END * 1000000) AS BIGINT)
+        |    AS sim
+        |  FROM pdots
+        |  JOIN norms na ON na.vec_id = i
+        |  JOIN norms nb ON nb.vec_id = j
+        |), s1 AS (
+        |  SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+        |    7*rel AS score
+        |  FROM cand ORDER BY 7*rel DESC, vec_id LIMIT 1
+        |), s2 AS (
+        |  SELECT c.vec_id, c.rel, m.maxsim, 7*c.rel - 3*m.maxsim AS score
+        |  FROM cand c JOIN (
+        |    SELECT p.i AS vec_id, max(p.sim) AS maxsim FROM psim p
+        |    WHERE p.j IN (SELECT vec_id FROM s1) GROUP BY 1) m
+        |    USING (vec_id)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |), sel2 AS (
+        |  SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+        |), s3 AS (
+        |  SELECT c.vec_id, c.rel, m.maxsim, 7*c.rel - 3*m.maxsim AS score
+        |  FROM cand c JOIN (
+        |    SELECT p.i AS vec_id, max(p.sim) AS maxsim FROM psim p
+        |    WHERE p.j IN (SELECT vec_id FROM sel2) GROUP BY 1) m
+        |    USING (vec_id)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |), sel3 AS (
+        |  SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3
+        |), s4 AS (
+        |  SELECT c.vec_id, c.rel, m.maxsim, 7*c.rel - 3*m.maxsim AS score
+        |  FROM cand c JOIN (
+        |    SELECT p.i AS vec_id, max(p.sim) AS maxsim FROM psim p
+        |    WHERE p.j IN (SELECT vec_id FROM sel3) GROUP BY 1) m
+        |    USING (vec_id)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |), sel4 AS (
+        |  SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4
+        |), s5 AS (
+        |  SELECT c.vec_id, c.rel, m.maxsim, 7*c.rel - 3*m.maxsim AS score
+        |  FROM cand c JOIN (
+        |    SELECT p.i AS vec_id, max(p.sim) AS maxsim FROM psim p
+        |    WHERE p.j IN (SELECT vec_id FROM sel4) GROUP BY 1) m
+        |    USING (vec_id)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+        |  ORDER BY score DESC, c.vec_id LIMIT 1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS step, vec_id, rel AS rel_micro,
+        |  maxsim AS maxsim_micro, score AS mmr_scaled FROM s1
+        |UNION ALL SELECT 2, vec_id, rel, maxsim, score FROM s2
+        |UNION ALL SELECT 3, vec_id, rel, maxsim, score FROM s3
+        |UNION ALL SELECT 4, vec_id, rel, maxsim, score FROM s4
+        |UNION ALL SELECT 5, vec_id, rel, maxsim, score FROM s5
+        |ORDER BY step""".stripMargin,
+
     // label purity per write-time IVF cell, replayed from the SAME aux
     // cell dump ann_ivf_topk verifies against; majority ties to the
     // smallest label like the Spark min(struct) election
@@ -4657,6 +4788,30 @@ object SparkEntry {
         |WHERE n_chars > 0
         |ORDER BY priority, doc_id
         |LIMIT 100""".stripMargin,
+
+    // Same h60 shard formula as sample_hash, so the layout is
+    // engine-identical; integer sums cast off HUGEINT.
+    "shard_balance" ->
+      """SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16
+        |      AS shard
+        |  FROM documents) t
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    // quasi-identifier = (source, lang, integer length bucket); groups
+    // under k = 5 are the re-identification handles
+    "k_anonymity" ->
+      """SELECT source, lang, n_chars // 500 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS group_n,
+        |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // The bounded-heap aggregate is exact, so the oracle is the window
     // form it replaces at scale.

@@ -258,4 +258,27 @@ object Sampling {
         least(col("n_tokens"),
           (col("s") + 1) * budgetTokens - col("tokens_before")).as("end_tok"))
       .orderBy(col("doc_id"), col("seq_id"))
+
+  /** Deterministic shard assignment + balance audit — the write-path
+    * planning read before materializing training shards: every doc maps
+    * to shard = h60(doc_id) mod `nShards` (the same portable hash as
+    * [[hashSample]], so the layout is reproducible on any engine and
+    * stable across reruns — no round-robin, no RNG), and the report is
+    * one row per shard with its doc count, character mass, and id range.
+    * A skewed `chars` column here means skewed training files; the fix
+    * is more shards or a composite key, both re-auditable with this same
+    * query. Map-side hash + one shard-cardinality aggregate — nothing
+    * data-sized crosses the shuffle at any corpus scale. */
+  def shardBalance(documents: DataFrame, nShards: Int = 16): DataFrame = {
+    import graft.functions.PortableHash.h60
+    documents
+      .select(col("doc_id"), col("n_chars"),
+        pmod(h60(col("doc_id").cast("string")), lit(nShards.toLong))
+          .as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
 }

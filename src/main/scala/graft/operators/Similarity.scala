@@ -597,4 +597,123 @@ object Similarity {
             "abs(CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs, 0) AS BIGINT)))"))
           .otherwise(0L).as("q_l1"))
       .orderBy(col("vec_id"))
+
+  /** Reciprocal-kNN (mutual nearest neighbor) pair mining — the
+    * high-precision near-duplicate / paraphrase miner: an unordered pair
+    * (a, b) survives only when EACH side ranks the other inside its own
+    * cosine top-`k`. One-directional kNN edges are mostly hub noise (a
+    * generic centroid-ish vector is "near" everything); requiring
+    * reciprocity is the classic precision filter (RNN pairs are what
+    * SemDeDup-style pipelines trust enough to delete against). Scoring,
+    * rank order (cos desc, vec_id tiebreak) and the zero-norm guard are
+    * exactly [[annBruteForce]]'s; the directed top-k relation (≤ N·k
+    * rows) is localCheckpoint'ed so the reciprocity self-join doesn't
+    * re-derive the scorer, and each surviving pair is emitted once
+    * (a < b) with both ranks.
+    *
+    * Scale shape: the all-pairs scorer is the oracle-exact baseline; at
+    * 100 TB the directed relation comes from the banded-LSH / IVF
+    * retrievers instead ([[annLsh]] / [[annIvfWith]] — the rank list is
+    * the interface, as with hybridRrf), and the reciprocity join is
+    * then bounded by candidates, never the corpus square. */
+  def mutualKnn(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val right = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val denom = col("nrm") * col("c_nrm")
+    val directed = corpus.crossJoin(right)
+      .filter(col("vec_id") =!= col("cand_id"))
+      .select(col("vec_id").as("src"), col("cand_id"),
+        when(denom =!= 0.0, dot(col("embedding"), col("c_emb")) / denom)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("cand_id"), col("rank"), col("cos"))
+      .localCheckpoint()
+    directed.as("x")
+      .join(directed.as("y"),
+        col("x.src") === col("y.cand_id") &&
+          col("x.cand_id") === col("y.src") &&
+          col("x.src") < col("x.cand_id"))
+      .select(col("x.src").as("a"), col("x.cand_id").as("b"),
+        col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"),
+        round(col("x.cos"), 6).as("cos6"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of
+    * the brute-force top-`n` candidates for one query vector — the
+    * diversity pass a retrieval pipeline runs between ANN and the
+    * consumer: pure cosine top-k hands back near-duplicates of the best
+    * hit; MMR greedily picks argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s),
+    * trading relevance against redundancy with what's already selected.
+    *
+    * Determinism: relevance and pairwise similarity are micro-FLOORED to
+    * BIGINTs first (floor is portable on both engines for either sign),
+    * and with λ = 0.7 the greedy criterion is the exact integer
+    * 7·rel_micro − 3·maxsim_micro (×10 scale — no division anywhere);
+    * ties break to the smallest vec_id; the empty-set max is 0 (the
+    * textbook convention), so step 1 is the pure-relevance pick.
+    *
+    * Scale shape: the corpus-sized work is the ONE scan that scores and
+    * cuts to `n` candidates (TakeOrdered semantics via the rank window —
+    * at 100 TB the IVF/LSH retrievers substitute, as with ann_topk); the
+    * greedy loop then runs on the constant-size candidate window — k·n²
+    * integer ops independent of corpus size, driver-resident by the same
+    * "queries × centroids is driver-sized by definition" argument as the
+    * IVF probe selection. Output: one row per selection step with the
+    * audit trail (relevance, redundancy, combined score). */
+  def mmrRerank(embeddings: DataFrame, queryId: Long = 0L, n: Int = 20,
+      k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = broadcast(corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+    val denom = col("nrm") * col("q_nrm")
+    // distributed half: score the corpus, cut to the top-n candidate
+    // window with TakeOrderedAndProject (orderBy+limit — never a global
+    // sort, never a single-partition window)
+    val cands = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"),
+        when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
+          .otherwise(0.0).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(n)
+      .select(col("vec_id"), col("embedding"),
+        floor(col("cos") * lit(1e6)).cast("long").as("rel_micro"))
+      .collect()
+    val ids = cands.map(_.getLong(0))
+    val rel = cands.map(_.getLong(2))
+    val vecs = cands.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val nrms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    def simMicro(i: Int, j: Int): Long = {
+      val d = nrms(i) * nrms(j)
+      val c = if (d != 0.0) vecs(i).zip(vecs(j)).map(p => p._1 * p._2).sum / d
+        else 0.0
+      math.floor(c * 1e6).toLong
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    for (step <- 1 to math.min(k, cands.length)) {
+      val best = cands.indices
+        .filterNot(selected.contains)
+        .map { i =>
+          val maxsim =
+            if (selected.isEmpty) 0L else selected.map(simMicro(i, _)).max
+          (i, rel(i), maxsim, 7L * rel(i) - 3L * maxsim)
+        }
+        .minBy { case (i, _, _, score) => (-score, ids(i)) }
+      selected += best._1
+      out += ((step.toLong, ids(best._1), best._2, best._3, best._4))
+    }
+    out.toSeq
+      .toDF("step", "vec_id", "rel_micro", "maxsim_micro", "mmr_scaled")
+      .orderBy(col("step"))
+  }
 }

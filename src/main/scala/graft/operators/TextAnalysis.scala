@@ -1599,4 +1599,25 @@ object TextAnalysis {
         sum(col("delta")).as("chars_delta"))
       .orderBy(col("source"), col("status"))
   }
+
+  /** k-anonymity audit over the document metadata — the privacy gate a
+    * training-data release runs on its QUASI-IDENTIFIERS: any
+    * (source, lang, length-bucket) combination shared by fewer than `k`
+    * documents is a re-identification handle (the metadata alone narrows
+    * a target to < k candidates), and those groups are what a release
+    * either suppresses or generalizes (coarser buckets) until the audit
+    * is clean. Length buckets are the integer floor n_chars div
+    * `bucket` — no float binning, so group membership is bit-portable.
+    * One group-cardinality aggregate; at 100 TB the QI tuple count is
+    * bounded by the attribute domains, not the corpus. */
+  def kAnonymity(documents: DataFrame, k: Long = 5L,
+      bucket: Long = 500L): DataFrame =
+    documents
+      .select(col("source"), col("lang"),
+        expr(s"n_chars div $bucket").as("len_bucket"))
+      .groupBy(col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_n"))
+      .select(col("source"), col("lang"), col("len_bucket"), col("group_n"),
+        when(col("group_n") < k, 1L).otherwise(0L).as("at_risk"))
+      .orderBy(col("source"), col("lang"), col("len_bucket"))
 }

@@ -160,4 +160,19 @@ class SamplingSpec extends SparkSpec {
       else assert(tot == budget, s"non-final sequence $s holds $tot tokens")
     }
   }
+
+  test("shardBalance: partition of the corpus — masses conserve, shards bounded, layout deterministic") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val n = docs.count()
+    val mass = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .head.getLong(0)
+    val rep = Sampling.shardBalance(docs, nShards = 16).collect()
+    assert(rep.map(_.getAs[Long]("shard")).forall(s => s >= 0 && s < 16))
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == n)
+    assert(rep.map(_.getAs[Long]("chars")).sum == mass)
+    // reproducible layout: a second run yields the identical report
+    val again = Sampling.shardBalance(docs, nShards = 16).collect()
+    assert(rep.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -332,4 +332,60 @@ class SimilaritySpec extends SparkSpec {
       assert(found, s"dropped $d has no kept member in its component")
     }
   }
+
+  test("mutualKnn: only reciprocal edges survive; both ranks carried") {
+    // Two tight clusters and one bridge vector E: with k = 1, A↔B and
+    // C↔D are each other's nearest (mutual), while E's nearest (B, via
+    // the cand_id tiebreak on the symmetric tie with D) does NOT rank E
+    // back — the one-directional hub edge must be filtered out.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.141f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(0.141f, 0.99f), 0),
+      (4L, Array(0.7f, 0.7f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mutualKnn(vecs, k = 1).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (2L, 3L)))
+    assert(got.forall(r => r.getInt(2) == 1 && r.getInt(3) == 1))
+  }
+
+  test("mutualKnn pairs are a subset of the directed kNN relation, symmetric by construction") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = Similarity.mutualKnn(emb, k = 3).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "each pair emitted once, a < b")
+      assert(r.getInt(2) <= 3 && r.getInt(3) <= 3)
+    }
+  }
+
+  test("mmrRerank: redundancy penalty defers the exact duplicate of a selected hit") {
+    // Query (1,0). Candidates: 1 = (0.99, .141) the top hit, 2 = exact
+    // copy of 1 (pure relevance would rank it second), 3 = the mirror
+    // (0.99, -.141) — same relevance as 1, but diverse from it. Greedy
+    // λ=0.7: step 1 picks 1 (rel tie with 3 → smallest id), step 2 must
+    // pick 3 (7·rel − 3·sim beats the duplicate's 4·rel), step 3 takes
+    // the leftover duplicate.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.141f), 0),
+      (2L, Array(0.99f, 0.141f), 0),
+      (3L, Array(0.99f, -0.141f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrRerank(vecs, queryId = 0L, n = 3, k = 3)
+      .collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    // step 1 is the pure-relevance pick: empty-set maxsim = 0
+    assert(got.head.getLong(3) == 0L)
+    assert(got.head.getLong(4) == 7L * got.head.getLong(2))
+    // the duplicate's redundancy is the (near-)full micro unit — cos of
+    // an exact copy is 1 up to the sqrt(s)² =? s ulp, so the floor may
+    // land one micro short of 10⁶
+    assert(got(2).getLong(3) >= 999999L)
+    // scores are the exact integer combination end to end
+    got.foreach { r =>
+      assert(r.getLong(4) == 7L * r.getLong(2) - 3L * r.getLong(3))
+    }
+  }
 }

@@ -649,4 +649,23 @@ class TextMultimodalSpec extends SparkSpec {
     val sumDeg = hist.map(r => r.getLong(0) * r.getLong(1)).sum
     assert(sumDeg == 2 * nPairs, "Σ degree·n_nodes must equal 2·|E|")
   }
+
+  test("kAnonymity: groups under k are flagged, bucket edges are integer floors") {
+    import graft.operators.TextAnalysis
+    // QI (web, en, bucket 0): 5 docs → safe at k=5; (web, en, bucket 1):
+    // 2 docs → at risk; (wiki, de, bucket 0): 1 doc → at risk. 499/500
+    // land in different buckets (floor, not round).
+    val docs = (
+      (1L to 5L).map(i => (i, "t", "en", "web", 499L)) ++
+      Seq((6L, "t", "en", "web", 500L), (7L, "t", "en", "web", 999L),
+        (8L, "t", "de", "wiki", 10L))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.kAnonymity(docs, k = 5L, bucket = 500L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got(("web", "en", 0L)) == ((5L, 0L)))
+    assert(got(("web", "en", 1L)) == ((2L, 1L)))
+    assert(got(("wiki", "de", 0L)) == ((1L, 1L)))
+    assert(got.size == 3)
+  }
 }
