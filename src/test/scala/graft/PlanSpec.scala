@@ -400,4 +400,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"bigram_pmi sorts the whole PMI relation:\n$p")
   }
+
+  test("shard_balance / k_anonymity: one scan, one aggregate, no join") {
+    Seq("shard_balance", "k_anonymity").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost its hash aggregate:\n$p")
+    }
+  }
+
+  test("rnn_pairs: reciprocity join is hash-equi over the checkpointed kNN relation") {
+    // the all-pairs scorer runs once (eagerly) into the localCheckpoint;
+    // the FINAL plan must join that ≤ N·k relation to its transpose with
+    // an equi join — never a nested loop over the corpus again
+    val p = graft.operators.Similarity
+      .mutualKnn(Tables.embeddings(spark, sf0001), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rnn_pairs re-derives pairs with a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"rnn_pairs reciprocity join is not equi-keyed:\n$p")
+  }
 }
