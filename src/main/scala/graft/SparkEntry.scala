@@ -465,6 +465,10 @@ object SparkEntry {
     "trends_zscore" -> ((s, dir) => Trends.trendsZscore(Tables.events(s, dir),
       "ts", "event_type", "purchase", "value", TrendsFrom, TrendsTo)),
     "funnel_steps" -> ((s, dir) => EventsOps.funnelSteps(Tables.events(s, dir))),
+    "funnel_window" -> ((s, dir) =>
+      EventsOps.funnelWindow(Tables.events(s, dir))),
+    "max_concurrency" -> ((s, dir) =>
+      EventsOps.maxConcurrency(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) =>
       EventsOps.retentionCohorts(Tables.events(s, dir))),
     "revenue_share" -> ((s, dir) => Relational.revenueShare(
@@ -2013,6 +2017,73 @@ object SparkEntry {
         |  count(p_us) AS n_purchase_after_click,
         |  count(*) AS n_users
         |FROM per_user""".stripMargin,
+
+    // windowFunnel semantics: a chain may open at ANY view; first click
+    // strictly after it, first purchase strictly after that click, both
+    // within 3600s of the OPENING view; level counts are nested distinct
+    // user sets
+    "funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT DISTINCT user_id, us AS v_us FROM e
+        |  WHERE event_type = 'view'
+        |), vc AS (
+        |  SELECT v.user_id, v.v_us, min(c.us) AS c_us
+        |  FROM v LEFT JOIN e c ON c.user_id = v.user_id
+        |    AND c.event_type = 'click' AND c.us > v.v_us
+        |  GROUP BY 1, 2
+        |), alive AS (
+        |  SELECT * FROM vc
+        |  WHERE c_us IS NOT NULL AND c_us <= v_us + 3600000000
+        |), vcp AS (
+        |  SELECT a.user_id, a.v_us, min(p.us) AS p_us
+        |  FROM alive a LEFT JOIN e p ON p.user_id = a.user_id
+        |    AND p.event_type = 'purchase' AND p.us > a.c_us
+        |  GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT DISTINCT user_id FROM vcp
+        |  WHERE p_us IS NOT NULL AND p_us <= v_us + 3600000000
+        |)
+        |SELECT CAST(3600 AS BIGINT) AS window_sec,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM v)
+        |    AS n_level1,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM alive)
+        |    AS n_level2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM l3) AS n_level3""".stripMargin,
+
+    // sweep-line max-intersections over inclusive session intervals:
+    // +1 at start, -1 at end+1, ties collapsed per timestamp BEFORE the
+    // cumsum, argmax with first-timestamp tiebreak
+    "max_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), o AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, us, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), iv AS (
+        |  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us
+        |  FROM s GROUP BY 1, 2
+        |), d AS (
+        |  SELECT start_us AS us, 1 AS dd FROM iv
+        |  UNION ALL SELECT end_us + 1, -1 FROM iv
+        |), n AS (
+        |  SELECT us, CAST(sum(dd) AS BIGINT) AS net FROM d GROUP BY 1
+        |), r AS (
+        |  SELECT us, sum(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING)
+        |    AS conc
+        |  FROM n
+        |)
+        |SELECT CAST(conc AS BIGINT) AS max_concurrent, us AS at_us
+        |FROM r ORDER BY conc DESC, us LIMIT 1""".stripMargin,
 
     "retention_cohorts" ->
       """WITH wk AS (

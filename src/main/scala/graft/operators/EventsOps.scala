@@ -759,6 +759,112 @@ object EventsOps {
     funnelFromUs(events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts")).as("us")))
 
+  /** WINDOWED funnel — the ClickHouse-`windowFunnel` read the unbounded
+    * [[funnelSteps]] can't give: a chain only counts when every step
+    * lands within `windowSec` of its OPENING view, and the chain may
+    * open at ANY view (not just the user's first — a user whose first
+    * view went stale but who converted from a later one still counts).
+    * Steps are strictly ordered (click after view, purchase after that
+    * click). Output is one row: distinct users reaching level ≥1/≥2/≥3.
+    *
+    * Shape: each step is one forward as-of pass ([[AsOfJoin.asOfForward]]
+    * — union + one ordered window per step, never a per-user quadratic
+    * join; strictness via a +1 μs probe on the integer timeline). The
+    * windowing test against the opening view is a plain filter on the
+    * carried v_us. Per-level counts are nested by construction, so the
+    * final rollup is max-level per user then three conditional sums. */
+  def funnelWindow(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    import graft.operators.AsOfJoin
+    val wUs = windowSec * 1000000L
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us")).distinct()
+    def stepTable(t: String, payloadName: String) = e
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("us")).distinct()
+      .select(col("user_id"), col("us"),
+        struct(col("us").as(payloadName)).as("p"))
+    // first click STRICTLY after the view (asOfForward is inclusive >=,
+    // so probe at v_us + 1 on the integer μs timeline)
+    val vc = AsOfJoin.asOfForward(
+      views.withColumn("probe", col("v_us") + 1),
+      stepTable("click", "cus"),
+      "user_id", "probe", "us", "p", "mc")
+      .select(col("user_id"), col("v_us"), col("mc.cus").as("c_us"))
+    val alive = vc.filter(col("c_us").isNotNull &&
+      col("c_us") <= col("v_us") + wUs)
+    val l3 = AsOfJoin.asOfForward(
+      alive.withColumn("probe2", col("c_us") + 1),
+      stepTable("purchase", "pus"),
+      "user_id", "probe2", "us", "p", "mp")
+      .filter(col("mp.pus").isNotNull &&
+        col("mp.pus") <= col("v_us") + wUs)
+    val levels = views.select(col("user_id"), lit(1).as("lvl"))
+      .union(alive.select(col("user_id"), lit(2).as("lvl")))
+      .union(l3.select(col("user_id"), lit(3).as("lvl")))
+    levels.groupBy(col("user_id")).agg(max(col("lvl")).as("lvl"))
+      .agg(
+        coalesce(sum(when(col("lvl") >= 1, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_level1"),
+        coalesce(sum(when(col("lvl") >= 2, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_level2"),
+        coalesce(sum(when(col("lvl") >= 3, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_level3"))
+      .select(lit(windowSec).as("window_sec"), col("n_level1"),
+        col("n_level2"), col("n_level3"))
+  }
+
+  /** PEAK CONCURRENCY — the maximum number of user sessions open at the
+    * same instant (and the first instant it is reached): the capacity/
+    * load-sizing read on the sessionized activity ([[sessionStats]]'
+    * gap rule), and the classic sweep-line max-intersections problem.
+    * Sessions are inclusive [first, last] event-μs intervals; the sweep
+    * is +1 at start, −1 at end+1, net deltas per distinct timestamp
+    * (ties collapse BEFORE the cumsum, so the running count never
+    * depends on tie order), running-sum, argmax with first-timestamp
+    * tie-break.
+    *
+    * Scale shape: the data-sized cumsum is NOT a single-partition
+    * window — boundary points are partitioned by DAY with per-day
+    * carry-in offsets from a day-cardinality prefix sum (the
+    * shard-parallel cumsum of `Sampling.tokenLayout` keyed by calendar
+    * bucket), so only the day-level table crosses a global window. The
+    * peak is TakeOrderedAndProject, never a global sort. */
+  def maxConcurrency(events: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(wOrd).isNull ||
+          col("us") - lag(col("us"), 1).over(wOrd) >= gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val deltas = sess.select(col("start_us").as("us"), lit(1L).as("d"))
+      .union(sess.select((col("end_us") + 1).as("us"), lit(-1L).as("d")))
+      .groupBy(col("us")).agg(sum(col("d")).cast("long").as("net"))
+      .withColumn("day", expr("us div 86400000000"))
+    // day-cardinality carry-in: the only relation crossing a global window
+    val dayTotals = deltas.groupBy(col("day"))
+      .agg(sum(col("net")).cast("long").as("day_net"))
+    val wDays = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = dayTotals
+      .withColumn("carry", coalesce(sum(col("day_net")).over(wDays), lit(0L)))
+      .select(col("day"), col("carry"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), "day")
+      .withColumn("conc", col("carry") + sum(col("net")).over(wDay))
+      .orderBy(col("conc").desc, col("us")).limit(1)
+      .select(col("conc").as("max_concurrent"), col("us").as("at_us"))
+  }
+
   /** Core of [[funnelSteps]] over raw (user_id, event_type, us) rows —
     * shared with [[graft.streaming.StreamFunnel]] so the streaming fold's
     * readout is the identical computation by construction. */

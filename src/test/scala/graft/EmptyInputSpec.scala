@@ -33,9 +33,9 @@ class EmptyInputSpec extends SparkSpec {
     // (one zero-count row per schema column), and the calendar-spine
     // gap fills (the spine is data-independent by design). Everything
     // else must be empty, and NOTHING may throw.
-    val oneRowAggregates = Set("funnel_steps", "q6_forecast",
-      "q6_forecast_sql", "q14_promo_share", "q17_small_quantity",
-      "q19_disjunctive", "conversion_rate_1h")
+    val oneRowAggregates = Set("funnel_steps", "funnel_window",
+      "q6_forecast", "q6_forecast_sql", "q14_promo_share",
+      "q17_small_quantity", "q19_disjunctive", "conversion_rate_1h")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

@@ -271,4 +271,59 @@ class EventsAnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a>b>c", 2L), ("b>c>d", 1L)))
   }
+
+  test("funnelWindow: a chain may open at any view; every step within the window of ITS opening view") {
+    val e = ev(
+      // u1: the first view's chain dies (click 2h later), but a LATER
+      // view converts fully inside the hour — level 3 (the case
+      // funnelSteps' first-view-only chain misses)
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 12:30:00"),
+      (1L, "click", "2024-01-01 12:40:00"),
+      (1L, "purchase", "2024-01-01 13:00:00"),
+      // u2: click inside the window, purchase at +90min — outside the
+      // opening view's window even though it follows the click → level 2
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:30:00"),
+      (2L, "purchase", "2024-01-01 11:30:00"),
+      // u3: view only → level 1
+      (3L, "view", "2024-01-01 10:00:00"),
+      // u4: click with no view — no level at all
+      (4L, "click", "2024-01-01 10:00:00"))
+    val r = EventsOps.funnelWindow(e, windowSec = 3600L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == (3600L, 3L, 2L, 1L))
+  }
+
+  test("funnelWindow: same-instant steps do not chain (strictly after)") {
+    val e = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"), // same μs as the view
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 10:00:01"))
+    val r = EventsOps.funnelWindow(e).collect()(0)
+    assert((r.getLong(1), r.getLong(2)) == (2L, 1L)) // only u2 chains
+  }
+
+  private def evId(rows: (Long, Long, String)*) =
+    rows.toDF("event_id", "user_id", "t")
+      .select(col("event_id"), col("user_id"),
+        col("t").cast("timestamp").as("ts"))
+
+  test("maxConcurrency: sweep counts inclusive session overlaps; argmax ties to the first instant") {
+    val e = evId(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 10:10:00"),
+      (3L, 2L, "2024-01-01 10:05:00"),
+      (4L, 3L, "2024-01-01 10:10:00"),
+      (5L, 4L, "2024-01-01 09:00:00"), (6L, 4L, "2024-01-01 11:00:00"))
+    // sessions: u1 [10:00,10:10], u2 [10:05,10:05], u3 [10:10,10:10],
+    // u4 [09:00,09:00] and [11:00,11:00] (30-min gap splits them).
+    // concurrency hits 2 at 10:05 (u1+u2) and again at 10:10 (u1+u3) —
+    // the argmax must report the FIRST instant
+    val r = EventsOps.maxConcurrency(e).collect()(0)
+    val exp = Seq(Tuple1("2024-01-01 10:05:00")).toDF("t")
+      .select(unix_micros(col("t").cast("timestamp"))).head.getLong(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == exp)
+  }
 }
