@@ -130,6 +130,24 @@ class DeterminismSpec extends SparkSpec {
       run(ev.repartition(17), d.repartition(13), emb.repartition(11)))
   }
 
+  test("session additions (rnn/mmr/shard/k-anon/funnel-window/concurrency) are invariant under repartitioning") {
+    import graft.operators.{EventsOps, Sampling, Similarity, TextAnalysis}
+    val ev = Tables.events(spark, sf0001)
+    val d = docs
+    val emb = Tables.embeddings(spark, sf0001)
+    def run(e: org.apache.spark.sql.DataFrame,
+        dd: org.apache.spark.sql.DataFrame,
+        m: org.apache.spark.sql.DataFrame) = Seq(
+      Similarity.mutualKnn(m, k = 3).collect().toSeq,
+      Similarity.mmrRerank(m).collect().toSeq,
+      Sampling.shardBalance(dd).collect().toSeq,
+      TextAnalysis.kAnonymity(dd).collect().toSeq,
+      EventsOps.funnelWindow(e).collect().toSeq,
+      EventsOps.maxConcurrency(e).collect().toSeq)
+    assert(run(ev, d, emb) ==
+      run(ev.repartition(17), d.repartition(13), emb.repartition(11)))
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(
