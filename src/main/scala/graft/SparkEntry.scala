@@ -465,8 +465,10 @@ object SparkEntry {
     "trends_zscore" -> ((s, dir) => Trends.trendsZscore(Tables.events(s, dir),
       "ts", "event_type", "purchase", "value", TrendsFrom, TrendsTo)),
     "funnel_steps" -> ((s, dir) => EventsOps.funnelSteps(Tables.events(s, dir))),
+    // 6 h window: the widest level split on this corpus timeline
+    // (3600 s leaves level 3 degenerate-zero, a week saturates all three)
     "funnel_window" -> ((s, dir) =>
-      EventsOps.funnelWindow(Tables.events(s, dir))),
+      EventsOps.funnelWindow(Tables.events(s, dir), windowSec = 21600L)),
     "max_concurrency" -> ((s, dir) =>
       EventsOps.maxConcurrency(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) =>
@@ -2020,8 +2022,8 @@ object SparkEntry {
 
     // windowFunnel semantics: a chain may open at ANY view; first click
     // strictly after it, first purchase strictly after that click, both
-    // within 3600s of the OPENING view; level counts are nested distinct
-    // user sets
+    // within 21600s of the OPENING view; level counts are nested
+    // distinct user sets
     "funnel_window" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
@@ -2035,7 +2037,7 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), alive AS (
         |  SELECT * FROM vc
-        |  WHERE c_us IS NOT NULL AND c_us <= v_us + 3600000000
+        |  WHERE c_us IS NOT NULL AND c_us <= v_us + 21600000000
         |), vcp AS (
         |  SELECT a.user_id, a.v_us, min(p.us) AS p_us
         |  FROM alive a LEFT JOIN e p ON p.user_id = a.user_id
@@ -2043,9 +2045,9 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), l3 AS (
         |  SELECT DISTINCT user_id FROM vcp
-        |  WHERE p_us IS NOT NULL AND p_us <= v_us + 3600000000
+        |  WHERE p_us IS NOT NULL AND p_us <= v_us + 21600000000
         |)
-        |SELECT CAST(3600 AS BIGINT) AS window_sec,
+        |SELECT CAST(21600 AS BIGINT) AS window_sec,
         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM v)
         |    AS n_level1,
         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM alive)

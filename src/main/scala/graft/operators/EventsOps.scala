@@ -773,11 +773,20 @@ object EventsOps {
     * windowing test against the opening view is a plain filter on the
     * carried v_us. Per-level counts are nested by construction, so the
     * final rollup is max-level per user then three conditional sums. */
-  def funnelWindow(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+  def funnelWindow(events: DataFrame, windowSec: Long = 3600L): DataFrame =
+    funnelWindowRollup(
+      funnelWindowLevels(events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")), windowSec),
+      windowSec)
+
+  /** Per-user deepest windowed-chain level over raw (user_id,
+    * event_type, us) rows — shared with
+    * [[graft.streaming.StreamFunnelWindow]] so the streaming fold's
+    * readout is the identical computation by construction. Emits one
+    * (user_id, lvl ∈ 1..3) row per user with ≥ 1 view. */
+  def funnelWindowLevels(e: DataFrame, windowSec: Long): DataFrame = {
     import graft.operators.AsOfJoin
     val wUs = windowSec * 1000000L
-    val e = events.select(col("user_id"), col("event_type"),
-      unix_micros(col("ts")).as("us"))
     val views = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("us").as("v_us")).distinct()
     def stepTable(t: String, payloadName: String) = e
@@ -800,10 +809,15 @@ object EventsOps {
       "user_id", "probe2", "us", "p", "mp")
       .filter(col("mp.pus").isNotNull &&
         col("mp.pus") <= col("v_us") + wUs)
-    val levels = views.select(col("user_id"), lit(1).as("lvl"))
+    views.select(col("user_id"), lit(1).as("lvl"))
       .union(alive.select(col("user_id"), lit(2).as("lvl")))
       .union(l3.select(col("user_id"), lit(3).as("lvl")))
-    levels.groupBy(col("user_id")).agg(max(col("lvl")).as("lvl"))
+      .groupBy(col("user_id")).agg(max(col("lvl")).as("lvl"))
+  }
+
+  /** One-row readout over per-user levels ([[funnelWindowLevels]]). */
+  def funnelWindowRollup(perUser: DataFrame, windowSec: Long): DataFrame =
+    perUser
       .agg(
         coalesce(sum(when(col("lvl") >= 1, 1L).otherwise(0L)), lit(0L))
           .cast("long").as("n_level1"),
@@ -813,7 +827,6 @@ object EventsOps {
           .cast("long").as("n_level3"))
       .select(lit(windowSec).as("window_sec"), col("n_level1"),
         col("n_level2"), col("n_level3"))
-  }
 
   /** PEAK CONCURRENCY — the maximum number of user sessions open at the
     * same instant (and the first instant it is reached): the capacity/
