@@ -801,8 +801,12 @@ object EventsOps {
       stepTable("click", "cus"),
       "user_id", "probe", "us", "p", "mc")
       .select(col("user_id"), col("v_us"), col("mc.cus").as("c_us"))
+    // surviving chains (≤ |views| rows) feed BOTH the level union and
+    // the purchase as-of pass — checkpoint so the first union-window
+    // over the full event relation runs once, not twice
     val alive = vc.filter(col("c_us").isNotNull &&
       col("c_us") <= col("v_us") + wUs)
+      .localCheckpoint()
     val l3 = AsOfJoin.asOfForward(
       alive.withColumn("probe2", col("c_us") + 1),
       stepTable("purchase", "pus"),
@@ -858,10 +862,14 @@ object EventsOps {
       .withColumn("sid", sum(col("new_s")).over(wRun))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    // boundary points (≤ 2·sessions rows) feed BOTH the day-totals
+    // aggregate and the sweep join — checkpoint so the session assembly
+    // over the full event relation runs once, not twice
     val deltas = sess.select(col("start_us").as("us"), lit(1L).as("d"))
       .union(sess.select((col("end_us") + 1).as("us"), lit(-1L).as("d")))
       .groupBy(col("us")).agg(sum(col("d")).cast("long").as("net"))
       .withColumn("day", expr("us div 86400000000"))
+      .localCheckpoint()
     // day-cardinality carry-in: the only relation crossing a global window
     val dayTotals = deltas.groupBy(col("day"))
       .agg(sum(col("net")).cast("long").as("day_net"))
