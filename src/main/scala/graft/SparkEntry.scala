@@ -854,6 +854,8 @@ object SparkEntry {
     "bpe_fertility" -> ((s, dir) =>
       TextAnalysis.bpeFertility(Tables.documents(s, dir), bpeFor(s, dir)._2)),
     "chunk_dedup" -> ((s, dir) => TextAnalysis.chunkDedup(Tables.documents(s, dir))),
+    "skipgram_cooc" -> ((s, dir) =>
+      TextAnalysis.skipgramCooc(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(
       Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
@@ -5232,6 +5234,30 @@ object SparkEntry {
         |)
         |SELECT bigram, cb, c1, c2, pmi_micro FROM j
         |ORDER BY pmi_micro DESC, bigram LIMIT 20""".stripMargin,
+
+    // directed skip-gram co-occurrence census: b follows a within 5
+    // positions, corpus-wide counts, min-count cut, (n desc, a, b) order
+    "skipgram_cooc" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), wl AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w
+        |  FROM norm
+        |), occ AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |    j -> {'j': j, 'tok': w[j]})) AS u
+        |  FROM wl
+        |), t AS (
+        |  SELECT doc_id, u.j AS j, u.tok AS tok FROM occ
+        |), pairs AS (
+        |  SELECT a.tok AS a, b.tok AS b, CAST(count(*) AS BIGINT) AS n_cooc
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id
+        |    AND b.j > a.j AND b.j <= a.j + 5
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, n_cooc FROM pairs WHERE n_cooc >= 5
+        |ORDER BY n_cooc DESC, a, b LIMIT 50""".stripMargin,
 
     "lm_perplexity" ->
       """WITH norm AS (

@@ -578,6 +578,38 @@ object TextAnalysis {
     * keys bigrams to their two unigram counts (vocabulary-bounded,
     * skew-split by AQE on stopword heads); selection is
     * TakeOrderedAndProject at depth k — no global sort. */
+  /** Skip-gram CO-OCCURRENCE census — the word2vec/GloVe precursor
+    * [[bigramPmi]]'s adjacency can't give: every ordered token pair
+    * (a, b) where b follows a within `window` positions in the same
+    * document, counted corpus-wide, cut at `minCount`, top-`k` by count
+    * (ties to (a, b) — a deterministic total order). Context windows are
+    * the statistic every embedding trainer and collocation miner starts
+    * from; the directed form keeps order information (the symmetric
+    * census is its fold).
+    *
+    * Shape: each occurrence explodes into `window` probe positions and
+    * the pair relation is ONE (doc_id, pos) EQUI-join — never a range
+    * join, never a per-doc quadratic self-join; fanout is a fixed
+    * `window`× regardless of document length or corpus size. Census is
+    * a two-phase hash aggregate; the cut is TakeOrderedAndProject. */
+  def skipgramCooc(documents: DataFrame, window: Int = 5,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import graft.functions.WordShingles.word_ngrams
+    val occ = documents
+      .select(col("doc_id"),
+        posexplode(word_ngrams(normalize(col("text")), 1)))
+      .withColumnRenamed("col", "tok")
+    occ
+      .select(col("doc_id"), col("tok").as("a"),
+        explode(sequence(col("pos") + 1, col("pos") + window)).as("pos"))
+      .join(occ.select(col("doc_id"), col("pos"), col("tok").as("b")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+      .orderBy(col("n_cooc").desc, col("a"), col("b")).limit(k)
+  }
+
   def bigramPmi(documents: DataFrame, minCount: Long = 5L,
       k: Int = 20, bigrams: Option[DataFrame] = None,
       toks: Option[DataFrame] = None): DataFrame = {

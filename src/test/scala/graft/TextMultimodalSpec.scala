@@ -668,4 +668,16 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got(("wiki", "de", 0L)) == ((1L, 1L)))
     assert(got.size == 3)
   }
+
+  test("skipgramCooc: directed pairs within the window only; counts fold across docs") {
+    import graft.operators.TextAnalysis
+    // window 2 over "a b c d": (a,b)(a,c)(b,c)(b,d)(c,d) — (a,d) is at
+    // distance 3 and must NOT appear; the second doc repeats (a,b)
+    val docs = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramCooc(docs, window = 2, minCount = 1L,
+      k = 50).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L,
+      ("b", "c") -> 1L, ("b", "d") -> 1L, ("c", "d") -> 1L))
+  }
 }
