@@ -856,6 +856,8 @@ object SparkEntry {
     "chunk_dedup" -> ((s, dir) => TextAnalysis.chunkDedup(Tables.documents(s, dir))),
     "skipgram_cooc" -> ((s, dir) =>
       TextAnalysis.skipgramCooc(Tables.documents(s, dir))),
+    "quality_calibration" -> ((s, dir) =>
+      TextAnalysis.qualityCalibration(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(
       Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
@@ -6008,6 +6010,51 @@ object SparkEntry {
         |  CAST(sum(q) // count(*) AS BIGINT) AS mean_q_micro,
         |  max(q) AS max_q_micro
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quality_by_source's per-doc q CTE with doc_id carried, then the
+    // within-source (q, doc_id) rank mapped to the exact micro
+    // percentile (rank-1)*1e6 // (n-1); single-doc sources at 0
+    "quality_calibration" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, text, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, source, text, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(w) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE) AS sumlen
+        |  FROM toks
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN ntok > 0 THEN nstop/ntok ELSE 0 END AS stop_ratio,
+        |    CASE WHEN nchars > 0 THEN npunct/nchars ELSE 0 END AS punct_ratio,
+        |    CASE WHEN ntok > 0 THEN sumlen/ntok ELSE 0 END AS mean_word_len,
+        |    nchars FROM m
+        |), q AS (
+        |  SELECT doc_id, source, CAST(floor(
+        |    round((least(nchars/CAST(200 AS DOUBLE), 1.0)
+        |         + least(stop_ratio*CAST(5 AS DOUBLE), 1.0)
+        |         + greatest(CAST(0 AS DOUBLE), 1.0 - punct_ratio*CAST(10 AS DOUBLE))
+        |         + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |                THEN 1.0 ELSE 0.5 END) / CAST(4 AS DOUBLE), 6)
+        |    * 1000000) AS BIGINT) AS q_micro
+        |  FROM r
+        |), ranked AS (
+        |  SELECT doc_id, source, q_micro,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q_micro, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q
+        |)
+        |SELECT doc_id, source, q_micro,
+        |  CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+        |       ELSE 0 END AS BIGINT) AS pctl_micro
+        |FROM ranked ORDER BY doc_id""".stripMargin,
 
     // Same marker CTE as lang_id with the label carried; langs² matrix.
     "lang_confusion" ->

@@ -195,6 +195,34 @@ object TextAnalysis {
         max(col("q")).as("max_q_micro"))
       .orderBy(col("source"))
 
+  /** Per-source QUANTILE CALIBRATION of the quality score — the read
+    * that makes one global threshold mean the same thing on every
+    * source: raw scores are scale-incompatible across domains (legal
+    * text scores low on stopword ratio, forum text high on punctuation),
+    * so a single raw cut keeps sources with generous scorers and
+    * starves strict ones; mapping each doc to its WITHIN-SOURCE
+    * percentile (the CCNet-style per-shard calibration) fixes the
+    * threshold semantics. percentile = (rank−1)·10⁶ div (n−1) over the
+    * (q_micro, doc_id) total order — exact integers, no float ranking;
+    * single-doc sources sit at 0. One source-keyed window over the
+    * per-doc integer micro scores; at 100 TB the window is bounded per
+    * source and the closed-form histogram ntile (`length_deciles`)
+    * substitutes beyond sortable source sizes. */
+  def qualityCalibration(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q_micro"), col("doc_id"))
+    val per = Window.partitionBy(col("source"))
+    rowStats(documents, withLang = false, keep = Seq("source"))
+      .select(col("doc_id"), col("source"),
+        floor(qualityExpr * 1000000).cast("long").as("q_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(per))
+      .select(col("doc_id"), col("source"), col("q_micro"),
+        when(col("n") > 1, expr("(rnk - 1) * 1000000 div (n - 1)"))
+          .otherwise(0L).as("pctl_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming-safe per-row scored projection: quality + language per
     * document with `keep` columns passed through, NO sort and NO
     * aggregation — legal under any streaming output mode and the per-row

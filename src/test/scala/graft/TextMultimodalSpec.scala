@@ -680,4 +680,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 2L, ("a", "c") -> 1L,
       ("b", "c") -> 1L, ("b", "d") -> 1L, ("c", "d") -> 1L))
   }
+
+  test("qualityCalibration: within-source percentiles on the (q, doc_id) order; single-doc sources at 0") {
+    import graft.operators.TextAnalysis
+    // three equal-quality docs in one source: the doc_id tiebreak spreads
+    // them across 0 / ½ / 1 on the micro grid; a single-doc source pins 0
+    val docs = Seq(
+      (1L, "the cat sat", "s", 11L), (2L, "the cat sat", "s", 11L),
+      (3L, "the cat sat", "s", 11L), (9L, "hello world", "t", 11L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = TextAnalysis.qualityCalibration(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L, 9L -> 0L))
+  }
 }
