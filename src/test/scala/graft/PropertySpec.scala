@@ -231,6 +231,74 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnelWindow equals the any-opening-view scalar simulation on random streams") {
+    (1 to 5).foreach { s =>
+      val W = 600L // seconds
+      val rows = Gen.listOfN(200, for {
+        u <- Gen.choose(1L, 12L)
+        t <- Gen.oneOf("view", "click", "purchase", "other")
+        sec <- Gen.choose(0L, 5000L)
+      } yield (u, t, sec))
+        .apply(Gen.Parameters.default, Seed(900L + s)).get
+      val df = rows.map { case (u, t, sec) =>
+        (u, t, new Timestamp(baseMs + sec * 1000L))
+      }.toDF("user_id", "event_type", "ts")
+      val r = graft.operators.EventsOps.funnelWindow(df, windowSec = W)
+        .collect()(0)
+      // scalar reference: per user, max over EVERY view of the chain
+      // depth — first click strictly after the view, first purchase
+      // strictly after that click, both within W of the view
+      val perUser = rows.groupBy(_._1).values.map { es =>
+        val views = es.filter(_._2 == "view").map(_._3)
+        val lvl = views.foldLeft(if (views.nonEmpty) 1 else 0) { (best, v) =>
+          val c = es.filter(e => e._2 == "click" && e._3 > v)
+            .map(_._3).minOption.filter(_ <= v + W)
+          val p = c.flatMap(cu => es
+            .filter(e => e._2 == "purchase" && e._3 > cu)
+            .map(_._3).minOption.filter(_ <= v + W))
+          math.max(best, if (p.isDefined) 3 else if (c.isDefined) 2 else 1)
+        }
+        lvl
+      }.toSeq
+      val expect = (perUser.count(_ >= 1).toLong,
+        perUser.count(_ >= 2).toLong, perUser.count(_ >= 3).toLong)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == expect,
+        s"seed $s")
+    }
+  }
+
+  test("maxConcurrency equals the scalar sweep on random session layouts") {
+    (1 to 5).foreach { s =>
+      val rows = Gen.listOfN(120, for {
+        u <- Gen.choose(1L, 8L)
+        sec <- Gen.choose(0L, 20000L)
+      } yield (u, sec))
+        .apply(Gen.Parameters.default, Seed(950L + s)).get
+        .zipWithIndex.map { case ((u, sec), i) => (i.toLong, u, sec) }
+      val df = rows.map { case (id, u, sec) =>
+        (id, u, new Timestamp(baseMs + sec * 1000L))
+      }.toDF("event_id", "user_id", "ts")
+      val r = graft.operators.EventsOps.maxConcurrency(df).collect()(0)
+      // scalar reference: per-user 30-min-gap sessions, then count
+      // overlapping inclusive intervals at every interval start
+      val ivs = rows.groupBy(_._2).values.flatMap { es =>
+        val ts = es.map(_._3).sorted
+        ts.foldLeft(List.empty[(Long, Long)]) { (acc, t) =>
+          acc match {
+            case (a, b) :: rest if t - b < 1800L => (a, t) :: rest
+            case _ => (t, t) :: acc
+          }
+        }
+      }.toSeq
+      val best = ivs.map(_._1).distinct.sorted.map { t =>
+        (ivs.count { case (a, b) => a <= t && t <= b }, t)
+      }.maxBy { case (c, t) => (c, -t) }
+      val expUs = baseMs * 1000L + best._2 * 1000000L
+      assert(r.getLong(0) == best._1.toLong, s"seed $s")
+      assert(r.getLong(1) == expUs, s"seed $s")
+    }
+  }
+
   test("sequence spans reproduce a sequential packer over any token layout") {
     // model: docs with random token counts laid out in order; spans must
     // equal the straightforward scalar packer
