@@ -659,6 +659,22 @@ object SparkEntry {
     },
     "asof_within" -> ((s, dir) => AsOfJoin.lastPurchaseWithin(Tables.events(s, dir))),
     "asof_next_purchase" -> ((s, dir) => AsOfJoin.nextPurchaseAfter(Tables.events(s, dir))),
+    "asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+        .select(col("user_id"), col("ts"),
+          struct(unix_micros(col("ts")).as("pus"),
+            col("purchase_id").as("pid")).as("p"))
+      AsOfJoin.asOfNearest(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, "user_id", "ts", "ts", "p", "pus", "m")
+        .select(col("event_id"), col("user_id"),
+          col("m.pid").as("nearest_purchase_id"),
+          (col("m.pus") - unix_micros(col("ts"))).as("delta_us"))
+        .orderBy(col("event_id"))
+    }),
     "asof_interpolated" -> ((s, dir) => AsOfJoin.asOfInterpolated(Tables.events(s, dir))),
     "range_join_counts" -> ((s, dir) =>
       graft.operators.RangeJoin.purchaseClickCounts(Tables.events(s, dir))),
@@ -4102,6 +4118,39 @@ object SparkEntry {
         |ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts <= p.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    // nearest direction: both ASOF passes resolved to the closer match,
+    // ties (equal distance) to the BACKWARD/earlier row
+    "asof_nearest" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |), b AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |    p.purchase_id AS b_id, p.ts AS b_ts
+        |  FROM events e
+        |  ASOF LEFT JOIN purchases p
+        |    ON e.user_id = p.user_id AND e.ts >= p.ts
+        |), f AS (
+        |  SELECT e.event_id, p.purchase_id AS f_id, p.ts AS f_ts
+        |  FROM events e
+        |  ASOF LEFT JOIN purchases p
+        |    ON e.user_id = p.user_id AND e.ts <= p.ts
+        |)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b_id IS NULL THEN f_id
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN epoch_us(f_ts) - epoch_us(b.ts)
+        |          < epoch_us(b.ts) - epoch_us(b_ts) THEN f_id
+        |       ELSE b_id END AS nearest_purchase_id,
+        |  CASE WHEN b_id IS NULL THEN epoch_us(f_ts) - epoch_us(b.ts)
+        |       WHEN f_id IS NULL THEN epoch_us(b_ts) - epoch_us(b.ts)
+        |       WHEN epoch_us(f_ts) - epoch_us(b.ts)
+        |          < epoch_us(b.ts) - epoch_us(b_ts)
+        |         THEN epoch_us(f_ts) - epoch_us(b.ts)
+        |       ELSE epoch_us(b_ts) - epoch_us(b.ts) END AS delta_us
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY b.event_id""".stripMargin,
 
     // exact integer interpolation: nonnegative numerator ⇒ truncating
     // division IS floor, so hugeint // matches Spark's decimal div

@@ -110,6 +110,57 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST-direction as-of — pandas `merge_asof(direction='nearest')`,
+    * the one directional variant the family still lacked: each left row
+    * matches the right row with the SMALLEST absolute time distance,
+    * ties broken BACKWARD (the earlier right row — deterministic and
+    * oracle-stable). Payload must carry the right row's μs in
+    * `usField` so the two direction candidates can be compared.
+    *
+    * One union, ONE shuffle on the key, two sorts inside the same
+    * exchange: backward = running last() over (ts asc), forward =
+    * running last() over the REVERSED sort — both inclusive at equal ts
+    * (rights ordered before lefts in each pass's direction), both on
+    * the incremental O(n) running-frame path (a
+    * [currentRow, unboundedFollowing] frame would rescan the partition
+    * tail per row — O(n²), the markout_30s lesson). The resolve is a
+    * per-row integer comparison of the two candidate distances. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCol: String,
+      usField: String, as: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right
+      .select(col(keyCol), col(rightTs).as("__ts"), lit(0).as("__side"),
+        col(payloadCol).as("__payload"))
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // rights (side 0) sort before lefts at equal ts in BOTH directions
+    // (asc: side asc; desc: side asc again) → both passes inclusive
+    val wb = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val db = unix_micros(col("__ts")) - col(s"__b.$usField")
+    val df = col(s"__f.$usField") - unix_micros(col("__ts"))
+    unioned
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wb))
+      .withColumn("__f", last(col("__payload"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn(as,
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(df < db, col("__f"))
+          .otherwise(col("__b")))
+      .drop("__ts", "__side", "__payload", "__b", "__f")
+  }
+
   /** INTERPOLATED as-of — the third temporal-join direction (backward,
     * forward, between): each left row gets the right-side value LINEARLY
     * INTERPOLATED between the straddling pair (latest right ≤ t, earliest

@@ -150,4 +150,35 @@ class AsOfServingSpec extends SparkSpec {
       Seq(model.Statistic(s.window, 0.0, 0.0, 0.0, 0.0)))
     assert(z.contains(""""min":0.0"""))
   }
+
+  test("asOfNearest: closer side wins, ties break backward, one-sided edges, keys isolate") {
+    import org.apache.spark.sql.functions.{col, struct, unix_micros}
+    def ts(t: String) = col(t).cast("timestamp")
+    val right = Seq((1L, "2024-01-01 00:01:40", 100L),
+      (1L, "2024-01-01 00:03:20", 200L))
+      .toDF("user_id", "t", "pid")
+      .select(col("user_id"), ts("t").as("ts"),
+        struct(unix_micros(ts("t")).as("pus"), col("pid")).as("p"))
+    val left = Seq(
+      (1L, 1L, "2024-01-01 00:01:50"), // 10s to 100, 90s to 200 → backward
+      (2L, 1L, "2024-01-01 00:02:40"), // 60s back, 40s fwd → forward
+      (3L, 1L, "2024-01-01 00:02:30"), // 50s both → tie → backward
+      (4L, 1L, "2024-01-01 00:01:30"), // nothing behind → forward
+      (5L, 2L, "2024-01-01 00:01:40")) // no rights on key 2 → null
+      .toDF("event_id", "user_id", "t")
+      .select(col("event_id"), col("user_id"), ts("t").as("ts"))
+    val got = AsOfJoin.asOfNearest(left, right, "user_id", "ts", "ts",
+      "p", "pus", "m")
+      .select(col("event_id"), col("m.pid").as("pid"),
+        (col("m.pus") - unix_micros(col("ts"))).as("delta_us"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+    assert(got(1L) == Some((100L, -10000000L)))
+    assert(got(2L) == Some((200L, 40000000L)))
+    assert(got(3L) == Some((100L, -50000000L)))
+    assert(got(4L) == Some((100L, 10000000L)))
+    assert(got(5L) == None)
+  }
 }
