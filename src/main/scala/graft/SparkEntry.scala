@@ -914,6 +914,8 @@ object SparkEntry {
       Dedup.dupPagerank(Tables.embeddings(s, dir))),
     "embedding_drift" -> ((s, dir) =>
       graft.operators.Drift.embeddingDrift(Tables.embeddings(s, dir))),
+    "label_sim_matrix" -> ((s, dir) =>
+      graft.operators.Drift.labelSimMatrix(Tables.embeddings(s, dir))),
   )
 
   /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
@@ -6457,6 +6459,38 @@ object SparkEntry {
     // micro-floored dims with a +1e6 offset (positive means ⇒ truncating
     // div IS floor on both engines); per-dim means bounded by the value
     // range, so every column is BIGINT — no HUGEINT (tripwire-safe).
+    // label-centroid cosine matrix: the per-label integer SUM vectors
+    // stand in for the centroids (counts cancel in cosine); HUGEINT
+    // intermediates, one guarded sqrt·sqrt·divide on exact ints
+    "label_sim_matrix" ->
+      """WITH elems AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), nvec AS (
+        |  SELECT label, i,
+        |    CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS n
+        |  FROM elems GROUP BY 1, 2
+        |), norms AS (
+        |  SELECT label, sum(CAST(n AS HUGEINT) * n) AS n2
+        |  FROM nvec GROUP BY 1
+        |), dots AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    sum(CAST(a.n AS HUGEINT) * b.n) AS dot
+        |  FROM nvec a JOIN nvec b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2
+        |)
+        |SELECT la, lb,
+        |  CASE WHEN na.n2 > 0 AND nb.n2 > 0
+        |    THEN round(CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+        |  END AS cos6
+        |FROM dots
+        |JOIN norms na ON na.label = dots.la
+        |JOIN norms nb ON nb.label = dots.lb
+        |ORDER BY la, lb""".stripMargin,
+
     "embedding_drift" ->
       """WITH m AS (
         |  SELECT (min(vec_id) + max(vec_id)) // 2 AS mid FROM embeddings

@@ -220,6 +220,48 @@ object Drift {
     * it explicitly). Shape at 100 TB: ONE data-sized shuffle — the
     * (label, dim) partial aggregate (output bounded by labels × dims);
     * everything after runs on that bounded relation. */
+  /** Pairwise COSINE between label centroids — the embedding-space
+    * separability matrix next to [[embeddingDrift]]'s time view: labels
+    * whose centroids sit at cos ≈ 1 are regions the space does not
+    * separate (expect confusions, poor hard-negative mining, unreliable
+    * IVF purity there); a near-orthogonal matrix is the healthy read.
+    *
+    * Exactness: the per-label mean NEVER materializes — cosine is
+    * scale-invariant, so the per-(label, dim) integer SUM vectors
+    * n_i = Σ floor(x·10⁶) (exact BIGINTs, the embeddingDrift micro
+    * convention without the offset — sums may be negative but no
+    * division happens) stand in for the centroids; dot and norms ride
+    * DECIMAL(38)/HUGEINT, and the ONLY float ops are the final
+    * sqrt·sqrt·divide on exact integers, the identical IEEE expression
+    * both engines evaluate (the ulcer_index convention), 6-dp rounded.
+    * Zero-sum centroids yield NULL (guarded — Spark ÷0 is Inf, DuckDB
+    * NULL). Everything after the scan is bounded by labels × dims. */
+  def labelSimMatrix(embeddings: DataFrame): DataFrame = {
+    val nvec = embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        floor(col("x").cast("double") * 1000000).cast("long").as("xi"))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("xi")).cast("long").as("n"))
+    val norms = nvec.groupBy(col("label"))
+      .agg(sum(col("n").cast("decimal(38,0)") * col("n")).as("n2"))
+    val dots = nvec.as("a")
+      .join(nvec.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+      .agg(sum(col("a.n").cast("decimal(38,0)") * col("b.n")).as("dot"))
+    dots
+      .join(norms.select(col("label").as("la"), col("n2").as("na2")), "la")
+      .join(norms.select(col("label").as("lb"), col("n2").as("nb2")), "lb")
+      .select(col("la"), col("lb"),
+        when(col("na2") > 0 && col("nb2") > 0,
+          round(col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))),
+            6)).as("cos6"))
+      .orderBy(col("la"), col("lb"))
+  }
+
   def embeddingDrift(embeddings: DataFrame): DataFrame = {
     val mid = embeddings.agg(
       expr("(min(vec_id) + max(vec_id)) div 2").as("mid"))

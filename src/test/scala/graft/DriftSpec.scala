@@ -183,4 +183,18 @@ class DriftSpec extends SparkSpec {
     assert(r("A") == ((3L, 2L, 240515L)))
     assert(r("B") == ((2L, 2L, 366984L)))
   }
+
+  test("labelSimMatrix: parallel centroids at cos 1, orthogonal at 0; counts cancel") {
+    // label 0: two vectors along e1 (count 2); label 2: ONE vector along
+    // e1 — different counts, same direction → cos(0,2) must still be 1
+    // (the sum-vector trick: means never materialize). label 1 ⟂ both.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.5f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Drift.labelSimMatrix(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0L, 1L) -> 0.0, (0L, 2L) -> 1.0, (1L, 2L) -> 0.0))
+  }
 }
