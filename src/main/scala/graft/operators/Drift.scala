@@ -235,7 +235,11 @@ object Drift {
     * sqrt·sqrt·divide on exact integers, the identical IEEE expression
     * both engines evaluate (the ulcer_index convention), 6-dp rounded.
     * Zero-sum centroids yield NULL (guarded — Spark ÷0 is Inf, DuckDB
-    * NULL). Everything after the scan is bounded by labels × dims. */
+    * NULL). Everything after the scan is bounded by labels × dims.
+    *
+    * Bound: the BIGINT sum vector needs |Σ floor(x·10⁶)| < 2⁶³, i.e.
+    * under ~9·10¹² vectors per label at |x| ≤ 1 — beyond any labeled
+    * corpus; the products already ride DECIMAL(38)/HUGEINT. */
   def labelSimMatrix(embeddings: DataFrame): DataFrame = {
     val nvec = embeddings
       .select(col("label").cast("long").as("label"),
