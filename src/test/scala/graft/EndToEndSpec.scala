@@ -120,4 +120,38 @@ class EndToEndSpec extends SparkSpec {
       assert(tot <= 512 && (lastPerShard(s) || tot == 512))
     }
   }
+
+  test("embedding pipeline: rnn precision monotone in k; MMR picks inside ANN candidates and less redundant") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf0001)
+    // reciprocal pairs are monotone in k: mutual-at-1 ⇒ mutual-at-3
+    def pairs(k: Int) = Similarity.mutualKnn(emb, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(1); val p3 = pairs(3)
+    assert(p1.nonEmpty && p1.subsetOf(p3))
+    // MMR: step 1 is the pure-relevance top hit; every pick comes from
+    // the ANN top-20 candidate window
+    val ann = Similarity.annBruteForce(emb, queryIds = Seq(0L), k = 20)
+      .collect().map(_.getLong(2))
+    val mmr = Similarity.mmrRerank(emb, queryId = 0L, n = 20, k = 5)
+      .collect().map(_.getLong(1))
+    assert(mmr.head == ann.head)
+    assert(mmr.toSet.subsetOf(ann.toSet))
+    // and the diversified set is less internally redundant than the
+    // pure top-5 (the property MMR exists to buy)
+    val vecs = emb.filter(col("vec_id")
+        .isin((mmr ++ ann.take(5)).distinct: _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def meanPairCos(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size) yield {
+        val (a, b) = (vecs(ids(i)), vecs(ids(j)))
+        val d = math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)
+        a.zip(b).map(p => p._1 * p._2).sum / d
+      }
+      ps.sum / ps.size
+    }
+    assert(meanPairCos(mmr.toSeq) <= meanPairCos(ann.take(5).toSeq))
+  }
 }
