@@ -587,6 +587,8 @@ object SparkEntry {
       Dedup.dupDegrees(Tables.embeddings(s, dir))),
     "ewma_daily" -> ((s, dir) =>
       MarketStats.ewmaDaily(Tables.events(s, dir))),
+    "macd_daily" -> ((s, dir) =>
+      MarketStats.macdDaily(Tables.events(s, dir))),
     "dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpans(Tables.documents(s, dir),
         postings = Some(postingsFor(s, dir)))),
@@ -2414,9 +2416,9 @@ object SparkEntry {
         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
 
     // The α=1/2 EWMA recurrence replayed verbatim as a recursive CTE
-    // over the daily-bar relation; `//` FLOORS, and the operator's fold
-    // uses Math.floorDiv to match — Scala's / truncates toward zero and
-    // would diverge on odd negative intermediates.
+    // over the daily-bar relation; `//` TRUNCATES toward zero (verified:
+    // (-7)//2 = -3), and the operator's fold uses Scala Long `/` (also
+    // truncating) to match on every sign — the market_beta convention.
     "ewma_daily" ->
       """WITH RECURSIVE raw AS (
         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value,
@@ -2439,6 +2441,42 @@ object SparkEntry {
         |)
         |SELECT event_type, day, cents, ewma_microcents FROM e
         |ORDER BY 1, 2""".stripMargin,
+
+    // three-EMA MACD replayed in ONE recursive CTE; every recurrence is
+    // the increment form m + trunc(2(x−m)/(n+1)) — TOWARD-ZERO division
+    // on either sign (DuckDB // truncates, Scala Long / truncates; the
+    // market_beta convention). The signal step inlines the fresh
+    // fast/slow values (a recursive SELECT cannot reference its own new
+    // columns).
+    "macd_daily" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, value,
+        |    row_number() OVER (
+        |      PARTITION BY event_type, epoch_ns(ts) // 86400000000000
+        |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+        |  FROM events
+        |), bars AS (
+        |  SELECT event_type, day,
+        |    CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+        |  FROM raw WHERE rn = 1
+        |), e AS (
+        |  SELECT event_type, day, cents, k,
+        |    cents * 1000000 AS mf, cents * 1000000 AS ms,
+        |    CAST(0 AS BIGINT) AS sg
+        |  FROM bars WHERE k = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.day, b.cents, b.k,
+        |    e.mf + (2 * (b.cents * 1000000 - e.mf)) // 13,
+        |    e.ms + (2 * (b.cents * 1000000 - e.ms)) // 27,
+        |    e.sg + (2 * (((e.mf + (2 * (b.cents * 1000000 - e.mf)) // 13)
+        |                - (e.ms + (2 * (b.cents * 1000000 - e.ms)) // 27))
+        |                - e.sg)) // 10
+        |  FROM bars b JOIN e ON b.event_type = e.event_type AND b.k = e.k + 1
+        |)
+        |SELECT event_type, day, cents, mf - ms AS macd_microcents,
+        |  sg AS signal_microcents, mf - ms - sg AS hist_microcents
+        |FROM e ORDER BY 1, 2""".stripMargin,
 
     // Interval-union span coverage over duplicated trigrams: sorted-gap
     // identity (first span 3, then min(3, gap)), exact BIGINTs.
@@ -2519,8 +2557,9 @@ object SparkEntry {
         |WHERE p.rn = 1 ORDER BY p.query_id""".stripMargin,
 
     // floor() of the double quotient (not // or div): returns go
-    // negative, where Spark's div truncates but DuckDB's // floors; the
-    // shared floor(double) path is exact at these magnitudes
+    // negative, and FLOOR semantics is wanted there — both engines'
+    // integral division truncates toward zero, so the shared
+    // floor(double) path (exact at these magnitudes) carries the floor
     "daily_returns" ->
       """SELECT event_type, day, close,
         |  CAST(floor((cents - p_cents) * 1000000.0 / p_cents) AS BIGINT)

@@ -417,15 +417,59 @@ object MarketStats {
         val bars = it.toSeq.sortBy(_._2)
         var m = 0L
         bars.iterator.zipWithIndex.map { case ((_, day, cents), i) =>
-          // floorDiv, not /: the oracle's `//` floors, and Scala's /
-          // truncates toward zero — they disagree on every odd NEGATIVE
-          // intermediate, and nothing forbids negative closes
+          // toward-zero /, matching DuckDB's `//` (verified: (-7)//2 =
+          // -3 there — TRUNCATION, not floor; same as market_beta's
+          // mixed-sign division convention). floorDiv would diverge on
+          // every odd negative intermediate.
           m = if (i == 0) cents * 1000000L
-              else Math.floorDiv(m + cents * 1000000L, 2L)
+              else (m + cents * 1000000L) / 2L
           (typ, day, cents, m)
         }
       }
       .toDF("event_type", "day", "cents", "ewma_microcents")
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** MACD (moving-average convergence/divergence) on the daily closes —
+    * the classic three-EMA momentum indicator: macd = EMA(fast) −
+    * EMA(slow) of the close, signal = EMA(signal) of the macd line,
+    * histogram = macd − signal. All three recurrences run on exact
+    * micro-cent BIGINTs with the increment form
+    * m ← m + trunc(2·(x − m) / (n+1)) — TOWARD-ZERO division on either
+    * sign (Scala Long `/` ≡ DuckDB `//`, the market_beta mixed-sign
+    * convention — DuckDB's `//` truncates: (-7)//2 = -3), so the oracle
+    * replays the identical chain in one recursive CTE. Seeding: first
+    * close seeds both price EMAs (macd 0), signal seeds at the first
+    * macd — the standard first-value convention, documented rather than
+    * the SMA-warmup variant. Same shape and scale story as
+    * [[ewmaDaily]]: the sequential fold runs per instrument over the
+    * day-cardinality bar relation (tick-sized work is the shared
+    * dailyCloses aggregate), state is three longs. */
+  def macdDaily(events: DataFrame, fast: Int = 12, slow: Int = 26,
+      signal: Int = 9): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    dailyCloses(events)
+      .select(col("event_type"), col("day"), col("cents"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (typ: String, it: Iterator[(String, Long, Long)]) =>
+        val bars = it.toSeq.sortBy(_._2)
+        var mf = 0L; var ms = 0L; var sg = 0L
+        bars.iterator.zipWithIndex.map { case ((_, day, cents), i) =>
+          val x = cents * 1000000L
+          if (i == 0) { mf = x; ms = x; sg = 0L }
+          else {
+            mf += 2L * (x - mf) / (fast + 1L)
+            ms += 2L * (x - ms) / (slow + 1L)
+            val macd = mf - ms
+            sg += 2L * (macd - sg) / (signal + 1L)
+          }
+          (typ, day, cents, mf - ms, sg, mf - ms - sg)
+        }
+      }
+      .toDF("event_type", "day", "cents", "macd_microcents",
+        "signal_microcents", "hist_microcents")
       .orderBy(col("event_type"), col("day"))
   }
 

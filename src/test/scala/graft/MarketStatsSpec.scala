@@ -350,13 +350,29 @@ class MarketStatsSpec extends SparkSpec {
       (0L, 2L, 2000000L), (1L, 1L, 1500000L), (2L, 1L, 1250000L),
       (3L, 1L, 1125000L), (4L, 1L, 1062500L), (5L, 1L, 1031250L),
       (6L, 1L, 1015625L), (7L, 1L, 1007812L)))
-    // negative closes: the fold must FLOOR like the oracle's `//`, not
-    // truncate — halving -1e6 toward zero seven times ends at -7812,
-    // flooring ends at -7813
+    // negative closes: the fold must TRUNCATE toward zero like the
+    // oracle's `//` (DuckDB: (-7)//2 = -3) — halving -1e6 toward zero
+    // seven times ends at -7812; flooring would end at -7813
     val neg = Seq((1L, 0L, "n", -0.01, "{}")) ++
       (1 to 7).map(i => ((i + 1).toLong, i * d, "n", 0.00, "{}"))
     val rn = MarketStats.ewmaDaily(ticks(neg: _*)).collect()
-    assert(rn.last.getLong(3) == -7813L)
+    assert(rn.last.getLong(3) == -7812L)
+  }
+
+  test("macdDaily replays three floor-division EMA chains, hand-verified path") {
+    val d = 86400L * 1000000000L
+    // closes 100 / 200 / 150 cents; constants verified by scalar replay:
+    // day 2: mf=115384615, ms=107407407 → macd 7977208, sg=⌊2·7977208/10⌋
+    val rows = Seq((1L, 0L, "a", 1.00, "{}"), (2L, d, "a", 2.00, "{}"),
+      (3L, 2 * d, "a", 1.50, "{}"))
+    val r = MarketStats.macdDaily(ticks(rows: _*)).collect()
+      .map(x => (x.getLong(1), x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (0L, 0L, 0L, 0L),
+      (1L, 7977208L, 1595441L, 6381767L),
+      (2L, 10147645L, 3305881L, 6841764L)))
+    // histogram identity holds on every row by construction
+    r.foreach { case (_, macd, sg, hist) => assert(hist == macd - sg) }
   }
 
   test("cusumDrift's telescoped windows equal the textbook recursion") {
