@@ -148,6 +148,38 @@ class DeterminismSpec extends SparkSpec {
       run(ev.repartition(17), d.repartition(13), emb.repartition(11)))
   }
 
+  test("late-session additions (asof-nearest/skipgram/calibration/label-sim/macd) are invariant under repartitioning") {
+    import graft.operators.{Drift, MarketStats, TextAnalysis}
+    val ev = Tables.events(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def nearest(e: org.apache.spark.sql.DataFrame) = {
+      import graft.operators.AsOfJoin
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(org.apache.spark.sql.functions.max(col("event_id"))
+          .as("purchase_id"))
+        .select(col("user_id"), col("ts"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.unix_micros(col("ts")).as("pus"),
+            col("purchase_id").as("pid")).as("p"))
+      AsOfJoin.asOfNearest(
+        e.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, "user_id", "ts", "ts", "p", "pus", "m")
+        .select(col("event_id"), col("m.pid"), col("m.pus"))
+        .orderBy(col("event_id"))
+    }
+    def run(e: org.apache.spark.sql.DataFrame,
+        dd: org.apache.spark.sql.DataFrame,
+        m: org.apache.spark.sql.DataFrame) = Seq(
+      nearest(e).collect().toSeq,
+      TextAnalysis.skipgramCooc(dd, minCount = 1L).collect().toSeq,
+      TextAnalysis.qualityCalibration(dd).collect().toSeq,
+      Drift.labelSimMatrix(m).collect().toSeq,
+      MarketStats.macdDaily(e).collect().toSeq)
+    assert(run(ev, docs, emb) ==
+      run(ev.repartition(17), docs.repartition(13), emb.repartition(11)))
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(
