@@ -446,10 +446,18 @@ object MarketStats {
     * day-cardinality bar relation (tick-sized work is the shared
     * dailyCloses aggregate), state is three longs. */
   def macdDaily(events: DataFrame, fast: Int = 12, slow: Int = 26,
-      signal: Int = 9): DataFrame = {
-    val spark = events.sparkSession
+      signal: Int = 9): DataFrame =
+    macdFromCloses(dailyCloses(events), fast, slow, signal)
+
+  /** The MACD recurrence over an already-elected (event_type, day,
+    * cents) close relation — shared with
+    * [[graft.streaming.StreamDaily]] so the streaming fold's readout is
+    * the identical computation by construction. */
+  private[graft] def macdFromCloses(closes: DataFrame, fast: Int = 12,
+      slow: Int = 26, signal: Int = 9): DataFrame = {
+    val spark = closes.sparkSession
     import spark.implicits._
-    dailyCloses(events)
+    closes
       .select(col("event_type"), col("day"), col("cents"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
@@ -667,7 +675,7 @@ object MarketStats {
   /** Deterministic (event_type, day, close-in-cents) daily close series —
     * the shared prefix of [[dailyCloseReturns]], [[rsi]], and
     * [[amihudIlliquidity]]: last tick of each day by (ts_ns, event_id). */
-  private def dailyCloses(events: DataFrame): DataFrame = {
+  private[graft] def dailyCloses(events: DataFrame): DataFrame = {
     val day = dayIdx.as("day")
     val wDesc = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("ts_ns").desc, col("event_id").desc)
