@@ -632,6 +632,9 @@ object SparkEntry {
     "bm25_scores" -> ((s, dir) => TextAnalysis.bm25Scores(Tables.documents(s, dir))),
     "unpivot_metrics" -> ((s, dir) =>
       Relational.unpivotLineitemMetrics(Tables.lineitem(s, dir))),
+    "order_backlog" -> ((s, dir) =>
+      Relational.orderBacklog(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     // Skew-safe two-phase aggregation over the 5 hot event_type keys;
     // the oracle is the plain GROUP BY — salting must be invisible in
     // results (DECIMAL sums, so partial/final split can't perturb floats).
@@ -3102,6 +3105,31 @@ object SparkEntry {
         |SELECT l_returnflag, metric, CAST(sum(amount) AS DOUBLE) AS total,
         |  count(*) AS n
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // open-order sweep: +1 at o_orderdate's day, -1 the day after the
+    // LAST line ships; deltas collapse per epoch-day before the cumsum
+    "order_backlog" ->
+      """WITH cd AS (
+        |  SELECT l_orderkey,
+        |    max(CAST(epoch(l_shipdate) AS BIGINT) // 86400) AS cd
+        |  FROM lineitem GROUP BY 1
+        |), iv AS (
+        |  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS od, cd.cd
+        |  FROM orders JOIN cd ON cd.l_orderkey = o_orderkey
+        |), d AS (
+        |  SELECT od AS day, 1 AS net, 1 AS op, 0 AS cl FROM iv
+        |  UNION ALL SELECT cd + 1, -1, 0, 0 FROM iv
+        |  UNION ALL SELECT cd, 0, 0, 1 FROM iv
+        |), g AS (
+        |  SELECT day, CAST(sum(net) AS BIGINT) AS net,
+        |    CAST(sum(op) AS BIGINT) AS n_opened,
+        |    CAST(sum(cl) AS BIGINT) AS n_closed
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT day, n_opened, n_closed,
+        |  CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS backlog
+        |FROM g ORDER BY day""".stripMargin,
 
     "pair_correlation" ->
       """WITH buckets AS (

@@ -818,4 +818,47 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("metric"))
   }
+
+  /** Order-fulfillment BACKLOG curve — per day: orders opened, orders
+    * fully shipped, and the running count of open orders (the
+    * operations read: how deep is the unshipped book and is it
+    * draining). An order is open from its o_orderdate through the day
+    * its LAST line ships (inclusive) — the [[graft.operators.EventsOps
+    * .maxConcurrency]] sweep on the order-interval relation: +1 at
+    * open, −1 at close+1, deltas collapsed per integer epoch-day
+    * BEFORE the cumsum so tie order can't matter. The one data-sized
+    * shuffle is the per-order max-shipdate aggregate; the running sum
+    * rides the DATE-cardinality delta relation (calendar-bounded at any
+    * corpus size — the dayTotals convention). Days with no activity
+    * emit no row (backlog is constant across the gap). */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // dates ship as TIMESTAMP_NTZ; the cast reads them as UTC wall
+    // clock (session TZ), matching DuckDB's epoch() on the same values
+    val iv = orders
+      .select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("od"))
+      .join(lineitem.groupBy(col("l_orderkey"))
+          .agg(max(expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"))
+            .as("cd")),
+        col("o_orderkey") === col("l_orderkey"))
+    val g = iv
+      .select(col("od").as("day"), lit(1L).as("net"), lit(1L).as("op"),
+        lit(0L).as("cl"))
+      .union(iv.select((col("cd") + 1).as("day"), lit(-1L).as("net"),
+        lit(0L).as("op"), lit(0L).as("cl")))
+      .union(iv.select(col("cd").as("day"), lit(0L).as("net"),
+        lit(0L).as("op"), lit(1L).as("cl")))
+      .groupBy(col("day"))
+      .agg(sum(col("net")).cast("long").as("net"),
+        sum(col("op")).cast("long").as("n_opened"),
+        sum(col("cl")).cast("long").as("n_closed"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    g.select(col("day"), col("n_opened"), col("n_closed"),
+        sum(col("net")).over(w).cast("long").as("backlog"))
+      .orderBy(col("day"))
+  }
 }

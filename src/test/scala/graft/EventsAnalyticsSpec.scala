@@ -326,4 +326,20 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(r.getLong(0) == 2L)
     assert(r.getLong(1) == exp)
   }
+
+  test("orderBacklog: open through the last-shipped day inclusive; curve drains to zero") {
+    import graft.operators.Relational
+    // o1 opens day 0, last line ships day 2; o2 opens and ships day 1
+    val orders = Seq((1L, "1992-01-01 00:00:00"), (2L, "1992-01-02 00:00:00"))
+      .toDF("o_orderkey", "t")
+      .select(col("o_orderkey"), col("t").cast("timestamp").as("o_orderdate"))
+    val lines = Seq((1L, "1992-01-01 00:00:00"), (1L, "1992-01-03 00:00:00"),
+      (2L, "1992-01-02 00:00:00"))
+      .toDF("l_orderkey", "t")
+      .select(col("l_orderkey"), col("t").cast("timestamp").as("l_shipdate"))
+    val got = Relational.orderBacklog(orders, lines).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 1L), (1L, 1L, 2L),
+      (0L, 1L, 1L), (0L, 0L, 0L)))
+  }
 }
