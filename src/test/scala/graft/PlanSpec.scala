@@ -410,6 +410,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("funnel_window: every step is union+window — no join operator anywhere") {
+    // each as-of step is a union + ordered window; a per-user quadratic
+    // self-join sneaking in would show as a Join node
+    val p = SparkEntry.queries("funnel_window")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"funnel_window grew a join:\n$p")
+  }
+
+  test("max_concurrency / order_backlog: sweeps stay equi/broadcast-joined, never nested-loop") {
+    Seq("max_concurrency", "order_backlog").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell into a nested loop:\n$p")
+    }
+  }
+
   test("rnn_pairs: reciprocity join is hash-equi over the checkpointed kNN relation") {
     // the all-pairs scorer runs once (eagerly) into the localCheckpoint;
     // the FINAL plan must join that ≤ N·k relation to its transpose with
