@@ -635,6 +635,10 @@ object SparkEntry {
     "order_backlog" -> ((s, dir) =>
       Relational.orderBacklog(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // support 3: the corpus' basket-pair ceiling is 5, so the cut keeps
+    // a real 63-candidate pool ahead of the top-50
+    "basket_pairs" -> ((s, dir) =>
+      Relational.basketPairs(Tables.lineitem(s, dir), minSupport = 3L)),
     // Skew-safe two-phase aggregation over the 5 hot event_type keys;
     // the oracle is the plain GROUP BY — salting must be invisible in
     // results (DECIMAL sums, so partial/final split can't perturb floats).
@@ -3130,6 +3134,33 @@ object SparkEntry {
         |  CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS backlog
         |FROM g ORDER BY day""".stripMargin,
+
+    // order-local pair census over per-order DISTINCT parts; lift as
+    // the exact integer micro floor c_ab·n·1e6 // (c_a·c_b)
+    "basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (
+        |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |  FROM items
+        |), pc AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM items GROUP BY 1
+        |), pr AS (
+        |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM items x JOIN items y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT part_a, part_b, c_ab, a.c AS c_a, b.c AS c_b,
+        |  c_ab * n.n_orders * 1000000 // (a.c * b.c) AS lift_micro
+        |FROM pr
+        |JOIN pc a ON a.l_partkey = part_a
+        |JOIN pc b ON b.l_partkey = part_b
+        |CROSS JOIN n
+        |WHERE c_ab >= 3
+        |ORDER BY c_ab DESC, part_a, part_b LIMIT 50""".stripMargin,
 
     "pair_correlation" ->
       """WITH buckets AS (

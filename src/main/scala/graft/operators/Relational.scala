@@ -861,4 +861,51 @@ object Relational {
         sum(col("net")).over(w).cast("long").as("backlog"))
       .orderBy(col("day"))
   }
+
+  /** Market-basket 2-itemset mining over the order lines — the
+    * canonical co-purchase read (apriori's frequent-pair stage): for
+    * every unordered part pair appearing in the same order, its support
+    * count and LIFT n·c_ab/(c_a·c_b), cut at `minSupport` and top-`k`
+    * by (support desc, a, b). Lift is the exact integer micro floor
+    * c_ab·n·10⁶ div (c_a·c_b) — all counts, no float ratio (the
+    * type_pair_lift convention on the purchase basket).
+    *
+    * Shape: the pair join is ORDER-LOCAL (self-join on l_orderkey over
+    * per-order DISTINCT parts, a < b), so fanout is bounded by
+    * lines-per-order² — a basket constant, never corpus-quadratic; the
+    * per-part counts broadcast back onto the pair census; the cut is
+    * TakeOrderedAndProject. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // basket count as a broadcast 1-row aggregate (the scalar-subquery
+    // convention) — no driver action at construction. Bound: the lift
+    // numerator needs c_ab·n_orders·10⁶ < 2⁶³ (holds through ~10⁶-order
+    // baskets at any realistic pair support; DECIMAL widening is the
+    // escape hatch beyond).
+    val nOrders = items.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"))
+    val partCounts = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"),
+        col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).cast("long").as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    pairs
+      .join(partCounts.select(col("l_partkey").as("part_a"),
+        col("c").as("c_a")), "part_a")
+      .join(partCounts.select(col("l_partkey").as("part_b"),
+        col("c").as("c_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        expr("c_ab * n_orders * 1000000 div (c_a * c_b)")
+          .as("lift_micro"))
+      .orderBy(col("c_ab").desc, col("part_a"), col("part_b")).limit(k)
+  }
 }

@@ -342,4 +342,20 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 1L), (1L, 1L, 2L),
       (0L, 1L, 1L), (0L, 0L, 0L)))
   }
+
+  test("basketPairs: order-local distinct pairs, duplicate lines don't inflate, exact integer lift") {
+    import graft.operators.Relational
+    // o1 {p1, p2, p2-again}, o2 {p1, p2}, o3 {p1, p3}, o4 {p2}:
+    // pair (1,2) support 2 (the duplicate line must not make it 3),
+    // lift = 2·4·10⁶ div (3·3) = 888888 (floored)
+    val lines = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Relational.basketPairs(lines, minSupport = 2L, k = 50)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (1L, 2L, 2L, 3L, 3L, 888888L))
+  }
 }
