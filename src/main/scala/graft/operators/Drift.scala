@@ -117,28 +117,45 @@ object Drift {
     * streamed statistic equals the batch one by construction. The input
     * is group-cardinality (types × bins), never corpus-sized.
     *
-    * Count bound: the exact-integer numerator (c0·n1 − c1·n0)²·10⁶
-    * needs (n0·n1)²·10⁶ ≤ 10³⁸ (DECIMAL38 / DuckDB HUGEINT), i.e.
-    * per-type per-half counts up to ~10⁸ rows — raw-event drift checks
-    * beyond that should pre-aggregate (count rows per (type, bin) at
-    * coarser grain, or rescale both halves by a common factor before
-    * the assembly: χ² is scale-covariant, χ²(c/s) = χ²(c)/s). Past the
-    * bound, non-ANSI Spark would overflow DECIMAL to NULL while DuckDB
-    * errors — neither silently lies, but the statistic is lost. */
+    * Headroom: the naive exact numerator (c0·n1 − c1·n0)²·10⁶ needs
+    * (n0·n1)²·10⁶ ≤ 10³⁸ — dead past ~10⁸ rows per half. This assembly
+    * computes the IDENTICAL integer via two exact Euclidean splits, so
+    * the oversized products never materialize:
+    *
+    *   d = c0·n1 − c1·n0;  t = c0 + c1;  |d| = a·t + b  (0 ≤ b < t)
+    *   d² div t   = a²·t + 2ab + b² div t          (every term exact)
+    *   d² mod t   = b² mod t = r
+    *   d²·10⁶ div t = (d² div t)·10⁶ + r·10⁶ div t  (exact: the
+    *     quotient part is divisible by t after scaling)
+    *
+    * Largest intermediate is now a²·t·10⁶ ≤ max(n0,n1)³·2·10⁶ — exact
+    * through DECIMAL38/HUGEINT for per-type per-half counts up to
+    * ~3·10¹⁰ rows (two orders past the old bound; trillions-of-raw-rows
+    * halves should pre-aggregate to coarser bins first — χ² inputs are
+    * (type, bin) counts, so that is a grain choice, not a limit of this
+    * operator). Values are bit-identical to the one-shot formula — the
+    * driver hash proves it against the oracle's direct statement. */
   def chiSquare(binned: DataFrame): DataFrame = {
     val totals = binned.groupBy(col("event_type"))
       .agg(sum(col("c0")).cast("long").as("n0"),
         sum(col("c1")).cast("long").as("n1"),
         count(lit(1)).as("n_bins"))
     binned.join(broadcast(totals), Seq("event_type"))
+      .withColumn("t", expr("c0 + c1"))
+      .withColumn("ad", expr("""abs(CAST(c0 AS DECIMAL(19,0)) * n1 -
+        | CAST(c1 AS DECIMAL(19,0)) * n0)""".stripMargin))
+      .withColumn("a", expr("ad div t")) // ≤ max(n0, n1): fits BIGINT
+      .withColumn("b", expr("CAST(ad % t AS BIGINT)"))
+      .withColumn("term", expr(
+        """(CAST(a AS DECIMAL(19,0)) * a * t +
+          | 2 * CAST(a AS DECIMAL(19,0)) * b +
+          | CAST(b AS DECIMAL(19,0)) * b div t) * 1000000 +
+          |(CAST(CAST(b AS DECIMAL(19,0)) * b % t AS BIGINT)
+          | * 1000000) div t""".stripMargin))
       .groupBy(col("event_type"))
       .agg(max(col("n0")).as("n_early"), max(col("n1")).as("n_late"),
         max(col("n_bins")).as("n_bins"),
-        sum(expr("""(CAST(c0 AS DECIMAL(19,0)) * n1 -
-                    | CAST(c1 AS DECIMAL(19,0)) * n0) *
-                    |(CAST(c0 AS DECIMAL(19,0)) * n1 -
-                    | CAST(c1 AS DECIMAL(19,0)) * n0) * 1000000
-                    | div (c0 + c1)""".stripMargin)).as("s"))
+        sum(expr("CAST(term AS DECIMAL(38,0))")).as("s"))
       .select(col("event_type"), col("n_early"), col("n_late"),
         col("n_bins"),
         expr("""CASE WHEN n_early = 0 OR n_late = 0 THEN NULL

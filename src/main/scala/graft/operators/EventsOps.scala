@@ -1092,11 +1092,13 @@ object EventsOps {
     * is engine-deterministic. The output is the 4×4×4 segment grid with
     * user counts and exact monetary mass.
     *
-    * Shape at 100 TB: the windowed relation is USER-cardinality (one row
+    * Shape at 100 TB: the scored relation is USER-cardinality (one row
     * per user after the first aggregate), orders of magnitude below the
-    * event count; beyond sort-able user counts the closed-form histogram
-    * ntile of `length_deciles` applies unchanged (bucket edges from a
-    * metric histogram instead of a global sort). */
+    * event count — and each quartile comes from
+    * [[graft.operators.Ranks.withNtileBucket]]'s cell-partitioned closed
+    * form, so even a 10⁹-user grid never funnels through a single-task
+    * sort (the oracle keeps stating ntile; the driver hash proves the
+    * forms equal). */
   def rfmSegments(events: DataFrame): DataFrame = {
     val perUser = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts_ns div 1000").as("us"),
@@ -1104,12 +1106,10 @@ object EventsOps {
       .groupBy(col("user_id"))
       .agg(max(col("us")).as("last_us"), count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))
-    def score(metric: String) = ntile(4).over(
-      Window.orderBy(col(metric), col("user_id")))
-    perUser
-      .withColumn("r_score", score("last_us"))
-      .withColumn("f_score", score("freq"))
-      .withColumn("m_score", score("cents"))
+    def score(df: DataFrame, metric: String, name: String) =
+      Ranks.withNtileBucket(df, 4, col(metric), Seq(col("user_id")), name)
+    score(score(score(perUser, "last_us", "r_score"),
+        "freq", "f_score"), "cents", "m_score")
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("segment_cents"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed exact ranking without a single-task global sort.
+ *
+ * `ntile(k).over(Window.orderBy(...))` — the form every report operator
+ * wants to state — plans as ONE task holding the whole relation: fine at
+ * sf0.1, dead at 100 TB. This helper computes the identical front-loaded
+ * ntile bucket (first N mod k buckets take the extra row, exactly Spark's
+ * and DuckDB's convention) from CLOSED-FORM rank arithmetic:
+ *
+ *   1. one tiny aggregate gives (min, max, N) of the ordering value;
+ *   2. each row maps to one of ≤`cells` equal-width VALUE CELLS — a pure
+ *      map-side projection (the broadcast of the 1-row stats relation);
+ *   3. per-cell counts (a `cells`-bounded aggregate) turn into cumulative
+ *      cell offsets via a window over the ≤`cells`-row relation — the
+ *      only unpartitioned window, riding a BOUNDED input like
+ *      `length_deciles`' histogram pass, never the data relation;
+ *   4. global rank = cell offset + row_number() over a window PARTITIONED
+ *      BY CELL (≈N/cells rows per partition, parallel by construction);
+ *   5. bucket = ntile's closed form on (rank, N, k) — pure arithmetic.
+ *
+ * Every shuffle is keyed (cell), every window partitioned or bounded; the
+ * plan survives a 1000-executor 100 TB corpus where the one-task sort
+ * does not. The driver hash proves equality with the oracle's ntile.
+ *
+ * Preconditions: the ordering value casts losslessly to BIGINT (every
+ * caller already ranks integer micros / ids / cents), and
+ * (primary, tiebreaks...) is a TOTAL order — same contract the ntile
+ * forms carried.
+ */
+object Ranks {
+
+  /** Adds `bucketCol` = the exact `ntile(k)` bucket of each row under the
+    * total order (primary, tiebreaks...), computed scalably as described
+    * above. Output column is INT, matching `ntile`'s type. */
+  def withNtileBucket(df: DataFrame, k: Int, primary: Column,
+      tiebreaks: Seq[Column], bucketCol: String,
+      cells: Int = 4096): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val withV = df.withColumn("__v", primary.cast("long"))
+    val stats = withV.agg(min(col("__v")).as("__mn"),
+      max(col("__v")).as("__mx"), count(lit(1)).as("__n"))
+    // equal-width value cells: width ≥ 1 so (v - mn) div width < cells+1;
+    // `div` is BIGINT floor division on both engines
+    val celled = withV.crossJoin(broadcast(stats))
+      .withColumn("__cell",
+        expr(s"(__v - __mn) div ((__mx - __mn) div ${cells}L + 1L)"))
+    val offs = celled.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(col("__cell"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__cell"), col("__off"))
+    val wCell = Window.partitionBy(col("__cell"))
+      .orderBy(col("__v") +: tiebreaks: _*)
+    // ntile closed form: q = N div k rows per bucket, the first N mod k
+    // buckets take one extra (the front-loaded convention both engines
+    // share). CaseWhen evaluates only the matched branch, so the q = 0
+    // division never runs when N < k (where the first branch always hits).
+    celled.join(broadcast(offs), "__cell")
+      .withColumn("__r", col("__off") +
+        row_number().over(wCell).cast("long"))
+      .withColumn(bucketCol, expr(
+        s"""CAST(CASE WHEN __r <= (__n % $k) * (__n div $k + 1)
+           |  THEN (__r - 1) div (__n div $k + 1) + 1
+           |  ELSE (__n % $k) +
+           |    (__r - (__n % $k) * (__n div $k + 1) - 1) div (__n div $k) + 1
+           |END AS INT)""".stripMargin))
+      .drop("__v", "__mn", "__mx", "__n", "__cell", "__c", "__off", "__r")
+  }
+}

@@ -118,9 +118,9 @@ object TextAnalysis {
     *
     * Shape at 100 TB: ONE tokenize feeds the (doc, token) census; the
     * first-occurrence aggregate and per-doc counts re-aggregate it; the
-    * cumulative windows run on the `checkpoints`-row relation. The
-    * bucket ntile rides the doc-cardinality relation (the
-    * length_deciles closed form applies beyond sortable doc counts). */
+    * cumulative windows run on the `checkpoints`-row relation. Doc
+    * buckets use [[Ranks.withNtileBucket]]'s cell-partitioned closed
+    * form — no global sort of the doc relation anywhere. */
   def vocabGrowth(documents: DataFrame, checkpoints: Int = 10,
       toks: Option[DataFrame] = None): DataFrame =
     growthCurve(documents,
@@ -148,11 +148,14 @@ object TextAnalysis {
   /** The shared growth-curve assembly over any (doc_id, tok) census:
     * first occurrence = min(doc_id) per tok (exact — no approximate
     * distinct), per-bucket doc/occurrence/new-tok counts, cumulative
-    * windows on the `checkpoints`-row relation. */
+    * windows on the `checkpoints`-row relation. Doc buckets come from
+    * [[Ranks.withNtileBucket]]'s closed-form rank arithmetic — the
+    * oracle states ntile over doc_id, this side never runs an
+    * unpartitioned window over the doc-cardinality relation. */
   private def growthCurve(documents: DataFrame, census: DataFrame,
       checkpoints: Int): DataFrame = {
-    val b = documents.select(col("doc_id"),
-      ntile(checkpoints).over(Window.orderBy(col("doc_id"))).as("bucket"))
+    val b = Ranks.withNtileBucket(documents.select(col("doc_id")),
+      checkpoints, col("doc_id"), Nil, "bucket")
     val cnt = census.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val perBucket = b.join(cnt, Seq("doc_id"), "left")
       .groupBy(col("bucket"))
@@ -1390,9 +1393,10 @@ object TextAnalysis {
     * both engines). The shape a release report actually prints:
     * "contamination is concentrated in the top decile" vs "smeared".
     *
-    * The global ntile runs on the per-doc fraction relation (training-
-    * corpus cardinality); beyond sortable doc counts the closed-form
-    * histogram ntile of `length_deciles` applies unchanged. */
+    * The oracle states a global ntile over the per-doc fraction relation
+    * (training-corpus cardinality); this side computes the identical
+    * bucket via [[Ranks.withNtileBucket]]'s cell-partitioned closed
+    * form — no single-task sort at any corpus size. */
   def contaminationDeciles(documents: DataFrame, n: Int = 3,
       evalPermille: Int = 20): DataFrame =
     contaminationDecilesFrom(decontaminationFraction(documents, n,
@@ -1402,16 +1406,14 @@ object TextAnalysis {
     * form SparkEntry serves so `decontaminate_frac` and the decile
     * report share ONE memoized scoring run (the dedup-family prefix
     * pattern). */
-  def contaminationDecilesFrom(frac: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("contam_frac_micro"), col("doc_id"))
-    frac
-      .withColumn("decile", ntile(10).over(w))
+  def contaminationDecilesFrom(frac: DataFrame): DataFrame =
+    Ranks.withNtileBucket(frac, 10, col("contam_frac_micro"),
+        Seq(col("doc_id")), "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_hits")).as("total_hits"),
         expr("sum(contam_frac_micro) div count(1)").as("mean_contam_micro"))
       .orderBy(col("decile"))
-  }
 
   /** Per-document DUPLICATED-SPAN coverage — the span-level view of
     * corpus duplication (Lee et al.'s substring-dedup lens):

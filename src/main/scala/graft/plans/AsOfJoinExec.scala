@@ -188,9 +188,11 @@ object AsOfJoinPhysical {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name"))
     val p = attr(rPlan, payloadCol)
-    require(attr(lPlan, keyCol).dataType == p.dataType ||
-      attr(lPlan, keyCol).dataType == attr(rPlan, keyCol).dataType,
-      "key types must match across sides")
+    // key dtype must match across sides — a mismatch would otherwise
+    // surface later as a ClassCastException in the interpreted ordering
+    require(attr(lPlan, keyCol).dataType == attr(rPlan, keyCol).dataType,
+      s"key types must match across sides: " +
+        s"${attr(lPlan, keyCol).dataType} vs ${attr(rPlan, keyCol).dataType}")
     val node = AsOfJoinNode(lPlan, rPlan, keyCol, leftTs, rightTs,
       payloadCol, AttributeReference(as, p.dataType, nullable = true)())
     org.apache.spark.sql.GraftBridge.ofRows(spark, node)

@@ -63,6 +63,15 @@ class AsOfExecSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window formulation leaked in:\n$p")
   }
 
+  test("mismatched key dtypes fail fast at construction, not mid-merge") {
+    val left = Seq((1L, 10L, 1L)).toDF("k", "ts", "row_id")
+    val right = Seq(("1", 10L, 100L)).toDF("k", "ts", "q")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPhysical.asOf(left, right, "k", "ts", "ts", "q", "m")
+    }
+    assert(e.getMessage.contains("key types must match"))
+  }
+
   test("result is invariant under repartitioned inputs") {
     val ev = Tables.events(spark, sf0001)
     def run(e: org.apache.spark.sql.DataFrame) = {

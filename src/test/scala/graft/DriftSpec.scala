@@ -51,6 +51,26 @@ class DriftSpec extends SparkSpec {
     assert(!r("a").isNullAt(4))
   }
 
+  test("chiSquare stays exact past the old 1e8-per-half DECIMAL38 bound") {
+    // per-half counts of 4e9: the one-shot (c0·n1 − c1·n0)²·10⁶ would be
+    // ~6.4e43 — a DECIMAL38 overflow-to-NULL — while the Euclidean-split
+    // assembly keeps every intermediate ≤ ~max(n)³·2e6 and must equal the
+    // BigInt-evaluated exact statistic.
+    val c0a = 3000000000L; val c1a = 1000000000L
+    val c0b = 1000000000L; val c1b = 3000000000L
+    val binned = Seq(("x", 0L, c0a, c1a), ("x", 1L, c0b, c1b))
+      .toDF("event_type", "bin", "c0", "c1")
+    val r = Drift.chiSquare(binned).collect()
+    val Row(_, n0, n1, nBins, chi2) = r(0)
+    def term(c0: Long, c1: Long, n0: BigInt, n1: BigInt): BigInt =
+      (c0 * n1 - c1 * n0).pow(2) * 1000000 / (BigInt(c0) + c1)
+    val N0 = BigInt(c0a) + c0b; val N1 = BigInt(c1a) + c1b
+    val expected =
+      (term(c0a, c1a, N0, N1) + term(c0b, c1b, N0, N1)) / (N0 * N1)
+    assert((n0, n1, nBins) == (N0.toLong, N1.toLong, 2L))
+    assert(chi2 == expected.toLong, s"got $chi2, want $expected")
+  }
+
   test("ksDrift matches the hand-evaluated max CDF gap") {
     // type a, early values {1, 2, 3}, late values {3, 4, 5}; n0 = n1 = 3
     // CDF gaps at v=1: |1*3-0| = 3; v=2: 6; v=3: |3*3-1*3| = 6;

@@ -152,6 +152,26 @@ class PlanSpec extends SparkSpec {
       "the three rank functions must evaluate in a single Window operator")
   }
 
+  test("report ntiles ride the closed form: no unpartitioned window over a data-sized input") {
+    // vocab_growth/ngram_growth (doc-cardinality), contamination_deciles
+    // (per-doc fractions) and rfm_segments (per-user grid) all STATE ntile
+    // in the oracle but must never plan a single-task global sort: the only
+    // unpartitioned Window nodes allowed are the cumulative passes over
+    // aggregate-bounded relations (cell/bucket histograms).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (q <- Seq("vocab_growth", "ngram_growth", "contamination_deciles",
+        "rfm_segments", "length_deciles")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans an unpartitioned Window over a non-aggregated input")
+    }
+  }
+
   test("gapfill spine joins broadcast — no shuffle of the generated range") {
     val p = planOf("trends_gapfill")
     assert(p.contains("Range ("), "spine should be a distributed Range scan")
