@@ -137,6 +137,31 @@ object SparkEntry {
         o
       })
 
+  private val positionsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, pos, sh) word-trigram OCCURRENCE census tokenized ONCE
+    * per (SparkContext, corpus dir) and localCheckpointed — the
+    * positions-bearing sibling of [[postingsFor]], the family prefix
+    * under winnow_pairs and dup_spans (both need positions, so they can
+    * never join the distinct postings prefix; before this memo each
+    * re-ran normalize + the trigram posexplode over the corpus). */
+  private def positionsFor(s: SparkSession, dir: String): DataFrame =
+    positionsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        import graft.functions.TextOps.normalize
+        import graft.functions.WordShingles.word_ngrams
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val p = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(word_ngrams(normalize(col("text")), 3))
+              .as(Seq("pos", "sh")))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        p
+      })
+
   private val bigramsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
@@ -591,7 +616,8 @@ object SparkEntry {
       MarketStats.macdDaily(Tables.events(s, dir))),
     "dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpans(Tables.documents(s, dir),
-        postings = Some(postingsFor(s, dir)))),
+        postings = Some(postingsFor(s, dir)),
+        positions = Some(positionsFor(s, dir)))),
     "knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir))),
     "daily_returns" -> ((s, dir) =>
@@ -894,7 +920,8 @@ object SparkEntry {
       Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(
       Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
-    "winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(Tables.documents(s, dir))),
+    "winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(
+      Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
     "readability" -> ((s, dir) => TextAnalysis.readability(Tables.documents(s, dir))),
     "length_deciles" -> ((s, dir) => TextAnalysis.lengthDeciles(Tables.documents(s, dir))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(Tables.documents(s, dir))),

@@ -37,12 +37,22 @@ object Ranks {
 
   /** Adds `bucketCol` = the exact `ntile(k)` bucket of each row under the
     * total order (primary, tiebreaks...), computed scalably as described
-    * above. Output column is INT, matching `ntile`'s type. */
+    * above. Output column is INT, matching `ntile`'s type.
+    *
+    * The input is materialized ONCE via a LAZY localCheckpoint (no job
+    * at construction time): the stats, cell-histogram and ranking
+    * consumers otherwise each re-evaluate the caller's upstream plan,
+    * and CHAINED calls (rfm's three axes) would compound that 4× per
+    * call — measured 64 input scans for three chained buckets. The
+    * checkpoint is exactly the materialize-before-rank step a 100 TB
+    * pipeline performs anyway; it is query-scoped and swept by the
+    * harness' per-query unpersist. */
   def withNtileBucket(df: DataFrame, k: Int, primary: Column,
       tiebreaks: Seq[Column], bucketCol: String,
       cells: Int = 4096): DataFrame = {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
     val withV = df.withColumn("__v", primary.cast("long"))
+      .localCheckpoint(false)
     val stats = withV.agg(min(col("__v")).as("__mn"),
       max(col("__v")).as("__mx"), count(lit(1)).as("__n"))
     // equal-width value cells: width ≥ 1 so (v - mn) div width < cells+1;

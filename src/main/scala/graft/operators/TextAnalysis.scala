@@ -1436,12 +1436,15 @@ object TextAnalysis {
     * df-cut here: hot shingles are precisely the duplicated ones); the
     * per-doc window runs over each doc's own positions. */
   def dupSpans(documents: DataFrame, n: Int = 3,
-      postings: Option[DataFrame] = None): DataFrame = {
+      postings: Option[DataFrame] = None,
+      positions: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
-    val tri = documents
+    // (doc_id, pos, sh) occurrence census — shared with [[winnowPairs]]
+    // when SparkEntry supplies the memoized positions prefix
+    val tri = positions.getOrElse(documents
       .select(col("doc_id"),
         posexplode(word_ngrams(normalize(col("text")), n)))
-      .withColumnRenamed("col", "sh")
+      .withColumnRenamed("col", "sh"))
     // the duplicated-shingle set off the per-doc-DISTINCT postings
     // relation (distinct per doc ⇒ count(*) IS the distinct-doc count —
     // no Expand). When the memoized candidate-join postings prefix is
@@ -1518,18 +1521,23 @@ object TextAnalysis {
     * fingerprints past `dfCap` are dropped from MATCHING by a broadcast
     * anti-join (the skew guard — sizes still count them, mirroring the
     * oracle). Pairs scored by fingerprint-set Jaccard with the
-    * threshold applied on the unrounded double, like the shingle ops. */
+    * threshold applied on the unrounded double, like the shingle ops.
+    * `positions` is the (doc_id, pos, sh) word-trigram occurrence census
+    * shared with [[dupSpans]] (SparkEntry memoizes ONE tokenize for the
+    * positions-bearing family); the 60-bit hash is a map-side projection
+    * over that census, never a re-tokenize. */
   def winnowPairs(documents: DataFrame, n: Int = 3, w: Int = 4,
-      dfCap: Long = 10L, minJaccard: Double = 0.5): DataFrame = {
+      dfCap: Long = 10L, minJaccard: Double = 0.5,
+      positions: Option[DataFrame] = None): DataFrame = {
     import graft.functions.{PortableHash, WordShingles}
-    val grams = documents.select(col("doc_id"),
+    val grams = positions.getOrElse(documents.select(col("doc_id"),
       posexplode(WordShingles.word_ngrams(normalize(col("text")), n))
-        .as(Seq("pos", "gram")))
+        .as(Seq("pos", "sh"))))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
     val fps = grams
       .select(col("doc_id"), col("pos"),
-        PortableHash.h60(col("gram")).as("h"))
+        PortableHash.h60(col("sh")).as("h"))
       .withColumn("mh", min(col("h")).over(wWin))
       .withColumn("nw", count(col("h")).over(wWin))
       .where(col("nw") === w)
