@@ -114,8 +114,11 @@ object AsOfJoin {
     * the one directional variant the family still lacked: each left row
     * matches the right row with the SMALLEST absolute time distance,
     * ties broken BACKWARD (the earlier right row — deterministic and
-    * oracle-stable). Payload must carry the right row's μs in
-    * `usField` so the two direction candidates can be compared.
+    * oracle-stable); right rows SHARING (key, ts) resolve to the
+    * largest payload (the window ordering is total, so the pick can
+    * never depend on physical tie order). Payload must carry the right
+    * row's μs in `usField` so the two direction candidates can be
+    * compared.
     *
     * One union, ONE shuffle on the key, two sorts inside the same
     * exchange: backward = running last() over (ts asc), forward =
@@ -140,12 +143,16 @@ object AsOfJoin {
       (leftCols.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")): _*)
       .unionByName(r, allowMissingColumns = true)
     // rights (side 0) sort before lefts at equal ts in BOTH directions
-    // (asc: side asc; desc: side asc again) → both passes inclusive
+    // (asc: side asc; desc: side asc again) → both passes inclusive.
+    // __payload closes the ordering into a TOTAL order: multiple right
+    // rows sharing (key, ts) would otherwise make last()'s pick
+    // tie-order-dependent — with the tiebreak both passes
+    // deterministically surface the LARGEST payload at equal ts.
     val wb = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts").desc, col("__side"))
+      .orderBy(col("__ts").desc, col("__side"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val db = unix_micros(col("__ts")) - col(s"__b.$usField")
     val df = col(s"__f.$usField") - unix_micros(col("__ts"))

@@ -832,15 +832,17 @@ object Relational {
     * corpus size — the dayTotals convention). Days with no activity
     * emit no row (backlog is constant across the gap). */
   def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    // dates ship as TIMESTAMP_NTZ; the cast reads them as UTC wall
-    // clock (session TZ), matching DuckDB's epoch() on the same values
+    // dates ship as TIMESTAMP_NTZ; DATE truncation + unix_date reads the
+    // wall-clock day directly — TZ-INDEPENDENT epoch days (the previous
+    // CAST-to-TIMESTAMP route interpreted the NTZ value in the session
+    // zone and only matched the oracle under a UTC session)
     val iv = orders
       .select(col("o_orderkey"),
-        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        expr("CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT)")
           .as("od"))
       .join(lineitem.groupBy(col("l_orderkey"))
           .agg(max(expr(
-            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"))
+            "CAST(unix_date(CAST(l_shipdate AS DATE)) AS BIGINT)"))
             .as("cd")),
         col("o_orderkey") === col("l_orderkey"))
     val g = iv
@@ -880,10 +882,11 @@ object Relational {
     val items = lineitem
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     // basket count as a broadcast 1-row aggregate (the scalar-subquery
-    // convention) — no driver action at construction. Bound: the lift
-    // numerator needs c_ab·n_orders·10⁶ < 2⁶³ (holds through ~10⁶-order
-    // baskets at any realistic pair support; DECIMAL widening is the
-    // escape hatch beyond).
+    // convention) — no driver action at construction. The lift ratio
+    // widens through DECIMAL(38,0) (the typePairLift convention): a raw
+    // BIGINT numerator would WRAP silently in non-ANSI Spark past
+    // ~10⁶-order baskets while DuckDB raises — the engines must instead
+    // agree exactly at any count.
     val nOrders = items.agg(
       countDistinct(col("l_orderkey")).as("n_orders"))
     val partCounts = items.groupBy(col("l_partkey"))
@@ -904,7 +907,8 @@ object Relational {
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("c_ab"), col("c_a"),
         col("c_b"),
-        expr("c_ab * n_orders * 1000000 div (c_a * c_b)")
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n_orders * 1000000 div " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)")
           .as("lift_micro"))
       .orderBy(col("c_ab").desc, col("part_a"), col("part_b")).limit(k)
   }

@@ -665,7 +665,13 @@ object Similarity {
     * integer ops independent of corpus size, driver-resident by the same
     * "queries × centroids is driver-sized by definition" argument as the
     * IVF probe selection. Output: one row per selection step with the
-    * audit trail (relevance, redundancy, combined score). */
+    * audit trail (relevance, redundancy, combined score).
+    *
+    * EAGER: the candidate cut `.collect()`s at CONSTRUCTION time (two
+    * Spark jobs — the scoring scan and the top-n cut), and every call
+    * recomputes them; build the DataFrame only when the result is
+    * wanted (a plan-inspection pass pays the jobs too — the same note
+    * the localCheckpointed prefixes carry). */
   def mmrRerank(embeddings: DataFrame, queryId: Long = 0L, n: Int = 20,
       k: Int = 5): DataFrame = {
     val spark = embeddings.sparkSession

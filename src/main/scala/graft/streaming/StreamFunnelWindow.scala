@@ -28,38 +28,82 @@ import graft.operators.EventsOps
  * level-3 flags — streamed ≡ batch by construction, not by a parallel
  * reimplementation. Same foreachBatch + driver-held-table shape as
  * [[StreamFunnel]] / [[StreamKmv]].
+ *
+ * OPT-IN BOUNDED STATE (`latenessUs = Some(L)`): the default table
+ * matches the store path's no-watermark ST3 convention, so unconverged
+ * history grows with the stream. Under a lateness contract — every
+ * arrival's event time ≥ max-seen − L, the same promise a Spark
+ * watermark encodes — a horizon bound is EXACT: an event older than
+ * cutoff = hwm − L − windowSec can never share a chain with a future
+ * arrival (any chain covering both needs an anchor within windowSec of
+ * the old event AND a future event time ≥ hwm − L — empty interval), so
+ * each fold freezes the per-user level achieved over the full history
+ * (level is monotone in the event set) and prunes events below the
+ * cutoff. State then tracks the arrival horizon, not stream history:
+ * per-user one frozen-level row + events within windowSec + L of the
+ * high-water mark. Readout takes max(frozen, live-over-retained) —
+ * exactly the full-history level within the contract (spec-asserted
+ * streamed ≡ batch under horizon-respecting waves).
  */
 object StreamFunnelWindow {
 
-  /** Running (unconverged events, converged flags) state pair. */
+  /** Running (unconverged events, converged flags[, frozen levels])
+    * state. */
   final class FunnelWindowTable(spark: SparkSession,
-      windowSec: Long = 3600L) {
+      windowSec: Long = 3600L, latenessUs: Option[Long] = None) {
     import spark.implicits._
     @volatile private var keptT: DataFrame =
       Seq.empty[(Long, String, Long)].toDF("user_id", "event_type", "us")
     @volatile private var doneT: DataFrame =
       Seq.empty[Long].toDF("user_id")
+    @volatile private var frozenT: DataFrame =
+      Seq.empty[(Long, Int)].toDF("user_id", "lvl")
+    @volatile private var hwmUs: Long = Long.MinValue
     def kept: DataFrame = keptT
     def done: DataFrame = doneT
+    def frozen: DataFrame = frozenT
     def fold(events: DataFrame): Unit = synchronized {
-      val all = keptT
-        .unionByName(events
-          .filter(col("event_type").isin("view", "click", "purchase"))
-          .select(col("user_id"), col("event_type"), col("us"))
-          // events from already-converged users are dead on arrival
-          .join(doneT, Seq("user_id"), "left_anti"))
-        .distinct()
-      val newDone = EventsOps.funnelWindowLevels(all, windowSec)
-        .filter(col("lvl") === 3).select(col("user_id"))
+      val incoming = events
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("us"))
+        // events from already-converged users are dead on arrival
+        .join(doneT, Seq("user_id"), "left_anti")
+      val all = keptT.unionByName(incoming).distinct()
+      val lvls = EventsOps.funnelWindowLevels(all, windowSec)
+      val newDone = lvls.filter(col("lvl") === 3).select(col("user_id"))
       doneT = doneT.union(newDone).distinct().localCheckpoint(true)
-      keptT = all.join(doneT, Seq("user_id"), "left_anti")
-        .localCheckpoint(true)
+      val live = all.join(doneT, Seq("user_id"), "left_anti")
+      keptT = (latenessUs match {
+        case None => live
+        case Some(l) =>
+          // one driver-sized max per batch advances the high-water mark
+          val mx = incoming.agg(max(col("us"))).collect()(0)
+          if (!mx.isNullAt(0))
+            hwmUs = math.max(hwmUs, mx.getLong(0))
+          frozenT = frozenT
+            .unionByName(lvls.filter(col("lvl") < 3)
+              .select(col("user_id"), col("lvl").cast("int").as("lvl")))
+            .groupBy(col("user_id"))
+            .agg(max(col("lvl")).as("lvl"))
+            .join(doneT, Seq("user_id"), "left_anti")
+            .localCheckpoint(true)
+          live.filter(
+            col("us") >= hwmUs - l - windowSec * 1000000L)
+      }).localCheckpoint(true)
     }
-    def funnel: DataFrame =
+    def funnel: DataFrame = {
+      val unconverged = latenessUs match {
+        case None => EventsOps.funnelWindowLevels(keptT, windowSec)
+        case Some(_) => frozenT
+          .unionByName(EventsOps.funnelWindowLevels(keptT, windowSec)
+            .select(col("user_id"), col("lvl").cast("int").as("lvl")))
+          .groupBy(col("user_id")).agg(max(col("lvl")).as("lvl"))
+      }
       EventsOps.funnelWindowRollup(
-        EventsOps.funnelWindowLevels(keptT, windowSec)
+        unconverged
           .union(doneT.select(col("user_id"), lit(3).as("lvl"))),
         windowSec)
+    }
   }
 
   /** Stream of (user_id, event_type, us) rows → continuously-folded

@@ -343,6 +343,26 @@ class EventsAnalyticsSpec extends SparkSpec {
       (0L, 1L, 1L), (0L, 0L, 0L)))
   }
 
+  test("orderBacklog day bucketing is session-TZ independent on NTZ dates") {
+    import graft.operators.Relational
+    val orders = Seq((1L, "1992-01-01 00:00:00")).toDF("o_orderkey", "t")
+      .select(col("o_orderkey"),
+        expr("CAST(t AS TIMESTAMP_NTZ)").as("o_orderdate"))
+    val lines = Seq((1L, "1992-01-02 00:00:00")).toDF("l_orderkey", "t")
+      .select(col("l_orderkey"),
+        expr("CAST(t AS TIMESTAMP_NTZ)").as("l_shipdate"))
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val a = Relational.orderBacklog(orders, lines).collect().map(_.toSeq)
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val b = Relational.orderBacklog(orders, lines).collect().map(_.toSeq)
+      assert(a.toSeq == b.toSeq, "day buckets moved with the session TZ")
+      assert(a.head.head ==
+        java.time.LocalDate.of(1992, 1, 1).toEpochDay)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
+
   test("basketPairs: order-local distinct pairs, duplicate lines don't inflate, exact integer lift") {
     import graft.operators.Relational
     // o1 {p1, p2, p2-again}, o2 {p1, p2}, o3 {p1, p3}, o4 {p2}:

@@ -65,4 +65,44 @@ class StreamFunnelWindowSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (2L, 2L, 2L),
       s"both users should sit at level 3, got $r")
   }
+
+  test("horizon-bounded table: streamed == batch within the lateness contract; history is pruned") {
+    implicit val sqlCtx = spark.sqlContext
+    val windowSec = 21600L
+    val latenessUs = 3600L * 1000000L // 1h allowed lateness
+    val events = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    // horizon-respecting arrival: ascending event time, so every wave
+    // honors "arrivals >= hwm - L" trivially
+    val ordered = events.sortBy(_._3)
+    val src = MemoryStream[(Long, String, Long)]
+    val table = new StreamFunnelWindow.FunnelWindowTable(spark, windowSec,
+      latenessUs = Some(latenessUs))
+    val q = StreamFunnelWindow.start(
+      src.toDS().toDF("user_id", "event_type", "us"), table)
+    ordered.grouped(250).foreach { wave =>
+      src.addData(wave: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = table.funnel.collect()(0)
+    val batch = EventsOps.funnelWindow(
+      Tables.events(spark, sf0001), windowSec).collect()(0)
+    assert((0 to 3).map(streamed.getLong) == (0 to 3).map(batch.getLong),
+      s"bounded streamed $streamed != batch $batch")
+    // the retention guarantee actually bit: kept holds only events within
+    // windowSec + lateness of the high-water mark, far below the
+    // funnel-relevant history the unbounded table would hold
+    val hwm = ordered.map(_._3).max
+    val cutoff = hwm - latenessUs - windowSec * 1000000L
+    assert(table.kept.filter(col("us") < cutoff).count() == 0,
+      "events below the horizon cutoff survived pruning")
+    val unboundedSize = events.count { case (_, t, _) =>
+      Set("view", "click", "purchase")(t) }
+    assert(table.kept.count() < unboundedSize / 2,
+      "horizon pruning kept most of the history — bound not effective")
+  }
 }
