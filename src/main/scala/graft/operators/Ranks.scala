@@ -5,39 +5,48 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Distributed exact ranking without a single-task global sort.
+ * Distributed exact ranking without a single-task (or single-group-task)
+ * sort.
  *
  * `ntile(k).over(Window.orderBy(...))` — the form every report operator
- * wants to state — plans as ONE task holding the whole relation: fine at
- * sf0.1, dead at 100 TB. This helper computes the identical front-loaded
- * ntile bucket (first N mod k buckets take the extra row, exactly Spark's
- * and DuckDB's convention) from CLOSED-FORM rank arithmetic:
+ * wants to state — plans as ONE task holding the whole relation (and the
+ * partitioned form `Window.partitionBy(status)` is the same hazard when
+ * the group count is a handful: each group is a data-sized task). This
+ * helper computes the identical rank / front-loaded ntile bucket (first
+ * N mod k buckets take the extra row, exactly Spark's and DuckDB's
+ * convention) from CLOSED-FORM rank arithmetic:
  *
- *   1. one tiny aggregate gives (min, max, N) of the ordering value;
+ *   1. one group-cardinality aggregate gives (min, max, N) of the
+ *      ordering value per partition group (one global row when
+ *      unpartitioned);
  *   2. each row maps to one of ≤`cells` equal-width VALUE CELLS — a pure
- *      map-side projection (the broadcast of the 1-row stats relation);
- *   3. per-cell counts (a `cells`-bounded aggregate) turn into cumulative
- *      cell offsets via a window over the ≤`cells`-row relation — the
- *      only unpartitioned window, riding a BOUNDED input like
+ *      map-side projection off the broadcast stats;
+ *   3. per-(group, cell) counts (a groups×cells-bounded aggregate) turn
+ *      into cumulative cell offsets via a window over that bounded
+ *      relation — the only coarse-keyed window, riding an AGGREGATE like
  *      `length_deciles`' histogram pass, never the data relation;
- *   4. global rank = cell offset + row_number() over a window PARTITIONED
- *      BY CELL (≈N/cells rows per partition, parallel by construction);
- *   5. bucket = ntile's closed form on (rank, N, k) — pure arithmetic.
+ *   4. rank = cell offset + row_number() over a window PARTITIONED BY
+ *      (group, cell) (≈N/cells rows per task, parallel by construction);
+ *   5. ntile / percent_rank / cume_dist = closed forms on (rank, N) —
+ *      pure arithmetic.
  *
- * Every shuffle is keyed (cell), every window partitioned or bounded; the
- * plan survives a 1000-executor 100 TB corpus where the one-task sort
- * does not. The driver hash proves equality with the oracle's ntile.
+ * Every shuffle is keyed, every window partitioned by (group, cell) or
+ * aggregate-bounded; the plan survives a 1000-executor 100 TB corpus
+ * where the one-task sort does not. The driver hash proves equality with
+ * the oracle's window functions.
  *
- * Preconditions: the ordering value casts losslessly to BIGINT (every
- * caller already ranks integer micros / ids / cents), and
- * (primary, tiebreaks...) is a TOTAL order — same contract the ntile
+ * Preconditions: the ordering value has a MONOTONE BIGINT image under
+ * CAST (integral, decimal and double all truncate monotonically — the
+ * long image only BINS; within-cell order uses the original value), and
+ * (primary, tiebreaks...) is a TOTAL order — same contract the window
  * forms carried.
  */
 object Ranks {
 
-  /** Adds `bucketCol` = the exact `ntile(k)` bucket of each row under the
-    * total order (primary, tiebreaks...), computed scalably as described
-    * above. Output column is INT, matching `ntile`'s type.
+  /** Annotates `df` with `rankCol` (1-based rank under the total order
+    * (primary, tiebreaks...), within each `partition` group — global
+    * when `partition` is empty) and `nCol` (the group size), computed
+    * scalably as described above.
     *
     * The input is materialized ONCE via a LAZY localCheckpoint (no job
     * at construction time): the stats, cell-histogram and ranking
@@ -47,40 +56,65 @@ object Ranks {
     * checkpoint is exactly the materialize-before-rank step a 100 TB
     * pipeline performs anyway; it is query-scoped and swept by the
     * harness' per-query unpersist. */
-  def withNtileBucket(df: DataFrame, k: Int, primary: Column,
-      tiebreaks: Seq[Column], bucketCol: String,
+  def withRankStats(df: DataFrame, partition: Seq[String], primary: Column,
+      tiebreaks: Seq[Column], rankCol: String, nCol: String,
       cells: Int = 4096): DataFrame = {
-    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    val pc = partition.map(col)
     val withV = df.withColumn("__v", primary.cast("long"))
       .localCheckpoint(false)
-    val stats = withV.agg(min(col("__v")).as("__mn"),
-      max(col("__v")).as("__mx"), count(lit(1)).as("__n"))
+    val aggs = Seq(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(lit(1)).as("__n"))
     // equal-width value cells: width ≥ 1 so (v - mn) div width < cells+1;
-    // `div` is BIGINT floor division on both engines
-    val celled = withV.crossJoin(broadcast(stats))
+    // `div` is BIGINT floor division on both engines. Stats are
+    // group-cardinality — broadcast by construction.
+    val celled = (if (partition.isEmpty)
+        withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)))
+      else
+        withV.join(broadcast(
+          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*)), partition))
       .withColumn("__cell",
         expr(s"(__v - __mn) div ((__mx - __mn) div ${cells}L + 1L)"))
-    val offs = celled.groupBy(col("__cell"))
+    val offKeys = partition :+ "__cell"
+    val wOff = Window.partitionBy(pc: _*).orderBy(col("__cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = celled.groupBy(offKeys.map(col): _*)
       .agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(
-        sum(col("__c")).over(Window.orderBy(col("__cell"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__cell"), col("__off"))
-    val wCell = Window.partitionBy(col("__cell"))
-      .orderBy(col("__v") +: tiebreaks: _*)
-    // ntile closed form: q = N div k rows per bucket, the first N mod k
-    // buckets take one extra (the front-loaded convention both engines
-    // share). CaseWhen evaluates only the matched branch, so the q = 0
-    // division never runs when N < k (where the first branch always hits).
-    celled.join(broadcast(offs), "__cell")
-      .withColumn("__r", col("__off") +
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(offKeys.map(col) :+ col("__off"): _*)
+    // within-cell order by the ORIGINAL primary (the long image only
+    // bins — decimal/double values sharing a truncated image still sort
+    // exactly), then the caller's tiebreaks
+    val wCell = Window.partitionBy(pc :+ col("__cell"): _*)
+      .orderBy(primary +: tiebreaks: _*)
+    celled.join(broadcast(offs), offKeys)
+      .withColumn(rankCol, col("__off") +
         row_number().over(wCell).cast("long"))
-      .withColumn(bucketCol, expr(
-        s"""CAST(CASE WHEN __r <= (__n % $k) * (__n div $k + 1)
-           |  THEN (__r - 1) div (__n div $k + 1) + 1
-           |  ELSE (__n % $k) +
-           |    (__r - (__n % $k) * (__n div $k + 1) - 1) div (__n div $k) + 1
-           |END AS INT)""".stripMargin))
-      .drop("__v", "__mn", "__mx", "__n", "__cell", "__c", "__off", "__r")
+      .withColumn(nCol, col("__n"))
+      .drop("__v", "__mn", "__mx", "__n", "__cell", "__c", "__off")
+  }
+
+  /** The exact front-loaded `ntile(k)` bucket from (rank, n) — q = n
+    * div k rows per bucket, the first n mod k buckets take one extra
+    * (the convention both engines share). CaseWhen evaluates only the
+    * matched branch, so the q = 0 division never runs when n < k (where
+    * the first branch always hits). INT, matching `ntile`'s type. */
+  def ntileFromRank(rank: String, n: String, k: Int): Column = expr(
+    s"""CAST(CASE WHEN $rank <= ($n % $k) * ($n div $k + 1)
+       |  THEN ($rank - 1) div ($n div $k + 1) + 1
+       |  ELSE ($n % $k) +
+       |    ($rank - ($n % $k) * ($n div $k + 1) - 1) div ($n div $k) + 1
+       |END AS INT)""".stripMargin)
+
+  /** Adds `bucketCol` = the exact `ntile(k)` bucket of each row under
+    * the total order (primary, tiebreaks...) within each `partition`
+    * group (global when empty), via [[withRankStats]] +
+    * [[ntileFromRank]]. */
+  def withNtileBucket(df: DataFrame, k: Int, primary: Column,
+      tiebreaks: Seq[Column], bucketCol: String,
+      cells: Int = 4096, partition: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"ntile bucket count must be >= 1, got $k")
+    withRankStats(df, partition, primary, tiebreaks, "__r", "__gn", cells)
+      .withColumn(bucketCol, ntileFromRank("__r", "__gn", k))
+      .drop("__r", "__gn")
   }
 }

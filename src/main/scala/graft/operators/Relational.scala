@@ -329,24 +329,29 @@ object Relational {
 
   /** Distribution-ranking window functions: quartile band, percent rank
     * and cumulative distribution of each order's price within its status
-    * group — one shuffle on the partition key, three rank functions over
-    * ONE sorted window pass. The window ordering includes o_orderkey so
-    * ntile's tie-splitting is deterministic and engine-portable (both
-    * engines assign standard front-loaded buckets over the total order);
-    * percent_rank/cume_dist are exact IEEE divisions of integer rank
-    * counts, identical across engines. */
-  def rankBands(orders: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders
-      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    * group. The oracle states them as ntile/percent_rank/cume_dist over
+    * a status-partitioned window — but a handful of statuses means each
+    * window task holds a data-sized group at 100 TB, so this side
+    * derives the identical values from [[Ranks.withRankStats]]'
+    * cell-partitioned closed form: the (price, o_orderkey) ordering is
+    * TOTAL (no ties), hence rank = row_number, percent_rank =
+    * (r−1)/(n−1) (0 for the singleton group, Spark's convention) and
+    * cume_dist = r/n — the exact IEEE divisions both engines perform on
+    * the same integers. ntile's front-loaded tie-splitting comes from
+    * [[Ranks.ntileFromRank]]. */
+  def rankBands(orders: DataFrame): DataFrame =
+    graft.operators.Ranks.withRankStats(
+      orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      Seq("o_orderstatus"), col("o_totalprice"), Seq(col("o_orderkey")),
+      "r", "n")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        graft.operators.Ranks.ntileFromRank("r", "n", 4).as("quartile"),
+        round(when(col("n") > 1,
+          (col("r") - 1).cast("double") / (col("n") - 1).cast("double"))
+          .otherwise(0.0), 6).as("pct_rank"),
+        round(col("r").cast("double") / col("n").cast("double"), 6)
+          .as("cume"))
       .orderBy(col("o_orderkey"))
-  }
 
   /** Order-priority check (TPC-H Q4 shape): orders in one quarter with at
     * least one late-shipping lineitem — the EXISTS-with-correlated-

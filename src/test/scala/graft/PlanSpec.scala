@@ -144,12 +144,20 @@ class PlanSpec extends SparkSpec {
       "corpus shuffled into the targets join — targets are driver-sized")
   }
 
-  test("rank_bands: ntile/percent_rank/cume_dist share ONE window pass") {
-    val p = planOf("rank_bands")
-    assert(p.linesIterator.count(_.trim.startsWith("Window")) +
-      p.split("\\(\\d+\\) Window").length - 1 >= 1) // node present
-    assert(p.split("\\(\\d+\\) Window\\b").length - 1 == 1,
-      "the three rank functions must evaluate in a single Window operator")
+  test("rank_bands: rank functions ride the cell-partitioned closed form, no status-sized window") {
+    // a status-partitioned window is a data-sized task at 100 TB (a
+    // handful of statuses); every Window in the closed-form plan must be
+    // either (group, cell)-partitioned or aggregate-bounded
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries("rank_bands")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val bad = plan.collect {
+      case w: LWindow
+        if !w.partitionSpec.exists(_.toString.contains("__cell")) &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"rank_bands plans a window not bounded by cell or aggregate: $bad")
   }
 
   test("report ntiles ride the closed form: no unpartitioned window over a data-sized input") {

@@ -58,6 +58,51 @@ class RanksSpec extends SparkSpec {
     check(9, 3, i => i.toLong, cells = 4096)
   }
 
+  test("partitioned buckets equal ntile over a partitioned window") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i.toLong, s"g${i % 3}", (i * 13 % 7).toLong))
+      .toDF("id", "g", "v")
+    val expected = df.withColumn("b",
+      ntile(4).over(Window.partitionBy(col("g"))
+        .orderBy(col("v"), col("id"))))
+    val got = Ranks.withNtileBucket(df, 4, col("v"), Seq(col("id")), "b",
+      partition = Seq("g"))
+    val mismatches = expected.alias("e").join(got.alias("g2"), Seq("id"))
+      .filter(col("e.b") =!= col("g2.b")).count()
+    assert(mismatches == 0)
+  }
+
+  test("decimal primary: within-cell order follows the full value, not its long image") {
+    import spark.implicits._
+    // 100.25 < 100.75 share the truncated long image 100 (one cell);
+    // rank must still follow the cents
+    val df = Seq((1L, "100.75"), (2L, "100.25"), (3L, "99.10"))
+      .toDF("id", "s")
+      .select(col("id"), col("s").cast("decimal(12,2)").as("v"))
+    val got = Ranks.withRankStats(df, Nil, col("v"), Seq(col("id")),
+      "r", "n")
+      .select(col("id"), col("r")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 2L -> 2L, 1L -> 3L), s"got $got")
+  }
+
+  test("rank/n stats match row_number and group counts") {
+    import spark.implicits._
+    val df = (1 to 25).map(i => (i.toLong, s"g${i % 2}", (i * 7 % 5).toLong))
+      .toDF("id", "g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expected = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+    val got = Ranks.withRankStats(df, Seq("g"), col("v"),
+      Seq(col("id")), "r", "n")
+    val mismatches = expected.alias("e")
+      .join(got.alias("g2"), Seq("id"))
+      .filter(col("e.r") =!= col("g2.r") || col("e.n") =!= col("g2.n"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("bucket column is INT, matching ntile's type") {
     import spark.implicits._
     val df = (1 to 4).map(i => (i.toLong, i.toLong)).toDF("id", "v")
