@@ -98,11 +98,12 @@ object Sampling {
     * Shape at 100 TB: the per-source count aggregate is map-side combined
     * and its result is driver-sized by definition (sources number in the
     * hundreds — same contract as the IVF centroid table), so targets
-    * compute on the driver and broadcast back. The one corpus shuffle is
-    * the per-source rank window (same key as the counts); a mega-source
-    * skews that window's partition, so production pre-filters each source
-    * map-side to ~target/count keep-probability and only ranks the
-    * survivors (unnecessary at test SF, documented). */
+    * compute on the driver and broadcast back. The per-source pick rank
+    * comes from [[graft.operators.Ranks.withRankStats]]' source-grouped
+    * cell-partitioned closed form — a mega-source is a data-sized group,
+    * so a plain source-keyed rank window would funnel it through one
+    * task; the hash-valued primary spreads uniformly over the cells, so
+    * every ranking task holds ~n/4096 rows regardless of source skew. */
   def temperatureMix(documents: DataFrame, budget: Long = 200): DataFrame = {
     import graft.functions.PortableHash.h60
     import documents.sparkSession.implicits._
@@ -141,11 +142,11 @@ object Sampling {
     val targets = counts.map { case (s, n) =>
       (s, n, fixed.getOrElse(s, 0L))
     }.toSeq.toDF("source", "n_docs", "target")
-    val w = Window.partitionBy(col("source"))
-      .orderBy(h60(col("doc_id").cast("string")), col("doc_id"))
-    documents
-      .select(col("doc_id"), col("source"))
-      .withColumn("pick_rank", row_number().over(w))
+    graft.operators.Ranks.withRankStats(
+      documents.select(col("doc_id"), col("source")),
+      Seq("source"), h60(col("doc_id").cast("string")),
+      Seq(col("doc_id")), "pick_rank", "__n")
+      .drop("__n")
       .join(broadcast(targets.select(col("source"), col("target"))), Seq("source"))
       .filter(col("pick_rank") <= col("target"))
       .select(col("doc_id"), col("source"), col("pick_rank"), col("target"))

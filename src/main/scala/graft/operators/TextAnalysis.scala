@@ -207,24 +207,22 @@ object TextAnalysis {
     * percentile (the CCNet-style per-shard calibration) fixes the
     * threshold semantics. percentile = (rank−1)·10⁶ div (n−1) over the
     * (q_micro, doc_id) total order — exact integers, no float ranking;
-    * single-doc sources sit at 0. One source-keyed window over the
-    * per-doc integer micro scores; at 100 TB the window is bounded per
-    * source and the closed-form histogram ntile (`length_deciles`)
-    * substitutes beyond sortable source sizes. */
-  def qualityCalibration(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("q_micro"), col("doc_id"))
-    val per = Window.partitionBy(col("source"))
-    rowStats(documents, withLang = false, keep = Seq("source"))
-      .select(col("doc_id"), col("source"),
-        floor(qualityExpr * 1000000).cast("long").as("q_micro"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(per))
+    * single-doc sources sit at 0. The rank comes from
+    * [[Ranks.withRankStats]]' source-grouped cell-partitioned closed
+    * form: a dominant crawl source is a data-sized group, so a plain
+    * source-keyed window would funnel it through one task at 100 TB
+    * (the oracle keeps stating the window; the hash proves the forms
+    * equal). */
+  def qualityCalibration(documents: DataFrame): DataFrame =
+    Ranks.withRankStats(
+      rowStats(documents, withLang = false, keep = Seq("source"))
+        .select(col("doc_id"), col("source"),
+          floor(qualityExpr * 1000000).cast("long").as("q_micro")),
+      Seq("source"), col("q_micro"), Seq(col("doc_id")), "rnk", "n")
       .select(col("doc_id"), col("source"), col("q_micro"),
         when(col("n") > 1, expr("(rnk - 1) * 1000000 div (n - 1)"))
           .otherwise(0L).as("pctl_micro"))
       .orderBy(col("doc_id"))
-  }
 
   /** Streaming-safe per-row scored projection: quality + language per
     * document with `keep` columns passed through, NO sort and NO

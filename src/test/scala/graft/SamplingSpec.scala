@@ -77,8 +77,8 @@ class SamplingSpec extends SparkSpec {
       val target = rows.head.getAs[Long]("target")
       assert(rows.length == math.min(target,
         rows.length).toInt && rows.length <= target)
-      assert(rows.map(_.getAs[Int]("pick_rank")).sorted.toSeq ==
-        (1 to rows.length).toSeq)
+      assert(rows.map(_.getAs[Long]("pick_rank")).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq)
     }
     // α = 0.5 flattening: the selected share of every smaller source is at
     // least its corpus share (sqrt weighting can only up-weight the small)
