@@ -180,6 +180,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("NO registered query plans an unpartitioned window over an unbounded input") {
+    // the repo-wide invariant behind the report-ntile closed forms: an
+    // unpartitioned Window is a single task holding its whole input, so
+    // it is only admissible over a relation already bounded by an
+    // Aggregate (histograms, rollups) or a Limit (top-k lists). Every
+    // query in the registry is swept — a future operator reintroducing a
+    // global-sort window fails here by name.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst {
+            case a: Aggregate => a
+            case l: GlobalLimit => l
+            case l: LocalLimit => l
+          }.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(s"$q (${bad.length})") else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned data-sized windows in: ${offenders.mkString(", ")}")
+  }
+
   test("gapfill spine joins broadcast — no shuffle of the generated range") {
     val p = planOf("trends_gapfill")
     assert(p.contains("Range ("), "spine should be a distributed Range scan")
