@@ -61,19 +61,44 @@ object Ranks {
       cells: Int = 4096): DataFrame = {
     val pc = partition.map(col)
     val withV = df.withColumn("__v", primary.cast("long"))
+      .withColumn("__t",
+        tiebreaks.headOption.map(_.cast("long")).getOrElse(lit(0L)))
       .localCheckpoint(false)
     val aggs = Seq(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      min(col("__t")).as("__tmn"), max(col("__t")).as("__tmx"),
       count(lit(1)).as("__n"))
-    // equal-width value cells: width ≥ 1 so (v - mn) div width < cells+1;
+    // Equal-width value cells: width ≥ 1 so (v - mn) div width < cells+1;
     // `div` is BIGINT floor division on both engines. Stats are
     // group-cardinality — broadcast by construction.
+    //
+    // TIE-SKEW refinement: a small-domain primary (range < cells — rfm's
+    // frequency axis, say 20 distinct values over 10⁹ users) would put
+    // every tied row in ONE cell = one ranking task. When each value
+    // cell holds exactly one value (width = 1 AND the primary is
+    // integral, so the long image is faithful — a decimal's image bins
+    // many values per integer), the within-cell order is purely the
+    // first tiebreak, so the cell key subdivides by the tiebreak's long
+    // image — lexicographic (v, tb) order is preserved and the ≤`cells`
+    // total key budget is re-spent as (range+1) × (cells div (range+1))
+    // subcells. Ranks are unchanged; only the task layout spreads.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = df.select(primary.as("__p")).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "TRUE"
+      case _ => "FALSE"
+    }
     val celled = (if (partition.isEmpty)
         withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)))
       else
         withV.join(broadcast(
           withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*)), partition))
-      .withColumn("__cell",
-        expr(s"(__v - __mn) div ((__mx - __mn) div ${cells}L + 1L)"))
+      .withColumn("__vw", expr(s"(__mx - __mn) div ${cells}L + 1L"))
+      .withColumn("__sub", expr(
+        s"greatest(1L, ${cells}L div (__mx - __mn + 1L))"))
+      .withColumn("__cell", expr(
+        s"""((__v - __mn) div __vw) * __sub +
+           |CASE WHEN __vw = 1 AND $integral
+           |  THEN (__t - __tmn) div ((__tmx - __tmn) div __sub + 1L)
+           |  ELSE 0L END""".stripMargin))
     val offKeys = partition :+ "__cell"
     val wOff = Window.partitionBy(pc: _*).orderBy(col("__cell"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -90,7 +115,8 @@ object Ranks {
       .withColumn(rankCol, col("__off") +
         row_number().over(wCell).cast("long"))
       .withColumn(nCol, col("__n"))
-      .drop("__v", "__mn", "__mx", "__n", "__cell", "__c", "__off")
+      .drop("__v", "__t", "__mn", "__mx", "__tmn", "__tmx", "__vw",
+        "__sub", "__n", "__cell", "__c", "__off")
   }
 
   /** The exact front-loaded `ntile(k)` bucket from (rank, n) — q = n

@@ -58,6 +58,12 @@ class RanksSpec extends SparkSpec {
     check(9, 3, i => i.toLong, cells = 4096)
   }
 
+  test("tie-skew path: small-domain primary over many rows still matches ntile") {
+    // range 9 < cells → width-1 value cells subdivide by the tiebreak
+    // image; ranks must be identical to the window form
+    check(5000, 7, i => (i % 10).toLong)
+  }
+
   test("partitioned buckets equal ntile over a partitioned window") {
     import spark.implicits._
     val df = (1 to 60).map(i => (i.toLong, s"g${i % 3}", (i * 13 % 7).toLong))
