@@ -416,6 +416,8 @@ object SparkEntry {
       Tables.customer(s, dir), Tables.orders(s, dir))),
     "window_top_orders" -> ((s, dir) => Relational.windowTopOrders(Tables.orders(s, dir))),
     "rank_bands" -> ((s, dir) => Relational.rankBands(Tables.orders(s, dir))),
+    "customer_value_deciles" -> ((s, dir) =>
+      Relational.customerValueDeciles(Tables.orders(s, dir))),
     "q10_returned" -> ((s, dir) => Relational.q10Returned(
       Tables.customer(s, dir), Tables.orders(s, dir),
       Tables.lineitem(s, dir), Tables.nation(s, dir))),
@@ -1771,6 +1773,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // customer LTV deciles: the oracle states the global ntile the
+    // engine computes closed-form (Ranks) — same contract as
+    // length_deciles/rfm_segments
+    "customer_value_deciles" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, SUM(o_totalprice) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT spend,
+        |    ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+        |  FROM spend)
+        |SELECT decile, COUNT(*) AS n_customers,
+        |  SUM(spend) AS decile_spend,
+        |  MIN(spend) AS min_spend, MAX(spend) AS max_spend
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_json_agg" ->
       """SELECT event_type,

@@ -353,6 +353,30 @@ object Relational {
           .as("cume"))
       .orderBy(col("o_orderkey"))
 
+  /** Customer lifetime-value deciles — the revenue-concentration report
+    * every commerce dashboard prints ("the top decile carries X% of
+    * revenue"): per-customer total order spend, cut into `k`
+    * equal-population buckets, each reporting its customer count, exact
+    * DECIMAL spend mass and spend range. The oracle states
+    * ntile(k) over (spend, custkey); this side derives the identical
+    * buckets from [[Ranks.withNtileBucket]]'s cell-partitioned closed
+    * form (spend is DECIMAL — it bins by its monotone long image and
+    * orders by the full value), so a 10⁹-customer grid never plans a
+    * single-task sort. One customer-keyed aggregate, then
+    * decile-cardinality rollup. */
+  def customerValueDeciles(orders: DataFrame, k: Int = 10): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+    graft.operators.Ranks.withNtileBucket(spend, k, col("spend"),
+      Seq(col("o_custkey")), "decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("decile_spend"),
+        min(col("spend")).as("min_spend"),
+        max(col("spend")).as("max_spend"))
+      .orderBy(col("decile"))
+  }
+
   /** Order-priority check (TPC-H Q4 shape): orders in one quarter with at
     * least one late-shipping lineitem — the EXISTS-with-correlated-
     * predicate pattern. Spark plans the correlated `l_shipdate >
