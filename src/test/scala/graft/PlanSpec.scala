@@ -180,6 +180,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnow_pairs and dup_spans ride the memoized positions census — no re-tokenize") {
+    for (q <- Seq("winnow_pairs", "dup_spans")) {
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("LogicalRDD"),
+        s"$q does not read the checkpointed positions prefix")
+      assert(!p.contains("word_ngrams"),
+        s"$q re-derives the trigram positions census in-plan")
+    }
+  }
+
   test("NO registered query plans an unpartitioned window over an unbounded input") {
     // the repo-wide invariant behind the report-ntile closed forms: an
     // unpartitioned Window is a single task holding its whole input, so
