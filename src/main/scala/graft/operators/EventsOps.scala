@@ -1106,10 +1106,10 @@ object EventsOps {
       .groupBy(col("user_id"))
       .agg(max(col("us")).as("last_us"), count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))
-    def score(df: DataFrame, metric: String, name: String) =
-      Ranks.withNtileBucket(df, 4, col(metric), Seq(col("user_id")), name)
-    score(score(score(perUser, "last_us", "r_score"),
-        "freq", "f_score"), "cents", "m_score")
+    Ranks.withNtileBuckets(perUser, Seq(
+        (4, col("last_us"), Seq(col("user_id")), "r_score"),
+        (4, col("freq"), Seq(col("user_id")), "f_score"),
+        (4, col("cents"), Seq(col("user_id")), "m_score")))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("segment_cents"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))

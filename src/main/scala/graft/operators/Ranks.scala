@@ -143,4 +143,79 @@ object Ranks {
       .withColumn(bucketCol, ntileFromRank("__r", "__gn", k))
       .drop("__r", "__gn")
   }
+
+  /** MULTI-AXIS ntile buckets over ONE materialization — rfm's shape:
+    * three axes over the same relation. Chaining [[withNtileBucket]]
+    * per axis re-checkpoints each call's output and re-runs a stats and
+    * a histogram pass per axis; this form shares one checkpoint, ONE
+    * combined stats aggregate (min/max of every axis in a single job)
+    * and one unioned (axis, cell) histogram, then stacks the per-axis
+    * cell-partitioned ranking windows in a single plan. Buckets are
+    * identical to the per-axis window statements. Global (unpartitioned)
+    * axes only — the only multi-axis consumer ranks a whole relation. */
+  def withNtileBuckets(df: DataFrame,
+      axes: Seq[(Int, Column, Seq[Column], String)],
+      cells: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(axes.nonEmpty, "at least one axis")
+    axes.foreach { case (k, _, _, _) =>
+      require(k >= 1, s"ntile bucket count must be >= 1, got $k") }
+    val ix = axes.indices
+    val vCols = axes.zipWithIndex.flatMap { case ((_, p, tbs, _), i) =>
+      Seq(p.cast("long").as(s"__v$i"),
+        tbs.headOption.map(_.cast("long")).getOrElse(lit(0L)).as(s"__t$i"))
+    }
+    val withV = df.select(col("*") +: vCols: _*).localCheckpoint(false)
+    val statAggs = ix.flatMap { i => Seq(
+      min(col(s"__v$i")).as(s"__mn$i"), max(col(s"__v$i")).as(s"__mx$i"),
+      min(col(s"__t$i")).as(s"__tmn$i"), max(col(s"__t$i")).as(s"__tmx$i"))
+    } :+ count(lit(1)).as("__n")
+    val integral = axes.map { case (_, p, _, _) =>
+      df.select(p.as("__p")).schema.head.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => "TRUE"
+        case _ => "FALSE"
+      }
+    }
+    val celled = ix.foldLeft(
+      withV.crossJoin(broadcast(withV.agg(statAggs.head, statAggs.tail: _*)))) {
+      (d, i) =>
+        d.withColumn(s"__vw$i",
+          expr(s"(__mx$i - __mn$i) div ${cells}L + 1L"))
+          .withColumn(s"__sub$i",
+            expr(s"greatest(1L, ${cells}L div (__mx$i - __mn$i + 1L))"))
+          .withColumn(s"__cell$i", expr(
+            s"""((__v$i - __mn$i) div __vw$i) * __sub$i +
+               |CASE WHEN __vw$i = 1 AND ${integral(i)}
+               |  THEN (__t$i - __tmn$i) div
+               |       ((__tmx$i - __tmn$i) div __sub$i + 1L)
+               |  ELSE 0L END""".stripMargin))
+    }
+    // one unioned (axis, cell) histogram, cum offsets per axis over the
+    // axes×cells-bounded relation, materialized once for the per-axis
+    // broadcast probes
+    val offs = ix.map { i =>
+        celled.groupBy(col(s"__cell$i").as("__cell"))
+          .agg(count(lit(1)).as("__c")).withColumn("__axis", lit(i))
+      }.reduce(_ unionByName _)
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col("__axis"))
+          .orderBy(col("__cell"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__axis"), col("__cell"), col("__off"))
+      .localCheckpoint(false)
+    val ranked = axes.zipWithIndex.foldLeft(celled) {
+      case (d, ((k, p, tbs, name), i)) =>
+        d.join(broadcast(offs.filter(col("__axis") === i)
+            .select(col("__cell").as(s"__cell$i"),
+              col("__off").as(s"__off$i"))), Seq(s"__cell$i"))
+          .withColumn(s"__r$i", col(s"__off$i") +
+            row_number().over(Window.partitionBy(col(s"__cell$i"))
+              .orderBy(p +: tbs: _*)).cast("long"))
+          .withColumn(name, ntileFromRank(s"__r$i", "__n", k))
+    }
+    val internals = Seq("__n") ++ ix.flatMap(i => Seq(s"__v$i", s"__t$i",
+      s"__mn$i", s"__mx$i", s"__tmn$i", s"__tmx$i", s"__vw$i", s"__sub$i",
+      s"__cell$i", s"__off$i", s"__r$i"))
+    ranked.drop(internals: _*)
+  }
 }

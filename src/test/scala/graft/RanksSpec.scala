@@ -109,6 +109,25 @@ class RanksSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("multi-axis buckets equal three independent ntile windows") {
+    import spark.implicits._
+    val df = (1 to 80).map(i =>
+      (i.toLong, (i * 13 % 17).toLong, (i % 5).toLong, (i * 7 % 23).toLong))
+      .toDF("id", "a", "b", "c")
+    def nt(c: String) = ntile(4).over(Window.orderBy(col(c), col("id")))
+    val expected = df.withColumn("ba", nt("a")).withColumn("bb", nt("b"))
+      .withColumn("bc", nt("c"))
+    val got = Ranks.withNtileBuckets(df, Seq(
+      (4, col("a"), Seq(col("id")), "ba"),
+      (4, col("b"), Seq(col("id")), "bb"),
+      (4, col("c"), Seq(col("id")), "bc")))
+    val mismatches = expected.alias("e").join(got.alias("g2"), Seq("id"))
+      .filter(col("e.ba") =!= col("g2.ba") || col("e.bb") =!= col("g2.bb") ||
+        col("e.bc") =!= col("g2.bc")).count()
+    assert(mismatches == 0)
+    assert(got.count() == 80)
+  }
+
   test("bucket column is INT, matching ntile's type") {
     import spark.implicits._
     val df = (1 to 4).map(i => (i.toLong, i.toLong)).toDF("id", "v")
