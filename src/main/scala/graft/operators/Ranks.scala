@@ -144,6 +144,62 @@ object Ranks {
       .drop("__r", "__gn")
   }
 
+  /** Closed-form distributed EXCLUSIVE PREFIX SUM — the scan primitive
+    * under sequence packing: `outCol` = Σ `value` over rows strictly
+    * before the current one in (primary, tiebreaks...) order within each
+    * `partition` group. The classic one-task-per-group running-sum
+    * window becomes: per-(group, cell) value sums cumulated over the
+    * bounded histogram (cell offsets), plus a running sum WITHIN each
+    * (group, cell) task — exactly the two-phase scan a 100 TB layout
+    * needs, with the group's answer unchanged (so `nShards`-style
+    * parameters stay semantic knobs, not parallelism workarounds).
+    * Same cell/checkpoint machinery as [[withRankStats]]. */
+  def withPrefixSum(df: DataFrame, partition: Seq[String], primary: Column,
+      tiebreaks: Seq[Column], value: Column, outCol: String,
+      cells: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val pc = partition.map(col)
+    val withV = df.withColumn("__v", primary.cast("long"))
+      .withColumn("__t",
+        tiebreaks.headOption.map(_.cast("long")).getOrElse(lit(0L)))
+      .withColumn("__w", value.cast("long"))
+      .localCheckpoint(false)
+    val aggs = Seq(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      min(col("__t")).as("__tmn"), max(col("__t")).as("__tmx"))
+    val integral = df.select(primary.as("__p")).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => "TRUE"
+      case _ => "FALSE"
+    }
+    val celled = (if (partition.isEmpty)
+        withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)))
+      else
+        withV.join(broadcast(
+          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*)), partition))
+      .withColumn("__vw", expr(s"(__mx - __mn) div ${cells}L + 1L"))
+      .withColumn("__sub", expr(
+        s"greatest(1L, ${cells}L div (__mx - __mn + 1L))"))
+      .withColumn("__cell", expr(
+        s"""((__v - __mn) div __vw) * __sub +
+           |CASE WHEN __vw = 1 AND $integral
+           |  THEN (__t - __tmn) div ((__tmx - __tmn) div __sub + 1L)
+           |  ELSE 0L END""".stripMargin))
+    val offKeys = partition :+ "__cell"
+    val wOff = Window.partitionBy(pc: _*).orderBy(col("__cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = celled.groupBy(offKeys.map(col): _*)
+      .agg(sum(col("__w")).as("__cw"))
+      .withColumn("__voff", coalesce(sum(col("__cw")).over(wOff), lit(0L)))
+      .select(offKeys.map(col) :+ col("__voff"): _*)
+    val wCell = Window.partitionBy(pc :+ col("__cell"): _*)
+      .orderBy(primary +: tiebreaks: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    celled.join(broadcast(offs), offKeys)
+      .withColumn(outCol, col("__voff") +
+        coalesce(sum(col("__w")).over(wCell), lit(0L)))
+      .drop("__v", "__t", "__w", "__mn", "__mx", "__tmn", "__tmx",
+        "__vw", "__sub", "__cell", "__cw", "__voff")
+  }
+
   /** MULTI-AXIS ntile buckets over ONE materialization — rfm's shape:
     * three axes over the same relation. Chaining [[withNtileBucket]]
     * per axis re-checkpoints each call's output and re-runs a stats and

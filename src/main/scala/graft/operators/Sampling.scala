@@ -191,29 +191,30 @@ object Sampling {
     * doc_id order and each is assigned to sequence floor(tokens_before /
     * budget) — the standard corpus-sharding layout for pretraining runs.
     *
-    * Shard-parallel by construction: the running sum windows over
-    * `shard = h60(doc_id) mod nShards`, so each shard packs independently
-    * (one shuffle, no global ordering bottleneck — at 100 TB pick nShards
-    * ≈ cluster parallelism and the window never sees more than corpus/n
-    * rows in one partition). Fully deterministic and engine-portable, so
-    * the DuckDB oracle reproduces every assignment. Token count here is
-    * the whitespace-token proxy from `n_chars`-bearing sources; swap in a
-    * real tokenizer count column without touching the layout logic. */
+    * Shard-parallel by construction: documents lay out in doc_id order
+    * within `shard = h60(doc_id) mod nShards`. nShards is a SEMANTIC
+    * knob (it changes the assignment), so it cannot double as the
+    * parallelism escape hatch — the shard-local exclusive cumsum instead
+    * comes from [[graft.operators.Ranks.withPrefixSum]]'s two-phase
+    * closed form (per-(shard, cell) sums cumulated over the bounded
+    * histogram + a within-cell running sum), identical values with no
+    * corpus/nShards-row window task anywhere. Fully deterministic and
+    * engine-portable, so the DuckDB oracle reproduces every assignment.
+    * Token count here is the whitespace-token proxy from
+    * `n_chars`-bearing sources; swap in a real tokenizer count column
+    * without touching the layout logic. */
   /** Shard-local token layout: (doc_id, shard, n_tokens, tokens_before) —
     * the shared cumulative layer under both packing shapes. */
   private def tokenLayout(documents: DataFrame, nShards: Int) = {
     import graft.functions.PortableHash.h60
     import graft.functions.TokenProfile
     import graft.functions.TextOps.normalize
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents
-      .select(col("doc_id"),
+    graft.operators.Ranks.withPrefixSum(
+      documents.select(col("doc_id"),
         pmod(h60(col("doc_id").cast("string")), lit(nShards.toLong)).as("shard"),
         TokenProfile.token_profile(normalize(col("text")))
-          .getField("n_tok").cast("long").as("n_tokens"))
-      .select(col("doc_id"), col("shard"), col("n_tokens"),
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)).as("tokens_before"))
+          .getField("n_tok").cast("long").as("n_tokens")),
+      Seq("shard"), col("doc_id"), Nil, col("n_tokens"), "tokens_before")
   }
 
   /** seq_id = (shard << 40) + shard-local sequence index: 2⁴⁰ sequences of

@@ -516,4 +516,41 @@ class PropertySpec extends SparkSpec {
       assert(r.getLong(4) > 0L && r.getLong(4) <= 1000000L)
     }
   }
+
+  test("closed-form rank/ntile/prefix-sum == window forms on random shapes") {
+    // the Ranks primitives must agree with Spark's own window functions
+    // on arbitrary (n, k, value-domain, group) shapes — seeded random
+    // batches exercise tie-heavy, sparse, negative and clustered domains
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ranks
+    val genCase = for {
+      n <- Gen.choose(1, 400)
+      k <- Gen.choose(1, 12)
+      dom <- Gen.oneOf(3L, 10L, 1000L, 1000000000L)
+      groups <- Gen.oneOf(1, 2, 5)
+    } yield (n, k, dom, groups)
+    (1 to 8).foreach { i =>
+      val (n, k, dom, groups) =
+        genCase(Gen.Parameters.default, Seed(1000L + i)).get
+      val rows = (1 to n).map { j =>
+        (j.toLong, s"g${j % groups}", (j * 2654435761L % dom) - dom / 2,
+          (j * 40503L % 97).toLong)
+      }
+      val df = rows.toDF("id", "g", "v", "w")
+      val wNt = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      val expected = df
+        .withColumn("b", ntile(k).over(wNt))
+        .withColumn("pre", coalesce(sum(col("w")).over(
+          wNt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val got = Ranks.withPrefixSum(
+        Ranks.withNtileBucket(df, k, col("v"), Seq(col("id")), "b",
+          partition = Seq("g")),
+        Seq("g"), col("v"), Seq(col("id")), col("w"), "pre")
+      val bad = expected.alias("e").join(got.alias("x"), Seq("id"))
+        .filter(col("e.b") =!= col("x.b") || col("e.pre") =!= col("x.pre"))
+        .count()
+      assert(bad == 0, s"case n=$n k=$k dom=$dom groups=$groups: $bad rows")
+    }
+  }
 }

@@ -128,6 +128,28 @@ class RanksSpec extends SparkSpec {
     assert(got.count() == 80)
   }
 
+  test("prefix sum equals the running-window form, grouped and global") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (i.toLong, s"g${i % 4}", (i * 31 % 100).toLong)).toDF("id", "g", "w")
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df.withColumn("pre",
+      coalesce(sum(col("w")).over(w), lit(0L)))
+    val got = Ranks.withPrefixSum(df, Seq("g"), col("id"), Nil,
+      col("w"), "pre")
+    val mismatches = expected.alias("e").join(got.alias("g2"), Seq("id"))
+      .filter(col("e.pre") =!= col("g2.pre")).count()
+    assert(mismatches == 0)
+    // global (unpartitioned) form
+    val wg = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val eg = df.withColumn("pre", coalesce(sum(col("w")).over(wg), lit(0L)))
+    val gg = Ranks.withPrefixSum(df, Nil, col("id"), Nil, col("w"), "pre")
+    assert(eg.alias("e").join(gg.alias("g2"), Seq("id"))
+      .filter(col("e.pre") =!= col("g2.pre")).count() == 0)
+  }
+
   test("bucket column is INT, matching ntile's type") {
     import spark.implicits._
     val df = (1 to 4).map(i => (i.toLong, i.toLong)).toDF("id", "v")
