@@ -39,9 +39,37 @@ import org.apache.spark.sql.functions._
  * CAST (integral, decimal and double all truncate monotonically — the
  * long image only BINS; within-cell order uses the original value), and
  * (primary, tiebreaks...) is a TOTAL order — same contract the window
- * forms carried.
+ * forms carried. Nulls follow Spark's window semantics: a null
+ * partition value is a group (null-safe joins), and null ordering
+ * values sort FIRST (sentinel cell −1).
  */
 object Ranks {
+
+  /** NULL-SAFE broadcast join on `keys` — `usingColumns` equi-joins drop
+    * null-keyed rows, but Spark's window forms treat a null partition
+    * value as a perfectly good group, so the closed forms must too. */
+  private def nsJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val rr = keys.foldLeft(right)((d, k) =>
+      d.withColumnRenamed(k, s"__r_$k"))
+    left.join(broadcast(rr),
+        keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _))
+      .drop(keys.map(k => s"__r_$k"): _*)
+  }
+
+  /** Cell key with Spark's NULLS-FIRST semantics: null ordering values
+    * land in sentinel cell −1 (before every real cell, matching
+    * ascending null-first window order); a null tiebreak coalesces into
+    * the first subcell, where the within-cell sort puts it first. */
+  private def cellExpr(v: String, t: String, mn: String, mx: String,
+      tmn: String, tmx: String, vw: String, sub: String, integral: String,
+      cells: Int): String =
+    s"""CASE WHEN $v IS NULL THEN -1L ELSE
+       |(($v - $mn) div $vw) * $sub +
+       |CASE WHEN $vw = 1 AND $integral
+       |  THEN coalesce(($t - $tmn) div (($tmx - $tmn) div $sub + 1L), 0L)
+       |  ELSE 0L END
+       |END""".stripMargin
 
   /** Annotates `df` with `rankCol` (1-based rank under the total order
     * (primary, tiebreaks...), within each `partition` group — global
@@ -89,16 +117,13 @@ object Ranks {
     val celled = (if (partition.isEmpty)
         withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)))
       else
-        withV.join(broadcast(
-          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*)), partition))
+        nsJoin(withV,
+          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*), partition))
       .withColumn("__vw", expr(s"(__mx - __mn) div ${cells}L + 1L"))
       .withColumn("__sub", expr(
         s"greatest(1L, ${cells}L div (__mx - __mn + 1L))"))
-      .withColumn("__cell", expr(
-        s"""((__v - __mn) div __vw) * __sub +
-           |CASE WHEN __vw = 1 AND $integral
-           |  THEN (__t - __tmn) div ((__tmx - __tmn) div __sub + 1L)
-           |  ELSE 0L END""".stripMargin))
+      .withColumn("__cell", expr(cellExpr("__v", "__t", "__mn", "__mx",
+        "__tmn", "__tmx", "__vw", "__sub", integral, cells)))
     val offKeys = partition :+ "__cell"
     val wOff = Window.partitionBy(pc: _*).orderBy(col("__cell"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -111,7 +136,7 @@ object Ranks {
     // exactly), then the caller's tiebreaks
     val wCell = Window.partitionBy(pc :+ col("__cell"): _*)
       .orderBy(primary +: tiebreaks: _*)
-    celled.join(broadcast(offs), offKeys)
+    nsJoin(celled, offs, offKeys)
       .withColumn(rankCol, col("__off") +
         row_number().over(wCell).cast("long"))
       .withColumn(nCol, col("__n"))
@@ -173,16 +198,13 @@ object Ranks {
     val celled = (if (partition.isEmpty)
         withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)))
       else
-        withV.join(broadcast(
-          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*)), partition))
+        nsJoin(withV,
+          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*), partition))
       .withColumn("__vw", expr(s"(__mx - __mn) div ${cells}L + 1L"))
       .withColumn("__sub", expr(
         s"greatest(1L, ${cells}L div (__mx - __mn + 1L))"))
-      .withColumn("__cell", expr(
-        s"""((__v - __mn) div __vw) * __sub +
-           |CASE WHEN __vw = 1 AND $integral
-           |  THEN (__t - __tmn) div ((__tmx - __tmn) div __sub + 1L)
-           |  ELSE 0L END""".stripMargin))
+      .withColumn("__cell", expr(cellExpr("__v", "__t", "__mn", "__mx",
+        "__tmn", "__tmx", "__vw", "__sub", integral, cells)))
     val offKeys = partition :+ "__cell"
     val wOff = Window.partitionBy(pc: _*).orderBy(col("__cell"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -193,7 +215,7 @@ object Ranks {
     val wCell = Window.partitionBy(pc :+ col("__cell"): _*)
       .orderBy(primary +: tiebreaks: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    celled.join(broadcast(offs), offKeys)
+    nsJoin(celled, offs, offKeys)
       .withColumn(outCol, col("__voff") +
         coalesce(sum(col("__w")).over(wCell), lit(0L)))
       .drop("__v", "__t", "__w", "__mn", "__mx", "__tmn", "__tmx",
@@ -239,12 +261,9 @@ object Ranks {
           expr(s"(__mx$i - __mn$i) div ${cells}L + 1L"))
           .withColumn(s"__sub$i",
             expr(s"greatest(1L, ${cells}L div (__mx$i - __mn$i + 1L))"))
-          .withColumn(s"__cell$i", expr(
-            s"""((__v$i - __mn$i) div __vw$i) * __sub$i +
-               |CASE WHEN __vw$i = 1 AND ${integral(i)}
-               |  THEN (__t$i - __tmn$i) div
-               |       ((__tmx$i - __tmn$i) div __sub$i + 1L)
-               |  ELSE 0L END""".stripMargin))
+          .withColumn(s"__cell$i", expr(cellExpr(s"__v$i", s"__t$i",
+            s"__mn$i", s"__mx$i", s"__tmn$i", s"__tmx$i", s"__vw$i",
+            s"__sub$i", integral(i), cells)))
     }
     // one unioned (axis, cell) histogram, cum offsets per axis over the
     // axes×cells-bounded relation, materialized once for the per-axis

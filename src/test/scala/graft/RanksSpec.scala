@@ -128,6 +128,28 @@ class RanksSpec extends SparkSpec {
     assert(got.count() == 80)
   }
 
+  test("null partition values and null primaries follow Spark window semantics") {
+    import spark.implicits._
+    // group null is a group; null v sorts FIRST (Spark nulls-first asc)
+    val df = Seq(
+      (1L, Some("g1"), Some(5L)), (2L, None, Some(3L)),
+      (3L, Some("g1"), None), (4L, None, None),
+      (5L, Some("g1"), Some(1L)), (6L, None, Some(9L)))
+      .toDF("id", "g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expected = df
+      .withColumn("b", ntile(2).over(w))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val got = Ranks.withRankStats(df, Seq("g"), col("v"),
+      Seq(col("id")), "r", "n")
+      .withColumn("b", Ranks.ntileFromRank("r", "n", 2))
+    val bad = expected.alias("e").join(got.alias("x"), Seq("id"))
+      .filter(col("e.b") =!= col("x.b") || col("e.r") =!= col("x.r"))
+      .count()
+    assert(bad == 0)
+    assert(got.count() == 6, "null-keyed rows must not be dropped")
+  }
+
   test("prefix sum equals the running-window form, grouped and global") {
     import spark.implicits._
     val df = (1 to 200).map(i =>
