@@ -203,19 +203,30 @@ object Sampling {
     * Token count here is the whitespace-token proxy from
     * `n_chars`-bearing sources; swap in a real tokenizer count column
     * without touching the layout logic. */
-  /** Shard-local token layout: (doc_id, shard, n_tokens, tokens_before) —
-    * the shared cumulative layer under both packing shapes. */
-  private def tokenLayout(documents: DataFrame, nShards: Int) = {
+  /** Map-side packing metadata: (doc_id, shard, n_tokens) — the ONLY
+    * part of the layout that reads text. Public so the streaming ledger
+    * ([[graft.streaming.StreamPack]]) can fold exactly this projection
+    * per micro-batch and share the layout code below by construction. */
+  def packMeta(documents: DataFrame, nShards: Int = 8): DataFrame = {
     import graft.functions.PortableHash.h60
     import graft.functions.TokenProfile
     import graft.functions.TextOps.normalize
-    graft.operators.Ranks.withPrefixSum(
-      documents.select(col("doc_id"),
-        pmod(h60(col("doc_id").cast("string")), lit(nShards.toLong)).as("shard"),
-        TokenProfile.token_profile(normalize(col("text")))
-          .getField("n_tok").cast("long").as("n_tokens")),
-      Seq("shard"), col("doc_id"), Nil, col("n_tokens"), "tokens_before")
+    documents.select(col("doc_id"),
+      pmod(h60(col("doc_id").cast("string")), lit(nShards.toLong)).as("shard"),
+      TokenProfile.token_profile(normalize(col("text")))
+        .getField("n_tok").cast("long").as("n_tokens"))
   }
+
+  /** Shard-local token layout over the metadata relation: adds
+    * `tokens_before` via the closed-form prefix sum. */
+  def layoutFromMeta(meta: DataFrame): DataFrame =
+    graft.operators.Ranks.withPrefixSum(meta,
+      Seq("shard"), col("doc_id"), Nil, col("n_tokens"), "tokens_before")
+
+  /** Shard-local token layout: (doc_id, shard, n_tokens, tokens_before) —
+    * the shared cumulative layer under both packing shapes. */
+  private def tokenLayout(documents: DataFrame, nShards: Int) =
+    layoutFromMeta(packMeta(documents, nShards))
 
   /** seq_id = (shard << 40) + shard-local sequence index: 2⁴⁰ sequences of
     * headroom per shard (≈5.6×10¹⁴ tokens at the default budget) before ids
@@ -227,7 +238,14 @@ object Sampling {
 
   def packSequences(documents: DataFrame, budgetTokens: Long = 512,
       nShards: Int = 8): DataFrame =
-    tokenLayout(documents, nShards)
+    packSequencesFromMeta(packMeta(documents, nShards), budgetTokens)
+
+  /** The sequence-assignment arithmetic over a (doc_id, shard, n_tokens)
+    * metadata relation — shared verbatim by the batch operator and the
+    * streaming ledger, so streamed ≡ batch by construction. */
+  def packSequencesFromMeta(meta: DataFrame,
+      budgetTokens: Long = 512): DataFrame =
+    layoutFromMeta(meta)
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         seqId(floor(col("tokens_before") / budgetTokens).cast("long"))
           .as("seq_id"),
