@@ -203,26 +203,44 @@ object EventsOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bin"))
 
+  /** Exact per-(type, value) cume_dist from the VALUE HISTOGRAM —
+    * cd(v) = (#rows ≤ v) / n, the identical integer-ratio IEEE division
+    * `cume_dist()` performs over the raw rows (ties share the
+    * count-at-or-below), but computed over the value-domain-bounded
+    * aggregate: the one per-type window rides the histogram, never a
+    * task holding every raw event of a type. Also carries `hn` (the
+    * value's own row count) so callers can recover per-type totals. */
+  private def cumeDistHist(events: DataFrame): DataFrame = {
+    val hist = events.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("hn"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("__cum", sum(col("hn")).over(wCum))
+      .withColumn("__tot", sum(col("hn")).over(per))
+      .select(col("event_type"), col("value"), col("hn"),
+        (col("__cum").cast("double") / col("__tot").cast("double"))
+          .as("cd"))
+  }
+
   /** Exact DISCRETE quantiles per group (percentile_disc semantics: the
     * smallest actual data value whose cumulative distribution reaches p)
     * — the variant that returns a real observation, where interpolated
     * percentile_cont (see `quantiles_by_type`) can invent one. Engines
     * disagree on native percentile_disc tie conventions, so the
     * definition is spelled out: cume_dist (an exact integer-ratio
-    * division, portable) + conditional mins, all three quantiles from
-    * ONE window pass and one aggregate. */
-  def quantilesDiscByType(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    events
-      .select(col("event_type"), col("value"))
-      .withColumn("cd", cume_dist().over(w))
+    * division, portable) + conditional mins — with the cume_dist drawn
+    * from [[cumeDistHist]]'s value histogram, so no per-type window ever
+    * holds the raw event stream in one task. */
+  def quantilesDiscByType(events: DataFrame): DataFrame =
+    cumeDistHist(events)
       .groupBy(col("event_type"))
       .agg(min(when(col("cd") >= 0.5, col("value"))).as("p50_disc"),
         min(when(col("cd") >= 0.9, col("value"))).as("p90_disc"),
         min(when(col("cd") >= 0.99, col("value"))).as("p99_disc"),
-        count(lit(1)).as("n"))
+        sum(col("hn")).cast("long").as("n"))
       .orderBy(col("event_type"))
-  }
 
   /** SCD TYPE-2 interval construction — turn a change-event stream into
     * validity ranges: one row per (key, value-run) with
@@ -255,16 +273,13 @@ object EventsOps {
     * engine elects the same REAL observations as bounds; interpolated
     * bounds would be engine-float territory). The standard outlier
     * treatment before training a regression / computing a mean that a
-    * fat tail would own. Two passes over the group: one window for
-    * cume_dist at per-row cardinality, then the group bounds broadcast
-    * back via a result-cardinality join — at 100 TB the bounds table is
-    * |groups| rows, the clamp is map-side. */
+    * fat tail would own. Bounds come from [[cumeDistHist]]'s value
+    * histogram (value-domain-bounded — no per-type window over raw
+    * rows), then broadcast back via a result-cardinality join — at
+    * 100 TB the bounds table is |groups| rows, the clamp is map-side. */
   def winsorizeByType(events: DataFrame, lo: Double = 0.05,
       hi: Double = 0.95): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val bounds = events
-      .select(col("event_type"), col("value"))
-      .withColumn("cd", cume_dist().over(w))
+    val bounds = cumeDistHist(events)
       .groupBy(col("event_type"))
       .agg(min(when(col("cd") >= lo, col("value"))).as("p_lo"),
         min(when(col("cd") >= hi, col("value"))).as("p_hi"))
@@ -282,14 +297,11 @@ object EventsOps {
     * [[winsorizeByType]]: drop values outside the exact-discrete
     * [p05, p95] bounds instead of clamping them, then take the mean of
     * the survivors as the micro-int floor of an exact DECIMAL sum.
-    * Same one-window bounds pass, broadcast join-back, map-side filter;
+    * Same histogram bounds pass, broadcast join-back, map-side filter;
     * n_kept > 0 always (the bounds are attained corpus values). */
   def trimmedMeanByType(events: DataFrame, lo: Double = 0.05,
       hi: Double = 0.95): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val bounds = events
-      .select(col("event_type"), col("value"))
-      .withColumn("cd", cume_dist().over(w))
+    val bounds = cumeDistHist(events)
       .groupBy(col("event_type"))
       .agg(min(when(col("cd") >= lo, col("value"))).as("p_lo"),
         min(when(col("cd") >= hi, col("value"))).as("p_hi"))
@@ -985,18 +997,19 @@ object EventsOps {
     * bare value order is not), each reporting its population and value
     * range. The complement of the fixed-width [[valueHistogram]]: width
     * adapts to density, so heavy-tailed metrics get resolution where the
-    * mass is. One shuffle on event_type; result is |types|·buckets rows. */
-  def equidepthHistogram(events: DataFrame, buckets: Int = 4): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    events
-      .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("bucket", ntile(buckets).over(w))
+    * mass is. The per-type ntile comes from
+    * [[graft.operators.Ranks.withNtileBucket]]'s cell-partitioned closed
+    * form — a type's whole event stream never sorts in one task; result
+    * is |types|·buckets rows. */
+  def equidepthHistogram(events: DataFrame, buckets: Int = 4): DataFrame =
+    graft.operators.Ranks.withNtileBucket(
+      events.select(col("event_type"), col("value"), col("event_id")),
+      buckets, col("value"), Seq(col("event_id")), "bucket",
+      partition = Seq("event_type"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("lo"), max(col("value")).as("hi"))
       .orderBy(col("event_type"), col("bucket"))
-  }
 
   /** Distinct users per SLIDING window (1 h every 30 min) per type — the
     * rolling-reach metric. Each event explodes to its two overlapping

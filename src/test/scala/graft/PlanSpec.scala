@@ -144,20 +144,24 @@ class PlanSpec extends SparkSpec {
       "corpus shuffled into the targets join — targets are driver-sized")
   }
 
-  test("rank_bands: rank functions ride the cell-partitioned closed form, no status-sized window") {
-    // a status-partitioned window is a data-sized task at 100 TB (a
-    // handful of statuses); every Window in the closed-form plan must be
-    // either (group, cell)-partitioned or aggregate-bounded
+  test("coarse-group rank/quantile queries ride the cell or histogram closed forms") {
+    // a window partitioned by a handful of statuses/types is a
+    // data-sized task at 100 TB; every Window in these plans must be
+    // either (group, cell)-partitioned or aggregate-bounded (the value
+    // histogram)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val plan = SparkEntry.queries("rank_bands")(spark, sf0001)
-      .queryExecution.optimizedPlan
-    val bad = plan.collect {
-      case w: LWindow
-        if !w.partitionSpec.exists(_.toString.contains("__cell")) &&
-          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    for (q <- Seq("rank_bands", "quantiles_disc_by_type",
+        "winsorize_values", "trimmed_mean", "equidepth_histogram")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow
+          if !w.partitionSpec.exists(_.toString.contains("__cell")) &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans a window not bounded by cell or aggregate: $bad")
     }
-    assert(bad.isEmpty,
-      s"rank_bands plans a window not bounded by cell or aggregate: $bad")
   }
 
   test("report ntiles ride the closed form: no unpartitioned window over a data-sized input") {
