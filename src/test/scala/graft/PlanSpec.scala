@@ -151,7 +151,9 @@ class PlanSpec extends SparkSpec {
     // histogram)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     for (q <- Seq("rank_bands", "quantiles_disc_by_type",
-        "winsorize_values", "trimmed_mean", "equidepth_histogram")) {
+        "winsorize_values", "trimmed_mean", "equidepth_histogram",
+        "quality_calibration", "temperature_mix", "pack_sequences",
+        "pack_spans")) {
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.optimizedPlan
       val bad = plan.collect {
