@@ -694,6 +694,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("last_purchase_id"))
         .orderBy(col("event_id"))
     },
+    // the same semantics AGAIN through the time-bucketed sweep/carry
+    // form — the plan shape for COARSE as-of keys (no per-key window
+    // over the full stream; every window bounded by bucket or spine)
+    "asof_bucketed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      AsOfJoin.asOfBucketed(
+        ev.select(col("event_id"), col("user_id"), col("ts")), purchases,
+        "user_id", "ts", "ts", "purchase_id", "last_purchase_id",
+        bucketSec = 21600L)
+        .select(col("event_id"), col("user_id"), col("last_purchase_id"))
+        .orderBy(col("event_id"))
+    },
     "asof_within" -> ((s, dir) => AsOfJoin.lastPurchaseWithin(Tables.events(s, dir))),
     "asof_next_purchase" -> ((s, dir) => AsOfJoin.nextPurchaseAfter(Tables.events(s, dir))),
     "asof_nearest" -> ((s, dir) => {
@@ -4224,6 +4239,19 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
 
     "asof_last_purchase" ->
+      """WITH purchases AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, p.purchase_id AS last_purchase_id
+        |FROM events e
+        |ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    // identical oracle once more: the bucketed sweep/carry form must
+    // reproduce the window form's answer bit-for-bit
+    "asof_bucketed" ->
       """WITH purchases AS (
         |  SELECT user_id, ts, max(event_id) AS purchase_id
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts

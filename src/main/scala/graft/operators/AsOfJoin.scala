@@ -244,6 +244,75 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
+  /** TIME-BUCKETED backward as-of — the [[asOf]] union-window answer
+    * computed with NO per-key window over the full stream: the
+    * [[EventsOps.maxConcurrency]] day-partitioned sweep/carry pattern
+    * applied to as-of. A per-key window is the right shape when the key
+    * is an instrument (thousands of bounded streams), but when the key
+    * is COARSE — a handful of venues, sides, currencies — one window
+    * task holds the key's whole history. Here every window is bounded:
+    *
+    *   1. rights collapse to ONE winner per (key, bucket) — the latest
+    *      (ts, payload) struct max, a hash aggregate;
+    *   2. the bucket SPINE (distinct (key, bucket) of both sides) gets a
+    *      carry: the last winner among strictly-earlier buckets, via a
+    *      per-key window over the CALENDAR-BOUNDED bucket relation;
+    *   3. lefts + rights union-window WITHIN (key, bucket) — per-task
+    *      volume is one bucket's traffic — and the per-row answer is
+    *      coalesce(within-bucket running last, carry).
+    *
+    * Equals [[asOf]] row-for-row whenever rights are unique per
+    * (key, ts) (the family's determinism precondition); with multiple
+    * rights at one instant this form deterministically takes the
+    * largest payload, where the window form is tie-order-dependent.
+    * Timestamps are bucketed on the μs grid; `bucketSec` trades spine
+    * size (time-range / bucketSec rows per key) against per-task
+    * volume. */
+  def asOfBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCol: String,
+      as: String, bucketSec: Long = 86400L): DataFrame = {
+    val leftCols = left.columns
+    val wUs = bucketSec * 1000000L
+    def us(c: Column) = unix_micros(c)
+    val r = right.select(col(keyCol), us(col(rightTs)).as("__us"),
+      col(payloadCol).as("__payload"))
+      .withColumn("__b", expr(s"__us div ${wUs}L"))
+    val bucketLast = r.groupBy(col(keyCol), col("__b"))
+      .agg(max(struct(col("__us"), col("__payload"))).as("__m"))
+    val lb = left
+      .withColumn("__us", us(col(leftTs)))
+      .withColumn("__b", expr(s"__us div ${wUs}L"))
+    // carry over the bucket spine: both sides' buckets, so a left-only
+    // bucket still sees the last earlier winner
+    val spine = lb.select(col(keyCol), col("__b"))
+      .union(r.select(col(keyCol), col("__b"))).distinct()
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine
+      .join(bucketLast, Seq(keyCol, "__b"), "left")
+      .withColumn("__carry",
+        last(col("__m"), ignoreNulls = true).over(wCarry))
+      .select(col(keyCol), col("__b"),
+        col("__carry").getField("__payload").as("__carry_p"))
+    val l = lb
+      .withColumn("__side", lit(1))
+      .withColumn("__payload",
+        lit(null).cast(right.schema(payloadCol).dataType))
+      .select((leftCols.map(col) :+ col("__us") :+ col("__b") :+
+        col("__side") :+ col("__payload")): _*)
+    val unioned = l.unionByName(
+      r.withColumn("__side", lit(0)), allowMissingColumns = true)
+    val wIn = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("__us"), col("__side"), col("__payload"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__in", last(col("__payload"), ignoreNulls = true).over(wIn))
+      .filter(col("__side") === 1)
+      .join(carry, Seq(keyCol, "__b"), "left")
+      .withColumn(as, coalesce(col("__in"), col("__carry_p")))
+      .drop("__us", "__b", "__side", "__payload", "__in", "__carry_p")
+  }
+
   /** TOLERANCE-BOUNDED as-of (pandas merge_asof `tolerance=`, DuckDB has
     * no equivalent): the backward match is kept only while it is fresh —
     * a state older than `toleranceSec` is as good as no state (the

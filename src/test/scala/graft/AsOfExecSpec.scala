@@ -63,6 +63,42 @@ class AsOfExecSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window formulation leaked in:\n$p")
   }
 
+  test("bucketed sweep/carry as-of equals the window form on sf0.001 events") {
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val leftSide = ev.select(col("event_id"), col("user_id"), col("ts"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("last_purchase_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).sortBy(_._1).toSeq
+    val window = canon(AsOfJoin.asOf(leftSide, purchases, "user_id",
+      "ts", "ts", "purchase_id", "last_purchase_id"))
+    // a small bucket forces real carry chains across many empty buckets
+    for (bucketSec <- Seq(600L, 21600L, 7 * 86400L)) {
+      val bucketed = canon(AsOfJoin.asOfBucketed(leftSide, purchases,
+        "user_id", "ts", "ts", "purchase_id", "last_purchase_id",
+        bucketSec))
+      assert(bucketed == window, s"bucketSec=$bucketSec diverged")
+    }
+  }
+
+  test("bucketed as-of: no window partitioned by the bare key over raw rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries("asof_bucketed")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val bad = plan.collect {
+      // every window must carry the bucket in its partition spec or ride
+      // an aggregate-bounded input (the spine/carry relation)
+      case w: LWindow
+        if !w.partitionSpec.exists(_.toString.contains("__b")) &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, s"key-wide window in the bucketed plan: $bad")
+  }
+
   test("mismatched key dtypes fail fast at construction, not mid-merge") {
     val left = Seq((1L, 10L, 1L)).toDF("k", "ts", "row_id")
     val right = Seq(("1", 10L, 100L)).toDF("k", "ts", "q")
