@@ -313,6 +313,67 @@ object AsOfJoin {
       .drop("__us", "__b", "__side", "__payload", "__in", "__carry_p")
   }
 
+  /** FORWARD mirror of [[asOfBucketed]]: earliest right at-or-after each
+    * left row, with every window bounded by bucket or spine. Rights
+    * first collapse to the largest payload per (key, ts) — the family's
+    * deterministic equal-instant pick — so the per-(key, bucket) winner
+    * is a plain (ts, payload) struct MIN. Carry flows from LATER buckets
+    * (descending spine window: the last bucket seen before b is the
+    * NEAREST later one); within a bucket the reversed union-window of
+    * [[asOfForward]] applies. Equals [[asOfForward]] row-for-row
+    * whenever rights are unique per (key, ts). */
+  def asOfForwardBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCol: String,
+      as: String, bucketSec: Long = 86400L): DataFrame = {
+    val leftCols = left.columns
+    val wUs = bucketSec * 1000000L
+    def us(c: Column) = unix_micros(c)
+    // collapse equal-(key, ts) rights to the largest payload FIRST, so
+    // the per-bucket earliest winner is the deterministic family pick
+    val r = right.select(col(keyCol), us(col(rightTs)).as("__us"),
+      col(payloadCol).as("__payload"))
+      .groupBy(col(keyCol), col("__us"))
+      .agg(max(col("__payload")).as("__payload"))
+      .withColumn("__b", expr(s"__us div ${wUs}L"))
+    val bucketFirst = r.groupBy(col(keyCol), col("__b"))
+      .agg(min(struct(col("__us"), col("__payload"))).as("__m"))
+    val lb = left
+      .withColumn("__us", us(col(leftTs)))
+      .withColumn("__b", expr(s"__us div ${wUs}L"))
+    val spine = lb.select(col(keyCol), col("__b"))
+      .union(r.select(col(keyCol), col("__b"))).distinct()
+    // carry = the earliest winner among strictly-LATER buckets
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine
+      .join(bucketFirst, Seq(keyCol, "__b"), "left")
+      .withColumn("__carry",
+        last(col("__m"), ignoreNulls = true).over(wCarry))
+      .select(col(keyCol), col("__b"),
+        col("__carry").getField("__payload").as("__carry_p"))
+    val l = lb
+      .withColumn("__side", lit(0))
+      .withColumn("__payload",
+        lit(null).cast(right.schema(payloadCol).dataType))
+      .select((leftCols.map(col) :+ col("__us") :+ col("__b") :+
+        col("__side") :+ col("__payload")): _*)
+    val unioned = l.unionByName(
+      r.withColumn("__side", lit(1)), allowMissingColumns = true)
+    // reversed within-bucket order: rights at equal ts sort first, so
+    // inclusive >=; payload desc keeps the largest-payload pick
+    val wIn = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("__ts_neg"), col("__side").desc, col("__payload"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__ts_neg", -col("__us"))
+      .withColumn("__in", last(col("__payload"), ignoreNulls = true).over(wIn))
+      .filter(col("__side") === 0)
+      .join(carry, Seq(keyCol, "__b"), "left")
+      .withColumn(as, coalesce(col("__in"), col("__carry_p")))
+      .drop("__us", "__ts_neg", "__b", "__side", "__payload", "__in",
+        "__carry_p")
+  }
+
   /** TOLERANCE-BOUNDED as-of (pandas merge_asof `tolerance=`, DuckDB has
     * no equivalent): the backward match is kept only while it is fresh —
     * a state older than `toleranceSec` is as good as no state (the

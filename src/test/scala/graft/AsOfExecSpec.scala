@@ -85,6 +85,27 @@ class AsOfExecSpec extends SparkSpec {
     }
   }
 
+  test("bucketed FORWARD as-of equals the reversed-window form across bucket widths") {
+    import graft.operators.AsOfJoin
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val leftSide = ev.select(col("event_id"), col("user_id"), col("ts"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("next_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).sortBy(_._1).toSeq
+    val window = canon(AsOfJoin.asOfForward(leftSide, purchases, "user_id",
+      "ts", "ts", "purchase_id", "next_id"))
+    for (bucketSec <- Seq(600L, 21600L, 7 * 86400L)) {
+      val bucketed = canon(AsOfJoin.asOfForwardBucketed(leftSide,
+        purchases, "user_id", "ts", "ts", "purchase_id", "next_id",
+        bucketSec))
+      assert(bucketed == window, s"forward bucketSec=$bucketSec diverged")
+    }
+  }
+
   test("bucketed as-of: no window partitioned by the bare key over raw rows") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = SparkEntry.queries("asof_bucketed")(spark, sf0001)
