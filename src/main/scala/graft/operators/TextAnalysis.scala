@@ -1533,12 +1533,24 @@ object TextAnalysis {
         .as(Seq("pos", "sh"))))
     val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val fps = grams
       .select(col("doc_id"), col("pos"),
         PortableHash.h60(col("sh")).as("h"))
       .withColumn("mh", min(col("h")).over(wWin))
       .withColumn("nw", count(col("h")).over(wWin))
-      .where(col("nw") === w)
+      // consecutive FULL windows usually share their min (the winnowing
+      // guarantee is ~2/(w+1) DISTINCT picks); dropping a repeat of the
+      // previous FULL window's min inside the same sorted pass (lag
+      // shares wWin's sort) shrinks the distinct's shuffle ~w× without
+      // changing the fingerprint set. The prev-full guard matters: a
+      // partial predecessor was never emitted, so its min must not
+      // suppress this row's.
+      .withColumn("prev_mh", lag(col("mh"), 1).over(wOrd))
+      .withColumn("prev_nw", lag(col("nw"), 1).over(wOrd))
+      .where(col("nw") === w &&
+        (col("prev_nw").isNull || col("prev_nw") < w ||
+          col("mh") =!= col("prev_mh")))
       .select(col("doc_id"), col("mh")).distinct()
     val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val hot = fps.groupBy(col("mh")).agg(count(lit(1)).as("df"))
