@@ -951,6 +951,8 @@ object SparkEntry {
 
     // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
     "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
+    "media_chunk_plan" -> ((s, dir) =>
+      Multimodal.mediaChunkPlan(Tables.documents(s, dir))),
 
     // ── Distribution drift / corpus mixing (operators/Drift.scala) ──
     "value_drift" -> ((s, dir) =>
@@ -6423,6 +6425,24 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum,
         |  md5(text) AS md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // byte-range fetch plan: pure arithmetic on the byte length (ASCII
+    // generator text ⇒ chars == bytes, asserted in TextMultimodalSpec)
+    "media_chunk_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE length(text) > 0)
+        |, c AS (
+        |  SELECT media_id, kind, n_bytes,
+        |    unnest(range(0, (n_bytes - 1) // 256 + 1)) AS chunk_idx
+        |  FROM m)
+        |SELECT media_id, kind, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 256 AS BIGINT) AS byte_start,
+        |  CAST(least(n_bytes, (chunk_idx + 1) * 256) AS BIGINT) AS byte_end
+        |FROM c
+        |ORDER BY media_id, chunk_idx""".stripMargin,
 
     // Two-sample chi-square drift between time halves; every numerator a
     // square (nonnegative), so // == truncating div == floor on both

@@ -86,6 +86,30 @@ object Multimodal {
     }.toDF("media_id", "sampled_frame_means")
   }
 
+  /** Byte-range CHUNK PLAN for distributed decode — the scheduling read a
+    * 100 TB media pipeline runs BEFORE touching payloads: each blob maps
+    * to the [byte_start, byte_end) fetch ranges a decoder fleet pulls in
+    * parallel (object-store range GETs). Pure arithmetic on the byte
+    * length — in a production table `n_bytes` is a stored metadata
+    * column, so the plan never reads a payload byte (columnar pruning);
+    * here it derives from `length(payload)` on the synthetic blobs. The
+    * explode fan-out is ceil(n_bytes / chunkBytes) rows per blob —
+    * data-proportional output, map-side, no shuffle. */
+  def mediaChunkPlan(documents: DataFrame,
+      chunkBytes: Long = 256L): DataFrame =
+    mediaTable(documents)
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .filter(col("n_bytes") > 0)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        explode(sequence(lit(0L),
+          expr(s"(n_bytes - 1) div ${chunkBytes}L"))).as("chunk_idx"))
+      .select(col("media_id"), col("kind"), col("chunk_idx"),
+        (col("chunk_idx") * chunkBytes).as("byte_start"),
+        least(col("n_bytes"), (col("chunk_idx") + 1) * chunkBytes)
+          .as("byte_end"))
+      .orderBy(col("media_id"), col("chunk_idx"))
+
   /** Metadata/feature summary — the oracle-checked surface: byte length,
     * frame count, byte sum (exact integer — engine-portable, no float
     * rounding ambiguity), md5 digest. Pure column expressions (built-ins

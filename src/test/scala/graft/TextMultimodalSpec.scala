@@ -693,4 +693,21 @@ class TextMultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L, 9L -> 0L))
   }
+
+  test("mediaChunkPlan: ranges tile each blob exactly, half-open and ordered") {
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "x" * 600), (2L, "y" * 256), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.mediaChunkPlan(docs, chunkBytes = 256L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // empty blob plans no fetch; others tile [0, n) with no gap/overlap
+    assert(!rows.exists(_._1 == 4L))
+    for ((id, n) <- Seq(1L -> 600L, 2L -> 256L, 3L -> 1L)) {
+      val rs = rows.filter(_._1 == id).sortBy(_._2)
+      assert(rs.head._3 == 0L && rs.last._4 == n)
+      assert(rs.map(r => r._4 - r._3).sum == n)
+      rs.zip(rs.tail).foreach { case (a, b) => assert(a._4 == b._3) }
+      assert(rs.forall(r => r._4 - r._3 <= 256L))
+    }
+  }
 }
