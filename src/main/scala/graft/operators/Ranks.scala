@@ -42,6 +42,14 @@ import org.apache.spark.sql.functions._
  * forms carried. Nulls follow Spark's window semantics: a null
  * partition value is a group (null-safe joins), and null ordering
  * values sort FIRST (sentinel cell −1).
+ *
+ * Scope: the closed form targets GLOBAL and COARSE-GROUP rankings —
+ * its stats/offsets relations are groups×cells rows and must stay
+ * broadcastable (hundreds of sources / handfuls of statuses ⇒ ≤ a few
+ * hundred thousand rows). For HIGH-cardinality keys (per-user, per-doc,
+ * per-instrument) the plain keyed window is already the right shape:
+ * each group is bounded, tasks are parallel by key, and no cell
+ * machinery is needed.
  */
 object Ranks {
 
