@@ -1608,10 +1608,16 @@ object TextAnalysis {
     * and the driver hash proves the two forms equal. The rank-range
     * lookup is a broadcast nested-loop over (k × distinct lengths)
     * rows: corpus-size-independent by construction. */
-  def lengthDeciles(documents: DataFrame, k: Int = 10): DataFrame = {
-    val hist = documents
+  def lengthDeciles(documents: DataFrame, k: Int = 10): DataFrame =
+    lengthDecilesFromHist(documents
       .select(length(col("text")).cast("long").as("n_chars"))
-      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt")), k)
+
+  /** The decile derivation over an already-built (n_chars, cnt)
+    * histogram — shared verbatim by the batch operator and the streaming
+    * fold ([[graft.streaming.StreamLengthDeciles]]), whose bounded state
+    * IS this histogram. */
+  def lengthDecilesFromHist(hist: DataFrame, k: Int = 10): DataFrame = {
     val wCum = Window.orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
