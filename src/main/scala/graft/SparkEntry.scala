@@ -1796,7 +1796,8 @@ object SparkEntry {
     // length_deciles/rfm_segments
     "customer_value_deciles" ->
       """WITH spend AS (
-        |  SELECT o_custkey, SUM(o_totalprice) AS spend
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
         |  FROM orders GROUP BY 1),
         |d AS (
         |  SELECT spend,

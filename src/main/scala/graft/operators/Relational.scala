@@ -365,8 +365,10 @@ object Relational {
     * single-task sort. One customer-keyed aggregate, then
     * decile-cardinality rollup. */
   def customerValueDeciles(orders: DataFrame, k: Int = 10): DataFrame = {
+    // money through DECIMAL (the dec() ladder): a raw double sum is
+    // combine-order-dependent and flips ulps under repartitioning
     val spend = orders.groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice")).as("spend"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
     graft.operators.Ranks.withNtileBucket(spend, k, col("spend"),
       Seq(col("o_custkey")), "decile")
       .groupBy(col("decile"))

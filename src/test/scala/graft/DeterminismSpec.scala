@@ -180,6 +180,34 @@ class DeterminismSpec extends SparkSpec {
       run(ev.repartition(17), docs.repartition(13), emb.repartition(11)))
   }
 
+  test("round-7 closed-form ranking family is invariant under repartitioning") {
+    import graft.operators.{AsOfJoin, EventsOps, Relational, Sampling, TextAnalysis}
+    val ev = Tables.events(spark, sf0001)
+    val ord = Tables.orders(spark, sf0001)
+    def bucketed(e: org.apache.spark.sql.DataFrame) = {
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      AsOfJoin.asOfBucketed(
+        e.select(col("event_id"), col("user_id"), col("ts")), purchases,
+        "user_id", "ts", "ts", "purchase_id", "lp", 21600L)
+        .select(col("event_id"), col("lp")).orderBy(col("event_id"))
+    }
+    def run(e: org.apache.spark.sql.DataFrame,
+        o: org.apache.spark.sql.DataFrame,
+        dd: org.apache.spark.sql.DataFrame) = Seq(
+      EventsOps.rfmSegments(e).collect().toSeq,
+      EventsOps.equidepthHistogram(e).collect().toSeq,
+      EventsOps.quantilesDiscByType(e).collect().toSeq,
+      Relational.rankBands(o).collect().toSeq,
+      Relational.customerValueDeciles(o).collect().toSeq,
+      Sampling.packSequences(dd).collect().toSeq,
+      TextAnalysis.contaminationDeciles(dd).collect().toSeq,
+      bucketed(e).collect().toSeq)
+    assert(run(ev, ord, docs) ==
+      run(ev.repartition(17), ord.repartition(13), docs.repartition(11)))
+  }
+
   test("approximate count-distinct lands within tolerance of exact") {
     val orders = Tables.orders(spark, sf0001)
     val r = orders.agg(
