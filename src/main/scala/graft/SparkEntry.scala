@@ -3237,12 +3237,19 @@ object SparkEntry {
         |  WHERE a.event_type < b.event_type
         |)
         |SELECT type_a, type_b,
-        |  round((CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
-        |      CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
-        |    (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
-        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
-        |      sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
-        |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))), 6) AS corr,
+        |  round(CASE WHEN
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) > 0.0
+        |      AND
+        |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
+        |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |      (sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
+        |          CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        sqrt(CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
+        |          CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)))
+        |    END, 6) AS corr,
         |  count(*) AS n_windows
         |FROM pairs GROUP BY type_a, type_b
         |ORDER BY type_a, type_b""".stripMargin,
@@ -3265,7 +3272,8 @@ object SparkEntry {
         |SELECT type_a, type_b, day,
         |  round(CASE WHEN
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
-        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) > 0.0
+        |      AND
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
         |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
         |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
@@ -3577,7 +3585,8 @@ object SparkEntry {
         |SELECT type_a, type_b,
         |  round(CASE WHEN
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
-        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) > 0.0
+        |      AND
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
         |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
         |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
@@ -3616,7 +3625,8 @@ object SparkEntry {
         |SELECT event_type,
         |  round(CASE WHEN
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
-        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) > 0.0
+        |      AND
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
         |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
         |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
@@ -3741,7 +3751,8 @@ object SparkEntry {
         |  END AS beta_micro,
         |  round(CASE WHEN
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
-        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) > 0.0
+        |      AND
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
         |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
         |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -
@@ -3896,7 +3907,8 @@ object SparkEntry {
         |SELECT event_type, lag,
         |  round(CASE WHEN
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE) -
-        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        |        CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) > 0.0
+        |      AND
         |      (CAST(count(*) AS DOUBLE) * CAST(sum(y * y) AS DOUBLE) -
         |        CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) > 0.0
         |    THEN (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE) -

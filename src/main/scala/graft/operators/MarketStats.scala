@@ -718,8 +718,11 @@ object MarketStats {
     joined
       .groupBy(col("type_a"), col("type_b"))
       .agg(
-        round((n * sxy - sx * sy) /
-          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        // per-factor degenerate guard (see pairCorrelationDaily)
+        round(when(
+          (n * sxx - sx * sx) > 0.0 && (n * syy - sy * sy) > 0.0,
+          (n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
           .as("corr"),
         count(lit(1)).as("n_windows"))
       .orderBy(col("type_a"), col("type_b"))
@@ -980,8 +983,12 @@ object MarketStats {
     pairs
       .groupBy(col("event_type"))
       .agg(
+        // EACH factor guarded (not their product): float cancellation
+        // can land both moments epsilon-negative, where the product test
+        // passes and sqrt(neg) is NaN here but an ERROR in DuckDB —
+        // degenerate legs are NULL on both engines instead
         round(when(
-          (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0,
+          (n * sxx - sx * sx) > 0.0 && (n * syy - sy * sy) > 0.0,
           (n * sxy - sx * sy) /
             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
           .as("autocorr_lag1"),
@@ -1053,8 +1060,12 @@ object MarketStats {
     joined
       .groupBy(col("type_a"), col("type_b"))
       .agg(
+        // EACH factor guarded (not their product): float cancellation
+        // can land both moments epsilon-negative, where the product test
+        // passes and sqrt(neg) is NaN here but an ERROR in DuckDB —
+        // degenerate legs are NULL on both engines instead
         round(when(
-          (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0,
+          (n * sxx - sx * sx) > 0.0 && (n * syy - sy * sy) > 0.0,
           (n * sxy - sx * sy) /
             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
           .as("corr_lag1"),
@@ -1095,8 +1106,12 @@ object MarketStats {
     joined
       .groupBy(col("type_a"), col("type_b"), col("day"))
       .agg(
+        // EACH factor guarded (not their product): float cancellation
+        // can land both moments epsilon-negative, where the product test
+        // passes and sqrt(neg) is NaN here but an ERROR in DuckDB —
+        // degenerate legs are NULL on both engines instead
         round(when(
-          (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0,
+          (n * sxx - sx * sx) > 0.0 && (n * syy - sy * sy) > 0.0,
           (n * sxy - sx * sy) /
             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
           .as("corr"),
@@ -1298,8 +1313,12 @@ object MarketStats {
     pairs
       .groupBy(col("event_type"), col("lag"))
       .agg(
+        // EACH factor guarded (not their product): float cancellation
+        // can land both moments epsilon-negative, where the product test
+        // passes and sqrt(neg) is NaN here but an ERROR in DuckDB —
+        // degenerate legs are NULL on both engines instead
         round(when(
-          (n * sxx - sx * sx) * (n * syy - sy * sy) > 0.0,
+          (n * sxx - sx * sx) > 0.0 && (n * syy - sy * sy) > 0.0,
           (n * sxy - sx * sy) /
             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))), 6)
           .as("acf6"),
