@@ -9,8 +9,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * callers must never `.cache()` here (each query plans its own pruned scan).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The engine's time contract: NTZ wall clocks in the testdata map to
+    // instants through the SESSION zone, and every oracle (DuckDB
+    // epoch_* on the same values) assumes that zone is UTC. A non-UTC
+    // session would silently shift every day/window bucket (47 queries
+    // measured TZ-sensitive) — fail fast at the single chokepoint
+    // instead. Entry points (Bench, Verify, SparkSpec) all pin UTC.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"graft requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "NTZ wall clocks are interpreted as UTC instants engine-wide")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
