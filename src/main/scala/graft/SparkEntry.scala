@@ -1275,10 +1275,15 @@ object SparkEntry {
          |    AND event_type = 'purchase'
          |  GROUP BY 1
          |)
+         |, m AS (
+         |  SELECT window_start, v_mean,
+         |    CAST(CAST(v_mean AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      AS v_micro
+         |  FROM agg)
          |SELECT window_start, v_mean,
-         |  round(CAST(sum(CAST(v_mean AS DECIMAL(18,6))) OVER w AS DOUBLE)
-         |    / (count(*) OVER w), 6) AS ma
-         |FROM agg
+         |  CAST(sum(v_micro) OVER w // (count(*) OVER w) AS BIGINT)
+         |    AS ma_micro
+         |FROM m
          |WINDOW w AS (ORDER BY window_start
          |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
          |ORDER BY window_start""".stripMargin,
@@ -1951,25 +1956,33 @@ object SparkEntry {
          |  WHERE ts >= TIMESTAMP '$TrendsFrom' AND ts <= TIMESTAMP '$TrendsTo'
          |    AND event_type = 'purchase'
          |  GROUP BY 1
-         |), mo AS (
+         |), mi AS (
          |  SELECT window_start, v_mean,
-         |    CAST(count(*) OVER w AS DOUBLE) AS nn,
-         |    CAST(sum(CAST(v_mean AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
-         |    CAST(sum(CAST(v_mean AS DECIMAL(18,6))
-         |             * CAST(v_mean AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+         |    CAST(CAST(v_mean AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+         |      AS v_micro
          |  FROM agg
+         |), mo AS (
+         |  SELECT window_start, v_mean, v_micro,
+         |    count(*) OVER w AS nn,
+         |    CAST(sum(v_micro) OVER w AS BIGINT) AS sx,
+         |    sum(v_micro * v_micro) OVER w AS sxx
+         |  FROM mi
          |  WINDOW w AS (ORDER BY window_start
          |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
          |), st AS (
-         |  SELECT window_start, v_mean,
-         |    round(sx / nn, 6) AS ma,
-         |    round(sqrt(greatest((nn * sxx - sx * sx) / (nn * nn), 0)), 6) AS sd
+         |  SELECT window_start, v_mean, v_micro,
+         |    CAST(sx // nn AS BIGINT) AS ma_micro,
+         |    CAST(floor(sqrt(CAST(nn * sxx - sx * sx AS DOUBLE)) / nn)
+         |      AS BIGINT) AS sd_micro
          |  FROM mo
          |)
-         |SELECT window_start, v_mean, ma, sd,
-         |  CASE WHEN sd > 0 THEN round((v_mean - ma) / sd, 6) END AS z,
-         |  coalesce(CASE WHEN sd > 0
-         |    THEN abs(round((v_mean - ma) / sd, 6)) > 2.0 END, FALSE) AS anomaly
+         |SELECT window_start, v_mean, ma_micro, sd_micro,
+         |  CASE WHEN sd_micro > 0 THEN
+         |    CAST(floor((v_micro - ma_micro) * 1000000.0 / sd_micro)
+         |      AS BIGINT) END AS z_micro,
+         |  coalesce(CASE WHEN sd_micro > 0 THEN
+         |    abs(CAST(floor((v_micro - ma_micro) * 1000000.0 / sd_micro)
+         |      AS BIGINT)) > 2000000 END, FALSE) AS anomaly
          |FROM st ORDER BY window_start""".stripMargin,
 
     // Exact-decimal moments, double-assembled closed form — native
@@ -3663,10 +3676,12 @@ object SparkEntry {
         |  GROUP BY event_type, day
         |), logs AS (
         |  SELECT event_type, day, n_ticks,
-        |    CAST(floor(ln(CAST(high_c AS DOUBLE) / CAST(low_c AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS lhl_micro,
-        |    CAST(floor(ln(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE))
-        |      * 1000000.0) AS BIGINT) AS lco_micro
+        |    CASE WHEN low_c > 0 THEN
+        |      CAST(floor(ln(CAST(high_c AS DOUBLE) / CAST(low_c AS DOUBLE))
+        |        * 1000000.0) AS BIGINT) END AS lhl_micro,
+        |    CASE WHEN open_c > 0 AND close_c > 0 THEN
+        |      CAST(floor(ln(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE))
+        |        * 1000000.0) AS BIGINT) END AS lco_micro
         |  FROM daily
         |)
         |SELECT event_type, day, n_ticks, lhl_micro, lco_micro,

@@ -1156,12 +1156,18 @@ object MarketStats {
         min(col("cents")).as("low_c"),
         max_by(col("cents"), col("ord")).as("close_c"),
         count(lit(1)).as("n_ticks"))
+      // a zero-priced day (low_c or open_c = 0 — present at sf0.1) makes
+      // the log-range undefined: guard to NULL on BOTH engines. Without
+      // the guard ANSI Spark THROWS on ln(0) while DuckDB returns -inf —
+      // an engine divergence, not just a bad row.
       .withColumn("lhl_micro", expr(
-        """CAST(floor(ln(CAST(high_c AS DOUBLE) / CAST(low_c AS DOUBLE))
-          | * 1000000.0) AS BIGINT)""".stripMargin))
+        """CASE WHEN low_c > 0 THEN
+          |CAST(floor(ln(CAST(high_c AS DOUBLE) / CAST(low_c AS DOUBLE))
+          | * 1000000.0) AS BIGINT) END""".stripMargin))
       .withColumn("lco_micro", expr(
-        """CAST(floor(ln(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE))
-          | * 1000000.0) AS BIGINT)""".stripMargin))
+        """CASE WHEN open_c > 0 AND close_c > 0 THEN
+          |CAST(floor(ln(CAST(close_c AS DOUBLE) / CAST(open_c AS DOUBLE))
+          | * 1000000.0) AS BIGINT) END""".stripMargin))
       .select(col("event_type"), col("day"), col("n_ticks"),
         col("lhl_micro"), col("lco_micro"),
         expr(

@@ -188,27 +188,40 @@ object Trends {
       fromTs: String,
       toTs: String,
       slots: Int = 6): DataFrame = {
+    // ma as the INTEGER MICRO FLOOR of the trailing mean: the previous
+    // round(double, 6) form diverged from DuckDB by one ulp on windows
+    // whose exact mean sits on a 6-dp rounding boundary (sf0.1 surfaced
+    // three) — engines round doubles differently at the boundary, so the
+    // ladder's floor-of-exact-integers convention applies. v_mean is
+    // 6-dp, so its DECIMAL(18,6)·10⁶ micro image is exact; sums and the
+    // floor division are pure integer arithmetic on both engines.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("window_start")).rowsBetween(-(slots - 1), 0)
     trendsOf(df, tsCol, keyCol, keyValue, valueCol, fromTs, toTs)
       .select(col("window_start"), col("v_mean"))
-      .withColumn("ma", round(
-        sum(col("v_mean").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .over(w).cast("double") / count(lit(1)).over(w), 6))
+      .withColumn("v_micro",
+        expr("CAST(CAST(v_mean AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+      .withColumn("s", sum(col("v_micro")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("window_start"), col("v_mean"),
+        expr("s div n").as("ma_micro"))
       .orderBy(col("window_start"))
   }
 
   /** Z-score ANOMALY flags over the 10-min series: each window's mean
     * against the trailing `slots`-window mean and population stddev —
     * the alerting query a monitoring tier runs on the flagship series.
-    * Dispersion uses the same exact-DECIMAL moment-sum technique as
-    * `dispersionByType` (v_mean is 6-dp, so v and v² are exact decimals;
-    * the closed form assembles in double — engine-portable, unlike a
-    * native stddev window whose float combine order floats). sd = 0
-    * (constant window, or the frame's first row where n = 1) emits a
-    * NULL z rather than an engine-divergent ÷0. The window is
-    * unpartitioned but runs over the RESULT series (calendar
-    * cardinality), not the corpus — single-task is free here. */
+    * All derived columns ride the INTEGER MICRO ladder (the
+    * trendsMovingAvg lesson — a boundary-ulp round(double, 6) diverged
+    * between engines at sf0.1): v_mean's DECIMAL(18,6)·10⁶ image is an
+    * exact BIGINT, the moment sums and n·Σv² − (Σv)² are exact
+    * integers, sd_micro = floor(sqrt(exact int)/n) has ONE correctly-
+    * rounded IEEE sqrt and division on identical inputs, and z_micro
+    * floors a single double division. sd_micro = 0 (constant window, or
+    * the frame's first row where n = 1) emits a NULL z rather than an
+    * engine-divergent ÷0. The window is unpartitioned but runs over the
+    * RESULT series (calendar cardinality), not the corpus — single-task
+    * is free here. */
   def trendsZscore(
       df: DataFrame,
       tsCol: String,
@@ -219,24 +232,31 @@ object Trends {
       toTs: String,
       slots: Int = 6,
       flagAt: Double = 2.0): DataFrame = {
-    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("window_start")).rowsBetween(-(slots - 1), 0)
-    val v = col("v_mean").cast(d6)
-    val nD = count(lit(1)).over(w).cast("double")
-    val sxD = sum(v).over(w).cast("double")
-    val sxxD = sum(v * v).over(w).cast("double")
-    // clamped: cancellation on a constant frame can go a hair negative,
-    // and sqrt of that is NaN here / an error in DuckDB
-    val varPop = greatest((nD * sxxD - sxD * sxD) / (nD * nD), lit(0d))
+    val flagMicro = (flagAt * 1e6).toLong
     trendsOf(df, tsCol, keyCol, keyValue, valueCol, fromTs, toTs)
       .select(col("window_start"), col("v_mean"))
-      .withColumn("ma", round(sxD / nD, 6))
-      .withColumn("sd", round(sqrt(varPop), 6))
-      .withColumn("z",
-        when(col("sd") > 0,
-          round((col("v_mean") - col("ma")) / col("sd"), 6)))
-      .withColumn("anomaly", col("z").isNotNull && abs(col("z")) > flagAt)
+      .withColumn("v_micro",
+        expr("CAST(CAST(v_mean AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+      .withColumn("s", sum(col("v_micro")).over(w))
+      .withColumn("sxx", sum(col("v_micro") * col("v_micro")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("ma_micro", expr("s div n"))
+      // n·Σv² − (Σv)² ≥ 0 exactly (integers — no float cancellation to
+      // clamp); sd in micro units = sqrt(that)/n
+      .withColumn("sd_micro", expr(
+        """CAST(floor(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx -
+          | CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)) / n) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("z_micro", expr(
+        """CASE WHEN sd_micro > 0 THEN
+          |CAST(floor((v_micro - ma_micro) * 1000000.0 / sd_micro)
+          |  AS BIGINT) END""".stripMargin))
+      .withColumn("anomaly",
+        col("z_micro").isNotNull && abs(col("z_micro")) > flagMicro)
+      .select(col("window_start"), col("v_mean"), col("ma_micro"),
+        col("sd_micro"), col("z_micro"), col("anomaly"))
       .orderBy(col("window_start"))
   }
 }
