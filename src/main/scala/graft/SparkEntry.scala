@@ -162,6 +162,29 @@ object SparkEntry {
         p
       })
 
+  private val docBucketsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, bucket) corpus-order decile relation ranked ONCE per
+    * (SparkContext, corpus dir) and localCheckpointed — the family
+    * prefix under vocab_growth and ngram_growth, which rank the SAME
+    * doc relation into the SAME ten arrival buckets; before this memo
+    * each curve re-ran the closed-form ranker's stats + histogram +
+    * checkpoint passes (the round-7 bench regression: 0.72→1.62 s /
+    * 0.66→1.28 s when the curves moved off the global-ntile window). */
+  private def docBucketsFor(s: SparkSession, dir: String): DataFrame =
+    docBucketsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val b = graft.operators.Ranks.withNtileBucket(
+          Tables.documents(s, dir).select(col("doc_id")),
+          10, col("doc_id"), Nil, "bucket")
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        b
+      })
+
   private val bigramsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
@@ -817,6 +840,9 @@ object SparkEntry {
       Similarity.ivfPurity(Tables.embeddings(s, dir), centroidsFor(s, dir))),
     "rnn_pairs" -> ((s, dir) =>
       Similarity.mutualKnn(Tables.embeddings(s, dir))),
+    "rnn_pairs_lsh" -> ((s, dir) =>
+      Similarity.mutualKnnFrom(
+        Similarity.knnLshDirected(Tables.embeddings(s, dir)))),
     "mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(Tables.embeddings(s, dir))),
 
@@ -883,10 +909,12 @@ object SparkEntry {
     "quality_by_source" -> ((s, dir) =>
       TextAnalysis.qualityBySource(Tables.documents(s, dir))),
     "vocab_growth" -> ((s, dir) => TextAnalysis.vocabGrowth(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)),
+      buckets = Some(docBucketsFor(s, dir)))),
     "ngram_growth" -> ((s, dir) =>
       TextAnalysis.ngramGrowth(Tables.documents(s, dir),
-        postings = Some(postingsFor(s, dir)))),
+        postings = Some(postingsFor(s, dir)),
+        buckets = Some(docBucketsFor(s, dir)))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
@@ -1798,19 +1826,25 @@ object SparkEntry {
 
     // customer LTV deciles: the oracle states the global ntile the
     // engine computes closed-form (Ranks) — same contract as
-    // length_deciles/rfm_segments
+    // length_deciles/rfm_segments. Money crosses as BIGINT cents on
+    // BOTH sides (determinism ladder): the DECIMAL sum is exact, the
+    // ×100 cast lossless at scale 2, and no raw DECIMAL column reaches
+    // the driver's hash boundary (round-7 red row; the HUGEINT class's
+    // sibling — check_oracle_types.py patrols both).
     "customer_value_deciles" ->
       """WITH spend AS (
         |  SELECT o_custkey,
-        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS spend_cents
         |  FROM orders GROUP BY 1),
         |d AS (
-        |  SELECT spend,
-        |    ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+        |  SELECT spend_cents,
+        |    ntile(10) OVER (ORDER BY spend_cents, o_custkey) AS decile
         |  FROM spend)
         |SELECT decile, COUNT(*) AS n_customers,
-        |  SUM(spend) AS decile_spend,
-        |  MIN(spend) AS min_spend, MAX(spend) AS max_spend
+        |  CAST(SUM(spend_cents) AS BIGINT) AS decile_spend_cents,
+        |  MIN(spend_cents) AS min_spend_cents,
+        |  MAX(spend_cents) AS max_spend_cents
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_json_agg" ->
@@ -1965,15 +1999,15 @@ object SparkEntry {
          |  SELECT window_start, v_mean, v_micro,
          |    count(*) OVER w AS nn,
          |    CAST(sum(v_micro) OVER w AS BIGINT) AS sx,
-         |    sum(v_micro * v_micro) OVER w AS sxx
+         |    sum(CAST(v_micro AS HUGEINT) * v_micro) OVER w AS sxx
          |  FROM mi
          |  WINDOW w AS (ORDER BY window_start
          |               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
          |), st AS (
          |  SELECT window_start, v_mean, v_micro,
          |    CAST(sx // nn AS BIGINT) AS ma_micro,
-         |    CAST(floor(sqrt(CAST(nn * sxx - sx * sx AS DOUBLE)) / nn)
-         |      AS BIGINT) AS sd_micro
+         |    CAST(floor(sqrt(CAST(nn * sxx - CAST(sx AS HUGEINT) * sx
+         |      AS DOUBLE)) / nn) AS BIGINT) AS sd_micro
          |  FROM mo
          |)
          |SELECT window_start, v_mean, ma_micro, sd_micro,
@@ -4906,6 +4940,59 @@ object SparkEntry {
         |  FROM dots
         |  JOIN norms na ON na.vec_id = src
         |  JOIN norms nb ON nb.vec_id = cand_id
+        |), ranked AS (
+        |  SELECT src, cand_id, cos, rank FROM (
+        |    SELECT src, cand_id, cos, row_number() OVER (
+        |      PARTITION BY src ORDER BY cos DESC, cand_id) AS rank
+        |    FROM sims) t WHERE rank <= 5
+        |)
+        |SELECT x.src AS a, x.cand_id AS b, x.rank AS rank_ab,
+        |  y.rank AS rank_ba, round(x.cos, 6) AS cos6
+        |FROM ranked x JOIN ranked y
+        |  ON y.src = x.cand_id AND y.cand_id = x.src AND x.src < x.cand_id
+        |ORDER BY a, b""".stripMargin,
+
+    // reciprocal-kNN through the banded-LSH retriever — the 100 TB
+    // shape of rnn_pairs: candidates from the banded self-join (same
+    // plane/band CTEs as ann_lsh_topk), each EXACTLY cosine-scored and
+    // ranked, then the same reciprocity tail as rnn_pairs. Only recall
+    // is probabilistic; every emitted pair is exact, and the oracle
+    // rebuilds the identical candidate set.
+    "rnn_pairs_lsh" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), planes AS (
+        |  SELECT p, i,
+        |    (('0x' || substr(md5(p::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT
+        |      % 2000001 - 1000000) / CAST(1000000 AS DOUBLE) AS wt
+        |  FROM range(0, 64) rp(p), range(0, 64) ri(i)
+        |), proj AS (
+        |  SELECT e.vec_id, pl.p, sum(e.x * pl.wt) AS pr
+        |  FROM elems e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2
+        |), bands AS (
+        |  SELECT vec_id, p // 4 AS band,
+        |    CAST(sum(CASE WHEN pr >= 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS bv
+        |  FROM proj GROUP BY 1, 2
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS cand_id
+        |  FROM bands a JOIN bands b
+        |    ON b.band = a.band AND b.bv = a.bv AND b.vec_id <> a.vec_id
+        |), dots AS (
+        |  SELECT c.src, c.cand_id, sum(a.x * b.x) AS dot
+        |  FROM cand c
+        |  JOIN elems a ON a.vec_id = c.src
+        |  JOIN elems b ON b.vec_id = c.cand_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT d.src, d.cand_id, d.dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.src
+        |  JOIN norms nb ON nb.vec_id = d.cand_id
         |), ranked AS (
         |  SELECT src, cand_id, cos, rank FROM (
         |    SELECT src, cand_id, cos, row_number() OVER (

@@ -360,7 +360,11 @@ object AsOfJoin {
     val unioned = l.unionByName(
       r.withColumn("__side", lit(1)), allowMissingColumns = true)
     // reversed within-bucket order: rights at equal ts sort first, so
-    // inclusive >=; payload desc keeps the largest-payload pick
+    // inclusive >=. The trailing __payload term only CLOSES the order
+    // into a total one — rights are pre-collapsed to one row per
+    // (key, ts) upstream, so the tiebreak never actually picks between
+    // two rights; do NOT "fix" it to desc (with multiple rights per ts
+    // that would change which payload the running last() surfaces)
     val wIn = Window.partitionBy(col(keyCol), col("__b"))
       .orderBy(col("__ts_neg"), col("__side").desc, col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -37,17 +37,31 @@ import org.apache.spark.sql.functions._
  *
  * Preconditions: the ordering value has a MONOTONE BIGINT image under
  * CAST (integral, decimal and double all truncate monotonically — the
- * long image only BINS; within-cell order uses the original value), and
- * (primary, tiebreaks...) is a TOTAL order — same contract the window
- * forms carried. Nulls follow Spark's window semantics: a null
- * partition value is a group (null-safe joins), and null ordering
- * values sort FIRST (sentinel cell −1).
+ * long image only BINS; within-cell order uses the original value —
+ * but a NaN primary is EXCLUDED: its long image is 0 while it sorts
+ * after every finite double, so it would bin mid-range; filter or
+ * null-out NaNs first), the image's span max−min stays within the
+ * signed-64 range (violations raise at runtime rather than mis-rank —
+ * values near both Long.MinValue and Long.MaxValue in one group wrap
+ * the width arithmetic), and (primary, tiebreaks...) is a TOTAL
+ * order — same contract the window forms carried. The tie-skew
+ * subdivision additionally requires the FIRST tiebreak's long image be
+ * faithful, so it only engages when primary AND first tiebreak are both
+ * integral dtypes (a string tiebreak orders '10' before '9'; a NaN
+ * double images as 0 but sorts last — either would subdivide wrongly);
+ * non-integral tiebreaks simply skip the subdivision, ranks unchanged.
+ * Nulls follow Spark's window semantics: a null partition value is a
+ * group (null-safe joins), and null ordering values sort FIRST
+ * (sentinel cell −1).
  *
  * Scope: the closed form targets GLOBAL and COARSE-GROUP rankings —
  * its stats/offsets relations are groups×cells rows and must stay
  * broadcastable (hundreds of sources / handfuls of statuses ⇒ ≤ a few
- * hundred thousand rows). For HIGH-cardinality keys (per-user, per-doc,
- * per-instrument) the plain keyed window is already the right shape:
+ * hundred thousand rows) — ENFORCED: past `maxGroups` (default 2^18)
+ * the plan raises at runtime instead of silently building an
+ * unbroadcastable stats side. For HIGH-cardinality keys (per-user,
+ * per-doc, per-instrument) the plain keyed window is already the right
+ * shape:
  * each group is bounded, tasks are parallel by key, and no cell
  * machinery is needed.
  */
@@ -65,17 +79,72 @@ object Ranks {
       .drop(keys.map(k => s"__r_$k"): _*)
   }
 
+  /** TRUE iff the tie-skew subdivision may engage: it bins by the FIRST
+    * tiebreak's cast-to-long image, which is faithful to the sort order
+    * only for integral dtypes (strings order '10' before '9' but image
+    * larger; NaN doubles image as 0 but sort last) — and the width-1
+    * trigger itself presumes the primary's long image is exact, i.e.
+    * integral. Non-integral on either side → "FALSE": sub stays 1, the
+    * subdivision is skipped, ranks are identical (only the skew-spread
+    * optimization is forgone). No tiebreak (`__t` = 0 constant) is
+    * trivially integral. */
+  private def subdividable(df: DataFrame, primary: Column,
+      tiebreaks: Seq[Column]): String = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def integral(c: Column): Boolean =
+      df.select(c.as("__p")).schema.head.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    if (integral(primary) && tiebreaks.headOption.forall(integral)) "TRUE"
+    else "FALSE"
+  }
+
+  /** Cell width off the broadcast stats — failing LOUDLY on the two
+    * pathological domains instead of silently mis-ranking:
+    * `__gc` (group count) past `maxGroups` means the stats/offsets
+    * relations are no longer broadcastable — the caller wants the plain
+    * keyed window, whose per-group tasks are already parallel at high
+    * key cardinality; a NULL `try_subtract(__mx, __mn)` means the
+    * primary's long image spans more than the signed-64 range and every
+    * downstream cell/rank subtraction would overflow (try_subtract is
+    * NULL-on-overflow under BOTH ansi settings, so the curated message
+    * fires instead of ANSI's generic ARITHMETIC_OVERFLOW or non-ANSI's
+    * silent wrap). raise_error is inside the one expression every row
+    * evaluates, so the optimizer cannot prune it. */
+  private def vwExpr(cells: Int, maxGroups: Long,
+      mn: String = "__mn", mx: String = "__mx"): String =
+    s"""CASE
+       |WHEN __gc > ${maxGroups}L THEN CAST(raise_error(concat(
+       |  'Ranks closed form: ', CAST(__gc AS STRING), ' ordering groups',
+       |  ' exceed the broadcastable bound ${maxGroups}; the closed form',
+       |  ' targets global/coarse-group rankings - use a plain keyed',
+       |  ' window for high-cardinality groups (tasks are parallel by',
+       |  ' key there)')) AS BIGINT)
+       |WHEN try_subtract($mx, $mn) IS NULL THEN CAST(raise_error(concat(
+       |  'Ranks closed form: the ordering value''s long image spans',
+       |  ' more than 2^63 (min ', CAST($mn AS STRING), ', max ',
+       |  CAST($mx AS STRING), ') - cell width arithmetic would wrap;',
+       |  ' pre-shift or rescale the primary')) AS BIGINT)
+       |ELSE ($mx - $mn) div ${cells}L + 1L END""".stripMargin
+
   /** Cell key with Spark's NULLS-FIRST semantics: null ordering values
     * land in sentinel cell −1 (before every real cell, matching
     * ascending null-first window order); a null tiebreak coalesces into
-    * the first subcell, where the within-cell sort puts it first. */
+    * the first subcell, where the within-cell sort puts it first. The
+    * tiebreak span goes through try_subtract: a span past 2^63 nulls the
+    * whole subdivision term for EVERY row (tmn/tmx are group constants),
+    * so the coalesce uniformly turns the subdivision off — ranks intact,
+    * no ANSI overflow mid-expression. ($t - $tmn itself cannot overflow
+    * once the span fits: 0 ≤ t − tmn ≤ tmx − tmn.) */
   private def cellExpr(v: String, t: String, mn: String, mx: String,
       tmn: String, tmx: String, vw: String, sub: String, integral: String,
       cells: Int): String =
     s"""CASE WHEN $v IS NULL THEN -1L ELSE
        |(($v - $mn) div $vw) * $sub +
        |CASE WHEN $vw = 1 AND $integral
-       |  THEN coalesce(($t - $tmn) div (($tmx - $tmn) div $sub + 1L), 0L)
+       |  THEN coalesce(try_subtract($t, $tmn) div
+       |    (try_subtract($tmx, $tmn) div $sub + 1L), 0L)
        |  ELSE 0L END
        |END""".stripMargin
 
@@ -94,7 +163,7 @@ object Ranks {
     * harness' per-query unpersist. */
   def withRankStats(df: DataFrame, partition: Seq[String], primary: Column,
       tiebreaks: Seq[Column], rankCol: String, nCol: String,
-      cells: Int = 4096): DataFrame = {
+      cells: Int = 4096, maxGroups: Long = 1L << 18): DataFrame = {
     val pc = partition.map(col)
     val withV = df.withColumn("__v", primary.cast("long"))
       .withColumn("__t",
@@ -117,19 +186,21 @@ object Ranks {
     // image — lexicographic (v, tb) order is preserved and the ≤`cells`
     // total key budget is re-spent as (range+1) × (cells div (range+1))
     // subcells. Ranks are unchanged; only the task layout spreads.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = df.select(primary.as("__p")).schema.head.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => "TRUE"
-      case _ => "FALSE"
-    }
+    val integral = subdividable(df, primary, tiebreaks)
+    // __gc rides the (bounded) stats relation: one literal row globally,
+    // a stats-relation-sized unpartitioned count when grouped — the
+    // guard's own window never touches the data relation
     val celled = (if (partition.isEmpty)
-        withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)))
+        withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)
+          .withColumn("__gc", lit(1L))))
       else
         nsJoin(withV,
-          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*), partition))
-      .withColumn("__vw", expr(s"(__mx - __mn) div ${cells}L + 1L"))
+          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*)
+            .withColumn("__gc",
+              count(lit(1)).over(Window.partitionBy())), partition))
+      .withColumn("__vw", expr(vwExpr(cells, maxGroups)))
       .withColumn("__sub", expr(
-        s"greatest(1L, ${cells}L div (__mx - __mn + 1L))"))
+        s"greatest(1L, ${cells}L div try_add(try_subtract(__mx, __mn), 1L))"))
       .withColumn("__cell", expr(cellExpr("__v", "__t", "__mn", "__mx",
         "__tmn", "__tmx", "__vw", "__sub", integral, cells)))
     val offKeys = partition :+ "__cell"
@@ -149,7 +220,7 @@ object Ranks {
         row_number().over(wCell).cast("long"))
       .withColumn(nCol, col("__n"))
       .drop("__v", "__t", "__mn", "__mx", "__tmn", "__tmx", "__vw",
-        "__sub", "__n", "__cell", "__c", "__off")
+        "__sub", "__n", "__gc", "__cell", "__c", "__off")
   }
 
   /** The exact front-loaded `ntile(k)` bucket from (rank, n) — q = n
@@ -170,9 +241,11 @@ object Ranks {
     * [[ntileFromRank]]. */
   def withNtileBucket(df: DataFrame, k: Int, primary: Column,
       tiebreaks: Seq[Column], bucketCol: String,
-      cells: Int = 4096, partition: Seq[String] = Nil): DataFrame = {
+      cells: Int = 4096, partition: Seq[String] = Nil,
+      maxGroups: Long = 1L << 18): DataFrame = {
     require(k >= 1, s"ntile bucket count must be >= 1, got $k")
-    withRankStats(df, partition, primary, tiebreaks, "__r", "__gn", cells)
+    withRankStats(df, partition, primary, tiebreaks, "__r", "__gn", cells,
+      maxGroups)
       .withColumn(bucketCol, ntileFromRank("__r", "__gn", k))
       .drop("__r", "__gn")
   }
@@ -189,8 +262,7 @@ object Ranks {
     * Same cell/checkpoint machinery as [[withRankStats]]. */
   def withPrefixSum(df: DataFrame, partition: Seq[String], primary: Column,
       tiebreaks: Seq[Column], value: Column, outCol: String,
-      cells: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      cells: Int = 4096, maxGroups: Long = 1L << 18): DataFrame = {
     val pc = partition.map(col)
     val withV = df.withColumn("__v", primary.cast("long"))
       .withColumn("__t",
@@ -199,18 +271,18 @@ object Ranks {
       .localCheckpoint(false)
     val aggs = Seq(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
       min(col("__t")).as("__tmn"), max(col("__t")).as("__tmx"))
-    val integral = df.select(primary.as("__p")).schema.head.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => "TRUE"
-      case _ => "FALSE"
-    }
+    val integral = subdividable(df, primary, tiebreaks)
     val celled = (if (partition.isEmpty)
-        withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)))
+        withV.crossJoin(broadcast(withV.agg(aggs.head, aggs.tail: _*)
+          .withColumn("__gc", lit(1L))))
       else
         nsJoin(withV,
-          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*), partition))
-      .withColumn("__vw", expr(s"(__mx - __mn) div ${cells}L + 1L"))
+          withV.groupBy(pc: _*).agg(aggs.head, aggs.tail: _*)
+            .withColumn("__gc",
+              count(lit(1)).over(Window.partitionBy())), partition))
+      .withColumn("__vw", expr(vwExpr(cells, maxGroups)))
       .withColumn("__sub", expr(
-        s"greatest(1L, ${cells}L div (__mx - __mn + 1L))"))
+        s"greatest(1L, ${cells}L div try_add(try_subtract(__mx, __mn), 1L))"))
       .withColumn("__cell", expr(cellExpr("__v", "__t", "__mn", "__mx",
         "__tmn", "__tmx", "__vw", "__sub", integral, cells)))
     val offKeys = partition :+ "__cell"
@@ -227,7 +299,7 @@ object Ranks {
       .withColumn(outCol, col("__voff") +
         coalesce(sum(col("__w")).over(wCell), lit(0L)))
       .drop("__v", "__t", "__w", "__mn", "__mx", "__tmn", "__tmx",
-        "__vw", "__sub", "__cell", "__cw", "__voff")
+        "__vw", "__sub", "__gc", "__cell", "__cw", "__voff")
   }
 
   /** MULTI-AXIS ntile buckets over ONE materialization — rfm's shape:
@@ -242,7 +314,6 @@ object Ranks {
   def withNtileBuckets(df: DataFrame,
       axes: Seq[(Int, Column, Seq[Column], String)],
       cells: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     require(axes.nonEmpty, "at least one axis")
     axes.foreach { case (k, _, _, _) =>
       require(k >= 1, s"ntile bucket count must be >= 1, got $k") }
@@ -256,19 +327,19 @@ object Ranks {
       min(col(s"__v$i")).as(s"__mn$i"), max(col(s"__v$i")).as(s"__mx$i"),
       min(col(s"__t$i")).as(s"__tmn$i"), max(col(s"__t$i")).as(s"__tmx$i"))
     } :+ count(lit(1)).as("__n")
-    val integral = axes.map { case (_, p, _, _) =>
-      df.select(p.as("__p")).schema.head.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => "TRUE"
-        case _ => "FALSE"
-      }
+    val integral = axes.map { case (_, p, tbs, _) =>
+      subdividable(df, p, tbs)
     }
+    // global form: one group by construction (__gc = 1 satisfies the
+    // vwExpr guard; only the span wrap-around check is live per axis)
     val celled = ix.foldLeft(
-      withV.crossJoin(broadcast(withV.agg(statAggs.head, statAggs.tail: _*)))) {
+      withV.crossJoin(broadcast(withV.agg(statAggs.head, statAggs.tail: _*)
+        .withColumn("__gc", lit(1L))))) {
       (d, i) =>
         d.withColumn(s"__vw$i",
-          expr(s"(__mx$i - __mn$i) div ${cells}L + 1L"))
+          expr(vwExpr(cells, 2L, s"__mn$i", s"__mx$i")))
           .withColumn(s"__sub$i",
-            expr(s"greatest(1L, ${cells}L div (__mx$i - __mn$i + 1L))"))
+            expr(s"greatest(1L, ${cells}L div try_add(try_subtract(__mx$i, __mn$i), 1L))"))
           .withColumn(s"__cell$i", expr(cellExpr(s"__v$i", s"__t$i",
             s"__mn$i", s"__mx$i", s"__tmn$i", s"__tmx$i", s"__vw$i",
             s"__sub$i", integral(i), cells)))
@@ -296,7 +367,7 @@ object Ranks {
               .orderBy(p +: tbs: _*)).cast("long"))
           .withColumn(name, ntileFromRank(s"__r$i", "__n", k))
     }
-    val internals = Seq("__n") ++ ix.flatMap(i => Seq(s"__v$i", s"__t$i",
+    val internals = Seq("__n", "__gc") ++ ix.flatMap(i => Seq(s"__v$i", s"__t$i",
       s"__mn$i", s"__mx$i", s"__tmn$i", s"__tmx$i", s"__vw$i", s"__sub$i",
       s"__cell$i", s"__off$i", s"__r$i"))
     ranked.drop(internals: _*)

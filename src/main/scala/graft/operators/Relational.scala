@@ -357,25 +357,29 @@ object Relational {
     * every commerce dashboard prints ("the top decile carries X% of
     * revenue"): per-customer total order spend, cut into `k`
     * equal-population buckets, each reporting its customer count, exact
-    * DECIMAL spend mass and spend range. The oracle states
+    * BIGINT-cents spend mass and spend range. The oracle states
     * ntile(k) over (spend, custkey); this side derives the identical
     * buckets from [[Ranks.withNtileBucket]]'s cell-partitioned closed
-    * form (spend is DECIMAL — it bins by its monotone long image and
-    * orders by the full value), so a 10⁹-customer grid never plans a
-    * single-task sort. One customer-keyed aggregate, then
-    * decile-cardinality rollup. */
+    * form (integer cents bin faithfully, so the tie-skew subdivision
+    * applies when the spend domain is narrow), so a 10⁹-customer grid
+    * never plans a single-task sort. One customer-keyed aggregate, then
+    * decile-cardinality rollup. Money crosses the output boundary as
+    * BIGINT cents — the repo's determinism ladder: the per-customer sum
+    * runs in DECIMAL (exact, combine-order-independent) and the ×100
+    * cast is lossless at scale 2, while a raw DECIMAL output column
+    * renders engine-dependently at the oracle hash boundary (the
+    * round-7 red row). */
   def customerValueDeciles(orders: DataFrame, k: Int = 10): DataFrame = {
-    // money through DECIMAL (the dec() ladder): a raw double sum is
-    // combine-order-dependent and flips ulps under repartitioning
     val spend = orders.groupBy(col("o_custkey"))
-      .agg(sum(dec(col("o_totalprice"))).as("spend"))
-    graft.operators.Ranks.withNtileBucket(spend, k, col("spend"),
+      .agg((sum(dec(col("o_totalprice"))) * 100).cast("long")
+        .as("spend_cents"))
+    graft.operators.Ranks.withNtileBucket(spend, k, col("spend_cents"),
       Seq(col("o_custkey")), "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("spend")).as("decile_spend"),
-        min(col("spend")).as("min_spend"),
-        max(col("spend")).as("max_spend"))
+        sum(col("spend_cents")).as("decile_spend_cents"),
+        min(col("spend_cents")).as("min_spend_cents"),
+        max(col("spend_cents")).as("max_spend_cents"))
       .orderBy(col("decile"))
   }
 

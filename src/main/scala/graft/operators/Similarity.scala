@@ -612,10 +612,11 @@ object Similarity {
     * (a < b) with both ranks.
     *
     * Scale shape: the all-pairs scorer is the oracle-exact baseline; at
-    * 100 TB the directed relation comes from the banded-LSH / IVF
-    * retrievers instead ([[annLsh]] / [[annIvfWith]] — the rank list is
-    * the interface, as with hybridRrf), and the reciprocity join is
-    * then bounded by candidates, never the corpus square. */
+    * 100 TB inject a bounded directed relation into [[mutualKnnFrom]]
+    * instead ([[knnLshDirected]] is the packaged one; any (src, cand_id,
+    * rank, cos) list works — the rank list is the interface, as with
+    * hybridRrf), and the reciprocity join is then bounded by candidates,
+    * never the corpus square. */
   def mutualKnn(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -632,9 +633,24 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("cand_id"), col("rank"), col("cos"))
+    mutualKnnFrom(directed)
+  }
+
+  /** The reciprocity step of [[mutualKnn]] over an INJECTED directed
+    * kNN relation — the bounded-retriever entry point the 100 TB path
+    * uses: `directed` must carry (src, cand_id, rank, cos) with rank
+    * 1-based within src (what [[knnLshDirected]], or any ANN retriever's
+    * rank list reshaped to those names, emits). A pair survives when
+    * each side lists the other; emitted once (a < b) with both ranks.
+    * The relation is localCheckpoint'ed so the self-join doesn't
+    * re-derive the (possibly expensive) retriever, and the join is
+    * candidates×k-bounded — never the corpus square. */
+  def mutualKnnFrom(directed: DataFrame): DataFrame = {
+    val d = directed
+      .select(col("src"), col("cand_id"), col("rank"), col("cos"))
       .localCheckpoint()
-    directed.as("x")
-      .join(directed.as("y"),
+    d.as("x")
+      .join(d.as("y"),
         col("x.src") === col("y.cand_id") &&
           col("x.cand_id") === col("y.src") &&
           col("x.src") < col("x.cand_id"))
@@ -642,6 +658,61 @@ object Similarity {
         col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"),
         round(col("x.cos"), 6).as("cos6"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** ALL-SOURCE directed cosine top-`k` through the banded hyperplane
+    * LSH — the bounded retriever that replaces [[mutualKnn]]'s
+    * brute-force corpus×corpus scorer at scale: candidates come from the
+    * banded self-join (two vectors meet iff SOME band of their plane
+    * signature matches — the same banding calculus as [[annLsh]], whose
+    * broadcast-queries form only serves a handful of query ids), then
+    * the exact cosine verifies every candidate, so like every LSH
+    * operator here only RECALL is probabilistic — a returned (src,
+    * cand_id, rank, cos) row is exactly scored and exactly ranked among
+    * the candidates. The band join is ids-only (band, bv keys); vectors
+    * are re-attached by id afterwards, so the wide embedding arrays
+    * never ride the candidate shuffle. A production corpus would add
+    * the hot-bucket df-cut guard the MinHash family carries
+    * (`Dedup`'s shingle df-cut) — omitted here so the DuckDB oracle can
+    * mirror the candidate set exactly. */
+  def knnLshDirected(embeddings: DataFrame, k: Int = 5,
+      bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    require(bands * bitsPerBand <= graft.functions.PlaneSignature.MaxBits,
+      "signature wider than the plane table")
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    val bandCols = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        shiftright(col("sig"), bd * bitsPerBand).bitwiseAND(mask).as("bv"))
+    }
+    val banded = embeddings
+      .select(col("vec_id"),
+        lshSignature(col("embedding"), bands * bitsPerBand).as("sig"))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.bv").as("bv"))
+    val pairs = banded
+      .join(banded.select(col("vec_id").as("cand_id"),
+          col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .select(col("vec_id").as("src"), col("cand_id"))
+      .distinct()
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val denom = col("s_nrm") * col("c_nrm")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    pairs
+      .join(corpus.select(col("vec_id").as("src"),
+        col("embedding").as("s_emb"), col("nrm").as("s_nrm")), Seq("src"))
+      .join(corpus.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm")),
+        Seq("cand_id"))
+      .select(col("src"), col("cand_id"),
+        when(denom =!= 0.0, dot(col("s_emb"), col("c_emb")) / denom)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("cand_id"), col("rank"), col("cos"))
   }
 
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of

@@ -122,11 +122,12 @@ object TextAnalysis {
     * buckets use [[Ranks.withNtileBucket]]'s cell-partitioned closed
     * form — no global sort of the doc relation anywhere. */
   def vocabGrowth(documents: DataFrame, checkpoints: Int = 10,
-      toks: Option[DataFrame] = None): DataFrame =
+      toks: Option[DataFrame] = None,
+      buckets: Option[DataFrame] = None): DataFrame =
     growthCurve(documents,
       toks.getOrElse(documents
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))),
-      checkpoints)
+      checkpoints, buckets)
 
   /** Trigram (shingle) growth curve — the dedup-saturation companion of
     * [[vocabGrowth]]: cumulative DISTINCT trigrams vs cumulative per-doc
@@ -138,12 +139,13 @@ object TextAnalysis {
     * serves the memoized prefix — no re-shingling). */
   def ngramGrowth(documents: DataFrame,
       postings: Option[DataFrame] = None,
-      checkpoints: Int = 10): DataFrame =
+      checkpoints: Int = 10,
+      buckets: Option[DataFrame] = None): DataFrame =
     growthCurve(documents,
       postings.getOrElse(documents.select(col("doc_id"),
         explode(shingles(col("text"), 3)).as("sh")))
         .select(col("doc_id"), col("sh").as("tok")),
-      checkpoints)
+      checkpoints, buckets)
 
   /** The shared growth-curve assembly over any (doc_id, tok) census:
     * first occurrence = min(doc_id) per tok (exact — no approximate
@@ -151,11 +153,16 @@ object TextAnalysis {
     * windows on the `checkpoints`-row relation. Doc buckets come from
     * [[Ranks.withNtileBucket]]'s closed-form rank arithmetic — the
     * oracle states ntile over doc_id, this side never runs an
-    * unpartitioned window over the doc-cardinality relation. */
+    * unpartitioned window over the doc-cardinality relation. `buckets`
+    * injects an already-materialized (doc_id, bucket) relation — the
+    * vocab and trigram curves rank the SAME corpus, so a shared caller
+    * (SparkEntry's family prefix) pays the ranker's stats/histogram/
+    * checkpoint passes once instead of once per curve. */
   private def growthCurve(documents: DataFrame, census: DataFrame,
-      checkpoints: Int): DataFrame = {
-    val b = Ranks.withNtileBucket(documents.select(col("doc_id")),
-      checkpoints, col("doc_id"), Nil, "bucket")
+      checkpoints: Int, buckets: Option[DataFrame] = None): DataFrame = {
+    val b = buckets.getOrElse(
+      Ranks.withNtileBucket(documents.select(col("doc_id")),
+        checkpoints, col("doc_id"), Nil, "bucket"))
     val cnt = census.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val perBucket = b.join(cnt, Seq("doc_id"), "left")
       .groupBy(col("bucket"))

@@ -240,7 +240,15 @@ object Trends {
       .withColumn("v_micro",
         expr("CAST(CAST(v_mean AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
       .withColumn("s", sum(col("v_micro")).over(w))
-      .withColumn("sxx", sum(col("v_micro") * col("v_micro")).over(w))
+      // square through DECIMAL(38,0): a raw BIGINT*BIGINT wraps silently
+      // past |v_micro| ≈ 3.0e9 (|v_mean| > ~3037) in non-ANSI Spark
+      // while the DuckDB oracle raises — widening pushes the exact
+      // domain to |v_micro| ≈ 1.3e18 (the n·Σv² term then approaches
+      // DECIMAL(38)'s 1e38 ceiling), far past any micro-scaled mean.
+      // The oracle mirrors via HUGEINT (internal only — output columns
+      // stay BIGINT, so the hash-boundary ban is untouched).
+      .withColumn("sxx",
+        sum(expr("CAST(v_micro AS DECIMAL(38,0)) * v_micro")).over(w))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("ma_micro", expr("s div n"))
       // n·Σv² − (Σv)² ≥ 0 exactly (integers — no float cancellation to

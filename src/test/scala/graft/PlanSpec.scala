@@ -77,7 +77,8 @@ class PlanSpec extends SparkSpec {
 
   test("dedup/minhash joins are equi-joins, never cartesian") {
     Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
-        "dedup_against", "semantic_dedup", "semantic_dedup_against").foreach { q =>
+        "dedup_against", "semantic_dedup", "semantic_dedup_against",
+        "rnn_pairs_lsh").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }

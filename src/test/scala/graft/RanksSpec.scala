@@ -180,6 +180,47 @@ class RanksSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
   }
 
+  test("group count past maxGroups fails loudly, pointing at keyed windows") {
+    import spark.implicits._
+    // 100 groups of one row each — a per-key ranking, exactly what the
+    // closed form is NOT for (its stats side would shuffle+broadcast a
+    // data-sized relation); the guard must name the alternative
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Ranks.withNtileBucket(df, 2, col("v"), Nil, "b",
+        partition = Seq("g"), maxGroups = 10L).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("broadcastable bound"), msgs(ex).take(500))
+    assert(msgs(ex).contains("keyed"), msgs(ex).take(500))
+  }
+
+  test("primary long image spanning more than 2^63 fails loudly") {
+    import spark.implicits._
+    val df = Seq((1L, Long.MinValue), (2L, Long.MaxValue)).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Ranks.withNtileBucket(df, 2, col("v"), Seq(col("id")), "b").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("spans"), msgs(ex).take(500))
+  }
+
+  test("non-integral tiebreak skips the subdivision but ranks stay exact") {
+    import spark.implicits._
+    // width-1 trigger (constant primary) with a STRING tiebreak whose
+    // long image is NOT monotone in its sort order ('10' sorts before
+    // '9' lexicographically but images larger) — the subdivision must
+    // decline (sub = 1) or it would bin numerically and mis-rank
+    val df = (1 to 120).map(i => (i.toString, 1L)).toDF("s", "v")
+    val w = Window.orderBy(col("v"), col("s"))
+    val expected = df.withColumn("b", ntile(7).over(w))
+    val got = Ranks.withNtileBucket(df, 7, col("v"), Seq(col("s")), "b")
+    assert(expected.alias("e").join(got.alias("g"), Seq("s"))
+      .filter(col("e.b") =!= col("g.b")).count() == 0)
+  }
+
   test("no unpartitioned window over a data-sized input in the plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     import spark.implicits._
