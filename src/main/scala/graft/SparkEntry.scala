@@ -875,6 +875,14 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.shardBalance(Tables.documents(s, dir))
     }),
+    "shard_manifest" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.shardManifest(Tables.documents(s, dir))
+    }),
+    "epoch_allocate" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.epochAllocate(Tables.documents(s, dir))
+    }),
     "k_anonymity" -> ((s, dir) =>
       TextAnalysis.kAnonymity(Tables.documents(s, dir))),
     // bounded-heap per-group top-k (custom TypedImperativeAggregate) —
@@ -6039,6 +6047,88 @@ object SparkEntry {
          |GROUP BY t.tok, t.n_occurrences
          |ORDER BY t.n_occurrences DESC, t.tok""".stripMargin
     },
+
+    // Order-independent shard manifest: XOR-combined portable content
+    // hashes over (doc_id, md5(text)) — same h60 family, same hash-mod
+    // sharding as shard_balance.
+    "shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 16 AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      md5(text)), 1, 15))::BIGINT AS fp
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(bit_xor(fp) AS BIGINT) AS fingerprint
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Integer-exact mirror of Sampling.epochAllocate's two-round
+    // largest-remainder allocation under per-source epoch caps
+    // (capacity = 2 × chars, budget 280000, isqrt weights, ties by
+    // source; ONE redistribution round, clamped — the documented spec).
+    "epoch_allocate" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1
+        |), capw AS (
+        |  SELECT source, n_docs, chars, chars * 2 AS capacity,
+        |    CAST(floor(sqrt(chars)) AS BIGINT) AS wt
+        |  FROM counts
+        |), bb AS (
+        |  SELECT CASE WHEN csum < 280000 THEN csum ELSE 280000 END AS b,
+        |    wsum
+        |  FROM (SELECT CAST(sum(wt) AS BIGINT) AS wsum,
+        |          CAST(sum(capacity) AS BIGINT) AS csum FROM capw)
+        |), base AS (
+        |  SELECT source, n_docs, chars, capacity, wt,
+        |    CASE WHEN wsum > 0 THEN wt * b // wsum ELSE 0 END AS fl,
+        |    CASE WHEN wsum > 0 THEN wt * b % wsum ELSE 0 END AS rem
+        |  FROM capw, bb
+        |), sh1 AS (
+        |  SELECT (SELECT b FROM bb) -
+        |    (SELECT coalesce(sum(fl), 0) FROM base) AS short1
+        |), a1 AS (
+        |  SELECT source, n_docs, chars, capacity, wt,
+        |    fl + CASE WHEN rr <= short1 THEN 1 ELSE 0 END AS a
+        |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+        |          AS rr FROM base), sh1
+        |), sat AS (
+        |  SELECT *, a > capacity AS is_over FROM a1
+        |), surplus AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN is_over THEN a - capacity
+        |    END), 0) AS BIGINT) AS s FROM sat
+        |), base2 AS (
+        |  SELECT p.source, p.wt,
+        |    CASE WHEN wsum2 > 0 THEN p.wt * s // wsum2 ELSE 0 END AS fl2,
+        |    CASE WHEN wsum2 > 0 THEN p.wt * s % wsum2 ELSE 0 END AS rem2
+        |  FROM (SELECT * FROM sat WHERE NOT is_over) p, surplus,
+        |    (SELECT CAST(coalesce(sum(wt), 0) AS BIGINT) AS wsum2
+        |     FROM sat WHERE NOT is_over)
+        |), sh2 AS (
+        |  SELECT (SELECT s FROM surplus) -
+        |    (SELECT coalesce(sum(fl2), 0) FROM base2) AS short2
+        |), r2 AS (
+        |  SELECT source,
+        |    fl2 + CASE WHEN rr2 <= short2 THEN 1 ELSE 0 END AS add2
+        |  FROM (SELECT *, row_number() OVER (ORDER BY rem2 DESC, source)
+        |          AS rr2 FROM base2), sh2
+        |)
+        |SELECT t.source, t.n_docs, t.chars,
+        |  CAST(t.capacity AS BIGINT) AS capacity,
+        |  CAST(CASE WHEN t.is_over THEN t.capacity
+        |    ELSE least(t.capacity, t.a + coalesce(r2.add2, 0)) END
+        |    AS BIGINT) AS alloc_chars,
+        |  CAST(CASE WHEN t.chars > 0 THEN
+        |    (CASE WHEN t.is_over THEN t.capacity
+        |      ELSE least(t.capacity, t.a + coalesce(r2.add2, 0)) END)
+        |      * 1000000 // t.chars ELSE 0 END AS BIGINT) AS epochs_micro
+        |FROM sat t LEFT JOIN r2 ON r2.source = t.source
+        |ORDER BY t.source""".stripMargin,
 
     // Integer-exact mirror of Sampling.temperatureMix: isqrt weights,
     // integer floor-division targets, largest-remainder (ties by source).

@@ -301,4 +301,103 @@ object Sampling {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard"))
   }
+
+  /** Reproducible-export SHARD MANIFEST — the receipt a training run
+    * records next to every exported shard so a re-export (or a consumer
+    * on another engine) can prove it reads the same bytes: per shard,
+    * the doc count, character mass, id range, and an ORDER-INDEPENDENT
+    * content fingerprint — XOR of a per-doc portable hash over
+    * (doc_id, md5(text)). XOR is the right combine for a distributed
+    * writer: commutative/associative (any partitioning, any task order,
+    * same value — a SUM of 60-bit hashes would overflow BIGINT at
+    * corpus scale), sensitive to any single-doc change, and cheap to
+    * maintain incrementally (XOR the delta's hashes in). The id pair in
+    * the per-doc hash makes doc-content SWAPS visible (two docs
+    * exchanging texts preserves the bag of content hashes but not the
+    * (id, content) pairs). One map-side projection + one shard-keyed
+    * aggregate: linear, skew-free (hash-mod sharding), no second scan.
+    * Same portable md5-derived h60 as every sketch here, so the DuckDB
+    * oracle rebuilds the manifest bit-for-bit. */
+  def shardManifest(documents: DataFrame, nShards: Int = 16): DataFrame = {
+    import graft.functions.PortableHash.h60
+    documents
+      .select(col("doc_id"), col("n_chars"),
+        pmod(h60(col("doc_id").cast("string")), lit(nShards.toLong))
+          .as("shard"),
+        h60(concat(col("doc_id").cast("string"), lit(":"),
+          md5(col("text")))).as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(fp)").as("fingerprint"))
+      .orderBy(col("shard"))
+  }
+
+  /** DATA-CONSTRAINED EPOCH ALLOCATION (the Muennighoff et al. 2023
+    * "scaling data-constrained language models" planning step): split a
+    * total training-character budget across sources when repeating a
+    * source past a few epochs stops helping — each source contributes at
+    * most `maxEpochs × its corpus mass`, small sources are upweighted by
+    * the same isqrt temperature as [[temperatureMix]], and the plan
+    * reports per-source allocated mass and the implied epoch count.
+    *
+    * Exact integer spec (mirrored by the oracle):
+    *   1. B = min(budget, Σ capacity) with capacity = maxEpochs × chars;
+    *   2. round 1: largest-remainder share of B by isqrt(chars) weight
+    *      (ties by source) over ALL sources;
+    *   3. sources allocated past capacity are CLAMPED to it; their
+    *      surplus is re-shared once, largest-remainder by weight over
+    *      the unsaturated pool, again clamped. ONE redistribution round
+    *      (not the full waterfall): the spec stays portable SQL, and the
+    *      residual a second overshoot would strand is derivable as
+    *      B − Σ alloc_chars (zero unless the pool is near-saturated).
+    *   4. epochs_micro = alloc × 10⁶ div chars — the per-source repeat
+    *      factor on the micro grid.
+    *
+    * Scale shape: one map-combined per-source aggregate over the corpus;
+    * the allocation itself runs on the driver over the source-cardinality
+    * relation (tens/hundreds — the temperatureMix/IVF-centroid
+    * contract) and returns as a broadcastable plan table. */
+  def epochAllocate(documents: DataFrame, budgetChars: Long = 280000L,
+      maxEpochs: Int = 2): DataFrame = {
+    import documents.sparkSession.implicits._
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val counts = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
+    // one largest-remainder share of `b` over (source, weight) — the
+    // temperatureMix allocator, reused verbatim
+    def share(pool: Seq[(String, Long)], b: Long): Map[String, Long] = {
+      val wsum = pool.map(_._2).sum
+      if (wsum == 0L || b <= 0L) return pool.map(_._1 -> 0L).toMap
+      val base = pool.map { case (s, w) => (s, w * b / wsum, w * b % wsum) }
+      val shortBy = (b - base.map(_._2).sum).toInt
+      val plusOne = base.sortBy { case (s, _, rem) => (-rem, s) }
+        .take(shortBy).map(_._1).toSet
+      base.map { case (s, fl, _) =>
+        s -> (fl + (if (plusOne(s)) 1L else 0L))
+      }.toMap
+    }
+    val cap = counts.map { case (s, _, c) => s -> maxEpochs * c }.toMap
+    val w = counts.map { case (s, _, c) => (s, isqrt(c)) }
+    val b = budgetChars min cap.values.sum
+    val r1 = share(w, b)
+    val sat = counts.map(_._1).filter(s => r1(s) > cap(s)).toSet
+    val surplus = sat.toSeq.map(s => r1(s) - cap(s)).sum
+    val r2 = share(w.filterNot { case (s, _) => sat(s) }, surplus)
+    val alloc = counts.map { case (s, _, _) =>
+      s -> (if (sat(s)) cap(s)
+            else (r1(s) + r2.getOrElse(s, 0L)) min cap(s))
+    }.toMap
+    counts.toSeq.map { case (s, n, c) =>
+      (s, n, c, cap(s), alloc(s),
+        if (c > 0) alloc(s) * 1000000L / c else 0L)
+    }.toDF("source", "n_docs", "chars", "capacity", "alloc_chars",
+      "epochs_micro")
+      .orderBy(col("source"))
+  }
 }

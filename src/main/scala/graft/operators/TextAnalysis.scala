@@ -1146,14 +1146,16 @@ object TextAnalysis {
     * Scale shape: two (doc, gram) count aggregates over one normalized
     * scan (codegen'd n-gram explode); the top-gram election is a
     * sort-free min(struct(-cnt, gram)) partial aggregate (skew-immune,
-    * no window); per-doc joins are doc-cardinality. */
+    * no window); per-doc joins are doc-cardinality. The doc-stats
+    * column (n_chars) RIDES the 5-gram explode (explode_outer keeps
+    * sub-5-word docs) instead of its own corpus scan — normalize is the
+    * regex-heavy step, and a separate stats pass would re-run it over
+    * the whole corpus just to take a length. */
   def gopherRepetition(documents: DataFrame,
       bigrams: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
     val base = documents.select(col("doc_id"),
       normalize(col("text")).as("t"))
-    val stats = base.select(col("doc_id"),
-      length(col("t")).cast("long").as("n_chars"))
     val top2 = bigrams
       .getOrElse(base
         .select(col("doc_id"), explode(word_ngrams(col("t"), 2)).as("b")))
@@ -1162,15 +1164,17 @@ object TextAnalysis {
       .agg(min(struct((-col("cnt")).as("nc"), col("b").as("b"))).as("m"))
       .select(col("doc_id"), (-col("m.nc")).as("top2_cnt"),
         col("m.b").as("top2_gram"))
-    val dup5 = base
-      .select(col("doc_id"), explode(word_ngrams(col("t"), 5)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
+    val statsDup = base
+      .select(col("doc_id"), length(col("t")).cast("long").as("n_chars"),
+        explode_outer(word_ngrams(col("t"), 5)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(max(col("n_chars")).as("n_chars"), count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt") * length(col("g")).cast("long")).as("dup5_chars"))
-    stats
+      .agg(max(col("n_chars")).as("n_chars"),
+        sum(when(col("g").isNotNull && col("cnt") >= 2,
+          col("cnt") * length(col("g")).cast("long"))).as("dup5_chars"))
+    statsDup
       .join(top2, Seq("doc_id"), "left")
-      .join(dup5, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
         coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
         coalesce(col("top2_gram"), lit("")).as("top2_gram"),

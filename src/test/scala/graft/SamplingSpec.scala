@@ -161,6 +161,79 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shardManifest: fingerprint is partitioning-invariant, doc-swap-sensitive") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val base = Sampling.shardManifest(docs).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("fingerprint")).toMap
+    // XOR combine: any partitioning/task order yields the same manifest
+    val rep = Sampling.shardManifest(docs.repartition(7, col("source")))
+      .collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("fingerprint")).toMap
+    assert(base == rep)
+    // two docs exchanging texts preserves the bag of content hashes but
+    // must CHANGE the manifest — the (id, content) pairing is hashed
+    val ids = docs.select("doc_id").orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0))
+    val t = docs.filter(col("doc_id").isin(ids: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val swapped = docs.withColumn("text",
+      when(col("doc_id") === ids(0), lit(t(ids(1))))
+        .when(col("doc_id") === ids(1), lit(t(ids(0))))
+        .otherwise(col("text")))
+    val sw = Sampling.shardManifest(swapped).collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("fingerprint")).toMap
+    assert(base != sw, "doc swap must change at least one shard fingerprint")
+  }
+
+  test("epochAllocate: caps respected, budget conserved, two-round spec on a hand case") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rep = Sampling.epochAllocate(docs).collect()
+    rep.foreach { r =>
+      assert(r.getAs[Long]("alloc_chars") <= r.getAs[Long]("capacity"))
+      assert(r.getAs[Long]("alloc_chars") >= 0L)
+    }
+    // hand case: 3 sources, budget forces saturation + one redistribution.
+    // chars: a=100 (cap 200, w 10), b=10000 (cap 20000, w 100),
+    // c=40000 (cap 80000, w 200); budget 30000 → B=30000, wsum=310.
+    // r1: a=967(+rem), b=9677, c=19354 (+2 largest remainders). Exact:
+    // fl: a=30000*10/310=967 rem 230/…; compute via the same arithmetic:
+    val w = Seq(("a", 10L), ("b", 100L), ("c", 200L)); val b0 = 30000L
+    val wsum = w.map(_._2).sum
+    val fl = w.map { case (s, wt) => (s, wt * b0 / wsum, wt * b0 % wsum) }
+    val short = (b0 - fl.map(_._2).sum).toInt
+    val plus = fl.sortBy { case (s, _, rem) => (-rem, s) }.take(short)
+      .map(_._1).toSet
+    val r1 = fl.map { case (s, f, _) =>
+      s -> (f + (if (plus(s)) 1L else 0L)) }.toMap
+    // a's share (≈967) exceeds cap 200 → clamp, surplus re-shares to b,c
+    assert(r1("a") > 200L)
+    val surplus = r1("a") - 200L
+    val w2 = w.filterNot(_._1 == "a"); val wsum2 = w2.map(_._2).sum
+    val fl2 = w2.map { case (s, wt) =>
+      (s, wt * surplus / wsum2, wt * surplus % wsum2) }
+    val short2 = (surplus - fl2.map(_._2).sum).toInt
+    val plus2 = fl2.sortBy { case (s, _, rem) => (-rem, s) }.take(short2)
+      .map(_._1).toSet
+    val expect = Map("a" -> 200L) ++ fl2.map { case (s, f, _) =>
+      s -> math.min(if (s == "b") 20000L else 80000L,
+        r1(s) + f + (if (plus2(s)) 1L else 0L)) }
+    val synth = (
+      (1 to 1).map(i => (100L, "a")) ++
+      (1 to 10).map(i => (1000L, "b")) ++
+      (1 to 10).map(i => (4000L, "c"))
+    ).zipWithIndex.map { case ((nc, s), i) => (i.toLong, s, nc) }
+      .toDF("doc_id", "source", "n_chars")
+    val got = Sampling.epochAllocate(synth, budgetChars = 30000L,
+      maxEpochs = 2).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc_chars")).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.values.sum == 30000L, "conserved: no residual in this case")
+  }
+
   test("shardBalance: partition of the corpus — masses conserve, shards bounded, layout deterministic") {
     import graft.operators.Sampling
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
