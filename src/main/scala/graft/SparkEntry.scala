@@ -883,6 +883,16 @@ object SparkEntry {
       import graft.operators.Sampling
       Sampling.epochAllocate(Tables.documents(s, dir))
     }),
+    // incremental-export planning: the diff of the corpus manifest vs
+    // the manifest after a one-source curation delete — only shards
+    // holding src7 docs may flag as changed
+    "manifest_diff" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, dir)
+      Sampling.manifestDiff(docs, docs.filter(col("source") =!= "src7"))
+    }),
+    "l_diversity" -> ((s, dir) =>
+      TextAnalysis.lDiversity(Tables.documents(s, dir))),
     "k_anonymity" -> ((s, dir) =>
       TextAnalysis.kAnonymity(Tables.documents(s, dir))),
     // bounded-heap per-group top-k (custom TypedImperativeAggregate) —
@@ -989,6 +999,8 @@ object SparkEntry {
     "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
     "media_chunk_plan" -> ((s, dir) =>
       Multimodal.mediaChunkPlan(Tables.documents(s, dir))),
+    "media_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrameStats(Tables.documents(s, dir))),
 
     // ── Distribution drift / corpus mixing (operators/Drift.scala) ──
     "value_drift" -> ((s, dir) =>
@@ -6066,6 +6078,52 @@ object SparkEntry {
         |  CAST(bit_xor(fp) AS BIGINT) AS fingerprint
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // manifest diff: the shard_manifest CTE computed over the corpus and
+    // over the corpus minus src7, full-joined null-safe on shard —
+    // changed = fingerprints differ (IS DISTINCT FROM)
+    "manifest_diff" ->
+      """WITH m_old AS (
+        |  SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars, bit_xor(fp) AS fp
+        |  FROM (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 16 AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      md5(text)), 1, 15))::BIGINT AS fp
+        |    FROM documents) GROUP BY 1
+        |), m_new AS (
+        |  SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars, bit_xor(fp) AS fp
+        |  FROM (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 16 AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      md5(text)), 1, 15))::BIGINT AS fp
+        |    FROM documents WHERE source <> 'src7') GROUP BY 1
+        |)
+        |SELECT coalesce(o.shard, n.shard) AS shard,
+        |  CAST(coalesce(o.n_docs, 0) AS BIGINT) AS old_docs,
+        |  CAST(coalesce(n.n_docs, 0) AS BIGINT) AS new_docs,
+        |  CAST(coalesce(n.n_docs, 0) - coalesce(o.n_docs, 0) AS BIGINT)
+        |    AS docs_delta,
+        |  CAST(coalesce(n.chars, 0) - coalesce(o.chars, 0) AS BIGINT)
+        |    AS chars_delta,
+        |  o.fp IS DISTINCT FROM n.fp AS changed
+        |FROM m_old o FULL OUTER JOIN m_new n ON o.shard = n.shard
+        |ORDER BY 1""".stripMargin,
+
+    // l-diversity over QI = (source, length bucket), sensitive = lang:
+    // groups with under 3 distinct languages are homogeneity handles
+    "l_diversity" ->
+      """SELECT source, n_chars // 500 AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS group_n,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+        |  CAST(CASE WHEN count(DISTINCT lang) < 3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS at_risk
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     // Integer-exact mirror of Sampling.epochAllocate's two-round
     // largest-remainder allocation under per-source epoch caps
     // (capacity = 2 × chars, budget 280000, isqrt weights, ties by
@@ -6630,6 +6688,33 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum,
         |  md5(text) AS md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the decode→frame-sample codec path, integer-exact per sampled
+    // frame: 64-byte frames (decodeStub), every 4th kept, byte sums via
+    // unicode() over the ASCII generator text (chars == bytes, asserted
+    // in TextMultimodalSpec), micro mean = floor division of nonnegatives
+    "media_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents WHERE length(text) > 0
+        |), f AS (
+        |  SELECT media_id, text,
+        |    unnest(range(0, (n_bytes + 63) // 64)) AS frame_idx
+        |  FROM m
+        |), s AS (
+        |  SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |    substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS fr
+        |  FROM f WHERE frame_idx % 4 = 0
+        |)
+        |SELECT media_id, frame_idx,
+        |  CAST(length(fr) AS BIGINT) AS frame_len,
+        |  CAST(list_sum(list_transform(string_split(fr, ''),
+        |    c -> unicode(c))) AS BIGINT) AS frame_sum,
+        |  CAST(list_sum(list_transform(string_split(fr, ''),
+        |    c -> unicode(c))) * 1000000 // length(fr) AS BIGINT)
+        |    AS mean_micro
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
 
     // byte-range fetch plan: pure arithmetic on the byte length (ASCII
     // generator text ⇒ chars == bytes, asserted in TextMultimodalSpec)

@@ -86,6 +86,34 @@ object Multimodal {
     }.toDF("media_id", "sampled_frame_means")
   }
 
+  /** Per-SAMPLED-FRAME exact statistics — the oracle-gated face of the
+    * codec path: every `stride`-th frame of each decoded blob reports
+    * its byte length, exact byte sum, and integer-micro mean. Unlike
+    * [[sampleFrames]]' double means, every output here is an exact
+    * BIGINT (sum and floor-divided micro mean, both nonnegative), so
+    * the DuckDB oracle reproduces the mapPartitions decode→sample
+    * pipeline bit-for-bit — the multimodal plumbing (typed Dataset,
+    * per-partition codec setup, frame fan-out) is hash-gated, not just
+    * spec-tested. Map-side flatMap: output rows ∝ frames/stride, no
+    * shuffle before the result sort. */
+  def sampleFrameStats(documents: DataFrame, stride: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    mediaTable(documents).as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, _, frames) = decodeStub(r.payload)
+        frames.iterator.zipWithIndex.collect {
+          case (f, i) if i % stride == 0 =>
+            val s = f.map(b => (b & 0xFF).toLong).sum
+            (r.media_id, i.toLong, f.length.toLong, s,
+              s * 1000000L / f.length)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame_len", "frame_sum",
+      "mean_micro")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Byte-range CHUNK PLAN for distributed decode — the scheduling read a
     * 100 TB media pipeline runs BEFORE touching payloads: each blob maps
     * to the [byte_start, byte_end) fetch ranges a decoder fleet pulls in

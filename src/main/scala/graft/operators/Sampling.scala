@@ -334,6 +334,37 @@ object Sampling {
       .orderBy(col("shard"))
   }
 
+  /** MANIFEST DIFF — which export shards need re-writing: compares the
+    * [[shardManifest]] of two corpus states (previous export vs current,
+    * or corpus vs a curated view) shard-by-shard and flags every shard
+    * whose content fingerprint differs. This is the incremental-export
+    * planner: after a delete/curation pass touching 0.1% of docs, only
+    * the shards whose XOR fingerprint moved are re-written — the other
+    * 99%+ of export files are provably byte-identical (the manifest IS
+    * the proof, doc-swap-sensitive per [[shardManifest]]). Null-safe
+    * full outer join on the shard-cardinality manifests — metadata
+    * arithmetic; the corpora are each scanned once by their own
+    * manifest aggregate and never joined row-to-row. */
+  def manifestDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      nShards: Int = 16): DataFrame = {
+    val o = shardManifest(oldDocs, nShards)
+      .select(col("shard"), col("n_docs").as("old_docs"),
+        col("chars").as("old_chars"), col("fingerprint").as("old_fp"))
+    val n = shardManifest(newDocs, nShards)
+      .select(col("shard"), col("n_docs").as("new_docs"),
+        col("chars").as("new_chars"), col("fingerprint").as("new_fp"))
+    o.join(n, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("old_docs"), lit(0L)).as("old_docs"),
+        coalesce(col("new_docs"), lit(0L)).as("new_docs"),
+        (coalesce(col("new_docs"), lit(0L)) -
+          coalesce(col("old_docs"), lit(0L))).as("docs_delta"),
+        (coalesce(col("new_chars"), lit(0L)) -
+          coalesce(col("old_chars"), lit(0L))).as("chars_delta"),
+        (!(col("old_fp") <=> col("new_fp"))).as("changed"))
+      .orderBy(col("shard"))
+  }
+
   /** DATA-CONSTRAINED EPOCH ALLOCATION (the Muennighoff et al. 2023
     * "scaling data-constrained language models" planning step): split a
     * total training-character budget across sources when repeating a

@@ -1717,4 +1717,29 @@ object TextAnalysis {
       .select(col("source"), col("lang"), col("len_bucket"), col("group_n"),
         when(col("group_n") < k, 1L).otherwise(0L).as("at_risk"))
       .orderBy(col("source"), col("lang"), col("len_bucket"))
+
+  /** l-diversity audit — the homogeneity-attack companion of
+    * [[kAnonymity]]: a quasi-identifier group can pass the k-anonymity
+    * size gate yet still leak, when every member shares the SAME
+    * sensitive value (knowing a target is in the group reveals their
+    * value without identifying their row — Machanavajjhala et al. 2007).
+    * Here the QI is (source, length-bucket) and the sensitive attribute
+    * is `lang`: a group whose distinct-language count falls below `l`
+    * tells an attacker the language of anyone they can place in it.
+    * Same integer length bucketing as the k-audit (bit-portable
+    * membership); one group-cardinality aggregate with an exact distinct
+    * count — the QI tuple space is attribute-domain-bounded, never
+    * corpus-sized, so the exact distinct is cheap at any scale. */
+  def lDiversity(documents: DataFrame, l: Long = 3L,
+      bucket: Long = 500L): DataFrame =
+    documents
+      .select(col("source"), col("lang"),
+        expr(s"n_chars div $bucket").as("len_bucket"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col("lang")).as("n_sensitive"))
+      .select(col("source"), col("len_bucket"), col("group_n"),
+        col("n_sensitive"),
+        when(col("n_sensitive") < l, 1L).otherwise(0L).as("at_risk"))
+      .orderBy(col("source"), col("len_bucket"))
 }
