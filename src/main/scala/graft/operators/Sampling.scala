@@ -111,10 +111,13 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
-    // one largest-remainder share of `b` over `pool` (source, n_docs, weight)
+    // one largest-remainder share of `b` over `pool` (source, n_docs,
+    // weight); w·b through BigInt — at 1e12-doc budgets the Long product
+    // sits one decade from wrapping, and driver-sized exactness is free
     def allocate(pool: Seq[(String, Long, Long)], b: Long): Map[String, Long] = {
-      val wsum = pool.map(_._3).sum
-      val base = pool.map { case (s, _, w) => (s, w * b / wsum, w * b % wsum) }
+      val wsum = BigInt(pool.map(_._3).sum)
+      val base = pool.map { case (s, _, w) =>
+        (s, (BigInt(w) * b / wsum).toLong, BigInt(w) * b % wsum) }
       val short = (b - base.map(_._2).sum).toInt
       val plusOne = base.sortBy { case (s, _, rem) => (-rem, s) }
         .take(short).map(_._1).toSet
@@ -401,11 +404,17 @@ object Sampling {
       .sortBy(_._1)
     def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
     // one largest-remainder share of `b` over (source, weight) — the
-    // temperatureMix allocator, reused verbatim
+    // temperatureMix allocator, with the w·b products through BigInt:
+    // at full scale (chars ~1e18 ⇒ weights ~1e9, budgets ~1e18) the
+    // Long product wraps silently and mis-allocates. Driver-sized
+    // arithmetic, so exact BigInt costs nothing. NOTE: the registered
+    // query's SQL mirror computes the same products in BIGINT and holds
+    // for wt·B < 2^63 — beyond that DuckDB raises (loud, not wrong).
     def share(pool: Seq[(String, Long)], b: Long): Map[String, Long] = {
-      val wsum = pool.map(_._2).sum
-      if (wsum == 0L || b <= 0L) return pool.map(_._1 -> 0L).toMap
-      val base = pool.map { case (s, w) => (s, w * b / wsum, w * b % wsum) }
+      val wsum = BigInt(pool.map(_._2).sum)
+      if (wsum == 0 || b <= 0L) return pool.map(_._1 -> 0L).toMap
+      val base = pool.map { case (s, w) =>
+        (s, (BigInt(w) * b / wsum).toLong, BigInt(w) * b % wsum) }
       val shortBy = (b - base.map(_._2).sum).toInt
       val plusOne = base.sortBy { case (s, _, rem) => (-rem, s) }
         .take(shortBy).map(_._1).toSet
