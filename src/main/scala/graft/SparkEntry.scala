@@ -100,6 +100,18 @@ object SparkEntry {
       (System.identityHashCode(s.sparkContext), dir),
       _ => Similarity.kmeansCentroids(Tables.embeddings(s, dir)))
 
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Array[Array[Array[Double]]]]()
+
+  /** PQ codebooks fit ONCE per (SparkContext, corpus dir) — the
+    * write-time quantizer state the encode query and the aux dump
+    * share, same lifecycle as [[centroidsFor]]. */
+  private def pqFor(s: SparkSession,
+      dir: String): Array[Array[Array[Double]]] =
+    pqMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir),
+      _ => Similarity.pqCodebooks(Tables.embeddings(s, dir)))
+
   private val postingsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
@@ -834,6 +846,8 @@ object SparkEntry {
         centroidsFor(s, dir))),
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+    "pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir), pqFor(s, dir))),
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "ivf_purity" -> ((s, dir) =>
@@ -1111,6 +1125,14 @@ object SparkEntry {
       import graft.functions.NearestCentroid.nearest_centroid
       Tables.embeddings(s, dir).select(col("vec_id"),
         nearest_centroid(col("embedding"), centroidsFor(s, dir)).as("c_id"))
+    }),
+    "pq_codebooks" -> ((s, dir) => {
+      import s.implicits._
+      pqFor(s, dir).zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.flatMap { case (w, cid) =>
+          w.zipWithIndex.map { case (x, pos) => (sub, cid, pos, x) }
+        }
+      }.toSeq.toDF("sub", "c_id", "pos", "w")
     }))
 
   /** DuckDB-equivalent SQL per query (tables resolved by the driver against

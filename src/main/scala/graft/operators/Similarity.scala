@@ -272,6 +272,98 @@ object Similarity {
       kmeansCentroids(embeddings, nCentroids, kmeansIters, fitPermille),
       queryIds, k, nProbe)
 
+  /**
+   * Spherical PRODUCT-QUANTIZATION codebooks — the residual half of the
+   * IVF-PQ layout every 100 TB ANN deployment runs (Jégou et al. 2011):
+   * the embedding splits into `m` contiguous subvectors and each
+   * subspace gets its own `k`-centroid quantizer, so a vector stores as
+   * m small codes (64 floats → m bytes at k ≤ 256) while distances are
+   * approximated from per-subspace lookup tables. Codebooks follow the
+   * repo's SPHERICAL convention (cosine argmax via the codegen'd
+   * [[graft.functions.NearestCentroid]], ties to the lowest code —
+   * consistent with the IVF coarse quantizer; textbook PQ is min-L2,
+   * the deviation is documented) and the same first-k seeding / fixed
+   * iterations / empty-cluster-keeps-old structure as
+   * [[kmeansCentroids]].
+   *
+   * ONE job per Lloyd iteration fits ALL subspaces: the m per-subspace
+   * assignments are m map-side expressions over sliced subvectors, the
+   * per-(sub, code, pos) means come from a single posexplode aggregate
+   * keyed by pos div subDim, and only the m×k×subDim codebook table
+   * crosses the driver between iterations — the corpus never moves,
+   * exactly the kmeansCentroids loop shape. Like the IVF quantizer, the
+   * per-cell avg() is a distributed double reduction (not bit-stable
+   * across runs), which is why the gate replays the DUMPED write-time
+   * codebooks (`__AUX__`) rather than refitting.
+   */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 3, dim: Int = 64): Array[Array[Array[Double]]] = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    var cbs: Array[Array[Array[Double]]] = {
+      val seeds = base.orderBy(col("vec_id")).limit(k)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Array.tabulate(m)(s =>
+        seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    }
+    for (_ <- 0 until iters) {
+      val assigns = (0 until m).map { s =>
+        nearest_centroid(
+          slice(col("embedding"), s * subDim + 1, subDim), cbs(s))
+          .as(s"__c$s")
+      }
+      val means = base
+        .select(col("embedding") +: assigns: _*)
+        .select(array((0 until m).map(s => col(s"__c$s")): _*).as("__cs"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(
+          expr(s"CAST(pos div $subDim AS INT)").as("sub"),
+          element_at(col("__cs"),
+            expr(s"CAST(pos div $subDim AS INT)") + 1).as("c_id"),
+          expr(s"pos % $subDim").as("spos"), col("x"))
+        .groupBy(col("sub"), col("c_id"), col("spos"))
+        .agg(avg(col("x")).as("mw"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, cid), rows) =>
+          (s, cid) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+      cbs = Array.tabulate(m)(s => cbs(s).zipWithIndex.map {
+        case (old, cid) => means.getOrElse((s, cid), old)
+      })
+    }
+    cbs
+  }
+
+  /** PQ ENCODE — each vector as its m per-subspace codes, long form
+    * (vec_id, sub, code): the compressed representation an IVF-PQ index
+    * stores per vector. Assignment is the same map-side codegen'd
+    * cosine argmax the fit used (codebooks ride the plan as reference
+    * objects — no join, no shuffle before the result sort); at 100 TB
+    * this projection IS the index build's encode pass, writing m bytes
+    * per vector next to the IVF cell id. Gated by the `__AUX__` replay:
+    * the oracle recomputes every assignment from the dumped write-time
+    * codebooks. */
+  def pqEncode(embeddings: DataFrame,
+      cbs: Array[Array[Array[Double]]], dim: Int = 64): DataFrame = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val m = cbs.length
+    val subDim = dim / m
+    embeddings
+      .select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          nearest_centroid(
+            slice(col("embedding"), s * subDim + 1, subDim), cbs(s))
+            .as("code"))
+      }: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"),
+        col("sc.code").as("code"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
   /** Per-cell LABEL PURITY of the write-time IVF clustering — the
     * clustering-quality audit an embedding pipeline reads before
     * trusting the cells for ANN serving or stratified sampling: a cell
