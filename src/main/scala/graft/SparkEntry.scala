@@ -2547,6 +2547,41 @@ object SparkEntry {
         |FROM mx m JOIN embeddings e USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
 
+    // PQ encode replayed over the write-time codebook dump (__AUX__ =
+    // Verify's aux tables, same ingest-time-state contract as
+    // ann_ivf_topk): slice each embedding into m=4 subvectors of 16
+    // dims, recompute every per-subspace assignment as the cosine
+    // argmax dot(sub, code)/|code| — the |sub| factor is constant
+    // across codes, zero-norm codewords sink to -1e308, ties to the
+    // lowest code — mirroring graft.functions.NearestCentroid exactly.
+    "pq_encode" ->
+      """WITH cb AS (
+        |  SELECT sub, c_id, pos, w
+        |  FROM read_parquet('__AUX__/pq_codebooks/*.parquet')
+        |), cbn AS (
+        |  SELECT sub, c_id, sqrt(sum(w*w)) AS cn FROM cb GROUP BY 1, 2
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), sub_elems AS (
+        |  SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub,
+        |    (i - 1) % 16 AS spos, x
+        |  FROM elems
+        |), dots AS (
+        |  SELECT e.vec_id, e.sub, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM sub_elems e
+        |  JOIN cb c ON c.sub = e.sub AND c.pos = e.spos
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT d.vec_id, d.sub, d.c_id, row_number() OVER (
+        |    PARTITION BY d.vec_id, d.sub ORDER BY
+        |      CASE WHEN n.cn = 0 THEN -1e308 ELSE d.dot / n.cn END DESC,
+        |      d.c_id) AS r
+        |  FROM dots d JOIN cbn n ON n.sub = d.sub AND n.c_id = d.c_id
+        |)
+        |SELECT vec_id, sub, c_id AS code FROM ranked WHERE r = 1
+        |ORDER BY vec_id, sub""".stripMargin,
+
     // degree histogram over the same exact pair relation (each endpoint
     // of each undirected pair counts once)
     "dup_degrees" ->

@@ -110,8 +110,13 @@ object Ranks {
     * downstream cell/rank subtraction would overflow (try_subtract is
     * NULL-on-overflow under BOTH ansi settings, so the curated message
     * fires instead of ANSI's generic ARITHMETIC_OVERFLOW or non-ANSI's
-    * silent wrap). raise_error is inside the one expression every row
-    * evaluates, so the optimizer cannot prune it. */
+    * silent wrap). The overflow branch is gated on `$mx IS NOT NULL`:
+    * a group whose ordering values are ALL NULL aggregates NULL stats,
+    * making try_subtract NULL with no overflow — such groups fall
+    * through to a NULL width, which the v-IS-NULL sentinel-cell branch
+    * in [[cellExpr]] never reads (the documented NULLS-FIRST contract).
+    * raise_error is inside the one expression every row evaluates, so
+    * the optimizer cannot prune it. */
   private def vwExpr(cells: Int, maxGroups: Long,
       mn: String = "__mn", mx: String = "__mx"): String =
     s"""CASE
@@ -121,7 +126,8 @@ object Ranks {
        |  ' targets global/coarse-group rankings - use a plain keyed',
        |  ' window for high-cardinality groups (tasks are parallel by',
        |  ' key there)')) AS BIGINT)
-       |WHEN try_subtract($mx, $mn) IS NULL THEN CAST(raise_error(concat(
+       |WHEN $mx IS NOT NULL AND try_subtract($mx, $mn) IS NULL
+       |THEN CAST(raise_error(concat(
        |  'Ranks closed form: the ordering value''s long image spans',
        |  ' more than 2^63 (min ', CAST($mn AS STRING), ', max ',
        |  CAST($mx AS STRING), ') - cell width arithmetic would wrap;',

@@ -157,10 +157,31 @@ object TextAnalysis {
     * injects an already-materialized (doc_id, bucket) relation — the
     * vocab and trigram curves rank the SAME corpus, so a shared caller
     * (SparkEntry's family prefix) pays the ranker's stats/histogram/
-    * checkpoint passes once instead of once per curve. */
+    * checkpoint passes once instead of once per curve. An injected
+    * relation must agree with `checkpoints`: its distinct-bucket count
+    * must equal least(checkpoints, n_docs) (ntile's own small-input
+    * rule) — a mismatched injection would silently change the curve's
+    * granularity, so the plan carries a 1-row guard (aggregate over the
+    * injected relation, cross-joined back, raise_error on conflict;
+    * the filter consumes the guard column so Catalyst cannot prune
+    * it). */
   private def growthCurve(documents: DataFrame, census: DataFrame,
       checkpoints: Int, buckets: Option[DataFrame] = None): DataFrame = {
-    val b = buckets.getOrElse(
+    val b = buckets.map { inj =>
+      val chk = inj.agg(
+        countDistinct(col("bucket")).as("kb"), count(lit(1)).as("nd"))
+        .select(when(
+          col("kb") === least(lit(checkpoints).cast("long"), col("nd")),
+          lit(1)).otherwise(expr(
+            s"""CAST(raise_error(concat(
+               |'growthCurve: injected bucket relation carries ',
+               |CAST(kb AS STRING),
+               |' distinct buckets over ', CAST(nd AS STRING),
+               |' docs but checkpoints=$checkpoints was requested -
+               | pass the matching relation or drop the injection'))
+               |AS INT)""".stripMargin)).as("__ok"))
+      inj.crossJoin(chk).filter(col("__ok") === 1).drop("__ok")
+    }.getOrElse(
       Ranks.withNtileBucket(documents.select(col("doc_id")),
         checkpoints, col("doc_id"), Nil, "bucket"))
     val cnt = census.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

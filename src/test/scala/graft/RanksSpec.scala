@@ -150,6 +150,26 @@ class RanksSpec extends SparkSpec {
     assert(got.count() == 6, "null-keyed rows must not be dropped")
   }
 
+  test("a group whose ordering values are ALL NULL must not trip the " +
+      "overflow guard") {
+    import spark.implicits._
+    // regression: NULL group stats make try_subtract(__mx, __mn) NULL
+    // with no overflow — the guard must not raise; the rows ride the
+    // documented sentinel-cell path (rank by tiebreak, nulls first)
+    val df = Seq(
+      (1L, "dead", None: Option[Long]), (2L, "dead", None),
+      (3L, "live", Some(7L)), (4L, "live", Some(2L)))
+      .toDF("id", "g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expected = df.withColumn("r", row_number().over(w).cast("long"))
+    val got = Ranks.withRankStats(df, Seq("g"), col("v"),
+      Seq(col("id")), "r", "n")
+    val bad = expected.alias("e").join(got.alias("x"), Seq("id"))
+      .filter(col("e.r") =!= col("x.r")).count()
+    assert(bad == 0)
+    assert(got.count() == 4)
+  }
+
   test("prefix sum equals the running-window form, grouped and global") {
     import spark.implicits._
     val df = (1 to 200).map(i =>

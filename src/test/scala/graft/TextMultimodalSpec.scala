@@ -490,6 +490,29 @@ class TextMultimodalSpec extends SparkSpec {
       (4, 4L, 7L, 4L)))  // +d
   }
 
+  test("vocab growth: mismatched injected bucket relation fails loudly") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    // matching injection (granularity = checkpoints) reproduces the
+    // default-path curve exactly
+    val ok = graft.operators.Ranks.withNtileBucket(
+      docs.select(col("doc_id")), 2, col("doc_id"), Nil, "bucket")
+    val expected = TextAnalysis.vocabGrowth(docs, checkpoints = 2).collect()
+    val gotOk = TextAnalysis.vocabGrowth(docs, checkpoints = 2,
+      buckets = Some(ok)).collect()
+    assert(gotOk.toSeq == expected.toSeq)
+    // a 2-bucket relation injected against checkpoints=4 would silently
+    // coarsen the curve — the plan guard must raise instead
+    val ex = intercept[Exception] {
+      TextAnalysis.vocabGrowth(docs, checkpoints = 4,
+        buckets = Some(ok)).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) ""
+      else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("growthCurve"), msgs(ex).take(500))
+  }
+
   test("lang confusion: predicted vs labeled matrix over one scan") {
     val docs = Seq(
       (1L, "the and of time", "en"),   // correctly en
