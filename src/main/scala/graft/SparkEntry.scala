@@ -844,6 +844,22 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) =>
       Similarity.annIvfWith(Tables.embeddings(s, dir),
         centroidsFor(s, dir))),
+    // IVF-PQ ADC serving path: candidates scored from their m-byte PQ
+    // codes alone; the oracle replays BOTH the cell and the code
+    // assignments from the __AUX__ centroid/codebook dumps and states
+    // the same fixed-order ADC arithmetic.
+    "ann_ivf_pq_topk" -> ((s, dir) =>
+      Similarity.annIvfPq(Tables.embeddings(s, dir),
+        centroidsFor(s, dir), pqFor(s, dir))),
+    // recall@10 of the IVF index vs the exact scorer — the audit that
+    // gates a probe configuration before serving
+    "ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(
+        Similarity.annBruteForce(Tables.embeddings(s, dir)),
+        Similarity.annIvfWith(Tables.embeddings(s, dir),
+          centroidsFor(s, dir)))),
+    "embedding_cov" -> ((s, dir) =>
+      Similarity.embeddingCov(Tables.embeddings(s, dir))),
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     "pq_encode" -> ((s, dir) =>
@@ -2581,6 +2597,207 @@ object SparkEntry {
         |)
         |SELECT vec_id, sub, c_id AS code FROM ranked WHERE r = 1
         |ORDER BY vec_id, sub""".stripMargin,
+
+    // IVF-PQ ADC search replayed ENTIRELY from the write-time index
+    // state: probe selection from the centroid dump (the ann_ivf_topk
+    // CTE), candidate cells from the cell dump, candidate codes from
+    // the codebook dump (the pq_encode CTE), and the ADC score as the
+    // SAME fixed-order arithmetic the engine runs — per-subspace terms
+    // pivoted, then added left-to-right: (d0+d1+d2+d3) /
+    // (|q|·sqrt(n20+n21+n22+n23)), zero denominators to -1e308.
+    "ann_ivf_pq_topk" ->
+      """WITH cents AS (
+        |  SELECT c_id, pos, w FROM read_parquet('__AUX__/ivf_centroids/*.parquet')
+        |), cnorm AS (
+        |  SELECT c_id, sqrt(sum(w*w)) AS cn FROM cents GROUP BY 1
+        |), cb AS (
+        |  SELECT sub, c_id, pos, w
+        |  FROM read_parquet('__AUX__/pq_codebooks/*.parquet')
+        |), cbn AS (
+        |  SELECT sub, c_id, sqrt(sum(w*w)) AS cn, sum(w*w) AS n2
+        |  FROM cb GROUP BY 1, 2
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), sub_elems AS (
+        |  SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub,
+        |    (i - 1) % 16 AS spos, x
+        |  FROM elems
+        |), cdots AS (
+        |  SELECT e.vec_id, e.sub, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM sub_elems e
+        |  JOIN cb c ON c.sub = e.sub AND c.pos = e.spos
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, sub, c_id AS code FROM (
+        |    SELECT d.vec_id, d.sub, d.c_id, row_number() OVER (
+        |      PARTITION BY d.vec_id, d.sub ORDER BY
+        |        CASE WHEN n.cn = 0 THEN -1e308 ELSE d.dot / n.cn END DESC,
+        |        d.c_id) AS r
+        |    FROM cdots d JOIN cbn n ON n.sub = d.sub AND n.c_id = d.c_id) t
+        |  WHERE r = 1
+        |), qdot AS (
+        |  SELECT e.vec_id AS query_id, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM elems e JOIN cents c ON c.pos = e.i - 1
+        |  WHERE e.vec_id <= 4
+        |  GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, q.c_id, row_number() OVER (
+        |      PARTITION BY q.query_id ORDER BY
+        |        CASE WHEN n.cn = 0 THEN -1e308 ELSE q.dot / n.cn END DESC,
+        |        q.c_id) AS r
+        |    FROM qdot q JOIN cnorm n ON n.c_id = q.c_id) t
+        |  WHERE r <= 4
+        |), cands AS (
+        |  SELECT p.query_id, cl.vec_id AS cand_id
+        |  FROM probes p
+        |  JOIN read_parquet('__AUX__/ivf_cells/*.parquet') cl
+        |    ON cl.c_id = p.c_id
+        |  WHERE cl.vec_id <> p.query_id
+        |), terms AS (
+        |  SELECT cd.query_id, cd.cand_id, k.sub, l.dot AS d, n.n2
+        |  FROM cands cd
+        |  JOIN codes k ON k.vec_id = cd.cand_id
+        |  JOIN cdots l ON l.vec_id = cd.query_id AND l.sub = k.sub
+        |    AND l.c_id = k.code
+        |  JOIN cbn n ON n.sub = k.sub AND n.c_id = k.code
+        |), piv AS (
+        |  SELECT query_id, cand_id,
+        |    max(CASE WHEN sub = 0 THEN d END) AS d0,
+        |    max(CASE WHEN sub = 1 THEN d END) AS d1,
+        |    max(CASE WHEN sub = 2 THEN d END) AS d2,
+        |    max(CASE WHEN sub = 3 THEN d END) AS d3,
+        |    max(CASE WHEN sub = 0 THEN n2 END) AS n20,
+        |    max(CASE WHEN sub = 1 THEN n2 END) AS n21,
+        |    max(CASE WHEN sub = 2 THEN n2 END) AS n22,
+        |    max(CASE WHEN sub = 3 THEN n2 END) AS n23
+        |  FROM terms GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT p.query_id, p.cand_id,
+        |    CASE WHEN nq.nrm * sqrt(p.n20 + p.n21 + p.n22 + p.n23) = 0
+        |      THEN -1e308
+        |      ELSE (p.d0 + p.d1 + p.d2 + p.d3)
+        |        / (nq.nrm * sqrt(p.n20 + p.n21 + p.n22 + p.n23)) END AS adc
+        |  FROM piv p JOIN norms nq ON nq.vec_id = p.query_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, adc, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, cand_id AS neighbor_id,
+        |  round(adc, 6) AS adc6
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // recall@10 of the IVF index against the exact scorer: both top-k
+    // lists rebuilt independently (the ann_topk and ann_ivf_topk CTEs),
+    // hits counted by a left join, recall as exact integer micros
+    "ann_recall" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), bdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    sum(a.x * b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |    AND a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), branked AS (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY
+        |      dot/(na.nrm*nb.nrm) DESC, cand_id) AS rank
+        |  FROM bdots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), exact AS (
+        |  SELECT query_id, cand_id FROM branked WHERE rank <= 10
+        |), cents AS (
+        |  SELECT c_id, pos, w FROM read_parquet('__AUX__/ivf_centroids/*.parquet')
+        |), cnorm AS (
+        |  SELECT c_id, sqrt(sum(w*w)) AS cn FROM cents GROUP BY 1
+        |), qdot AS (
+        |  SELECT e.vec_id AS query_id, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM elems e JOIN cents c ON c.pos = e.i - 1
+        |  WHERE e.vec_id <= 4
+        |  GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, q.c_id, row_number() OVER (
+        |      PARTITION BY q.query_id ORDER BY
+        |        CASE WHEN n.cn = 0 THEN -1e308 ELSE q.dot / n.cn END DESC,
+        |        q.c_id) AS r
+        |    FROM qdot q JOIN cnorm n ON n.c_id = q.c_id) t
+        |  WHERE r <= 4
+        |), cands AS (
+        |  SELECT p.query_id, cl.vec_id AS cand_id
+        |  FROM probes p
+        |  JOIN read_parquet('__AUX__/ivf_cells/*.parquet') cl
+        |    ON cl.c_id = p.c_id
+        |  WHERE cl.vec_id <> p.query_id
+        |), idots AS (
+        |  SELECT cd.query_id, cd.cand_id, sum(a.x * b.x) AS dot
+        |  FROM cands cd
+        |  JOIN elems a ON a.vec_id = cd.query_id
+        |  JOIN elems b ON b.vec_id = cd.cand_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), iranked AS (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY
+        |      dot/(na.nrm*nb.nrm) DESC, cand_id) AS rank
+        |  FROM idots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), approx AS (
+        |  SELECT query_id, cand_id FROM iranked WHERE rank <= 10
+        |)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS recall_micro
+        |FROM exact e
+        |LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fixed-point dimension moments: every term floored onto the micro
+    // grid before summing (floor/product/f32-widen are bit-identical in
+    // both engines), cov6 derived from the identical integers with the
+    // identical operation tree; n² through DOUBLE like the Spark side
+    "embedding_cov" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), pairs AS (
+        |  SELECT CAST(a.i AS INT) AS i_dim, CAST(b.i AS INT) AS j_dim,
+        |    CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(CAST(floor(a.x * b.x * 1000000.0) AS BIGINT))
+        |      AS BIGINT) AS s_ij_q
+        |  FROM elems a JOIN elems b
+        |    ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2
+        |), dims AS (
+        |  SELECT CAST(i AS INT) AS dim,
+        |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s_q
+        |  FROM elems GROUP BY 1
+        |)
+        |SELECT p.i_dim, p.j_dim, p.n_vecs,
+        |  di.s_q AS s_i_q, dj.s_q AS s_j_q, p.s_ij_q,
+        |  round((CAST(p.s_ij_q AS DOUBLE) / p.n_vecs
+        |    - CAST(di.s_q AS DOUBLE) * CAST(dj.s_q AS DOUBLE)
+        |      / (CAST(p.n_vecs AS DOUBLE) * CAST(p.n_vecs AS DOUBLE))
+        |      / 1000000.0)
+        |    / 1000000.0, 6) + 0.0 AS cov6
+        |FROM pairs p
+        |JOIN dims di ON di.dim = p.i_dim
+        |JOIN dims dj ON dj.dim = p.j_dim
+        |ORDER BY p.i_dim, p.j_dim""".stripMargin,
 
     // degree histogram over the same exact pair relation (each endpoint
     // of each undirected pair counts once)

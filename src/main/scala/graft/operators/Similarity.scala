@@ -453,6 +453,167 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ ASYMMETRIC-DISTANCE search — the serving shape a 100 TB ANN
+    * index actually runs: the coarse quantizer routes each query to its
+    * `nProbe` cells, and candidates there are scored from their m-byte
+    * PQ codes ALONE — the full vectors are never touched at query time.
+    * Score is the spherical ADC consistent with the repo's cosine
+    * convention: cos(q, x̂) for the codeword reconstruction x̂ —
+    * numerator Σ_sub LUT[sub][code] where LUT is the per-query
+    * dot(q_sub, codeword) table (m·k doubles, computed once on the
+    * driver and broadcast WITH the probe row, the classic ADC trick),
+    * denominator |q|·sqrt(Σ_sub |codeword|²). Both m-term sums are
+    * fixed-order left-to-right scalar additions, so the oracle can
+    * state the identical arithmetic (pivot per subspace, then ordered
+    * addition) and match exactly; zero denominators sink to −1e308
+    * (total order — the [[annIvfWith]] NaN/NULL-ordering guard).
+    *
+    * Scale shape: ONE corpus scan; the cell id and the m codes are
+    * map-side codegen'd [[graft.functions.NearestCentroid]] projections
+    * here (a real deployment reads them from the write-time index —
+    * exactly what the gate's oracle does, replaying BOTH assignments
+    * from the `__AUX__` centroid/codebook dumps); the probe join
+    * broadcasts nProbe·|queries| rows; the only shuffle is the
+    * per-query top-k window at probed-candidate cardinality. */
+  def annIvfPq(embeddings: DataFrame, cents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], queryIds: Seq[Long] = 0L to 4L,
+      k: Int = 10, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = cbs.length
+    val subDim = dim / m
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val qRows = base.filter(col("vec_id").isin(queryIds: _*)).collect()
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val qNrm = r.getDouble(2)
+      val probes = cents.indices.map { c =>
+        val s = if (cnorms(c) != 0.0)
+          cents(c).zip(q).map { case (a, b) => a * b }.sum / cnorms(c)
+        else Double.NegativeInfinity
+        (s, c)
+      }.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+      val lut = (0 until m).map { s =>
+        cbs(s).map { w =>
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) { acc += q(s * subDim + i) * w(i); i += 1 }
+          acc
+        }.toSeq
+      }
+      probes.map(c => (qid, c, qNrm, lut))
+    }
+    val probesDf = broadcast(
+      probeRows.toDF("query_id", "c_id", "q_nrm", "lut"))
+    val codeCols = (0 until m).map { s =>
+      nearest_centroid(slice(col("embedding"), s * subDim + 1, subDim),
+        cbs(s)).as(s"__code$s")
+    }
+    val coded = base.select(col("vec_id") +:
+      nearest_centroid(col("embedding"), cents).as("c_id") +: codeCols: _*)
+    val num = (0 until m).map(s =>
+      element_at(element_at(col("lut"), s + 1), col(s"__code$s") + 1))
+      .reduceLeft(_ + _)
+    val recon2 = (0 until m).map { s =>
+      element_at(array(cbs(s).map(w => lit(w.map(x => x * x).sum)): _*),
+        col(s"__code$s") + 1)
+    }.reduceLeft(_ + _)
+    val denom = col("q_nrm") * sqrt(recon2)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    coded
+      .join(probesDf, "c_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc",
+        when(denom =!= 0.0, num / denom).otherwise(lit(-1e308)))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("adc"), 6).as("adc6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** RECALL@k of an approximate index against the exact scorer — the
+    * metric an ANN deployment actually watches before trusting a
+    * probe/band configuration: what fraction of the TRUE top-k does the
+    * index return per query? Takes the two result relations (any pair
+    * with `query_id`/`neighbor_id` columns — brute vs IVF, brute vs
+    * LSH, brute vs IVF-PQ), left-joins the exact list against the
+    * approximate one and counts hits; recall crosses the boundary as
+    * the exact integer micro hits·10⁶ div n_exact. Output is
+    * |queries| rows — driver-bounded; both inputs keep their own scale
+    * shapes. */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("recall_micro", expr("n_hits * 1000000 div n_exact"))
+      .orderBy(col("query_id"))
+
+  /** Fixed-point DIMENSION-MOMENT audit of the embedding space — the
+    * feature-health read before whitening/PCA or an index build: per
+    * ordered dim pair (i ≤ j), the exact integer sums of the
+    * micro-quantized values and products, plus the derived covariance.
+    * A collapsed dim (zero variance), a pair of near-duplicate dims, or
+    * a covariance structure far from isotropic all flag an embedding
+    * model regression before any ANN metric moves.
+    *
+    * Determinism: every per-element term is floored onto the integer
+    * micro grid FIRST — q(v) = floor(v·10⁶), q(vw) = floor(v·w·10⁶) —
+    * and f32→f64 widening, IEEE multiplication and floor round
+    * identically in every engine, so the sums are exact integers with
+    * no float-accumulation order hazard (the one double expression,
+    * `cov6`, is computed from those identical integers with an
+    * identical operation tree on both sides). n² goes through DOUBLE —
+    * at 10¹² vectors the squared count overflows a long.
+    *
+    * Scale shape: the d(d+1)/2 quantized products are generated
+    * MAP-SIDE per vector by a nested array transform (no self-join, no
+    * pre-aggregation shuffle of anything row-sized); the aggregate is
+    * map-combined into d(d+1)/2 cells, and the per-dim sums relation
+    * (d rows) broadcast-joins back. Output is dim-bounded regardless of
+    * corpus size. */
+  def embeddingCov(embeddings: DataFrame): DataFrame = {
+    val pairs = embeddings.select(explode(expr(
+      """flatten(transform(embedding, (xi, i) ->
+        |  transform(slice(embedding, i + 1, size(embedding) - i),
+        |    (xj, dj) -> named_struct(
+        |      'i_dim', i + 1, 'j_dim', i + dj + 1,
+        |      'qq', CAST(floor(CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE)
+        |        * 1000000.0) AS BIGINT)))))""".stripMargin)).as("p"))
+      .groupBy(col("p.i_dim").as("i_dim"), col("p.j_dim").as("j_dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("p.qq")).cast("long").as("s_ij_q"))
+    val dims = embeddings.select(explode(expr(
+      """transform(embedding, (x, i) -> named_struct('dim', i + 1,
+        |  'q', CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"""
+        .stripMargin)).as("d"))
+      .groupBy(col("d.dim").as("dim"))
+      .agg(sum(col("d.q")).cast("long").as("s_q"))
+    pairs
+      .join(broadcast(dims.select(col("dim").as("i_dim"),
+        col("s_q").as("s_i_q"))), "i_dim")
+      .join(broadcast(dims.select(col("dim").as("j_dim"),
+        col("s_q").as("s_j_q"))), "j_dim")
+      .select(col("i_dim"), col("j_dim"), col("n_vecs"),
+        col("s_i_q"), col("s_j_q"), col("s_ij_q"),
+        // + 0.0 collapses IEEE −0.0 to +0.0 (a tiny negative covariance
+        // rounds to −0.0, which the two engines RENDER differently)
+        (round((col("s_ij_q").cast("double") / col("n_vecs")
+          - col("s_i_q").cast("double") * col("s_j_q").cast("double")
+            / (col("n_vecs").cast("double") * col("n_vecs").cast("double"))
+            / lit(1000000.0))
+          / lit(1000000.0), 6) + lit(0.0)).as("cov6"))
+      .orderBy(col("i_dim"), col("j_dim"))
+  }
+
   /** Random-hyperplane LSH signature (one bit per plane) of an embedding —
     * the codegen'd [[graft.functions.PlaneSignature]] expression: every
     * plane projection in one native loop. Plane weights are engine-portable
