@@ -832,6 +832,10 @@ object SparkEntry {
       Dedup.embeddingCosineDups(Tables.embeddings(s, dir), threshold = 0.3)),
     "edit_distance_pairs" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))),
+    // corpus-level source×source distinct-shingle overlap via mergeable
+    // bottom-k sketches — oracle-exact including the sketch error
+    "corpus_overlap_kmv" -> ((s, dir) =>
+      Dedup.corpusOverlapKmv(Tables.documents(s, dir))),
 
     // ── Similarity search over embeddings ──
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
@@ -851,6 +855,11 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> ((s, dir) =>
       Similarity.annIvfPq(Tables.embeddings(s, dir),
         centroidsFor(s, dir), pqFor(s, dir))),
+    // full serving chain: ADC shortlist (same replayed probe/cell/code
+    // state, rank ≤ 50) → exact-cosine re-rank of the fetched vectors
+    "ann_pq_refine" -> ((s, dir) =>
+      Similarity.annIvfPqRefine(Tables.embeddings(s, dir),
+        centroidsFor(s, dir), pqFor(s, dir))),
     // recall@10 of the IVF index vs the exact scorer — the audit that
     // gates a probe configuration before serving
     "ann_recall" -> ((s, dir) =>
@@ -860,6 +869,10 @@ object SparkEntry {
           centroidsFor(s, dir)))),
     "embedding_cov" -> ((s, dir) =>
       Similarity.embeddingCov(Tables.embeddings(s, dir))),
+    // top principal direction: exact-integer power method over the
+    // embedding_cov cells; driver arithmetic is corpus-size-independent
+    "pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(Tables.embeddings(s, dir))),
     "quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir))),
     "pq_encode" -> ((s, dir) =>
@@ -2692,6 +2705,116 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // the full IVF-PQ serving chain: the SAME replayed ADC ranking cut
+    // at shortlist 50, then ONLY those candidates fetch their true
+    // vectors for the exact-cosine re-rank (zero-norm sink −1e308,
+    // ties to lowest id — the ann_topk scoring contract)
+    "ann_pq_refine" ->
+      """WITH cents AS (
+        |  SELECT c_id, pos, w FROM read_parquet('__AUX__/ivf_centroids/*.parquet')
+        |), cnorm AS (
+        |  SELECT c_id, sqrt(sum(w*w)) AS cn FROM cents GROUP BY 1
+        |), cb AS (
+        |  SELECT sub, c_id, pos, w
+        |  FROM read_parquet('__AUX__/pq_codebooks/*.parquet')
+        |), cbn AS (
+        |  SELECT sub, c_id, sqrt(sum(w*w)) AS cn, sum(w*w) AS n2
+        |  FROM cb GROUP BY 1, 2
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), sub_elems AS (
+        |  SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub,
+        |    (i - 1) % 16 AS spos, x
+        |  FROM elems
+        |), cdots AS (
+        |  SELECT e.vec_id, e.sub, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM sub_elems e
+        |  JOIN cb c ON c.sub = e.sub AND c.pos = e.spos
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, sub, c_id AS code FROM (
+        |    SELECT d.vec_id, d.sub, d.c_id, row_number() OVER (
+        |      PARTITION BY d.vec_id, d.sub ORDER BY
+        |        CASE WHEN n.cn = 0 THEN -1e308 ELSE d.dot / n.cn END DESC,
+        |        d.c_id) AS r
+        |    FROM cdots d JOIN cbn n ON n.sub = d.sub AND n.c_id = d.c_id) t
+        |  WHERE r = 1
+        |), qdot AS (
+        |  SELECT e.vec_id AS query_id, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM elems e JOIN cents c ON c.pos = e.i - 1
+        |  WHERE e.vec_id <= 4
+        |  GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, q.c_id, row_number() OVER (
+        |      PARTITION BY q.query_id ORDER BY
+        |        CASE WHEN n.cn = 0 THEN -1e308 ELSE q.dot / n.cn END DESC,
+        |        q.c_id) AS r
+        |    FROM qdot q JOIN cnorm n ON n.c_id = q.c_id) t
+        |  WHERE r <= 4
+        |), cands AS (
+        |  SELECT p.query_id, cl.vec_id AS cand_id
+        |  FROM probes p
+        |  JOIN read_parquet('__AUX__/ivf_cells/*.parquet') cl
+        |    ON cl.c_id = p.c_id
+        |  WHERE cl.vec_id <> p.query_id
+        |), terms AS (
+        |  SELECT cd.query_id, cd.cand_id, k.sub, l.dot AS d, n.n2
+        |  FROM cands cd
+        |  JOIN codes k ON k.vec_id = cd.cand_id
+        |  JOIN cdots l ON l.vec_id = cd.query_id AND l.sub = k.sub
+        |    AND l.c_id = k.code
+        |  JOIN cbn n ON n.sub = k.sub AND n.c_id = k.code
+        |), piv AS (
+        |  SELECT query_id, cand_id,
+        |    max(CASE WHEN sub = 0 THEN d END) AS d0,
+        |    max(CASE WHEN sub = 1 THEN d END) AS d1,
+        |    max(CASE WHEN sub = 2 THEN d END) AS d2,
+        |    max(CASE WHEN sub = 3 THEN d END) AS d3,
+        |    max(CASE WHEN sub = 0 THEN n2 END) AS n20,
+        |    max(CASE WHEN sub = 1 THEN n2 END) AS n21,
+        |    max(CASE WHEN sub = 2 THEN n2 END) AS n22,
+        |    max(CASE WHEN sub = 3 THEN n2 END) AS n23
+        |  FROM terms GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT p.query_id, p.cand_id,
+        |    CASE WHEN nq.nrm * sqrt(p.n20 + p.n21 + p.n22 + p.n23) = 0
+        |      THEN -1e308
+        |      ELSE (p.d0 + p.d1 + p.d2 + p.d3)
+        |        / (nq.nrm * sqrt(p.n20 + p.n21 + p.n22 + p.n23)) END AS adc
+        |  FROM piv p JOIN norms nq ON nq.vec_id = p.query_id
+        |), short AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rank
+        |    FROM scored) t
+        |  WHERE rank <= 50
+        |), edots AS (
+        |  SELECT s.query_id, s.cand_id, sum(q.x * c.x) AS dot
+        |  FROM short s
+        |  JOIN elems q ON q.vec_id = s.query_id
+        |  JOIN elems c ON c.vec_id = s.cand_id AND c.i = q.i
+        |  GROUP BY 1, 2
+        |), escored AS (
+        |  SELECT e.query_id, e.cand_id,
+        |    CASE WHEN nq.nrm * nc.nrm = 0 THEN -1e308
+        |      ELSE e.dot / (nq.nrm * nc.nrm) END AS cos
+        |  FROM edots e
+        |  JOIN norms nq ON nq.vec_id = e.query_id
+        |  JOIN norms nc ON nc.vec_id = e.cand_id
+        |), eranked AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM escored
+        |)
+        |SELECT query_id, rank, cand_id AS neighbor_id,
+        |  round(cos, 6) AS cos6
+        |FROM eranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     // recall@10 of the IVF index against the exact scorer: both top-k
     // lists rebuilt independently (the ann_topk and ann_ivf_topk CTEs),
     // hits counted by a left join, recall as exact integer micros
@@ -2798,6 +2921,69 @@ object SparkEntry {
         |JOIN dims di ON di.dim = p.i_dim
         |JOIN dims dj ON dj.dim = p.j_dim
         |ORDER BY p.i_dim, p.j_dim""".stripMargin,
+
+    // power method over the exact integer covariance numerator
+    // C_ij = n·s_ij − s_i·s_j: six iterations of HUGEINT
+    // multiply-accumulate + truncating integer rescale (// ≡ Scala
+    // BigInt /, both toward zero), replayed as unrolled CTEs — the
+    // engine's driver BigInt loop stated verbatim; sign canonicalized
+    // by the largest-|component| coordinate (ties to lowest dim)
+    "pca_power" -> {
+      val base =
+        """WITH elems AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+          |), pairsc AS (
+          |  SELECT CAST(a.i AS INT) AS i_dim, CAST(b.i AS INT) AS j_dim,
+          |    CAST(count(*) AS BIGINT) AS n_vecs,
+          |    CAST(sum(CAST(floor(a.x * b.x * 1000000.0) AS BIGINT))
+          |      AS BIGINT) AS s_ij_q
+          |  FROM elems a JOIN elems b
+          |    ON b.vec_id = a.vec_id AND b.i >= a.i
+          |  GROUP BY 1, 2
+          |), dims AS (
+          |  SELECT CAST(i AS INT) AS dim,
+          |    CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS BIGINT) AS s_q
+          |  FROM elems GROUP BY 1
+          |), cnum AS (
+          |  SELECT p.i_dim, p.j_dim,
+          |    CAST(p.n_vecs AS HUGEINT) * p.s_ij_q * 1000000
+          |      - CAST(di.s_q AS HUGEINT) * dj.s_q AS c
+          |  FROM pairsc p
+          |  JOIN dims di ON di.dim = p.i_dim
+          |  JOIN dims dj ON dj.dim = p.j_dim
+          |), sym AS (
+          |  SELECT i_dim AS i, j_dim AS j, c FROM cnum
+          |  UNION ALL
+          |  SELECT j_dim, i_dim, c FROM cnum WHERE i_dim <> j_dim
+          |), v0 AS (
+          |  SELECT dim, CAST(1000000 AS HUGEINT) AS v FROM dims
+          |)""".stripMargin
+      val steps = (1 to 6).map { t =>
+        s""", u$t AS (
+           |  SELECT s.i AS dim, sum(s.c * v.v) AS u
+           |  FROM sym s JOIN v${t - 1} v ON v.dim = s.j GROUP BY 1
+           |), m$t AS (
+           |  SELECT max(abs(u)) AS s FROM u$t
+           |), v$t AS (
+           |  SELECT u.dim, CASE WHEN m.s = 0 THEN CAST(0 AS HUGEINT)
+           |    ELSE (u.u * 1000000) // m.s END AS v
+           |  FROM u$t u, m$t m
+           |)""".stripMargin
+      }.mkString("\n")
+      val tail =
+        """, sel AS (
+          |  SELECT dim, v, row_number() OVER (
+          |    ORDER BY abs(v) DESC, dim) AS r FROM v6
+          |), sgn AS (
+          |  SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+          |  FROM sel WHERE r = 1
+          |)
+          |SELECT CAST(f.dim AS INT) AS dim,
+          |  CAST(f.v * g.sg AS BIGINT) AS v_micro
+          |FROM v6 f, sgn g ORDER BY dim""".stripMargin
+      base + "\n" + steps + "\n" + tail
+    },
 
     // degree histogram over the same exact pair relation (each endpoint
     // of each undirected pair counts once)
@@ -4764,6 +4950,62 @@ object SparkEntry {
     // the scoring differs (per-side containment, pair kept when EITHER
     // direction clears the threshold — the filter runs on unrounded
     // doubles exactly like the Spark side).
+    // per-source bottom-128 of distinct h60 shingle hashes; bottom-k
+    // sets are min-union mergeable, so re-ranking the two sketches'
+    // union and cutting at k is EXACTLY the union corpus's bottom-k
+    // sample — the min-wise Jaccard estimate replayed sketch-error
+    // and all (HUGEINT sums cast back to BIGINT, // division)
+    "corpus_overlap_kmv" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT source, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), sh AS (
+        |  SELECT source, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT source, unnest(shs) AS s FROM sh
+        |), hashes AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM post
+        |), sketch AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h, row_number() OVER (
+        |      PARTITION BY source ORDER BY h) AS rn FROM hashes) t
+        |  WHERE rn <= 128
+        |), srcs AS (
+        |  SELECT DISTINCT source FROM sketch
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source
+        |), uni AS (
+        |  SELECT src_a, src_b, h,
+        |    max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+        |    FROM pairs p JOIN sketch s ON s.source = p.src_a
+        |    UNION ALL
+        |    SELECT p.src_a, p.src_b, s.h, 0, 1
+        |    FROM pairs p JOIN sketch s ON s.source = p.src_b) u
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT src_a, src_b, h, in_a, in_b, row_number() OVER (
+        |    PARTITION BY src_a, src_b ORDER BY h) AS rn FROM uni
+        |)
+        |SELECT src_a, src_b,
+        |  CAST(count(*) AS BIGINT) AS k_used,
+        |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |    AS jaccard_micro
+        |FROM ranked WHERE rn <= 128
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "containment_pairs" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

@@ -335,6 +335,71 @@ object Dedup {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** CORPUS-level distinct-shingle overlap between every SOURCE pair via
+    * mergeable bottom-k (KMV) sketches — the "how much does source A
+    * repeat source B" audit that decides mixing weights and dedup order
+    * before any doc-level pass runs. Doc-pair dedup answers "which
+    * documents collide"; this answers the planning question "which
+    * CORPORA overlap, and by how much" at a cost independent of the
+    * overlap size.
+    *
+    * Estimator: per source, keep the k smallest distinct h60 shingle
+    * hashes (the [[graft.operators.EventsOps.kmvDistinct]] bottom-k
+    * family). Bottom-k sets are MIN-UNION MERGEABLE, so the bottom-k of
+    * (sketch_A ∪ sketch_B) is exactly the bottom-k of the union
+    * corpus's distinct hashes; the fraction of that union sample
+    * present in BOTH sketches is the classic min-wise Jaccard estimate
+    * (Bar-Yossef et al., ±~1/√k). Every step — h60 hashing, ranking,
+    * membership flags, the integer micro ratio — is engine-exact, so
+    * the oracle reproduces the estimate INCLUDING its sketch error.
+    *
+    * Scale shape: one corpus scan explodes shingles; the distinct pass
+    * dedups (source, h) map-side; per-source bottom-k is a
+    * WindowGroupLimit (per-partition top-k heaps, never a full sort).
+    * Everything after operates on |sources|·k sketch rows —
+    * localCheckpoint'ed once, then the |sources|² pair expansion,
+    * union re-rank and flag count are all sketch-cardinality, corpus
+    * never touched again. At 100 TB the sketches are write-time state
+    * maintained per ingest (min-union = the StreamKmv fold). */
+  def corpusOverlapKmv(documents: DataFrame, n: Int = 3,
+      k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash.h60
+    val hashes = documents
+      .select(col("source"), explode(shingles(col("text"), n)).as("sh"))
+      .select(col("source"), h60(col("sh")).as("h"))
+      .distinct()
+    val wS = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sketch = hashes.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= k).select(col("source"), col("h"))
+      .localCheckpoint(true)
+    val srcs = sketch.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val fromA = pairs
+      .join(sketch.select(col("source").as("src_a"), col("h")), "src_a")
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val fromB = pairs
+      .join(sketch.select(col("source").as("src_b"), col("h")), "src_b")
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val wU = Window.partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("h"))
+    fromA.unionByName(fromB)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).cast("long").as("n_both"))
+      .withColumn("jaccard_micro", expr("n_both * 1000000 div k_used"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Connected components over a near-dup pair set: label propagation to
     * the minimum reachable doc_id — turning PAIRS into dedup GROUPS (the
     * step production dedup actually needs: pick one representative per

@@ -230,6 +230,31 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).toSeq == Seq(1000000L, 1000000L, 1000000L))
   }
 
+  test("corpusOverlapKmv: identical corpora → 1, disjoint → 0, bounds hold") {
+    // sources A and B hold the SAME shingle sets; C is disjoint from both
+    val shared = Seq(
+      "alpha beta gamma delta epsilon zeta", "eta theta iota kappa lambda mu",
+      "nu xi omicron pi rho sigma tau upsilon")
+    val other = Seq(
+      "one two three four five six seven", "eight nine ten eleven twelve")
+    val rows =
+      shared.zipWithIndex.map { case (t, i) => (i.toLong, t, "A") } ++
+      shared.zipWithIndex.map { case (t, i) => (100L + i, t, "B") } ++
+      other.zipWithIndex.map { case (t, i) => (200L + i, t, "C") }
+    val d = rows.toDF("doc_id", "text", "source")
+    val got = Dedup.corpusOverlapKmv(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val (kAb, bothAb, jAb) = got(("A", "B"))
+    assert(jAb == 1000000L && bothAb == kAb,
+      "identical shingle sets must estimate Jaccard exactly 1")
+    assert(got(("A", "C"))._3 == 0L && got(("B", "C"))._3 == 0L)
+    got.values.foreach { case (k, both, j) =>
+      assert(k <= 128 && both <= k && j >= 0L && j <= 1000000L)
+    }
+  }
+
   test("sourceDupRate: member docs counted per source, dup-free sources zero") {
     val txt = "the quick brown fox jumps over the lazy dog"
     val docs = Seq(

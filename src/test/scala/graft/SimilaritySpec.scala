@@ -187,6 +187,62 @@ class SimilaritySpec extends SparkSpec {
       "PQ and exact-IVF rankings diverge implausibly")
   }
 
+  test("ann_pq_refine: true cosines, ordered ranks, recall ≥ raw ADC") {
+    val emb = Tables.embeddings(spark, sf001)
+    val cents = Similarity.kmeansCentroids(emb)
+    val cbs = Similarity.pqCodebooks(emb)
+    val refined = Similarity.annIvfPqRefine(emb, cents, cbs).collect()
+    assert(refined.nonEmpty)
+    refined.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "cos6 must be non-increasing in rank")
+    }
+    // the re-ranked scores are TRUE cosines — driver recomputation
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    refined.foreach { r =>
+      val q = vecs(r.getLong(0)); val x = vecs(r.getLong(2))
+      val num = q.zip(x).map { case (a, b) => a * b }.sum
+      val den = math.sqrt(q.map(v => v * v).sum) *
+        math.sqrt(x.map(v => v * v).sum)
+      assert(math.abs(num / den - r.getDouble(3)) < 1e-5,
+        s"not an exact cosine: ${r.getLong(0)}->${r.getLong(2)}")
+    }
+    // the whole point of the refine stage: recall must not drop vs the
+    // quantized-score ranking over the same probed universe
+    val brute = Similarity.annBruteForce(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.annIvfPq(emb, cents, cbs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ref = refined.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rPq = pq.count(brute.contains)
+    val rRef = ref.count(brute.contains)
+    println(s"[pq-refine] recall-vs-brute: adc=$rPq refined=$rRef")
+    assert(rRef >= rPq, s"refine dropped recall: $rRef < $rPq")
+  }
+
+  test("pcaPower: dominant axis recovered, sign canonical, deterministic") {
+    // anisotropic cloud: dim 3 carries ±O(1) mass, others O(0.02)
+    val vecs = (0 until 120).map { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      (i.toLong, Array(0.01f * (i % 5), 0.02f * (i % 3),
+        sign * (1f + 0.001f * i), 0.005f * (i % 7)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val v = Similarity.pcaPower(vecs).collect()
+    assert(v.length == 4)
+    assert(v.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val vm = v.map(_.getLong(1))
+    val mx = vm.map(math.abs).max
+    assert(mx == 1000000L, "rescale pins max |component| to 1e6")
+    assert(math.abs(vm(2)) == mx, "dim 3 must dominate the eigenvector")
+    assert(vm(2) > 0, "sign canonicalization: largest component positive")
+    val again = Similarity.pcaPower(vecs).collect().map(_.getLong(1))
+    assert(again.toSeq == vm.toSeq, "exact integer path ⇒ bit-identical")
+  }
+
   test("annRecall: hit accounting and integer-micro recall") {
     val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L), (1L, 21L))
       .toDF("query_id", "neighbor_id")
