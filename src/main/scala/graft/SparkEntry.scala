@@ -881,6 +881,10 @@ object SparkEntry {
       Similarity.hardNegatives(Tables.embeddings(s, dir))),
     "ivf_purity" -> ((s, dir) =>
       Similarity.ivfPurity(Tables.embeddings(s, dir), centroidsFor(s, dir))),
+    // quantizer-boundary health: per-cell mean assignment margin on the
+    // exact integer micro grid — bit-replayable from the centroid dump
+    "ivf_margin" -> ((s, dir) =>
+      Similarity.ivfMargin(Tables.embeddings(s, dir), centroidsFor(s, dir))),
     "rnn_pairs" -> ((s, dir) =>
       Similarity.mutualKnn(Tables.embeddings(s, dir))),
     "rnn_pairs_lsh" -> ((s, dir) =>
@@ -2814,6 +2818,56 @@ object SparkEntry {
         |  round(cos, 6) AS cos6
         |FROM eranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // quantized-integer margin replayed bit-for-bit from the centroid
+    // dump: qx/qw are single-op micro floors, dots exact BIGINT sums,
+    // norms one floored sqrt of a < 2^53 integer, // truncates toward
+    // zero like the engine's Java division; zero-norm centroids take
+    // the −2^61 sentinel, tied top scores give margin 0
+    "ivf_margin" ->
+      """WITH qcents AS (
+        |  SELECT c_id, pos, CAST(floor(w * 1000000.0) AS BIGINT) AS qw
+        |  FROM read_parquet('__AUX__/ivf_centroids/*.parquet')
+        |), cn AS (
+        |  SELECT c_id,
+        |    CAST(floor(sqrt(CAST(sum(qw*qw) AS DOUBLE))) AS BIGINT) AS cn
+        |  FROM qcents GROUP BY 1
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS qx
+        |  FROM embeddings
+        |), xn AS (
+        |  SELECT vec_id,
+        |    CAST(floor(sqrt(CAST(sum(qx*qx) AS DOUBLE))) AS BIGINT) AS xn
+        |  FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT e.vec_id, c.c_id, CAST(sum(e.qx * c.qw) AS BIGINT) AS dot
+        |  FROM elems e JOIN qcents c ON c.pos = e.i - 1
+        |  GROUP BY 1, 2
+        |), scores AS (
+        |  SELECT d.vec_id, d.c_id,
+        |    CASE WHEN n.cn = 0 THEN CAST(-2305843009213693952 AS BIGINT)
+        |      ELSE d.dot // n.cn END AS s
+        |  FROM dots d JOIN cn n ON n.c_id = d.c_id
+        |), ranked AS (
+        |  SELECT vec_id, c_id, s, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY s DESC, c_id) AS r
+        |  FROM scores
+        |), marg AS (
+        |  SELECT a.vec_id, a.c_id,
+        |    CASE WHEN x.xn = 0 THEN 0
+        |      ELSE ((a.s - b.s) * 1000000) // x.xn END AS m
+        |  FROM ranked a
+        |  JOIN ranked b ON b.vec_id = a.vec_id AND b.r = 2
+        |  JOIN xn x ON x.vec_id = a.vec_id
+        |  WHERE a.r = 1
+        |)
+        |SELECT CAST(c_id AS INT) AS c_id,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mean_margin_micro
+        |FROM marg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // recall@10 of the IVF index against the exact scorer: both top-k
     // lists rebuilt independently (the ann_topk and ann_ivf_topk CTEs),

@@ -395,6 +395,45 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
+  /** IVF assignment-MARGIN audit — the geometry-health read of a coarse
+    * quantizer, next to [[ivfPurity]] (label-based) and [[annRecall]]
+    * (query-based): per cell, how decisively do its members belong?
+    * Margin = s(best) − s(second best) per vector on the cosine micro
+    * scale; a cell whose mean margin collapses toward 0 sits on a
+    * quantizer boundary — its members split across neighboring cells'
+    * probe sets, and the re-cluster trigger should fire (the continuous
+    * counterpart of [[graft.streaming.StreamIvfIngest]]'s size census).
+    *
+    * Determinism: scoring runs ENTIRELY on the integer micro grid via
+    * the quantized codegen twins ([[graft.functions.NearestCentroidQ]] /
+    * [[graft.functions.CentroidMarginQ]]): qx = floor(x·10⁶) and
+    * qw = floor(w·10⁶) are single-op IEEE floors, dots are exact BIGINT
+    * sums, norms cross one correctly-rounded sqrt of a < 2^53 integer,
+    * and every division truncates toward zero on both engines — so the
+    * oracle replays every score, every argmax comparison and every
+    * margin bit-for-bit from the `__AUX__` centroid dump (float scoring
+    * could not promise this: dot sums are accumulation-order-dependent
+    * and a boundary-straddling floor over 10⁵ vectors WILL flip
+    * somewhere). Ties: lowest cell id wins, tied top scores ⇒ margin 0.
+    * Contract requires ≥ 2 centroids (margin is undefined otherwise).
+    *
+    * Scale shape: ONE corpus scan, two codegen'd projections (centroid
+    * table rides the task binary, never a join), an nCells-bounded
+    * aggregate. */
+  def ivfMargin(embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import graft.functions.NearestCentroid.{nearest_centroid_q, centroid_margin_q}
+    require(cents.length >= 2, "margin needs >= 2 centroids")
+    embeddings
+      .select(nearest_centroid_q(col("embedding"), cents).as("c_id"),
+        centroid_margin_q(col("embedding"), cents).as("m"))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("m")).cast("long").as("sum_m"))
+      .select(col("c_id"), col("n_vecs"),
+        expr("sum_m div n_vecs").as("mean_margin_micro"))
+      .orderBy(col("c_id"))
+  }
+
   /** The QUERY-TIME half of IVF search, over centroids trained at WRITE
     * time ([[kmeansCentroids]] / `store.EmbeddingStore`) — production
     * never re-clusters per query, so the serving path takes the trained

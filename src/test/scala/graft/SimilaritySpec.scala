@@ -243,6 +243,36 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq == vm.toSeq, "exact integer path ⇒ bit-identical")
   }
 
+  test("ivfMargin: hand-checked margins, boundary vector scores low") {
+    // two well-separated centroids on the axes; vectors hugging an axis
+    // have a wide margin, the 45° vector sits on the boundary (margin 0
+    // up to quantization)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // pure cell 0: margin ≈ 1e6
+      (1L, Array(0.0f, 2.0f), 0),   // pure cell 1: margin ≈ 1e6
+      (2L, Array(1.0f, 1.0f), 0)    // boundary: margin ≈ 0, tie → cell 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfMargin(vecs, cents).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(0, 1))
+    val (n0, m0) = got(0); val (n1, m1) = got(1)
+    assert(n0 == 2L && n1 == 1L, "tie must land in the lowest cell id")
+    // cell 0 mean = (1e6 + ~0)/2; cell 1 = ~1e6 (integer-floor slack)
+    assert(m0 >= 499000L && m0 <= 500000L, s"cell0 mean margin $m0")
+    assert(m1 >= 999000L && m1 <= 1000000L, s"cell1 mean margin $m1")
+    // real corpus: every cell present, margins in [0, 2e6], deterministic
+    val emb = Tables.embeddings(spark, sf0001)
+    val cs = Similarity.kmeansCentroids(emb)
+    val audit = Similarity.ivfMargin(emb, cs).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 2000000L)
+    }
+    val again = Similarity.ivfMargin(emb, cs).collect()
+    assert(audit.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("annRecall: hit accounting and integer-micro recall") {
     val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L), (1L, 21L))
       .toDF("query_id", "neighbor_id")
