@@ -1044,6 +1044,10 @@ object SparkEntry {
 
     // ── Multimodal binary-column plumbing (decode stubbed, see Multimodal) ──
     "media_summary" -> ((s, dir) => Multimodal.mediaSummary(Tables.documents(s, dir))),
+    // perceptual-hash near-dup over media payloads: aHash stripe means
+    // through the decode seam, simhash-style pigeonhole banding
+    "media_phash_dups" -> ((s, dir) =>
+      Multimodal.mediaPhashDups(Tables.documents(s, dir))),
     "media_chunk_plan" -> ((s, dir) =>
       Multimodal.mediaChunkPlan(Tables.documents(s, dir))),
     "media_frame_sample" -> ((s, dir) =>
@@ -7258,6 +7262,54 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum,
         |  md5(text) AS md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // perceptual hash replayed from the bytes: 60 interleaved stripe
+    // means vs the whole-media mean (all toward-zero micro integers —
+    // nonneg, so // matches the engine's Java division), bit c set ⇒
+    // + 2^c (c ≤ 59, positive BIGINT), 15-bit chunks via >>/&, exact
+    // Hamming via bit_count(xor). Stripes shorter texts never fill are
+    // absent rows here and mean-0 bits (< thr) on the engine — same 0
+    "media_phash_dups" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, string_split(text, '') AS cs
+        |  FROM documents WHERE length(text) > 0
+        |), e AS (
+        |  SELECT media_id, generate_subscripts(cs, 1) AS i,
+        |    unicode(unnest(cs)) AS b
+        |  FROM m
+        |), tot AS (
+        |  SELECT media_id,
+        |    CAST(sum(b) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |      AS thr
+        |  FROM e GROUP BY 1
+        |), cell AS (
+        |  SELECT media_id, (i - 1) % 60 AS c,
+        |    CAST(sum(b) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT cl.media_id, cl.c,
+        |    CASE WHEN cl.s * 1000000 // cl.n >= t.thr THEN 1 ELSE 0 END
+        |      AS bit
+        |  FROM cell cl JOIN tot t ON t.media_id = cl.media_id
+        |), fp AS (
+        |  SELECT media_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << c)) AS BIGINT) AS ph
+        |  FROM bits GROUP BY 1
+        |), banded AS (
+        |  SELECT media_id, ph, chunk, (ph >> (chunk * 15)) & 32767 AS cv
+        |  FROM fp, unnest([0, 1, 2, 3]) AS t(chunk)
+        |), cands AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.ph AS ph_a, b.ph AS ph_b
+        |  FROM banded a JOIN banded b
+        |    ON a.chunk = b.chunk AND a.cv = b.cv
+        |    AND a.media_id < b.media_id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS dist
+        |FROM cands
+        |WHERE bit_count(xor(ph_a, ph_b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the decode→frame-sample codec path, integer-exact per sampled
     // frame: 64-byte frames (decodeStub), every 4th kept, byte sums via

@@ -155,4 +155,78 @@ object Multimodal {
       md5(col("payload")).as("md5"))
       .orderBy(col("media_id"))
   }
+
+  /** Per-media perceptual fingerprint bands — the aHash idea (mean-
+    * threshold of downscaled cells) riding the decode path: the payload's
+    * decoded bytes fold into 60 interleaved stripe means, each stripe
+    * contributes one bit (stripe mean ≥ whole-media mean, both exact
+    * toward-zero micro integers), giving a 60-bit fingerprint packed
+    * like [[graft.operators.Dedup.simhashPairs]]'s. mapPartitions is the
+    * codec seam ([[extractFeatures]]' contract): a real image pipeline
+    * computes the same 60 cells from decoded pixels; the stripe fold
+    * over payload bytes is the stub's deterministic stand-in. */
+  private[graft] case class MediaPhash(media_id: Long, phash: Long)
+
+  def perceptualHash(media: DataFrame): Dataset[MediaPhash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.payload
+        if (bytes.isEmpty) None
+        else {
+          val sums = new Array[Long](60)
+          val cnts = new Array[Long](60)
+          var total = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val v = (bytes(i) & 0xFF).toLong
+            val c = i % 60
+            sums(c) += v; cnts(c) += 1; total += v
+            i += 1
+          }
+          val thr = total * 1000000L / bytes.length
+          var ph = 0L
+          var c = 0
+          while (c < 60) {
+            val mean = if (cnts(c) == 0L) 0L else sums(c) * 1000000L / cnts(c)
+            if (mean >= thr) ph |= (1L << c)
+            c += 1
+          }
+          Some(MediaPhash(r.media_id, ph))
+        }
+      }
+    }
+  }
+
+  /** Perceptual-hash near-dup pairs over the media corpus — the image/
+    * audio twin of SimHash text dedup, and the multimodal pipeline's
+    * core dedup primitive (exact byte dedup misses re-encoded copies; a
+    * perceptual hash is robust to smooth perturbations by construction).
+    * Same 4×15-bit pigeonhole banding as [[graft.operators.Dedup
+    * .simhashPairs]]: Hamming ≤ 3 ⇒ at least one 15-bit chunk equal, so
+    * candidates come from an equi-join on (chunk, value) — never the
+    * O(n²) cross join — and the exact Hamming verify runs on candidates
+    * only. Payloads never shuffle: the band relation carries three
+    * integers per row. */
+  def mediaPhashDups(documents: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "pigeonhole banding assumes maxDist < bands")
+    val ph = perceptualHash(mediaTable(documents)).toDF()
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("phash"), c * 15).bitwiseAND(0x7FFFL).as("cv"))
+    }
+    val banded = ph.select(col("media_id"), col("phash"),
+      explode(array(chunks: _*)).as("bk"))
+      .select(col("media_id"), col("phash"), col("bk.chunk"), col("bk.cv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

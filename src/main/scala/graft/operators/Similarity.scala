@@ -423,7 +423,14 @@ object Similarity {
   def ivfMargin(embeddings: DataFrame,
       cents: Array[Array[Double]]): DataFrame = {
     import graft.functions.NearestCentroid.{nearest_centroid_q, centroid_margin_q}
-    require(cents.length >= 2, "margin needs >= 2 centroids")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // margin is undefined under < 2 centroids — an empty/near-empty
+    // corpus trains no quantizer, so the audit is vacuously empty
+    // (EmptyInputSpec contract: plan and return empty, never throw)
+    if (cents.length < 2)
+      return Seq.empty[(Int, Long, Long)]
+        .toDF("c_id", "n_vecs", "mean_margin_micro")
     embeddings
       .select(nearest_centroid_q(col("embedding"), cents).as("c_id"),
         centroid_margin_q(col("embedding"), cents).as("m"))
@@ -734,6 +741,9 @@ object Similarity {
       .select(col("i_dim"), col("j_dim"), col("n_vecs"),
         col("s_i_q"), col("s_j_q"), col("s_ij_q"))
       .collect()
+    // empty corpus ⇒ no moment cells ⇒ vacuously empty direction
+    // (EmptyInputSpec contract: return empty, never throw)
+    if (cells.isEmpty) return Seq.empty[(Int, Long)].toDF("dim", "v_micro")
     val d = cells.map(_.getInt(1)).max
     val c = Array.ofDim[BigInt](d + 1, d + 1)
     cells.foreach { r =>

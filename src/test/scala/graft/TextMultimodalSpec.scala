@@ -717,6 +717,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 500000L, 3L -> 1000000L, 9L -> 0L))
   }
 
+  test("mediaPhashDups: identical payloads collide at 0; perturbed copy within banding; disjoint stays out") {
+    import graft.operators.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq(
+      (1L, base), (2L, base),              // exact copy → dist 0
+      (3L, base.replace("quick", "quack")),// smooth perturbation
+      (4L, "0123456789" * 40)              // different byte texture
+    ).toDF("doc_id", "text")
+    val got = Multimodal.mediaPhashDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 0, "identical payloads must collide at dist 0")
+    got.foreach { case (_, d) => assert(d >= 0 && d <= 3) }
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated byte texture must not pair")
+    // fingerprints are deterministic across runs
+    val ph = Multimodal.perceptualHash(Multimodal.mediaTable(docs))
+      .collect().map(p => p.media_id -> p.phash).toMap
+    val ph2 = Multimodal.perceptualHash(Multimodal.mediaTable(docs))
+      .collect().map(p => p.media_id -> p.phash).toMap
+    assert(ph == ph2)
+    assert(ph(1L) == ph(2L))
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(3L)) <= 10,
+      "a smooth perturbation should move few bits")
+  }
+
   test("mediaChunkPlan: ranges tile each blob exactly, half-open and ordered") {
     import graft.operators.Multimodal
     val docs = Seq((1L, "x" * 600), (2L, "y" * 256), (3L, "z"), (4L, ""))
