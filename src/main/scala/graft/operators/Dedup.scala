@@ -362,6 +362,14 @@ object Dedup {
     * never touched again. At 100 TB the sketches are write-time state
     * maintained per ingest (min-union = the StreamKmv fold). */
   def corpusOverlapKmv(documents: DataFrame, n: Int = 3,
+      k: Int = 128): DataFrame =
+    overlapFromSketches(sourceSketch(documents, n, k).localCheckpoint(true), k)
+
+  /** Per-source bottom-k sketch of distinct shingle hashes — the
+    * write-time state [[corpusOverlapKmv]] (and its streaming fold,
+    * [[graft.streaming.StreamSourceSketch]]) maintain: (source, h)
+    * rows, ≤ k per source. Map-side distinct, WindowGroupLimit cut. */
+  def sourceSketch(documents: DataFrame, n: Int = 3,
       k: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.PortableHash.h60
@@ -370,9 +378,15 @@ object Dedup {
       .select(col("source"), h60(col("sh")).as("h"))
       .distinct()
     val wS = Window.partitionBy(col("source")).orderBy(col("h"))
-    val sketch = hashes.withColumn("rn", row_number().over(wS))
+    hashes.withColumn("rn", row_number().over(wS))
       .filter(col("rn") <= k).select(col("source"), col("h"))
-      .localCheckpoint(true)
+  }
+
+  /** The pair-estimate readout over a (source, h) sketch relation —
+    * shared by the batch operator and the streaming fold's readout so
+    * streamed ≡ batch by construction. */
+  def overlapFromSketches(sketch: DataFrame, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val srcs = sketch.select(col("source")).distinct()
     val pairs = srcs.select(col("source").as("src_a"))
       .crossJoin(srcs.select(col("source").as("src_b")))

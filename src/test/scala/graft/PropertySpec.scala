@@ -553,4 +553,42 @@ class PropertySpec extends SparkSpec {
       assert(bad == 0, s"case n=$n k=$k dom=$dom groups=$groups: $bad rows")
     }
   }
+
+  test("corpusOverlapKmv is EXACT when both sketches hold their whole corpus") {
+    // bottom-k over < k distinct hashes keeps everything, so the union
+    // sample is the union itself and the estimate degrades to the true
+    // floored-micro Jaccard of distinct shingle sets — per seeded random
+    // corpus, cross-check against a driver-side exact computation
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val genDoc: Gen[String] = Gen.choose(3, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(words)).map(_.mkString(" ")))
+    (1 to 5).foreach { case i =>
+      val docs = Gen.listOfN(12, genDoc)
+        .apply(Gen.Parameters.default, Seed(900L + i)).get
+        .zipWithIndex.map { case (t, j) => (j.toLong, t, s"s${j % 3}") }
+      val df = docs.toDF("doc_id", "text", "source")
+      val got = graft.operators.Dedup.corpusOverlapKmv(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+      // driver-side exact distinct 3-gram shingle sets per source
+      def shingleSet(ts: Seq[String]): Set[String] = ts.flatMap { t =>
+        val w = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+          .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+        if (w.length < 3) Seq.empty
+        else w.sliding(3).map(_.mkString(" ")).toSeq
+      }.toSet
+      val bySrc = docs.groupBy(_._3).view
+        .mapValues(ds => shingleSet(ds.map(_._2))).toMap
+      for {
+        a <- bySrc.keys; b <- bySrc.keys if a < b
+      } {
+        val (sa, sb) = (bySrc(a), bySrc(b))
+        val uni = (sa ++ sb).size
+        val want = if (uni == 0) None
+          else Some((sa & sb).size.toLong * 1000000L / uni)
+        assert(got.get((a, b)) == want,
+          s"seed ${900 + i} pair ($a,$b): got ${got.get((a, b))}, want $want")
+      }
+    }
+  }
 }

@@ -376,6 +376,36 @@ class StreamingSpec extends SparkSpec {
     assert(table.hashes.count() <= 64L * streamed.length) // ≤ groups·k forever
   }
 
+  test("streaming source sketches: document waves fold to the exact batch overlap matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamSourceSketch
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val src = MemoryStream[(Long, String, String)]
+    val table = new StreamSourceSketch.SketchTable(spark)
+    val q = StreamSourceSketch.start(
+      src.toDS().toDF("doc_id", "text", "source"), table)
+    docs.grouped(docs.length / 3 + 1).foreach { wave =>
+      src.addData(wave: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = table.overlap.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val batch = Dedup.corpusOverlapKmv(Tables.documents(spark, sf0001))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // min-union mergeability: the folded state IS the batch sketch, so
+    // the whole pair-estimate matrix matches exactly, sketch error and all
+    assert(streamed.toSeq == batch.toSeq)
+    val nSrc = table.sketch.select("source").distinct().count()
+    assert(table.sketch.count() <= 128L * nSrc) // ≤ sources·k forever
+  }
+
   test("streaming HLL: waves of events max-merge to the exact batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamHll
