@@ -271,6 +271,17 @@ class SimilaritySpec extends SparkSpec {
     }
     val again = Similarity.ivfMargin(emb, cs).collect()
     assert(audit.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the audit's quantized cells must describe the float-assigned store:
+    // micro quantization moves an argmax only on near-exact boundary ties
+    import graft.functions.NearestCentroid.{nearest_centroid, nearest_centroid_q}
+    import org.apache.spark.sql.functions.{col => c}
+    val both = emb.select(
+      nearest_centroid(c("embedding"), cs).as("f"),
+      nearest_centroid_q(c("embedding"), cs).as("q")).collect()
+    val agree = both.count(r => r.getInt(0) == r.getInt(1))
+    println(s"[ivf-margin] float-vs-quantized agreement: $agree/${both.length}")
+    assert(agree.toDouble / both.length >= 0.99,
+      "quantized audit cells diverge from the float store assignment")
   }
 
   test("annRecall: hit accounting and integer-micro recall") {
