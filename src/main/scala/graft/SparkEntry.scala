@@ -1048,6 +1048,12 @@ object SparkEntry {
     // through the decode seam, simhash-style pigeonhole banding
     "media_phash_dups" -> ((s, dir) =>
       Multimodal.mediaPhashDups(Tables.documents(s, dir))),
+    // transitive media dup groups: the same pointer-jumped CC the text
+    // side uses, over the perceptual-hash pair relation
+    "media_phash_groups" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Multimodal.mediaPhashDups(Tables.documents(s, dir)))
+        .select(col("doc_id").as("media_id"), col("rep_id"))),
     "media_chunk_plan" -> ((s, dir) =>
       Multimodal.mediaChunkPlan(Tables.documents(s, dir))),
     "media_frame_sample" -> ((s, dir) =>
@@ -7310,6 +7316,55 @@ object SparkEntry {
         |FROM cands
         |WHERE bit_count(xor(ph_a, ph_b)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure over the same perceptual-hash pair relation:
+    // the dedup_groups recursive-reach chain, least-reachable-id rep
+    "media_phash_groups" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id AS media_id, string_split(text, '') AS cs
+        |  FROM documents WHERE length(text) > 0
+        |), e AS (
+        |  SELECT media_id, generate_subscripts(cs, 1) AS i,
+        |    unicode(unnest(cs)) AS b
+        |  FROM m
+        |), tot AS (
+        |  SELECT media_id,
+        |    CAST(sum(b) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |      AS thr
+        |  FROM e GROUP BY 1
+        |), cell AS (
+        |  SELECT media_id, (i - 1) % 60 AS c,
+        |    CAST(sum(b) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT cl.media_id, cl.c,
+        |    CASE WHEN cl.s * 1000000 // cl.n >= t.thr THEN 1 ELSE 0 END
+        |      AS bit
+        |  FROM cell cl JOIN tot t ON t.media_id = cl.media_id
+        |), fp AS (
+        |  SELECT media_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << c)) AS BIGINT) AS ph
+        |  FROM bits GROUP BY 1
+        |), banded AS (
+        |  SELECT media_id, ph, chunk, (ph >> (chunk * 15)) & 32767 AS cv
+        |  FROM fp, unnest([0, 1, 2, 3]) AS t(chunk)
+        |), mpairs AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM banded a JOIN banded b
+        |    ON a.chunk = b.chunk AND a.cv = b.cv
+        |    AND a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |), und AS (
+        |  SELECT id_a AS a, id_b AS b FROM mpairs
+        |  UNION ALL SELECT id_b, id_a FROM mpairs
+        |), reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+        |), mem AS (SELECT DISTINCT a AS id FROM und)
+        |SELECT mm.id AS media_id, least(mm.id, min(r.dst)) AS rep_id
+        |FROM mem mm JOIN reach r ON r.src = mm.id
+        |GROUP BY mm.id ORDER BY media_id""".stripMargin,
 
     // the decode→frame-sample codec path, integer-exact per sampled
     // frame: 64-byte frames (decodeStub), every 4th kept, byte sums via
