@@ -885,6 +885,10 @@ object SparkEntry {
     // exact integer micro grid — bit-replayable from the centroid dump
     "ivf_margin" -> ((s, dir) =>
       Similarity.ivfMargin(Tables.embeddings(s, dir), centroidsFor(s, dir))),
+    // PQ codebook health: per (subspace, code) occupancy and mean
+    // quantized cosine fidelity — bit-replayable from the codebook dump
+    "pq_cell_stats" -> ((s, dir) =>
+      Similarity.pqCellStats(Tables.embeddings(s, dir), pqFor(s, dir))),
     "rnn_pairs" -> ((s, dir) =>
       Similarity.mutualKnn(Tables.embeddings(s, dir))),
     "rnn_pairs_lsh" -> ((s, dir) =>
@@ -2878,6 +2882,59 @@ object SparkEntry {
         |  CAST(sum(m) AS BIGINT) // CAST(count(*) AS BIGINT)
         |    AS mean_margin_micro
         |FROM marg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the ivf_margin discipline over the PQ codebook dump: per-subspace
+    // quantized argmax (ties to lowest code) and winning-score cosine
+    // micros, all-integer, sentinel/zero-norm guards mirrored
+    "pq_cell_stats" ->
+      """WITH qcb AS (
+        |  SELECT sub, c_id, pos, CAST(floor(w * 1000000.0) AS BIGINT) AS qw
+        |  FROM read_parquet('__AUX__/pq_codebooks/*.parquet')
+        |), cn AS (
+        |  SELECT sub, c_id,
+        |    CAST(floor(sqrt(CAST(sum(qw*qw) AS DOUBLE))) AS BIGINT) AS cn
+        |  FROM qcb GROUP BY 1, 2
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS qx
+        |  FROM embeddings
+        |), sub_e AS (
+        |  SELECT vec_id, CAST((i - 1) // 16 AS INT) AS sub,
+        |    (i - 1) % 16 AS spos, qx
+        |  FROM elems
+        |), xn AS (
+        |  SELECT vec_id, sub,
+        |    CAST(floor(sqrt(CAST(sum(qx*qx) AS DOUBLE))) AS BIGINT) AS xn
+        |  FROM sub_e GROUP BY 1, 2
+        |), dots AS (
+        |  SELECT e.vec_id, e.sub, c.c_id,
+        |    CAST(sum(e.qx * c.qw) AS BIGINT) AS dot
+        |  FROM sub_e e JOIN qcb c ON c.sub = e.sub AND c.pos = e.spos
+        |  GROUP BY 1, 2, 3
+        |), scores AS (
+        |  SELECT d.vec_id, d.sub, d.c_id,
+        |    CASE WHEN n.cn = 0 THEN CAST(-2305843009213693952 AS BIGINT)
+        |      ELSE d.dot // n.cn END AS s
+        |  FROM dots d JOIN cn n ON n.sub = d.sub AND n.c_id = d.c_id
+        |), win AS (
+        |  SELECT vec_id, sub, c_id AS code, s FROM (
+        |    SELECT vec_id, sub, c_id, s, row_number() OVER (
+        |      PARTITION BY vec_id, sub ORDER BY s DESC, c_id) AS r
+        |    FROM scores) t
+        |  WHERE r = 1
+        |), cosm AS (
+        |  SELECT w.vec_id, w.sub, w.code,
+        |    CASE WHEN w.s = -2305843009213693952 THEN 0
+        |      WHEN x.xn = 0 THEN 0
+        |      ELSE (w.s * 1000000) // x.xn END AS cosm
+        |  FROM win w JOIN xn x ON x.vec_id = w.vec_id AND x.sub = w.sub
+        |)
+        |SELECT CAST(sub AS INT) AS sub, CAST(code AS INT) AS code,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(cosm) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |    AS mean_cos_micro
+        |FROM cosm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // recall@10 of the IVF index against the exact scorer: both top-k
     // lists rebuilt independently (the ann_topk and ann_ivf_topk CTEs),

@@ -138,6 +138,44 @@ object NearestCentroid {
     if (xn == 0L) 0L else raw * 1000000L / xn
   }
 
+  /** Winning score on the cosine micro scale: s_best·10⁶ quot |qx|.
+    * 0 for the zero vector and for the all-sentinel case (every
+    * centroid zero-norm) — both guards mirrored in the SQL oracle. */
+  def cosQ(emb: ArrayData, qw: Array[Array[Long]],
+      cn: Array[Long]): Long = {
+    var s1 = Long.MinValue
+    var c = 0
+    val xs = emb.toFloatArray()
+    while (c < qw.length) {
+      val w = qw(c)
+      val n = math.min(xs.length, w.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(xs(i).toDouble * 1000000.0).toLong * w(i)
+        i += 1
+      }
+      val s = if (cn(c) != 0L) acc / cn(c) else SENTINEL
+      if (s > s1) s1 = s
+      c += 1
+    }
+    if (s1 == SENTINEL || s1 == Long.MinValue) return 0L
+    var ss = 0L
+    var i = 0
+    while (i < xs.length) {
+      val q = math.floor(xs(i).toDouble * 1000000.0).toLong
+      ss += q * q
+      i += 1
+    }
+    val xn = math.floor(math.sqrt(ss.toDouble)).toLong
+    if (xn == 0L) 0L else s1 * 1000000L / xn
+  }
+
+  def centroid_cos_q(emb: Column,
+      centroids: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(
+      CentroidCosQ(GraftBridge.toExpression(emb), centroids))
+
   def quantize(centroids: Array[Array[Double]]): Array[Array[Long]] =
     centroids.map(_.map(w => math.floor(w * 1000000.0).toLong))
 
@@ -183,6 +221,32 @@ case class NearestCentroidQ(child: Expression,
       newChild: Expression): NearestCentroidQ = copy(child = newChild)
 
   override def prettyName: String = "nearest_centroid_q"
+}
+
+/** Quantized winning-score cosine micros — see [[NearestCentroid.cosQ]]. */
+case class CentroidCosQ(child: Expression,
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val qw = NearestCentroid.quantize(centroids)
+  @transient private lazy val cn = NearestCentroid.quantNorms(qw)
+
+  override def nullSafeEval(emb: Any): Any =
+    NearestCentroid.cosQ(emb.asInstanceOf[ArrayData], qw, cn)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qwRef = ctx.addReferenceObj("qw", qw, "long[][]")
+    val cnRef = ctx.addReferenceObj("cn", cn, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroid.cosQ($c, $qwRef, $cnRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CentroidCosQ = copy(child = newChild)
+
+  override def prettyName: String = "centroid_cos_q"
 }
 
 /** Quantized assignment margin in cosine micros — see

@@ -441,6 +441,48 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
+  /** PQ CODEBOOK-health audit — [[ivfMargin]]'s sibling for the product
+    * quantizer: per (subspace, code), how many vectors land there and
+    * how faithfully the codeword represents them (mean cosine between
+    * each sub-vector and its assigned codeword, micro scale). Dead
+    * codes (n = 0 rows absent), over-loaded codes and low-fidelity
+    * cells are the retrain triggers for the [[pqCodebooks]] state that
+    * [[annIvfPq]] serves from.
+    *
+    * Determinism: the [[ivfMargin]] contract — assignment AND fidelity
+    * both run on the exact integer micro grid via the quantized codegen
+    * twins ([[graft.functions.NearestCentroidQ]] /
+    * [[graft.functions.CentroidCosQ]]) over each 16-dim sub-slice, so
+    * the oracle replays every per-subspace argmax and cosine from the
+    * `__AUX__` codebook dump bit-for-bit. Zero-norm sub-vectors and
+    * all-zero-norm codebooks emit cosine 0 (guards mirrored in SQL).
+    *
+    * Scale shape: ONE corpus scan, 2m codegen'd projections (codebooks
+    * ride the task binary), an m·k-bounded aggregate after a map-side
+    * m-way explode of 3-integer structs. */
+  def pqCellStats(embeddings: DataFrame,
+      cbs: Array[Array[Array[Double]]], dim: Int = 64): DataFrame = {
+    import graft.functions.NearestCentroid.{nearest_centroid_q, centroid_cos_q}
+    val m = cbs.length
+    val subDim = dim / m
+    val projected = embeddings.select(col("vec_id") +:
+      (0 until m).flatMap { s =>
+        val sub = slice(col("embedding"), s * subDim + 1, subDim)
+        Seq(nearest_centroid_q(sub, cbs(s)).as(s"__c$s"),
+          centroid_cos_q(sub, cbs(s)).as(s"__q$s"))
+      }: _*)
+    projected
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), col(s"__c$s").as("code"),
+          col(s"__q$s").as("cosm"))): _*)).as("p"))
+      .groupBy(col("p.sub").as("sub"), col("p.code").as("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("p.cosm")).cast("long").as("sum_cos"))
+      .select(col("sub"), col("code"), col("n_vecs"),
+        expr("sum_cos div n_vecs").as("mean_cos_micro"))
+      .orderBy(col("sub"), col("code"))
+  }
+
   /** The QUERY-TIME half of IVF search, over centroids trained at WRITE
     * time ([[kmeansCentroids]] / `store.EmbeddingStore`) — production
     * never re-clusters per query, so the serving path takes the trained

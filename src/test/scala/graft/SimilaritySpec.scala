@@ -284,6 +284,40 @@ class SimilaritySpec extends SparkSpec {
       "quantized audit cells diverge from the float store assignment")
   }
 
+  test("pqCellStats: mass conservation, cosine bounds, float-code agreement") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cbs = Similarity.pqCodebooks(emb)
+    val m = cbs.length
+    val n = emb.count()
+    val stats = Similarity.pqCellStats(emb, cbs).collect()
+    assert(stats.nonEmpty)
+    // every sub-assignment accounted: per subspace the counts sum to n
+    val bySub = stats.groupBy(_.getInt(0))
+    assert(bySub.keySet == (0 until m).toSet)
+    bySub.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sum == n)
+    }
+    // quantized cosine stays in the unit band (small floor slack)
+    stats.foreach { r =>
+      assert(r.getLong(3) >= -1000001L && r.getLong(3) <= 1000001L)
+    }
+    // the audit's quantized codes describe the float encoder's cells
+    import org.apache.spark.sql.functions.{col => c}
+    val floatCodes = Similarity.pqEncode(emb, cbs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    import graft.functions.NearestCentroid.nearest_centroid_q
+    val subDim = 64 / m
+    val qCodes = emb.select(c("vec_id") +: (0 until m).map(s =>
+      nearest_centroid_q(org.apache.spark.sql.functions.slice(
+        c("embedding"), s * subDim + 1, subDim), cbs(s)).as(s"q$s")): _*)
+      .collect().flatMap(r => (0 until m).map(s =>
+        (r.getLong(0), s) -> r.getInt(1 + s))).toMap
+    val agree = qCodes.count { case (k, v) => floatCodes.get(k).contains(v) }
+    println(s"[pq-cells] float-vs-quantized code agreement: " +
+      s"$agree/${qCodes.size}")
+    assert(agree.toDouble / qCodes.size >= 0.99)
+  }
+
   test("annRecall: hit accounting and integer-micro recall") {
     val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L), (1L, 21L))
       .toDF("query_id", "neighbor_id")
