@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Multimodal
+import graft.store.MediaStore
+
+/**
+ * Streaming media ingest check — the multimodal twin of
+ * [[StreamSemanticCheck]]: as media batches arrive, fingerprint them at
+ * the decode seam and probe the PERSISTED perceptual-hash band index
+ * ([[MediaStore.writePhashIndex]]); every incoming item that
+ * perceptually duplicates something already in the corpus is flagged
+ * before admission (re-encoded copies that exact byte dedup misses).
+ *
+ * Stateless by the same design: the corpus lives entirely in the
+ * write-time index, the stream checkpoints nothing but offsets, each
+ * batch pays fingerprints ∝ batch + a band equi-join that prunes to
+ * the probed chunk partitions. Restart from any offset is safe —
+ * flagging is idempotent per item. The per-batch transform is the
+ * shared [[probe]], also the batch-backfill entry point, so streamed ≡
+ * batch by construction.
+ */
+object StreamMediaCheck {
+
+  /** Flag incoming media against the persisted index; deliver flagged
+    * (new_id, corpus_id, dist) rows per batch via `sink`. */
+  def start(newDocs: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit,
+      maxDist: Int = 3,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = newDocs.sparkSession
+    val writer = newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probe(spark, batch, indexPath, maxDist), batchId)
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** One batch's probe — batch fingerprints × index band rows, exact
+    * Hamming verify on candidates. */
+  def probe(spark: SparkSession, batch: DataFrame, indexPath: String,
+      maxDist: Int = 3): DataFrame = {
+    val ph = Multimodal.perceptualHash(Multimodal.mediaTable(batch)).toDF()
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("phash"), c * 15).bitwiseAND(0x7FFFL).as("cv"))
+    }
+    val probes = ph.select(col("media_id").as("new_id"),
+      col("phash").as("new_ph"), explode(array(chunks: _*)).as("bk"))
+      .select(col("new_id"), col("new_ph"),
+        col("bk.chunk").as("chunk"), col("bk.cv").as("cv"))
+    MediaStore.readPhashIndex(spark, indexPath)
+      .join(probes, Seq("chunk", "cv"))
+      .filter(col("media_id") =!= col("new_id"))
+      .select(col("new_id"), col("media_id").as("corpus_id"),
+        bit_count(col("new_ph").bitwiseXOR(col("phash"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+}
