@@ -78,7 +78,7 @@ class PlanSpec extends SparkSpec {
   test("dedup/minhash joins are equi-joins, never cartesian") {
     Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
         "dedup_against", "semantic_dedup", "semantic_dedup_against",
-        "rnn_pairs_lsh").foreach { q =>
+        "rnn_pairs_lsh", "media_phash_dups").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
