@@ -946,6 +946,8 @@ object SparkEntry {
       TextAnalysis.lDiversity(Tables.documents(s, dir))),
     "k_anonymity" -> ((s, dir) =>
       TextAnalysis.kAnonymity(Tables.documents(s, dir))),
+    "t_closeness" -> ((s, dir) =>
+      TextAnalysis.tCloseness(Tables.documents(s, dir))),
     // bounded-heap per-group top-k (custom TypedImperativeAggregate) —
     // the window-sort-free form of "top 3 docs per source"
     "group_topk" -> ((s, dir) => {
@@ -6748,6 +6750,41 @@ object SparkEntry {
         |  o.fp IS DISTINCT FROM n.fp AS changed
         |FROM m_old o FULL OUTER JOIN m_new n ON o.shard = n.shard
         |ORDER BY 1""".stripMargin,
+
+    // t-closeness over the same QI, sensitive = lang: per-group TVD vs
+    // the corpus language blend, integer-exact (deviations widened
+    // through HUGEINT, one final micro-floor division); groups past
+    // t = 0.25 are skew handles even when they pass l-diversity
+    "t_closeness" ->
+      """WITH base AS (
+        |  SELECT source, lang, n_chars // 500 AS len_bucket FROM documents
+        |), cells AS (
+        |  SELECT source, len_bucket, lang, count(*) AS v_n
+        |  FROM base GROUP BY 1, 2, 3
+        |), qi AS (
+        |  SELECT source, len_bucket, count(*) AS group_n
+        |  FROM base GROUP BY 1, 2
+        |), langs AS (
+        |  SELECT lang, count(*) AS lang_n FROM base GROUP BY 1
+        |), tot AS (SELECT count(*) AS total_n FROM base),
+        |terms AS (
+        |  SELECT q.source, q.len_bucket, q.group_n, t.total_n,
+        |    abs(CAST(coalesce(c.v_n, 0) AS HUGEINT) * t.total_n
+        |      - CAST(l.lang_n AS HUGEINT) * q.group_n) AS dev
+        |  FROM qi q CROSS JOIN langs l CROSS JOIN tot t
+        |  LEFT JOIN cells c ON c.source = q.source
+        |    AND c.len_bucket = q.len_bucket AND c.lang = l.lang
+        |)
+        |SELECT source, len_bucket, CAST(group_n AS BIGINT) AS group_n,
+        |  CAST(sum(dev) * 1000000
+        |    // (CAST(2 AS HUGEINT) * group_n * total_n) AS BIGINT)
+        |    AS tvd_micro,
+        |  CAST(CASE WHEN sum(dev) * 1000000
+        |      // (CAST(2 AS HUGEINT) * group_n * total_n) > 250000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM terms
+        |GROUP BY source, len_bucket, group_n, total_n
+        |ORDER BY source, len_bucket""".stripMargin,
 
     // l-diversity over QI = (source, length bucket), sensitive = lang:
     // groups with under 3 distinct languages are homogeneity handles

@@ -1763,4 +1763,57 @@ object TextAnalysis {
         col("n_sensitive"),
         when(col("n_sensitive") < l, 1L).otherwise(0L).as("at_risk"))
       .orderBy(col("source"), col("len_bucket"))
+
+  /** t-closeness audit — the skewness-attack companion completing the
+    * [[kAnonymity]] / [[lDiversity]] trio: a QI group can hold ≥ l
+    * distinct sensitive values yet still leak when its value
+    * DISTRIBUTION diverges from the corpus-wide one (a group that is
+    * 98% one language tells an attacker the language with near
+    * certainty even though two others technically appear — Li et al.,
+    * ICDE 2007). For the categorical sensitive attribute (`lang`,
+    * equal-distance ground metric) the prescribed EMD collapses to the
+    * total-variation distance ½·Σ_v |p_g(v) − p(v)|, and a group whose
+    * distance exceeds `t` is flagged.
+    *
+    * Determinism: the distance is decided entirely in integers — per
+    * value the deviation |v_n·N − lang_n·group_n| is exact (widened
+    * through DECIMAL(38,0): counts at 10¹² docs make the product 10²⁴,
+    * far past BIGINT), summed exactly, and only then micro-floored by
+    * the one integral division 10⁶·Σ div (2·group_n·N). No float ever
+    * enters, so the at-risk flag cannot flip with partitioning.
+    *
+    * Shape at 100 TB: every relation after the first scan is
+    * attribute-domain-bounded — QI cells, the QI×lang grid (a
+    * broadcast cross of two bounded aggregates), and the corpus lang
+    * census. Absent (group, value) cells are restored by the grid's
+    * left join (their |0 − lang_n·group_n| mass is exactly what the
+    * skew test must see), and the corpus total rides a broadcast
+    * 1-row aggregate, never a driver collect. */
+  def tCloseness(documents: DataFrame, tMicro: Long = 250000L,
+      bucket: Long = 500L): DataFrame = {
+    val base = documents.select(col("source"), col("lang"),
+      expr(s"n_chars div $bucket").as("len_bucket"))
+    val cells = base.groupBy(col("source"), col("len_bucket"), col("lang"))
+      .agg(count(lit(1)).as("v_n"))
+    val qi = base.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_n"))
+    val langs = base.groupBy(col("lang")).agg(count(lit(1)).as("lang_n"))
+    val tot = base.agg(count(lit(1)).as("total_n"))
+    qi.crossJoin(broadcast(langs))
+      .join(cells, Seq("source", "len_bucket", "lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("len_bucket"), col("group_n"),
+        col("total_n"),
+        expr("abs(CAST(coalesce(v_n, 0L) AS DECIMAL(38,0)) * total_n" +
+          " - CAST(lang_n AS DECIMAL(38,0)) * group_n)").as("dev"))
+      .groupBy(col("source"), col("len_bucket"), col("group_n"),
+        col("total_n"))
+      .agg(sum(col("dev")).as("dev_sum"))
+      .select(col("source"), col("len_bucket"), col("group_n"),
+        expr("CAST(dev_sum * 1000000 div (CAST(2 AS DECIMAL(38,0))" +
+          " * group_n * total_n) AS BIGINT)").as("tvd_micro"))
+      .withColumn("at_risk",
+        when(col("tvd_micro") > tMicro, 1L).otherwise(0L))
+      .orderBy(col("source"), col("len_bucket"))
+  }
 }

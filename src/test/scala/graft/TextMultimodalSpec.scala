@@ -692,6 +692,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("tCloseness: skewed groups flagged, balanced safe, absent langs contribute mass") {
+    import graft.operators.TextAnalysis
+    // Corpus: en 15, de 15, fr 2 (N = 32). Group web(9en,1de) and
+    // wiki(1en,9de) are skewed → TVD mass 276/640 = 431250 μ; blog
+    // (5en,5de) is near the blend → 40/640 = 62500 μ; news(2fr) is
+    // homogeneous in a rare lang → 120/128 = 937500 μ. fr is ABSENT
+    // from web/wiki/blog yet must still contribute |0 − lang_n·g_n|.
+    var id = 0L
+    def mk(lang: String, source: String, n: Int) =
+      (1 to n).map { _ => id += 1; (id, "t", lang, source, 10L) }
+    val docs = (mk("en", "web", 9) ++ mk("de", "web", 1) ++
+      mk("en", "wiki", 1) ++ mk("de", "wiki", 9) ++
+      mk("en", "blog", 5) ++ mk("de", "blog", 5) ++ mk("fr", "news", 2))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.tCloseness(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("web") == ((10L, 431250L, 1L)))
+    assert(got("wiki") == ((10L, 431250L, 1L)))
+    assert(got("blog") == ((10L, 62500L, 0L)))
+    assert(got("news") == ((2L, 937500L, 1L)))
+  }
+
   test("skipgramCooc: directed pairs within the window only; counts fold across docs") {
     import graft.operators.TextAnalysis
     // window 2 over "a b c d": (a,b)(a,c)(b,c)(b,d)(c,d) — (a,d) is at
