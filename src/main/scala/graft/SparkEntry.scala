@@ -797,6 +797,8 @@ object SparkEntry {
     // overlap generator (overlapFor)
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairsFrom(overlapFor(s, dir), threshold = 0.8)),
+    "tf_cosine_pairs" -> ((s, dir) => Dedup.tfCosinePairs(
+      Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairsFrom(postingsFor(s, dir), threshold = 0.8)),
     // the groups consumers share one memoized LSH+CC prefix
@@ -1072,6 +1074,10 @@ object SparkEntry {
       graft.operators.Drift.psiDrift(Tables.events(s, dir))),
     "source_kl" -> ((s, dir) => graft.operators.Drift.sourceKl(
       Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+    "js_divergence" -> ((s, dir) => graft.operators.Drift.jsDivergence(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+    "emd_length_drift" -> ((s, dir) =>
+      graft.operators.Drift.emdLengthDrift(Tables.documents(s, dir))),
     "vocab_jaccard" -> ((s, dir) =>
       graft.operators.Drift.vocabJaccard(Tables.documents(s, dir))),
     "ks_drift" -> ((s, dir) =>
@@ -5069,6 +5075,47 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Sparse tf-cosine pairs: the ngram_jaccard_pairs CTE chain with
+    // OCCURRENCE counts instead of distinct postings (no list_distinct),
+    // the same sampled hot-shingle cut on the (doc, shingle) relation,
+    // norms over the UNCUT tf vectors, and the single-IEEE-divide
+    // cosine re-derived from the three exact integers.
+    "tf_cosine_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END AS shs FROM toks
+        |), tf AS (
+        |  SELECT doc_id, s, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(shs) AS s FROM sh) GROUP BY 1, 2
+        |), stf AS (
+        |  SELECT doc_id, s FROM tf
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 10
+        |), hot AS (
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM stf GROUP BY 1) d
+        |  WHERE df > 10
+        |), kept AS (
+        |  SELECT doc_id, s, tf FROM tf WHERE s NOT IN (SELECT s FROM hot)
+        |), nrm AS (
+        |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
+        |), dot AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, dot, na.n2 AS norm2_a, nb.n2 AS norm2_b,
+        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cos6
+        |FROM dot JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Same inverted-index + df-cut CTE chain as ngram_jaccard_pairs; only
     // the scoring differs (per-side containment, pair kept when EITHER
     // direction clears the threshold — the filter runs on unrounded
@@ -7599,6 +7646,83 @@ object SparkEntry {
         |    AS BIGINT)) AS BIGINT) AS kl_micro
         |FROM cnt JOIN tt USING (tok) JOIN st USING (source) CROSS JOIN g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Per-source Jensen–Shannon divergence vs the corpus blend: the
+    // source_kl CTE chain extended with the full source × vocab grid
+    // (absent cells restored by the left join — their q·ln2 mass is
+    // part of the distance), one micro-floor per grid cell (½ folded
+    // into the ×500000 scale), BIGINT sum.
+    "js_divergence" ->
+      """WITH norm AS (
+        |  SELECT source, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tk AS (
+        |  SELECT source, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS tok FROM norm
+        |), cnt AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY 1
+        |), tt AS (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(sum(ns) AS BIGINT) AS n FROM st
+        |), grid AS (
+        |  SELECT st.source, st.ns, tt.tok, tt.ct, coalesce(cnt.c, 0) AS c
+        |  FROM st CROSS JOIN tt
+        |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.tok = tt.tok
+        |)
+        |SELECT source, max(ns) AS n_tokens,
+        |  CAST(sum(CAST(floor((
+        |    CASE WHEN c = 0 THEN CAST(0 AS DOUBLE)
+        |         ELSE (CAST(c AS DOUBLE) / ns) *
+        |           ln((CAST(c AS DOUBLE) / ns) /
+        |              ((CAST(c AS DOUBLE) / ns + CAST(ct AS DOUBLE) / n) / 2))
+        |    END
+        |    + (CAST(ct AS DOUBLE) / n) *
+        |      ln((CAST(ct AS DOUBLE) / n) /
+        |         ((CAST(c AS DOUBLE) / ns + CAST(ct AS DOUBLE) / n) / 2))
+        |  ) * 500000) AS BIGINT)) AS BIGINT) AS js_micro
+        |FROM grid CROSS JOIN g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Per-source 1-D Wasserstein over n_chars//50 length buckets:
+    // W₁ = Σ_b |CDF_s − CDF_c|·gap(b) in bucket units (gap = distance
+    // to the next occupied bucket — the CDF step holds across empty
+    // buckets), integer-exact — the cumulative deviations widened
+    // through HUGEINT, one micro-floor division at the end (mirrors
+    // the Spark DECIMAL(38,0) ladder).
+    "emd_length_drift" ->
+      """WITH base AS (
+        |  SELECT source, n_chars // 50 AS b FROM documents
+        |), cell AS (
+        |  SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cell GROUP BY 1
+        |), bk AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS cb,
+        |    coalesce(lead(b) OVER (ORDER BY b) - b, 0) AS gap
+        |  FROM cell GROUP BY b
+        |), g AS (
+        |  SELECT CAST(sum(cb) AS BIGINT) AS n FROM bk
+        |), grid AS (
+        |  SELECT st.source, st.ns, bk.b, bk.cb, bk.gap,
+        |    coalesce(cell.c, 0) AS c
+        |  FROM st CROSS JOIN bk
+        |  LEFT JOIN cell ON cell.source = st.source AND cell.b = bk.b
+        |), cum AS (
+        |  SELECT source, ns, b, gap,
+        |    sum(c) OVER (PARTITION BY source ORDER BY b) AS cum_s,
+        |    sum(cb) OVER (PARTITION BY source ORDER BY b) AS cum_c
+        |  FROM grid
+        |)
+        |SELECT source, ns AS n_docs,
+        |  CAST(sum(abs(CAST(cum_s AS HUGEINT) * n
+        |      - CAST(cum_c AS HUGEINT) * ns) * gap) * 1000000
+        |    // (CAST(ns AS HUGEINT) * n) AS BIGINT) AS emd_micro
+        |FROM cum CROSS JOIN g GROUP BY source, ns, n
+        |ORDER BY source""".stripMargin,
 
     // Full pairwise source-vocabulary mixing matrix; same normalization
     // CTE as lexical_richness, counts stay BIGINT throughout.

@@ -165,6 +165,73 @@ object Dedup {
         round(col("cont_b"), 6).as("cont_b6"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Sparse TERM-FREQUENCY cosine near-dup pairs via inverted-index
+    * join — the bag-of-shingles vector-space scorer completing the
+    * lexical pair kit: Jaccard and containment see only SET overlap, so
+    * two docs that repeat the same shingles at very different RATES
+    * (a template stamped once vs. ten times) score identically there;
+    * tf-cosine is the standard all-pairs-similarity form (Bayardo et
+    * al., WWW'07) that weighs multiplicity, and it is the exact-lexical
+    * twin of the dense embedding cosine the semantic gates use.
+    *
+    * cos(a,b) = Σ_s tf_a(s)·tf_b(s) / √(‖a‖²·‖b‖²) over word-`n`-gram
+    * counts. The dot product only receives shingles BOTH docs contain,
+    * so the inverted-index self-join on the shingle key generates
+    * exactly the nonzero terms — never all pairs — with the family's
+    * sampled df-cut guard bounding any one posting list (df > maxDf ⇒
+    * dropped from pair generation; norms stay over the UNCUT vectors,
+    * so pairs resting on dropped boilerplate score lower — the same
+    * semantics the Jaccard/containment gates document).
+    *
+    * Determinism: dot and both squared norms are exact BIGINT sums of
+    * integer products; the cosine is ONE final float expression over
+    * those three integers (the single-IEEE-divide ladder), emitted
+    * rounded alongside the exact integers so the oracle re-derives it
+    * bit-for-bit.
+    *
+    * Shape at 100 TB: rides the memoized positions census when
+    * SparkEntry supplies it (tf is one bounded reaggregation of that
+    * materialization); the self-join shuffles (shingle, doc, tf)
+    * triples — never text — and the df-cut keeps per-key fan-out
+    * quadratic only in the cap, not the corpus. */
+  def tfCosinePairs(documents: DataFrame, threshold: Double = 0.35,
+      n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10,
+      positions: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import graft.functions.WordShingles.word_ngrams
+    val occ = positions.getOrElse(documents
+        .select(col("doc_id"),
+          posexplode(word_ngrams(normalize(col("text")), n))
+            .as(Seq("pos", "sh"))))
+      .select(col("doc_id"), col("sh"))
+    val tf = occ.groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("tf"))
+    val sampleDf = math.max(1L, maxDf * samplePermille / 1000)
+    val sampled = tf.filter(
+      pmod(h60(col("doc_id").cast("string")), lit(1000L)) < samplePermille)
+    val hot = sampled.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > sampleDf)
+      .select("sh")
+    val kept = tf.join(broadcast(hot), Seq("sh"), "left_anti")
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).cast("long").as("n2"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).cast("long").as("dot"))
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("norm2_a")),
+        "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("norm2_b")),
+        "id_b")
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("norm2_a").cast("double") * col("norm2_b").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("dot"),
+        col("norm2_a"), col("norm2_b"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Corpus-level LINE dedup (the C4 rule): drop every repeated
     * occurrence of a duplicated span, keeping exactly one. The corpus
     * has no newlines, so a "line" is a fixed block of `blockTokens`

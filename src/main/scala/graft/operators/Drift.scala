@@ -403,4 +403,127 @@ object Drift {
             |AS BIGINT)""".stripMargin)).as("kl_micro"))
       .orderBy(col("source"))
   }
+
+  /** Per-source Jensen–Shannon divergence vs the corpus blend — the
+    * symmetric, bounded (≤ ln 2) companion to [[sourceKl]]: KL answers
+    * "how surprised is the corpus LM by this source", JS answers "how
+    * far apart are the two distributions" without KL's asymmetry or its
+    * blow-up on rare-token sources, so it is the number mixing
+    * dashboards actually plot side by side across feeds.
+    *
+    * JS(p‖q) = ½·Σ_t [p·ln(p/m) + q·ln(q/m)], m = (p+q)/2, p = source
+    * unigram dist, q = corpus dist. Unlike KL, tokens ABSENT from the
+    * source still contribute (their q·ln(q/m) = q·ln 2 mass is exactly
+    * what separates a narrow source from the blend), so the sum runs
+    * over the full source × vocabulary grid, with absent cells restored
+    * by a left join — the same restored-zero-cell discipline as the
+    * t-closeness TVD audit. p = 0 terms use the 0·ln 0 = 0 convention;
+    * q > 0 always (a vocab token IS a corpus token), so ln() is total.
+    *
+    * Determinism: each grid cell's combined term is one float
+    * expression over exact integer counts, floored onto the micro grid
+    * (×10⁶, the ½ folded into a ×500000 scale so the floor is the only
+    * rounding), and the per-source sum runs in exact BIGINT — the
+    * [[sourceKl]] ladder verbatim.
+    *
+    * Shape at 100 TB: everything after the one tokenize is bounded by
+    * sources × vocabulary — cnt, the term census, and the grid (a
+    * broadcast cross of two aggregates, left-joined back to cnt).
+    * Nothing is corpus-row-sized past the first aggregate. */
+  def jsDivergence(documents: DataFrame,
+      toks: Option[DataFrame] = None): DataFrame = {
+    val cnt = toks.map(_.join(
+        documents.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("tok")))
+      .getOrElse(documents
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok")))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("ns"))
+    val termTot = cnt.groupBy(col("tok"))
+      .agg(sum(col("c")).cast("long").as("ct"))
+    val corpus = srcTot.agg(sum(col("ns")).cast("long").as("n"))
+    srcTot.crossJoin(termTot)
+      .join(cnt, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        sum(expr("""CAST(floor((
+            |  CASE WHEN c = 0 THEN CAST(0 AS DOUBLE)
+            |       ELSE (CAST(c AS DOUBLE) / ns) *
+            |         ln((CAST(c AS DOUBLE) / ns) /
+            |            ((CAST(c AS DOUBLE) / ns + CAST(ct AS DOUBLE) / n) / 2))
+            |  END
+            |  + (CAST(ct AS DOUBLE) / n) *
+            |    ln((CAST(ct AS DOUBLE) / n) /
+            |       ((CAST(c AS DOUBLE) / ns + CAST(ct AS DOUBLE) / n) / 2))
+            |) * 500000) AS BIGINT)""".stripMargin)).as("js_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source 1-D Wasserstein (earth-mover) distance between the
+    * source's document-length distribution and the corpus blend — the
+    * transport metric completing the drift kit (χ² / KS / PSI / KL /
+    * JS / TVD): KS sees only the worst single CDF gap and TVD ignores
+    * ORDER entirely, so a source whose lengths are shifted one bucket
+    * over scores the same TVD as one shifted ten buckets over; EMD is
+    * the audit that prices the shift by how far the mass must move —
+    * the quantity that actually predicts sequence-packing and batch-
+    * shape damage when a feed drifts long or short.
+    *
+    * On an ordered 1-D integer support the transport problem is closed
+    * form: W₁ = ∫|CDF_s − CDF_c| (Vallender 1974), which over the
+    * discrete support is Σ_b |CDF_s(b) − CDF_c(b)|·gap(b) with gap(b) =
+    * distance to the NEXT occupied bucket — the CDF is a step function,
+    * so a deviation holds across every empty bucket until the next
+    * support point (drop the gap and a 10-bucket shift prices like a
+    * 1-bucket shift). Absent (source, bucket) cells must still ride the
+    * running sums, so the cumulative runs over the full source × bucket
+    * grid (restored-zero-cell discipline again); the final support
+    * point's gap is 0 (both CDFs are 1 there — zero deviation anyway).
+    *
+    * Determinism: the CDF difference per bucket is the exact integer
+    * |cum_s·N − cum_c·ns| widened through DECIMAL(38,0) (cum·count
+    * products pass 2⁶³ near 10¹⁰ rows), summed exactly, with ONE
+    * micro-floor division at the end — no float anywhere, so the
+    * distance cannot flip with partitioning or combine order.
+    *
+    * Shape at 100 TB: one scan → the (source, bucket) cell aggregate;
+    * everything after is attribute-domain-bounded (sources × buckets).
+    * The window cumulative runs per-source over that bounded grid —
+    * a few hundred rows regardless of corpus size — never over data. */
+  def emdLengthDrift(documents: DataFrame, bucket: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents.select(col("source"),
+      expr(s"n_chars div $bucket").as("b"))
+    val cell = base.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = cell.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("ns"))
+    // gap to the next occupied bucket: a bounded-relation window (the
+    // bucket census, never data rows) — the same day-spine class the
+    // repo's single-partition-window allowance documents
+    val bkTot = cell.groupBy(col("b"))
+      .agg(sum(col("c")).cast("long").as("cb"))
+      .withColumn("gap", coalesce(
+        lead(col("b"), 1).over(Window.orderBy(col("b"))) - col("b"),
+        lit(0L)))
+    val corpus = bkTot.agg(sum(col("cb")).cast("long").as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("b"))
+    srcTot.crossJoin(broadcast(bkTot))
+      .join(cell, Seq("source", "b"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_s", sum(col("c")).over(w))
+      .withColumn("cum_c", sum(col("cb")).over(w))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("source"), col("ns"), col("n"))
+      .agg(sum(expr("abs(CAST(cum_s AS DECIMAL(38,0)) * n" +
+        " - CAST(cum_c AS DECIMAL(38,0)) * ns) * gap")).as("dev"))
+      .select(col("source"), col("ns").as("n_docs"),
+        expr("CAST(dev * 1000000 div (CAST(ns AS DECIMAL(38,0)) * n)" +
+          " AS BIGINT)").as("emd_micro"))
+      .orderBy(col("source"))
+  }
 }

@@ -266,4 +266,23 @@ class DedupSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == Map("A" -> ((3L, 2L, 666666L)), "B" -> ((1L, 0L, 0L))))
   }
+
+  test("tfCosinePairs: multiplicity-weighted cosine; weak overlaps cut by threshold") {
+    // Trigram tf vectors: A "a b c a b c" → {abc:2,bca:1,cab:1} ‖A‖²=6;
+    // B "a b c" → {abc:1} ‖B‖²=1; C = A stamped once more → {abc:3,
+    // bca:2,cab:2} ‖C‖²=17; D shares only `cab` with A/C.
+    // cos: A·B=2/√6=0.816497, A·C=10/√102=0.990148 (rate-sensitivity:
+    // Jaccard would score A,C identical to A,A), B·C=3/√17=0.727607;
+    // D pairs score ≤0.25 and must be cut at 0.35.
+    val d = docs(
+      1L -> "a b c a b c", 2L -> "a b c",
+      3L -> "a b c a b c a b c", 4L -> "c a b x y z")
+    val got = Dedup.tfCosinePairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == ((2L, 6L, 1L, 0.816497)))
+    assert(got((1L, 3L)) == ((10L, 6L, 17L, 0.990148)))
+    assert(got((2L, 3L)) == ((3L, 1L, 17L, 0.727607)))
+  }
 }

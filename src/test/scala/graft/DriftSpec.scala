@@ -204,6 +204,47 @@ class DriftSpec extends SparkSpec {
     assert(r("B") == ((2L, 2L, 366984L)))
   }
 
+  test("jsDivergence: a single source is the blend — zero distance") {
+    val docs = Seq((1L, "alpha beta alpha", "s1"), (2L, "beta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val Row(_, nTok, js) = Drift.jsDivergence(docs).collect()(0)
+    assert((nTok, js) == (4L, 0L))
+  }
+
+  test("jsDivergence: disjoint-vocab sources, absent tokens carry their q·ln2 mass") {
+    // A: {a:2}, B: {b:2}, corpus {a:2,b:2}/4. For A — cell a: p=1,
+    // q=1/2, m=3/4: 1·ln(4/3) + ½·ln(2/3) = 0.08494951… → ×500000
+    // floor 42474; cell b (ABSENT from A): ½·ln((1/2)/(1/4)) = ½·ln 2
+    // → floor 173286. js_micro = 215760, symmetric for B. Dropping
+    // the absent cell would halve the distance — the grid is load-
+    // bearing, exactly like the t-closeness TVD zero cells.
+    val docs = Seq((1L, "a a", "A"), (2L, "b b", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Drift.jsDivergence(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("A") == ((2L, 215760L)))
+    assert(r("B") == ((2L, 215760L)))
+  }
+
+  test("emdLengthDrift: identical length dists at zero; gap-weighted CDF steps") {
+    // A: both docs in bucket 0; B: both in bucket 2; bucket 1 is EMPTY.
+    // CDF_A=[1,1] vs CDF_C=[½,1] at support {0,2} — the deviation at
+    // bucket 0 holds across the empty bucket (gap 2), so W₁ = 2·½ = 1
+    // bucket exactly: emd_micro = 1000000 for both sources (an
+    // unweighted sum would misprice it at 500000). C has one doc in
+    // each bucket — the blend itself → 0.
+    val docs = Seq(
+      (1L, "t", "A", 10L), (2L, "t", "A", 20L),
+      (3L, "t", "B", 100L), (4L, "t", "B", 110L),
+      (5L, "t", "C", 30L), (6L, "t", "C", 120L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = Drift.emdLengthDrift(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("A") == ((2L, 1000000L)))
+    assert(r("B") == ((2L, 1000000L)))
+    assert(r("C") == ((2L, 0L)))
+  }
+
   test("labelSimMatrix: parallel centroids at cos 1, orthogonal at 0; counts cancel") {
     // label 0: two vectors along e1 (count 2); label 2: ONE vector along
     // e1 — different counts, same direction → cos(0,2) must still be 1
