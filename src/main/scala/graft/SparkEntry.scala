@@ -991,6 +991,8 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
+    "source_confusion" -> ((s, dir) => TextAnalysis.sourceConfusion(
+      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "zipf_slope" -> ((s, dir) => TextAnalysis.zipfSlope(
       Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
@@ -7263,6 +7265,56 @@ object SparkEntry {
         |  CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
         |       ELSE 0 END AS BIGINT) AS pctl_micro
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // Multinomial NB source attribution: add-1-smoothed log-weights
+    // micro-floored ONCE at the sources×vocab model grid, exact BIGINT
+    // score sums, argmax with score-desc/source-asc tie order (the
+    // Spark min(struct) election), sources² confusion counts.
+    "source_confusion" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tk AS (
+        |  SELECT doc_id, source, unnest(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS tok FROM norm
+        |), dtf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY 1, 2
+        |), cnt AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cnt GROUP BY 1
+        |), vt AS (SELECT DISTINCT tok FROM cnt),
+        |vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vt),
+        |pr AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY 1
+        |), nt AS (SELECT CAST(sum(nd) AS BIGINT) AS ndt FROM pr),
+        |w AS (
+        |  SELECT st.source, vt.tok,
+        |    CAST(floor(ln((CAST(coalesce(cnt.c, 0) AS DOUBLE) + 1)
+        |      / (st.ns + vc.v)) * 1000000) AS BIGINT) AS w
+        |  FROM st CROSS JOIN vt CROSS JOIN vc
+        |  LEFT JOIN cnt ON cnt.source = st.source AND cnt.tok = vt.tok
+        |), pw AS (
+        |  SELECT source, CAST(floor(ln(CAST(nd AS DOUBLE) / ndt)
+        |    * 1000000) AS BIGINT) AS pw
+        |  FROM pr CROSS JOIN nt
+        |), sc AS (
+        |  SELECT dtf.doc_id, w.source,
+        |    CAST(sum(tf * w.w) AS BIGINT) + max(pw.pw) AS score
+        |  FROM dtf JOIN w USING (tok) JOIN pw ON pw.source = w.source
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT doc_id, source AS pred_source FROM (
+        |    SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, source) AS rn
+        |    FROM sc) WHERE rn = 1
+        |)
+        |SELECT d.source, p.pred_source, CAST(count(*) AS BIGINT) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same marker CTE as lang_id with the label carried; langs² matrix.
     "lang_confusion" ->

@@ -304,6 +304,75 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_pred"))
 
+  /** TRAINED source-attribution confusion matrix — multinomial Naive
+    * Bayes with add-1 smoothing fit on the corpus's own (source, token)
+    * counts, each doc classified by argmax posterior, confusion counted
+    * per (labeled, predicted) pair. The companion [[langConfusion]]
+    * lacks: that one scores against FIXED marker lists; this one is the
+    * classifier-shape audit a curation stack runs to ask "are my feeds
+    * lexically separable, and which pairs bleed into each other?" —
+    * feeds that confuse pairwise are candidates for merged quota
+    * treatment, and a doc set attributed AWAY from its label is the
+    * mislabeled-ingest handle (Rennie et al., ICML 2003 for why NB at
+    * corpus scale).
+    *
+    * Determinism: every log-weight w(s,t) = ⌊ln((c+1)/(ns+V))·10⁶⌋ and
+    * prior ⌊ln(nd/N)·10⁶⌋ is floored onto the micro grid ONCE at the
+    * bounded model relation; doc scores are then exact BIGINT
+    * Σ tf·w + prior — integer comparisons, so the argmax (ties → the
+    * lexicographically smallest source, a min(struct) election) cannot
+    * flip with partitioning. Docs with zero tokens have no likelihood
+    * terms and are excluded by the inner join on both engines (none
+    * exist in the corpus; the convention is shared with the oracle).
+    *
+    * Shape at 100 TB: the model is sources × vocabulary (the restored-
+    * zero-cell grid again — absent (s,t) cells still cost ln(1/(ns+V))
+    * at classify time); classification joins the per-doc tf census to
+    * the token-keyed weights, a |doc tokens| × sources blow-up bounded
+    * by the attribute domain, then partial-aggregates per (doc, source)
+    * map-side. The argmax is an agg, not a window — no per-doc sort. */
+  def sourceConfusion(documents: DataFrame,
+      toks: Option[DataFrame] = None): DataFrame = {
+    val docTok = toks.getOrElse(documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+    val lbl = documents.select(col("doc_id"), col("source"))
+    val docTf = docTok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val cnt = docTok.join(lbl, "doc_id")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("ns"))
+    val toksCensus = cnt.select(col("tok")).distinct()
+    val vocab = toksCensus.agg(count(lit(1)).as("v"))
+    val prior = lbl.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val ndTot = prior.agg(sum(col("nd")).cast("long").as("ndt"))
+    val weights = srcTot.crossJoin(toksCensus)
+      .join(cnt, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("source"), col("tok"),
+        expr("CAST(floor(ln((CAST(coalesce(c, 0L) AS DOUBLE) + 1)" +
+          " / (ns + v)) * 1000000) AS BIGINT)").as("w"))
+    val priors = prior.crossJoin(broadcast(ndTot))
+      .select(col("source"),
+        expr("CAST(floor(ln(CAST(nd AS DOUBLE) / ndt) * 1000000)" +
+          " AS BIGINT)").as("pw"))
+    val pred = docTf.join(weights, Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf") * col("w")).as("s"))
+      .join(broadcast(priors), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (col("s") + col("pw")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("neg"), col("source").as("src")))
+        .as("m"))
+      .select(col("doc_id"), col("m.src").as("pred_source"))
+    lbl.join(pred, Seq("doc_id"))
+      .groupBy(col("source"), col("pred_source"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("pred_source"))
+  }
+
   /** Zipf rank-frequency slope per source — the power-law fit
     * corpus-linguistics uses as a naturalness check (natural language
     * sits near slope −1; template/boilerplate and synthetic text bend

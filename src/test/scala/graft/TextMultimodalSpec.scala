@@ -715,6 +715,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got("news") == ((2L, 937500L, 1L)))
   }
 
+  test("sourceConfusion: separable feeds self-attribute; a borrowed-vocab doc is attributed away") {
+    import graft.operators.TextAnalysis
+    // A speaks x, B speaks y; doc 5 is LABELED A but written in B's
+    // vocabulary — NB must hand it to B (its y-mass in A is diluted by
+    // A's larger ns), giving confusion row (A,B)=1. Scores are exact
+    // micro-integer sums, so the argmax is stable by construction.
+    val docs = Seq(
+      (1L, "x x x", "A"), (2L, "x x", "A"), (5L, "y y y y", "A"),
+      (3L, "y y y", "B"), (4L, "y y", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "A") -> 2L, ("A", "B") -> 1L, ("B", "B") -> 2L))
+  }
+
   test("skipgramCooc: directed pairs within the window only; counts fold across docs") {
     import graft.operators.TextAnalysis
     // window 2 over "a b c d": (a,b)(a,c)(b,c)(b,d)(c,d) — (a,d) is at
