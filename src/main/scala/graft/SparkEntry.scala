@@ -533,6 +533,8 @@ object SparkEntry {
       EventsOps.funnelWindow(Tables.events(s, dir), windowSec = 21600L)),
     "max_concurrency" -> ((s, dir) =>
       EventsOps.maxConcurrency(Tables.events(s, dir))),
+    "survival_retention" -> ((s, dir) =>
+      EventsOps.survivalRetention(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) =>
       EventsOps.retentionCohorts(Tables.events(s, dir))),
     "revenue_share" -> ((s, dir) => Relational.revenueShare(
@@ -2326,6 +2328,45 @@ object SparkEntry {
         |)
         |SELECT CAST(conc AS BIGINT) AS max_concurrent, us AS at_us
         |FROM r ORDER BY conc DESC, us LIMIT 1""".stripMargin,
+
+    // Kaplan–Meier: integer day lifetimes, horizon-censored (1 day),
+    // reverse-cumulative at-risk, micro-floored ln factors prefix-
+    // summed in BIGINT; surv6 = one final exp/round; d = n_risk
+    // absorbs the curve at exactly 0 (NULL logsurv) from that day on.
+    "survival_retention" ->
+      """WITH life AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+        |  FROM events GROUP BY 1
+        |), hor AS (SELECT max(epoch_us(ts)) AS t_end FROM events),
+        |per AS (
+        |  SELECT (l - f) // 86400000000 AS day,
+        |    CASE WHEN l >= t_end - 86400000000 THEN 1 ELSE 0 END AS cens
+        |  FROM life CROSS JOIN hor
+        |), byday AS (
+        |  SELECT day, CAST(sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(cens) AS BIGINT) AS c
+        |  FROM per GROUP BY 1
+        |), r AS (
+        |  SELECT day, d, c, CAST(sum(d + c) OVER (ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM byday
+        |), s AS (
+        |  SELECT day, d, c, n_risk,
+        |    CASE WHEN d > 0 AND d < n_risk THEN CAST(floor(
+        |      ln(1 - CAST(d AS DOUBLE) / n_risk) * 1000000) AS BIGINT)
+        |      ELSE 0 END AS step,
+        |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY day) AS absorbed
+        |  FROM r
+        |)
+        |SELECT day, n_risk, d, c,
+        |  CASE WHEN absorbed = 1 THEN NULL
+        |    ELSE CAST(sum(step) OVER (ORDER BY day) AS BIGINT)
+        |    END AS logsurv_micro,
+        |  CASE WHEN absorbed = 1 THEN 0.0
+        |    ELSE round(exp(CAST(sum(step) OVER (ORDER BY day) AS DOUBLE)
+        |      / 1000000), 6) END AS surv6
+        |FROM s ORDER BY day""".stripMargin,
 
     "retention_cohorts" ->
       """WITH wk AS (

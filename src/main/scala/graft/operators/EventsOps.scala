@@ -925,6 +925,65 @@ object EventsOps {
       .distinct()
   }
 
+  /** Kaplan–Meier retention survival curve — the censoring-aware
+    * companion [[retentionCohorts]] is not: cohort counting treats a
+    * user last seen yesterday as churned at their last event, which
+    * systematically UNDERSTATES retention near the observation horizon.
+    * The KM estimator (Kaplan & Meier 1958) prices that in: a user
+    * whose last event falls within `horizonDays` of the corpus's final
+    * timestamp is CENSORED at their observed lifetime (still at risk,
+    * not a death), and the survival probability multiplies only over
+    * actual death days, S(t) = Π_{u≤t} (1 − d_u/n_u) with n_u = users
+    * whose lifetime (censored or not) is ≥ u days.
+    *
+    * Determinism: lifetimes are integer day buckets of the exact ns
+    * spans; d/c/n_risk are exact counts; each death-day factor enters
+    * as ⌊ln(1 − d/n)·10⁶⌋ and the running product is an exact BIGINT
+    * prefix sum of those micro-logs — `surv6` is one final
+    * exp()/round() over the integer. A day where d = n_risk drives S
+    * to exactly 0 (ln undefined): logsurv goes NULL and surv6 0.0 from
+    * that day on, via an explicit absorbed flag — NULL-skipping sums
+    * would silently revive the curve.
+    *
+    * Shape at 100 TB: one user_id-keyed aggregate (first/last event),
+    * then everything lives on the day spine — a relation bounded by
+    * the observation span in days, where the two cumulative windows
+    * (reverse for at-risk, forward for the log-product) run on the
+    * single-partition-window allowance for bounded spines. */
+  def survivalRetention(events: DataFrame, horizonDays: Long = 1L): DataFrame = {
+    val dayNs = 86400000000000L // 24·3600·1e9
+    val life = events.groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("f"), max(col("ts_ns")).as("l"))
+    val hor = events.agg(max(col("ts_ns")).as("t_end"))
+    val byDay = life.crossJoin(broadcast(hor))
+      .select(expr(s"(l - f) div $dayNs").as("day"),
+        when(col("l") >= col("t_end") - lit(horizonDays * dayNs), 1L)
+          .otherwise(0L).as("cens"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("cens") === 0L, 1L).otherwise(0L)).as("d"),
+        sum(col("cens")).as("c"))
+    val rev = Window.orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_risk", sum(col("d") + col("c")).over(rev))
+      .withColumn("step", when(col("d") > 0 && col("d") < col("n_risk"),
+        expr("CAST(floor(ln(1 - CAST(d AS DOUBLE) / n_risk) * 1000000)" +
+          " AS BIGINT)")).otherwise(lit(0L)))
+      .withColumn("absorbed", max(when(col("d") === col("n_risk"), 1L)
+        .otherwise(0L)).over(fwd))
+      .withColumn("logsurv_micro",
+        when(col("absorbed") === 1L, lit(null).cast("long"))
+          .otherwise(sum(col("step")).over(fwd)))
+      .select(col("day"), col("n_risk"), col("d"), col("c"),
+        col("logsurv_micro"),
+        when(col("absorbed") === 1L, lit(0.0)).otherwise(
+          round(exp(col("logsurv_micro").cast("double") / 1e6), 6))
+          .as("surv6"))
+      .orderBy(col("day"))
+  }
+
   /** Weekly retention cohorts: users grouped by their FIRST-activity week,
     * counted in every later week they return — the (cohort, offset) →
     * users matrix behind every retention curve. Weeks are integer

@@ -61,6 +61,39 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got == Set((2817L, 0L, 1L), (2817L, 1L, 1L), (2818L, 0L, 1L)))
   }
 
+  test("survivalRetention: censored users stay at risk; micro-log KM steps") {
+    val d = 86400000000000L // one day in ns
+    // t_end = day 100 (u5's last event). Deaths: u1,u2 at lifetime-day 1,
+    // u3 at day 2. Censored: u4 (last event 99.5d ≥ 99d horizon) at day
+    // 49, u5 at day 1. KM: S(1)=3/5·... via floored micro-lns:
+    // ⌊ln(0.6)·1e6⌋=−510826, ⌊ln(0.5)·1e6⌋=−693148.
+    val e = Seq(
+      (1L, 0L), (1L, d), (2L, 0L), (2L, d), (3L, 0L), (3L, 2 * d),
+      (4L, 50 * d), (4L, 99 * d + d / 2), (5L, 99 * d), (5L, 100 * d))
+      .toDF("user_id", "ts_ns")
+    val got = EventsOps.survivalRetention(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) == ((5L, 2L, 1L, -510826L, 0.6)))
+    assert(got(2L) == ((2L, 1L, 0L, -1203974L, 0.3)))
+    assert(got(49L) == ((1L, 0L, 1L, -1203974L, 0.3)))
+  }
+
+  test("survivalRetention: a day where everyone at risk dies absorbs S at exactly 0") {
+    val d = 86400000000000L
+    // u1 dies at lifetime-day 5 with no one censored at or past it →
+    // d = n_risk there; u2 (single event, sets t_end) is censored at 0.
+    val e = Seq((1L, 0L), (1L, 5 * d), (2L, 10 * d))
+      .toDF("user_id", "ts_ns")
+    val rows = EventsOps.survivalRetention(e).collect()
+    val day0 = rows.find(_.getLong(0) == 0L).get
+    assert((day0.getLong(1), day0.getLong(2), day0.getLong(3),
+      day0.getLong(4), day0.getDouble(5)) == ((2L, 0L, 1L, 0L, 1.0)))
+    val day5 = rows.find(_.getLong(0) == 5L).get
+    assert((day5.getLong(1), day5.getLong(2)) == ((1L, 1L)))
+    assert(day5.isNullAt(4) && day5.getDouble(5) == 0.0)
+  }
+
   test("sliding windows cover every event exactly twice; log2 bins conserve counts") {
     val ev = Tables.events(spark, sf0001)
     val total = ev.count()
