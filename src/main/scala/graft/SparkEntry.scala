@@ -803,6 +803,8 @@ object SparkEntry {
       Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
     "minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairsFrom(postingsFor(s, dir), threshold = 0.8)),
+    "blocking_quality" -> ((s, dir) => Dedup.blockingQuality(
+      Tables.documents(s, dir), postingsFor(s, dir), overlapFor(s, dir))),
     // the groups consumers share one memoized LSH+CC prefix
     "dedup_groups" -> ((s, dir) => groupsFor(s, dir, 0.8)),
     "source_dup_rate" -> ((s, dir) => Dedup.sourceDupRate(
@@ -5326,6 +5328,43 @@ object SparkEntry {
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard6 FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Blocking-quality audit: the LSH candidate CTE chain (cand) plus
+    // the ngram_jaccard exact chain (sampled hot cut over the same
+    // uncut postings) as truth; four exact counts, two integral micro
+    // ratios (pair universe widened through HUGEINT, ÷0 → NULL).
+    "blocking_quality" ->
+      s"""WITH ${minhashCtes("a.doc_id < b.doc_id")},
+         |spost2 AS (
+         |  SELECT doc_id, s FROM post
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 10
+         |), hot2 AS (
+         |  SELECT s FROM (SELECT s, count(*) AS df FROM spost2 GROUP BY 1) d
+         |  WHERE df > 10
+         |), fpost2 AS (
+         |  SELECT doc_id, s FROM post WHERE s NOT IN (SELECT s FROM hot2)
+         |), ecommon AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM fpost2 a JOIN fpost2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), etrue AS (
+         |  SELECT id_a, id_b FROM ecommon
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE CAST(n_common AS DOUBLE)
+         |    / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
+         |), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM etrue),
+         |nh AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM cand JOIN etrue USING (id_a, id_b)
+         |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT n_docs, n_cand, n_true, n_hit,
+         |  CAST(1000000 - CAST(n_cand AS HUGEINT) * 1000000
+         |    // (CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2) AS BIGINT)
+         |    AS rr_micro,
+         |  CAST(n_hit * 1000000 // n_true AS BIGINT) AS pc_micro
+         |FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN nh""".stripMargin,
 
     // Membership-only wrap of the same verified-pair CTEs: a doc is
     // "dup" iff it appears in any pair; per-source exact micro rate.

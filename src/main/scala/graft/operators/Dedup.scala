@@ -333,21 +333,79 @@ object Dedup {
     * build, band join, and the exact-Jaccard verify all read the ONE
     * materialized prefix instead of re-shingling the corpus (three
     * scans' worth at default params). */
-  def minhashLshPairsFrom(post: DataFrame, threshold: Double = 0.5,
+  /** The DISTINCT band-collision candidate pairs (with set sizes riding
+    * along) — the blocking stage of [[minhashLshPairsFrom]], exposed so
+    * the blocking-quality audit can count candidates BEFORE the exact
+    * verify cuts them. */
+  def lshCandidatesFrom(post: DataFrame,
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    // sizes ride through the band join on the bucket rows — no sizes
-    // joins and no extra corpus scans (each extra DataFrame reference is
-    // a recompute of its whole subtree unless the runtime can reuse the
-    // exchange; the two bucket sides are identical subtrees and can).
     val buckets = lshBucketsFromSigs(
       minhashSignaturesFrom(post, bands * rowsPerBand), bands, rowsPerBand)
-    val candidates = buckets.as("a")
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
+  }
+
+  /** Blocking-quality audit — the record-linkage evaluation pair
+    * (Christen 2012) for the MinHash-LSH blocking scheme: REDUCTION
+    * RATIO (what fraction of the N·(N−1)/2 pair universe the bands
+    * never generate — the work saved) and PAIRS COMPLETENESS (what
+    * fraction of the true ≥-threshold pairs the bands recall — the
+    * dups risked). Tuning bands × rowsPerBand is exactly trading these
+    * two numbers; this is the read that says whether 16×4 still holds
+    * as the corpus mix changes, the lexical sibling of the ANN family's
+    * `ann_recall`.
+    *
+    * Ground truth is the df-cut inverted-index exact pair set (the same
+    * relation `ngram_jaccard_pairs` ships) — at 100 TB "exact truth" is
+    * only ever computable UNDER the same hot-shingle guard, and using
+    * the shared relation means the audit measures the banding, not a
+    * different guard. All four counts are exact; the two ratios are
+    * integral micro divisions (÷0 → NULL when no true pairs exist, the
+    * engines' shared integer-division convention). The pair-universe
+    * product N·(N−1) is widened through DECIMAL(38,0) — it passes 2⁶³
+    * at ~4.3·10⁹ docs.
+    *
+    * Shape at 100 TB: three one-row aggregates off relations the family
+    * already materializes (candidates, exact pairs, and their left-semi
+    * intersection) cross-joined broadcast — no new corpus-sized work
+    * beyond what the gates themselves run. */
+  def blockingQuality(documents: DataFrame, post: DataFrame,
+      overlap: DataFrame, threshold: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cand = lshCandidatesFrom(post, bands, rowsPerBand)
+      .select(col("id_a"), col("id_b"))
+    val truth = ngramJaccardPairsFrom(overlap, threshold)
+      .select(col("id_a"), col("id_b"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nHit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    nDocs.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTrue))
+      .crossJoin(broadcast(nHit))
+      .select(col("n_docs"), col("n_cand"), col("n_true"), col("n_hit"),
+        expr("CASE WHEN n_docs > 1 THEN" +
+          " CAST(1000000 - CAST(n_cand AS DECIMAL(38,0)) * 1000000" +
+          " div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) div 2)" +
+          " AS BIGINT) ELSE NULL END").as("rr_micro"),
+        // explicit n_true guard: ANSI `div` raises on 0 where DuckDB's
+        // `//` yields NULL — the CASE makes both engines emit NULL
+        expr("CASE WHEN n_true > 0 THEN n_hit * 1000000 div n_true" +
+          " ELSE NULL END").as("pc_micro"))
+  }
+
+  def minhashLshPairsFrom(post: DataFrame, threshold: Double = 0.5,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // sizes ride through the band join on the bucket rows — no sizes
+    // joins and no extra corpus scans (each extra DataFrame reference is
+    // a recompute of its whole subtree unless the runtime can reuse the
+    // exchange; the two bucket sides are identical subtrees and can).
+    val candidates = lshCandidatesFrom(post, bands, rowsPerBand)
     // exact-Jaccard verification of candidates only (precision = 1.0)
     candidates
       .join(post.select(col("doc_id").as("id_a"), col("sh")), "id_a")

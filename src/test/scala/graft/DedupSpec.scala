@@ -267,6 +267,27 @@ class DedupSpec extends SparkSpec {
     assert(got == Map("A" -> ((3L, 2L, 666666L)), "B" -> ((1L, 0L, 0L))))
   }
 
+  test("blockingQuality: universe arithmetic, full recall on the planted dup, NULL pc when no truth") {
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val d = docs(1L -> a, 2L -> a,
+      3L -> "completely different text entirely here now",
+      4L -> "one more unrelated file with other words")
+    val post = Dedup.postings(d, 3)
+    val r = Dedup.blockingQuality(d, post,
+      Dedup.overlapWithSizesFrom(post)).collect()(0)
+    // 4 docs → 6-pair universe; the identical pair is the one candidate
+    // and the one truth: rr = 1e6 − 1e6 div 6 = 833334, pc = 1.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4L, 1L, 1L, 1L, 833334L, 1000000L)))
+    // all-distinct corpus: no truth → pc NULL, not a divide error
+    val d2 = docs(1L -> "completely different text entirely here now",
+      2L -> "one more unrelated file with other words")
+    val post2 = Dedup.postings(d2, 3)
+    val r2 = Dedup.blockingQuality(d2, post2,
+      Dedup.overlapWithSizesFrom(post2)).collect()(0)
+    assert((r2.getLong(2), r2.isNullAt(5)) == ((0L, true)))
+  }
+
   test("tfCosinePairs: multiplicity-weighted cosine; weak overlaps cut by threshold") {
     // Trigram tf vectors: A "a b c a b c" → {abc:2,bca:1,cab:1} ‖A‖²=6;
     // B "a b c" → {abc:1} ‖B‖²=1; C = A stamped once more → {abc:3,

@@ -35,7 +35,8 @@ class EmptyInputSpec extends SparkSpec {
     // else must be empty, and NOTHING may throw.
     val oneRowAggregates = Set("funnel_steps", "funnel_window",
       "q6_forecast", "q6_forecast_sql", "q14_promo_share",
-      "q17_small_quantity", "q19_disjunctive", "conversion_rate_1h")
+      "q17_small_quantity", "q19_disjunctive", "conversion_rate_1h",
+      "blocking_quality")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
