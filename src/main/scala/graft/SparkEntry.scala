@@ -295,6 +295,25 @@ object SparkEntry {
     * leakage-safe split, the groups listing itself) from the
     * materialized result. All checkpoint blocks the build creates are
     * pinned against the sweep. */
+  private val lshCandMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The distinct LSH band-collision candidate relation built ONCE per
+    * (SparkContext, corpus dir) over [[postingsFor]] — the 64-hash
+    * signature build is the expensive half of the minhash gate, and
+    * both `minhash_lsh_pairs` (verify stage) and `blocking_quality`
+    * (candidate counting) consume the same relation. */
+  private def lshCandidatesFor(s: SparkSession, dir: String): DataFrame =
+    lshCandMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val c = Dedup.lshCandidatesFrom(postingsFor(s, dir))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        c
+      })
+
   private def groupsFor(s: SparkSession, dir: String,
       threshold: Double): DataFrame =
     groupsMemo.computeIfAbsent(
@@ -801,10 +820,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairsFrom(overlapFor(s, dir), threshold = 0.8)),
     "tf_cosine_pairs" -> ((s, dir) => Dedup.tfCosinePairs(
       Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
-    "minhash_lsh_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairsFrom(postingsFor(s, dir), threshold = 0.8)),
+    "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashVerifyFrom(
+      lshCandidatesFor(s, dir), postingsFor(s, dir), threshold = 0.8)),
     "blocking_quality" -> ((s, dir) => Dedup.blockingQuality(
-      Tables.documents(s, dir), postingsFor(s, dir), overlapFor(s, dir))),
+      Tables.documents(s, dir), postingsFor(s, dir), overlapFor(s, dir),
+      candidates = Some(lshCandidatesFor(s, dir)))),
     // the groups consumers share one memoized LSH+CC prefix
     "dedup_groups" -> ((s, dir) => groupsFor(s, dir, 0.8)),
     "source_dup_rate" -> ((s, dir) => Dedup.sourceDupRate(

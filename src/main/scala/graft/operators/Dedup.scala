@@ -376,8 +376,10 @@ object Dedup {
     * beyond what the gates themselves run. */
   def blockingQuality(documents: DataFrame, post: DataFrame,
       overlap: DataFrame, threshold: Double = 0.8,
-      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cand = lshCandidatesFrom(post, bands, rowsPerBand)
+      bands: Int = 16, rowsPerBand: Int = 4,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val cand = candidates
+      .getOrElse(lshCandidatesFrom(post, bands, rowsPerBand))
       .select(col("id_a"), col("id_b"))
     val truth = ngramJaccardPairsFrom(overlap, threshold)
       .select(col("id_a"), col("id_b"))
@@ -405,7 +407,17 @@ object Dedup {
     // joins and no extra corpus scans (each extra DataFrame reference is
     // a recompute of its whole subtree unless the runtime can reuse the
     // exchange; the two bucket sides are identical subtrees and can).
-    val candidates = lshCandidatesFrom(post, bands, rowsPerBand)
+    minhashVerifyFrom(lshCandidatesFrom(post, bands, rowsPerBand),
+      post, threshold)
+  }
+
+  /** The exact-Jaccard verify stage over a (possibly memoized)
+    * candidate relation — split from [[minhashLshPairsFrom]] so the
+    * pairs gate and the blocking-quality audit share ONE candidate
+    * materialization (the 64-hash signature build is the expensive
+    * half; recomputing it per consumer is the postingsFor lesson). */
+  def minhashVerifyFrom(candidates: DataFrame, post: DataFrame,
+      threshold: Double): DataFrame = {
     // exact-Jaccard verification of candidates only (precision = 1.0)
     candidates
       .join(post.select(col("doc_id").as("id_a"), col("sh")), "id_a")
