@@ -950,12 +950,21 @@ object EventsOps {
     * the observation span in days, where the two cumulative windows
     * (reverse for at-risk, forward for the log-product) run on the
     * single-partition-window allowance for bounded spines. */
-  def survivalRetention(events: DataFrame, horizonDays: Long = 1L): DataFrame = {
+  def survivalRetention(events: DataFrame, horizonDays: Long = 1L): DataFrame =
+    survivalFromSpans(events.groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("f"), max(col("ts_ns")).as("l")),
+      horizonDays)
+
+  /** The KM readout over a per-user (f, l) ns-span relation — split
+    * from [[survivalRetention]] so the streaming fold (which maintains
+    * exactly this relation as min/max-mergeable state) shares the
+    * readout code instead of reimplementing the spine arithmetic. The
+    * observation horizon t_end = max(l) re-derives from the spans, so
+    * batch and stream agree on it by construction. */
+  def survivalFromSpans(spans: DataFrame, horizonDays: Long = 1L): DataFrame = {
     val dayNs = 86400000000000L // 24·3600·1e9
-    val life = events.groupBy(col("user_id"))
-      .agg(min(col("ts_ns")).as("f"), max(col("ts_ns")).as("l"))
-    val hor = events.agg(max(col("ts_ns")).as("t_end"))
-    val byDay = life.crossJoin(broadcast(hor))
+    val hor = spans.agg(max(col("l")).as("t_end"))
+    val byDay = spans.crossJoin(broadcast(hor))
       .select(expr(s"(l - f) div $dayNs").as("day"),
         when(col("l") >= col("t_end") - lit(horizonDays * dayNs), 1L)
           .otherwise(0L).as("cens"))
