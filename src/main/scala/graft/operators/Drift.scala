@@ -444,7 +444,9 @@ object Drift {
     val termTot = cnt.groupBy(col("tok"))
       .agg(sum(col("c")).cast("long").as("ct"))
     val corpus = srcTot.agg(sum(col("ns")).cast("long").as("n"))
-    srcTot.crossJoin(termTot)
+    // vocab-sized × BROADCAST sources-sized grid (explicit hint so the
+    // cross can never degrade to CartesianProduct on stats-less input)
+    termTot.crossJoin(broadcast(srcTot))
       .join(cnt, Seq("source", "tok"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
       .crossJoin(broadcast(corpus))

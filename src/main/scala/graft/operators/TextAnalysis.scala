@@ -347,7 +347,9 @@ object TextAnalysis {
     val vocab = toksCensus.agg(count(lit(1)).as("v"))
     val prior = lbl.groupBy(col("source")).agg(count(lit(1)).as("nd"))
     val ndTot = prior.agg(sum(col("nd")).cast("long").as("ndt"))
-    val weights = srcTot.crossJoin(toksCensus)
+    // grid cross: vocab-sized × BROADCAST sources-sized (explicit hint —
+    // without it stats-less inputs can degrade to CartesianProduct)
+    val weights = toksCensus.crossJoin(broadcast(srcTot))
       .join(cnt, Seq("source", "tok"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("source"), col("tok"),

@@ -78,7 +78,20 @@ class PlanSpec extends SparkSpec {
   test("dedup/minhash joins are equi-joins, never cartesian") {
     Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
         "dedup_against", "semantic_dedup", "semantic_dedup_against",
-        "rnn_pairs_lsh", "media_phash_dups").foreach { q =>
+        "rnn_pairs_lsh", "media_phash_dups", "tf_cosine_pairs").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("NB/JS grids cross only AGGREGATE-bounded relations, pairs stay equi-joined") {
+    // the sources×vocab model grids are deliberate crosses of two
+    // bounded aggregates; what must never appear is a cartesian over
+    // DATA — every data-sized relation (doc tf census, postings) joins
+    // by key. BroadcastNestedLoopJoin over the bounded side is the
+    // expected physical form of the grid cross.
+    Seq("source_confusion", "js_divergence", "emd_length_drift",
+        "t_closeness", "blocking_quality").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
