@@ -560,6 +560,12 @@ object SparkEntry {
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "integrity_checksum" -> ((s, dir) =>
       TextAnalysis.integrityChecksum(Tables.documents(s, dir))),
+    "fk_orphans" -> ((s, dir) => Relational.fkOrphans(
+      Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.customer(s, dir), Tables.supplier(s, dir),
+      Tables.part(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "benford_values" -> ((s, dir) =>
+      EventsOps.benfordValues(Tables.events(s, dir))),
     // version diff between two deterministic synthetic drops of the one
     // corpus: old = all but doc_id≡3 (mod 11); new = all but ≡7
     // (mod 11), with doc_id≡0 (mod 5) texts rewritten — exercises all
@@ -2469,6 +2475,78 @@ object SparkEntry {
       """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Benford first-digit audit: digit via exact integer cents and a
+    // string head (no float logs on the data path); restored 9-digit
+    // grid; the reference mass enters once as a micro-floored log.
+    "benford_values" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM events WHERE value > 0
+        |), cnt AS (
+        |  SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+        |  FROM cnt GROUP BY 1
+        |), grid AS (
+        |  SELECT t.event_type, t.total, d.digit
+        |  FROM tot t CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 9)) AS digit) d
+        |)
+        |SELECT g.event_type, CAST(g.digit AS BIGINT) AS digit,
+        |  coalesce(c.n, 0) AS n,
+        |  CAST(coalesce(c.n, 0) * 1000000 // g.total AS BIGINT) AS p_micro,
+        |  CAST(floor(ln(1 + 1.0 / g.digit) / ln(10) * 1000000) AS BIGINT)
+        |    AS benford_micro,
+        |  abs(CAST(coalesce(c.n, 0) * 1000000 // g.total AS BIGINT)
+        |    - CAST(floor(ln(1 + 1.0 / g.digit) / ln(10) * 1000000)
+        |      AS BIGINT)) AS dev_micro
+        |FROM grid g LEFT JOIN cnt c
+        |  ON c.event_type = g.event_type AND c.digit = g.digit
+        |ORDER BY 1, 2""".stripMargin,
+
+    // FK orphan audit: one scalar-subquery row per edge; NULL child
+    // keys count as orphans (left-join-null = Spark anti-join-keep).
+    "fk_orphans" ->
+      """SELECT 'customer.nation' AS fk,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |   WHERE n.n_nationkey IS NULL) AS n_orphans
+        |UNION ALL SELECT 'lineitem.order',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |   WHERE o.o_orderkey IS NULL)
+        |UNION ALL SELECT 'lineitem.part',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |   WHERE p.p_partkey IS NULL)
+        |UNION ALL SELECT 'lineitem.supplier',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |   WHERE s.s_suppkey IS NULL)
+        |UNION ALL SELECT 'nation.region',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation n
+        |   LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |   WHERE r.r_regionkey IS NULL)
+        |UNION ALL SELECT 'orders.customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |   WHERE c.c_custkey IS NULL)
+        |UNION ALL SELECT 'supplier.nation',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier s
+        |   LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |   WHERE n.n_nationkey IS NULL)
+        |ORDER BY fk""".stripMargin,
 
     // ntile over the (value, event_id) total order: identical bucket
     // boundaries on both engines (a bare value order ties arbitrarily).

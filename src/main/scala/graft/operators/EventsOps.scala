@@ -925,6 +925,48 @@ object EventsOps {
       .distinct()
   }
 
+  /** Benford first-digit audit per event type — the forensic
+    * data-quality read (Benford 1938; Nigrini's fraud-audit use): value
+    * populations spanning orders of magnitude follow P(d) = log₁₀(1 +
+    * 1/d) in their first significant digit, and a type whose digit
+    * histogram deviates hard is the classic signature of synthetic,
+    * clipped, defaulted, or hand-entered values — worth reading BEFORE
+    * any model trains on the column.
+    *
+    * Determinism: the first significant digit is extracted WITHOUT
+    * float logs — values go to exact integer cents (2-dp doubles ⇒
+    * round lands on the integer, never a .5 tie) and the digit is the
+    * first character of the integer's decimal rendering, identical on
+    * both engines; ×100 shifts the decimal point and cannot change
+    * significant digits. Counts and p_micro are exact integers; the
+    * Benford reference enters once as a micro-floored log expression
+    * written identically in both engines. The (type, digit) grid is
+    * restored (missing digits report n = 0 against their full Benford
+    * mass — "no 9s ever" is exactly the anomaly the audit exists for).
+    *
+    * Shape at 100 TB: one scan → (type, digit) counts, ≤ 9·types rows;
+    * everything after is grid arithmetic on that bounded relation. */
+  def benfordValues(events: DataFrame): DataFrame = {
+    val cnt = events.filter(col("value") > 0)
+      .select(col("event_type"),
+        expr("CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("total"))
+    tot.select(col("event_type"), col("total"),
+        explode(sequence(lit(1L), lit(9L))).as("digit"))
+      .join(cnt, Seq("event_type", "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select(col("event_type"), col("digit"), col("n"),
+        expr("n * 1000000 div total").as("p_micro"),
+        expr("CAST(floor(ln(1 + 1.0 / digit) / ln(10) * 1000000)" +
+          " AS BIGINT)").as("benford_micro"))
+      .withColumn("dev_micro", abs(col("p_micro") - col("benford_micro")))
+      .orderBy(col("event_type"), col("digit"))
+  }
+
   /** Kaplan–Meier retention survival curve — the censoring-aware
     * companion [[retentionCohorts]] is not: cohort counting treats a
     * user last seen yesterday as churned at their last event, which

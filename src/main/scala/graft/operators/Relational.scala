@@ -947,4 +947,46 @@ object Relational {
           .as("lift_micro"))
       .orderBy(col("c_ab").desc, col("part_a"), col("part_b")).limit(k)
   }
+
+  /** Referential-integrity audit — orphan counts for every FK edge of
+    * the star: the load-time invariant a 100 TB ingest, backfill, or
+    * engine migration checks before anything downstream trusts a join
+    * (an orphaned l_orderkey silently DROPS revenue from every inner
+    * join that follows — the failure is invisible exactly where it
+    * matters). The row-content companion is the XOR
+    * [[TextAnalysis.integrityChecksum]]; this is the cross-TABLE half.
+    *
+    * A NULL child key counts as an orphan (it references nothing).
+    * Each edge is one left-anti join + two exact counts; parents join
+    * by their key, so size-based planning broadcasts the dimension
+    * sides and shuffles the fact-fact edge (lineitem→orders) — the
+    * right physical split at any scale. Output is one row per FK edge,
+    * fixed at 7 rows. */
+  def fkOrphans(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, part: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+    }
+    edge("customer.nation", customer, "c_nationkey", nation, "n_nationkey")
+      .unionByName(edge("lineitem.order", lineitem, "l_orderkey",
+        orders, "o_orderkey"))
+      .unionByName(edge("lineitem.part", lineitem, "l_partkey",
+        part, "p_partkey"))
+      .unionByName(edge("lineitem.supplier", lineitem, "l_suppkey",
+        supplier, "s_suppkey"))
+      .unionByName(edge("nation.region", nation, "n_regionkey",
+        region, "r_regionkey"))
+      .unionByName(edge("orders.customer", orders, "o_custkey",
+        customer, "c_custkey"))
+      .unionByName(edge("supplier.nation", supplier, "s_nationkey",
+        nation, "n_nationkey"))
+      .orderBy(col("fk"))
+  }
 }

@@ -411,4 +411,50 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4), r.getLong(5)) == (1L, 2L, 2L, 3L, 3L, 888888L))
   }
+
+  test("fkOrphans: dangling and NULL child keys counted per edge, clean edges zero") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val region = Seq(Tuple1(1L)).toDF("r_regionkey")
+    val nation = Seq((1L, 1L), (2L, 99L)).toDF("n_nationkey", "n_regionkey")
+    val custSchema = StructType(Seq(StructField("c_custkey", LongType),
+      StructField("c_nationkey", LongType)))
+    val customer = spark.createDataFrame(
+      java.util.Arrays.asList(Row(10L, 1L), Row(11L, 5L), Row(12L, null)),
+      custSchema)
+    val supplier = Seq((20L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq(Tuple1(30L)).toDF("p_partkey")
+    val orders = Seq((40L, 10L), (41L, 99L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((40L, 30L, 20L), (99L, 30L, 20L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val got = Relational.fkOrphans(lineitem, orders, customer, supplier,
+      part, nation, region).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "customer.nation" -> ((3L, 2L)), // dangling 5 + NULL
+      "lineitem.order" -> ((2L, 1L)),
+      "lineitem.part" -> ((2L, 0L)),
+      "lineitem.supplier" -> ((2L, 0L)),
+      "nation.region" -> ((2L, 1L)),
+      "orders.customer" -> ((2L, 1L)),
+      "supplier.nation" -> ((1L, 0L))))
+  }
+
+  test("benfordValues: cents-string digit extraction, restored grid, micro reference") {
+    // digits: 1.00→100→1, 0.19→19→1, 2.50→250→2, 0.05→5→5; the 0.0
+    // row is excluded. log10 masses: d1 301029, d2 176091, d5 79181,
+    // d9 45757 (floor micro).
+    val e = Seq((1L, "t", 1.00), (2L, "t", 0.19), (3L, "t", 2.50),
+      (4L, "t", 0.05), (5L, "t", 0.0))
+      .toDF("event_id", "event_type", "value")
+    val got = EventsOps.benfordValues(e).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    assert(got(1L) == ((2L, 500000L, 301029L, 198971L)))
+    assert(got(2L) == ((1L, 250000L, 176091L, 73909L)))
+    assert(got(5L) == ((1L, 250000L, 79181L, 170819L)))
+    assert(got(9L) == ((0L, 0L, 45757L, 45757L)))
+  }
 }
