@@ -946,13 +946,23 @@ object EventsOps {
     *
     * Shape at 100 TB: one scan → (type, digit) counts, ≤ 9·types rows;
     * everything after is grid arithmetic on that bounded relation. */
-  def benfordValues(events: DataFrame): DataFrame = {
-    val cnt = events.filter(col("value") > 0)
+  def benfordValues(events: DataFrame): DataFrame =
+    benfordFromCounts(benfordCounts(events))
+
+  /** The (type, digit) count census — the map-side half of
+    * [[benfordValues]], exposed because it is exactly the bounded
+    * mergeable state the streaming fold maintains. */
+  def benfordCounts(events: DataFrame): DataFrame =
+    events.filter(col("value") > 0)
       .select(col("event_type"),
         expr("CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)" +
           " AS STRING), 1, 1) AS BIGINT)").as("digit"))
       .groupBy(col("event_type"), col("digit"))
       .agg(count(lit(1)).as("n"))
+
+  /** Grid readout over a (type, digit, n) census — shared verbatim by
+    * the batch query and the streaming table. */
+  def benfordFromCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy(col("event_type"))
       .agg(sum(col("n")).cast("long").as("total"))
     tot.select(col("event_type"), col("total"),
