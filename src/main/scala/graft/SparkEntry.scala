@@ -826,6 +826,8 @@ object SparkEntry {
       Dedup.ngramJaccardPairsFrom(overlapFor(s, dir), threshold = 0.8)),
     "tf_cosine_pairs" -> ((s, dir) => Dedup.tfCosinePairs(
       Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
+    "tfidf_cosine_pairs" -> ((s, dir) => Dedup.tfidfCosinePairs(
+      Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashVerifyFrom(
       lshCandidatesFor(s, dir), postingsFor(s, dir), threshold = 0.8)),
     "blocking_quality" -> ((s, dir) => Dedup.blockingQuality(
@@ -5257,6 +5259,60 @@ object SparkEntry {
         |  round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cos6
         |FROM dot JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // tf-idf weighted cosine: the tf_cosine chain with each shingle's
+    // tf scaled by the milli-floored ln(N/df); dot/norms sum through
+    // HUGEINT (mirror of the Spark DECIMAL(38,0) ladder), one final
+    // IEEE divide over explicit double casts on both engines.
+    "tfidf_cosine_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END AS shs FROM toks
+        |), tf AS (
+        |  SELECT doc_id, s, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(shs) AS s FROM sh) GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+        |), dfc AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), wgt AS (
+        |  SELECT tf.doc_id, tf.s,
+        |    CAST(tf.tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000)
+        |      AS BIGINT) AS BIGINT) AS w
+        |  FROM tf JOIN dfc USING (s) CROSS JOIN nd
+        |), stf AS (
+        |  SELECT doc_id, s FROM tf
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 10
+        |), hot AS (
+        |  SELECT s FROM (SELECT s, count(*) AS c FROM stf GROUP BY 1) d
+        |  WHERE c > 10
+        |), kept AS (
+        |  SELECT doc_id, s, w FROM wgt WHERE s NOT IN (SELECT s FROM hot)
+        |), nrm AS (
+        |  SELECT doc_id, CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS n2
+        |  FROM wgt GROUP BY 1
+        |), dot AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(CAST(a.w AS HUGEINT) * b.w) AS HUGEINT) AS dot
+        |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  round(CAST(dot AS DOUBLE)
+        |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos6
+        |FROM dot JOIN nrm na ON na.doc_id = id_a
+        |JOIN nrm nb ON nb.doc_id = id_b
+        |WHERE na.n2 > 0 AND nb.n2 > 0
+        |  AND CAST(dot AS DOUBLE)
+        |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Same inverted-index + df-cut CTE chain as ngram_jaccard_pairs; only

@@ -194,24 +194,36 @@ object Dedup {
     * materialization); the self-join shuffles (shingle, doc, tf)
     * triples — never text — and the df-cut keeps per-key fan-out
     * quadratic only in the cap, not the corpus. */
+  /** Per-doc shingle term frequencies off the positions census (the
+    * occurrence-preserving sibling of [[postings]]). */
+  private def shingleTf(documents: DataFrame, n: Int,
+      positions: Option[DataFrame]): DataFrame =
+    positions.getOrElse(documents
+        .select(col("doc_id"),
+          posexplode(graft.functions.WordShingles.word_ngrams(
+            normalize(col("text")), n)).as(Seq("pos", "sh"))))
+      .select(col("doc_id"), col("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The family's sampled hot-shingle set over a per-doc-keyed shingle
+    * relation (see [[overlapWithSizesFrom]] for the calculus). */
+  private def hotShingles(perDoc: DataFrame, maxDf: Long,
+      samplePermille: Int): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val sampleDf = math.max(1L, maxDf * samplePermille / 1000)
+    perDoc.filter(
+        pmod(h60(col("doc_id").cast("string")), lit(1000L)) < samplePermille)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > sampleDf)
+      .select("sh")
+  }
+
   def tfCosinePairs(documents: DataFrame, threshold: Double = 0.35,
       n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10,
       positions: Option[DataFrame] = None): DataFrame = {
-    import graft.functions.PortableHash.h60
-    import graft.functions.WordShingles.word_ngrams
-    val occ = positions.getOrElse(documents
-        .select(col("doc_id"),
-          posexplode(word_ngrams(normalize(col("text")), n))
-            .as(Seq("pos", "sh"))))
-      .select(col("doc_id"), col("sh"))
-    val tf = occ.groupBy(col("doc_id"), col("sh"))
-      .agg(count(lit(1)).as("tf"))
-    val sampleDf = math.max(1L, maxDf * samplePermille / 1000)
-    val sampled = tf.filter(
-      pmod(h60(col("doc_id").cast("string")), lit(1000L)) < samplePermille)
-    val hot = sampled.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > sampleDf)
-      .select("sh")
+    val tf = shingleTf(documents, n, positions)
+    val hot = hotShingles(tf, maxDf, samplePermille)
     val kept = tf.join(broadcast(hot), Seq("sh"), "left_anti")
     val norms = tf.groupBy("doc_id")
       .agg(sum(col("tf") * col("tf")).cast("long").as("n2"))
@@ -229,6 +241,65 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("dot"),
         col("norm2_a"), col("norm2_b"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** IDF-WEIGHTED cosine near-dup pairs — [[tfCosinePairs]] with each
+    * shingle's tf scaled by ⌊ln(N/df)·10³⌋: the form that DOWNWEIGHTS
+    * boilerplate instead of amputating it. The df-cut guard only
+    * removes shingles past the hard posting-list bound; everything
+    * below it still contributes, but common shingles contribute little
+    * — two docs sharing only near-ubiquitous phrasing score near 0
+    * here while raw tf-cosine can still pair them. Standard tf-idf
+    * retrieval weighting (Salton & Buckley 1988) applied to the pair
+    * mining shape.
+    *
+    * Determinism: the idf enters ONCE per shingle as a milli-floored
+    * log over two exact counts; weights w = tf·idf_milli are exact
+    * integers, and dot/norms sum through DECIMAL(38,0) (w² passes 2⁶³
+    * once tf·idf reaches ~3·10⁹ — million-token docs put it there).
+    * The cosine is one final IEEE expression over the three exact
+    * sums. A shingle in every doc (df = N) gets idf exactly 0 and
+    * drops out of all scores identically on both engines.
+    *
+    * Shape: identical to [[tfCosinePairs]] — the idf join adds one
+    * shingle-keyed merge of the df census (an aggregate of the same tf
+    * relation) before the self-join; norms stay over the UNCUT
+    * weighted vectors. */
+  def tfidfCosinePairs(documents: DataFrame, threshold: Double = 0.35,
+      n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10,
+      positions: Option[DataFrame] = None): DataFrame = {
+    val tf = shingleTf(documents, n, positions)
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val df = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val wgt = tf.join(df, Seq("sh"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("sh"),
+        expr("tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000)" +
+          " AS BIGINT)").as("w"))
+    val hot = hotShingles(tf, maxDf, samplePermille)
+    val kept = wgt.join(broadcast(hot), Seq("sh"), "left_anti")
+    val norms = wgt.groupBy("doc_id")
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("n2"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(expr("CAST(a.w AS DECIMAL(38,0)) * b.w")).as("dot"))
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("n2_a")),
+        "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("n2_b")),
+        "id_b")
+      // a zero-norm vector (every shingle at df = N) has no direction:
+      // cosine is undefined, and under ANSI the 0/0 divide would raise
+      // where DuckDB yields NaN — the shared guard drops such pairs on
+      // both engines before the division exists
+      .filter(col("n2_a") > 0 && col("n2_b") > 0)
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -288,6 +288,28 @@ class DedupSpec extends SparkSpec {
     assert((r2.getLong(2), r2.isNullAt(5)) == ((0L, true)))
   }
 
+  test("tfidfCosinePairs: ubiquitous shingles carry zero weight; tf-cosine still pairs on them") {
+    // xyz appears in ALL four docs → df = N → idf exactly 0: pairs
+    // sharing ONLY boilerplate (every cross pair except the 1-2 dup)
+    // score 0 under tf-idf but 0.2–0.25 under raw tf at the same
+    // threshold — the downweight-vs-amputate distinction.
+    val d = docs(
+      1L -> "a b c d e x y z", 2L -> "a b c d e x y z",
+      3L -> "p q r x y z", 4L -> "s t u x y z")
+    val idf = Dedup.tfidfCosinePairs(d, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(idf.keySet == Set((1L, 2L)))
+    assert(idf((1L, 2L)) == 1.0)
+    val tf = Dedup.tfCosinePairs(d, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tf == Set((1L, 2L), (3L, 4L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L)))
+    // all-boilerplate corpus: every weight 0 → 0/0 cosine is NaN, which
+    // the threshold filter drops — empty result, never a crash
+    val d2 = docs(1L -> "x y z", 2L -> "x y z")
+    assert(Dedup.tfidfCosinePairs(d2).collect().isEmpty)
+  }
+
   test("tfCosinePairs: multiplicity-weighted cosine; weak overlaps cut by threshold") {
     // Trigram tf vectors: A "a b c a b c" → {abc:2,bca:1,cab:1} ‖A‖²=6;
     // B "a b c" → {abc:1} ‖B‖²=1; C = A stamped once more → {abc:3,
