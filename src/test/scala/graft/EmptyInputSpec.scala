@@ -43,6 +43,7 @@ class EmptyInputSpec extends SparkSpec {
           val n = fn(spark, emptyDir).count()
           val expect: Long => Boolean = name match {
             case _ if oneRowAggregates(name) => _ == 1L
+            case "fk_orphans" => _ == 7L // one summary row per FK edge
             case "profile_lineitem" => _ == 11L // one row per column
             case "profile_lineitem_approx" => _ == 11L // one row per column
             case "profile_documents" => _ == 5L // one row per column
