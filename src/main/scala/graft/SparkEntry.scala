@@ -923,11 +923,13 @@ object SparkEntry {
     // quantized cosine fidelity — bit-replayable from the codebook dump
     "pq_cell_stats" -> ((s, dir) =>
       Similarity.pqCellStats(Tables.embeddings(s, dir), pqFor(s, dir))),
+    // rnn_pairs DEFAULT = the bounded LSH retriever (hot-bucket df-cut
+    // guard on); the corpus² brute survives only as the explicit
+    // audit-scoped entry below, never as what a user reaches first
     "rnn_pairs" -> ((s, dir) =>
       Similarity.mutualKnn(Tables.embeddings(s, dir))),
-    "rnn_pairs_lsh" -> ((s, dir) =>
-      Similarity.mutualKnnFrom(
-        Similarity.knnLshDirected(Tables.embeddings(s, dir)))),
+    "rnn_pairs_exact" -> ((s, dir) =>
+      Similarity.mutualKnnExact(Tables.embeddings(s, dir))),
     "mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(Tables.embeddings(s, dir))),
 
@@ -5864,10 +5866,10 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
-    // reciprocal-kNN pair mining: the ann_topk scorer in BOTH
-    // directions, pairs kept only when each side is inside the other's
-    // top-5 (a < b emits each pair once)
-    "rnn_pairs" ->
+    // reciprocal-kNN pair mining, AUDIT-exact form: the ann_topk scorer
+    // in BOTH directions, pairs kept only when each side is inside the
+    // other's top-5 (a < b emits each pair once)
+    "rnn_pairs_exact" ->
       """WITH elems AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
@@ -5894,13 +5896,15 @@ object SparkEntry {
         |  ON y.src = x.cand_id AND y.cand_id = x.src AND x.src < x.cand_id
         |ORDER BY a, b""".stripMargin,
 
-    // reciprocal-kNN through the banded-LSH retriever — the 100 TB
-    // shape of rnn_pairs: candidates from the banded self-join (same
-    // plane/band CTEs as ann_lsh_topk), each EXACTLY cosine-scored and
-    // ranked, then the same reciprocity tail as rnn_pairs. Only recall
-    // is probabilistic; every emitted pair is exact, and the oracle
-    // rebuilds the identical candidate set.
-    "rnn_pairs_lsh" ->
+    // reciprocal-kNN DEFAULT, through the banded-LSH retriever — the
+    // 100 TB shape: candidates from the banded self-join (same
+    // plane/band CTEs as ann_lsh_topk) under the hot-bucket df-cut
+    // guard (sampled h60 census, cut = max(1, 200·100/1000) = 20),
+    // each EXACTLY cosine-scored and ranked, then the same reciprocity
+    // tail as rnn_pairs_exact. Only recall is probabilistic; every
+    // emitted pair is exact, and the oracle rebuilds the identical
+    // candidate set — guard included.
+    "rnn_pairs" ->
       """WITH elems AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
@@ -5918,11 +5922,20 @@ object SparkEntry {
         |      THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT)) ELSE 0 END)
         |      AS BIGINT) AS bv
         |  FROM proj GROUP BY 1, 2
+        |), hotb AS (
+        |  SELECT band, bv FROM bands
+        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 1000 < 100
+        |  GROUP BY 1, 2 HAVING count(*) > 20
+        |), keptb AS (
+        |  SELECT b.vec_id, b.band, b.bv FROM bands b
+        |  LEFT JOIN hotb h ON h.band = b.band AND h.bv = b.bv
+        |  WHERE h.band IS NULL
         |), norms AS (
         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS cand_id
-        |  FROM bands a JOIN bands b
+        |  FROM keptb a JOIN keptb b
         |    ON b.band = a.band AND b.bv = a.bv AND b.vec_id <> a.vec_id
         |), dots AS (
         |  SELECT c.src, c.cand_id, sum(a.x * b.x) AS dot

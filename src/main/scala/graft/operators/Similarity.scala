@@ -1057,20 +1057,32 @@ object Similarity {
     * cosine top-`k`. One-directional kNN edges are mostly hub noise (a
     * generic centroid-ish vector is "near" everything); requiring
     * reciprocity is the classic precision filter (RNN pairs are what
-    * SemDeDup-style pipelines trust enough to delete against). Scoring,
-    * rank order (cos desc, vec_id tiebreak) and the zero-norm guard are
-    * exactly [[annBruteForce]]'s; the directed top-k relation (≤ N·k
-    * rows) is localCheckpoint'ed so the reciprocity self-join doesn't
-    * re-derive the scorer, and each surviving pair is emitted once
-    * (a < b) with both ranks.
+    * SemDeDup-style pipelines trust enough to delete against).
     *
-    * Scale shape: the all-pairs scorer is the oracle-exact baseline; at
-    * 100 TB inject a bounded directed relation into [[mutualKnnFrom]]
-    * instead ([[knnLshDirected]] is the packaged one; any (src, cand_id,
-    * rank, cos) list works — the rank list is the interface, as with
-    * hybridRrf), and the reciprocity join is then bounded by candidates,
-    * never the corpus square. */
-  def mutualKnn(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    * This is the DEFAULT entry point and it is the bounded one: the
+    * directed top-k lists come from the banded hyperplane-LSH retriever
+    * ([[knnLshDirected]], hot-bucket guard on), so the reciprocity join
+    * is candidates×k-bounded — never the corpus square. Every emitted
+    * pair is exactly scored and exactly ranked among the candidates;
+    * only recall is probabilistic, the LSH contract every sketch
+    * operator here carries. The corpus² scorer survives as
+    * [[mutualKnnExact]] for audits (recall measurement, tiny corpora),
+    * where its cost is affordable by construction. */
+  def mutualKnn(embeddings: DataFrame, k: Int = 5): DataFrame =
+    mutualKnnFrom(knnLshDirected(embeddings, k))
+
+  /** AUDIT-ONLY exact form of [[mutualKnn]]: the corpus×corpus
+    * brute-force scorer — quadratic in the corpus, so it exists for
+    * recall audits and oracle-exact baselines, never as the default.
+    * Scoring, rank order (cos desc, vec_id tiebreak) and the zero-norm
+    * guard are exactly [[annBruteForce]]'s; the directed top-k relation
+    * (≤ N·k rows) is localCheckpoint'ed so the reciprocity self-join
+    * doesn't re-derive the scorer, and each surviving pair is emitted
+    * once (a < b) with both ranks. At 100 TB inject a bounded directed
+    * relation into [[mutualKnnFrom]] instead (any (src, cand_id, rank,
+    * cos) list works — the rank list is the interface, as with
+    * hybridRrf). */
+  def mutualKnnExact(embeddings: DataFrame, k: Int = 5): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val right = corpus.select(col("vec_id").as("cand_id"),
@@ -1113,23 +1125,21 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
-  /** ALL-SOURCE directed cosine top-`k` through the banded hyperplane
-    * LSH — the bounded retriever that replaces [[mutualKnn]]'s
-    * brute-force corpus×corpus scorer at scale: candidates come from the
-    * banded self-join (two vectors meet iff SOME band of their plane
-    * signature matches — the same banding calculus as [[annLsh]], whose
-    * broadcast-queries form only serves a handful of query ids), then
-    * the exact cosine verifies every candidate, so like every LSH
-    * operator here only RECALL is probabilistic — a returned (src,
-    * cand_id, rank, cos) row is exactly scored and exactly ranked among
-    * the candidates. The band join is ids-only (band, bv keys); vectors
-    * are re-attached by id afterwards, so the wide embedding arrays
-    * never ride the candidate shuffle. A production corpus would add
-    * the hot-bucket df-cut guard the MinHash family carries
-    * (`Dedup`'s shingle df-cut) — omitted here so the DuckDB oracle can
-    * mirror the candidate set exactly. */
-  def knnLshDirected(embeddings: DataFrame, k: Int = 5,
-      bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+  /** The banded-LSH DIRECTED candidate relation (src, cand_id) feeding
+    * [[knnLshDirected]], with the hot-bucket df-cut guard: band keys are
+    * censused over the deterministic h60 `samplePermille`‰ vector
+    * sample, and any (band, bv) bucket whose sampled count exceeds
+    * `max(1, maxBucket·samplePermille/1000)` is dropped from pair
+    * generation (the `Dedup.hotShingles` calculus on plane-signature
+    * keys). The census costs one pass over the sampled ids-only band
+    * relation; the surviving hot set is bands·2^bitsPerBand-bounded and
+    * broadcast to an anti join. Exposed so specs can assert the
+    * candidate bound directly under an adversarial common-direction
+    * cluster. */
+  def lshCandidatePairs(embeddings: DataFrame, bands: Int = 16,
+      bitsPerBand: Int = 4, maxBucket: Long = 200,
+      samplePermille: Int = 100): DataFrame = {
+    import graft.functions.PortableHash.h60
     require(bands * bitsPerBand <= graft.functions.PlaneSignature.MaxBits,
       "signature wider than the plane table")
     val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
@@ -1143,12 +1153,48 @@ object Similarity {
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"),
         col("bk.bv").as("bv"))
-    val pairs = banded
-      .join(banded.select(col("vec_id").as("cand_id"),
+    val sampleCut = math.max(1L, maxBucket * samplePermille / 1000)
+    val hot = banded
+      .filter(pmod(h60(col("vec_id").cast("string")), lit(1000L))
+        < samplePermille)
+      .groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > sampleCut)
+      .select(col("band"), col("bv"))
+    val kept = banded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+    kept
+      .join(kept.select(col("vec_id").as("cand_id"),
           col("band"), col("bv")), Seq("band", "bv"))
       .filter(col("vec_id") =!= col("cand_id"))
       .select(col("vec_id").as("src"), col("cand_id"))
       .distinct()
+  }
+
+  /** ALL-SOURCE directed cosine top-`k` through the banded hyperplane
+    * LSH — the bounded retriever that replaces [[mutualKnnExact]]'s
+    * brute-force corpus×corpus scorer at scale: candidates come from the
+    * banded self-join (two vectors meet iff SOME band of their plane
+    * signature matches — the same banding calculus as [[annLsh]], whose
+    * broadcast-queries form only serves a handful of query ids), then
+    * the exact cosine verifies every candidate, so like every LSH
+    * operator here only RECALL is probabilistic — a returned (src,
+    * cand_id, rank, cos) row is exactly scored and exactly ranked among
+    * the candidates. The band join is ids-only (band, bv keys); vectors
+    * are re-attached by id afterwards, so the wide embedding arrays
+    * never ride the candidate shuffle. The hot-bucket df-cut guard the
+    * MinHash family carries (`Dedup`'s sampled shingle census) is ON:
+    * a (band, bv) bucket whose SAMPLED occupancy exceeds
+    * `maxBucket·samplePermille/1000` is dropped from pair generation —
+    * a common-direction cluster (the zero vector, boilerplate
+    * embeddings) is the one shape that would otherwise make the band
+    * self-join quadratic in that bucket's size. The cut is
+    * deterministic (h60 doc sample), so the DuckDB oracle mirrors the
+    * candidate set exactly — the `ngram_jaccard_pairs` precedent. */
+  def knnLshDirected(embeddings: DataFrame, k: Int = 5,
+      bands: Int = 16, bitsPerBand: Int = 4,
+      maxBucket: Long = 200, samplePermille: Int = 100): DataFrame = {
+    val pairs = lshCandidatePairs(embeddings, bands, bitsPerBand,
+      maxBucket, samplePermille)
     val corpus = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val denom = col("s_nrm") * col("c_nrm")

@@ -78,7 +78,7 @@ class PlanSpec extends SparkSpec {
   test("dedup/minhash joins are equi-joins, never cartesian") {
     Seq("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_pairs",
         "dedup_against", "semantic_dedup", "semantic_dedup_against",
-        "rnn_pairs_lsh", "media_phash_dups", "tf_cosine_pairs").foreach { q =>
+        "rnn_pairs", "media_phash_dups", "tf_cosine_pairs").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
@@ -512,17 +512,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("rnn_pairs: reciprocity join is hash-equi over the checkpointed kNN relation") {
+  test("rnn_pairs_exact: reciprocity join is hash-equi over the checkpointed kNN relation") {
     // the all-pairs scorer runs once (eagerly) into the localCheckpoint;
     // the FINAL plan must join that ≤ N·k relation to its transpose with
     // an equi join — never a nested loop over the corpus again
+    val p = graft.operators.Similarity
+      .mutualKnnExact(Tables.embeddings(spark, sf0001), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rnn_pairs_exact re-derives pairs with a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"rnn_pairs_exact reciprocity join is not equi-keyed:\n$p")
+  }
+
+  test("rnn_pairs DEFAULT plans no corpus-squared join anywhere") {
+    // the registered default must be the bounded LSH retriever: no
+    // CartesianProduct, no BroadcastNestedLoopJoin in the whole plan
     val p = graft.operators.Similarity
       .mutualKnn(Tables.embeddings(spark, sf0001), k = 3)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      s"rnn_pairs re-derives pairs with a nested loop:\n$p")
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
-      s"rnn_pairs reciprocity join is not equi-keyed:\n$p")
+      s"default rnn_pairs is not the bounded retriever:\n$p")
   }
 }

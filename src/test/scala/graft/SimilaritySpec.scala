@@ -571,7 +571,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0.141f, 0.99f), 0),
       (4L, Array(0.7f, 0.7f), 0)
     ).toDF("vec_id", "embedding", "label")
-    val got = Similarity.mutualKnn(vecs, k = 1).collect()
+    val got = Similarity.mutualKnnExact(vecs, k = 1).collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((0L, 1L), (2L, 3L)))
     assert(got.forall(r => r.getInt(2) == 1 && r.getInt(3) == 1))
@@ -584,6 +584,44 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1), "each pair emitted once, a < b")
       assert(r.getInt(2) <= 3 && r.getInt(3) <= 3)
     }
+  }
+
+  test("mutualKnn default (LSH retriever) recovers most exact pairs, scores them identically") {
+    // the bounded default trades only RECALL; a pair both forms emit
+    // must carry the identical exact cosine (the LSH ranks are ranks
+    // among candidates, so only cos6 is comparable)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val exact = keyed(Similarity.mutualKnnExact(emb, k = 5).collect())
+    val lsh = keyed(Similarity.mutualKnn(emb, k = 5).collect())
+    assert(exact.nonEmpty)
+    val hit = exact.keySet.intersect(lsh.keySet)
+    assert(hit.size.toDouble / exact.size >= 0.7,
+      s"LSH rnn recall ${hit.size}/${exact.size} below 0.7")
+    hit.foreach(k => assert(exact(k) == lsh(k),
+      s"pair $k scored differently: exact=${exact(k)} lsh=${lsh(k)}"))
+  }
+
+  test("hot-bucket guard bounds an adversarial common-direction cluster") {
+    // 200 near-identical vectors land in the SAME (band, bv) buckets in
+    // every band — the shape that makes the band self-join quadratic.
+    // With the sampled df-cut on (samplePermille=1000 ⇒ census exact),
+    // those buckets are dropped and the candidate relation collapses;
+    // with the cut effectively off it is the full cluster square.
+    val hub = (0L until 200L).map(i => (i, Array.fill(8)(1.0f), 0))
+    val rest = (200L until 220L).map { i =>
+      val v = Array.fill(8)(0.0f); v((i % 8).toInt) = 1.0f; (i, v, 0)
+    }
+    val vecs = (hub ++ rest).toDF("vec_id", "embedding", "label")
+    val unguarded = Similarity.lshCandidatePairs(vecs,
+      maxBucket = 1000000L, samplePermille = 1000).count()
+    val guarded = Similarity.lshCandidatePairs(vecs,
+      maxBucket = 30, samplePermille = 1000).count()
+    assert(unguarded >= 200L * 199L,
+      s"adversarial cluster did not fill its buckets: $unguarded")
+    assert(guarded < unguarded / 10,
+      s"guard did not bound the hot bucket: $guarded vs $unguarded")
   }
 
   test("mmrRerank: redundancy penalty defers the exact duplicate of a selected hit") {
