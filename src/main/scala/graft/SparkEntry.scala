@@ -708,11 +708,13 @@ object SparkEntry {
       EventsOps.clickConversionRate(Tables.events(s, dir))),
     "profile_lineitem" -> ((s, dir) =>
       Profiling.profile(Tables.lineitem(s, dir))),
-    // the scale path demonstrated, not just documented: HLL++ distincts —
-    // one scan and NO Expand fan-out (plan + error envelope in
-    // ProfilingSpec; rows-only gate — HLL++ is not rebuildable in DuckDB)
+    // the scale path demonstrated AND oracle-gated: the register-exact
+    // portable-HLL profile — sketch state is h60 registers the oracle
+    // rebuilds from the raw data, so hash_match replaces the old
+    // rows-only gate (Spark's HLL++ stays as the spec-gated built-in
+    // alternative in ProfilingSpec: one scan, no Expand, error envelope)
     "profile_lineitem_approx" -> ((s, dir) =>
-      Profiling.profileApprox(Tables.lineitem(s, dir))),
+      Profiling.profilePortable(Tables.lineitem(s, dir))),
     // same operator, different schema — the generic claim gated thrice
     "profile_documents" -> ((s, dir) =>
       Profiling.profile(Tables.table(s, dir, "documents"))),
@@ -1131,6 +1133,64 @@ object SparkEntry {
     * and the connected-components (dedup_groups) oracle. */
   /** UNION-ALL per-column profile oracle (the Spark side is one Expand
     * scan; DuckDB re-scans per column — fine at oracle scale). */
+  /** Register-exact portable-HLL profile oracle: rebuilds the identical
+    * h60 m=64 register table per column (the hll_distinct CTE chain,
+    * keyed by column name) plus the null/row tallies. `kind` selects the
+    * portable rendering: "dbl" = micro-grid floor, "ts" = epoch micros,
+    * anything else = plain VARCHAR cast. */
+  private def portableProfileOracle(table: String,
+      cols: Seq[(String, String)]): String = {
+    val hashed = cols.map { case (c, kind) =>
+      val sv = kind match {
+        case "dbl" => s"CAST(CAST(floor($c * 1000000) AS BIGINT) AS VARCHAR)"
+        case "ts"  => s"CAST(epoch_us($c) AS VARCHAR)"
+        case _     => s"CAST($c AS VARCHAR)"
+      }
+      s"SELECT '$c' AS col, $sv AS sv FROM $table"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hashed AS (
+       |  $hashed
+       |), h AS (
+       |  SELECT col, CASE WHEN sv IS NULL THEN NULL
+       |    ELSE ('0x' || substr(md5(sv), 1, 15))::BIGINT END AS h FROM hashed
+       |), cells AS (
+       |  SELECT col,
+       |    CASE WHEN h IS NULL THEN -1 ELSE h % 64 END AS bucket,
+       |    count(*) AS cnt,
+       |    max(CASE WHEN h IS NULL THEN NULL
+       |        WHEN h // 64 = 0 THEN 55
+       |        ELSE 55 - length(bin(h // 64)) END) AS reg
+       |  FROM h GROUP BY 1, 2
+       |), tallies AS (
+       |  SELECT col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |    CAST(coalesce(sum(CASE WHEN bucket = -1 THEN cnt END), 0)
+       |      AS BIGINT) AS n_nulls
+       |  FROM cells GROUP BY 1
+       |), regs AS (
+       |  SELECT col, bucket, reg FROM cells WHERE bucket >= 0
+       |), per AS (
+       |  SELECT col, count(*) AS n_used, max(reg) AS max_reg
+       |  FROM regs GROUP BY 1
+       |), asm AS (
+       |  SELECT r.col, p.n_used, p.max_reg,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(p.max_reg - r.reg AS INT))
+       |      AS BIGINT) AS s_present
+       |  FROM regs r JOIN per p USING (col)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT t.col AS "column", t.n_nulls, t.n_rows,
+       |  CAST(64 - a.n_used AS BIGINT) AS v_zero,
+       |  a.max_reg,
+       |  a.s_present + (64 - a.n_used) *
+       |    (CAST(1 AS BIGINT) << CAST(a.max_reg AS INT)) AS s_num,
+       |  round(0.709 * 64 * 64 * pow(2.0, a.max_reg) /
+       |    CAST(a.s_present + (64 - a.n_used) *
+       |      (CAST(1 AS BIGINT) << CAST(a.max_reg AS INT)) AS DOUBLE), 6)
+       |    AS hll_est
+       |FROM tallies t LEFT JOIN asm a USING (col)
+       |ORDER BY "column"""".stripMargin
+  }
+
   private def profileOracle(table: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS "column",
@@ -3830,6 +3890,12 @@ object SparkEntry {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")),
+    "profile_lineitem_approx" -> portableProfileOracle("lineitem",
+      Seq("l_orderkey" -> "", "l_partkey" -> "", "l_suppkey" -> "",
+        "l_linenumber" -> "", "l_quantity" -> "dbl",
+        "l_extendedprice" -> "dbl", "l_discount" -> "dbl",
+        "l_tax" -> "dbl", "l_returnflag" -> "", "l_linestatus" -> "",
+        "l_shipdate" -> "ts")),
     "profile_documents" -> profileOracle("documents",
       Seq("doc_id", "text", "lang", "source", "n_chars")),
     // ts distinct-counts agree across engines because μs instants are

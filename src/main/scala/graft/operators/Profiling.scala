@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Schema-driven data profiling — the audit a pipeline runs on every new
@@ -35,9 +36,80 @@ object Profiling {
 
   /** The 100 TB variant: HLL++ distincts (bounded sketch state per
     * column across the shuffle), identical one-scan Expand plan —
-    * asserted in ProfilingSpec, not just claimed. */
+    * asserted in ProfilingSpec, not just claimed. Kept as the
+    * Spark-built-in form; the ORACLE-GATED sketch profile is
+    * [[profilePortable]], whose registers the oracle rebuilds exactly
+    * (HLL++'s bias-corrected state is not replayable cross-engine). */
   def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame =
     assemble(df, c => approx_count_distinct(col(c), rsd))
+
+  /** Register-exact portable-HLL profile — the sketch profile the
+    * correctness gate can hash: per column, nulls + rows + an m=2^b
+    * register HLL over the h60 portable hash, so the DuckDB oracle
+    * rebuilds the identical registers from the raw data and the
+    * estimate is one correctly-rounded IEEE divide over exact integers
+    * (the [[EventsOps.hllEstimate]] assembly, reused verbatim).
+    *
+    * Hash input per type is the repo's portable rendering: integers /
+    * strings / dates / decimals cast to string (identical text both
+    * engines), DOUBLE floored onto the 10⁻⁶ grid first (distincts are
+    * counted on the micro grid — the same convention the value-hash
+    * operators use), TIMESTAMP via epoch micros.
+    *
+    * Shape at 100 TB: ONE scan fans each row out to N tiny (column, h)
+    * structs (explode, not Expand — the fan-out collapses map-side:
+    * partial aggregation reduces to ≤ N·(m+1) groups per partition, so
+    * the shuffle carries register cells, never values); the cell
+    * relation is localCheckpoint'ed once and feeds both the null/row
+    * tallies and the register assembly — column-count-bounded work from
+    * there. EAGER note: the checkpoint runs the scan at construction
+    * time, the localCheckpointed-prefix convention. */
+  def profilePortable(df: DataFrame, b: Int = 6): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val m = 1 << b
+    val zeroRank = (61 - b).toLong
+    def keyExpr(f: StructField): Column = f.dataType match {
+      case DoubleType | FloatType =>
+        floor(col(f.name) * lit(1000000.0)).cast("long").cast("string")
+      case TimestampType => unix_micros(col(f.name)).cast("string")
+      // NTZ wall clocks are UTC instants engine-wide (Tables chokepoint):
+      // cast-to-instant under the pinned UTC session, then epoch micros —
+      // the same integer DuckDB's epoch_us reads off the parquet value
+      case TimestampNTZType =>
+        unix_micros(col(f.name).cast(TimestampType)).cast("string")
+      case _ => col(f.name).cast("string")
+    }
+    val entries = df.schema.fields.toIndexedSeq.map { f =>
+      struct(lit(f.name).as("column"), keyExpr(f).as("sv"))
+    }
+    val cells = df
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column").as("event_type"),
+        when(col("e.sv").isNull, lit(null).cast("long"))
+          .otherwise(h60(col("e.sv"))).as("h"))
+      .withColumn("bucket",
+        when(col("h").isNull, lit(-1L)).otherwise(pmod(col("h"), lit(m.toLong))))
+      .withColumn("rem", expr(s"h div $m"))
+      .withColumn("rho",
+        when(col("h").isNull, lit(null).cast("long"))
+          .when(col("rem") === 0, lit(zeroRank))
+          .otherwise(lit(zeroRank) - length(bin(col("rem")))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col("rho")).as("reg"))
+      .localCheckpoint()
+    val tallies = cells.groupBy("event_type")
+      .agg(sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("bucket") === -1L, col("cnt"))), lit(0L))
+          .as("n_nulls"))
+    val est = EventsOps.hllEstimate(
+      cells.filter(col("bucket") >= 0)
+        .select(col("event_type"), col("bucket"), col("reg")), b)
+    tallies.join(est, Seq("event_type"), "left")
+      .select(col("event_type").as("column"), col("n_nulls"),
+        col("n_rows"), col("v_zero"), col("max_reg"), col("s_num"),
+        col("hll_est"))
+      .orderBy(col("column"))
+  }
 
   private def assemble(df: DataFrame,
       distinctAgg: String => Column): DataFrame = {

@@ -55,4 +55,39 @@ class ProfilingSpec extends SparkSpec {
       assert((approx(c)._1, approx(c)._3) == (nulls, rows), c)
     }
   }
+
+  test("portable-HLL profiler: exact tallies, register-based error envelope, cell-only shuffle") {
+    val li = Tables.lineitem(spark, sf0001)
+    val m = 64
+    val port = Profiling.profilePortable(li).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6))).toMap
+    val exact = Profiling.profile(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    exact.foreach { case (c, (nulls, nd, rows)) =>
+      val (pNulls, pRows, vZero, est) = port(c)
+      assert((pNulls, pRows) == (nulls, rows), s"$c tallies")
+      // doubles are profiled on the micro grid (same distincts here);
+      // small cardinalities go through the driver-side linear-counting
+      // read of v_zero (the raw harmonic estimate is the portable,
+      // oracle-hashed artifact; corrections live where bit-portability
+      // no longer matters — the hllEstimate contract)
+      if (nd <= (2.5 * m).toLong) {
+        assert(vZero > 0, s"$c: small column with no empty registers")
+        val lc = m * math.log(m.toDouble / vZero)
+        assert(math.abs(lc - nd) <= math.max(2.0, 0.25 * nd),
+          s"$c: linear count $lc vs exact $nd")
+      } else {
+        assert(math.abs(est - nd) <= 0.5 * nd,
+          s"$c: portable HLL $est vs exact $nd (σ=13% at m=64)")
+      }
+    }
+    // scale shape: ONE scan; the shuffle exchange carries register
+    // cells (post partial-agg), never the exploded values — the
+    // partial HashAggregate must sit below the exchange
+    val plan = Profiling.profilePortable(li)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+  }
 }
