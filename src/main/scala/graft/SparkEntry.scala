@@ -862,6 +862,10 @@ object SparkEntry {
       Dedup.jaccardHistogramFrom(overlapFor(s, dir))),
     "line_dedup" -> ((s, dir) =>
       Dedup.lineDedup(Tables.documents(s, dir))),
+    // Lee et al. exact-substring dedup: the removable (doc_id, start,
+    // len) spans — union of duplicated length-20 token windows
+    "dup_substrings" -> ((s, dir) =>
+      Dedup.dupSubstrings(Tables.documents(s, dir))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -5520,6 +5524,47 @@ object SparkEntry {
         |SELECT j_micro // 100000 AS bucket, count(*) AS n_pairs,
         |  CAST(max(j_micro) AS BIGINT) AS max_j_micro
         |FROM jm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Lee et al. exact-substring spans: census every length-20 word
+    // window (0-based start to match posexplode), duplicated = its md5
+    // 60-bit hash occurs >= 2 times corpus-wide (same-doc repeats
+    // count), then per-doc interval union via gaps-and-islands (gap >
+    // 20 opens a new island)
+    "dup_substrings" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), grams0 AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 20
+        |    THEN list_transform(generate_series(1, len(w) - 19),
+        |      i -> struct_pack(pos := i - 1,
+        |        g := array_to_string(w[i:i+19], ' ')))
+        |    ELSE [] END AS gl FROM toks
+        |), census AS (
+        |  SELECT doc_id, unnest(gl, recursive := true) FROM grams0
+        |), hashed AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM census
+        |), dup AS (
+        |  SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2
+        |), ds AS (
+        |  SELECT doc_id, pos FROM hashed WHERE h IN (SELECT h FROM dup)
+        |), fl AS (
+        |  SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) > 20
+        |    THEN 1 ELSE 0 END AS nf FROM ds
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(nf) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM fl
+        |)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+        |  CAST(max(pos) + 20 - min(pos) AS BIGINT) AS len,
+        |  count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, start""".stripMargin,
 
     // C4-style corpus line dedup over fixed 8-token blocks; keeper = the
     // occurrence at the smallest (doc_id, block_idx). string_agg FILTER

@@ -980,4 +980,63 @@ object Dedup {
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** EXACT SUBSTRING dedup spans (the Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" family): per document,
+    * the maximal token spans removable because every token in them lies
+    * inside SOME length-`minLen` token window that occurs at least
+    * twice in the corpus (same-document repeats count, as in the
+    * ExactSubstr tool's suffix-array semantics). [[TextAnalysis
+    * .dupSpans]] measures COVERAGE; this emits the removable (doc_id,
+    * start, len) intervals themselves.
+    *
+    * Construction: census every length-`minLen` word-window occurrence
+    * (doc_id, pos, h60(window)); a start is DUPLICATED when its window
+    * hash occurs ≥ 2 times corpus-wide; per doc, the union of
+    * [p, p+minLen) over duplicated starts p is computed by
+    * gaps-and-islands (new island when the gap to the previous
+    * duplicated start exceeds minLen — adjacent/overlapping windows
+    * merge). Every reported span has len ≥ minLen and each of its
+    * tokens is part of a duplicated length-minLen substring — exact by
+    * construction, never a suffix array over the corpus. Window
+    * identity is the 60-bit portable hash (the digest-as-identity
+    * convention the whole dedup family carries; the oracle hashes the
+    * identical strings, so the candidate set matches bit-for-bit).
+    *
+    * Shape at 100 TB: the (doc, pos, h) census is one data-sized
+    * relation (ids+hash, never text); the duplicated-hash set is one
+    * hash-keyed aggregate + semi join back (AQE absorbs hot windows —
+    * they are precisely the duplicated ones, so no df-cut applies);
+    * the island window runs per doc over its own duplicated starts.
+    * minLen defaults to 20 tokens — the testdata documents average ~54
+    * tokens, so 20 plays the role Lee et al.'s 50 plays on web-scale
+    * pages; at production scale pass 50. */
+  def dupSubstrings(documents: DataFrame, minLen: Int = 20): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import graft.functions.WordShingles.word_ngrams
+    import org.apache.spark.sql.expressions.Window
+    val census = documents
+      .select(col("doc_id"),
+        posexplode(word_ngrams(normalize(col("text")), minLen))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), h60(col("g")).as("h"))
+    val dup = census.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    census.join(dup, Seq("h"), "left_semi")
+      .withColumn("nf",
+        when(col("pos") - lag(col("pos"), 1).over(w) > minLen, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("nf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("start"),
+        (max(col("pos")) + lit(minLen.toLong) - min(col("pos")))
+          .cast("long").as("len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("start"), col("len"), col("n_windows"))
+      .orderBy(col("doc_id"), col("start"))
+  }
 }

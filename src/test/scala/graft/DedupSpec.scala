@@ -328,4 +328,33 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 3L)) == ((10L, 6L, 17L, 0.990148)))
     assert(got((2L, 3L)) == ((3L, 1L, 17L, 0.727607)))
   }
+
+  test("dupSubstrings: cross-doc block found with exact offsets; overlapping windows merge") {
+    // tokens t0..t29 shared verbatim between docs 1 and 2 (doc 2 with a
+    // 5-token unique prefix), doc 3 disjoint. minLen=4 ⇒ duplicated
+    // window starts in doc 1 are 0..26 (27 windows, one island
+    // [0, 30)); in doc 2 the same block starts at 5 ⇒ [5, 35).
+    val block = (0 until 30).map(i => s"t$i").mkString(" ")
+    val d = docs(
+      1L -> block,
+      2L -> (s"u0 u1 u2 u3 u4 " + block),
+      3L -> (0 until 30).map(i => s"z$i").mkString(" "))
+    val got = Dedup.dupSubstrings(d, minLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 30L, 27L), (2L, 5L, 30L, 27L)))
+  }
+
+  test("dupSubstrings: same-doc repeats count, distant islands stay separate, short docs silent") {
+    // doc 1 repeats a 4-token phrase at starts 0 and 10 (gap 10 > 4 ⇒
+    // two islands of len 4 each — duplication is INTRA-doc, Lee
+    // semantics); doc 2 is shorter than minLen and emits nothing.
+    val d = docs(
+      1L -> "p q r s a b c d e f p q r s x y z w v u",
+      2L -> "p q")
+    val got = Dedup.dupSubstrings(d, minLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 4L, 1L), (1L, 10L, 4L, 1L)))
+    // empty corpus: no spans, no crash
+    assert(Dedup.dupSubstrings(docs(), minLen = 4).collect().isEmpty)
+  }
 }
