@@ -23,7 +23,9 @@ import graft.operators.EventsOps
  * NOTE on delivery: like the length-decile table, addition counts every
  * delivery — exactly-once feeding assumed (the foreachBatch contract
  * under checkpointed sources); pair with [[StreamDedup]] upstream when
- * the transport is at-least-once.
+ * the transport is at-least-once. EXECUTABLE in StreamBenfordSpec: a
+ * redelivered wave provably inflates the census, and the identity-gated
+ * chain provably restores the batch audit.
  */
 object StreamBenford {
 

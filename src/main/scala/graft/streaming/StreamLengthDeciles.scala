@@ -24,7 +24,9 @@ import graft.operators.TextAnalysis
  * NOTE on delivery: histogram addition counts every delivery, so this
  * table assumes exactly-once feeding (the foreachBatch contract under
  * checkpointed sources); pair it with [[StreamDedup]] upstream when the
- * transport is at-least-once.
+ * transport is at-least-once. EXECUTABLE in StreamLengthDecilesSpec:
+ * redelivery provably inflates the histogram; the identity-gated chain
+ * provably restores the batch report.
  */
 object StreamLengthDeciles {
 

@@ -26,6 +26,10 @@ import graft.operators.Sampling
  * fingerprint contribution), so this table assumes exactly-once feeding
  * (the foreachBatch contract under checkpointed sources); pair with
  * [[StreamDedup]] upstream when the transport is at-least-once.
+ * EXECUTABLE in StreamManifestSpec: redelivery provably double-counts
+ * the ADDs and provably cancels the redelivered docs out of the XOR
+ * receipt (the silent mode), and the identity-gated chain restores the
+ * batch manifest.
  */
 object StreamManifest {
 
