@@ -149,6 +149,24 @@ object SparkEntry {
         o
       })
 
+  private val dupStartsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The duplicated length-20-window start relation materialized ONCE
+    * per (SparkContext, corpus dir) — the family prefix under
+    * dup_substrings (span report) and dup_substrings_apply (cleaned
+    * corpus), which otherwise each re-census the L-gram windows. */
+  private def dupStartsFor(s: SparkSession, dir: String): DataFrame =
+    dupStartsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val p = Dedup.dupStarts(Tables.documents(s, dir), 20)
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        p
+      })
+
   private val positionsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
@@ -863,9 +881,15 @@ object SparkEntry {
     "line_dedup" -> ((s, dir) =>
       Dedup.lineDedup(Tables.documents(s, dir))),
     // Lee et al. exact-substring dedup: the removable (doc_id, start,
-    // len) spans — union of duplicated length-20 token windows
+    // len) spans — union of duplicated length-20 token windows — and
+    // the APPLY half emitting the cleaned corpus; both ride the
+    // memoized duplicated-starts prefix
     "dup_substrings" -> ((s, dir) =>
-      Dedup.dupSubstrings(Tables.documents(s, dir))),
+      Dedup.dupSubstrings(Tables.documents(s, dir),
+        starts = Some(dupStartsFor(s, dir)))),
+    "dup_substrings_apply" -> ((s, dir) =>
+      Dedup.dupSubstringsApply(Tables.documents(s, dir),
+        starts = Some(dupStartsFor(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -1152,6 +1176,15 @@ object SparkEntry {
       }
       s"SELECT '$c' AS col, $sv AS sv FROM $table"
     }.mkString("\n  UNION ALL ")
+    // tallies are per-column ungrouped aggregates (one row per column
+    // even on an EMPTY table — the schema-spine contract the exact
+    // profiler and EmptyInputSpec share); the register assembly LEFT
+    // JOINs onto them, so sketch state is NULL when no values exist
+    val tallies = cols.map { case (c, _) =>
+      s"""SELECT '$c' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(*) - count($c) AS BIGINT) AS n_nulls
+         |  FROM $table""".stripMargin
+    }.mkString("\n  UNION ALL ")
     s"""WITH hashed AS (
        |  $hashed
        |), h AS (
@@ -1166,10 +1199,7 @@ object SparkEntry {
        |        ELSE 55 - length(bin(h // 64)) END) AS reg
        |  FROM h GROUP BY 1, 2
        |), tallies AS (
-       |  SELECT col, CAST(sum(cnt) AS BIGINT) AS n_rows,
-       |    CAST(coalesce(sum(CASE WHEN bucket = -1 THEN cnt END), 0)
-       |      AS BIGINT) AS n_nulls
-       |  FROM cells GROUP BY 1
+       |  $tallies
        |), regs AS (
        |  SELECT col, bucket, reg FROM cells WHERE bucket >= 0
        |), per AS (
@@ -5565,6 +5595,56 @@ object SparkEntry {
         |  count(*) AS n_windows
         |FROM isl GROUP BY doc_id, isl
         |ORDER BY doc_id, start""".stripMargin,
+
+    // the APPLY half: same census/dup-starts CTEs, then every token at
+    // a position within 20 of the latest duplicated start at-or-before
+    // it is removed; cleaned text reassembled in token order
+    "dup_substrings_apply" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), grams0 AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 20
+        |    THEN list_transform(generate_series(1, len(w) - 19),
+        |      i -> struct_pack(pos := i - 1,
+        |        g := array_to_string(w[i:i+19], ' ')))
+        |    ELSE [] END AS gl FROM toks
+        |), census AS (
+        |  SELECT doc_id, unnest(gl, recursive := true) FROM grams0
+        |), hashed AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM census
+        |), dup AS (
+        |  SELECT h FROM hashed GROUP BY h HAVING count(*) >= 2
+        |), ds AS (
+        |  SELECT doc_id, pos FROM hashed WHERE h IN (SELECT h FROM dup)
+        |), tokpos0 AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(w)),
+        |    i -> struct_pack(pos := i - 1, tok := w[i])) AS tl FROM toks
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(tl, recursive := true) FROM tokpos0
+        |), cov AS (
+        |  SELECT t.doc_id, t.pos, t.tok,
+        |    max(CASE WHEN d.pos IS NOT NULL THEN t.pos END) OVER (
+        |      PARTITION BY t.doc_id ORDER BY t.pos
+        |      ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM tokpos t LEFT JOIN ds d
+        |    ON d.doc_id = t.doc_id AND d.pos = t.pos
+        |), kept AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM cov WHERE cs IS NULL OR cs + 20 <= pos GROUP BY 1
+        |), base AS (
+        |  SELECT doc_id, len(w) AS n_tokens FROM toks
+        |)
+        |SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(b.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // C4-style corpus line dedup over fixed 8-token blocks; keeper = the
     // occurrence at the smallest (doc_id, block_idx). string_agg FILTER

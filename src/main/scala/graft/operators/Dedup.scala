@@ -1011,10 +1011,14 @@ object Dedup {
     * minLen defaults to 20 tokens — the testdata documents average ~54
     * tokens, so 20 plays the role Lee et al.'s 50 plays on web-scale
     * pages; at production scale pass 50. */
-  def dupSubstrings(documents: DataFrame, minLen: Int = 20): DataFrame = {
+  /** The duplicated window-start relation (doc_id, pos) under
+    * [[dupSubstrings]] and [[dupSubstringsApply]] — exposed so
+    * SparkEntry can materialize it ONCE per corpus and fan both
+    * queries out from the same localCheckpoint (the postingsFor
+    * family-prefix pattern). */
+  def dupStarts(documents: DataFrame, minLen: Int = 20): DataFrame = {
     import graft.functions.PortableHash.h60
     import graft.functions.WordShingles.word_ngrams
-    import org.apache.spark.sql.expressions.Window
     val census = documents
       .select(col("doc_id"),
         posexplode(word_ngrams(normalize(col("text")), minLen))
@@ -1024,8 +1028,15 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     census.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+  }
+
+  def dupSubstrings(documents: DataFrame, minLen: Int = 20,
+      starts: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    starts.getOrElse(dupStarts(documents, minLen))
       .withColumn("nf",
         when(col("pos") - lag(col("pos"), 1).over(w) > minLen, 1L)
           .otherwise(0L))
@@ -1038,5 +1049,55 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("start"), col("len"), col("n_windows"))
       .orderBy(col("doc_id"), col("start"))
+  }
+
+  /** APPLY half of [[dupSubstrings]]: emit the cleaned corpus — per doc,
+    * the normalized token stream with every token covered by a
+    * duplicated length-`minLen` window REMOVED (the transform the Lee
+    * et al. ExactSubstr tool performs; `dupSubstrings` reports the
+    * spans, this executes them). Output text is in the census's own
+    * coordinate system, i.e. the normalized token stream — the same
+    * convention [[lineDedup]]'s reassembly uses.
+    *
+    * Coverage without a range join: the duplicated starts land on the
+    * token census by (doc, pos) equi join; a running max-start window
+    * per doc then marks pos covered iff the latest start at-or-before
+    * it is within minLen — one per-doc ordered pass, no interval
+    * explosion. Reassembly is the per-doc sort_array(collect_list)
+    * fold, bounded by doc length like every reassembly here.
+    *
+    * Shape at 100 TB: census + starts are the [[dupStarts]] relation
+    * (share it via the `starts` hook when both queries run); the token
+    * census is one data-sized explode that shuffles (id, pos, token)
+    * once on doc_id; everything downstream is per-doc-bounded. */
+  def dupSubstringsApply(documents: DataFrame, minLen: Int = 20,
+      starts: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = starts.getOrElse(dupStarts(documents, minLen))
+      .withColumn("is_start", lit(true))
+    val toks = documents
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = toks
+      .join(st, Seq("doc_id", "pos"), "left")
+      .withColumn("cs", max(when(col("is_start"), col("pos"))).over(w))
+      .filter(col("cs").isNull || col("cs") + minLen <= col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -104,10 +104,20 @@ object Profiling {
     val est = EventsOps.hllEstimate(
       cells.filter(col("bucket") >= 0)
         .select(col("event_type"), col("bucket"), col("reg")), b)
-    tallies.join(est, Seq("event_type"), "left")
-      .select(col("event_type").as("column"), col("n_nulls"),
-        col("n_rows"), col("v_zero"), col("max_reg"), col("s_num"),
-        col("hll_est"))
+    // schema-driven spine: like the exact profiler, one row PER COLUMN
+    // unconditionally — an empty table still reports every column with
+    // zero tallies (and NULL sketch state, mirroring the oracle's LEFT
+    // JOIN of an empty register assembly)
+    val spine = df.sparkSession
+      .createDataset(df.schema.fieldNames.toIndexedSeq)(
+        org.apache.spark.sql.Encoders.STRING)
+      .toDF("event_type")
+    spine.join(tallies, Seq("event_type"), "left")
+      .join(est, Seq("event_type"), "left")
+      .select(col("event_type").as("column"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("v_zero"), col("max_reg"), col("s_num"), col("hll_est"))
       .orderBy(col("column"))
   }
 

@@ -357,4 +357,27 @@ class DedupSpec extends SparkSpec {
     // empty corpus: no spans, no crash
     assert(Dedup.dupSubstrings(docs(), minLen = 4).collect().isEmpty)
   }
+
+  test("dupSubstringsApply removes exactly the spans dupSubstrings reports") {
+    // same corpus as the offsets test: doc 1 = t0..t29 (fully covered ⇒
+    // cleaned empty), doc 2 keeps only its 5-token unique prefix, doc 3
+    // untouched; counts reconcile with the span report
+    val block = (0 until 30).map(i => s"t$i").mkString(" ")
+    val d = docs(
+      1L -> block,
+      2L -> (s"u0 u1 u2 u3 u4 " + block),
+      3L -> (0 until 30).map(i => s"z$i").mkString(" "))
+    val got = Dedup.dupSubstringsApply(d, minLen = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "", 30L, 30L),
+      (2L, "u0 u1 u2 u3 u4", 35L, 30L),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" "), 30L, 0L)))
+    // removed token mass == span length mass, per doc
+    val spanMass = Dedup.dupSubstrings(d, minLen = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    got.foreach { case (id, _, _, removed) =>
+      assert(spanMass.getOrElse(id, 0L) == removed, s"doc $id mass")
+    }
+  }
 }
