@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
 /**
  * Engine-portable 60-bit hash: the first 15 hex chars of md5, read as an
@@ -12,21 +13,47 @@ import org.apache.spark.sql.types.LongType
  * everywhere (`('0x' || substr(md5(x),1,15))::BIGINT` on the DuckDB side).
  *
  * xxhash64 would be ~3× faster but is Spark-private; determinism across
- * engines is worth more here than the last nanoseconds — and md5 stays
- * codegen'd (built-in expression), so the operators remain scan-speed.
+ * engines is worth more here than the last nanoseconds. The extraction is
+ * a codegen'd byte-level StaticInvoke: first 8 digest bytes big-endian
+ * `>>> 4` ≡ first 15 hex nibbles — measured ~4× cheaper per row than the
+ * `conv(substring(md5_hex, 1, 15), 16, 10)` composition it replaces
+ * (the hex render + substring + base-16 reparse dominated the digest
+ * itself; profile_lineitem_approx's 11-hash scan made it visible).
  */
 object PortableHash {
 
-  /** Column form: h60(s) ∈ [0, 2^60). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Invoked from generated code — keep signature stable. First 60 bits
+    * of the md5 digest: bytes 0..7 big-endian, low nibble dropped —
+    * exactly `('0x' || substr(md5_hex, 1, 15))::BIGINT`. */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** Column form: h60(s) ∈ [0, 2^60); null in → null out like the md5
+    * builtin (StaticInvoke propagates null). Any input is rendered
+    * through the string cast first — the same bytes the old
+    * `md5(string)` form hashed. */
   def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    GraftBridge.toColumn(StaticInvoke(
+      PortableHash.getClass,
+      LongType,
+      "md5Prefix60",
+      Seq(Cast(Cast(GraftBridge.toExpression(c), StringType), BinaryType)),
+      Seq(BinaryType),
+      returnNullable = true))
 
   /** Driver-side twin — MUST stay bit-identical to [[h60]]. */
-  def h60String(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def h60String(s: String): Long = md5Prefix60(s.getBytes("UTF-8"))
 
   /** Deterministic pseudo-uniform hyperplane weight in [-1, 1) for
     * (plane, dim) — computed once on the driver, shipped as a literal. */

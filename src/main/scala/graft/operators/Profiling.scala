@@ -79,12 +79,14 @@ object Profiling {
         unix_micros(col(f.name).cast(TimestampType)).cast("string")
       case _ => col(f.name).cast("string")
     }
-    val entries = df.schema.fields.toIndexedSeq.map { f =>
-      struct(lit(f.name).as("column"), keyExpr(f).as("sv"))
+    // integer column ids ride the 6.6M-row explode; the name string
+    // joins back on the |columns|-row spine only
+    val entries = df.schema.fields.toIndexedSeq.zipWithIndex.map {
+      case (f, i) => struct(lit(i).as("cid"), keyExpr(f).as("sv"))
     }
     val cells = df
       .select(explode(array(entries: _*)).as("e"))
-      .select(col("e.column").as("event_type"),
+      .select(col("e.cid").as("event_type"),
         when(col("e.sv").isNull, lit(null).cast("long"))
           .otherwise(h60(col("e.sv"))).as("h"))
       .withColumn("bucket",
@@ -107,14 +109,17 @@ object Profiling {
     // schema-driven spine: like the exact profiler, one row PER COLUMN
     // unconditionally — an empty table still reports every column with
     // zero tallies (and NULL sketch state, mirroring the oracle's LEFT
-    // JOIN of an empty register assembly)
+    // JOIN of an empty register assembly); names re-attach here
     val spine = df.sparkSession
-      .createDataset(df.schema.fieldNames.toIndexedSeq)(
-        org.apache.spark.sql.Encoders.STRING)
-      .toDF("event_type")
+      .createDataset(df.schema.fieldNames.toIndexedSeq.zipWithIndex
+        .map { case (n, i) => (i, n) })(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.STRING))
+      .toDF("event_type", "column_name")
     spine.join(tallies, Seq("event_type"), "left")
       .join(est, Seq("event_type"), "left")
-      .select(col("event_type").as("column"),
+      .select(col("column_name").as("column"),
         coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         col("v_zero"), col("max_reg"), col("s_num"), col("hll_est"))
