@@ -949,6 +949,11 @@ object SparkEntry {
     // exact integer micro grid — bit-replayable from the centroid dump
     "ivf_margin" -> ((s, dir) =>
       Similarity.ivfMargin(Tables.embeddings(s, dir), centroidsFor(s, dir))),
+    // cluster-balanced subset selection: fixed h60-priority quota per
+    // IVF cell — every embedding mode represented regardless of mass
+    "diversity_sample" -> ((s, dir) =>
+      Similarity.diversitySample(Tables.embeddings(s, dir),
+        centroidsFor(s, dir))),
     // PQ codebook health: per (subspace, code) occupancy and mean
     // quantized cosine fidelity — bit-replayable from the codebook dump
     "pq_cell_stats" -> ((s, dir) =>
@@ -3081,6 +3086,21 @@ object SparkEntry {
         |  round(cos, 6) AS cos6
         |FROM eranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // cluster-balanced quota sample replayed from the write-time cell
+    // assignment: per IVF cell, the `quota` smallest h60 priorities
+    // (vec_id tiebreak) — the same deterministic-priority convention as
+    // priority_sample, stratified by the persisted quantizer state
+    "diversity_sample" ->
+      """SELECT c_id, CAST(r AS BIGINT) AS rank, vec_id, pr FROM (
+        |  SELECT cl.c_id, cl.vec_id,
+        |    ('0x' || substr(md5(CAST(cl.vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS pr,
+        |    row_number() OVER (PARTITION BY cl.c_id ORDER BY
+        |      ('0x' || substr(md5(CAST(cl.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      cl.vec_id) AS r
+        |  FROM read_parquet('__AUX__/ivf_cells/*.parquet') cl) t
+        |WHERE r <= 10 ORDER BY c_id, rank""".stripMargin,
 
     // quantized-integer margin replayed bit-for-bit from the centroid
     // dump: qx/qw are single-op micro floors, dots exact BIGINT sums,

@@ -1292,4 +1292,41 @@ object Similarity {
       .toDF("step", "vec_id", "rel_micro", "maxsim_micro", "mmr_scaled")
       .orderBy(col("step"))
   }
+
+  /** Cluster-stratified DIVERSITY sample — the cluster-balanced subset
+    * selection a curation pipeline runs after clustering (the SemDeDup /
+    * prototype-selection shape: raw hash sampling over-represents the
+    * corpus's dense regions, so sample a fixed `quota` per semantic
+    * cluster instead; every mode of the embedding distribution is
+    * represented regardless of its mass). Cells are the write-time IVF
+    * assignment ([[graft.functions.NearestCentroid]] over the persisted
+    * coarse quantizer — the same state `ann_ivf_topk` probes); within a
+    * cell, selection is the deterministic h60 priority (smallest first,
+    * vec_id tiebreak), the Duffield–Thorup convention the weighted
+    * sampler carries, so the subset is engine-reproducible bit-for-bit.
+    *
+    * Shape at 100 TB: cell assignment is map-side (centroids ride the
+    * plan as literals); per-cell selection is the bounded-heap
+    * [[graft.functions.TopKRows]] aggregate — ≤ quota rows per cell per
+    * partition cross the shuffle, never the cell's population (the
+    * group_topk lesson: a rank window would sort whole cells). Output
+    * is nCells·quota rows. */
+  def diversitySample(embeddings: DataFrame,
+      centroids: Array[Array[Double]], quota: Int = 10): DataFrame = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    import graft.functions.PortableHash.h60
+    import graft.functions.TopKRows.topk_rows
+    embeddings
+      .select(col("vec_id"),
+        nearest_centroid(col("embedding"), centroids).as("c_id"),
+        h60(col("vec_id").cast("string")).as("pr"))
+      // bottom-k by priority = top-k of the negated score (pr < 2^60,
+      // so negation is overflow-safe); ties to the smallest vec_id
+      .groupBy(col("c_id"))
+      .agg(topk_rows(-col("pr"), col("vec_id"), quota).as("top"))
+      .select(col("c_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("c_id"), (col("i") + 1).cast("long").as("rank"),
+        col("e.id").as("vec_id"), (-col("e.score")).as("pr"))
+      .orderBy(col("c_id"), col("rank"))
+  }
 }

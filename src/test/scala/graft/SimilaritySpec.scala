@@ -603,6 +603,31 @@ class SimilaritySpec extends SparkSpec {
       s"pair $k scored differently: exact=${exact(k)} lsh=${lsh(k)}"))
   }
 
+  test("diversitySample: fixed quota per cell regardless of mass; h60 order; window-free plan") {
+    import graft.functions.PortableHash.h60String
+    // 100-vector dense cluster vs 5-vector sparse one: raw sampling
+    // would hand the dense one 20× the representation; the stratified
+    // sample takes exactly `quota` from EACH cell, chosen by the
+    // driver-replayable h60 priority (smallest first, id tiebreak)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = ((0L until 100L).map(i => (i, Array(1.0f, 0.001f * i), 0)) ++
+      (100L until 105L).map(i => (i, Array(0.001f * i, 1.0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val df = Similarity.diversitySample(vecs, cents, quota = 3)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val byCell = got.groupBy(_._1)
+    assert(byCell.keySet == Set(0, 1))
+    assert(byCell(0).size == 3 && byCell(1).size == 3)
+    def expect(ids: Seq[Long]) =
+      ids.sortBy(i => (h60String(i.toString), i)).take(3)
+    assert(byCell(0).sortBy(_._2).map(_._3) == expect(0L until 100L))
+    assert(byCell(1).sortBy(_._2).map(_._3) == expect(100L until 105L))
+    // the group_topk lesson holds: bounded-heap aggregate, no Window sort
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "diversitySample must not sort whole cells through a rank window")
+  }
+
   test("hot-bucket guard bounds an adversarial common-direction cluster") {
     // 200 near-identical vectors land in the SAME (band, bv) buckets in
     // every band — the shape that makes the band self-join quadratic.
