@@ -954,6 +954,11 @@ object SparkEntry {
     "diversity_sample" -> ((s, dir) =>
       Similarity.diversitySample(Tables.embeddings(s, dir),
         centroidsFor(s, dir))),
+    // per-cluster corpus map: doc/char mass, dominant source + share,
+    // language spread — the read before acting on a clustering
+    "cluster_profile" -> ((s, dir) =>
+      Similarity.clusterProfile(Tables.embeddings(s, dir),
+        centroidsFor(s, dir), Tables.documents(s, dir))),
     // PQ codebook health: per (subspace, code) occupancy and mean
     // quantized cosine fidelity — bit-replayable from the codebook dump
     "pq_cell_stats" -> ((s, dir) =>
@@ -3101,6 +3106,41 @@ object SparkEntry {
         |      cl.vec_id) AS r
         |  FROM read_parquet('__AUX__/ivf_cells/*.parquet') cl) t
         |WHERE r <= 10 ORDER BY c_id, rank""".stripMargin,
+
+    // per-cluster corpus map off the write-time cell dump: exact
+    // BIGINT masses, dominant source = (count desc, source asc)
+    // election, share = integer micro floor
+    "cluster_profile" ->
+      """WITH cl AS (
+        |  SELECT vec_id AS doc_id, c_id
+        |  FROM read_parquet('__AUX__/ivf_cells/*.parquet')
+        |), j AS (
+        |  SELECT cl.c_id, d.source, d.lang, d.n_chars
+        |  FROM cl JOIN documents d USING (doc_id)
+        |), bysrc AS (
+        |  SELECT c_id, source, count(*) AS cnt,
+        |    CAST(sum(n_chars) AS BIGINT) AS ch
+        |  FROM j GROUP BY 1, 2
+        |), per AS (
+        |  SELECT c_id, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |    CAST(sum(ch) AS BIGINT) AS n_chars,
+        |    count(*) AS n_sources
+        |  FROM bysrc GROUP BY 1
+        |), top AS (
+        |  SELECT c_id, source AS top_source, cnt FROM (
+        |    SELECT c_id, source, cnt, row_number() OVER (
+        |      PARTITION BY c_id ORDER BY cnt DESC, source) AS r
+        |    FROM bysrc) t WHERE r = 1
+        |), lg AS (
+        |  SELECT c_id, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT p.c_id, p.n_docs, p.n_chars, p.n_sources,
+        |  t.top_source, t.cnt * 1000000 // p.n_docs
+        |    AS top_source_share_micro,
+        |  lg.n_langs
+        |FROM per p JOIN top t USING (c_id) JOIN lg USING (c_id)
+        |ORDER BY p.c_id""".stripMargin,
 
     // quantized-integer margin replayed bit-for-bit from the centroid
     // dump: qx/qw are single-op micro floors, dots exact BIGINT sums,

@@ -1311,6 +1311,49 @@ object Similarity {
     * partition cross the shuffle, never the cell's population (the
     * group_topk lesson: a rank window would sort whole cells). Output
     * is nCells·quota rows. */
+  /** Cluster-level CORPUS MAP — the per-cluster report a curation team
+    * reads before acting on a clustering (the Atlas/Nomic-style corpus
+    * cartography read): for every write-time IVF cell, its document
+    * mass, char mass, source mixture (dominant source + its share) and
+    * language spread, joining the cell assignment to the documents
+    * table on the vec_id ≡ doc_id identity the semantic-dedup family
+    * already carries.
+    *
+    * Determinism: counts and char sums are exact BIGINTs; the dominant
+    * source is a min(struct(-cnt, source)) argmax (count desc, then
+    * lexicographic — the ivfPurity election); its share is an integer
+    * micro floor. No floats anywhere.
+    *
+    * Shape at 100 TB: cell assignment is map-side; the metadata join is
+    * doc_id-keyed (AQE-broadcast when the embedding side is a probe);
+    * both aggregates are (cells × sources)- and cells-bounded. */
+  def clusterProfile(embeddings: DataFrame,
+      centroids: Array[Array[Double]], documents: DataFrame): DataFrame = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val cells = embeddings.select(col("vec_id").as("doc_id"),
+      nearest_centroid(col("embedding"), centroids).as("c_id"))
+    val joined = cells.join(
+      documents.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars")), Seq("doc_id"))
+    val bySource = joined.groupBy(col("c_id"), col("source"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("ch"))
+    val perCell = bySource.groupBy(col("c_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_docs"),
+        sum(col("ch")).cast("long").as("n_chars"),
+        count(lit(1)).as("n_sources"),
+        min(struct((-col("cnt")).as("neg"), col("source")))
+          .as("top"))
+    val langs = joined.groupBy(col("c_id"))
+      .agg(count_distinct(col("lang")).as("n_langs"))
+    perCell.join(langs, Seq("c_id"))
+      .select(col("c_id"), col("n_docs"), col("n_chars"),
+        col("n_sources"), col("top.source").as("top_source"),
+        expr("(-top.neg) * 1000000 div n_docs")
+          .as("top_source_share_micro"),
+        col("n_langs"))
+      .orderBy(col("c_id"))
+  }
+
   def diversitySample(embeddings: DataFrame,
       centroids: Array[Array[Double]], quota: Int = 10): DataFrame = {
     import graft.functions.NearestCentroid.nearest_centroid

@@ -603,6 +603,26 @@ class SimilaritySpec extends SparkSpec {
       s"pair $k scored differently: exact=${exact(k)} lsh=${lsh(k)}"))
   }
 
+  test("clusterProfile: exact masses, count-desc/lex source election, language spread") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.8f, 0.0f), 0),
+      (10L, Array(0.0f, 1.0f), 0), (11L, Array(0.1f, 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq(
+      (1L, "a", "en", "web", 100L), (2L, "b", "fr", "web", 50L),
+      (3L, "c", "en", "books", 30L),
+      // cell 1: count TIE between web and books → lexicographic win
+      (10L, "d", "en", "web", 7L), (11L, "e", "en", "books", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Similarity.clusterProfile(vecs, cents, docs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(0) == ((3L, 180L, 2L, "web", 666666L, 2L)))
+    assert(got(1) == ((2L, 10L, 2L, "books", 500000L, 1L)))
+  }
+
   test("diversitySample: fixed quota per cell regardless of mass; h60 order; window-free plan") {
     import graft.functions.PortableHash.h60String
     // 100-vector dense cluster vs 5-vector sparse one: raw sampling
