@@ -1079,6 +1079,8 @@ object SparkEntry {
       Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
     "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(
       Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+    "kn_perplexity" -> ((s, dir) => TextAnalysis.knPerplexity(
+      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
     "gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(
       Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
     "hybrid_rrf" -> ((s, dir) =>
@@ -6843,6 +6845,56 @@ object SparkEntry {
         |  CASE WHEN coalesce(p.n, 0) > 0
         |    THEN round(CAST(p.lp AS DOUBLE) / p.n, 6)
         |    ELSE 0.0 END AS avg_logprob_micro6
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // interpolated Kneser–Ney (D = 3/4): per seen bigram,
+    // P = ((4c−3)·NB + 3·F1·P2) / (4·CW·NB) assembled in DOUBLE with
+    // the IDENTICAL expression tree as the Spark side (each op one
+    // correctly-rounded IEEE step), ln micro-floored BEFORE the per-doc
+    // sum — the lm_perplexity determinism contract
+    "kn_perplexity" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), big AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1),
+        |         i -> w[i] || ' ' || w[i+1])
+        |    ELSE [] END) AS b FROM toks
+        |), tf AS (
+        |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM big GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT b, CAST(sum(tf) AS BIGINT) AS cb,
+        |    split_part(b, ' ', 1) AS w1,
+        |    split_part(b, ' ', 2) AS w2 FROM tf GROUP BY 1
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(cb) AS BIGINT) AS cw,
+        |    CAST(count(*) AS BIGINT) AS n1f FROM lm GROUP BY 1
+        |), pred AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS nprec FROM lm GROUP BY 1
+        |), nb AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nbig FROM lm
+        |), per AS (
+        |  SELECT doc_id,
+        |    CAST(sum(tf * CAST(floor(ln(
+        |      ((4.0 * CAST(cb AS DOUBLE) - 3.0) * CAST(nbig AS DOUBLE)
+        |        + 3.0 * CAST(n1f AS DOUBLE) * CAST(nprec AS DOUBLE)) /
+        |      (4.0 * CAST(cw AS DOUBLE) * CAST(nbig AS DOUBLE))) * 1000000.0)
+        |    AS BIGINT)) AS BIGINT) AS lp,
+        |    CAST(sum(tf) AS BIGINT) AS n
+        |  FROM tf JOIN lm USING (b) JOIN ctx USING (w1) JOIN pred USING (w2)
+        |  CROSS JOIN nb
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(p.lp, 0) AS BIGINT) AS kn_logprob_micro,
+        |  CASE WHEN coalesce(p.n, 0) > 0
+        |    THEN round(CAST(p.lp AS DOUBLE) / p.n, 6)
+        |    ELSE 0.0 END AS avg_kn_logprob_micro6
         |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

