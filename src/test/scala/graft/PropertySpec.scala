@@ -591,4 +591,107 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dupSubstrings equals the scalar span oracle on random small-vocab corpora") {
+    import graft.operators.Dedup
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val L = 3
+    val genDoc = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    (1 to 5).foreach { i =>
+      val texts = Gen.listOfN(12, genDoc)
+        .apply(Gen.Parameters.default, Seed(1300L + i)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      // scalar oracle: windows, corpus-wide occurrence counts,
+      // duplicated starts, gaps-and-islands — independently recomputed
+      val wins = docs.flatMap { case (id, t) =>
+        val w = t.split(" ").filter(_.nonEmpty).toSeq
+        if (w.length < L) Seq.empty
+        else w.sliding(L).zipWithIndex
+          .map { case (g, p) => (id, p, g.mkString(" ")) }.toSeq
+      }
+      val dup = wins.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val want = wins.filter(w => dup(w._3))
+        .groupBy(_._1).toSeq.flatMap { case (id, ws) =>
+          val ps = ws.map(_._2).sorted
+          val islands = ps.tail.foldLeft(List(List(ps.head))) {
+            case (acc @ (cur :: rest), p) =>
+              if (p - cur.head > L) List(p) :: acc
+              else (p :: cur) :: rest
+            case (Nil, p) => List(List(p))
+          }.map(_.reverse).reverse
+          islands.map(isl => (id, isl.head.toLong,
+            (isl.last + L - isl.head).toLong, isl.size.toLong))
+        }.sortBy(s => (s._1, s._2))
+      val got = Dedup.dupSubstrings(docs.toDF("doc_id", "text"), L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == want, s"seed ${1300 + i}")
+      // structural invariants: len ≥ L, in-bounds, strictly disjoint
+      val nToks = docs.map { case (id, t) =>
+        id -> t.split(" ").count(_.nonEmpty) }.toMap
+      got.groupBy(_._1).foreach { case (id, spans) =>
+        spans.foreach { case (_, st, len, _) =>
+          assert(len >= L && st >= 0 && st + len <= nToks(id)) }
+        spans.sliding(2).foreach {
+          case Seq((_, s1, l1, _), (_, s2, _, _)) => assert(s2 > s1 + l1)
+          case _ => ()
+        }
+      }
+      // the apply half removes exactly the span mass, doc by doc
+      val removed = Dedup
+        .dupSubstringsApply(docs.toDF("doc_id", "text"), L)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val spanMass = got.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      docs.foreach { case (id, _) =>
+        assert(removed(id) == spanMass.getOrElse(id, 0L), s"doc $id mass")
+      }
+    }
+  }
+
+  test("knPerplexity invariants: every log-prob ≤ 0; seen mass per context ≤ 1") {
+    import graft.operators.TextAnalysis
+    val vocab = Vector("x", "y", "z", "w", "v")
+    val genDoc = for {
+      n <- Gen.choose(2, 25)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    (1 to 3).foreach { i =>
+      val texts = Gen.listOfN(10, genDoc)
+        .apply(Gen.Parameters.default, Seed(1400L + i)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val got = TextAnalysis.knPerplexity(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      got.foreach { case (n, lp) =>
+        assert(lp <= 0L, "KN probabilities are ≤ 1, so log mass is ≤ 0")
+        assert((n == 0L) == (lp == 0L) || lp < 0L)
+      }
+      // scalar model: per context, discounted seen mass + backoff mass
+      // spent on SEEN followers never exceeds 1 (the rest is reserved
+      // for unseen continuations — the point of the discount)
+      val bigs = docs.flatMap { case (_, t) =>
+        val w = t.split(" ").filter(_.nonEmpty)
+        w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq }
+      val cb = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nb = cb.size.toLong
+      val byW1 = cb.keys.groupBy(_.split(" ")(0))
+      val nprec = cb.keys.groupBy(_.split(" ")(1)).view
+        .mapValues(_.size.toLong).toMap
+      byW1.foreach { case (_, fset) =>
+        // keys come off a set — materialize to a Seq BEFORE mapping to
+        // counts/probabilities, or equal values silently dedupe
+        val followers = fset.toSeq
+        val cw = followers.map(cb).sum
+        val f1 = followers.size.toLong
+        val mass = followers.map { b =>
+          val p2 = nprec(b.split(" ")(1))
+          ((4.0 * cb(b) - 3.0) * nb + 3.0 * f1 * p2) / (4.0 * cw * nb)
+        }.sum
+        assert(mass <= 1.0 + 1e-9, s"seen mass $mass exceeds 1")
+      }
+    }
+  }
 }
