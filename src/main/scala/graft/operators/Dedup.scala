@@ -1011,12 +1011,19 @@ object Dedup {
     * minLen defaults to 20 tokens — the testdata documents average ~54
     * tokens, so 20 plays the role Lee et al.'s 50 plays on web-scale
     * pages; at production scale pass 50. */
+  /** A duplicated-starts relation TAGGED with the window length it was
+    * built under. The span/coverage arithmetic downstream is only
+    * correct for this exact `minLen`, so the length travels with the
+    * relation — a caller can no longer pair a memoized starts relation
+    * with a different length and get silently wrong span lengths. */
+  final case class DupStarts(rel: DataFrame, minLen: Int)
+
   /** The duplicated window-start relation (doc_id, pos) under
     * [[dupSubstrings]] and [[dupSubstringsApply]] — exposed so
     * SparkEntry can materialize it ONCE per corpus and fan both
     * queries out from the same localCheckpoint (the postingsFor
     * family-prefix pattern). */
-  def dupStarts(documents: DataFrame, minLen: Int = 20): DataFrame = {
+  def dupStarts(documents: DataFrame, minLen: Int = 20): DupStarts = {
     import graft.functions.PortableHash.h60
     import graft.functions.WordShingles.word_ngrams
     val census = documents
@@ -1028,23 +1035,25 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("h"))
-    census.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"))
+    DupStarts(census.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos")), minLen)
   }
 
   def dupSubstrings(documents: DataFrame, minLen: Int = 20,
-      starts: Option[DataFrame] = None): DataFrame = {
+      starts: Option[DupStarts] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ds = starts.getOrElse(dupStarts(documents, minLen))
+    val L = ds.minLen
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    starts.getOrElse(dupStarts(documents, minLen))
+    ds.rel
       .withColumn("nf",
-        when(col("pos") - lag(col("pos"), 1).over(w) > minLen, 1L)
+        when(col("pos") - lag(col("pos"), 1).over(w) > L, 1L)
           .otherwise(0L))
       .withColumn("isl", sum(col("nf")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("pos")).cast("long").as("start"),
-        (max(col("pos")) + lit(minLen.toLong) - min(col("pos")))
+        (max(col("pos")) + lit(L.toLong) - min(col("pos")))
           .cast("long").as("len"),
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("start"), col("len"), col("n_windows"))
@@ -1071,10 +1080,11 @@ object Dedup {
     * census is one data-sized explode that shuffles (id, pos, token)
     * once on doc_id; everything downstream is per-doc-bounded. */
   def dupSubstringsApply(documents: DataFrame, minLen: Int = 20,
-      starts: Option[DataFrame] = None): DataFrame = {
+      starts: Option[DupStarts] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val st = starts.getOrElse(dupStarts(documents, minLen))
-      .withColumn("is_start", lit(true))
+    val ds = starts.getOrElse(dupStarts(documents, minLen))
+    val L = ds.minLen
+    val st = ds.rel.withColumn("is_start", lit(true))
     val toks = documents
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
@@ -1083,7 +1093,7 @@ object Dedup {
     val kept = toks
       .join(st, Seq("doc_id", "pos"), "left")
       .withColumn("cs", max(when(col("is_start"), col("pos"))).over(w))
-      .filter(col("cs").isNull || col("cs") + minLen <= col("pos"))
+      .filter(col("cs").isNull || col("cs") + L <= col("pos"))
       .groupBy(col("doc_id"))
       .agg(expr("array_join(transform(array_sort(" +
           "collect_list(struct(pos, tok))), x -> x.tok), ' ')")

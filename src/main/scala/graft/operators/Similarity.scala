@@ -1051,6 +1051,95 @@ object Similarity {
           .otherwise(0L).as("q_l1"))
       .orderBy(col("vec_id"))
 
+  /** The int8 CODE VECTOR under [[quantizeInt8]]'s audit — the
+    * write-time state the SQ8 serving tier stores per vector:
+    * q_i = round(x_i·127/max|x|), round half-away-from-zero, zero
+    * vectors to all-zero codes. Long-typed elements so downstream dot
+    * products stay in exact BIGINT arithmetic. The identical expression
+    * produces the `sq8_codes` aux dump and the query-time codes in
+    * [[annIvfSq]], so the two cannot drift. */
+  def sq8Codes(emb: Column): Column = {
+    val maxabs = aggregate(emb, lit(0.0),
+      (a, x) => greatest(a, abs(x.cast("double"))))
+    transform(emb, x =>
+      when(maxabs > 0.0,
+        round(x.cast("double") * lit(127.0) / maxabs, 0).cast("long"))
+        .otherwise(lit(0L)))
+  }
+
+  /** IVF-SQ8 search — the scalar-quantized sibling of [[annIvfPq]],
+    * completing the FAISS serving trio (flat / PQ / SQ): the coarse
+    * quantizer routes each query to its `nProbe` cells, and candidates
+    * there are scored from their per-vector int8 codes ALONE — the
+    * full float vectors are never touched at query time. Under the
+    * symmetric per-vector scale (max|x|/127) the scale CANCELS in the
+    * cosine, so the score is the integer-grid cosine of the code
+    * vectors themselves: Σ qqᵢ·qcᵢ / (√Σqqᵢ²·√Σqcᵢ²). Numerator and
+    * both norm² sums are exact BIGINTs (|q|≤127, d=64 ⇒ every sum
+    * < 2³⁰, no accumulation-order hazard), the denominator crosses two
+    * correctly-rounded sqrts and one multiply, the score one divide —
+    * the oracle replays every comparison bit-for-bit from the
+    * `__AUX__/sq8_codes` dump. Zero-norm codes sink to −1e308 (total
+    * order); ties to the lowest vec_id.
+    *
+    * Scale shape: ONE corpus scan; the cell id and the 64 int8 codes
+    * are map-side codegen'd projections here (a real deployment reads
+    * them from the write-time index — exactly what the gate's oracle
+    * does); the probe join broadcasts nProbe·|queries| rows carrying
+    * the query's own codes; the only shuffle is the per-query top-k
+    * window at probed-candidate cardinality. */
+  def annIvfSq(embeddings: DataFrame, cents: Array[Array[Double]],
+      queryIds: Seq[Long] = 0L to 4L, k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val coded = embeddings.select(col("vec_id"), col("embedding"),
+      sq8Codes(col("embedding")).as("codes"))
+      .withColumn("n2",
+        aggregate(col("codes"), lit(0L), (s, q) => s + q * q))
+    // query codes come from the SAME Spark expression (collected, not
+    // recomputed on the driver) — round-half-away-from-zero portability
+    // is the engine's problem exactly once
+    val qRows = coded.filter(col("vec_id").isin(queryIds: _*)).collect()
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val qCodes = r.getSeq[Long](2)
+      val qN2 = r.getLong(3)
+      val probes = cents.indices.map { c =>
+        val s = if (cnorms(c) != 0.0)
+          cents(c).zip(q).map { case (a, b) => a * b }.sum / cnorms(c)
+        else Double.NegativeInfinity
+        (s, c)
+      }.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+      probes.map(c => (qid, c, qCodes, qN2))
+    }
+    val probesDf = broadcast(
+      probeRows.toDF("query_id", "c_id", "q_codes", "q_n2"))
+    val assigned = coded.select(col("vec_id"), col("codes"), col("n2"),
+      nearest_centroid(col("embedding"), cents).as("c_id"))
+    val num = aggregate(
+      zip_with(col("q_codes"), col("codes"), (a, b) => a * b),
+      lit(0L), (s, x) => s + x)
+    val denom = sqrt(col("q_n2").cast("double")) *
+      sqrt(col("n2").cast("double"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq").desc, col("vec_id"))
+    assigned
+      .join(probesDf, "c_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sq",
+        when(col("q_n2") > 0L && col("n2") > 0L,
+          num.cast("double") / denom).otherwise(lit(-1e308)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sq"), 6).as("sq6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Reciprocal-kNN (mutual nearest neighbor) pair mining — the
     * high-precision near-duplicate / paraphrase miner: an unordered pair
     * (a, b) survives only when EACH side ranks the other inside its own

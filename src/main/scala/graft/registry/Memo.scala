@@ -1,0 +1,548 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Cross-query memoized prefixes, shared SQL constants and oracle CTE
+  * builders — extracted verbatim from SparkEntry (round 11 split).
+  * One process = one Bench/Verify run, so memo lifetime is the
+  * process; see the pinning note on [[pinnedRddIds]]. */
+private[graft] object Memo {
+  // Filter range for the events-table trends queries: interior of the
+  // generated Jan-2024 span at every scale factor, bounds inclusive
+  // (reference semantics, trends/listing/service.go:56-57).
+  private[graft] val TrendsFrom = "2024-01-05 00:00:00"
+  private[graft] val TrendsTo = "2024-01-25 00:00:00"
+
+  // Written in the common Spark∩DuckDB dialect: these strings are BOTH
+  // the oracle and (via the `*_sql` entries) the Spark query itself —
+  // one piece of SQL, two engines, hash-matched (graft.Sql parity).
+  private[graft] val Q1PricingSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private[graft] val Q6ForecastSql =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= CAST(0.02 AS DOUBLE) AND l_discount <= CAST(0.04 AS DOUBLE)
+      |  AND l_quantity < 10""".stripMargin
+
+  // ── Cross-query memo (one process = one Bench/Verify run) ──
+  /** Checkpoint RDD ids the per-query unpersist sweep in Bench/Verify
+    * must SKIP: the memoized relations below are consumed by several
+    * queries in the same process (dedup_groups, dedup_groups_best and
+    * leakage_safe_split all start from one LSH+CC groups prefix) — a
+    * localCheckpoint has truncated lineage, so sweeping its blocks would
+    * strand every later reader, not just waste a recompute. */
+  val pinnedRddIds: java.util.Set[Integer] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
+  private[graft] val groupsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Double), DataFrame]()
+
+  private[graft] val centroidsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Array[Array[Double]]]()
+
+  private[graft] val bandStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+
+  /** Banded LSH index persisted ONCE per (SparkContext, corpus dir) via
+    * `EmbeddingStore.writeBanded` — the write-time state the
+    * cross-corpus semantic check probes. The indexed corpus is the
+    * store split the gated query checks against (vec_id ≢ 0 mod 5);
+    * queries pay only the batch-side signatures + the probe. */
+  private[graft] def bandStoreFor(s: SparkSession, dir: String): String =
+    bandStoreMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_emb_index").toString
+        graft.store.EmbeddingStore.writeBanded(
+          Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          path)
+        path
+      })
+
+  /** IVF centroids trained ONCE per (SparkContext, corpus dir) — the
+    * write-time clustering (`store.EmbeddingStore`); the `ann_ivf_topk`
+    * serving path probes them without re-training, mirroring how a real
+    * index is built on ingest and read by every query. Driver-sized
+    * (nCentroids × dims doubles), so no RDD pinning involved. */
+  private[graft] def centroidsFor(s: SparkSession,
+      dir: String): Array[Array[Double]] =
+    centroidsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir),
+      _ => Similarity.kmeansCentroids(Tables.embeddings(s, dir)))
+
+  private[graft] val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Array[Array[Array[Double]]]]()
+
+  /** PQ codebooks fit ONCE per (SparkContext, corpus dir) — the
+    * write-time quantizer state the encode query and the aux dump
+    * share, same lifecycle as [[centroidsFor]]. */
+  private[graft] def pqFor(s: SparkSession,
+      dir: String): Array[Array[Array[Double]]] =
+    pqMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir),
+      _ => Similarity.pqCodebooks(Tables.embeddings(s, dir)))
+
+  private[graft] val postingsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private[graft] val overlapMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, shingle) postings table shingled ONCE per
+    * (SparkContext, corpus dir) and localCheckpointed — the family
+    * prefix under ngram_jaccard_pairs, containment_pairs and
+    * minhash_lsh_pairs, which otherwise each re-tokenize the corpus
+    * (the bm25 exchange-reuse lesson applied ACROSS queries: share the
+    * materialization, not just the plan subtree). */
+  private[graft] def postingsFor(s: SparkSession, dir: String): DataFrame =
+    postingsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val p = Dedup.postings(Tables.documents(s, dir), 3)
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        p
+      })
+
+  /** The candidate-overlap relation (pairs + shared-shingle counts +
+    * sizes) computed ONCE over [[postingsFor]] — the jaccard and
+    * containment scorers differ only ABOVE this generator. */
+  private[graft] def overlapFor(s: SparkSession, dir: String): DataFrame =
+    overlapMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val o = Dedup.overlapWithSizesFrom(postingsFor(s, dir))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        o
+      })
+
+  private[graft] val dupStartsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Dedup.DupStarts]()
+
+  /** The duplicated length-20-window start relation materialized ONCE
+    * per (SparkContext, corpus dir) — the family prefix under
+    * dup_substrings (span report) and dup_substrings_apply (cleaned
+    * corpus), which otherwise each re-census the L-gram windows. The
+    * window length travels inside [[Dedup.DupStarts]], so both
+    * consumers are structurally pinned to the length the census was
+    * built under. */
+  private[graft] def dupStartsFor(s: SparkSession, dir: String): Dedup.DupStarts =
+    dupStartsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val d = Dedup.dupStarts(Tables.documents(s, dir), 20)
+        val p = d.copy(rel = d.rel.localCheckpoint(true))
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        p
+      })
+
+  private[graft] val positionsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, pos, sh) word-trigram OCCURRENCE census tokenized ONCE
+    * per (SparkContext, corpus dir) and localCheckpointed — the
+    * positions-bearing sibling of [[postingsFor]], the family prefix
+    * under winnow_pairs and dup_spans (both need positions, so they can
+    * never join the distinct postings prefix; before this memo each
+    * re-ran normalize + the trigram posexplode over the corpus). */
+  private[graft] def positionsFor(s: SparkSession, dir: String): DataFrame =
+    positionsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        import graft.functions.TextOps.normalize
+        import graft.functions.WordShingles.word_ngrams
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val p = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(word_ngrams(normalize(col("text")), 3))
+              .as(Seq("pos", "sh")))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        p
+      })
+
+  private[graft] val docBucketsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, bucket) corpus-order decile relation ranked ONCE per
+    * (SparkContext, corpus dir) and localCheckpointed — the family
+    * prefix under vocab_growth and ngram_growth, which rank the SAME
+    * doc relation into the SAME ten arrival buckets; before this memo
+    * each curve re-ran the closed-form ranker's stats + histogram +
+    * checkpoint passes (the round-7 bench regression: 0.72→1.62 s /
+    * 0.66→1.28 s when the curves moved off the global-ntile window). */
+  private[graft] def docBucketsFor(s: SparkSession, dir: String): DataFrame =
+    docBucketsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val b = graft.operators.Ranks.withNtileBucket(
+          Tables.documents(s, dir).select(col("doc_id")),
+          10, col("doc_id"), Nil, "bucket")
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        b
+      })
+
+  private[graft] val bigramsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, b) word-bigram OCCURRENCE table tokenized ONCE per
+    * (SparkContext, corpus dir) and localCheckpointed — the family
+    * prefix under lm_perplexity, lm_coverage, dsir_weights,
+    * gopher_repetition and bigram_pmi, which otherwise each re-run
+    * normalize + the bigram explode over the corpus (the postingsFor
+    * lesson applied to the bigram family: one tokenize, many readers;
+    * distinct-per-doc and hashed-bucket views all DERIVE from the
+    * occurrence table). */
+  private[graft] def bigramsFor(s: SparkSession, dir: String): DataFrame =
+    bigramsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        import graft.functions.TextOps.normalize
+        import graft.functions.WordShingles.word_ngrams
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val b = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        b
+      })
+
+  private[graft] val tokensMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, tok) word-token OCCURRENCE table tokenized ONCE per
+    * (SparkContext, corpus dir) and localCheckpointed — the unigram
+    * sibling of [[bigramsFor]], the family prefix under the vocabulary/
+    * richness/tf-idf consumers. Corpus-level, per-source (via a
+    * broadcast doc→source join) and per-doc census views all DERIVE
+    * from the occurrence table. */
+  private[graft] def tokensFor(s: SparkSession, dir: String): DataFrame =
+    tokensMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        import graft.functions.TextOps.tokens
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        t
+      })
+
+  private[graft] val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (Seq[(Long, String, Long)], DataFrame)]()
+
+  /** BPE training (merge table + final rewritten corpus) run ONCE per
+    * (SparkContext, corpus dir) — `bpe_merges` serves the table,
+    * `bpe_encode` the per-doc encodings, off one training run (the
+    * dedup-family prefix pattern: share the materialization). The final
+    * corpus stays persisted (bpeTrain's own persist) and its blocks are
+    * pinned against the per-query sweep; its lineage is only `steps`
+    * chained replaces off the scan, so an eviction costs one replay,
+    * not a quadratic loop. */
+  private[graft] def bpeFor(s: SparkSession,
+      dir: String): (Seq[(Long, String, Long)], DataFrame) =
+    bpeMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val (learned, fin) =
+          TextAnalysis.bpeTrain(Tables.documents(s, dir), 5)
+        fin.count() // materialize before pinning
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        (learned, fin)
+      })
+
+  private[graft] val fracMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The graded-decontamination fraction relation computed ONCE per
+    * (SparkContext, corpus dir) — `decontaminate_frac` serves it
+    * directly and `contamination_deciles` rolls it up, off one scoring
+    * run (the dedup-family prefix pattern). */
+  private[graft] def fracFor(s: SparkSession, dir: String): DataFrame =
+    fracMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val f = TextAnalysis
+          .decontaminationFraction(Tables.documents(s, dir))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        f
+      })
+
+  /** Near-dup groups (Dedup.dedupGroups) computed ONCE per
+    * (SparkContext, corpus dir, threshold) and localCheckpointed — the
+    * production shape: run the expensive LSH + connected-components
+    * prefix once, then serve every downstream consumer (keep-best,
+    * leakage-safe split, the groups listing itself) from the
+    * materialized result. All checkpoint blocks the build creates are
+    * pinned against the sweep. */
+  private[graft] val lshCandMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The distinct LSH band-collision candidate relation built ONCE per
+    * (SparkContext, corpus dir) over [[postingsFor]] — the 64-hash
+    * signature build is the expensive half of the minhash gate, and
+    * both `minhash_lsh_pairs` (verify stage) and `blocking_quality`
+    * (candidate counting) consume the same relation. */
+  private[graft] def lshCandidatesFor(s: SparkSession, dir: String): DataFrame =
+    lshCandMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val c = Dedup.lshCandidatesFrom(postingsFor(s, dir))
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        c
+      })
+
+  private[graft] def groupsFor(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    groupsMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir, threshold), _ => {
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val g = Dedup.dedupGroups(Tables.documents(s, dir), threshold)
+          .localCheckpoint(true)
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => pinnedRddIds.add(id))
+        g
+      })
+
+  /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
+    * `pairs(id_a, id_b, jaccard6)` relation — shared by the pairs oracle
+    * and the connected-components (dedup_groups) oracle. */
+  /** UNION-ALL per-column profile oracle (the Spark side is one Expand
+    * scan; DuckDB re-scans per column — fine at oracle scale). */
+  /** Register-exact portable-HLL profile oracle: rebuilds the identical
+    * h60 m=64 register table per column (the hll_distinct CTE chain,
+    * keyed by column name) plus the null/row tallies. `kind` selects the
+    * portable rendering: "dbl" = micro-grid floor, "ts" = epoch micros,
+    * anything else = plain VARCHAR cast. */
+  private[graft] def portableProfileOracle(table: String,
+      cols: Seq[(String, String)]): String = {
+    val hashed = cols.map { case (c, kind) =>
+      val sv = kind match {
+        case "dbl" => s"CAST(CAST(floor($c * 1000000) AS BIGINT) AS VARCHAR)"
+        case "ts"  => s"CAST(epoch_us($c) AS VARCHAR)"
+        case _     => s"CAST($c AS VARCHAR)"
+      }
+      s"SELECT '$c' AS col, $sv AS sv FROM $table"
+    }.mkString("\n  UNION ALL ")
+    // tallies are per-column ungrouped aggregates (one row per column
+    // even on an EMPTY table — the schema-spine contract the exact
+    // profiler and EmptyInputSpec share); the register assembly LEFT
+    // JOINs onto them, so sketch state is NULL when no values exist
+    val tallies = cols.map { case (c, _) =>
+      s"""SELECT '$c' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(*) - count($c) AS BIGINT) AS n_nulls
+         |  FROM $table""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hashed AS (
+       |  $hashed
+       |), h AS (
+       |  SELECT col, CASE WHEN sv IS NULL THEN NULL
+       |    ELSE ('0x' || substr(md5(sv), 1, 15))::BIGINT END AS h FROM hashed
+       |), cells AS (
+       |  SELECT col,
+       |    CASE WHEN h IS NULL THEN -1 ELSE h % 64 END AS bucket,
+       |    count(*) AS cnt,
+       |    max(CASE WHEN h IS NULL THEN NULL
+       |        WHEN h // 64 = 0 THEN 55
+       |        ELSE 55 - length(bin(h // 64)) END) AS reg
+       |  FROM h GROUP BY 1, 2
+       |), tallies AS (
+       |  $tallies
+       |), regs AS (
+       |  SELECT col, bucket, reg FROM cells WHERE bucket >= 0
+       |), per AS (
+       |  SELECT col, count(*) AS n_used, max(reg) AS max_reg
+       |  FROM regs GROUP BY 1
+       |), asm AS (
+       |  SELECT r.col, p.n_used, p.max_reg,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(p.max_reg - r.reg AS INT))
+       |      AS BIGINT) AS s_present
+       |  FROM regs r JOIN per p USING (col)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT t.col AS "column", t.n_nulls, t.n_rows,
+       |  CAST(64 - a.n_used AS BIGINT) AS v_zero,
+       |  a.max_reg,
+       |  a.s_present + (64 - a.n_used) *
+       |    (CAST(1 AS BIGINT) << CAST(a.max_reg AS INT)) AS s_num,
+       |  round(0.709 * 64 * 64 * pow(2.0, a.max_reg) /
+       |    CAST(a.s_present + (64 - a.n_used) *
+       |      (CAST(1 AS BIGINT) << CAST(a.max_reg AS INT)) AS DOUBLE), 6)
+       |    AS hll_est
+       |FROM tallies t LEFT JOIN asm a USING (col)
+       |ORDER BY "column"""".stripMargin
+  }
+
+  private[graft] def profileOracle(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) AS BIGINT) AS n_rows FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
+  private[graft] lazy val minhashPairsCtes: String =
+    minhashCtes("a.doc_id < b.doc_id")
+
+  /** Same signature/band/verify chain with a parameterized candidate
+    * condition — `a.doc_id < b.doc_id` for self-dedup, side predicates
+    * for the cross-corpus (ingest-vs-store) variant. */
+  private[graft] def minhashCtes(candCond: String): String = {
+    val params = graft.functions.PortableHash.minhashParams(64)
+    val seedRows = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val p = graft.functions.PortableHash.MinhashP
+    s"""norm AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+       |), toks AS (
+       |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+       |), shl AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w)-2),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS shs FROM toks
+       |), post AS (
+       |  SELECT doc_id, unnest(shs) AS s FROM shl
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM post GROUP BY 1
+       |), based AS (
+       |  SELECT doc_id, s,
+       |    ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h1
+       |  FROM post
+       |), seeds(seed, a, b) AS (VALUES $seedRows
+       |), sigs AS (
+       |  SELECT doc_id, seed, min((a * h1 + b) % $p) AS sig
+       |  FROM based, seeds GROUP BY doc_id, seed
+       |), bands AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |    string_agg(sig::VARCHAR, ',' ORDER BY seed) AS bv
+       |  FROM sigs GROUP BY doc_id, seed // 4
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND $candCond
+       |), common AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN post pa ON pa.doc_id = c.id_a
+       |  JOIN post pb ON pb.doc_id = c.id_b AND pb.s = pa.s
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard6
+       |  FROM common
+       |  JOIN sizes na ON na.doc_id = id_a
+       |  JOIN sizes nb ON nb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.8
+       |)""".stripMargin
+  }
+
+
+  /** The BPE training loop replayed as chained CTEs: stage i counts the
+    * bigrams of text table t{i}, elects the top pair (count desc, pair
+    * asc — the operator's tie-break), and rewrites t{i+1} with the same
+    * space-doubling replace the operator uses (left-to-right
+    * non-overlapping `replace` is identical in both engines). */
+  private[graft] def bpeStagesSql(steps: Int): String = {
+    val stages = (0 until steps).map { i =>
+      s"""p$i AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(w) >= 2
+         |      THEN list_transform(generate_series(1, len(w)-1),
+         |           j -> w[j] || ' ' || w[j+1]) ELSE [] END) AS b FROM (
+         |      SELECT list_filter(string_split(t, ' '), x -> len(x) > 0) AS w
+         |      FROM t$i))
+         |  GROUP BY 1 ORDER BY cnt DESC, b LIMIT 1
+         |), t${i + 1} AS (
+         |  SELECT doc_id, trim(replace(replace(
+         |    ' ' || replace(t, ' ', '  ') || ' ',
+         |    ' ' || replace(p.b, ' ', '  ') || ' ',
+         |    ' ' || replace(p.b, ' ', '_') || ' '), '  ', ' ')) AS t
+         |  FROM t$i CROSS JOIN p$i p
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""t0 AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+       |), $stages""".stripMargin
+  }
+
+  private[graft] def bpeOracleSql(steps: Int): String = {
+    val union = (0 until steps).map { i =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS step, b AS pair, cnt AS pair_count FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeStagesSql(steps)}
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
+  /** The encode oracle replays the same chained-CTE training, then
+    * counts tokens per doc in t0 vs t`steps`. */
+  private[graft] def bpeEncodeOracleSql(steps: Int): String =
+    s"""WITH ${bpeStagesSql(steps)},
+       |cnt AS (
+       |  SELECT t0.doc_id,
+       |    CAST(len(list_filter(string_split(t0.t, ' '),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_raw,
+       |    CAST(len(list_filter(string_split(tn.t, ' '),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_bpe
+       |  FROM t0 JOIN t$steps tn USING (doc_id))
+       |SELECT doc_id, n_raw, n_bpe,
+       |  CAST(CASE WHEN n_raw > 0
+       |    THEN (n_raw - n_bpe) * 1000000 // n_raw
+       |    ELSE 0 END AS BIGINT) AS saved_micro
+       |FROM cnt ORDER BY doc_id""".stripMargin
+
+  private[graft] def bpeFertilityOracleSql(steps: Int): String =
+    s"""WITH ${bpeStagesSql(steps)},
+       |cnt AS (
+       |  SELECT t0.doc_id,
+       |    CAST(len(list_filter(string_split(t0.t, ' '),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_raw,
+       |    CAST(len(list_filter(string_split(tn.t, ' '),
+       |      x -> len(x) > 0)) AS BIGINT) AS n_bpe
+       |  FROM t0 JOIN t$steps tn USING (doc_id))
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(n_raw) AS BIGINT) AS raw_tokens,
+       |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(CASE WHEN sum(n_raw) > 0
+       |    THEN sum(n_bpe) * 1000000 // sum(n_raw)
+       |    ELSE 0 END AS BIGINT) AS tokens_per_word_micro
+       |FROM cnt JOIN documents d USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+}
