@@ -115,6 +115,30 @@ object Bench {
     names.foreach { n => samples(n) = samples(n) :+ timed(n) }
     val calib = math.min(calibPre, math.min(calibrate(), calibrate()))
     val ioCalib = math.min(ioCalibPre, math.min(ioCalibrate(), ioCalibrate()))
+    // Normalized physical-plan fingerprint per query (computed AFTER the
+    // timing passes — plan build only, nothing executes): a lost
+    // broadcast, a new shuffle or a codegen fallback shows up as a
+    // plan_sha diff against the previous round's bench_full.json instead
+    // of needing a close manual read. Volatile tokens (exprIds, plan
+    // ids, codegen ids, file paths/locations, statistics) are stripped
+    // so the sha is stable across processes for an unchanged plan.
+    def planSha(name: String): String =
+      try {
+        val s = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val norm = s
+          .replaceAll("#\\d+", "#")
+          .replaceAll("plan_id=\\d+", "plan_id=")
+          .replaceAll("\\[id=#?\\d*\\]", "")
+          .replaceAll("(?i)location[^\\n]*", "")
+          .replaceAll("file:[^,\\s\\]]*", "file:")
+          .replaceAll("Statistics\\([^)]*\\)", "")
+          .replaceAll("\\s+", " ")
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(norm.getBytes("UTF-8"))
+          .take(6).map(b => f"$b%02x").mkString
+      } catch { case e: Throwable => "err" }
+    val planShas = names.map(n => n -> planSha(n))
     val results = names.map(n => n -> samples(n))
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def r2(v: Double) = math.rint(v * 100) / 100
@@ -123,9 +147,11 @@ object Bench {
     val runs = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val shas = planShas.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = r3(results.map(_._2.min).sum)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${r3(calib)},"io_calib_sec":${r3(ioCalib)},"queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calib_sec":${r3(calib)},"io_calib_sec":${r3(ioCalib)},"queries":$qs,"runs":$runs,"plan_sha":$shas,"sf":"$sfDir"}"""
     // Full detail (per-query min + all three per-run samples, so a
     // contaminated measurement is self-evident) goes to an EARLIER stdout
     // line and a file: the harness that records the benchmark keeps only

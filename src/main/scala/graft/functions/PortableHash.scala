@@ -42,9 +42,19 @@ object PortableHash {
   /** Column form: h60(s) ∈ [0, 2^60); null in → null out like the md5
     * builtin (StaticInvoke propagates null). Any input is rendered
     * through the string cast first — the same bytes the old
-    * `md5(string)` form hashed. */
+    * `md5(string)` form hashed.
+    *
+    * `-Dgraft.h60.legacy=true` (read at PLAN BUILD time) swaps in the
+    * pre-round-10 `conv(substr(md5_hex,1,15),16,10)` composition — the
+    * VALUES are bit-identical, only the extraction differs — so a
+    * same-JVM interleaved A/B can attribute a bench move to the
+    * byte-level rework vs host variance (graft.AbBench mode `h60`).
+    * Never set in production paths. */
   def h60(c: Column): Column =
-    GraftBridge.toColumn(StaticInvoke(
+    if (sys.props.get("graft.h60.legacy").contains("true")) {
+      import org.apache.spark.sql.functions.{conv, md5, substring}
+      conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    } else GraftBridge.toColumn(StaticInvoke(
       PortableHash.getClass,
       LongType,
       "md5Prefix60",

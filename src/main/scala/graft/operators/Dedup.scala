@@ -1018,19 +1018,29 @@ object Dedup {
     * with a different length and get silently wrong span lengths. */
   final case class DupStarts(rel: DataFrame, minLen: Int)
 
+  /** The (doc_id, pos, h) length-`minLen` window census under the
+    * exact-substring family — one data-sized explode carrying ids and
+    * the 60-bit portable window hash, never text. Exposed so the
+    * ingest-check side ([[dupSubstringsAgainst]],
+    * `store.SubstrStore.writeWindowCensus`) probes and persists the
+    * SAME hashes the batch dedup elects duplicates from. */
+  def windowCensus(documents: DataFrame, minLen: Int = 20): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import graft.functions.WordShingles.word_ngrams
+    documents
+      .select(col("doc_id"),
+        posexplode(word_ngrams(normalize(col("text")), minLen))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), h60(col("g")).as("h"))
+  }
+
   /** The duplicated window-start relation (doc_id, pos) under
     * [[dupSubstrings]] and [[dupSubstringsApply]] — exposed so
     * SparkEntry can materialize it ONCE per corpus and fan both
     * queries out from the same localCheckpoint (the postingsFor
     * family-prefix pattern). */
   def dupStarts(documents: DataFrame, minLen: Int = 20): DupStarts = {
-    import graft.functions.PortableHash.h60
-    import graft.functions.WordShingles.word_ngrams
-    val census = documents
-      .select(col("doc_id"),
-        posexplode(word_ngrams(normalize(col("text")), minLen))
-          .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), h60(col("g")).as("h"))
+    val census = windowCensus(documents, minLen)
     val dup = census.groupBy(col("h"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
@@ -1038,6 +1048,36 @@ object Dedup {
     DupStarts(census.join(dup, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos")), minLen)
   }
+
+  /** CROSS-CORPUS starts: the window starts of `newDocs` whose hash
+    * already exists in `corpusHashes` (any relation with an `h` column —
+    * [[windowCensus]] output or the persisted
+    * `store.SubstrStore` census). The ingest-check counterpart of
+    * [[dupStarts]]: duplication is against the CORPUS, not within the
+    * batch. */
+  def dupStartsAgainst(newDocs: DataFrame, corpusHashes: DataFrame,
+      minLen: Int = 20): DupStarts =
+    DupStarts(windowCensus(newDocs, minLen)
+      .join(corpusHashes.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos")), minLen)
+
+  /** Exact-substring INGEST CHECK (cross-corpus `dup_substrings`): per
+    * new document, the (start, len, n_windows) spans whose every token
+    * is part of a length-`minLen` window already present in the corpus
+    * — the report an ingest gate acts on (reject, or feed the spans to
+    * [[dupSubstringsApply]]'s coverage fold to admit a cleaned doc).
+    * The span fold IS [[dupSubstrings]] over the probe-derived starts —
+    * streamed, batch and gated-query paths share this one code path.
+    *
+    * Shape at 100 TB: the batch census is batch-sized; the corpus side
+    * is a distinct-hash semi join — with the persisted
+    * `store.SubstrStore` census the corpus pays nothing at ingest time
+    * beyond the hash-keyed probe, the same asymmetric contract as
+    * [[dedupAgainst]] and the banded semantic check. */
+  def dupSubstringsAgainst(newDocs: DataFrame, corpusHashes: DataFrame,
+      minLen: Int = 20): DataFrame =
+    dupSubstrings(newDocs,
+      starts = Some(dupStartsAgainst(newDocs, corpusHashes, minLen)))
 
   def dupSubstrings(documents: DataFrame, minLen: Int = 20,
       starts: Option[DupStarts] = None): DataFrame = {

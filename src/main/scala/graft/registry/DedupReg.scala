@@ -66,6 +66,14 @@ private[graft] object DedupReg {
     "dup_substrings_apply" -> ((s, dir) =>
       Dedup.dupSubstringsApply(Tables.documents(s, dir),
         starts = Some(dupStartsFor(s, dir)))),
+    // ingest-check twin: per NEW doc (doc_id ≡ 0 mod 5), the spans
+    // already covered by the CORPUS split's content — probed from the
+    // persisted write-time window-hash census (store.SubstrStore),
+    // the same asymmetric contract as dedup_against / semantic checks
+    "dup_substrings_against" -> ((s, dir) =>
+      Dedup.dupSubstringsAgainst(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
+        graft.store.SubstrStore.readWindowCensus(s, substrStoreFor(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -440,6 +448,47 @@ private[graft] object DedupReg {
         |  CAST(b.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
         |FROM base b LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Cross-corpus exact-substring check: same census/hash CTEs, but a
+    // batch-side (doc_id % 5 = 0) window start is duplicated iff its
+    // hash exists in the CORPUS split's (doc_id % 5 <> 0) distinct-hash
+    // census — the persisted SubstrStore state replayed from raw data —
+    // then the identical gaps-and-islands span fold.
+    "dup_substrings_against" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), grams0 AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 20
+        |    THEN list_transform(generate_series(1, len(w) - 19),
+        |      i -> struct_pack(pos := i - 1,
+        |        g := array_to_string(w[i:i+19], ' ')))
+        |    ELSE [] END AS gl FROM toks
+        |), census AS (
+        |  SELECT doc_id, unnest(gl, recursive := true) FROM grams0
+        |), hashed AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM census
+        |), corpus AS (
+        |  SELECT DISTINCT h FROM hashed WHERE doc_id % 5 <> 0
+        |), ds AS (
+        |  SELECT doc_id, pos FROM hashed
+        |  WHERE doc_id % 5 = 0 AND h IN (SELECT h FROM corpus)
+        |), fl AS (
+        |  SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) > 20
+        |    THEN 1 ELSE 0 END AS nf FROM ds
+        |), isl AS (
+        |  SELECT doc_id, pos, sum(nf) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM fl
+        |)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+        |  CAST(max(pos) + 20 - min(pos) AS BIGINT) AS len,
+        |  count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, isl
+        |ORDER BY doc_id, start""".stripMargin,
     // C4-style corpus line dedup over fixed 8-token blocks; keeper = the
     // occurrence at the smallest (doc_id, block_idx). string_agg FILTER
     // needs the coalesce: a doc whose every block loses still emits ''.

@@ -80,6 +80,25 @@ private[graft] object Memo {
         path
       })
 
+  private[graft] val substrStoreMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+
+  /** Window-hash census persisted ONCE per (SparkContext, corpus dir)
+    * via `store.SubstrStore.writeWindowCensus` — the write-time state
+    * the exact-substring ingest check probes. The indexed corpus is the
+    * store split the gated query checks against (doc_id ≢ 0 mod 5);
+    * queries pay only the batch-side census + the hash-keyed probe. */
+  private[graft] def substrStoreFor(s: SparkSession, dir: String): String =
+    substrStoreMemo.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir), _ => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_substr_census").toString
+        graft.store.SubstrStore.writeWindowCensus(
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          path)
+        path
+      })
+
   /** IVF centroids trained ONCE per (SparkContext, corpus dir) — the
     * write-time clustering (`store.EmbeddingStore`); the `ann_ivf_topk`
     * serving path probes them without re-training, mirroring how a real

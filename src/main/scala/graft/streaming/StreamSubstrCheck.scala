@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/**
+ * Streaming exact-substring ingest check — the continuous form of
+ * `dup_substrings_against` (Lee et al. 2022 ExactSubstr at the ingest
+ * boundary): as document batches arrive, probe the PERSISTED
+ * window-hash census (`store.SubstrStore.writeWindowCensus`) and report
+ * per incoming doc the spans whose every token is part of a length-L
+ * window already present in the corpus — before the doc is admitted.
+ * The gate can reject, or admit a cleaned doc via the
+ * `dupSubstringsApply` coverage fold over the same spans.
+ *
+ * Statelessness is the design point (the StreamSemanticCheck contract):
+ * the corpus side lives entirely in the write-time census, so the
+ * stream carries NO Spark state — no watermark, nothing to checkpoint
+ * beyond source offsets. Each micro-batch pays its own window census
+ * (∝ batch tokens) plus a hash-keyed semi join against the store;
+ * restarts are safe because span reporting is idempotent per doc.
+ *
+ * The per-batch transform IS [[Dedup.dupSubstringsAgainst]] — the batch
+ * code path reused verbatim, so streamed ≡ batch by construction
+ * (spec-asserted). Admitted batches append their own hashes back via
+ * `SubstrStore.appendWindowCensus`, exactly like the band-state
+ * maintenance on the MinHash/semantic sides — [[startAdmitting]] wires
+ * that loop so content seen in batch N flags duplicates in batch N+1.
+ */
+object StreamSubstrCheck {
+
+  /** Flag incoming docs against the persisted census; deliver
+    * (doc_id, start, len, n_windows) span rows per batch via `sink`. */
+  def start(docs: DataFrame, censusPath: String,
+      sink: (DataFrame, Long) => Unit, minLen: Int = 20,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = docs.sparkSession
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probe(spark, batch, censusPath, minLen), batchId)
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** The ingest loop with census maintenance: report each batch's
+    * corpus-covered spans, then append the batch's own window hashes to
+    * the census so later batches check against it too. */
+  def startAdmitting(docs: DataFrame, censusPath: String,
+      sink: (DataFrame, Long) => Unit, minLen: Int = 20,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = docs.sparkSession
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        sink(probe(spark, b, censusPath, minLen), batchId)
+        graft.store.SubstrStore.appendWindowCensus(b, censusPath, minLen)
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** One batch's probe — the exact batch operator over the persisted
+    * census (kept separable for specs and batch backfills). */
+  def probe(spark: SparkSession, batch: DataFrame, censusPath: String,
+      minLen: Int = 20): DataFrame =
+    Dedup.dupSubstringsAgainst(batch,
+      graft.store.SubstrStore.readWindowCensus(spark, censusPath), minLen)
+}

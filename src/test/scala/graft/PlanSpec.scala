@@ -342,6 +342,24 @@ class PlanSpec extends SparkSpec {
       "minhash_lsh_pairs re-scans documents for sizes")
   }
 
+  test("ann_ivf_sq_topk: one corpus scan, broadcast probe join, codes-only scoring") {
+    val p = planOf("ann_ivf_sq_topk")
+    // the int8-code serving path: candidates come from ONE corpus scan
+    // (codes + cell assignment are map-side projections of it), probes
+    // broadcast, never a cartesian — the annIvfPq plan contract
+    assert(p.split("\\(\\d+\\) Scan parquet").length - 1 == 1,
+      s"SQ8 serving must scan the corpus exactly once:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join must broadcast the nProbe·|queries| rows")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"SQ8 serving plans a nested-loop join:\n$p")
+    // scoring runs on the code arrays (zip_with/aggregate), not on a
+    // second vector fetch: no dot-product over embedding above the join
+    assert(p.contains("zip_with"),
+      "score must be the integer code-grid dot (zip_with over codes)")
+  }
+
   test("temporal joins stay equi-keyed: no nested-loop/cartesian anywhere") {
     // session_overlaps states an interval inequality; the bin bucketing
     // must turn it into a hash/merge join on __bin, never a BNLJ

@@ -224,6 +224,49 @@ class SimilaritySpec extends SparkSpec {
     assert(rRef >= rPq, s"refine dropped recall: $rRef < $rPq")
   }
 
+  test("IVF-SQ8: scores are exact int8 code-grid cosines; probed universe matches IVF") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.kmeansCentroids(emb)
+    val got = Similarity.annIvfSq(emb, cents).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // driver reconstruction with the SAME rounding contract: q_i =
+    // HALF_UP(x_i·127/max|x|) — BigDecimal HALF_UP is away-from-zero,
+    // matching Spark/DuckDB round(x, 0)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def codes(x: Array[Float]): Array[Long] = {
+      val maxabs = x.map(v => math.abs(v.toDouble)).max
+      if (maxabs <= 0.0) Array.fill(x.length)(0L)
+      else x.map(v => BigDecimal(v.toDouble * 127.0 / maxabs)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    got.foreach { r =>
+      val q = codes(vecs(r.getLong(0)))
+      val c = codes(vecs(r.getLong(2)))
+      val dot = q.zip(c).map { case (a, b) => a * b }.sum
+      val n2q = q.map(v => v * v).sum
+      val n2c = c.map(v => v * v).sum
+      val want =
+        if (n2q > 0 && n2c > 0)
+          dot.toDouble / (math.sqrt(n2q.toDouble) * math.sqrt(n2c.toDouble))
+        else -1e308
+      assert(math.abs(want - r.getDouble(3)) < 1e-6,
+        s"SQ8 score mismatch ${r.getLong(0)}->${r.getLong(2)}: " +
+          s"$want vs ${r.getDouble(3)}")
+    }
+    // int8 is a near-exact quantization of 64-dim unit-ish vectors, so
+    // within the SAME probed universe SQ8 must agree with exact-IVF far
+    // more closely than 16-bit PQ does: overlap >= 90%
+    val ivf = Similarity.annIvfWith(emb, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(sq.count(ivf.contains) >= (sq.size * 9) / 10,
+      s"SQ8 diverges from exact-IVF: ${sq.count(ivf.contains)}/${sq.size}")
+  }
+
   test("pcaPower: dominant axis recovered, sign canonical, deterministic") {
     // anisotropic cloud: dim 3 carries ±O(1) mass, others O(0.02)
     val vecs = (0 until 120).map { i =>
