@@ -126,6 +126,50 @@ object Profiling {
       .orderBy(col("column"))
   }
 
+  /** SHARD-MERGE algebra of the portable register HLL — the property
+    * that makes sketch profiling work on a 100 TB corpus: every shard
+    * builds its register table independently (one local pass, no
+    * cross-shard traffic), and the corpus sketch is the per-bucket
+    * register MAX — a cells-sized merge, never a re-scan. Output: one
+    * row per shard plus the `merged` row, each carrying the
+    * [[EventsOps.hllEstimate]] assembly over its registers. The merged
+    * registers are by construction identical to an unsharded build
+    * (max is associative over any partitioning), and the oracle replays
+    * BOTH levels from raw data, so the gate pins the algebra itself.
+    * Distinct key = user_id on the h60 grid; shards = event_id mod
+    * `shards` — an arbitrary horizontal split, which is the point.
+    *
+    * Shape at 100 TB: one scan fans to ≤ shards·m register cells
+    * map-side; the merge groups m cells; everything after the scan is
+    * sketch-sized. */
+  def hllShardMerge(events: DataFrame, b: Int = 6,
+      shards: Int = 4): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val m = 1 << b
+    val zeroRank = (61 - b).toLong
+    val shardRegs = events
+      .select(pmod(col("event_id"), lit(shards.toLong)).cast("string")
+          .as("shard"),
+        h60(col("user_id").cast("string")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("rem", expr(s"h div $m"))
+      .withColumn("rho",
+        when(col("rem") === 0, lit(zeroRank))
+          .otherwise(lit(zeroRank) - length(bin(col("rem")))))
+      .groupBy(col("shard"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+      .localCheckpoint()
+    val merged = shardRegs.groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(lit("merged").as("shard"), col("bucket"), col("reg"))
+    EventsOps.hllEstimate(
+      shardRegs.unionByName(merged)
+        .select(col("shard").as("event_type"), col("bucket"), col("reg")), b)
+      .select(col("event_type").as("shard"), col("v_zero"),
+        col("max_reg"), col("s_num"), col("hll_est"))
+      .orderBy(col("shard"))
+  }
+
   private def assemble(df: DataFrame,
       distinctAgg: String => Column): DataFrame = {
     val cols = df.schema.fieldNames.toIndexedSeq

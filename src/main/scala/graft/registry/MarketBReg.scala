@@ -82,6 +82,11 @@ private[graft] object MarketBReg {
     "profile_events" -> ((s, dir) =>
       Profiling.profile(Tables.events(s, dir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props"))),
+    // the distributive-sketch law gated directly: per-shard portable-HLL
+    // registers built independently, corpus sketch = per-bucket max —
+    // the merge a 1000-shard profiling job runs instead of a re-scan
+    "hll_shard_merge" -> ((s, dir) =>
+      Profiling.hllShardMerge(Tables.events(s, dir))),
     "bm25_scores" -> ((s, dir) => TextAnalysis.bm25Scores(Tables.documents(s, dir))),
     "unpivot_metrics" -> ((s, dir) =>
       Relational.unpivotLineitemMetrics(Tables.lineitem(s, dir))),
@@ -769,6 +774,46 @@ private[graft] object MarketBReg {
     // collision-free (MarketStatsSpec asserts it)
     "profile_events" -> profileOracle("events",
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+    // Shard-merge HLL algebra: per-shard registers AND the per-bucket
+    // max merge replayed from raw data; assembly = the portable-HLL
+    // oracle's register CTEs with `shard` in place of `col`.
+    "hll_shard_merge" ->
+      """WITH h AS (
+        |  SELECT CAST(event_id % 4 AS VARCHAR) AS shard,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events
+        |), shard_regs AS (
+        |  SELECT shard, h % 64 AS bucket,
+        |    max(CASE WHEN h // 64 = 0 THEN 55
+        |        ELSE 55 - length(bin(h // 64)) END) AS reg
+        |  FROM h GROUP BY 1, 2
+        |), regs AS (
+        |  SELECT shard, bucket, reg FROM shard_regs
+        |  UNION ALL
+        |  SELECT 'merged' AS shard, bucket, max(reg) AS reg
+        |  FROM shard_regs GROUP BY 2
+        |), per AS (
+        |  SELECT shard, count(*) AS n_used, max(reg) AS max_reg
+        |  FROM regs GROUP BY 1
+        |), asm AS (
+        |  SELECT r.shard, p.n_used, p.max_reg,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(p.max_reg - r.reg AS INT))
+        |      AS BIGINT) AS s_present
+        |  FROM regs r JOIN per p USING (shard)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT shard,
+        |  CAST(64 - n_used AS BIGINT) AS v_zero,
+        |  max_reg,
+        |  s_present + (64 - n_used) *
+        |    (CAST(1 AS BIGINT) << CAST(max_reg AS INT)) AS s_num,
+        |  round(0.709 * 64 * 64 * pow(2.0, max_reg) /
+        |    CAST(s_present + (64 - n_used) *
+        |      (CAST(1 AS BIGINT) << CAST(max_reg AS INT)) AS DOUBLE), 6)
+        |    AS hll_est
+        |FROM asm
+        |ORDER BY shard""".stripMargin,
     "sliding_active_users" ->
       """SELECT event_type, slot * 1800 AS window_start,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -90,4 +90,35 @@ class ProfilingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("hllShardMerge: merged row equals an unsharded build for ANY shard count") {
+    val ev = Tables.events(spark, sf0001)
+    def mergedRow(shards: Int) =
+      Profiling.hllShardMerge(ev, shards = shards).collect()
+        .filter(_.getString(0) == "merged")
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSeq
+    // the merge law: per-bucket max is associative over any horizontal
+    // split, so the merged sketch is partitioning-invariant — 1 shard
+    // IS the unsharded build
+    val one = mergedRow(1)
+    assert(one.nonEmpty)
+    Seq(2, 4, 7).foreach { s =>
+      assert(mergedRow(s) == one, s"merge law broken at $s shards")
+    }
+    // and the merged sketch tracks the true distinct-user count: small
+    // cardinalities read through linear counting on v_zero (the
+    // hllEstimate contract — raw harmonic is the portable artifact,
+    // corrections live reader-side), large through the raw estimate
+    val exact = ev.select("user_id").distinct().count()
+    val (vZero, est) = (one.head._1, one.head._4)
+    val m = 64
+    if (exact <= (2.5 * m).toLong) {
+      assert(vZero > 0, "small cardinality with no empty registers")
+      val lc = m * math.log(m.toDouble / vZero)
+      assert(math.abs(lc - exact) <= math.max(2.0, 0.25 * exact),
+        s"linear count $lc vs exact $exact")
+    } else assert(math.abs(est - exact) <= 0.5 * exact,
+      s"merged estimate $est vs exact $exact")
+  }
 }
