@@ -34,6 +34,64 @@ class OlapSinkSpec extends SparkSpec {
     assert(projected.columns.toSeq == OlapSink.TradeColumns)
   }
 
+  test("LIVE JDBC round-trip against embedded Derby: batch INSERT then read-back") {
+    // The ClickHouse driver is env-absent, but writeBatch is generic
+    // over the JDBC target — and Spark SHIPS an embeddable database
+    // (Derby, the metastore backend) plus a DerbyDialect. Running the
+    // identical production code path (format jdbc, batch INSERT,
+    // isolationLevel=NONE) against a real driver proves everything but
+    // the ClickHouse driver class itself: URL plumbing, dialect DDL,
+    // column order, batched writes, type round-trip.
+    val db = java.nio.file.Files.createTempDirectory("olap_derby")
+      .resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    OlapSink.writeBatch(trades, url, table = "trades", driver = driver)
+    // replay-safety shape: a second batch appends (at-least-once, like
+    // MergeTree absorbing redelivery as duplicate rows)
+    OlapSink.writeBatch(trades, url, table = "trades", driver = driver)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "trades")
+      .option("driver", driver).load()
+    assert(back.columns.toSeq.map(_.toLowerCase) ==
+      OlapSink.TradeColumns)
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+      r.getString(6), r.getTimestamp(7)))
+    assert(rows.length == 2 && rows.distinct.length == 1)
+    assert(rows.head == ("u1", "EUR", "USD", 1000000L, 747100L, 0.7471,
+      "FR", Timestamp.valueOf("2024-01-24 16:10:00")))
+  }
+
+  test("LIVE streaming import plane into Derby: micro-batches land via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val db = java.nio.file.Files.createTempDirectory("olap_derby_stream")
+      .resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("olap_derby_ckpt").toString
+    val src = MemoryStream[(String, String, String, Long, Long, Double,
+      String, Timestamp)]
+    val q = OlapSink.startImport(
+      src.toDS().toDF(OlapSink.TradeColumns: _*), url, ckpt,
+      table = "trades", driver = driver)
+    try {
+      src.addData(("u1", "EUR", "USD", 1000000L, 747100L, 0.7471, "FR",
+        Timestamp.valueOf("2024-01-24 16:10:00")))
+      q.processAllAvailable()
+      src.addData(("u2", "GBP", "JPY", 2000000L, 3800000L, 1.9, "UK",
+        Timestamp.valueOf("2024-01-24 16:11:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val users = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "trades")
+      .option("driver", driver).load()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(users == Seq("u1", "u2"))
+  }
+
   test("writer is wired to the jdbc source: fails exactly at driver load") {
     // Spark's jdbc format is built-in; the ClickHouse driver class is
     // not on the classpath. The failure mode must therefore be the

@@ -652,6 +652,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dupSubstringsAgainst equals the scalar cross-corpus oracle on random corpora") {
+    import graft.operators.Dedup
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val L = 3
+    val genDoc = for {
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    (1 to 5).foreach { i =>
+      val texts = Gen.listOfN(14, genDoc)
+        .apply(Gen.Parameters.default, Seed(1700L + i)).get
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      val (batch, corpus) = docs.partition(_._1 % 5 == 0)
+      // scalar oracle: batch window starts whose L-gram exists ANYWHERE
+      // in the corpus split (set membership, not within-batch counts),
+      // then the same gaps-and-islands span fold
+      def wins(ds: Seq[(Long, String)]) = ds.flatMap { case (id, t) =>
+        val w = t.split(" ").filter(_.nonEmpty).toSeq
+        if (w.length < L) Seq.empty
+        else w.sliding(L).zipWithIndex
+          .map { case (g, p) => (id, p, g.mkString(" ")) }.toSeq
+      }
+      val corpusSet = wins(corpus).map(_._3).toSet
+      val want = wins(batch).filter(w => corpusSet(w._3))
+        .groupBy(_._1).toSeq.flatMap { case (id, ws) =>
+          val ps = ws.map(_._2).sorted
+          val islands = ps.tail.foldLeft(List(List(ps.head))) {
+            case (acc @ (cur :: rest), p) =>
+              if (p - cur.head > L) List(p) :: acc
+              else (p :: cur) :: rest
+            case (Nil, p) => List(List(p))
+          }.map(_.reverse).reverse
+          islands.map(isl => (id, isl.head.toLong,
+            (isl.last + L - isl.head).toLong, isl.size.toLong))
+        }.sortBy(s => (s._1, s._2))
+      val got = Dedup.dupSubstringsAgainst(
+        batch.toDF("doc_id", "text"),
+        Dedup.windowCensus(corpus.toDF("doc_id", "text"), L)
+          .select(org.apache.spark.sql.functions.col("h")), L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == want, s"seed ${1700 + i}")
+    }
+  }
+
   test("knPerplexity invariants: every log-prob ≤ 0; seen mass per context ≤ 1") {
     import graft.operators.TextAnalysis
     val vocab = Vector("x", "y", "z", "w", "v")
