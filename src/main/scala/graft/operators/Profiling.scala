@@ -170,6 +170,56 @@ object Profiling {
       .orderBy(col("shard"))
   }
 
+  /** JOIN-SIZE audit WITHOUT running the join — the planner read a
+    * 100 TB pipeline takes before committing to an equi-join that might
+    * explode: |A ⋈_k B| exactly, from the two per-key count tables
+    * (Σ cntₐ(k)·cnt_b(k) — one shuffle per side, a keys-sized join,
+    * never the pair materialization), next to the Count-Min
+    * INNER-PRODUCT estimate (Cormode & Muthukrishnan 2005, §4.2: the
+    * min over seeds of Σ_pos cmsₐ[s,p]·cms_b[s,p] upper-bounds and
+    * estimates a₁·a₂ within εN₁N₂) — the form a planner keeps per
+    * table as standing sketch state, so the prediction costs two d·w
+    * cell tables instead of touching either side. Both levels are
+    * integer arithmetic over the portable h60/2-universal family, so
+    * the oracle replays cells, inner products, the min AND the exact
+    * count bit-for-bit. A seed with zero bucket overlap means a true
+    * zero inner product, so fewer than `d` seed rows forces the
+    * estimate to 0 (mirrored in SQL).
+    *
+    * Output is ONE row: (n_left, n_right, exact_pairs, cms_est_pairs).
+    * Scale shape: two key-shuffles + a keys-sized join for the exact
+    * half; two d·w-bounded cell tables and a cells-sized join for the
+    * sketch half. */
+  def joinSizeAudit(left: DataFrame, right: DataFrame, key: String,
+      w: Int = 1024, d: Int = 4): DataFrame = {
+    import graft.functions.PortableHash.{h60, MinhashP}
+    def cells(df: DataFrame): DataFrame = df
+      .select(pmod(h60(col(key).cast("string")), lit(MinhashP)).as("h1"))
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("seed"),
+          TextAnalysis.cmsPosOf(i, col("h1"), w).as("pos"))): _*)).as("c"))
+      .groupBy(col("c.seed").as("seed"), col("c.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = left.groupBy(col(key)).agg(count(lit(1)).as("cl"))
+      .join(right.groupBy(col(key)).agg(count(lit(1)).as("cr")), Seq(key))
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).cast("long")
+        .as("exact_pairs"))
+    val est = cells(left).as("a")
+      .join(cells(right).as("b"),
+        col("a.seed") === col("b.seed") && col("a.pos") === col("b.pos"))
+      .groupBy(col("a.seed"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).cast("long").as("ip"))
+      .agg(count(lit(1)).as("n_seeds"), min(col("ip")).as("mn"))
+      .select(when(col("n_seeds") < d, lit(0L)).otherwise(col("mn"))
+        .cast("long").as("cms_est_pairs"))
+    left.agg(count(lit(1)).as("n_left"))
+      .crossJoin(right.agg(count(lit(1)).as("n_right")))
+      .crossJoin(exact)
+      .crossJoin(est)
+      .select(col("n_left"), col("n_right"),
+        col("exact_pairs"), col("cms_est_pairs"))
+  }
+
   private def assemble(df: DataFrame,
       distinctAgg: String => Column): DataFrame = {
     val cols = df.schema.fieldNames.toIndexedSeq

@@ -87,6 +87,15 @@ private[graft] object MarketBReg {
     // the merge a 1000-shard profiling job runs instead of a re-scan
     "hll_shard_merge" -> ((s, dir) =>
       Profiling.hllShardMerge(Tables.events(s, dir))),
+    // join-size prediction WITHOUT the join: exact Σ cnt_l·cnt_r from
+    // the per-key count tables beside the CMS inner-product estimate
+    // (Cormode–Muthukrishnan) — the pre-join explosion check
+    "join_size_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Profiling.joinSizeAudit(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "user_id")
+    }),
     "bm25_scores" -> ((s, dir) => TextAnalysis.bm25Scores(Tables.documents(s, dir))),
     "unpivot_metrics" -> ((s, dir) =>
       Relational.unpivotLineitemMetrics(Tables.lineitem(s, dir))),
@@ -774,6 +783,50 @@ private[graft] object MarketBReg {
     // collision-free (MarketStatsSpec asserts it)
     "profile_events" -> profileOracle("events",
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+    // Join-size audit: both levels integer-replayed — per-key count
+    // tables for the exact product sum, the 2-universal CMS cells and
+    // per-seed inner products for the estimate (vocab_cms's seed-table
+    // idiom); a missing seed row means a zero inner product, so < d
+    // seeds forces the estimate to 0 exactly as the engine does.
+    "join_size_audit" -> {
+      val p = graft.functions.PortableHash.MinhashP
+      val seeds = graft.functions.PortableHash.minhashParams(4).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH l AS (
+         |  SELECT user_id FROM events WHERE event_type = 'view'
+         |), r AS (
+         |  SELECT user_id FROM events WHERE event_type = 'purchase'
+         |), seeds(seed, a, b) AS (VALUES $seeds
+         |), lh AS (
+         |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % $p AS h1 FROM l
+         |), rh AS (
+         |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % $p AS h1 FROM r
+         |), lc AS (
+         |  SELECT seed, (a * h1 + b) % $p % 1024 AS pos, count(*) AS cnt
+         |  FROM lh, seeds GROUP BY 1, 2
+         |), rc AS (
+         |  SELECT seed, (a * h1 + b) % $p % 1024 AS pos, count(*) AS cnt
+         |  FROM rh, seeds GROUP BY 1, 2
+         |), ip AS (
+         |  SELECT a.seed, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+         |  FROM lc a JOIN rc b ON b.seed = a.seed AND b.pos = a.pos
+         |  GROUP BY 1
+         |), est AS (
+         |  SELECT CAST(CASE WHEN count(*) < 4 THEN 0 ELSE min(ip) END
+         |    AS BIGINT) AS cms_est_pairs FROM ip
+         |), ex AS (
+         |  SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS exact_pairs
+         |  FROM (SELECT user_id, count(*) AS c FROM l GROUP BY 1) a
+         |  JOIN (SELECT user_id, count(*) AS c FROM r GROUP BY 1) b
+         |    USING (user_id)
+         |), nl AS (SELECT count(*) AS n_left FROM l
+         |), nr AS (SELECT count(*) AS n_right FROM r)
+         |SELECT CAST(n_left AS BIGINT) AS n_left,
+         |  CAST(n_right AS BIGINT) AS n_right, exact_pairs, cms_est_pairs
+         |FROM nl, nr, ex, est""".stripMargin
+    },
     // Shard-merge HLL algebra: per-shard registers AND the per-bucket
     // max merge replayed from raw data; assembly = the portable-HLL
     // oracle's register CTEs with `shard` in place of `col`.

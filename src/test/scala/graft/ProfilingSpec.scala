@@ -121,4 +121,30 @@ class ProfilingSpec extends SparkSpec {
     } else assert(math.abs(est - exact) <= 0.5 * exact,
       s"merged estimate $est vs exact $exact")
   }
+  test("joinSizeAudit: exact matches the real join; CMS estimate dominates and converges") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, sf0001)
+    val l = ev.filter(col("event_type") === "view")
+    val r = ev.filter(col("event_type") === "purchase")
+    val got = Profiling.joinSizeAudit(l, r, "user_id").collect().head
+    val (nl, nr, exact, est) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    assert(nl == l.count() && nr == r.count())
+    // the exact half must equal ACTUALLY running the join
+    val real = l.select(col("user_id"))
+      .join(r.select(col("user_id")), "user_id").count()
+    assert(exact == real, s"exact_pairs $exact vs real join $real")
+    assert(exact > 0, "fixture degenerated: empty join")
+    // CMS inner product only ever ADDS collision mass: estimate >= exact,
+    // and with w >> keys (no collisions) it equals exact
+    assert(est >= exact, s"CMS estimate $est below exact $exact")
+    val wide = Profiling.joinSizeAudit(l, r, "user_id", w = 1 << 20)
+      .collect().head.getLong(3)
+    assert(wide == exact, s"collision-free estimate $wide != exact $exact")
+    // empty side: everything zero, no NULLs
+    val empty = Profiling.joinSizeAudit(
+      l.filter(col("user_id") < 0), r, "user_id").collect().head
+    assert(empty.getLong(0) == 0 && empty.getLong(2) == 0 &&
+      empty.getLong(3) == 0)
+  }
 }
