@@ -57,9 +57,14 @@ object StreamSubstrCheck {
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint(true)
-        sink(probe(spark, b, censusPath, minLen), batchId)
-        graft.store.SubstrStore.appendWindowCensus(b, censusPath, minLen)
+        // the batch feeds two actions (probe + census append): pin it
+        // for the pair, release after — a long-running stream must not
+        // accumulate per-batch blocks
+        val b = batch.persist()
+        try {
+          sink(probe(spark, b, censusPath, minLen), batchId)
+          graft.store.SubstrStore.appendWindowCensus(b, censusPath, minLen)
+        } finally b.unpersist()
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()

@@ -9,6 +9,25 @@ class DedupSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("h60 legacy diagnostic gate is value-identical to the byte-level form") {
+    // -Dgraft.h60.legacy exists ONLY for same-JVM perf attribution
+    // (AbBench mode h60); if its values ever drifted from the default
+    // extraction, an A/B run would silently corrupt oracle state
+    import graft.functions.PortableHash.h60
+    import org.apache.spark.sql.functions.col
+    val probe = Seq("", "a", "shingle token stream 42", "ü πß",
+      (1 to 50).map(i => s"w$i").mkString(" ")).toDF("s")
+    def vals() = probe.select(h60(col("s"))).collect().map(_.getLong(0)).toSeq
+    val neu = vals()
+    sys.props("graft.h60.legacy") = "true"
+    val leg = try vals() finally sys.props.remove("graft.h60.legacy")
+    assert(neu == leg, "legacy h60 extraction drifted from byte-level")
+    // and both match the driver twin
+    val drv = probe.collect().map(r =>
+      graft.functions.PortableHash.h60String(r.getString(0))).toSeq
+    assert(neu == drv)
+  }
+
   test("connected components: chains collapse to the min id across iterations") {
     // component {1,2,3,4} is a CHAIN (diameter 3 — forces >1 propagation
     // round), {10,11} a pair; labels converge to the minimum member
