@@ -119,21 +119,33 @@ object Bench {
     // timing passes — plan build only, nothing executes): a lost
     // broadcast, a new shuffle or a codegen fallback shows up as a
     // plan_sha diff against the previous round's bench_full.json instead
-    // of needing a close manual read. Volatile tokens (exprIds, plan
-    // ids, codegen ids, file paths/locations, statistics) are stripped
-    // so the sha is stable across processes for an unchanged plan.
+    // of needing a close manual read. The fingerprint hashes plan
+    // STRUCTURE — the node/keyword skeleton per line, with bracket and
+    // paren argument lists (expression trees, literal arrays, paths,
+    // ids) stripped — because driver-computed literals (k-means
+    // centroids, bloom bits, plane weights) are not byte-stable across
+    // processes and a content hash churns on them (measured: 19/273
+    // false diffs between identical-code runs), while the regressions
+    // this exists to catch are operator-level: join strategy, exchange
+    // kind, added/removed nodes.
     def planSha(name: String): String =
       try {
         val s = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.toString
-        val norm = s
-          .replaceAll("#\\d+", "#")
-          .replaceAll("plan_id=\\d+", "plan_id=")
-          .replaceAll("\\[id=#?\\d*\\]", "")
-          .replaceAll("(?i)location[^\\n]*", "")
-          .replaceAll("file:[^,\\s\\]]*", "file:")
-          .replaceAll("Statistics\\([^)]*\\)", "")
-          .replaceAll("\\s+", " ")
+        val norm = s.linesIterator.map { line =>
+          var t = line
+          var prev = ""
+          while (t != prev) {
+            prev = t
+            t = t.replaceAll("\\([^()]*\\)", "")
+              .replaceAll("\\[[^\\[\\]]*\\]", "")
+          }
+          // typed-op nodes print the closure's JVM identity
+          // (…$$Lambda$/0x…@hash) — per-process, never structural
+          t.replaceAll("\\$\\$Lambda\\$?[^,\\s]*", "\\$\\$Lambda")
+            .replaceAll("@[0-9a-fA-F]+", "")
+            .replaceAll("[#\\d]", "").replaceAll("\\s+", " ").trim
+        }.filter(_.nonEmpty).mkString("\n")
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(norm.getBytes("UTF-8"))
           .take(6).map(b => f"$b%02x").mkString

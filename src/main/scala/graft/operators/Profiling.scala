@@ -193,27 +193,41 @@ object Profiling {
   def joinSizeAudit(left: DataFrame, right: DataFrame, key: String,
       w: Int = 1024, d: Int = 4): DataFrame = {
     import graft.functions.PortableHash.{h60, MinhashP}
-    def cells(df: DataFrame): DataFrame = df
-      .select(pmod(h60(col(key).cast("string")), lit(MinhashP)).as("h1"))
+    // ONE scan + ONE key shuffle per side: the per-key count table is
+    // the sufficient statistic for everything downstream (row counts,
+    // the exact product sum AND the CMS cells — a key with cnt rows
+    // contributes cnt to its bucket), so it is materialized once
+    // (keys-sized, the localCheckpointed-prefix convention) and the
+    // audit never touches the data again. Plan-asserted in PlanSpec.
+    def keyed(df: DataFrame): DataFrame = df
+      .groupBy(col(key).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val lk = keyed(left)
+    val rk = keyed(right)
+    def cells(kdf: DataFrame): DataFrame = kdf
+      .select(pmod(h60(col("k")), lit(MinhashP)).as("h1"), col("cnt"))
       .select(explode(array((0 until d).map(i =>
         struct(lit(i).as("seed"),
-          TextAnalysis.cmsPosOf(i, col("h1"), w).as("pos"))): _*)).as("c"))
+          TextAnalysis.cmsPosOf(i, col("h1"), w).as("pos"))): _*)).as("c"),
+        col("cnt"))
       .groupBy(col("c.seed").as("seed"), col("c.pos").as("pos"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = left.groupBy(col(key)).agg(count(lit(1)).as("cl"))
-      .join(right.groupBy(col(key)).agg(count(lit(1)).as("cr")), Seq(key))
-      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).cast("long")
+      .agg(sum(col("cnt")).as("cnt"))
+    val exact = lk
+      .join(rk.select(col("k"), col("cnt").as("cr")), Seq("k"))
+      .agg(coalesce(sum(col("cnt") * col("cr")), lit(0L)).cast("long")
         .as("exact_pairs"))
-    val est = cells(left).as("a")
-      .join(cells(right).as("b"),
+    val est = cells(lk).as("a")
+      .join(cells(rk).as("b"),
         col("a.seed") === col("b.seed") && col("a.pos") === col("b.pos"))
       .groupBy(col("a.seed"))
       .agg(sum(col("a.cnt") * col("b.cnt")).cast("long").as("ip"))
       .agg(count(lit(1)).as("n_seeds"), min(col("ip")).as("mn"))
       .select(when(col("n_seeds") < d, lit(0L)).otherwise(col("mn"))
         .cast("long").as("cms_est_pairs"))
-    left.agg(count(lit(1)).as("n_left"))
-      .crossJoin(right.agg(count(lit(1)).as("n_right")))
+    lk.agg(coalesce(sum(col("cnt")), lit(0L)).cast("long").as("n_left"))
+      .crossJoin(rk.agg(coalesce(sum(col("cnt")), lit(0L)).cast("long")
+        .as("n_right")))
       .crossJoin(exact)
       .crossJoin(est)
       .select(col("n_left"), col("n_right"),

@@ -360,6 +360,39 @@ class PlanSpec extends SparkSpec {
       "score must be the integer code-grid dot (zip_with over codes)")
   }
 
+  test("join_size_audit: runs entirely off the materialized key tables, pairs never materialize") {
+    val p = planOf("join_size_audit")
+    // the exact half joins two per-key COUNT tables — the pair relation
+    // itself must never appear (that's the whole point of the audit);
+    // a data-sized cartesian would mean the operator ran the join
+    assert(!p.contains("CartesianProduct"),
+      s"join_size_audit plans a data-sized cartesian:\n$p")
+    // the output assembly crosses four SINGLE-ROW aggregates (n_left,
+    // n_right, exact, estimate) — the bounded BNLJ form is expected
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the bounded 1-row assembly crosses")
+    // the per-side per-key count table is the checkpointed sufficient
+    // statistic: every branch (counts, exact, cells) reads IT, so the
+    // final plan contains ZERO re-scans of the data — each side was
+    // scanned exactly once, at prefix materialization
+    assert(p.split("\\(\\d+\\) Scan parquet").length - 1 == 0 &&
+      p.contains("Scan ExistingRDD"),
+      s"audit must run off the materialized key tables, never re-scan:\n$p")
+  }
+
+  test("hll_shard_merge: cells-sized merge off the checkpointed registers, no window") {
+    val p = planOf("hll_shard_merge")
+    // the shard register table is the checkpointed prefix (one corpus
+    // scan at materialization); the query plan merges CELLS only
+    assert(p.split("\\(\\d+\\) Scan parquet").length - 1 == 0 &&
+      p.contains("Scan ExistingRDD"),
+      s"shard merge must run off the register cells, never re-scan:\n$p")
+    // both levels are hash aggregates over register cells; a Window or
+    // cartesian here would mean the merge stopped being sketch-sized
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"shard merge must stay aggregate-only:\n$p")
+  }
+
   test("temporal joins stay equi-keyed: no nested-loop/cartesian anywhere") {
     // session_overlaps states an interval inequality; the bin bucketing
     // must turn it into a hash/merge join on __bin, never a BNLJ
