@@ -698,6 +698,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sq8 codes: scale-invariant, and the code-grid cosine tracks the raw cosine") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val dim = 64
+    val gen = Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f))
+    (1 to 5).foreach { i =>
+      val vecs = (0 until 12).map { j =>
+        (j.toLong, Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f))
+          .apply(Gen.Parameters.default, Seed(2100L + i * 100 + j)).get
+          .toArray)
+      }
+      def codesOf(rows: Seq[(Long, Array[Float])]): Map[Long, Seq[Long]] =
+        rows.toDF("vec_id", "embedding")
+          .select(col("vec_id"), Similarity.sq8Codes(col("embedding")))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val c = codesOf(vecs)
+      // per-vector symmetric scale ⇒ codes are EXACTLY invariant under a
+      // power-of-two rescale (binary-FP exact, no boundary flips)
+      val c4 = codesOf(vecs.map { case (id, v) => (id, v.map(_ * 4.0f)) })
+      assert(c == c4, s"seed batch $i: codes not scale-invariant")
+      // the serving identity: cosine on the code grid tracks the raw
+      // cosine within quantization error (|q|≤127, d=64 ⇒ loose 0.05)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val n = math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)
+        if (n == 0) 0.0 else a.zip(b).map { case (x, y) => x * y }.sum / n
+      }
+      for (Seq((ia, va), (ib, vb)) <- vecs.combinations(2).take(20)) {
+        val raw = cos(va.map(_.toDouble).toSeq, vb.map(_.toDouble).toSeq)
+        val coded = cos(c(ia).map(_.toDouble), c(ib).map(_.toDouble))
+        assert(math.abs(raw - coded) <= 0.05,
+          s"seed batch $i pair ($ia,$ib): raw $raw vs coded $coded")
+      }
+    }
+  }
+
   test("knPerplexity invariants: every log-prob ≤ 0; seen mass per context ≤ 1") {
     import graft.operators.TextAnalysis
     val vocab = Vector("x", "y", "z", "w", "v")
