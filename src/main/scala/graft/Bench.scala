@@ -116,41 +116,44 @@ object Bench {
     val calib = math.min(calibPre, math.min(calibrate(), calibrate()))
     val ioCalib = math.min(ioCalibPre, math.min(ioCalibrate(), ioCalibrate()))
     // Normalized physical-plan fingerprint per query (computed AFTER the
-    // timing passes — plan build only, nothing executes): a lost
-    // broadcast, a new shuffle or a codegen fallback shows up as a
-    // plan_sha diff against the previous round's bench_full.json instead
-    // of needing a close manual read. The fingerprint hashes plan
-    // STRUCTURE — the node/keyword skeleton per line, with bracket and
-    // paren argument lists (expression trees, literal arrays, paths,
-    // ids) stripped — because driver-computed literals (k-means
-    // centroids, bloom bits, plane weights) are not byte-stable across
-    // processes and a content hash churns on them (measured: 19/273
-    // false diffs between identical-code runs), while the regressions
-    // this exists to catch are operator-level: join strategy, exchange
-    // kind, added/removed nodes.
+    // timing passes; mostly plan build only, though queries whose
+    // construction eagerly checkpoints or collects a prefix do run
+    // those jobs again here — timings are unaffected, the passes are
+    // over): a lost broadcast, a new shuffle or a codegen fallback
+    // shows up as a plan_sha diff against the previous round's
+    // bench_full.json instead of needing a close manual read. The
+    // fingerprint hashes plan STRUCTURE (plans.PlanFingerprint: the
+    // node/keyword skeleton per line, bracket and paren argument lists,
+    // ids, digits, lambda identities stripped) because driver-computed
+    // literals are not byte-stable across processes, while the
+    // regressions this exists to catch are operator-level: join
+    // strategy, exchange kind, added/removed nodes. Since round 12 the
+    // fingerprint also folds in the PRE-checkpoint plans recorded by
+    // plans.PlanTrace during construction — a localCheckpoint prints as
+    // a bare LogicalRDD, so without the trace two queries materializing
+    // DIFFERENT prefixes (rnn_pairs's bounded LSH retriever vs
+    // rnn_pairs_exact's corpus² brute) fingerprinted identically and
+    // the tripwire was blind exactly where it mattered.
     def planSha(name: String): String =
       try {
-        val s = SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.executedPlan.toString
-        val norm = s.linesIterator.map { line =>
-          var t = line
-          var prev = ""
-          while (t != prev) {
-            prev = t
-            t = t.replaceAll("\\([^()]*\\)", "")
-              .replaceAll("\\[[^\\[\\]]*\\]", "")
-          }
-          // typed-op nodes print the closure's JVM identity
-          // (…$$Lambda$/0x…@hash) — per-process, never structural
-          t.replaceAll("\\$\\$Lambda\\$?[^,\\s]*", "\\$\\$Lambda")
-            .replaceAll("@[0-9a-fA-F]+", "")
-            .replaceAll("[#\\d]", "").replaceAll("\\s+", " ").trim
-        }.filter(_.nonEmpty).mkString("\n")
-        java.security.MessageDigest.getInstance("SHA-256")
-          .digest(norm.getBytes("UTF-8"))
-          .take(6).map(b => f"$b%02x").mkString
+        graft.plans.PlanTrace.reset()
+        graft.plans.PlanTrace.recording = true
+        val main = try {
+          graft.plans.PlanFingerprint.structSha(
+            SparkEntry.queries(name)(spark, sfDir))
+        } finally graft.plans.PlanTrace.recording = false
+        val prefixes = graft.plans.PlanTrace.snapshot()
+        if (prefixes.isEmpty) main
+        else graft.plans.PlanFingerprint.sha6(
+          (main +: prefixes).mkString("|"))
       } catch { case e: Throwable => "err" }
     val planShas = names.map(n => n -> planSha(n))
+    // the fingerprint pass re-ran eager-checkpoint prefixes; release
+    // their (non-pinned) blocks before exiting, as the timed passes do
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!SparkEntry.pinnedRddIds.contains(id))
+        rdd.unpersist(blocking = false)
+    }
     val results = names.map(n => n -> samples(n))
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def r2(v: Double) = math.rint(v * 100) / 100

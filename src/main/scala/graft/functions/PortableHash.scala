@@ -50,8 +50,23 @@ object PortableHash {
     * same-JVM interleaved A/B can attribute a bench move to the
     * byte-level rework vs host variance (graft.AbBench mode `h60`).
     * Never set in production paths. */
+  // Diagnostic-only toggle (AbBench / H60Probe / DedupSpec flip it at
+  // runtime, so it cannot be cached in a val). Read at plan-BUILD time —
+  // once per query construction, never per row. Warns ONCE when active:
+  // a stray -D flag in a deployment would otherwise silently swap every
+  // query onto the ~4x-slower legacy extraction with no trace.
+  private val legacyWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def legacyActive: Boolean = {
+    val on = sys.props.get("graft.h60.legacy").contains("true")
+    if (on && legacyWarned.compareAndSet(false, true))
+      System.err.println("[graft] WARNING: graft.h60.legacy=true — h60 " +
+        "plans will use the diagnostic legacy extraction (~4x slower, " +
+        "values bit-identical); intended only for A/B attribution runs")
+    on
+  }
+
   def h60(c: Column): Column =
-    if (sys.props.get("graft.h60.legacy").contains("true")) {
+    if (legacyActive) {
       import org.apache.spark.sql.functions.{conv, md5, substring}
       conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
     } else GraftBridge.toColumn(StaticInvoke(

@@ -571,7 +571,9 @@ object Dedup {
     * maintained per ingest (min-union = the StreamKmv fold). */
   def corpusOverlapKmv(documents: DataFrame, n: Int = 3,
       k: Int = 128): DataFrame =
-    overlapFromSketches(sourceSketch(documents, n, k).localCheckpoint(true), k)
+    overlapFromSketches(
+      graft.plans.PlanTrace.cp(sourceSketch(documents, n, k),
+        tag = "kmv_sketch"), k)
 
   /** Per-source bottom-k sketch of distinct shingle hashes — the
     * write-time state [[corpusOverlapKmv]] (and its streaming fold,
@@ -644,17 +646,18 @@ object Dedup {
     // references to the pairs subtree, and Spark does no logical CSE across
     // DataFrame references, so unioning first would execute the whole pair
     // pipeline twice inside the checkpoint job
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val p = graft.plans.PlanTrace.cp(
+      pairs.select(col("id_a"), col("id_b")), tag = "cc_pairs")
     // symmetric edges PLUS a self-loop per node: neighbor-min over this
     // table keeps each node's own label with no union inside the loop
     // (one operator fewer per round, and Union + self-join aliasing in an
     // iterated plan trips Catalyst's union constraint rewrite)
-    val und = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .union(p.select(col("id_a").as("src"), col("id_a").as("dst"))
-        .union(p.select(col("id_b").as("src"), col("id_b").as("dst")))
-        .distinct())
-      .localCheckpoint(true)
+    val und = graft.plans.PlanTrace.cp(
+      p.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .union(p.select(col("id_a").as("src"), col("id_a").as("dst"))
+          .union(p.select(col("id_b").as("src"), col("id_b").as("dst")))
+          .distinct()), tag = "cc_edges")
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
     def round(cur: DataFrame): DataFrame = {
@@ -682,7 +685,7 @@ object Dedup {
       var prev = labels
       var next = labels
       for (_ <- 0 until roundsPerCheck) { prev = next; next = round(next) }
-      val batch = next.localCheckpoint(true)
+      val batch = graft.plans.PlanTrace.cp(next, tag = "cc_batch")
       // fixpoint test INSIDE the batch: min-label propagation is monotone
       // decreasing, so last-round == second-to-last-round means THE
       // fixpoint — near-clique dedup graphs (diameter ≤ roundsPerCheck-1)
@@ -770,7 +773,8 @@ object Dedup {
     // reference recomputes its subtree — without this the whole LSH+CC
     // pipeline would run twice
     dedupGroupsBestFrom(documents,
-      dedupGroups(documents, threshold).localCheckpoint(true))
+      graft.plans.PlanTrace.cp(dedupGroups(documents, threshold),
+        tag = "groups"))
 
   /** [[dedupGroupsBest]] over a precomputed (already materialized —
     * checkpointed or table-backed) groups relation; see
@@ -860,8 +864,9 @@ object Dedup {
     * guarantees. Pairs are block-bounded by construction, so the
     * self-joins are block-local and never quadratic in the corpus. */
   def dupTriangles(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val pairs = embeddingCosineDups(embeddings, threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val pairs = graft.plans.PlanTrace.cp(
+      embeddingCosineDups(embeddings, threshold)
+        .select(col("id_a"), col("id_b")), tag = "dup_pairs")
     val labels = embeddings.select(col("vec_id"), col("label"))
     pairs.as("p1")
       .join(pairs.as("p2"), col("p1.id_b") === col("p2.id_a"))
@@ -883,8 +888,9 @@ object Dedup {
     * aggregate on node ids, the histogram one more on the ≤ max-degree
     * distinct degree values. */
   def dupDegrees(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val pairs = embeddingCosineDups(embeddings, threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val pairs = graft.plans.PlanTrace.cp(
+      embeddingCosineDups(embeddings, threshold)
+        .select(col("id_a"), col("id_b")), tag = "dup_pairs")
     pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
@@ -914,12 +920,14 @@ object Dedup {
     * (localCheckpoint) so no iteration re-derives the cosine join. */
   def dupPagerank(embeddings: DataFrame, threshold: Double = 0.3,
       iters: Int = 3): DataFrame = {
-    val pairs = embeddingCosineDups(embeddings, threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val pairs = graft.plans.PlanTrace.cp(
+      embeddingCosineDups(embeddings, threshold)
+        .select(col("id_a"), col("id_b")), tag = "dup_pairs")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val outW = edges.join(deg, Seq("src")).localCheckpoint()
+    val outW = graft.plans.PlanTrace.cp(
+      edges.join(deg, Seq("src")), tag = "pr_outw")
     var r = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       r = outW.join(r, col("src") === col("id"))

@@ -818,7 +818,7 @@ object EventsOps {
     // over the full event relation runs once, not twice
     val alive = vc.filter(col("c_us").isNotNull &&
       col("c_us") <= col("v_us") + wUs)
-      .localCheckpoint()
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "funnel_alive"))
     val l3 = AsOfJoin.asOfForward(
       alive.withColumn("probe2", col("c_us") + 1),
       stepTable("purchase", "pus"),
@@ -881,7 +881,7 @@ object EventsOps {
       .union(sess.select((col("end_us") + 1).as("us"), lit(-1L).as("d")))
       .groupBy(col("us")).agg(sum(col("d")).cast("long").as("net"))
       .withColumn("day", expr("us div 86400000000"))
-      .localCheckpoint()
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "conc_deltas"))
     // day-cardinality carry-in: the only relation crossing a global window
     val dayTotals = deltas.groupBy(col("day"))
       .agg(sum(col("net")).cast("long").as("day_net"))

@@ -98,7 +98,7 @@ object Profiling {
           .otherwise(lit(zeroRank) - length(bin(col("rem")))))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("cnt"), max(col("rho")).as("reg"))
-      .localCheckpoint()
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "hll_cells"))
     val tallies = cells.groupBy("event_type")
       .agg(sum(col("cnt")).as("n_rows"),
         coalesce(sum(when(col("bucket") === -1L, col("cnt"))), lit(0L))
@@ -158,7 +158,7 @@ object Profiling {
           .otherwise(lit(zeroRank) - length(bin(col("rem")))))
       .groupBy(col("shard"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
-      .localCheckpoint()
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "hll_shards"))
     val merged = shardRegs.groupBy(col("bucket"))
       .agg(max(col("reg")).as("reg"))
       .select(lit("merged").as("shard"), col("bucket"), col("reg"))
@@ -202,7 +202,7 @@ object Profiling {
     def keyed(df: DataFrame): DataFrame = df
       .groupBy(col(key).cast("string").as("k"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "keyed_counts"))
     val lk = keyed(left)
     val rk = keyed(right)
     def cells(kdf: DataFrame): DataFrame = kdf

@@ -157,7 +157,7 @@ object RangeJoin {
     val sess = MarketStats.sessionOhlc(events, gapNs)
       .select(col("event_type"), col("session_start_us"),
         (col("session_start_us") + col("duration_us")).as("session_end_us"))
-      .localCheckpoint()
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "sess_ohlc"))
     val a = sess.select(col("event_type").as("type_a"),
       col("session_start_us").as("a_start"),
       col("session_end_us").as("a_end"))

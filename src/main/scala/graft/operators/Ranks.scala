@@ -171,10 +171,11 @@ object Ranks {
       tiebreaks: Seq[Column], rankCol: String, nCol: String,
       cells: Int = 4096, maxGroups: Long = 1L << 18): DataFrame = {
     val pc = partition.map(col)
-    val withV = df.withColumn("__v", primary.cast("long"))
-      .withColumn("__t",
-        tiebreaks.headOption.map(_.cast("long")).getOrElse(lit(0L)))
-      .localCheckpoint(false)
+    val withV = graft.plans.PlanTrace.cp(
+      df.withColumn("__v", primary.cast("long"))
+        .withColumn("__t",
+          tiebreaks.headOption.map(_.cast("long")).getOrElse(lit(0L))),
+      eager = false, tag = "ranks_in")
     val aggs = Seq(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
       min(col("__t")).as("__tmn"), max(col("__t")).as("__tmx"),
       count(lit(1)).as("__n"))
@@ -274,7 +275,8 @@ object Ranks {
       .withColumn("__t",
         tiebreaks.headOption.map(_.cast("long")).getOrElse(lit(0L)))
       .withColumn("__w", value.cast("long"))
-      .localCheckpoint(false)
+      .transform(d => graft.plans.PlanTrace.cp(d, eager = false,
+        tag = "ranks_in"))
     val aggs = Seq(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
       min(col("__t")).as("__tmn"), max(col("__t")).as("__tmx"))
     val integral = subdividable(df, primary, tiebreaks)
@@ -328,7 +330,8 @@ object Ranks {
       Seq(p.cast("long").as(s"__v$i"),
         tbs.headOption.map(_.cast("long")).getOrElse(lit(0L)).as(s"__t$i"))
     }
-    val withV = df.select(col("*") +: vCols: _*).localCheckpoint(false)
+    val withV = graft.plans.PlanTrace.cp(
+      df.select(col("*") +: vCols: _*), eager = false, tag = "ranks_in")
     val statAggs = ix.flatMap { i => Seq(
       min(col(s"__v$i")).as(s"__mn$i"), max(col(s"__v$i")).as(s"__mx$i"),
       min(col(s"__t$i")).as(s"__tmn$i"), max(col(s"__t$i")).as(s"__tmx$i"))
@@ -362,7 +365,8 @@ object Ranks {
           .orderBy(col("__cell"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__axis"), col("__cell"), col("__off"))
-      .localCheckpoint(false)
+      .transform(d => graft.plans.PlanTrace.cp(d, eager = false,
+        tag = "ranks_offs"))
     val ranked = axes.zipWithIndex.foldLeft(celled) {
       case (d, ((k, p, tbs, name), i)) =>
         d.join(broadcast(offs.filter(col("__axis") === i)

@@ -397,9 +397,12 @@ object Sampling {
       maxEpochs: Int = 2): DataFrame = {
     import documents.sparkSession.implicits._
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    val counts = documents.groupBy(col("source"))
+    val countsDf = documents.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars"))
+    graft.plans.PlanTrace.record("epoch_counts",
+      graft.plans.PlanFingerprint.structSha(countsDf))
+    val counts = countsDf
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong

@@ -235,11 +235,14 @@ object Similarity {
       .limit(nCentroids).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      val means = base
+      val meansDf = base
         .select(nearest_centroid(col("embedding"), cents).as("c_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("c_id"), col("pos"))
         .agg(avg(col("x")).as("m"))
+      graft.plans.PlanTrace.record("kmeans_fit",
+        graft.plans.PlanFingerprint.structSha(meansDf))
+      val means = meansDf
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
@@ -326,6 +329,11 @@ object Similarity {
           expr(s"pos % $subDim").as("spos"), col("x"))
         .groupBy(col("sub"), col("c_id"), col("spos"))
         .agg(avg(col("x")).as("mw"))
+        .transform { d =>
+          graft.plans.PlanTrace.record("pq_fit",
+            graft.plans.PlanFingerprint.structSha(d))
+          d
+        }
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case ((s, cid), rows) =>
@@ -779,10 +787,14 @@ object Similarity {
   def pcaPower(embeddings: DataFrame, iters: Int = 6): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cells = embeddingCov(embeddings)
+    val cellsDf = embeddingCov(embeddings)
       .select(col("i_dim"), col("j_dim"), col("n_vecs"),
         col("s_i_q"), col("s_j_q"), col("s_ij_q"))
-      .collect()
+    // the published result is a driver-local relation; record the cov
+    // prefix so the plan fingerprint distinguishes this query
+    graft.plans.PlanTrace.record("pca_cov",
+      graft.plans.PlanFingerprint.structSha(cellsDf))
+    val cells = cellsDf.collect()
     // empty corpus ⇒ no moment cells ⇒ vacuously empty direction
     // (EmptyInputSpec contract: return empty, never throw)
     if (cells.isEmpty) return Seq.empty[(Int, Long)].toDF("dim", "v_micro")
@@ -1202,7 +1214,7 @@ object Similarity {
   def mutualKnnFrom(directed: DataFrame): DataFrame = {
     val d = directed
       .select(col("src"), col("cand_id"), col("rank"), col("cos"))
-      .localCheckpoint()
+      .transform(x => graft.plans.PlanTrace.cp(x, tag = "knn_directed"))
     d.as("x")
       .join(d.as("y"),
         col("x.src") === col("y.cand_id") &&
@@ -1343,7 +1355,7 @@ object Similarity {
     // distributed half: score the corpus, cut to the top-n candidate
     // window with TakeOrderedAndProject (orderBy+limit — never a global
     // sort, never a single-partition window)
-    val cands = corpus.crossJoin(q)
+    val candsDf = corpus.crossJoin(q)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("embedding"),
         when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
@@ -1351,7 +1363,9 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id")).limit(n)
       .select(col("vec_id"), col("embedding"),
         floor(col("cos") * lit(1e6)).cast("long").as("rel_micro"))
-      .collect()
+    graft.plans.PlanTrace.record("mmr_cands",
+      graft.plans.PlanFingerprint.structSha(candsDf))
+    val cands = candsDf.collect()
     val ids = cands.map(_.getLong(0))
     val rel = cands.map(_.getLong(2))
     val vecs = cands.map(_.getSeq[Float](1).map(_.toDouble).toArray)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.plans.{PlanFingerprint, PlanTrace}
 
 /** Cross-query memoized prefixes, shared SQL constants and oracle CTE
   * builders — extracted verbatim from SparkEntry (round 11 split).
@@ -55,11 +56,57 @@ private[graft] object Memo {
   val pinnedRddIds: java.util.Set[Integer] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
 
+  /** Pre-checkpoint structural plan shas of the memoized prefixes,
+    * keyed (tag, ctx, dir) — stored at BUILD time (the memo may be
+    * built during an untraced timed pass) and recorded into
+    * [[PlanTrace]] on EVERY access, so Bench's fingerprint pass sees
+    * the prefix plan the localCheckpoint's LogicalRDD readout hides
+    * (the r11 plan_sha blind spot). */
+  private val shaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String), String]()
+
+  /** The memoize-checkpoint-pin pattern every DataFrame family prefix
+    * below shares, plus the build-time sha capture + access-time trace
+    * record. */
+  private def memoizedCp(
+      cache: java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame],
+      tag: String, s: SparkSession, dir: String, eager: Boolean = true)(
+      build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(s.sparkContext), dir)
+    val v = cache.computeIfAbsent(k, _ => {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val raw = build
+      shaMemo.put((tag, k._1, k._2), PlanFingerprint.structSha(raw))
+      val out = raw.localCheckpoint(eager)
+      (s.sparkContext.getPersistentRDDs.keySet -- before)
+        .foreach(id => pinnedRddIds.add(id))
+      out
+    })
+    PlanTrace.record(tag, shaMemo.getOrDefault((tag, k._1, k._2), "unbuilt"))
+    v
+  }
+
   private[graft] val groupsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, Double), DataFrame]()
 
   private[graft] val centroidsMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), Array[Array[Double]]]()
+
+  /** Temp parquet state (band index, window census) lives for ONE
+    * process by design — delete it on JVM exit so repeated bench/verify
+    * invocations on a shared host don't accumulate /tmp state (each
+    * dir is corpus-sized sketch/hash parquet, not payload). */
+  private def tempDirFor(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
 
   private[graft] val bandStoreMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), String]()
@@ -69,16 +116,18 @@ private[graft] object Memo {
     * cross-corpus semantic check probes. The indexed corpus is the
     * store split the gated query checks against (vec_id ≢ 0 mod 5);
     * queries pay only the batch-side signatures + the probe. */
-  private[graft] def bandStoreFor(s: SparkSession, dir: String): String =
+  private[graft] def bandStoreFor(s: SparkSession, dir: String): String = {
+    PlanTrace.record("band_store",
+      PlanFingerprint.structSha(Tables.embeddings(s, dir)))
     bandStoreMemo.computeIfAbsent(
       (System.identityHashCode(s.sparkContext), dir), _ => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_emb_index").toString
+        val path = tempDirFor("graft_emb_index")
         graft.store.EmbeddingStore.writeBanded(
           Tables.embeddings(s, dir).filter(pmod(col("vec_id"), lit(5)) =!= 0),
           path)
         path
       })
+  }
 
   private[graft] val substrStoreMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), String]()
@@ -88,16 +137,18 @@ private[graft] object Memo {
     * the exact-substring ingest check probes. The indexed corpus is the
     * store split the gated query checks against (doc_id ≢ 0 mod 5);
     * queries pay only the batch-side census + the hash-keyed probe. */
-  private[graft] def substrStoreFor(s: SparkSession, dir: String): String =
+  private[graft] def substrStoreFor(s: SparkSession, dir: String): String = {
+    PlanTrace.record("substr_store",
+      PlanFingerprint.structSha(Tables.documents(s, dir)))
     substrStoreMemo.computeIfAbsent(
       (System.identityHashCode(s.sparkContext), dir), _ => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_substr_census").toString
+        val path = tempDirFor("graft_substr_census")
         graft.store.SubstrStore.writeWindowCensus(
           Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0),
           path)
         path
       })
+  }
 
   /** IVF centroids trained ONCE per (SparkContext, corpus dir) — the
     * write-time clustering (`store.EmbeddingStore`); the `ann_ivf_topk`
@@ -135,29 +186,15 @@ private[graft] object Memo {
     * (the bm25 exchange-reuse lesson applied ACROSS queries: share the
     * materialization, not just the plan subtree). */
   private[graft] def postingsFor(s: SparkSession, dir: String): DataFrame =
-    postingsMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val p = Dedup.postings(Tables.documents(s, dir), 3)
-          .localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(id => pinnedRddIds.add(id))
-        p
-      })
+    memoizedCp(postingsMemo, "postings", s, dir)(
+      Dedup.postings(Tables.documents(s, dir), 3))
 
   /** The candidate-overlap relation (pairs + shared-shingle counts +
     * sizes) computed ONCE over [[postingsFor]] — the jaccard and
     * containment scorers differ only ABOVE this generator. */
   private[graft] def overlapFor(s: SparkSession, dir: String): DataFrame =
-    overlapMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val o = Dedup.overlapWithSizesFrom(postingsFor(s, dir))
-          .localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(id => pinnedRddIds.add(id))
-        o
-      })
+    memoizedCp(overlapMemo, "overlap", s, dir)(
+      Dedup.overlapWithSizesFrom(postingsFor(s, dir)))
 
   private[graft] val dupStartsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), Dedup.DupStarts]()
@@ -169,16 +206,22 @@ private[graft] object Memo {
     * window length travels inside [[Dedup.DupStarts]], so both
     * consumers are structurally pinned to the length the census was
     * built under. */
-  private[graft] def dupStartsFor(s: SparkSession, dir: String): Dedup.DupStarts =
-    dupStartsMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
+  private[graft] def dupStartsFor(s: SparkSession, dir: String): Dedup.DupStarts = {
+    val k = (System.identityHashCode(s.sparkContext), dir)
+    val v = dupStartsMemo.computeIfAbsent(k, _ => {
         val before = s.sparkContext.getPersistentRDDs.keySet
         val d = Dedup.dupStarts(Tables.documents(s, dir), 20)
+        shaMemo.put(("dup_starts", k._1, k._2),
+          PlanFingerprint.structSha(d.rel))
         val p = d.copy(rel = d.rel.localCheckpoint(true))
         (s.sparkContext.getPersistentRDDs.keySet -- before)
           .foreach(id => pinnedRddIds.add(id))
         p
       })
+    PlanTrace.record("dup_starts",
+      shaMemo.getOrDefault(("dup_starts", k._1, k._2), "unbuilt"))
+    v
+  }
 
   private[graft] val positionsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
@@ -189,21 +232,15 @@ private[graft] object Memo {
     * under winnow_pairs and dup_spans (both need positions, so they can
     * never join the distinct postings prefix; before this memo each
     * re-ran normalize + the trigram posexplode over the corpus). */
-  private[graft] def positionsFor(s: SparkSession, dir: String): DataFrame =
-    positionsMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
-        import graft.functions.TextOps.normalize
-        import graft.functions.WordShingles.word_ngrams
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val p = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            posexplode(word_ngrams(normalize(col("text")), 3))
-              .as(Seq("pos", "sh")))
-          .localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(id => pinnedRddIds.add(id))
-        p
-      })
+  private[graft] def positionsFor(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps.normalize
+    import graft.functions.WordShingles.word_ngrams
+    memoizedCp(positionsMemo, "positions", s, dir)(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(word_ngrams(normalize(col("text")), 3))
+            .as(Seq("pos", "sh"))))
+  }
 
   private[graft] val docBucketsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
@@ -216,17 +253,10 @@ private[graft] object Memo {
     * checkpoint passes (the round-7 bench regression: 0.72→1.62 s /
     * 0.66→1.28 s when the curves moved off the global-ntile window). */
   private[graft] def docBucketsFor(s: SparkSession, dir: String): DataFrame =
-    docBucketsMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val b = graft.operators.Ranks.withNtileBucket(
-          Tables.documents(s, dir).select(col("doc_id")),
-          10, col("doc_id"), Nil, "bucket")
-          .localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(id => pinnedRddIds.add(id))
-        b
-      })
+    memoizedCp(docBucketsMemo, "doc_buckets", s, dir)(
+      graft.operators.Ranks.withNtileBucket(
+        Tables.documents(s, dir).select(col("doc_id")),
+        10, col("doc_id"), Nil, "bucket"))
 
   private[graft] val bigramsMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
@@ -239,20 +269,14 @@ private[graft] object Memo {
     * lesson applied to the bigram family: one tokenize, many readers;
     * distinct-per-doc and hashed-bucket views all DERIVE from the
     * occurrence table). */
-  private[graft] def bigramsFor(s: SparkSession, dir: String): DataFrame =
-    bigramsMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
-        import graft.functions.TextOps.normalize
-        import graft.functions.WordShingles.word_ngrams
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val b = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            explode(word_ngrams(normalize(col("text")), 2)).as("b"))
-          .localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(id => pinnedRddIds.add(id))
-        b
-      })
+  private[graft] def bigramsFor(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps.normalize
+    import graft.functions.WordShingles.word_ngrams
+    memoizedCp(bigramsMemo, "bigrams", s, dir)(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(word_ngrams(normalize(col("text")), 2)).as("b")))
+  }
 
   private[graft] val tokensMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
@@ -263,18 +287,12 @@ private[graft] object Memo {
     * richness/tf-idf consumers. Corpus-level, per-source (via a
     * broadcast doc→source join) and per-doc census views all DERIVE
     * from the occurrence table. */
-  private[graft] def tokensFor(s: SparkSession, dir: String): DataFrame =
-    tokensMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
-        import graft.functions.TextOps.tokens
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val t = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(id => pinnedRddIds.add(id))
-        t
-      })
+  private[graft] def tokensFor(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextOps.tokens
+    memoizedCp(tokensMemo, "tokens", s, dir)(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+  }
 
   private[graft] val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (Seq[(Long, String, Long)], DataFrame)]()
@@ -298,7 +316,13 @@ private[graft] object Memo {
         (s.sparkContext.getPersistentRDDs.keySet -- before)
           .foreach(id => pinnedRddIds.add(id))
         (learned, fin)
-      })
+      }) match { case v @ (_, fin) =>
+        // fin is persisted with lineage intact (chained replaces off the
+        // scan), so its structural sha distinguishes the BPE family's
+        // driver-local result relations in the plan fingerprint
+        PlanTrace.record("bpe_final", PlanFingerprint.structSha(fin))
+        v
+      }
 
   private[graft] val fracMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
@@ -308,16 +332,8 @@ private[graft] object Memo {
     * directly and `contamination_deciles` rolls it up, off one scoring
     * run (the dedup-family prefix pattern). */
   private[graft] def fracFor(s: SparkSession, dir: String): DataFrame =
-    fracMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val f = TextAnalysis
-          .decontaminationFraction(Tables.documents(s, dir))
-          .localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(id => pinnedRddIds.add(id))
-        f
-      })
+    memoizedCp(fracMemo, "decontam_frac", s, dir)(
+      TextAnalysis.decontaminationFraction(Tables.documents(s, dir)))
 
   /** Near-dup groups (Dedup.dedupGroups) computed ONCE per
     * (SparkContext, corpus dir, threshold) and localCheckpointed — the
@@ -335,27 +351,26 @@ private[graft] object Memo {
     * both `minhash_lsh_pairs` (verify stage) and `blocking_quality`
     * (candidate counting) consume the same relation. */
   private[graft] def lshCandidatesFor(s: SparkSession, dir: String): DataFrame =
-    lshCandMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir), _ => {
-        val before = s.sparkContext.getPersistentRDDs.keySet
-        val c = Dedup.lshCandidatesFrom(postingsFor(s, dir))
-          .localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
-          .foreach(id => pinnedRddIds.add(id))
-        c
-      })
+    memoizedCp(lshCandMemo, "lsh_cands", s, dir)(
+      Dedup.lshCandidatesFrom(postingsFor(s, dir)))
 
   private[graft] def groupsFor(s: SparkSession, dir: String,
-      threshold: Double): DataFrame =
-    groupsMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir, threshold), _ => {
+      threshold: Double): DataFrame = {
+    val k = (System.identityHashCode(s.sparkContext), dir, threshold)
+    val v = groupsMemo.computeIfAbsent(k, _ => {
         val before = s.sparkContext.getPersistentRDDs.keySet
-        val g = Dedup.dedupGroups(Tables.documents(s, dir), threshold)
-          .localCheckpoint(true)
+        val raw = Dedup.dedupGroups(Tables.documents(s, dir), threshold)
+        shaMemo.put(("groups", k._1, k._2 + "@" + k._3),
+          PlanFingerprint.structSha(raw))
+        val g = raw.localCheckpoint(true)
         (s.sparkContext.getPersistentRDDs.keySet -- before)
           .foreach(id => pinnedRddIds.add(id))
         g
       })
+    PlanTrace.record("groups",
+      shaMemo.getOrDefault(("groups", k._1, k._2 + "@" + k._3), "unbuilt"))
+    v
+  }
 
   /** CTE list (no WITH keyword) reproducing Dedup.minhashLshPairs up to a
     * `pairs(id_a, id_b, jaccard6)` relation — shared by the pairs oracle

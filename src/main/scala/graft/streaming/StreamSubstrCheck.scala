@@ -62,8 +62,25 @@ object StreamSubstrCheck {
         // accumulate per-batch blocks
         val b = batch.persist()
         try {
-          sink(probe(spark, b, censusPath, minLen), batchId)
-          graft.store.SubstrStore.appendWindowCensus(b, censusPath, minLen)
+          // materialize the probe with TRUNCATED lineage BEFORE the
+          // census append: a sink that defers evaluation (stores the
+          // DataFrame, writes asynchronously) would otherwise evaluate
+          // against the already-appended census and self-flag the
+          // batch's own windows; a checkpointed result can never
+          // re-derive. Blocks are released with the batch — a sink
+          // still holding the frame after that fails loudly (missing
+          // checkpoint data), never silently wrong.
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          val spans = probe(spark, b, censusPath, minLen)
+            .localCheckpoint(true)
+          val spanBlocks =
+            spark.sparkContext.getPersistentRDDs.keySet -- before
+          try {
+            sink(spans, batchId)
+            graft.store.SubstrStore.appendWindowCensus(b, censusPath, minLen)
+          } finally spanBlocks.foreach(id =>
+            spark.sparkContext.getPersistentRDDs.get(id)
+              .foreach(_.unpersist(blocking = false)))
         } finally b.unpersist()
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
