@@ -56,4 +56,39 @@ object SubstrStore {
 
   def readWindowCensus(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(censusSchema).parquet(path)
+
+  /** COMPACTION — the maintenance pass the append-only census needs:
+    * every admitted batch appends its full window set, so h rows
+    * duplicate across appends (probe-harmless — semi-join set
+    * semantics — but storage and probe scan cost grow with every
+    * admit, not with distinct content). Rewrite the census DISTINCT to
+    * a NEW path; the live census stays readable until [[swapCompacted]]
+    * (the `TradeStore.compact` swap-on-success contract — never an
+    * in-place rewrite racing readers). Idempotent: compaction is a pure
+    * function of the source, so a crash anywhere before the swap is
+    * recovered by simply re-running (mode overwrite). The distinct is
+    * one hash shuffle on (h, hb) — and because h determines hb, at
+    * 100 TB the same rewrite runs bucket-by-bucket as 64 independent
+    * jobs (read one hb partition, distinct, write), bounding any
+    * single job at census/64. */
+  def compactWindowCensus(spark: SparkSession, path: String,
+      outPath: String): Unit =
+    readWindowCensus(spark, path).distinct()
+      .write.partitionBy("hb").mode("overwrite").parquet(outPath)
+
+  /** Swap a compacted census into place: live → retired, compacted →
+    * live, delete retired. The second rename is the commit point.
+    * Crash taxonomy (spec-exercised): before the first rename — live
+    * untouched; between the renames — the live name is missing but the
+    * retired dir holds the complete old census and [[recoverSwap]]
+    * restores it (the compacted output can then be re-swapped, or
+    * recomputed — pure function); after the second rename — committed,
+    * the retired copy is garbage. A probe therefore always reads either
+    * the whole old census or the whole new one, never a mix. */
+  def swapCompacted(path: String, outPath: String): Unit =
+    Swap.commit(path, outPath)
+
+  /** Crash-between-renames recovery: restore the retired census when
+    * the live name is missing. No-op in every other state. */
+  def recoverSwap(path: String): Unit = Swap.recover(path)
 }
