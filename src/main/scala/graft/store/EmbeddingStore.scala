@@ -82,4 +82,54 @@ object EmbeddingStore {
 
   def readBandedVecs(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(vecsSchema).parquet(s"$path/vecs")
+
+  /** RE-CLUSTER executor — the action half of the maintenance loop
+    * `streaming.StreamIvfIngest`'s cell-size census only TRIGGERS: when
+    * continuous ingest under a frozen coarse quantizer drifts the cells
+    * far from balance (probe selectivity degrades — a hot cell makes
+    * every probe of it scan a growing fraction of the corpus), refit
+    * the quantizer from the CURRENT store contents and rewrite the
+    * cell-partitioned layout under the new centroids to a NEW path.
+    * The live layout stays readable until [[swapReclustered]] (the
+    * `Swap.commit` contract); a crash before the swap is recovered by
+    * re-running (pure function of the store).
+    *
+    * Returns the new centroid table: cell ids in a layout are only
+    * meaningful under the centroids that built them, so the caller
+    * must repoint layout and centroids TOGETHER (and then refresh any
+    * write-time state derived from cell ids — e.g. re-run
+    * [[writeBanded]] if the band index lives beside this store; the
+    * spec exercises the full loop).
+    *
+    * At 100 TB: the refit samples (`fitPermille`, the
+    * `Similarity.kmeansCentroids` knob), the rewrite is one map-side
+    * assignment pass + the partitioned write — the same cost as the
+    * original `writeClustered`, amortized over the query load like any
+    * layout decision; ingest continues against the old layout until
+    * the swap. */
+  def recluster(spark: SparkSession, path: String, outPath: String,
+      nCentroids: Int = 12, iters: Int = 3,
+      fitPermille: Int = 1000): Array[Array[Double]] = {
+    val vecs = read(spark, path).select(col("vec_id"), col("embedding"))
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      vecs, nCentroids, iters, fitPermille)
+    writeClustered(vecs, outPath, cents)
+    cents
+  }
+
+  /** Commit a re-clustered layout (see [[Swap.commit]] for the crash
+    * taxonomy; [[Swap.recover]] handles the between-renames window). */
+  def swapReclustered(path: String, outPath: String): Unit =
+    Swap.commit(path, outPath)
+
+  /** Cell-balance trigger metric over a cell-count census (c_id, n) —
+    * the normalized max/mean cell load in micros (1_000_000 = perfectly
+    * balanced). `StreamIvfIngest`'s per-batch counts are sum-mergeable
+    * into exactly this census; a monitor re-clusters when the skew
+    * crosses its threshold. Driver-sized input (≤ nCells rows). */
+  def cellSkewMicro(census: Seq[(Int, Long)]): Long = {
+    val loads = census.map(_._2)
+    if (loads.isEmpty || loads.sum == 0L) return 1000000L
+    loads.max * 1000000L * loads.length / loads.sum
+  }
 }

@@ -34,7 +34,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * monitor accumulates exact per-cell cardinalities under any arrival
  * order. That statistic is what triggers a re-cluster (cells drifting
  * far from balance degrade probe selectivity), exactly like a table
- * layout's compaction trigger.
+ * layout's compaction trigger: fold the counts into a census, measure
+ * `EmbeddingStore.cellSkewMicro`, and when it crosses threshold run
+ * `EmbeddingStore.recluster` + `swapReclustered` — the executor half
+ * of the loop (IvfReclusterSpec drives trigger → refit → swap
+ * end-to-end and asserts margins/balance improve, recall holds).
  *
  * At 100 TB: the append is nCells-way partitioned parquet (small-file
  * pressure is the known cost of frequent micro-batches — compaction
