@@ -27,9 +27,15 @@ object AbBench {
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "8").toInt
-    val watch = Seq("winnow_pairs", "corpus_overlap_kmv",
-      "tf_cosine_pairs", "vol_signature")
-    val controls = Seq("rank_bands", "vpin_buckets")
+    // watch/control sets are env-overridable: each round's verdict names
+    // fresh unadjudicated driver-host deltas (r10: the shingle quartet;
+    // r11: rnn_pairs/lm_coverage), and the harness is the same every time
+    val watch = sys.env.getOrElse("SPARK_GRAFT_AB_WATCH",
+      "winnow_pairs,corpus_overlap_kmv,tf_cosine_pairs,vol_signature")
+      .split(',').toSeq.filter(_.nonEmpty)
+    val controls = sys.env.getOrElse("SPARK_GRAFT_AB_CONTROLS",
+      "rank_bands,vpin_buckets")
+      .split(',').toSeq.filter(_.nonEmpty)
     // strict alternation: w c w c w c (controls cycled)
     val order = watch.zipWithIndex.flatMap { case (w, i) =>
       Seq(w, controls(i % controls.length))
@@ -126,7 +132,9 @@ object AbBench {
     val line = s"""{"metric":"ab_bench","rounds":$rounds,"ctrl_min_mean":${r3(ctrlMin)},"summary":$summary,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("ab_bench.json"), (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_AB_OUT", "ab_bench.json")),
+      (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[ab] write failed: $e") }
     spark.stop()
   }

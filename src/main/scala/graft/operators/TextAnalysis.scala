@@ -458,6 +458,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_copies"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** ENCODING/MOJIBAKE audit (the ftfy-class curation gate): per-source
+    * census of six UTF-8 damage classes — non-ASCII mass, the
+    * UTF-8-read-as-Latin-1 lead chars (Ã/â/Â: the double-encoding
+    * signature), U+FFFD replacement chars (lossy transcodes), C1
+    * controls (CP-1252 bytes decoded as ISO-8859-1), raw C0 controls,
+    * and ≥4-char ASCII punctuation runs (markup shrapnel) — plus the
+    * per-source count of docs flagged by any artifact class (non-ASCII
+    * alone is NOT an artifact: clean multilingual text stays unflagged).
+    * The read a pipeline takes per ingest source before deciding to
+    * transcode-repair, re-crawl or drop.
+    *
+    * Scale shape: ONE codegen'd code-point scan per document
+    * ([[graft.functions.EncodingOps]], the StaticInvoke shape of the
+    * h60/token expressions), then a source-cardinality aggregate —
+    * map-side combined, no shuffle beyond |sources| rows. All counts
+    * are integer-exact over code points, so the DuckDB oracle replays
+    * them via regexp_extract_all lengths bit-for-bit. */
+  def encodingAudit(documents: DataFrame): DataFrame = {
+    import graft.functions.EncodingOps._
+    def e(i: Int) = element_at(col("__a"), i + 1)
+    documents
+      .select(col("source"), encoding_counts(col("text")).as("__a"))
+      .select(col("source"),
+        e(NonAscii).as("na"), e(MojibakeLead).as("mj"),
+        e(Replacement).as("rp"), e(C1Controls).as("c1"),
+        e(C0Controls).as("c0"), e(PunctRuns).as("pr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("na")).cast("long").as("n_non_ascii"),
+        sum(col("mj")).cast("long").as("n_mojibake_lead"),
+        sum(col("rp")).cast("long").as("n_replacement"),
+        sum(col("c1")).cast("long").as("n_c1_controls"),
+        sum(col("c0")).cast("long").as("n_c0_controls"),
+        sum(col("pr")).cast("long").as("n_punct_runs"),
+        sum(when(col("mj") + col("rp") + col("c1") + col("c0")
+            + col("pr") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_flagged_docs"))
+      .orderBy(col("source"))
+  }
+
   // PII patterns constrained to the Java-regex ∩ RE2 common dialect
   // (character classes, bounded repetition — no backrefs/lookaround), so
   // the DuckDB oracle applies the byte-identical rules.

@@ -32,6 +32,13 @@ private[graft] object TextReg {
       Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
     "zipf_slope" -> ((s, dir) => TextAnalysis.zipfSlope(
       Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+    // the synthetic corpus is ASCII-clean (measured: zero artifacts of
+    // every class), so the gate SEEDS each damage class deterministically
+    // (doc_id mod 13, literal suffixes built identically in both engines)
+    // — the oracle then pins nonzero cross-engine artifact counting, not
+    // just all-zero parity
+    "encoding_audit" -> ((s, dir) =>
+      TextAnalysis.encodingAudit(decorateEncoding(Tables.documents(s, dir)))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(Tables.documents(s, dir))),
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
@@ -92,7 +99,52 @@ private[graft] object TextReg {
     })
   )
 
+  /** The deterministic damage seeding under `encoding_audit` — Scala
+    * unicode escapes here, chr() composition in the oracle; the strings
+    * are code-point-identical by construction. */
+  private def decorateEncoding(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(col("text"),
+          lit(" caf\u00c3\u00a9 \u00e2\u20ac\u2122 na\u00c3\u00afve")))
+        .when(pmod(col("doc_id"), lit(13)) === 1,
+          concat(col("text"), lit(" bad\ufffdbyte")))
+        .when(pmod(col("doc_id"), lit(13)) === 2,
+          concat(col("text"), lit(" !!!!????***")))
+        .when(pmod(col("doc_id"), lit(13)) === 3,
+          concat(col("text"), lit("\u0008\u0080\u001f")))
+        .otherwise(col("text")))
+
   def sql: Map[String, String] = Map(
+    "encoding_audit" ->
+      """WITH dec AS (
+        |  SELECT source,
+        |    CASE
+        |      WHEN doc_id % 13 = 0 THEN text || ' caf' || chr(195) || chr(169) || ' ' || chr(226) || chr(8364) || chr(8482) || ' na' || chr(195) || chr(175) || 've'
+        |      WHEN doc_id % 13 = 1 THEN text || ' bad' || chr(65533) || 'byte'
+        |      WHEN doc_id % 13 = 2 THEN text || ' !!!!????***'
+        |      WHEN doc_id % 13 = 3 THEN text || chr(8) || chr(128) || chr(31)
+        |      ELSE text END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(t, '[\x{0080}-\x{10FFFF}]')) AS BIGINT) AS na,
+        |    CAST(len(regexp_extract_all(t, '[' || chr(195) || chr(226) || chr(194) || ']')) AS BIGINT) AS mj,
+        |    CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT) AS rp,
+        |    CAST(len(regexp_extract_all(t, '[\x{0080}-\x{009F}]')) AS BIGINT) AS c1,
+        |    CAST(len(regexp_extract_all(t, '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')) AS BIGINT) AS c0,
+        |    CAST(len(regexp_extract_all(t, '[!-/:-@\[-`{-~]{4,}')) AS BIGINT) AS pr
+        |  FROM dec
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(na) AS BIGINT) AS n_non_ascii,
+        |  CAST(sum(mj) AS BIGINT) AS n_mojibake_lead,
+        |  CAST(sum(rp) AS BIGINT) AS n_replacement,
+        |  CAST(sum(c1) AS BIGINT) AS n_c1_controls,
+        |  CAST(sum(c0) AS BIGINT) AS n_c0_controls,
+        |  CAST(sum(pr) AS BIGINT) AS n_punct_runs,
+        |  CAST(sum(CASE WHEN mj + rp + c1 + c0 + pr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "bpe_merges" -> bpeOracleSql(5),
     "bpe_encode" -> bpeEncodeOracleSql(5),
     "bpe_fertility" -> bpeFertilityOracleSql(5),
