@@ -192,7 +192,6 @@ object Profiling {
     * sketch half. */
   def joinSizeAudit(left: DataFrame, right: DataFrame, key: String,
       w: Int = 1024, d: Int = 4): DataFrame = {
-    import graft.functions.PortableHash.{h60, MinhashP}
     // ONE scan + ONE key shuffle per side: the per-key count table is
     // the sufficient statistic for everything downstream (row counts,
     // the exact product sum AND the CMS cells — a key with cnt rows
@@ -205,20 +204,40 @@ object Profiling {
       .transform(d => graft.plans.PlanTrace.cp(d, tag = "keyed_counts"))
     val lk = keyed(left)
     val rk = keyed(right)
-    def cells(kdf: DataFrame): DataFrame = kdf
+    joinSizeAuditFrom(lk, rk, keyCells(lk, w, d), keyCells(rk, w, d), d)
+  }
+
+  /** The d·w CMS cell table OF a per-key count table (k, cnt): a key
+    * with cnt rows contributes cnt to its bucket under each seed. Cells
+    * are LINEAR in the counts, so per-batch cell tables sum-merge into
+    * exactly the corpus table — the property the streaming twin
+    * ([[graft.streaming.StreamJoinSize]]) folds on. */
+  private[graft] def keyCells(kdf: DataFrame, w: Int = 1024,
+      d: Int = 4): DataFrame = {
+    import graft.functions.PortableHash.{h60, MinhashP}
+    kdf
       .select(pmod(h60(col("k")), lit(MinhashP)).as("h1"), col("cnt"))
       .select(explode(array((0 until d).map(i =>
         struct(lit(i).as("seed"),
           TextAnalysis.cmsPosOf(i, col("h1"), w).as("pos"))): _*)).as("c"),
         col("cnt"))
       .groupBy(col("c.seed").as("seed"), col("c.pos").as("pos"))
-      .agg(sum(col("cnt")).as("cnt"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** The audit READOUT over standing state — per-key count tables plus
+    * their d·w cell tables — shared VERBATIM by the batch audit above
+    * and the streaming twin's readout, so streamed ≡ batch is by
+    * construction (the doc's own premise: these four relations are the
+    * standing sketch state a planner keeps per table). */
+  private[graft] def joinSizeAuditFrom(lk: DataFrame, rk: DataFrame,
+      lCells: DataFrame, rCells: DataFrame, d: Int = 4): DataFrame = {
     val exact = lk
       .join(rk.select(col("k"), col("cnt").as("cr")), Seq("k"))
       .agg(coalesce(sum(col("cnt") * col("cr")), lit(0L)).cast("long")
         .as("exact_pairs"))
-    val est = cells(lk).as("a")
-      .join(cells(rk).as("b"),
+    val est = lCells.as("a")
+      .join(rCells.as("b"),
         col("a.seed") === col("b.seed") && col("a.pos") === col("b.pos"))
       .groupBy(col("a.seed"))
       .agg(sum(col("a.cnt") * col("b.cnt")).cast("long").as("ip"))

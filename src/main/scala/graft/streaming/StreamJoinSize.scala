@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Profiling
+
+/**
+ * Streaming join-size audit — the standing-state form of
+ * [[Profiling.joinSizeAudit]]'s own premise: the per-table CMS cell
+ * tables are "standing sketch state a planner keeps per table", so here
+ * a table's state is MAINTAINED under ingest rather than built per
+ * audit. Each side folds two sum-mergeable relations per micro-batch:
+ *
+ *  - the d·w CMS cell table — bounded FOREVER, the sketch half
+ *    (cells are linear in the counts, so per-batch tables sum-merge
+ *    into exactly the batch-built table — spec-asserted equality, the
+ *    StreamCms integer-merge argument);
+ *  - the per-key count table — keys-sized (the same table-stats
+ *    relation a catalog keeps; grows with distinct keys, not rows),
+ *    the exact half.
+ *
+ * The readout is [[Profiling.joinSizeAuditFrom]] VERBATIM over the
+ * standing relations — streamed ≡ batch by construction: a planner can
+ * ask "how big is this equi-join" at any moment without touching
+ * either table. Same foreachBatch + driver-held-table shape as
+ * [[StreamCms]]; at scale each fold is one bounded merge (cells) plus
+ * one keys-sized merge per batch.
+ */
+object StreamJoinSize {
+
+  /** One table's standing audit state (per-key counts + CMS cells),
+    * checkpointed per fold. */
+  final class SideState(spark: SparkSession, w: Int = 1024, d: Int = 4) {
+    import spark.implicits._
+    @volatile private var keyTable: DataFrame =
+      Seq.empty[(String, Long)].toDF("k", "cnt")
+    @volatile private var cellTable: DataFrame =
+      Seq.empty[(Int, Long, Long)].toDF("seed", "pos", "cnt")
+    def keys: DataFrame = keyTable
+    def cells: DataFrame = cellTable
+    /** Fold one micro-batch of key values (a single `k` column). */
+    def fold(batchKeys: DataFrame): Unit = synchronized {
+      val bk = batchKeys
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      keyTable = keyTable.unionByName(bk)
+        .groupBy(col("k")).agg(sum(col("cnt")).cast("long").as("cnt"))
+        .localCheckpoint(true)
+      cellTable = cellTable.unionByName(Profiling.keyCells(bk, w, d))
+        .groupBy(col("seed"), col("pos"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Stream one side's rows into its standing state; `key` names the
+    * join column (cast to string — the batch audit's convention). */
+  def start(rows: DataFrame, key: String,
+      state: SideState): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        state.fold(batch.select(col(key).cast("string").as("k"))))
+      .start()
+
+  /** The audit readout over two standing states — the batch arithmetic
+    * verbatim ([[Profiling.joinSizeAuditFrom]]). */
+  def audit(left: SideState, right: SideState, d: Int = 4): DataFrame =
+    Profiling.joinSizeAuditFrom(left.keys, right.keys,
+      left.cells, right.cells, d)
+}
