@@ -377,6 +377,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupSubstrings(docs(), minLen = 4).collect().isEmpty)
   }
 
+  test("an injected DupStarts carrier pins the window length — the call-site minLen cannot disagree") {
+    // the r11 footgun made unrepresentable: a memoized starts relation
+    // built under one minLen paired with a different call-site minLen
+    // silently produced wrong span lengths. The length now TRAVELS in
+    // the carrier, so an injected starts relation built at L=4 yields
+    // L=4 spans even when the call site passes a conflicting default —
+    // the span report and the apply fold both read ds.minLen, never the
+    // parameter.
+    val d = docs(
+      1L -> "p q r s a b c d e f p q r s x y z w v u",
+      2L -> "p q")
+    val starts = Dedup.dupStarts(d, minLen = 4)
+    assert(starts.minLen == 4)
+    val direct = Dedup.dupSubstrings(d, minLen = 4).collect().toSeq
+    // call-site minLen left at the (conflicting) default 20
+    assert(Dedup.dupSubstrings(d, starts = Some(starts))
+      .collect().toSeq == direct)
+    val applyDirect = Dedup.dupSubstringsApply(d, minLen = 4)
+      .collect().toSeq
+    assert(Dedup.dupSubstringsApply(d, starts = Some(starts))
+      .collect().toSeq == applyDirect)
+  }
+
   test("dupSubstringsApply removes exactly the spans dupSubstrings reports") {
     // same corpus as the offsets test: doc 1 = t0..t29 (fully covered ⇒
     // cleaned empty), doc 2 keeps only its 5-token unique prefix, doc 3
