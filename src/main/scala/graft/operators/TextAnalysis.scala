@@ -498,6 +498,46 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The mojibake repair TABLE under [[encodingRepair]] — the classic
+    * UTF-8-read-as-Latin-1 digraphs, applied IN ORDER (longest pattern
+    * first, so the â€-family trigraphs never get half-eaten by a
+    * shorter rule). A fixed table rather than a general re-decode
+    * because the oracle must replay every substitution bit-for-bit —
+    * chained literal replace() is identical in both engines, a
+    * bytes-level transcode is not expressible in SQL. */
+  private[graft] val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u2122" -> "\u2019", // â€™ → ’
+    "\u00e2\u20ac\u0153" -> "\u201c", // â€œ → “
+    "\u00c3\u00a9" -> "\u00e9",        // Ã© → é
+    "\u00c3\u00a8" -> "\u00e8",        // Ã¨ → è
+    "\u00c3\u00af" -> "\u00ef",        // Ã¯ → ï
+    "\u00c3\u00b1" -> "\u00f1")        // Ã± → ñ
+
+  /** ENCODING REPAIR — the APPLY half of [[encodingAudit]] (the
+    * ftfy-class transform): rewrite each document through the fixed
+    * mojibake digraph table and report how many substitutions landed,
+    * plus the md5 of the repaired text (the scrub_pii receipt
+    * convention — any wrong byte anywhere breaks the hash). Per-stage
+    * counts are taken on the stage's own input (the chain is
+    * order-sensitive by design), so engine and oracle replay the
+    * identical fold.
+    *
+    * Scale shape: one map-side projection — 6 chained literal
+    * replaces + length arithmetic per row, no shuffle; the repair
+    * table is part of the plan, never data. */
+  def encodingRepair(documents: DataFrame): DataFrame = {
+    var t: Column = col("text")
+    var n: Column = lit(0L)
+    MojibakeRepairs.foreach { case (p, r) =>
+      n = n + ((length(t) - length(replace(t, lit(p), lit(""))))
+        / lit(p.length)).cast("long")
+      t = replace(t, lit(p), lit(r))
+    }
+    documents
+      .select(col("doc_id"), n.as("n_repairs"), md5(t).as("repaired_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // PII patterns constrained to the Java-regex ∩ RE2 common dialect
   // (character classes, bounded repetition — no backrefs/lookaround), so
   // the DuckDB oracle applies the byte-identical rules.

@@ -39,6 +39,9 @@ private[graft] object TextReg {
     // just all-zero parity
     "encoding_audit" -> ((s, dir) =>
       TextAnalysis.encodingAudit(decorateEncoding(Tables.documents(s, dir)))),
+    // the APPLY half: same decorated corpus, fixed digraph repair table
+    "encoding_repair" -> ((s, dir) =>
+      TextAnalysis.encodingRepair(decorateEncoding(Tables.documents(s, dir)))),
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(Tables.documents(s, dir))),
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
@@ -115,7 +118,41 @@ private[graft] object TextReg {
           concat(col("text"), lit("\u0008\u0080\u001f")))
         .otherwise(col("text")))
 
+  /** The doc_id-mod-13 decoration CASE as DuckDB SQL — the oracle twin
+    * of [[decorateEncoding]] (chr() composition keeps the SQL ASCII). */
+  private val EncodingDecorateCase: String =
+    """CASE
+      |      WHEN doc_id % 13 = 0 THEN text || ' caf' || chr(195) || chr(169) || ' ' || chr(226) || chr(8364) || chr(8482) || ' na' || chr(195) || chr(175) || 've'
+      |      WHEN doc_id % 13 = 1 THEN text || ' bad' || chr(65533) || 'byte'
+      |      WHEN doc_id % 13 = 2 THEN text || ' !!!!????***'
+      |      WHEN doc_id % 13 = 3 THEN text || chr(8) || chr(128) || chr(31)
+      |      ELSE text END""".stripMargin
+
+  /** The mojibake repair chain unrolled as CTE stages — one stage per
+    * [[TextAnalysis.MojibakeRepairs]] entry, counts taken on each
+    * stage's own input exactly like the operator's fold. */
+  private def encodingRepairOracle: String = {
+    val stages = TextAnalysis.MojibakeRepairs.zipWithIndex.map {
+      case ((p, r), i) =>
+        val pat = p.map(c => s"chr(${c.toInt})").mkString(" || ")
+        val rep = r.map(c => s"chr(${c.toInt})").mkString(" || ")
+        s"""s${i + 1} AS (
+           |  SELECT doc_id,
+           |    c + (length(t) - length(replace(t, $pat, ''))) // ${p.length} AS c,
+           |    replace(t, $pat, $rep) AS t
+           |  FROM s$i)""".stripMargin
+    }.mkString(", ")
+    s"""WITH dec AS (
+       |  SELECT doc_id, $EncodingDecorateCase AS t FROM documents
+       |), s0 AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS c, t FROM dec
+       |), $stages
+       |SELECT doc_id, CAST(c AS BIGINT) AS n_repairs, md5(t) AS repaired_md5
+       |FROM s${TextAnalysis.MojibakeRepairs.length} ORDER BY doc_id""".stripMargin
+  }
+
   def sql: Map[String, String] = Map(
+    "encoding_repair" -> encodingRepairOracle,
     "encoding_audit" ->
       """WITH dec AS (
         |  SELECT source,

@@ -41,6 +41,22 @@ class EncodingAuditSpec extends SparkSpec {
     assert(got("cln") == (1L, 4L, 0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("encodingRepair: fixed digraph table, order-sensitive chain, md5 receipt") {
+    val d = Seq(
+      (1L, "cafÃ© â€™ naÃ¯ve"), // 3 repairs → café ’ naïve
+      (2L, "clean text"),       // untouched
+      (3L, "Ã©Ã©"))             // same pattern twice in one doc
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.encodingRepair(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def m(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got(1L) == (3L, m("café ’ naïve")))
+    assert(got(2L) == (0L, m("clean text")))
+    assert(got(3L) == (2L, m("éé")))
+  }
+
   test("per-source aggregation sums counters and flags per doc") {
     val got = audit(
       (1L, "x�", "s"), (2L, "clean", "s"), (3L, "y!!!! z????", "s"))
