@@ -458,6 +458,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_copies"), col("quality"))
       .orderBy(col("doc_id"))
 
+  /** FILTER ATTRIBUTION — which curation gate is doing the work: per
+    * gate of [[curate]] (dup keeper-election, language, quality), the
+    * count of docs it flags and the count it ALONE flags (what
+    * relaxing just that gate would reclaim), plus the pass row. The
+    * release audit run before tuning thresholds: a gate with large
+    * n_flagged but near-zero n_only is redundant; a gate owning most
+    * of its flags is the one to re-examine.
+    *
+    * Scale shape: one scoring scan (the curate expressions), ONE
+    * digest-keyed window for the keeper election (uniform md5 keys —
+    * skew-free), a single global aggregate, and a 4-row stack. */
+  def filterAttribution(documents: DataFrame, lang: String = "en",
+      minQuality: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = rowStats(documents, withLang = true)
+      .select(col("doc_id"), col("text"),
+        qualityExpr.as("quality"), langPredExpr.as("lang_pred"))
+    val flags = scored
+      .withColumn("keeper", min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("text")))))
+      .select(
+        when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L).as("fd"),
+        when(col("lang_pred") =!= lit(lang), 1L).otherwise(0L).as("fl"),
+        when(col("quality") < minQuality, 1L).otherwise(0L).as("fq"))
+      .withColumn("nf", col("fd") + col("fl") + col("fq"))
+    flags.agg(
+        sum(col("fd")).as("d_n"),
+        sum(when(col("fd") === 1 && col("nf") === 1, 1L).otherwise(0L)).as("d_o"),
+        sum(col("fl")).as("l_n"),
+        sum(when(col("fl") === 1 && col("nf") === 1, 1L).otherwise(0L)).as("l_o"),
+        sum(col("fq")).as("q_n"),
+        sum(when(col("fq") === 1 && col("nf") === 1, 1L).otherwise(0L)).as("q_o"),
+        sum(when(col("nf") === 0, 1L).otherwise(0L)).as("p_n"))
+      .select(expr("stack(4, 'dup', d_n, d_o, 'lang', l_n, l_o, " +
+        "'quality', q_n, q_o, 'pass', p_n, p_n) AS (gate, n_flagged, n_only)"))
+      .select(col("gate"),
+        coalesce(col("n_flagged"), lit(0L)).cast("long").as("n_flagged"),
+        coalesce(col("n_only"), lit(0L)).cast("long").as("n_only"))
+      .orderBy(col("gate"))
+  }
+
   /** ENCODING/MOJIBAKE audit (the ftfy-class curation gate): per-source
     * census of six UTF-8 damage classes — non-ASCII mass, the
     * UTF-8-read-as-Latin-1 lead chars (Ã/â/Â: the double-encoding

@@ -45,6 +45,8 @@ private[graft] object TextReg {
     "doc_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "scrub_pii" -> ((s, dir) => TextAnalysis.scrubPii(Tables.documents(s, dir))),
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
+    "filter_attribution" -> ((s, dir) =>
+      TextAnalysis.filterAttribution(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
     // the bigram family fans out from one tokenized prefix (bigramsFor)
@@ -1267,6 +1269,65 @@ private[graft] object TextReg {
         |FROM mom ORDER BY source""".stripMargin,
     // Composed curation run: quality + langID scoring → filters → exact
     // dedup keep-lowest-id. Same building blocks as the standalone oracles.
+    "filter_attribution" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, text, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM norm
+        |), m AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(w) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(w, x -> list_contains(
+        |      ['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE) AS nstop,
+        |    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS DOUBLE) AS sumlen,
+        |    len(list_filter(w, x -> list_contains(['the','and','of','is','a'], x))) AS he,
+        |    len(list_filter(w, x -> list_contains(['der','und','die','das','ist'], x))) AS hd,
+        |    len(list_filter(w, x -> list_contains(['le','et','les','des','est'], x))) AS hf,
+        |    len(list_filter(w, x -> list_contains(['el','y','los','de','es'], x))) AS hs
+        |  FROM toks
+        |), r AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ntok > 0 THEN nstop/ntok ELSE 0 END AS stop_ratio,
+        |    CASE WHEN nchars > 0 THEN npunct/nchars ELSE 0 END AS punct_ratio,
+        |    CASE WHEN ntok > 0 THEN sumlen/ntok ELSE 0 END AS mean_word_len,
+        |    nchars, he, hd, hf, hs FROM m
+        |), scored AS (
+        |  SELECT doc_id, text,
+        |    round((least(nchars/CAST(200 AS DOUBLE), 1.0)
+        |         + least(stop_ratio*CAST(5 AS DOUBLE), 1.0)
+        |         + greatest(CAST(0 AS DOUBLE), 1.0 - punct_ratio*CAST(10 AS DOUBLE))
+        |         + CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |                THEN 1.0 ELSE 0.5 END) / CAST(4 AS DOUBLE), 6) AS quality,
+        |    CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |         WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |         WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+        |         WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM r
+        |), f AS (
+        |  SELECT
+        |    CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS fd,
+        |    CASE WHEN lang_pred <> 'en' THEN 1 ELSE 0 END AS fl,
+        |    CASE WHEN quality < 0.7 THEN 1 ELSE 0 END AS fq
+        |  FROM scored
+        |), g AS (
+        |  SELECT fd, fl, fq, fd + fl + fq AS nf FROM f
+        |)
+        |SELECT 'dup' AS gate, CAST(COALESCE(sum(fd), 0) AS BIGINT) AS n_flagged,
+        |  CAST(COALESCE(sum(CASE WHEN fd = 1 AND nf = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_only FROM g
+        |UNION ALL
+        |SELECT 'lang', CAST(COALESCE(sum(fl), 0) AS BIGINT),
+        |  CAST(COALESCE(sum(CASE WHEN fl = 1 AND nf = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |UNION ALL
+        |SELECT 'quality', CAST(COALESCE(sum(fq), 0) AS BIGINT),
+        |  CAST(COALESCE(sum(CASE WHEN fq = 1 AND nf = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |UNION ALL
+        |SELECT 'pass', CAST(COALESCE(sum(CASE WHEN nf = 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |  CAST(COALESCE(sum(CASE WHEN nf = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM g
+        |ORDER BY gate""".stripMargin,
     "curate_pipeline" ->
       """WITH norm AS (
         |  SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text),
