@@ -689,6 +689,81 @@ object Similarity {
     * the exact integer micro hits·10⁶ div n_exact. Output is
     * |queries| rows — driver-bounded; both inputs keep their own scale
     * shapes. */
+  /** DCG gain table for [[retrievalEval]]: floor(1e6 / log2(rank+1))
+    * per rank 1..k — computed ONCE on the driver and shipped to BOTH
+    * engines as literals (the planeWeight convention), so no libm call
+    * ever touches the data path and the metric is integer-exact. */
+  def retrievalGains(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** RETRIEVAL-QUALITY EVAL — MRR@k and nDCG@k of a retriever's rank
+    * list against label relevance (neighbor relevant ⇔ same label as
+    * the query, self excluded): the embedding-quality read a pipeline
+    * takes before trusting a retriever for mining or serving, next to
+    * [[annRecall]] (which scores INDEX fidelity against the exact
+    * scorer; this scores the RANKING against ground truth). Per query:
+    * relevant-corpus size, hits@k, reciprocal rank (micro), DCG/IDCG
+    * and nDCG (micro) — all integer arithmetic over the driver-shipped
+    * gain literals, so the oracle replays every value bit-for-bit.
+    *
+    * `ranked` is any (query_id, neighbor_id, rank) relation —
+    * [[annBruteForce]] here, the IVF/LSH retrievers at scale (the rank
+    * list is the interface, as with hybridRrf). Scale shape: the rank
+    * list is queries×k and broadcast into one labels join; n_rel is
+    * one label-keyed aggregate over the corpus; everything downstream
+    * is queries-sized. */
+  def retrievalEval(ranked: DataFrame, labels: DataFrame,
+      k: Int = 10): DataFrame = {
+    val gains = retrievalGains(k)
+    val prefix = gains.scanLeft(0L)(_ + _).tail // idcg for n_rel = 1..k
+    val lab = labels.select(col("vec_id"), col("label"))
+    val ql = lab.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"))
+    // per-query relevant-corpus size (same label, self excluded) — one
+    // broadcast of the query labels against the corpus label column
+    val nRel = lab
+      .join(broadcast(ql),
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val gainArr = array(gains.map(lit): _*)
+    val prefArr = array(prefix.map(lit): _*)
+    val scoredRows = lab
+      .join(broadcast(ranked.select(col("query_id"), col("neighbor_id"),
+          col("rank"))),
+        col("vec_id") === col("neighbor_id"))
+      .join(broadcast(ql), Seq("query_id"))
+      .select(col("query_id"), col("rank"),
+        (col("label") === col("q_label")).as("is_rel"))
+    val perQuery = scoredRows.groupBy(col("query_id"))
+      .agg(
+        sum(when(col("is_rel"), 1L).otherwise(0L)).cast("long").as("hits"),
+        min(when(col("is_rel"), col("rank"))).as("first_rel"),
+        coalesce(sum(when(col("is_rel"),
+          element_at(gainArr, col("rank").cast("int")))), lit(0L))
+          .cast("long").as("dcg_micro"))
+    // spine = the evaluated queries (a query with zero scored rows
+    // still reports), metrics null-safe
+    ranked.select(col("query_id")).distinct()
+      .join(nRel, Seq("query_id"), "left")
+      .join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).cast("long").as("n_rel"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).cast("long")
+          .as("rr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).cast("long").as("dcg_micro"))
+      .withColumn("idcg_micro",
+        when(col("n_rel") > 0,
+          element_at(prefArr, least(col("n_rel"), lit(k.toLong)).cast("int")))
+          .otherwise(0L).cast("long"))
+      .withColumn("ndcg_micro",
+        when(col("idcg_micro") > 0,
+          expr("dcg_micro * 1000000 div idcg_micro")).otherwise(0L)
+          .cast("long"))
+      .orderBy(col("query_id"))
+  }
+
   def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id"),

@@ -15,6 +15,12 @@ private[graft] object SimilarityReg {
   // ── Similarity search over embeddings ──
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(Tables.embeddings(s, dir))),
+    // ranking quality vs label ground truth (MRR/nDCG) — the retriever
+    // is pluggable; the exact scorer gates, IVF/LSH substitute at scale
+    "retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.retrievalEval(Similarity.annBruteForce(emb), emb)
+    }),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
     // Gated by a full oracle: the write-time index state (centroids +
     // cell assignments) is dumped as aux parquet by Verify — it is DATA
@@ -92,6 +98,73 @@ private[graft] object SimilarityReg {
     "mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(Tables.embeddings(s, dir)))
   )
+
+  /** MRR/nDCG oracle: the ann_topk ranked CTE chain + label relevance,
+    * with the SAME driver-computed micro gain literals the operator
+    * ships (no libm in either engine's data path). */
+  private def retrievalEvalOracle: String = {
+    val k = 10
+    val gains = Similarity.retrievalGains(k)
+    val gainRows = gains.zipWithIndex
+      .map { case (g, i) => s"(${i + 1}, $g)" }.mkString(", ")
+    val prefRows = gains.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (g, i) => s"(${i + 1}, $g)" }.mkString(", ")
+    s"""WITH elems AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+       |), norms AS (
+       |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+       |), dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.x*b.x) AS dot
+       |  FROM elems a JOIN elems b ON a.i = b.i
+       |    AND a.vec_id <= 4 AND b.vec_id <> a.vec_id
+       |  GROUP BY 1, 2
+       |), sims AS (
+       |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
+       |  FROM dots
+       |  JOIN norms na ON na.vec_id = query_id
+       |  JOIN norms nb ON nb.vec_id = cand_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM sims
+       |), topk AS (
+       |  SELECT query_id, cand_id, rank FROM ranked WHERE rank <= $k
+       |), gains(rank, g) AS (VALUES $gainRows
+       |), pref(n, cum) AS (VALUES $prefRows
+       |), lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), nrel AS (
+       |  SELECT q.vec_id AS query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |  FROM lab q JOIN lab c
+       |    ON c.label = q.label AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id <= 4 GROUP BY 1
+       |), rel AS (
+       |  SELECT t.query_id, t.rank,
+       |    (cl.label = ql.label) AS is_rel
+       |  FROM topk t
+       |  JOIN lab cl ON cl.vec_id = t.cand_id
+       |  JOIN lab ql ON ql.vec_id = t.query_id
+       |), per AS (
+       |  SELECT query_id,
+       |    CAST(COALESCE(sum(CASE WHEN is_rel THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+       |    min(CASE WHEN is_rel THEN rank END) AS first_rel,
+       |    CAST(COALESCE(sum(CASE WHEN is_rel THEN g END), 0) AS BIGINT) AS dcg_micro
+       |  FROM rel JOIN gains USING (rank) GROUP BY 1
+       |)
+       |SELECT n.query_id, n.n_rel,
+       |  COALESCE(p.hits, 0) AS hits,
+       |  CAST(COALESCE(1000000 // p.first_rel, 0) AS BIGINT) AS rr_micro,
+       |  COALESCE(p.dcg_micro, 0) AS dcg_micro,
+       |  CAST(COALESCE(pr.cum, 0) AS BIGINT) AS idcg_micro,
+       |  CAST(CASE WHEN COALESCE(pr.cum, 0) > 0
+       |    THEN COALESCE(p.dcg_micro, 0) * 1000000 // pr.cum
+       |    ELSE 0 END AS BIGINT) AS ndcg_micro
+       |FROM nrel n
+       |LEFT JOIN per p USING (query_id)
+       |LEFT JOIN pref pr ON pr.n = least(n.n_rel, $k)
+       |ORDER BY n.query_id""".stripMargin
+  }
 
   def sql: Map[String, String] = Map(
     // int8 quantization audit: identical double expression + identical
@@ -783,6 +856,7 @@ private[graft] object SimilarityReg {
         |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos6
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "retrieval_eval" -> retrievalEvalOracle,
     "ann_topk" ->
       """WITH elems AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

@@ -712,6 +712,38 @@ class SimilaritySpec extends SparkSpec {
       s"guard did not bound the hot bucket: $guarded vs $unguarded")
   }
 
+  test("retrievalEval: perfect retriever scores full marks; hostile one scores zero") {
+    // label clusters: query 0 (label 0) has its 3 same-label vectors
+    // strictly nearest (tight +e0 cluster), the 4 label-1 vectors are
+    // orthogonal-ish — the exact scorer ranks all relevant first ⇒
+    // hits = n_rel = 3, first_rel = 1, dcg = idcg ⇒ ndcg = 10^6. Query
+    // 4 (label 1): its own cluster is nearest too — but evaluate a
+    // HOSTILE rank list for it to pin the zero path.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f), 0), (1L, Array(1.0f, 0.02f), 0),
+      (2L, Array(1.0f, 0.03f), 0), (3L, Array(0.99f, 0.0f), 0),
+      (4L, Array(0.01f, 1.0f), 1), (5L, Array(0.02f, 1.0f), 1),
+      (6L, Array(0.03f, 1.0f), 1), (7L, Array(0.0f, 0.99f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val ranked = Similarity.annBruteForce(vecs, queryIds = Seq(0L), k = 7)
+    val got = Similarity.retrievalEval(ranked, vecs, k = 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g = Similarity.retrievalGains(7)
+    assert(got(0L).getLong(1) == 3L) // n_rel
+    assert(got(0L).getLong(2) == 3L) // hits
+    assert(got(0L).getLong(3) == 1000000L) // rr: first_rel = 1
+    assert(got(0L).getLong(4) == g.take(3).sum) // dcg = top-3 gains
+    assert(got(0L).getLong(5) == g.take(3).sum) // idcg (n_rel=3 < k)
+    assert(got(0L).getLong(6) == 1000000L) // perfect ndcg
+    // hostile list: query 4 "retrieves" only label-0 vectors
+    val hostile = Seq((4L, 0L, 1), (4L, 1L, 2), (4L, 2L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val bad = Similarity.retrievalEval(hostile, vecs, k = 7)
+      .collect().head
+    assert(bad.getLong(1) == 3L && bad.getLong(2) == 0L)
+    assert(bad.getLong(3) == 0L && bad.getLong(6) == 0L)
+  }
+
   test("mmrRerank: redundancy penalty defers the exact duplicate of a selected hit") {
     // Query (1,0). Candidates: 1 = (0.99, .141) the top hit, 2 = exact
     // copy of 1 (pure relevance would rank it second), 3 = the mirror
