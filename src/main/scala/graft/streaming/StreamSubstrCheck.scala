@@ -49,11 +49,21 @@ object StreamSubstrCheck {
 
   /** The ingest loop with census maintenance: report each batch's
     * corpus-covered spans, then append the batch's own window hashes to
-    * the census so later batches check against it too. */
+    * the census so later batches check against it too. Every
+    * `compactEvery` admitted batches (0 = never) the loop also runs the
+    * periodic DISTINCT rewrite + swap (`SubstrStore.compactWindowCensus`
+    * / `swapCompacted`) — the append-only census otherwise grows with
+    * every admit, not with distinct content. Compaction is
+    * probe-invariant (SubstrCompactSpec), so mid-stream swaps cannot
+    * change any gate decision; a crash inside the maintenance step is
+    * recovered by `SubstrStore.recoverSwap` + re-running (pure function
+    * of the source). */
   def startAdmitting(docs: DataFrame, censusPath: String,
       sink: (DataFrame, Long) => Unit, minLen: Int = 20,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val spark = docs.sparkSession
+    val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -78,6 +88,14 @@ object StreamSubstrCheck {
           try {
             sink(spans, batchId)
             graft.store.SubstrStore.appendWindowCensus(b, censusPath, minLen)
+            if (compactEvery > 0 &&
+                admitted.incrementAndGet() % compactEvery == 0) {
+              val out = java.nio.file.Files
+                .createTempDirectory("graft_census_compact").toString
+              graft.store.SubstrStore.compactWindowCensus(
+                spark, censusPath, out)
+              graft.store.SubstrStore.swapCompacted(censusPath, out)
+            }
           } finally spanBlocks.foreach(id =>
             spark.sparkContext.getPersistentRDDs.get(id)
               .foreach(_.unpersist(blocking = false)))

@@ -100,4 +100,37 @@ class StreamSubstrCheckSpec extends SparkSpec {
     assert(got(0L) == Set.empty)
     assert(got(1L) == Set((2L, 0L, 4L), (3L, 0L, 4L)))
   }
+
+  test("periodic in-loop compaction: probes unchanged, census stays distinct") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_substr_compact_loop").toString
+    SubstrStore.writeWindowCensus(
+      Seq((10L, "a b c d")).toDF("doc_id", "text"), path, minLen = L)
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Long)]]
+    val q = StreamSubstrCheck.startAdmitting(
+      src.toDF().toDF("doc_id", "text"), path,
+      (df, id) => got(id) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      minLen = L, compactEvery = 1) // compact after EVERY admit
+    try {
+      // every batch re-admits "a b c d" (already in the corpus census)
+      // — without compaction the census would grow per batch
+      src.addData((1L, "a b c d")); q.processAllAvailable()
+      src.addData((2L, "a b c d w x y z")); q.processAllAvailable()
+      src.addData((3L, "w x y z")); q.processAllAvailable()
+    } finally q.stop()
+    // gate decisions identical to the uncompacted loop's semantics
+    assert(got(0L) == Set((1L, 0L, 4L)))
+    assert(got(1L) == Set((2L, 0L, 4L))) // "w x y z" novel at batch 1
+    assert(got(2L) == Set((3L, 0L, 4L))) // ... and flagged at batch 2
+    // census holds exactly the distinct windows ever admitted/seeded:
+    // 1×"a b c d" + the 5 windows of batch 1's 8-token doc
+    val census = SubstrStore.readWindowCensus(spark, path)
+    assert(census.count() ==
+      census.select(org.apache.spark.sql.functions.col("h"))
+        .distinct().count())
+  }
 }
