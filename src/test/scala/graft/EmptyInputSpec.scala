@@ -44,6 +44,7 @@ class EmptyInputSpec extends SparkSpec {
           val expect: Long => Boolean = name match {
             case _ if oneRowAggregates(name) => _ == 1L
             case "fk_orphans" => _ == 7L // one summary row per FK edge
+            case "filter_attribution" => _ == 4L // one row per gate
             case "profile_lineitem" => _ == 11L // one row per column
             case "profile_lineitem_approx" => _ == 11L // one row per column
             case "profile_documents" => _ == 5L // one row per column
