@@ -126,6 +126,24 @@ class IvfReclusterSpec extends SparkSpec {
     assert(minRecall(fresh) >= minRecall(stale),
       "recall must not regress after the re-cluster")
 
+    // BAND-INDEX refresh — the last leg of the maintenance loop: the
+    // hyperplane signatures are centroid-independent, but the index
+    // must cover the vectors the DRIFTED INGEST added, so the refresh
+    // rebuilds it from the post-swap store contents; the cross-corpus
+    // semantic check then flags an exact re-send of a drifted vector
+    // (it could not before: the pre-drift index never saw the blob)
+    val bandPath = java.nio.file.Files
+      .createTempDirectory("graft_recluster_bands").toString
+    EmbeddingStore.writeBanded(
+      store.select(col("vec_id"), col("embedding")), bandPath)
+    val resend = driftA.filter(col("vec_id") === 500L)
+      .select(col("vec_id"), col("embedding"))
+    val flagged = Similarity.semanticDedupAgainstStore(resend,
+      EmbeddingStore.readBandedSigs(spark, bandPath),
+      EmbeddingStore.readBandedVecs(spark, bandPath))
+    assert(flagged.filter(col("corpus_id") === 500L).count() == 1L,
+      "refreshed band index must cover the ingested drift cohort")
+
     // the swap shares Swap.commit — the crash window recovers here too
     val out2 = java.nio.file.Files
       .createTempDirectory("graft_recluster_out2").toString
