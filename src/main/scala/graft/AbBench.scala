@@ -36,6 +36,9 @@ object AbBench {
     val controls = sys.env.getOrElse("SPARK_GRAFT_AB_CONTROLS",
       "rank_bands,vpin_buckets")
       .split(',').toSeq.filter(_.nonEmpty)
+    require(watch.nonEmpty && controls.nonEmpty,
+      "SPARK_GRAFT_AB_WATCH and SPARK_GRAFT_AB_CONTROLS must each name " +
+        "at least one query")
     // strict alternation: w c w c w c (controls cycled)
     val order = watch.zipWithIndex.flatMap { case (w, i) =>
       Seq(w, controls(i % controls.length))

@@ -718,8 +718,14 @@ object Similarity {
     val gains = retrievalGains(k)
     val prefix = gains.scanLeft(0L)(_ + _).tail // idcg for n_rel = 1..k
     val lab = labels.select(col("vec_id"), col("label"))
-    val ql = lab.select(col("vec_id").as("query_id"),
-      col("label").as("q_label"))
+    // the rank list defines the evaluated query set — restrict the
+    // label side to it BEFORE anything joins the corpus (the queries
+    // are the only labels ever read; broadcasting the whole corpus's
+    // labels as the query side would make nRel a corpus×cluster join)
+    val ql = lab
+      .join(broadcast(ranked.select(col("query_id")).distinct()),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("label").as("q_label"))
     // per-query relevant-corpus size (same label, self excluded) — one
     // broadcast of the query labels against the corpus label column
     val nRel = lab
@@ -728,9 +734,11 @@ object Similarity {
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
     val gainArr = array(gains.map(lit): _*)
     val prefArr = array(prefix.map(lit): _*)
+    // metrics are @k: a deeper supplied list must not leak ranks > k
+    // into hits/MRR (and gain lookup past the table would be null)
     val scoredRows = lab
       .join(broadcast(ranked.select(col("query_id"), col("neighbor_id"),
-          col("rank"))),
+          col("rank")).filter(col("rank") <= k)),
         col("vec_id") === col("neighbor_id"))
       .join(broadcast(ql), Seq("query_id"))
       .select(col("query_id"), col("rank"),

@@ -98,13 +98,8 @@ private[graft] object Memo {
     * dir is corpus-sized sketch/hash parquet, not payload). */
   private def tempDirFor(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.store.Swap.deleteRecursively(p.toFile)))
     p.toString
   }
 

@@ -134,11 +134,14 @@ private[graft] object SimilarityReg {
        |), pref(n, cum) AS (VALUES $prefRows
        |), lab AS (
        |  SELECT vec_id, label FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id AS query_id FROM lab WHERE vec_id <= 4
        |), nrel AS (
-       |  SELECT q.vec_id AS query_id, CAST(count(*) AS BIGINT) AS n_rel
-       |  FROM lab q JOIN lab c
-       |    ON c.label = q.label AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id <= 4 GROUP BY 1
+       |  SELECT q.query_id, CAST(count(c.vec_id) AS BIGINT) AS n_rel
+       |  FROM qs q LEFT JOIN lab c
+       |    ON c.label = (SELECT label FROM lab WHERE vec_id = q.query_id)
+       |    AND c.vec_id <> q.query_id
+       |  GROUP BY 1
        |), rel AS (
        |  SELECT t.query_id, t.rank,
        |    (cl.label = ql.label) AS is_rel

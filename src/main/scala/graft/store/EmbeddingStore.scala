@@ -130,6 +130,10 @@ object EmbeddingStore {
   def cellSkewMicro(census: Seq[(Int, Long)]): Long = {
     val loads = census.map(_._2)
     if (loads.isEmpty || loads.sum == 0L) return 1000000L
-    loads.max * 1000000L * loads.length / loads.sum
+    // BigInt: max·10⁶·nCells overflows Long right at the hot-store
+    // scale this trigger exists for (2e11-row cell × 64 cells wraps
+    // negative and the re-cluster would never fire); driver-sized
+    (BigInt(loads.max) * 1000000 * loads.length / BigInt(loads.sum))
+      .toLong
   }
 }

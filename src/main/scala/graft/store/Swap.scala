@@ -26,12 +26,21 @@ object Swap {
     import java.nio.file.{Files, Paths}
     val live = Paths.get(path)
     val retired = retiredPath(path)
+    // a leftover retired dir (crash after the commit point but before
+    // its delete completed) is garbage by definition once live exists —
+    // clear it, or the first rename below wedges every future commit
+    if (Files.exists(live) && Files.exists(retired))
+      deleteRecursively(retired.toFile)
     Files.move(live, retired)
     Files.move(Paths.get(next), live)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(retired.toFile)
+    deleteRecursively(retired.toFile)
+  }
+
+  /** Recursive directory delete shared by the commit/cleanup paths
+    * (and Memo's temp-state shutdown hook). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 
   /** Crash-between-renames recovery: restore the retired state when the

@@ -34,14 +34,23 @@ object StreamEncodingAudit {
     @volatile private var current: DataFrame =
       Seq.empty[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
         .toDF(("source" +: Counters): _*)
+    private var liveBlocks: Set[Int] = Set.empty
     def census: DataFrame = current
     def fold(documents: DataFrame): Unit = synchronized {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val aggs = Counters.map(c => sum(col(c)).cast("long").as(c))
       current = current
         .unionByName(TextAnalysis.encodingAudit(documents))
         .groupBy(col("source"))
         .agg(aggs.head, aggs.tail: _*)
         .localCheckpoint(true)
+      // release the superseded census blocks — the new (eager)
+      // checkpoint no longer references them; state stays one table
+      val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
+      liveBlocks.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      liveBlocks = newBlocks
     }
   }
 

@@ -38,13 +38,21 @@ object StreamJoinSize {
       Seq.empty[(String, Long)].toDF("k", "cnt")
     @volatile private var cellTable: DataFrame =
       Seq.empty[(Int, Long, Long)].toDF("seed", "pos", "cnt")
+    private var liveBlocks: Set[Int] = Set.empty
     def keys: DataFrame = keyTable
     def cells: DataFrame = cellTable
-    /** Fold one micro-batch of key values (a single `k` column). */
+    /** Fold one micro-batch of key values (a single `k` column). A
+      * long-running stream must not accumulate checkpoint blocks, so
+      * the fold releases the batch-scratch AND the superseded tables'
+      * blocks once the new tables are materialized (eager checkpoint =
+      * the new state no longer references them). */
     def fold(batchKeys: DataFrame): Unit = synchronized {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val bk = batchKeys
         .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
+      val bkBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
       keyTable = keyTable.unionByName(bk)
         .groupBy(col("k")).agg(sum(col("cnt")).cast("long").as("cnt"))
         .localCheckpoint(true)
@@ -52,6 +60,11 @@ object StreamJoinSize {
         .groupBy(col("seed"), col("pos"))
         .agg(sum(col("cnt")).cast("long").as("cnt"))
         .localCheckpoint(true)
+      val newBlocks =
+        (sc.getPersistentRDDs.keySet -- before -- bkBlocks).toSet
+      (bkBlocks ++ liveBlocks).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      liveBlocks = newBlocks
     }
   }
 

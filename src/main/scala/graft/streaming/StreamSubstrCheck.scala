@@ -90,8 +90,11 @@ object StreamSubstrCheck {
             graft.store.SubstrStore.appendWindowCensus(b, censusPath, minLen)
             if (compactEvery > 0 &&
                 admitted.incrementAndGet() % compactEvery == 0) {
-              val out = java.nio.file.Files
-                .createTempDirectory("graft_census_compact").toString
+              // compact output must be a SIBLING of the census: the
+              // swap is a directory rename, which cannot cross file
+              // stores (java.io.tmpdir may live on a different one)
+              val out = censusPath.stripSuffix("/") + ".compact"
+              graft.store.Swap.deleteRecursively(new java.io.File(out))
               graft.store.SubstrStore.compactWindowCensus(
                 spark, censusPath, out)
               graft.store.SubstrStore.swapCompacted(censusPath, out)

@@ -735,6 +735,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L).getLong(4) == g.take(3).sum) // dcg = top-3 gains
     assert(got(0L).getLong(5) == g.take(3).sum) // idcg (n_rel=3 < k)
     assert(got(0L).getLong(6) == 1000000L) // perfect ndcg
+    // @k cut: a DEEPER supplied list must not leak ranks > k into
+    // hits/MRR/DCG (the rank list is the interface — a depth-20
+    // retriever output evaluated @3 scores only its top 3)
+    val deep = Similarity.retrievalEval(ranked, vecs, k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val g3 = Similarity.retrievalGains(3)
+    assert(deep(0L).getLong(2) == 3L) // all 3 relevant are in the top 3
+    assert(deep(0L).getLong(4) == g3.sum)
+    assert(deep(0L).getLong(6) == 1000000L)
     // hostile list: query 4 "retrieves" only label-0 vectors
     val hostile = Seq((4L, 0L, 1), (4L, 1L, 2), (4L, 2L, 3))
       .toDF("query_id", "neighbor_id", "rank")

@@ -59,6 +59,16 @@ class StreamJoinSizeSpec extends SparkSpec {
 
     // mid-stream readout is valid state too: fold MORE rows and the
     // audit moves (monotone in appends — both sides only grow)
+    // state hygiene: repeated folds must not accumulate checkpoint
+    // blocks (a long-running stream's storage bound) — block count is
+    // flat across extra folds
+    val blocksAt = () => spark.sparkContext.getPersistentRDDs.size
+    lState.fold(Seq("zz1", "zz2").toDF("k"))
+    val afterOne = blocksAt()
+    (1 to 3).foreach(_ => lState.fold(Seq("zz3").toDF("k")))
+    assert(blocksAt() <= afterOne,
+      "fold must release batch-scratch and superseded state blocks")
+
     val before = streamed.head.getLong(2)
     lState.fold(Seq(rRows.head).toDF("k")) // a key that joins for sure
     val after = StreamJoinSize.audit(lState, rState)
