@@ -77,6 +77,24 @@ object EmbeddingStore {
     StructField("embedding", ArrayType(FloatType)),
     StructField("nrm", DoubleType)))
 
+  /** Append an admitted batch's signatures + payloads — the incremental
+    * maintenance step after an ingest admits vectors, the banded-index
+    * twin of `SubstrStore.appendWindowCensus`. At-least-once feeding:
+    * a redelivered batch re-appends its rows, and duplicate vec_id rows
+    * duplicate the probe's flagged pairs (the vecs join is row-level) —
+    * feed exactly-once (the TradeStore batch_id pattern) or compact
+    * (per-band DISTINCT rewrite + `Swap.commit`, the census contract). */
+  def appendBanded(embeddings: DataFrame, path: String, bands: Int = 16,
+      bitsPerBand: Int = 4): Unit = {
+    import graft.functions.VectorOps.dot
+    val bt = graft.operators.Similarity.bandTable(embeddings, bands, bitsPerBand)
+    bt.select(col("vec_id"), col("band"), col("bv"))
+      .write.partitionBy("band").mode("append").parquet(s"$path/sigs")
+    embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .write.mode("append").parquet(s"$path/vecs")
+  }
+
   def readBandedSigs(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(sigsSchema).parquet(s"$path/sigs")
 

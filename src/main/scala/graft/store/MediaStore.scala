@@ -14,12 +14,13 @@ import org.apache.spark.sql.types._
  * Layout: (media_id, phash, chunk, cv) clustered by `chunk` — a probe
  * brings its own four (chunk, cv) keys, so the scan prunes to the four
  * chunk partitions and the equi-join touches band rows, never payloads.
- * Admitted media append their own band rows out-of-band, exactly like
- * the embedding side.
+ * Admitted media append their own band rows via [[appendPhashIndex]]
+ * (`StreamMediaCheck.startAdmitting` wires the loop), exactly like the
+ * embedding and substring sides.
  */
 object MediaStore {
 
-  def writePhashIndex(documents: DataFrame, path: String): Unit = {
+  private def indexRows(documents: DataFrame): DataFrame = {
     import graft.operators.Multimodal
     val ph = Multimodal.perceptualHash(Multimodal.mediaTable(documents))
       .toDF()
@@ -31,8 +32,20 @@ object MediaStore {
       explode(array(chunks: _*)).as("bk"))
       .select(col("media_id"), col("phash"), col("bk.cv").as("cv"),
         col("bk.chunk").as("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(path)
   }
+
+  def writePhashIndex(documents: DataFrame, path: String): Unit =
+    indexRows(documents)
+      .write.partitionBy("chunk").mode("overwrite").parquet(path)
+
+  /** Append an admitted batch's band rows — the incremental maintenance
+    * step after an ingest admits media (`SubstrStore.appendWindowCensus`
+    * / `EmbeddingStore.appendBanded` contract; duplicate media_id rows
+    * under redelivery duplicate flagged pairs — feed exactly-once or
+    * compact with a per-chunk DISTINCT rewrite + `Swap.commit`). */
+  def appendPhashIndex(documents: DataFrame, path: String): Unit =
+    indexRows(documents)
+      .write.partitionBy("chunk").mode("append").parquet(path)
 
   // explicit schema: an empty corpus writes only _SUCCESS (the
   // EmbeddingStore rationale — a fresh deployment's store IS empty)

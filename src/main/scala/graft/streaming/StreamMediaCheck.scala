@@ -41,6 +41,40 @@ object StreamMediaCheck {
       .start()
   }
 
+  /** The ingest loop with index maintenance: flag each batch against
+    * the persisted index, then append the batch's own band rows so
+    * later batches check against it too — the media twin of
+    * `StreamSubstrCheck.startAdmitting` / `StreamSemanticCheck
+    * .startAdmitting`. The probe is materialized with TRUNCATED lineage
+    * BEFORE the append (a deferring sink must never score a batch
+    * against an index already holding its own fingerprints); blocks
+    * are released with the batch. */
+  def startAdmitting(newDocs: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit,
+      maxDist: Int = 3,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = newDocs.sparkSession
+    val writer = newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          val flagged = probe(spark, b, indexPath, maxDist)
+            .localCheckpoint(true)
+          val blocks = spark.sparkContext.getPersistentRDDs.keySet -- before
+          try {
+            sink(flagged, batchId)
+            MediaStore.appendPhashIndex(b, indexPath)
+          } finally blocks.foreach(id =>
+            spark.sparkContext.getPersistentRDDs.get(id)
+              .foreach(_.unpersist(blocking = false)))
+        } finally b.unpersist()
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** One batch's probe — batch fingerprints × index band rows, exact
     * Hamming verify on candidates. */
   def probe(spark: SparkSession, batch: DataFrame, indexPath: String,

@@ -31,9 +31,10 @@ import graft.operators.Similarity
  * construction.
  *
  * At 100 TB the index read prunes to the bands the batch actually hits
- * (`sigs/` is partitioned by band — see EmbeddingStore), and admitted
- * vectors append their own signatures back to the index out-of-band,
- * exactly like the MinHash side's corpus band state.
+ * (`sigs/` is partitioned by band — see EmbeddingStore); admitted
+ * vectors append their own signatures back via [[startAdmitting]]
+ * (`EmbeddingStore.appendBanded`), exactly like the MinHash side's
+ * corpus band state and the substring side's census loop.
  */
 object StreamSemanticCheck {
 
@@ -50,6 +51,42 @@ object StreamSemanticCheck {
         val flagged = probe(spark, batch, indexPath,
           threshold, bands, bitsPerBand)
         sink(flagged, batchId)
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** The ingest loop with index maintenance: flag each batch against
+    * the persisted index, then append the batch's own signatures +
+    * payloads so later batches check against it too — the semantic twin
+    * of `StreamSubstrCheck.startAdmitting` (content seen in batch N
+    * flags duplicates in batch N+1). The probe is materialized with
+    * TRUNCATED lineage BEFORE the append (a sink that defers evaluation
+    * would otherwise score the batch against an index already holding
+    * its own signatures and self-flag every vector); blocks are
+    * released with the batch. */
+  def startAdmitting(newVecs: DataFrame, indexPath: String,
+      sink: (DataFrame, Long) => Unit,
+      threshold: Double = 0.4, bands: Int = 16, bitsPerBand: Int = 4,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = newVecs.sparkSession
+    val writer = newVecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          val flagged = probe(spark, b, indexPath,
+            threshold, bands, bitsPerBand).localCheckpoint(true)
+          val blocks = spark.sparkContext.getPersistentRDDs.keySet -- before
+          try {
+            sink(flagged, batchId)
+            graft.store.EmbeddingStore.appendBanded(b, indexPath,
+              bands, bitsPerBand)
+          } finally blocks.foreach(id =>
+            spark.sparkContext.getPersistentRDDs.get(id)
+              .foreach(_.unpersist(blocking = false)))
+        } finally b.unpersist()
       }
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()

@@ -64,4 +64,35 @@ class StreamMediaCheckSpec extends SparkSpec {
         s"cross-boundary exact pair ($n,$c) must be flagged at 0")
     }
   }
+
+  test("admission loop: media admitted in batch N flag a re-send in batch N+1") {
+    val docs = Tables.documents(spark, sf0001)
+    val corp = docs.filter(col("doc_id") >= 100)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_media_admit_spec").toString
+    MediaStore.writePhashIndex(corp, path)
+
+    // batch 0 admits doc 7's media (novel vs the corpus split);
+    // batch 1 re-sends the identical payload under a new id — it can
+    // only flag (dist 0) through batch 0's appended band rows
+    val t7 = docs.filter(col("doc_id") === 7L)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().head
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Int)]]
+    val q = StreamMediaCheck.startAdmitting(
+      src.toDF().toDF("doc_id", "text"), path,
+      (df, id) => got(id) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+    try {
+      src.addData(t7); q.processAllAvailable()
+      src.addData((7007L, t7._2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(!got(0L).exists(_._2 == t7._1),
+      "doc 7's media was novel in batch 0")
+    assert(got(1L).exists(p => p._1 == 7007L && p._2 == t7._1 && p._3 == 0),
+      "batch 1's identical payload must flag at Hamming distance 0")
+  }
 }

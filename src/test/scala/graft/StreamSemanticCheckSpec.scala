@@ -52,4 +52,41 @@ class StreamSemanticCheckSpec extends SparkSpec {
     assert(got.values.flatten.toSet == batchProbe(newRows))
     assert(got.values.flatten.nonEmpty)
   }
+
+  test("admission loop: batch N's vectors flag an exact re-send in batch N+1") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val corp = emb.filter(col("vec_id") >= 100)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sem_admit_spec").toString
+    EmbeddingStore.writeBanded(corp, path)
+
+    // batch 0 admits vector 7 (novel vs the corpus split); batch 1
+    // re-sends the IDENTICAL embedding under a new id — without the
+    // census-style append it could not flag (the write-time index never
+    // saw it); with it, the pair (7007 -> 7) must appear at cos ≈ 1
+    val v7 = emb.filter(col("vec_id") === 7L)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().head
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long)]]
+    val q = StreamSemanticCheck.startAdmitting(
+      src.toDF().toDF("vec_id", "embedding"), path,
+      (df, id) => got(id) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    try {
+      src.addData(v7); q.processAllAvailable()
+      src.addData((7007L, v7._2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(!got(0L).exists(_._2 == 7L),
+      "vector 7 was novel in batch 0 — the index had not seen it")
+    assert(got(1L).contains((7007L, 7L)),
+      "batch 1's re-send must flag against batch 0's appended signatures")
+    // the appended state is readable store state, not a side effect:
+    // a cold batch probe sees the admitted vectors too
+    assert(StreamSemanticCheck.probe(spark,
+        Seq((9009L, v7._2)).toDF("vec_id", "embedding"), path)
+      .filter(col("corpus_id") === 7L).count() == 1L)
+  }
 }
