@@ -1158,4 +1158,87 @@ object Dedup {
           .cast("long").as("n_removed"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fixed-width token blocks of every doc, carrying `source` — the
+    * block relation [[boilerplateCensus]] / [[boilerplateStrip]] share
+    * (the [[lineDedup]] slicing convention: 1-based `slice`, ceil'd
+    * block count, short tail block kept). */
+  private def sourceBlocks(documents: DataFrame,
+      blockTokens: Int): DataFrame = {
+    val nBlocks = expr(
+      s"(size(split(text, ' ')) + ${blockTokens - 1}) div $blockTokens")
+    documents
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"),
+        explode(sequence(lit(0L), nBlocks - 1)).as("block_idx"))
+      .select(col("doc_id"), col("source"), col("block_idx"),
+        concat_ws(" ", slice(col("t"),
+          (col("block_idx") * blockTokens + 1).cast("int"),
+          lit(blockTokens))).as("block"))
+  }
+
+  /** Boilerplate-line census (the C4/CCNet cleaning gate [[lineDedup]]
+    * does NOT cover): a block repeated across MANY DISTINCT DOCS of the
+    * same source is template chrome — cookie banners, nav bars,
+    * subscribe footers — that a keeper election would keep once per
+    * corpus when the right call is to strip it from every doc. The
+    * census reports, per source, each block occurring in ≥ `minDocs`
+    * distinct documents; [[boilerplateStrip]] is the apply half.
+    * Granularity is the corpus's line surrogate: fixed `blockTokens`
+    * token blocks (the [[lineDedup]] convention — this corpus has no
+    * newlines).
+    *
+    * Shape at 100 TB: one scan explodes blocks, the shuffle is keyed by
+    * the 60-bit block digest (never the block text — rows stay narrow),
+    * and the per-(source, digest) distinct-doc count is a two-level
+    * aggregate (partial distinct per map task first). Boilerplate
+    * blocks are hot BY DEFINITION, but the hot key's row count is
+    * bounded by docs-per-source, and the census output is tiny (only
+    * blocks over the threshold survive). Cf. Raffel et al. 2020 (C4,
+    * §2.2 line dedup) and Wenzek et al. 2020 (CCNet paragraph dedup) —
+    * public-pipeline precedents for exactly this census. */
+  def boilerplateCensus(documents: DataFrame, minDocs: Long = 3L,
+      blockTokens: Int = 8): DataFrame = {
+    import graft.functions.PortableHash.h60
+    sourceBlocks(documents, blockTokens)
+      .select(col("source"), h60(col("block")).as("bh"), col("block"),
+        col("doc_id"))
+      .distinct()
+      .groupBy(col("source"), col("bh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("block")).as("block"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("source"), col("block"), col("n_docs"))
+      .orderBy(col("source"), col("block"))
+  }
+
+  /** APPLY half of [[boilerplateCensus]]: strip every flagged block
+    * from every doc of its source and reassemble the remainder (same
+    * ordered concat_ws reassembly as [[lineDedup]]); emits per doc the
+    * block counts plus an md5 receipt of the cleaned text (the
+    * `encoding_repair` receipt convention — the oracle verifies the
+    * reassembled bytes without shipping them).
+    *
+    * The census side is output-of-[[boilerplateCensus]]-sized (tiny by
+    * construction: only over-threshold blocks), so the strip join is a
+    * broadcast against the block stream — no second shuffle; the only
+    * wide move is the per-doc reassembly groupBy the dedup family
+    * already pays everywhere. */
+  def boilerplateStrip(documents: DataFrame, census: DataFrame,
+      blockTokens: Int = 8): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val flagged = census
+      .select(col("source"), h60(col("block")).as("bh"),
+        lit(true).as("is_bp"))
+    sourceBlocks(documents, blockTokens)
+      .withColumn("bh", h60(col("block")))
+      .join(broadcast(flagged), Seq("source", "bh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_stripped"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("is_bp").isNull,
+            struct(col("block_idx"), col("block"))))),
+          s => s.getField("block")))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -2071,4 +2071,113 @@ object TextAnalysis {
         when(col("tvd_micro") > tMicro, 1L).otherwise(0L))
       .orderBy(col("source"), col("len_bucket"))
   }
+
+  /** Deterministic discrete-Laplace noise keyed by a string column —
+    * the geometric mechanism of Ghosh–Roughgarden–Sundararajan (SIAM
+    * J. Comput. 2012) with α = 1/2: P(K = k) = (1/3)·2^{−|k|}, i.e.
+    * K = G₁ − G₂ for iid G ~ Geometric(1/2). Both geometrics are read
+    * straight out of the key's portable 60-bit hash as TRAILING-ONES
+    * counts of disjoint 30-bit halves (t ones occur w.p. 2^{−(t+1)} —
+    * exactly Geometric(1/2)), so the noise is pure integer bit
+    * arithmetic: no libm, no float, bit-identical in any engine with
+    * md5 + bit_count (the DuckDB oracle replays it 1:1). Deterministic
+    * keyed noise is the standard release trick for REPEATABLE private
+    * releases: re-running the job cannot leak extra budget because the
+    * "randomness" is a PRF of the cell key, not a fresh draw. */
+  private[graft] def dpNoise(key: Column): Column = {
+    import graft.functions.PortableHash.h60
+    val h = h60(key)
+    val mask = lit((1L << 30) - 1)
+    val a = h.bitwiseAND(mask)
+    val b = shiftright(h, 30).bitwiseAND(mask)
+    def trailingOnes(x: Column): Column =
+      bit_count(x.bitwiseAND(bitwise_not(x + 1)))
+    (trailingOnes(a) - trailingOnes(b)).cast("long")
+  }
+
+  /** ε-differentially-private contingency-table release — the missing
+    * RELEASE half of the privacy quartet ([[kAnonymity]] /
+    * [[lDiversity]] / [[tCloseness]] audit what leaks; this one emits
+    * counts that provably bound it): per (source, lang) cell, the true
+    * document count plus [[dpNoise]] keyed on the cell. Each document
+    * lands in exactly one cell, so cell counts have sensitivity 1 and
+    * the α = 1/2 geometric mechanism gives ε = ln 2 per cell; parallel
+    * composition across disjoint cells makes the WHOLE table ln 2-DP.
+    * Noisy counts can go negative — that is the mechanism, not a bug
+    * (clamping would bias the release; consumers post-process).
+    *
+    * Shape at 100 TB: one group-count aggregate (the cell grid is
+    * attribute-domain-bounded, never corpus-sized) and a per-cell
+    * integer noise expression — the release costs the same as the
+    * count itself. */
+  def dpCounts(documents: DataFrame, seed: String = "dp1"): DataFrame =
+    documents
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"), col("lang"),
+        (col("n") + dpNoise(concat_ws(":", lit(seed), col("source"),
+          col("lang")))).cast("long").as("n_noisy"))
+      .orderBy(col("source"), col("lang"))
+
+  /** Code-switching audit — per-document language CONSISTENCY, the
+    * read [[langId]]'s one-label-per-doc output hides: a web document
+    * that flips language mid-stream (boilerplate in one language,
+    * content in another; quoted passages; scraped parallel text) gets
+    * one confident label and silently pollutes a lang-filtered corpus.
+    * The doc's normalized token stream is cut into fixed `chunkTokens`
+    * chunks, each chunk is scored with the SAME marker argmax as
+    * [[langId]], and the doc reports how many chunks decided, how many
+    * distinct languages they decided to, the majority language
+    * (chunk-count argmax; ties by the declared marker order, the
+    * [[langId]] tiebreak), and a mixed flag (≥ 2 distinct chunk
+    * languages).
+    *
+    * Shape at 100 TB: one scan explodes chunks (data-sized, like every
+    * tokenize here), chunk scoring is the codegen'd TokenSetCount at
+    * scan speed, and both aggregates are per-doc-bounded; the langs-
+    * per-doc relation never exceeds docs × |languages|. */
+  def codeSwitch(documents: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    import graft.functions.TokenSetCount
+    val nChunks = expr(
+      s"(size(w) + ${chunkTokens - 1}) div $chunkTokens")
+    val chunks = documents
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L),
+          greatest(nChunks.cast("long"), lit(1L)) - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("w"),
+          (col("chunk_idx") * chunkTokens + 1).cast("int"),
+          lit(chunkTokens))).as("chunk"))
+    val scored = chunks.select(
+      (col("doc_id") +: col("chunk_idx") +: langMarkers.map { case (l, m) =>
+        TokenSetCount.token_set_count(col("chunk"), m).as(s"hits_$l")
+      }): _*)
+      .select(col("doc_id"), col("chunk_idx"),
+        langPredExpr.as("chunk_lang"))
+    val perLang = scored.filter(col("chunk_lang") =!= "und")
+      .groupBy(col("doc_id"), col("chunk_lang"))
+      .agg(count(lit(1)).as("n"))
+    val ord = langMarkers.map(_._1).zipWithIndex
+      .foldRight(lit(99)) { case ((l, i), els) =>
+        when(col("chunk_lang") === l, lit(i)).otherwise(els)
+      }
+    val major = perLang
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_decided"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("n")).as("neg"), ord.as("ord"),
+          col("chunk_lang").as("l"))).getField("l").as("lang_major"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(major, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_decided"), lit(0L)).as("n_decided"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("lang_major"), lit("und")).as("lang_major"),
+        when(coalesce(col("n_langs"), lit(0L)) >= 2, 1L).otherwise(0L)
+          .as("mixed"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -56,6 +56,18 @@ private[graft] object DedupReg {
       Dedup.jaccardHistogramFrom(overlapFor(s, dir))),
     "line_dedup" -> ((s, dir) =>
       Dedup.lineDedup(Tables.documents(s, dir))),
+    // boilerplate census + strip over the block-seeded corpus (8-token
+    // blocks barely repeat naturally — max 2 docs share one at sf0.01 —
+    // so the GATE prepends two block-ALIGNED 16-token template headers
+    // to the doc_id mod-7/mod-11 cohorts, built identically in both
+    // engines: the oracle pins nonzero cross-engine census + strip,
+    // not vacuous zero parity; the encoding_audit seeding precedent)
+    "boilerplate_census" -> ((s, dir) =>
+      Dedup.boilerplateCensus(decorateBoilerplate(Tables.documents(s, dir)))),
+    "boilerplate_strip" -> { (s, dir) =>
+      val dec = decorateBoilerplate(Tables.documents(s, dir))
+      Dedup.boilerplateStrip(dec, Dedup.boilerplateCensus(dec))
+    },
     // Lee et al. exact-substring dedup: the removable (doc_id, start,
     // len) spans — union of duplicated length-20 token windows — and
     // the APPLY half emitting the cleaned corpus; both ride the
@@ -86,7 +98,75 @@ private[graft] object DedupReg {
       Dedup.corpusOverlapKmv(Tables.documents(s, dir)))
   )
 
+  /** The two seeded template headers — EXACTLY 16 space-separated
+    * tokens each (two whole 8-token blocks), PREPENDED so every seeded
+    * doc carries them block-ALIGNED (16 ≡ 0 mod 8 also keeps the doc's
+    * own blocks intact, just shifted two indices). */
+  private[graft] val BpHeader7 =
+    "subscribe to our newsletter terms of service apply" +
+      " all rights reserved click here to unsubscribe now"
+  private[graft] val BpHeader11 =
+    "cookie notice this site uses cookies by continuing" +
+      " you accept our tracking and analytics cookie policy"
+
+  /** Deterministic boilerplate seeding under the two gates — the
+    * [[TextReg.decorateEncoding]] precedent applied to template chrome. */
+  private[graft] def decorateBoilerplate(documents: DataFrame): DataFrame =
+    documents.withColumn("text", concat(
+      when(pmod(col("doc_id"), lit(7)) === 3, lit(BpHeader7 + " "))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 5, lit(BpHeader11 + " "))
+        .otherwise(lit("")),
+      col("text")))
+
+  /** The seeding CASE as DuckDB SQL — oracle twin of
+    * [[decorateBoilerplate]]. */
+  private val BpDecorateSql: String =
+    s"""CASE WHEN doc_id % 7 = 3 THEN '$BpHeader7 ' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 5 THEN '$BpHeader11 ' ELSE '' END ||
+       |    text""".stripMargin
+
+  /** Shared oracle CTE chain: seeded corpus → 8-token blocks (the
+    * line_dedup slicing) → per-(source, block) distinct-doc census. */
+  private val BpBlocksCtes: String =
+    s"""dec AS (
+       |  SELECT doc_id, source, $BpDecorateSql AS text FROM documents
+       |), toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM dec
+       |), blocks AS (
+       |  SELECT doc_id, source, i AS block_idx,
+       |    array_to_string(t[(i*8+1):(i*8+8)], ' ') AS block
+       |  FROM toks, unnest(generate_series(CAST(0 AS BIGINT),
+       |    CAST((len(t) + 7) // 8 AS BIGINT) - 1)) AS g(i)
+       |), census AS (
+       |  SELECT source, block, count(DISTINCT doc_id) AS n_docs
+       |  FROM blocks GROUP BY 1, 2
+       |)""".stripMargin
+
   def sql: Map[String, String] = Map(
+    // C4/CCNet-style boilerplate census: blocks in ≥ 3 distinct docs of
+    // one source (the seeded headers; natural repeats stay under 3)
+    "boilerplate_census" ->
+      s"""WITH $BpBlocksCtes
+         |SELECT source, block, CAST(n_docs AS BIGINT) AS n_docs
+         |FROM census WHERE n_docs >= 3
+         |ORDER BY source, block""".stripMargin,
+    // APPLY half: strip flagged blocks per source, md5 receipt of the
+    // ordered reassembly (all-stripped docs hash the empty string)
+    "boilerplate_strip" ->
+      s"""WITH $BpBlocksCtes, fl AS (
+         |  SELECT b.doc_id, b.block_idx, b.block,
+         |    (c.block IS NOT NULL) AS is_bp
+         |  FROM blocks b LEFT JOIN (
+         |    SELECT source, block FROM census WHERE n_docs >= 3) c
+         |    ON b.source = c.source AND b.block = c.block
+         |)
+         |SELECT doc_id, count(*) AS n_blocks,
+         |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_stripped,
+         |  md5(coalesce(string_agg(block, ' ' ORDER BY block_idx)
+         |    FILTER (WHERE NOT is_bp), '')) AS clean_md5
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -64,6 +64,10 @@ private[graft] object SamplingReg {
       TextAnalysis.kAnonymity(Tables.documents(s, dir))),
     "t_closeness" -> ((s, dir) =>
       TextAnalysis.tCloseness(Tables.documents(s, dir))),
+    // the RELEASE half of the privacy family: ln2-DP noisy cell counts,
+    // noise = keyed discrete Laplace read from the cell hash's bits
+    "dp_counts" -> ((s, dir) =>
+      TextAnalysis.dpCounts(Tables.documents(s, dir))),
     // bounded-heap per-group top-k (custom TypedImperativeAggregate) —
     // the window-sort-free form of "top 3 docs per source"
     "group_topk" -> ((s, dir) => {
@@ -133,6 +137,21 @@ private[graft] object SamplingReg {
         |ORDER BY shard""".stripMargin,
     // quasi-identifier = (source, lang, integer length bucket); groups
     // under k = 5 are the re-identification handles
+    // keyed discrete-Laplace (α = 1/2) noise replayed bit-exactly: two
+    // Geometric(1/2) draws = trailing-ones counts of the cell hash's
+    // 30-bit halves; pure integer bit ops, no libm on either engine
+    "dp_counts" ->
+      """WITH g AS (
+        |  SELECT source, lang, count(*) AS n,
+        |    ('0x' || substr(md5('dp1:' || source || ':' || lang), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM documents GROUP BY 1, 2
+        |)
+        |SELECT source, lang, CAST(n
+        |  + bit_count((h & 1073741823) & ~((h & 1073741823) + 1))
+        |  - bit_count(((h >> 30) & 1073741823)
+        |      & ~(((h >> 30) & 1073741823) + 1)) AS BIGINT) AS n_noisy
+        |FROM g ORDER BY source, lang""".stripMargin,
     "k_anonymity" ->
       """SELECT source, lang, n_chars // 500 AS len_bucket,
         |  CAST(count(*) AS BIGINT) AS group_n,

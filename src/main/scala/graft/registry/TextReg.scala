@@ -26,6 +26,10 @@ private[graft] object TextReg {
         postings = Some(postingsFor(s, dir)),
         buckets = Some(docBucketsFor(s, dir)))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    // per-doc language CONSISTENCY: 32-token chunks scored with the
+    // lang_id markers; mixed docs are what a lang filter silently keeps
+    "code_switch" -> ((s, dir) =>
+      TextAnalysis.codeSwitch(Tables.documents(s, dir))),
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
     "source_confusion" -> ((s, dir) => TextAnalysis.sourceConfusion(
@@ -1007,6 +1011,59 @@ private[graft] object TextReg {
         |       WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
         |       ELSE 'es' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // Chunked lang_id with the identical marker CASE; majority election
+    // = count desc then declared marker order (the langId tiebreak)
+    "code_switch" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), chunks AS (
+        |  SELECT doc_id, i AS chunk_idx, w[(i*32+1):(i*32+32)] AS cw
+        |  FROM toks, unnest(generate_series(CAST(0 AS BIGINT),
+        |    greatest(CAST((len(w) + 31) // 32 AS BIGINT), 1) - 1)) AS g(i)
+        |), sc AS (
+        |  SELECT doc_id, chunk_idx,
+        |    len(list_filter(cw, x -> list_contains(['the','and','of','is','a'], x))) AS he,
+        |    len(list_filter(cw, x -> list_contains(['der','und','die','das','ist'], x))) AS hd,
+        |    len(list_filter(cw, x -> list_contains(['le','et','les','des','est'], x))) AS hf,
+        |    len(list_filter(cw, x -> list_contains(['el','y','los','de','es'], x))) AS hs
+        |  FROM chunks
+        |), pred AS (
+        |  SELECT doc_id, chunk_idx,
+        |    CASE WHEN greatest(he, hd, hf, hs) = 0 THEN 'und'
+        |         WHEN he = greatest(he, hd, hf, hs) THEN 'en'
+        |         WHEN hd = greatest(he, hd, hf, hs) THEN 'de'
+        |         WHEN hf = greatest(he, hd, hf, hs) THEN 'fr'
+        |         ELSE 'es' END AS cl
+        |  FROM sc
+        |), per AS (
+        |  SELECT doc_id, cl, count(*) AS n FROM pred
+        |  WHERE cl != 'und' GROUP BY 1, 2
+        |), maj AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_decided,
+        |    CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM per GROUP BY 1
+        |), win AS (
+        |  SELECT doc_id, cl, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n DESC, CASE cl WHEN 'en' THEN 0 WHEN 'de' THEN 1
+        |      WHEN 'fr' THEN 2 ELSE 3 END) AS rn
+        |  FROM per
+        |), tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM pred GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_chunks,
+        |  coalesce(m.n_decided, 0) AS n_decided,
+        |  coalesce(m.n_langs, 0) AS n_langs,
+        |  coalesce(w.cl, 'und') AS lang_major,
+        |  CAST(CASE WHEN coalesce(m.n_langs, 0) >= 2 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS mixed
+        |FROM tot t LEFT JOIN maj m USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, cl FROM win WHERE rn = 1) w USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // Same curve over the per-doc-DISTINCT trigram census (the postings
     // relation the candidate-join family shares).
     "ngram_growth" ->
