@@ -1197,6 +1197,14 @@ object Dedup {
     * §2.2 line dedup) and Wenzek et al. 2020 (CCNet paragraph dedup) —
     * public-pipeline precedents for exactly this census. */
   def boilerplateCensus(documents: DataFrame, minDocs: Long = 3L,
+      blockTokens: Int = 8): DataFrame =
+    boilerplateReadout(boilerplateCensusRaw(documents, blockTokens), minDocs)
+
+  /** UNthresholded census relation (source, bh, block, n_docs) — the
+    * standing state: per-doc-distinct, so counts are SUM-mergeable
+    * across disjoint doc sets (each doc's blocks arrive together; the
+    * streaming twin folds per-batch censuses by exactly this merge). */
+  def boilerplateCensusRaw(documents: DataFrame,
       blockTokens: Int = 8): DataFrame = {
     import graft.functions.PortableHash.h60
     sourceBlocks(documents, blockTokens)
@@ -1205,10 +1213,15 @@ object Dedup {
       .distinct()
       .groupBy(col("source"), col("bh"))
       .agg(count(lit(1)).as("n_docs"), min(col("block")).as("block"))
-      .filter(col("n_docs") >= minDocs)
-      .select(col("source"), col("block"), col("n_docs"))
-      .orderBy(col("source"), col("block"))
   }
+
+  /** Threshold readout over a (folded or one-shot) raw census — the
+    * batch/streaming-shared half of [[boilerplateCensus]]. */
+  def boilerplateReadout(raw: DataFrame, minDocs: Long = 3L): DataFrame =
+    raw.filter(col("n_docs") >= minDocs)
+      .select(col("source"), col("block"), col("n_docs").cast("long")
+        .as("n_docs"))
+      .orderBy(col("source"), col("block"))
 
   /** APPLY half of [[boilerplateCensus]]: strip every flagged block
     * from every doc of its source and reassemble the remainder (same

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/**
+ * Streaming boilerplate-line census — the continuous form of
+ * `Dedup.boilerplateCensus`: the unthresholded census is per-doc
+ * DISTINCT per (source, block digest), so per-batch censuses over
+ * disjoint doc sets merge by SUMMING n_docs (each doc's blocks arrive
+ * in its own batch; a doc never splits across batches). Each
+ * micro-batch runs the BATCH raw-census operator on its own rows and
+ * folds the result into the standing relation; the threshold readout
+ * is `Dedup.boilerplateReadout` VERBATIM over the standing census, so
+ * streamed ≡ batch exactly under any batch split (spec-asserted).
+ *
+ * The live read a crawl pipeline keeps per feed: a template header
+ * crossing the distinct-doc threshold mid-crawl flags from that batch
+ * on — new docs can be stripped at ingest instead of waiting for the
+ * full-corpus pass. State is distinct-block-bounded (content-sized,
+ * like the StreamSubstrCheck window census — the standing state such a
+ * gate keeps on disk anyway), held as one checkpointed relation with
+ * superseded blocks released per fold (the [[StreamEncodingAudit]]
+ * table shape).
+ */
+object StreamBoilerplate {
+
+  /** Running unthresholded census, checkpointed per fold. */
+  final class CensusTable(spark: SparkSession, blockTokens: Int = 8) {
+    import spark.implicits._
+    @volatile private var current: DataFrame =
+      Seq.empty[(String, Long, Long, String)]
+        .toDF("source", "bh", "n_docs", "block")
+    private var liveBlocks: Set[Int] = Set.empty
+    def census: DataFrame = current
+    /** Flagged readout — the batch operator's threshold half. */
+    def flagged(minDocs: Long = 3L): DataFrame =
+      Dedup.boilerplateReadout(current, minDocs)
+    def fold(documents: DataFrame): Unit = synchronized {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      current = current
+        .unionByName(Dedup.boilerplateCensusRaw(documents, blockTokens)
+          .select(col("source"), col("bh"), col("n_docs").cast("long")
+            .as("n_docs"), col("block")))
+        .groupBy(col("source"), col("bh"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          min(col("block")).as("block"))
+        .localCheckpoint(true)
+      // release the superseded census blocks — the new (eager)
+      // checkpoint no longer references them; state stays one table
+      val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
+      liveBlocks.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      liveBlocks = newBlocks
+    }
+  }
+
+  /** Stream of documents (doc_id + text + source) → continuously-folded
+    * per-(source, block) distinct-doc census. */
+  def start(documents: DataFrame, table: CensusTable): StreamingQuery =
+    documents.writeStream
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .start()
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.Dedup
+import graft.streaming.StreamBoilerplate
+
+/** Streaming boilerplate census: per-batch raw censuses sum-folded —
+  * streamed ≡ batch exactly under any split, the threshold readout is
+  * the batch code path, and a block crosses the flag threshold
+  * mid-stream exactly when its cumulative distinct-doc count does. */
+class StreamBoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = "all rights reserved click here to unsubscribe now"
+
+  test("two-batch fold equals the one-shot census; readout shares the batch path") {
+    val rows = Seq(
+      (1L, B + " x1 x2", "s1"),
+      (2L, B + " y1", "s1"),
+      (3L, B, "s1"),
+      (4L, B, "s2"),
+      (5L, "free text here only", "s2"),
+      (6L, B + " " + B + " tail", "s1")) // twice in ONE doc: one vote
+    val (b1, b2) = rows.splitAt(2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val table = new StreamBoilerplate.CensusTable(spark)
+    val q = StreamBoilerplate.start(
+      src.toDF().toDF("doc_id", "text", "source"), table)
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      // mid-stream: only two s1 docs so far — B not yet flagged at 3
+      assert(table.flagged(3L).collect().isEmpty)
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val streamed = rowsOf(table.flagged(3L))
+    val batch = rowsOf(Dedup.boilerplateCensus(
+      rows.toDF("doc_id", "text", "source"), minDocs = 3L))
+    assert(streamed == batch)
+    // teeth: s1's header crossed the threshold (4 distinct docs), s2's
+    // single carrier did not
+    assert(streamed == Seq(("s1", B, 4L)))
+    // scratch hygiene: exactly the one standing checkpoint survives
+    assert(spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory) <= 1)
+  }
+
+  test("fold is split-invariant: 1-, 2- and 3-batch ingests agree") {
+    val rows = (0L until 9L).map(i =>
+      (i, if (i % 3 == 0) B + s" u$i" else s"plain text $i", s"s${i % 2}"))
+    def ingest(splits: Seq[Seq[(Long, String, String)]]) = {
+      implicit val sqlCtx = spark.sqlContext
+      val src = MemoryStream[(Long, String, String)]
+      val table = new StreamBoilerplate.CensusTable(spark)
+      val q = StreamBoilerplate.start(
+        src.toDF().toDF("doc_id", "text", "source"), table)
+      try splits.foreach { s => src.addData(s: _*); q.processAllAvailable() }
+      finally q.stop()
+      table.census.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    }
+    val one = ingest(Seq(rows))
+    val two = ingest(Seq(rows.take(4), rows.drop(4)))
+    val three = ingest(Seq(rows.take(2), rows.slice(2, 7), rows.drop(7)))
+    assert(one == two && two == three)
+  }
+}
