@@ -170,6 +170,44 @@ object Profiling {
       .orderBy(col("shard"))
   }
 
+  /** Shard-merge law for the OTHER mergeable-distinct sketch: KMV
+    * bottom-k sets merge by bottom-k-of-union — bottom_k(∪ᵢ
+    * bottom_k(Aᵢ)) = bottom_k(∪ᵢ Aᵢ) exactly (an element outside its
+    * own shard's bottom-k can never enter the union's: its shard
+    * already holds k smaller elements), so a 1000-shard census ships
+    * k·8 bytes per shard and the merged estimate is IDENTICAL to the
+    * direct corpus sketch, not approximately so. Gated the same way as
+    * [[hllShardMerge]]: per-shard bottom-k tables built independently
+    * (the persisted shard state), the merged row assembled from the
+    * shard tables alone, and the `direct` row re-sketched from raw data
+    * — the output itself exhibits the law (merged ≡ direct row-for-row,
+    * spec-asserted also under 1/2/4/7-way sharding). All three levels
+    * ride [[EventsOps.kmvEstimate]], so the estimate arithmetic is the
+    * `kmv_distinct` convention verbatim and the oracle replays every
+    * level bit-for-bit. */
+  def kmvShardMerge(events: DataFrame, k: Int = 64,
+      shards: Int = 4): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import org.apache.spark.sql.expressions.Window
+    val hashed = events.select(
+      pmod(col("event_id"), lit(shards.toLong)).cast("string").as("shard"),
+      h60(col("user_id").cast("string")).as("h"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"))
+    val shardTops = hashed.distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("shard"), col("h"))
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "kmv_shards"))
+    val merged = shardTops.select(lit("merged").as("shard"), col("h"))
+    val direct = hashed.select(lit("direct").as("shard"), col("h"))
+    EventsOps.kmvEstimate(
+      shardTops.unionByName(merged).unionByName(direct)
+        .select(col("shard").as("event_type"), col("h")), k)
+      .select(col("event_type").as("shard"), col("n_kept"),
+        col("kth_min"), col("n_est"))
+      .orderBy(col("shard"))
+  }
+
   /** JOIN-SIZE audit WITHOUT running the join — the planner read a
     * 100 TB pipeline takes before committing to an equi-join that might
     * explode: |A ⋈_k B| exactly, from the two per-key count tables

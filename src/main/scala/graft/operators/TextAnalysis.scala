@@ -2072,6 +2072,55 @@ object TextAnalysis {
       .orderBy(col("source"), col("len_bucket"))
   }
 
+  /** Generalize-until-clean executor — the ACTION half of the
+    * [[kAnonymity]] audit (the audit flags re-identification handles;
+    * this one picks the release grid): widen the length bucket along
+    * the doubling ladder base·2^j until the at-risk DOC count stops
+    * improving, then SUPPRESS the residual groups — generalization +
+    * suppression, the standard k-anonymization pair (Sweeney 2002;
+    * Samarati 2001). Because a width-2w bucket is the union of exactly
+    * two width-w buckets, a group under k at 2w implies all its
+    * constituents were under k at w — at-risk mass is monotone
+    * non-increasing along the ladder and hits an irreducible floor
+    * (docs in (source, lang) pairs with < k members total, which no
+    * length widening can save). The chosen width is the SMALLEST j
+    * whose at-risk mass equals that floor: the finest grid that is as
+    * clean as any coarser one, i.e. maximal utility at minimal
+    * suppression.
+    *
+    * Output: the release grid at the chosen width — one row per QI
+    * cell with its count, `release`/`suppress` action, and the width.
+    *
+    * Shape at 100 TB: one scan explodes the ladder (× 13 rows, crushed
+    * map-side into the bounded cells grid); everything after is
+    * arithmetic over cells and a 13-row ladder summary — the j*
+    * election is a broadcast of a 1-row aggregate, never a collect. */
+  def kAnonCoarsen(documents: DataFrame, k: Long = 5L, base: Long = 500L,
+      maxDoublings: Int = 12): DataFrame = {
+    val cells = documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        explode(sequence(lit(0), lit(maxDoublings))).as("j"))
+      .select(col("j"), col("source"), col("lang"),
+        expr(s"n_chars div ($base * shiftleft(1, j))").as("len_bucket"))
+      .groupBy(col("j"), col("source"), col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_n"))
+    val risky = cells.groupBy(col("j"))
+      .agg(sum(when(col("group_n") < k, col("group_n")).otherwise(0L))
+        .as("risk_docs"))
+    val residual = risky.filter(col("j") === maxDoublings)
+      .select(col("risk_docs").as("residual"))
+    val jstar = risky.crossJoin(broadcast(residual))
+      .filter(col("risk_docs") === col("residual"))
+      .agg(min(col("j")).as("jstar"))
+    cells.join(broadcast(jstar), col("j") === col("jstar"))
+      .select(col("source"), col("lang"), col("len_bucket"), col("group_n"),
+        when(col("group_n") < k, lit("suppress")).otherwise(lit("release"))
+          .as("action"),
+        expr(s"CAST($base * shiftleft(CAST(1 AS BIGINT), jstar) AS BIGINT)")
+          .as("bucket_width"))
+      .orderBy(col("source"), col("lang"), col("len_bucket"))
+  }
+
   /** Deterministic discrete-Laplace noise keyed by a string column —
     * the geometric mechanism of Ghosh–Roughgarden–Sundararajan (SIAM
     * J. Comput. 2012) with α = 1/2: P(K = k) = (1/3)·2^{−|k|}, i.e.

@@ -87,6 +87,10 @@ private[graft] object MarketBReg {
     // the merge a 1000-shard profiling job runs instead of a re-scan
     "hll_shard_merge" -> ((s, dir) =>
       Profiling.hllShardMerge(Tables.events(s, dir))),
+    // the KMV twin of the law: bottom-k sets merge by bottom-k-of-union
+    // EXACTLY, so the merged row equals the direct re-sketch row
+    "kmv_shard_merge" -> ((s, dir) =>
+      Profiling.kmvShardMerge(Tables.events(s, dir))),
     // join-size prediction WITHOUT the join: exact Σ cnt_l·cnt_r from
     // the per-key count tables beside the CMS inner-product estimate
     // (Cormode–Muthukrishnan) — the pre-join explosion check
@@ -867,6 +871,37 @@ private[graft] object MarketBReg {
         |    AS hll_est
         |FROM asm
         |ORDER BY shard""".stripMargin,
+    // KMV shard-merge law: shard bottom-64 tables, merged = bottom-64
+    // of their union, direct = re-sketch from raw — same estimate CASE
+    // as kmv_distinct; merged and direct rows are equal by the law
+    "kmv_shard_merge" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT CAST(event_id % 4 AS VARCHAR) AS shard,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events
+        |), shard_tops AS (
+        |  SELECT shard, h FROM (
+        |    SELECT shard, h,
+        |      row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+        |    FROM hashed) t WHERE rn <= 64
+        |), lvl AS (
+        |  SELECT shard, h FROM shard_tops
+        |  UNION ALL SELECT 'merged' AS shard, h FROM shard_tops
+        |  UNION ALL SELECT DISTINCT 'direct' AS shard, h FROM hashed
+        |), ranked AS (
+        |  SELECT shard, h,
+        |    row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT shard, h FROM lvl) d
+        |)
+        |SELECT shard, count(*) AS n_kept, max(h) AS kth_min,
+        |  CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |       WHEN max(h) > 0
+        |       THEN round(63.0 * (1152921504606846976.0
+        |         / CAST(max(h) AS DOUBLE)), 3)
+        |  END AS n_est
+        |FROM ranked WHERE rn <= 64
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "sliding_active_users" ->
       """SELECT event_type, slot * 1800 AS window_start,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

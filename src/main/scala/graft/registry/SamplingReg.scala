@@ -68,6 +68,10 @@ private[graft] object SamplingReg {
     // noise = keyed discrete Laplace read from the cell hash's bits
     "dp_counts" -> ((s, dir) =>
       TextAnalysis.dpCounts(Tables.documents(s, dir))),
+    // the ACTION half of the k-audit: widen the bucket ladder until
+    // at-risk mass hits its irreducible floor, suppress the residue
+    "k_anon_coarsen" -> ((s, dir) =>
+      TextAnalysis.kAnonCoarsen(Tables.documents(s, dir))),
     // bounded-heap per-group top-k (custom TypedImperativeAggregate) —
     // the window-sort-free form of "top 3 docs per source"
     "group_topk" -> ((s, dir) => {
@@ -152,6 +156,30 @@ private[graft] object SamplingReg {
         |  - bit_count(((h >> 30) & 1073741823)
         |      & ~(((h >> 30) & 1073741823) + 1)) AS BIGINT) AS n_noisy
         |FROM g ORDER BY source, lang""".stripMargin,
+    // doubling-ladder generalization: j* = first width whose at-risk
+    // doc mass equals the j=12 floor; grid at j* with release/suppress
+    "k_anon_coarsen" ->
+      """WITH cells AS (
+        |  SELECT j, source, lang,
+        |    n_chars // (500 * (1 << j)) AS len_bucket,
+        |    count(*) AS group_n
+        |  FROM documents, unnest(generate_series(0, 12)) AS g(j)
+        |  GROUP BY 1, 2, 3, 4
+        |), risky AS (
+        |  SELECT j, sum(CASE WHEN group_n < 5 THEN group_n ELSE 0 END)
+        |    AS risk_docs
+        |  FROM cells GROUP BY 1
+        |), jstar AS (
+        |  SELECT min(j) AS js FROM risky
+        |  WHERE risk_docs = (SELECT risk_docs FROM risky WHERE j = 12)
+        |)
+        |SELECT source, lang, CAST(len_bucket AS BIGINT) AS len_bucket,
+        |  CAST(group_n AS BIGINT) AS group_n,
+        |  CASE WHEN group_n < 5 THEN 'suppress' ELSE 'release' END
+        |    AS action,
+        |  CAST(500 * (1 << js) AS BIGINT) AS bucket_width
+        |FROM cells JOIN jstar ON cells.j = jstar.js
+        |ORDER BY source, lang, len_bucket""".stripMargin,
     "k_anonymity" ->
       """SELECT source, lang, n_chars // 500 AS len_bucket,
         |  CAST(count(*) AS BIGINT) AS group_n,

@@ -121,6 +121,31 @@ class ProfilingSpec extends SparkSpec {
     } else assert(math.abs(est - exact) <= 0.5 * exact,
       s"merged estimate $est vs exact $exact")
   }
+  test("kmvShardMerge: merged row EQUALS the direct re-sketch, any shard count") {
+    val ev = Tables.events(spark, sf0001)
+    def rows(shards: Int) =
+      Profiling.kmvShardMerge(ev, shards = shards).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val four = rows(4)
+    // the law itself: bottom-k of the shard-top union is bit-identical
+    // to the corpus bottom-k — merged ≡ direct, not approximately
+    assert(four("merged") == four("direct"))
+    // and it is shard-count invariant (the direct row never moves; the
+    // merged row always equals it)
+    Seq(1, 2, 7).foreach { s =>
+      val m = rows(s)
+      assert(m("merged") == m("direct"), s"merge law broken at $s shards")
+      assert(m("direct") == four("direct"))
+    }
+    // the estimate tracks the exact distinct-user count (σ ≈ 1/√62)
+    val exact = ev.select("user_id").distinct().count()
+    val (nKept, est) = (four("merged")._1, four("merged")._3)
+    if (nKept < 64) assert(est == exact.toDouble)
+    else assert(math.abs(est - exact) <= 0.6 * exact,
+      s"KMV estimate $est vs exact $exact")
+  }
+
   test("joinSizeAudit: exact matches the real join; CMS estimate dominates and converges") {
     import org.apache.spark.sql.functions.col
     val ev = Tables.events(spark, sf0001)
