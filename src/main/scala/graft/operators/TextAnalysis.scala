@@ -2160,12 +2160,18 @@ object TextAnalysis {
     * integer noise expression — the release costs the same as the
     * count itself. */
   def dpCounts(documents: DataFrame, seed: String = "dp1"): DataFrame =
-    documents
-      .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("source"), col("lang"),
-        (col("n") + dpNoise(concat_ws(":", lit(seed), col("source"),
-          col("lang")))).cast("long").as("n_noisy"))
+    dpCountsFrom(documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n")), seed)
+
+  /** Noise-at-readout over a standing exact cell-count relation
+    * (source, lang, n) — the half [[dpCounts]] shares with its
+    * streaming twin: the PRF noise depends only on the cell KEY, so a
+    * release taken off sum-folded streaming counts is bit-identical to
+    * the batch release over the same documents. */
+  def dpCountsFrom(cellCounts: DataFrame, seed: String = "dp1"): DataFrame =
+    cellCounts.select(col("source"), col("lang"),
+      (col("n") + dpNoise(concat_ws(":", lit(seed), col("source"),
+        col("lang")))).cast("long").as("n_noisy"))
       .orderBy(col("source"), col("lang"))
 
   /** Code-switching audit — per-document language CONSISTENCY, the
