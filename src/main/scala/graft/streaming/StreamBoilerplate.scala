@@ -66,4 +66,40 @@ object StreamBoilerplate {
       .outputMode("append")
       .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
       .start()
+
+  /** The ingest loop with strip-at-admission: each batch is stripped
+    * against the census AS OF the previous batch (the batch operator
+    * `Dedup.boilerplateStrip` verbatim — template chrome that already
+    * crossed the threshold is removed before the doc lands), the strip
+    * receipt goes to `sink`, and only then does the batch's own census
+    * fold in — content seen in batch N flags from batch N+1 on, the
+    * [[StreamSubstrCheck.startAdmitting]] loop shape. The strip result
+    * is materialized with truncated lineage BEFORE the fold, so a sink
+    * that defers evaluation can never see the census including the
+    * batch's own votes. */
+  def startAdmitting(documents: DataFrame, table: CensusTable,
+      sink: (DataFrame, Long) => Unit, minDocs: Long = 3L,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val spark = documents.sparkSession
+    val writer = documents.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          val stripped = Dedup.boilerplateStrip(b, table.flagged(minDocs))
+            .localCheckpoint(true)
+          val stripBlocks =
+            spark.sparkContext.getPersistentRDDs.keySet -- before
+          try {
+            sink(stripped, batchId)
+            table.fold(b)
+          } finally stripBlocks.foreach(id =>
+            spark.sparkContext.getPersistentRDDs.get(id)
+              .foreach(_.unpersist(blocking = false)))
+        } finally b.unpersist()
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
 }

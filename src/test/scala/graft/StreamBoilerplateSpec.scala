@@ -50,6 +50,40 @@ class StreamBoilerplateSpec extends SparkSpec {
       .count(_.getStorageLevel.useMemory) <= 1)
   }
 
+  test("admission loop: batch N+1 is stripped by chrome batch N flagged") {
+    val hdr = B
+    def md5Hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // batch 1 pushes the header over the threshold; batch 2's docs must
+    // arrive already stripped of it
+    val b1 = Seq((1L, hdr + " a1", "s1"), (2L, hdr + " a2", "s1"),
+      (3L, hdr + " a3", "s1"))
+    val b2 = Seq((4L, hdr + " b1 b2 b3 b4 b5 b6 b7 b8", "s1"),
+      (5L, "clean doc here", "s1"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val table = new StreamBoilerplate.CensusTable(spark)
+    val out = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    val q = StreamBoilerplate.startAdmitting(
+      src.toDF().toDF("doc_id", "text", "source"), table,
+      (df, _) => df.collect().foreach(r => out(r.getLong(0)) =
+        (r.getLong(1), r.getLong(2), r.getString(3))))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch 1 predates the flag: nothing stripped (census was empty)
+    assert(out(1L)._2 == 0L && out(2L)._2 == 0L && out(3L)._2 == 0L)
+    // batch 2: the header block is now chrome — stripped at admission
+    assert(out(4L) == (2L, 1L, md5Hex("b1 b2 b3 b4 b5 b6 b7 b8")))
+    assert(out(5L) == (1L, 0L, md5Hex("clean doc here")))
+    // and batch 2's own votes folded AFTER the strip: census sees 4 docs
+    assert(table.flagged(3L).collect().map(_.getLong(2)).toSeq == Seq(4L))
+  }
+
   test("fold is split-invariant: 1-, 2- and 3-batch ingests agree") {
     val rows = (0L until 9L).map(i =>
       (i, if (i % 3 == 0) B + s" u$i" else s"plain text $i", s"s${i % 2}"))
