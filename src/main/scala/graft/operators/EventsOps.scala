@@ -1111,6 +1111,43 @@ object EventsOps {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Stationary distribution of the user-behavior Markov chain — the
+    * asymptotic read [[eventTransitions]]'s one-step counts only hint
+    * at: where does a user's session settle if the observed transition
+    * structure persists? Power iteration over the transition matrix,
+    * the [[Dedup.dupPagerank]] exact-integer convention: masses start
+    * at 10⁶ per state, each step floors every (from→to) term
+    * p·n div n_from individually and sums (order-independent BIGINT
+    * arithmetic — bit-portable under any partitioning), `iters` steps
+    * unrolled. Masses are unnormalized micro units (Σ decays only by
+    * the per-term floor loss); ratios between states are the read.
+    *
+    * Shape at 100 TB: ONE data-sized pass (the per-user lag window the
+    * transition census already pays); everything after is `iters`
+    * joins over the states²-bounded matrix — broadcast-sized by the
+    * attribute domain, never corpus-sized. */
+  def markovStationary(events: DataFrame, iters: Int = 8): DataFrame = {
+    val trans = eventTransitions(events)
+      .select(col("prev_type").as("from_type"),
+        col("next_type").as("to_type"), col("n"))
+    val outDeg = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    val t = trans.join(outDeg, "from_type")
+    var p = outDeg.select(col("from_type").as("state"),
+      lit(1000000L).as("p"))
+    (1 to iters).foreach { _ =>
+      p = t.join(p, col("from_type") === col("state"))
+        .select(col("to_type"), expr("p * n div n_from").as("m"))
+        .groupBy(col("to_type"))
+        .agg(sum(col("m")).as("p"))
+        .select(col("to_type").as("state"), col("p"))
+    }
+    outDeg.select(col("from_type").as("state"), col("n_from"))
+      .join(p, "state")
+      .select(col("state"), col("n_from"), col("p").as("p_micro"))
+      .orderBy(col("state"))
+  }
+
   /** EQUI-DEPTH histogram per event type: `buckets` quantile buckets of
     * equal population (ntile over the (value, event_id) total order —
     * the tiebreak makes bucket boundaries engine-deterministic where a

@@ -72,7 +72,10 @@ private[graft] object EventsReg {
     },
     "value_histogram" -> ((s, dir) => EventsOps.valueHistogram(Tables.events(s, dir))),
     "equidepth_histogram" -> ((s, dir) => EventsOps.equidepthHistogram(Tables.events(s, dir))),
-    "event_transitions" -> ((s, dir) => EventsOps.eventTransitions(Tables.events(s, dir)))
+    "event_transitions" -> ((s, dir) => EventsOps.eventTransitions(Tables.events(s, dir))),
+    // power iteration over the transition matrix, pagerank's exact
+    // integer-micro convention: the chain's asymptotic state mix
+    "markov_stationary" -> ((s, dir) => EventsOps.markovStationary(Tables.events(s, dir)))
   )
 
   def sql: Map[String, String] = Map(
@@ -642,6 +645,39 @@ private[graft] object EventsReg {
         |  FROM events) t
         |WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type
-        |ORDER BY prev_type, next_type""".stripMargin
+        |ORDER BY prev_type, next_type""".stripMargin,
+    // eight unrolled power-iteration steps over the transition counts,
+    // the dup_pagerank integer convention: per-term floor then
+    // order-independent sums; DuckDB sum() widens → CAST back to BIGINT
+    "markov_stationary" -> {
+      val steps = (1 to 8).map { i =>
+        s"""p$i AS (
+           |  SELECT t.to_type AS state,
+           |    CAST(sum((p.p * t.n) // t.n_from) AS BIGINT) AS p
+           |  FROM t JOIN p${i - 1} p ON p.state = t.from_type
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(", ")
+      s"""WITH trans AS (
+         |  SELECT prev_type AS from_type, event_type AS to_type,
+         |    CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT event_type, lag(event_type) OVER (
+         |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |      AS prev_type
+         |    FROM events) x
+         |  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+         |), outdeg AS (
+         |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+         |  FROM trans GROUP BY 1
+         |), t AS (
+         |  SELECT trans.from_type, trans.to_type, trans.n, outdeg.n_from
+         |  FROM trans JOIN outdeg USING (from_type)
+         |), p0 AS (
+         |  SELECT from_type AS state, CAST(1000000 AS BIGINT) AS p
+         |  FROM outdeg
+         |), $steps
+         |SELECT o.from_type AS state, o.n_from, p8.p AS p_micro
+         |FROM outdeg o JOIN p8 ON p8.state = o.from_type
+         |ORDER BY state""".stripMargin
+    }
   )
 }
