@@ -2097,6 +2097,10 @@ object TextAnalysis {
     * election is a broadcast of a 1-row aggregate, never a collect. */
   def kAnonCoarsen(documents: DataFrame, k: Long = 5L, base: Long = 500L,
       maxDoublings: Int = 12): DataFrame = {
+    // shiftleft(1, j) is 32-bit: past 30 doublings the width literal
+    // would wrap silently instead of widening
+    require(maxDoublings >= 0 && maxDoublings <= 30,
+      s"maxDoublings must be in [0, 30], got $maxDoublings")
     val cells = documents
       .select(col("source"), col("lang"), col("n_chars"),
         explode(sequence(lit(0), lit(maxDoublings))).as("j"))

@@ -28,8 +28,11 @@ import graft.operators.Dedup
  */
 object StreamBoilerplate {
 
-  /** Running unthresholded census, checkpointed per fold. */
-  final class CensusTable(spark: SparkSession, blockTokens: Int = 8) {
+  /** Running unthresholded census, checkpointed per fold. The block
+    * width is pinned HERE and carried into every consumer (fold, strip)
+    * so an admission loop can never strip at a different granularity
+    * than the census votes at — the DupStarts-carrier lesson. */
+  final class CensusTable(spark: SparkSession, val blockTokens: Int = 8) {
     import spark.implicits._
     @volatile private var current: DataFrame =
       Seq.empty[(String, Long, Long, String)]
@@ -87,8 +90,8 @@ object StreamBoilerplate {
         val b = batch.persist()
         try {
           val before = spark.sparkContext.getPersistentRDDs.keySet
-          val stripped = Dedup.boilerplateStrip(b, table.flagged(minDocs))
-            .localCheckpoint(true)
+          val stripped = Dedup.boilerplateStrip(b, table.flagged(minDocs),
+            table.blockTokens).localCheckpoint(true)
           val stripBlocks =
             spark.sparkContext.getPersistentRDDs.keySet -- before
           try {

@@ -84,6 +84,26 @@ class StreamBoilerplateSpec extends SparkSpec {
     assert(table.flagged(3L).collect().map(_.getLong(2)).toSeq == Seq(4L))
   }
 
+  test("the table's block width is carried into the admission strip") {
+    // width-4 table: the census votes AND the strip must both run at 4
+    // tokens — a default-width strip would miss the flagged block
+    val hdr4 = "all rights reserved now"
+    val b1 = Seq((1L, hdr4 + " a1 a2 a3 a4", "s1"),
+      (2L, hdr4 + " b1 b2 b3 b4", "s1"), (3L, hdr4, "s1"))
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val table = new StreamBoilerplate.CensusTable(spark, blockTokens = 4)
+    val out = scala.collection.mutable.Map[Long, Long]()
+    val q = StreamBoilerplate.startAdmitting(
+      src.toDF().toDF("doc_id", "text", "source"), table,
+      (df, _) => df.collect().foreach(r => out(r.getLong(0)) = r.getLong(2)))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData((4L, hdr4 + " c1 c2 c3 c4", "s1")); q.processAllAvailable()
+    } finally q.stop()
+    assert(out(4L) == 1L, s"width-4 chrome not stripped: $out")
+  }
+
   test("fold is split-invariant: 1-, 2- and 3-batch ingests agree") {
     val rows = (0L until 9L).map(i =>
       (i, if (i % 3 == 0) B + s" u$i" else s"plain text $i", s"s${i % 2}"))
