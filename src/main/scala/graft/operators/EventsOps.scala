@@ -1132,9 +1132,14 @@ object EventsOps {
         col("next_type").as("to_type"), col("n"))
     val outDeg = trans.groupBy(col("from_type"))
       .agg(sum(col("n")).as("n_from"))
-    val t = trans.join(outDeg, "from_type")
-    var p = outDeg.select(col("from_type").as("state"),
-      lit(1000000L).as("p"))
+    // the states²-bounded matrix is the iteration's only input —
+    // checkpoint it ONCE so the 8 steps join a tiny materialized
+    // relation instead of chaining 8 copies of the data-sized lag pass
+    // into one plan (the join_size_audit zero-re-scan convention)
+    val t = graft.plans.PlanTrace.cp(
+      trans.join(outDeg, "from_type"), tag = "markov_t")
+    var p = t.select(col("from_type").as("state"), lit(1000000L).as("p"))
+      .distinct()
     (1 to iters).foreach { _ =>
       p = t.join(p, col("from_type") === col("state"))
         .select(col("to_type"), expr("p * n div n_from").as("m"))
@@ -1142,7 +1147,7 @@ object EventsOps {
         .agg(sum(col("m")).as("p"))
         .select(col("to_type").as("state"), col("p"))
     }
-    outDeg.select(col("from_type").as("state"), col("n_from"))
+    t.select(col("from_type").as("state"), col("n_from")).distinct()
       .join(p, "state")
       .select(col("state"), col("n_from"), col("p").as("p_micro"))
       .orderBy(col("state"))
