@@ -27,6 +27,9 @@ class StreamBoilerplateSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(Long, String, String)]
     val table = new StreamBoilerplate.CensusTable(spark)
+    // delta-count: the suite shares one SparkContext, so other suites'
+    // pinned memo blocks are alive — hygiene is judged on OUR blocks
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
     val q = StreamBoilerplate.start(
       src.toDF().toDF("doc_id", "text", "source"), table)
     try {
@@ -45,9 +48,10 @@ class StreamBoilerplateSpec extends SparkSpec {
     // teeth: s1's header crossed the threshold (4 distinct docs), s2's
     // single carrier did not
     assert(streamed == Seq(("s1", B, 4L)))
-    // scratch hygiene: exactly the one standing checkpoint survives
-    assert(spark.sparkContext.getPersistentRDDs.values
-      .count(_.getStorageLevel.useMemory) <= 1)
+    // scratch hygiene: of the blocks THIS stream created, only the one
+    // standing census checkpoint survives
+    assert((spark.sparkContext.getPersistentRDDs.keySet
+      -- blocksBefore).size <= 1)
   }
 
   test("admission loop: batch N+1 is stripped by chrome batch N flagged") {
