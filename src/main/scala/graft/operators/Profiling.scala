@@ -208,6 +208,28 @@ object Profiling {
       .orderBy(col("shard"))
   }
 
+  /** JOIN-KEY SKEW audit — the OTHER pre-join planner read beside
+    * [[joinSizeAudit]] (that one prices the output cardinality; this
+    * one prices the shuffle): per-key row counts collapsed to the
+    * skew sufficient statistics — row/key totals, the hottest key's
+    * count and integral micro share, and the SALT FACTOR the standard
+    * skew mitigation needs: ceil(max_cnt / avg_cnt) = the number of
+    * salt buckets that flattens the hottest key to the average load
+    * (AQE's skew-join threshold reasoning, computed as an explicit
+    * standing audit). All integer arithmetic — ceil as
+    * (max·keys + rows − 1) div rows, no floats — so the oracle replays
+    * it exactly. One key-shuffle to the count table, then a 1-row
+    * aggregate: the audit costs what one side of the join costs. */
+  def skewAudit(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        expr("CAST(max_cnt * 1000000 div n_rows AS BIGINT)")
+          .as("top_share_micro"),
+        expr("CAST((max_cnt * n_keys + n_rows - 1) div n_rows AS BIGINT)")
+          .as("salt_factor"))
+
   /** JOIN-SIZE audit WITHOUT running the join — the planner read a
     * 100 TB pipeline takes before committing to an equi-join that might
     * explode: |A ⋈_k B| exactly, from the two per-key count tables

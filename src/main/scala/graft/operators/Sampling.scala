@@ -292,6 +292,56 @@ object Sampling {
     * is more shards or a composite key, both re-auditable with this same
     * query. Map-side hash + one shard-cardinality aggregate — nothing
     * data-sized crosses the shuffle at any corpus scale. */
+  /** Re-shard MOVEMENT audit — the ops read before growing a sharded
+    * corpus store ([[shardBalance]]'s fix is "more shards"; this one
+    * prices that fix): for a shard-count change old → new, the doc
+    * mass that must physically move under (a) hash-MOD placement and
+    * (b) RENDEZVOUS (highest-random-weight, Thaler–Ravishankar 1996)
+    * placement, where each doc lands on argmax_s h(doc:s). Mod
+    * re-shards nearly everything (only keys with h mod lcm aligned
+    * stay — 20% for 16→20); rendezvous moves EXACTLY the docs whose
+    * extended argmax lands on a new shard (≈ (new−old)/new, the
+    * minimal-movement optimum) and — the defining property — never
+    * moves a doc between two OLD shards, because adding candidates
+    * cannot change the winner among the old ones.
+    *
+    * Both placements are pure map-side expressions over the portable
+    * hash (the rendezvous weights are `new` md5s per doc inside one
+    * codegen'd array transform); the only shuffle is the 1-row
+    * aggregate. Output: one row per scheme with moved counts and the
+    * integral micro fraction. */
+  def reshardPlan(documents: DataFrame, oldShards: Int = 16,
+      newShards: Int = 20): DataFrame = {
+    import graft.functions.PortableHash.h60
+    require(oldShards > 0 && newShards > oldShards,
+      s"need newShards > oldShards > 0, got $oldShards -> $newShards")
+    val h = h60(col("doc_id").cast("string"))
+    val w = transform(sequence(lit(0), lit(newShards - 1)),
+      s => h60(concat(col("doc_id").cast("string"), lit(":"),
+        s.cast("string"))))
+    documents
+      .select(h.as("h"), w.as("w"))
+      .select(
+        (pmod(col("h"), lit(oldShards.toLong)) =!=
+          pmod(col("h"), lit(newShards.toLong))).as("mod_moved"),
+        (array_position(col("w"), array_max(col("w"))) >
+          lit(oldShards.toLong)).as("rdv_moved"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mod_n"),
+        sum(when(col("rdv_moved"), 1L).otherwise(0L)).as("rdv_n"))
+      .select(explode(array(
+        struct(lit("mod").as("scheme"), col("n_docs"),
+          col("mod_n").as("n_moved")),
+        struct(lit("rendezvous").as("scheme"), col("n_docs"),
+          col("rdv_n").as("n_moved")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.n_docs").as("n_docs"),
+        col("r.n_moved").as("n_moved"),
+        // empty-corpus guard: the summary rows still emit, micro = NULL
+        expr("CAST(CASE WHEN r.n_docs > 0 THEN r.n_moved * 1000000" +
+          " div r.n_docs END AS BIGINT)").as("moved_micro"))
+      .orderBy(col("scheme"))
+  }
+
   def shardBalance(documents: DataFrame, nShards: Int = 16): DataFrame = {
     import graft.functions.PortableHash.h60
     documents

@@ -91,6 +91,10 @@ private[graft] object MarketBReg {
     // EXACTLY, so the merged row equals the direct re-sketch row
     "kmv_shard_merge" -> ((s, dir) =>
       Profiling.kmvShardMerge(Tables.events(s, dir))),
+    // the shuffle-pricing companion of join_size_audit: hottest-key
+    // share + the ceil(max/avg) salt factor, all integer arithmetic
+    "skew_audit" -> ((s, dir) =>
+      Profiling.skewAudit(Tables.events(s, dir), "user_id")),
     // join-size prediction WITHOUT the join: exact Σ cnt_l·cnt_r from
     // the per-key count tables beside the CMS inner-product estimate
     // (Cormode–Muthukrishnan) — the pre-join explosion check
@@ -871,6 +875,20 @@ private[graft] object MarketBReg {
         |    AS hll_est
         |FROM asm
         |ORDER BY shard""".stripMargin,
+    // hottest-key share and ceil(max/avg) salt factor as exact integer
+    // arithmetic over the per-key count table
+    "skew_audit" ->
+      """WITH c AS (
+        |  SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1
+        |)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT)
+        |    AS top_share_micro,
+        |  CAST((max(cnt) * count(*) + sum(cnt) - 1) // sum(cnt) AS BIGINT)
+        |    AS salt_factor
+        |FROM c""".stripMargin,
     // KMV shard-merge law: shard bottom-64 tables, merged = bottom-64
     // of their union, direct = re-sketch from raw — same estimate CASE
     // as kmv_distinct; merged and direct rows are equal by the law

@@ -72,6 +72,12 @@ private[graft] object SamplingReg {
     // at-risk mass hits its irreducible floor, suppress the residue
     "k_anon_coarsen" -> ((s, dir) =>
       TextAnalysis.kAnonCoarsen(Tables.documents(s, dir))),
+    // re-shard movement pricing 16→20: hash-mod vs rendezvous (HRW)
+    // placement — the minimal-movement contrast, map-side only
+    "reshard_plan" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.reshardPlan(Tables.documents(s, dir))
+    }),
     // bounded-heap per-group top-k (custom TypedImperativeAggregate) —
     // the window-sort-free form of "top 3 docs per source"
     "group_topk" -> ((s, dir) => {
@@ -156,6 +162,38 @@ private[graft] object SamplingReg {
         |  - bit_count(((h >> 30) & 1073741823)
         |      & ~(((h >> 30) & 1073741823) + 1)) AS BIGINT) AS n_noisy
         |FROM g ORDER BY source, lang""".stripMargin,
+    // rendezvous weights = the portable h60 of doc:s for s < 20; a doc
+    // moves under HRW iff the extended argmax lands past shard 15
+    // (list_position is 1-based first-match on both engines); mod moves
+    // iff the two residues differ
+    "reshard_plan" ->
+      """WITH hw AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h,
+        |    list_transform(generate_series(0, 19), s ->
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(s AS VARCHAR)), 1, 15))::BIGINT) AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT CASE WHEN h % 16 != h % 20 THEN 1 ELSE 0 END AS mod_m,
+        |    CASE WHEN list_position(w, list_aggregate(w, 'max')) > 16
+        |      THEN 1 ELSE 0 END AS rdv_m
+        |  FROM hw
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(mod_m) AS BIGINT) AS mod_n,
+        |    CAST(sum(rdv_m) AS BIGINT) AS rdv_n
+        |  FROM f
+        |)
+        |SELECT scheme, n_docs, n_moved,
+        |  CAST(CASE WHEN n_docs > 0 THEN n_moved * 1000000 // n_docs END
+        |    AS BIGINT) AS moved_micro
+        |FROM (
+        |  SELECT 'mod' AS scheme, n_docs, mod_n AS n_moved FROM a
+        |  UNION ALL
+        |  SELECT 'rendezvous' AS scheme, n_docs, rdv_n AS n_moved FROM a
+        |) ORDER BY scheme""".stripMargin,
     // doubling-ladder generalization: j* = first width whose at-risk
     // doc mass equals the j=12 floor; grid at j* with release/suppress
     "k_anon_coarsen" ->

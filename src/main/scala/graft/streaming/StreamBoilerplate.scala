@@ -43,18 +43,45 @@ object StreamBoilerplate {
     def flagged(minDocs: Long = 3L): DataFrame =
       Dedup.boilerplateReadout(current, minDocs)
     def fold(documents: DataFrame): Unit = synchronized {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      current = current
+      setCheckpointed(current
         .unionByName(Dedup.boilerplateCensusRaw(documents, blockTokens)
           .select(col("source"), col("bh"), col("n_docs").cast("long")
             .as("n_docs"), col("block")))
         .groupBy(col("source"), col("bh"))
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-          min(col("block")).as("block"))
-        .localCheckpoint(true)
-      // release the superseded census blocks — the new (eager)
-      // checkpoint no longer references them; state stays one table
+          min(col("block")).as("block")))
+    }
+
+    /** Operational snapshot of the standing census — parquet written to
+      * a sibling, committed by the two-rename swap (a crash mid-save
+      * keeps the previous snapshot; a reader never sees half a file). */
+    def save(path: String): Unit = synchronized {
+      val tmp = path.stripSuffix("/") + ".next"
+      graft.store.Swap.deleteRecursively(new java.io.File(tmp))
+      current.write.parquet(tmp)
+      // first snapshot has no live dir to retire — plain rename is the
+      // commit; thereafter the two-rename swap protects every overwrite
+      val live = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(live))
+        graft.store.Swap.commit(path, tmp)
+      else java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
+    }
+
+    /** Resume from a snapshot: the loaded relation replaces the
+      * standing table; folding the remaining batches afterwards equals
+      * an uninterrupted run over the same documents (spec-asserted) —
+      * the ST5 restart contract for driver-held stream state. */
+    def load(path: String): Unit = synchronized {
+      setCheckpointed(spark.read.parquet(path)
+        .select(col("source"), col("bh"), col("n_docs"), col("block")))
+    }
+
+    // checkpoint the new state, release the superseded blocks — the
+    // eager checkpoint no longer references them; state stays one table
+    private def setCheckpointed(next: DataFrame): Unit = {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      current = next.localCheckpoint(true)
       val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
       liveBlocks.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))

@@ -36,7 +36,7 @@ class EmptyInputSpec extends SparkSpec {
     val oneRowAggregates = Set("funnel_steps", "funnel_window",
       "q6_forecast", "q6_forecast_sql", "q14_promo_share",
       "q17_small_quantity", "q19_disjunctive", "conversion_rate_1h",
-      "blocking_quality", "join_size_audit")
+      "blocking_quality", "join_size_audit", "skew_audit")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
@@ -45,6 +45,7 @@ class EmptyInputSpec extends SparkSpec {
             case _ if oneRowAggregates(name) => _ == 1L
             case "fk_orphans" => _ == 7L // one summary row per FK edge
             case "filter_attribution" => _ == 4L // one row per gate
+            case "reshard_plan" => _ == 2L // one summary row per scheme
             case "profile_lineitem" => _ == 11L // one row per column
             case "profile_lineitem_approx" => _ == 11L // one row per column
             case "profile_documents" => _ == 5L // one row per column

@@ -146,6 +146,23 @@ class ProfilingSpec extends SparkSpec {
       s"KMV estimate $est vs exact $exact")
   }
 
+  test("skewAudit: hot key prices the salt factor; uniform keys price 1") {
+    import spark.implicits._
+    // one key with 10 rows over 9 singletons: avg 1.9 → salt ceil(5.26)=6
+    val hot = ((1 to 10).map(_ => "hot") ++ (1 to 9).map(i => s"k$i"))
+      .toDF("user_id")
+    val h = graft.operators.Profiling.skewAudit(hot, "user_id")
+      .collect().head
+    assert((h.getLong(0), h.getLong(1), h.getLong(2)) == ((19L, 10L, 10L)))
+    assert(h.getLong(3) == 10L * 1000000L / 19L)
+    assert(h.getLong(4) == 6L)
+    // uniform: 5 keys × 4 rows → hottest = average → salt 1
+    val uni = (0 until 20).map(i => s"k${i % 5}").toDF("user_id")
+    val u = graft.operators.Profiling.skewAudit(uni, "user_id")
+      .collect().head
+    assert(u.getLong(4) == 1L && u.getLong(3) == 200000L)
+  }
+
   test("joinSizeAudit: exact matches the real join; CMS estimate dominates and converges") {
     import org.apache.spark.sql.functions.col
     val ev = Tables.events(spark, sf0001)

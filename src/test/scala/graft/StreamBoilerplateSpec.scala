@@ -88,6 +88,34 @@ class StreamBoilerplateSpec extends SparkSpec {
     assert(table.flagged(3L).collect().map(_.getLong(2)).toSeq == Seq(4L))
   }
 
+  test("save/load: fold-after-resume equals the uninterrupted run") {
+    val rows1 = Seq((1L, B + " a", "s1"), (2L, B + " b", "s1"))
+    val rows2 = Seq((3L, B + " c", "s1"), (4L, "plain text", "s2"))
+    def census(t: StreamBoilerplate.CensusTable) = t.census.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+    val snap = java.nio.file.Files.createTempDirectory("bp_snap")
+      .resolve("census").toString
+    val a = new StreamBoilerplate.CensusTable(spark)
+    a.fold(rows1.toDF("doc_id", "text", "source"))
+    a.save(snap)
+    // crash here; a NEW table resumes from the snapshot
+    val b = new StreamBoilerplate.CensusTable(spark)
+    b.load(snap)
+    b.fold(rows2.toDF("doc_id", "text", "source"))
+
+    val c = new StreamBoilerplate.CensusTable(spark)
+    c.fold(rows1.toDF("doc_id", "text", "source"))
+    c.fold(rows2.toDF("doc_id", "text", "source"))
+    assert(census(b) == census(c))
+    // a second save over the same path swap-commits (no wedge, no mix)
+    b.save(snap)
+    val d = new StreamBoilerplate.CensusTable(spark)
+    d.load(snap)
+    assert(census(d) == census(b))
+  }
+
   test("the table's block width is carried into the admission strip") {
     // width-4 table: the census votes AND the strip must both run at 4
     // tokens — a default-width strip would miss the flagged block

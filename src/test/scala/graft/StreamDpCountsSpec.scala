@@ -41,4 +41,20 @@ class StreamDpCountsSpec extends SparkSpec {
     // and state is the bounded exact grid, not per-doc rows
     assert(table.cells.count() == 12L)
   }
+
+  test("save/load: a resumed table's release equals the uninterrupted one") {
+    val r1 = (0L until 10L).map(i => (i, "t", s"l${i % 2}", "sA"))
+    val r2 = (10L until 25L).map(i => (i, "t", s"l${i % 2}", "sB"))
+    val snap = java.nio.file.Files.createTempDirectory("dp_snap")
+      .resolve("cells").toString
+    val a = new StreamDpCounts.CellTable(spark)
+    a.fold(r1.toDF("doc_id", "text", "lang", "source"))
+    a.save(snap)
+    val b = new StreamDpCounts.CellTable(spark)
+    b.load(snap)
+    b.fold(r2.toDF("doc_id", "text", "lang", "source"))
+    val batch = TextAnalysis.dpCounts(
+      (r1 ++ r2).toDF("doc_id", "text", "lang", "source")).collect().toSeq
+    assert(b.release().collect().toSeq == batch)
+  }
 }
