@@ -58,6 +58,41 @@ object EventsOps {
       .orderBy(col("event_id"))
   }
 
+  /** Session-count sensitivity SWEEP over the inactivity-gap ladder —
+    * the calibration read behind [[sessionize]]'s 30-minute constant:
+    * every ladder threshold's session count from ONE lag pass, using
+    * the identity n_sessions(g) = n_users + #{gaps ≥ g} (each user
+    * opens one session; every qualifying gap opens one more — exactly
+    * `session_window`'s boundary rule, spec-asserted equal to the
+    * sessionizer at 1800 s). A pipeline reads the curve's knee before
+    * trusting any downstream session metric; re-running [[sessionize]]
+    * per candidate would cost a merging-window shuffle per point.
+    *
+    * Shape: the gaps relation is the one data-sized move (the
+    * [[eventGaps]] shuffle); the ladder explode is crushed map-side to
+    * |ladder| cells, the user count rides a broadcast 1-row aggregate,
+    * and the ladder spine survives empty input (one row per threshold,
+    * zero counts). */
+  def sessionGapSweep(events: DataFrame,
+      gapsSec: Seq[Long] = Seq(300L, 600L, 1200L, 1800L, 3600L)): DataFrame = {
+    val breaks = eventGaps(events)
+      .filter(col("gap_us").isNotNull)
+      .select(explode(array(gapsSec.map(lit): _*)).as("gap_s"),
+        col("gap_us"))
+      .groupBy(col("gap_s"))
+      .agg(sum(when(col("gap_us") >= col("gap_s") * 1000000L, 1L)
+        .otherwise(0L)).as("n_breaks"))
+    events.agg(countDistinct(col("user_id")).as("n_users"))
+      .select(explode(array(gapsSec.map(lit): _*)).as("gap_s"),
+        col("n_users"))
+      .join(breaks, Seq("gap_s"), "left")
+      .select(col("gap_s"),
+        coalesce(col("n_breaks"), lit(0L)).as("n_breaks"),
+        (col("n_users") + coalesce(col("n_breaks"), lit(0L)))
+          .cast("long").as("n_sessions"))
+      .orderBy(col("gap_s"))
+  }
+
   /** Sessionization: group each user's events into sessions separated by
     * ≥ `gap` of inactivity (`session_window` — merging windows keyed by
     * user; one shuffle). Money-free sums are DECIMAL-exact for the oracle.

@@ -75,7 +75,10 @@ private[graft] object EventsReg {
     "event_transitions" -> ((s, dir) => EventsOps.eventTransitions(Tables.events(s, dir))),
     // power iteration over the transition matrix, pagerank's exact
     // integer-micro convention: the chain's asymptotic state mix
-    "markov_stationary" -> ((s, dir) => EventsOps.markovStationary(Tables.events(s, dir)))
+    "markov_stationary" -> ((s, dir) => EventsOps.markovStationary(Tables.events(s, dir))),
+    // the 30-minute constant's sensitivity curve: session counts for the
+    // whole gap ladder from ONE lag pass (n_users + breaks >= g)
+    "session_gap_sweep" -> ((s, dir) => EventsOps.sessionGapSweep(Tables.events(s, dir)))
   )
 
   def sql: Map[String, String] = Map(
@@ -646,6 +649,29 @@ private[graft] object EventsReg {
         |WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type
         |ORDER BY prev_type, next_type""".stripMargin,
+    // one lag pass; n_sessions(g) = distinct users + gaps >= g (the
+    // session_window boundary rule); ladder spine survives empty input
+    "session_gap_sweep" ->
+      """WITH l AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events
+        |), lad AS (
+        |  SELECT CAST(unnest([300, 600, 1200, 1800, 3600]) AS BIGINT)
+        |    AS gap_s
+        |), u AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events
+        |), c AS (
+        |  SELECT lad.gap_s,
+        |    CAST(count(*) FILTER (WHERE l.gap_us >= lad.gap_s * 1000000)
+        |      AS BIGINT) AS n_breaks
+        |  FROM lad, l WHERE l.gap_us IS NOT NULL GROUP BY 1
+        |)
+        |SELECT lad.gap_s, coalesce(c.n_breaks, 0) AS n_breaks,
+        |  u.n_users + coalesce(c.n_breaks, 0) AS n_sessions
+        |FROM lad CROSS JOIN u LEFT JOIN c ON c.gap_s = lad.gap_s
+        |ORDER BY lad.gap_s""".stripMargin,
     // eight unrolled power-iteration steps over the transition counts,
     // the dup_pagerank integer convention: per-term floor then
     // order-independent sums; DuckDB sum() widens → CAST back to BIGINT
