@@ -58,6 +58,101 @@ object EventsOps {
       .orderBy(col("event_id"))
   }
 
+  /** Markov removal-effect ATTRIBUTION (Anderl et al. 2016 — the
+    * standard "Markov chain attribution" read): how much of observed
+    * conversion does each channel carry? Each user's event path is
+    * truncated at the first `convType` (the conversion absorbing
+    * state); non-converting paths absorb at a drop state. The model is
+    * the first-order transition-count chain; a channel's REMOVAL
+    * EFFECT is 1 − P(conv | every edge into the channel redirected to
+    * drop) / P(conv), and attribution shares normalize the effects —
+    * unlike last-touch/first-touch position rules, a channel earns
+    * credit exactly for the conversion mass that provably flows
+    * through it.
+    *
+    * Determinism: conversion probabilities run in the
+    * [[markovStationary]] integer convention — micro mass seeded at
+    * the start state, every per-EDGE flow floored individually
+    * (p·n div n_from, denominators from the UNREDIRECTED chain — the
+    * removal loses flow, it does not renormalize), absorbed
+    * conversion mass accumulated over `iters` steps; removal and
+    * share are integral micro divisions. Redirected edges are never
+    * re-merged, so the oracle replays every floor bit-for-bit.
+    *
+    * Shape at 100 TB: the transition census is the one data-sized pass
+    * (two windows on the user shuffle); the chain itself is bounded by
+    * the event-type domain, so the per-variant iteration is
+    * corpus-size-independent driver work (the pca_power/mmr
+    * convention), recorded into PlanTrace for the fingerprint. */
+  def markovAttribution(events: DataFrame,
+      channels: Seq[String] = Seq("click", "error", "signup", "view"),
+      convType: String = "purchase", iters: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val base = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("pos", row_number().over(w))
+    val firstConv = base.filter(col("event_type") === convType)
+      .groupBy(col("user_id")).agg(min(col("pos")).as("conv_pos"))
+    val path = base.join(firstConv, Seq("user_id"), "left")
+      .filter(col("conv_pos").isNull || col("pos") <= col("conv_pos"))
+      .withColumn("state", when(col("event_type") === convType,
+        lit("__conv")).otherwise(col("event_type")))
+    val wp = Window.partitionBy(col("user_id")).orderBy(col("pos"))
+    val within = path
+      .withColumn("from_s",
+        coalesce(lag(col("state"), 1).over(wp), lit("__start")))
+      .select(col("from_s"), col("state").as("to_s"))
+    val lastNc = path.join(firstConv, Seq("user_id"), "left_anti")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("pos"), col("state"))).as("l"))
+      .select(col("l.state").as("from_s"), lit("__drop").as("to_s"))
+    val counts = within.unionByName(lastNc)
+      .groupBy(col("from_s"), col("to_s")).agg(count(lit(1)).as("n"))
+    graft.plans.PlanTrace.record("markov_attr",
+      graft.plans.PlanFingerprint.structSha(counts))
+    val edges = counts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._2))
+    val nFrom = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+
+    def convMicro(removed: Option[String]): Long = {
+      var p = Map("__start" -> 1000000L)
+      var conv = 0L
+      (1 to iters).foreach { _ =>
+        val next = scala.collection.mutable.Map[String, Long]()
+        edges.foreach { case (u, v0, n) =>
+          p.get(u).foreach { m =>
+            val v = if (removed.contains(v0)) "__drop" else v0
+            val f = m * n / nFrom(u)
+            if (v == "__conv") conv += f
+            else if (v != "__drop")
+              next(v) = next.getOrElse(v, 0L) + f
+          }
+        }
+        p = next.toMap
+      }
+      conv
+    }
+
+    val baseConv = convMicro(None)
+    val removals = channels.sorted.map { c =>
+      val cc = convMicro(Some(c))
+      val eff = if (baseConv > 0) 1000000L - cc * 1000000L / baseConv else 0L
+      (c, cc, eff)
+    }
+    val total = removals.map(_._3).sum
+    removals.map { case (c, cc, eff) =>
+      (c, baseConv, cc, eff,
+        if (total > 0) eff * 1000000L / total else 0L)
+    }.toDF("channel", "conv_micro", "conv_removed_micro",
+      "removal_micro", "share_micro")
+      .orderBy(col("channel"))
+  }
+
   /** Session-count sensitivity SWEEP over the inactivity-gap ladder —
     * the calibration read behind [[sessionize]]'s 30-minute constant:
     * every ladder threshold's session count from ONE lag pass, using

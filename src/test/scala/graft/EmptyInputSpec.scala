@@ -46,6 +46,8 @@ class EmptyInputSpec extends SparkSpec {
             case "fk_orphans" => _ == 7L // one summary row per FK edge
             case "filter_attribution" => _ == 4L // one row per gate
             case "reshard_plan" => _ == 2L // one summary row per scheme
+            case "markov_attribution" => _ == 4L // one row per channel
+            case "session_gap_sweep" => _ == 5L // the ladder spine
             case "profile_lineitem" => _ == 11L // one row per column
             case "profile_lineitem_approx" => _ == 11L // one row per column
             case "profile_documents" => _ == 5L // one row per column
