@@ -208,6 +208,53 @@ object Profiling {
       .orderBy(col("shard"))
   }
 
+  /** Shard-merge law for the THIRD mergeable sketch, completing the
+    * trio: HLL merges by register MAX ([[hllShardMerge]]), KMV by
+    * bottom-k-of-union ([[kmvShardMerge]]), and the BLOOM membership
+    * filter by bitwise OR — set bits are a position SET, so the merged
+    * filter is exactly the union of the shard filters' positions and
+    * equals the direct full-corpus build bit-for-bit (OR is idempotent
+    * and associative; duplicate elements across shards change
+    * nothing). Beside the law, the per-level summary is the filter-
+    * health audit a dedup/decontamination gate reads before trusting a
+    * shipped filter: set-bit count, an order-independent position
+    * checksum (bit_xor, the manifest convention), the fill factor, and
+    * the implied false-positive probability ≈ fill^k — computed as the
+    * exact integral micro floor n_set⁴·10⁶ div m⁴ through
+    * DECIMAL(38,0) (n_set⁴ passes BIGINT at m = 2²⁰), no float pow.
+    * Same 2-universal position family as the production
+    * `decontaminate_bloom` path, so the oracle replays every position. */
+  def bloomShardMerge(events: DataFrame, mBits: Int = 1 << 20,
+      k: Int = 4, shards: Int = 4): DataFrame = {
+    import graft.functions.PortableHash.{h60, minhashParams, MinhashP}
+    val seeds = minhashParams(k).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }
+    val pos = events
+      .select(pmod(col("event_id"), lit(shards.toLong)).cast("string")
+          .as("shard"),
+        h60(col("user_id").cast("string")).as("h"))
+      .select(col("shard"), explode(array(seeds: _*)).as("s"), col("h"))
+      .select(col("shard"),
+        expr(s"(s.a * (h % $MinhashP) + s.b) % $MinhashP % $mBits")
+          .as("pos"))
+    val shardBits = pos.distinct()
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "bloom_shards"))
+    val merged = shardBits.select(lit("merged").as("shard"), col("pos"))
+    val direct = pos.select(lit("direct").as("shard"), col("pos"))
+    shardBits.unionByName(merged).unionByName(direct)
+      .distinct()
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_set"), expr("bit_xor(pos)").as("pos_xor"))
+      .select(col("shard"), col("n_set"), col("pos_xor"),
+        expr(s"CAST(n_set * 1000000 div $mBits AS BIGINT)")
+          .as("fill_micro"),
+        expr(s"CAST(CAST(n_set AS DECIMAL(38,0)) * n_set * n_set * n_set" +
+          s" * 1000000 div (CAST($mBits AS DECIMAL(38,0)) * $mBits" +
+          s" * $mBits * $mBits) AS BIGINT)").as("fpp_micro"))
+      .orderBy(col("shard"))
+  }
+
   /** JOIN-KEY SKEW audit — the OTHER pre-join planner read beside
     * [[joinSizeAudit]] (that one prices the output cardinality; this
     * one prices the shuffle): per-key row counts collapsed to the

@@ -95,6 +95,10 @@ private[graft] object MarketBReg {
     // share + the ceil(max/avg) salt factor, all integer arithmetic
     "skew_audit" -> ((s, dir) =>
       Profiling.skewAudit(Tables.events(s, dir), "user_id")),
+    // the OR-merge law completing the mergeable-sketch trio (HLL max,
+    // KMV bottom-k, Bloom OR): merged bit set ≡ direct build
+    "bloom_shard_merge" -> ((s, dir) =>
+      Profiling.bloomShardMerge(Tables.events(s, dir))),
     // join-size prediction WITHOUT the join: exact Σ cnt_l·cnt_r from
     // the per-key count tables beside the CMS inner-product estimate
     // (Cormode–Muthukrishnan) — the pre-join explosion check
@@ -875,6 +879,37 @@ private[graft] object MarketBReg {
         |    AS hll_est
         |FROM asm
         |ORDER BY shard""".stripMargin,
+    // Bloom OR-merge law: shard position sets union to exactly the
+    // direct build's set; fpp = the integral micro floor of fill^4
+    // through HUGEINT (n_set^4 passes BIGINT at m = 2^20)
+    "bloom_shard_merge" -> {
+      val p = graft.functions.PortableHash.MinhashP
+      val seeds = graft.functions.PortableHash.minhashParams(4)
+        .map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      s"""WITH hashed AS (
+         |  SELECT CAST(event_id % 4 AS VARCHAR) AS shard,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM events
+         |), seeds(a, b) AS (VALUES $seeds
+         |), pos AS (
+         |  SELECT shard, (a * (h % $p) + b) % $p % 1048576 AS pos
+         |  FROM hashed, seeds
+         |), shard_bits AS (
+         |  SELECT DISTINCT shard, pos FROM pos
+         |), lvl AS (
+         |  SELECT DISTINCT shard, pos FROM (
+         |    SELECT shard, pos FROM shard_bits
+         |    UNION ALL SELECT 'merged' AS shard, pos FROM shard_bits
+         |    UNION ALL SELECT 'direct' AS shard, pos FROM pos) u
+         |)
+         |SELECT shard, count(*) AS n_set, bit_xor(pos) AS pos_xor,
+         |  CAST(count(*) * 1000000 // 1048576 AS BIGINT) AS fill_micro,
+         |  CAST(CAST(count(*) AS HUGEINT) * count(*) * count(*)
+         |    * count(*) * 1000000 // (CAST(1048576 AS HUGEINT)
+         |    * 1048576 * 1048576 * 1048576) AS BIGINT) AS fpp_micro
+         |FROM lvl GROUP BY shard ORDER BY shard""".stripMargin
+    },
     // hottest-key share and ceil(max/avg) salt factor as exact integer
     // arithmetic over the per-key count table
     "skew_audit" ->

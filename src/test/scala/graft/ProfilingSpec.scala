@@ -146,6 +146,33 @@ class ProfilingSpec extends SparkSpec {
       s"KMV estimate $est vs exact $exact")
   }
 
+  test("bloomShardMerge: merged bit set EQUALS the direct build, any shard count") {
+    val ev = Tables.events(spark, sf0001)
+    def rows(shards: Int) =
+      Profiling.bloomShardMerge(ev, shards = shards).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val four = rows(4)
+    // OR-merge: the union of shard position sets IS the direct set
+    assert(four("merged") == four("direct"))
+    Seq(1, 2, 7).foreach { s =>
+      val m = rows(s)
+      assert(m("merged") == m("direct"), s"OR law broken at $s shards")
+      assert(m("direct") == four("direct"))
+    }
+    // fill/fpp arithmetic at a toy m where the floors are visible
+    import spark.implicits._
+    val tiny = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+      .toDF("event_id", "user_id")
+    val t = Profiling.bloomShardMerge(tiny, mBits = 64, k = 4, shards = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3),
+        r.getLong(4))).toMap
+    val (nSet, fill, fpp) = t("direct")
+    assert(nSet > 0 && nSet <= 12) // ≤ 3 users × 4 positions
+    assert(fill == nSet * 1000000L / 64L)
+    assert(fpp == BigInt(nSet).pow(4) * 1000000 / BigInt(64).pow(4))
+  }
+
   test("skewAudit: hot key prices the salt factor; uniform keys price 1") {
     import spark.implicits._
     // one key with 10 rows over 9 singletons: avg 1.9 → salt ceil(5.26)=6
