@@ -2097,15 +2097,18 @@ object TextAnalysis {
     * election is a broadcast of a 1-row aggregate, never a collect. */
   def kAnonCoarsen(documents: DataFrame, k: Long = 5L, base: Long = 500L,
       maxDoublings: Int = 12): DataFrame = {
-    // shiftleft(1, j) is 32-bit: past 30 doublings the width literal
-    // would wrap silently instead of widening
+    // width arithmetic is all-BIGINT below (base · 2^j can pass 2³¹
+    // well before j = 30 for any base > 1 — 32-bit math would wrap
+    // silently into a corrupted grid); the 30 bound keeps 2^j itself a
+    // sane ladder, far past any useful bucket width
     require(maxDoublings >= 0 && maxDoublings <= 30,
       s"maxDoublings must be in [0, 30], got $maxDoublings")
     val cells = documents
       .select(col("source"), col("lang"), col("n_chars"),
         explode(sequence(lit(0), lit(maxDoublings))).as("j"))
       .select(col("j"), col("source"), col("lang"),
-        expr(s"n_chars div ($base * shiftleft(1, j))").as("len_bucket"))
+        expr(s"n_chars div (CAST($base AS BIGINT)" +
+          " * shiftleft(CAST(1 AS BIGINT), j))").as("len_bucket"))
       .groupBy(col("j"), col("source"), col("lang"), col("len_bucket"))
       .agg(count(lit(1)).as("group_n"))
     val risky = cells.groupBy(col("j"))
@@ -2136,7 +2139,16 @@ object TextAnalysis {
     * md5 + bit_count (the DuckDB oracle replays it 1:1). Deterministic
     * keyed noise is the standard release trick for REPEATABLE private
     * releases: re-running the job cannot leak extra budget because the
-    * "randomness" is a PRF of the cell key, not a fresh draw. */
+    * "randomness" is a PRF of the cell key, not a fresh draw.
+    *
+    * SECURITY CAVEAT: the DP guarantee holds only when the seed is a
+    * SECRET key and the keyed hash is a real PRF to the adversary. An
+    * md5 of a PUBLIC seed (the default "dp1", which the oracle and
+    * specs also hardcode for cross-engine replay) is neither — any
+    * consumer can recompute the noise per cell and subtract it back
+    * out. The deterministic public seed exists for oracle parity and
+    * testing; a production release must draw the seed from a secret
+    * store and keep it out of the released artifact. */
   private[graft] def dpNoise(key: Column): Column = {
     import graft.functions.PortableHash.h60
     val h = h60(key)
@@ -2155,7 +2167,10 @@ object TextAnalysis {
     * document count plus [[dpNoise]] keyed on the cell. Each document
     * lands in exactly one cell, so cell counts have sensitivity 1 and
     * the α = 1/2 geometric mechanism gives ε = ln 2 per cell; parallel
-    * composition across disjoint cells makes the WHOLE table ln 2-DP.
+    * composition across disjoint cells makes the WHOLE table ln 2-DP —
+    * PROVIDED the noise key is secret (see the [[dpNoise]] caveat: with
+    * the public default seed the release is deterministic-reproducible
+    * for oracle parity, not private).
     * Noisy counts can go negative — that is the mechanism, not a bug
     * (clamping would bias the release; consumers post-process).
     *

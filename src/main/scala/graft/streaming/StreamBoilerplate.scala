@@ -28,65 +28,36 @@ import graft.operators.Dedup
  */
 object StreamBoilerplate {
 
-  /** Running unthresholded census, checkpointed per fold. The block
-    * width is pinned HERE and carried into every consumer (fold, strip)
-    * so an admission loop can never strip at a different granularity
-    * than the census votes at — the DupStarts-carrier lesson. */
-  final class CensusTable(spark: SparkSession, val blockTokens: Int = 8) {
+  /** Running unthresholded census — [[StandingTable]] plumbing
+    * (checkpoint-per-fold, batchId idempotence, snapshot/resume: the
+    * fold watermark rides inside the snapshot, so a resume under
+    * Structured Streaming's crash replay of the last uncommitted batch
+    * skips the already-folded copy instead of double-counting its
+    * docs). The block width is pinned HERE and carried into every
+    * consumer (fold, strip) so an admission loop can never strip at a
+    * different granularity than the census votes at — the
+    * DupStarts-carrier lesson. */
+  final class CensusTable(spark: SparkSession, val blockTokens: Int = 8)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long, Long, String)]
         .toDF("source", "bh", "n_docs", "block")
-    private var liveBlocks: Set[Int] = Set.empty
-    def census: DataFrame = current
+    protected def stateColumns: Seq[String] =
+      Seq("source", "bh", "n_docs", "block")
+    def census: DataFrame = currentState
     /** Flagged readout — the batch operator's threshold half. */
     def flagged(minDocs: Long = 3L): DataFrame =
-      Dedup.boilerplateReadout(current, minDocs)
-    def fold(documents: DataFrame): Unit = synchronized {
-      setCheckpointed(current
+      Dedup.boilerplateReadout(currentState, minDocs)
+    protected def foldInto(state: DataFrame,
+        documents: DataFrame): DataFrame =
+      state
         .unionByName(Dedup.boilerplateCensusRaw(documents, blockTokens)
           .select(col("source"), col("bh"), col("n_docs").cast("long")
             .as("n_docs"), col("block")))
         .groupBy(col("source"), col("bh"))
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-          min(col("block")).as("block")))
-    }
-
-    /** Operational snapshot of the standing census — parquet written to
-      * a sibling, committed by the two-rename swap (a crash mid-save
-      * keeps the previous snapshot; a reader never sees half a file). */
-    def save(path: String): Unit = synchronized {
-      val tmp = path.stripSuffix("/") + ".next"
-      graft.store.Swap.deleteRecursively(new java.io.File(tmp))
-      current.write.parquet(tmp)
-      // first snapshot has no live dir to retire — plain rename is the
-      // commit; thereafter the two-rename swap protects every overwrite
-      val live = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(live))
-        graft.store.Swap.commit(path, tmp)
-      else java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
-    }
-
-    /** Resume from a snapshot: the loaded relation replaces the
-      * standing table; folding the remaining batches afterwards equals
-      * an uninterrupted run over the same documents (spec-asserted) —
-      * the ST5 restart contract for driver-held stream state. */
-    def load(path: String): Unit = synchronized {
-      setCheckpointed(spark.read.parquet(path)
-        .select(col("source"), col("bh"), col("n_docs"), col("block")))
-    }
-
-    // checkpoint the new state, release the superseded blocks — the
-    // eager checkpoint no longer references them; state stays one table
-    private def setCheckpointed(next: DataFrame): Unit = {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      current = next.localCheckpoint(true)
-      val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
-      liveBlocks.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      liveBlocks = newBlocks
-    }
+          min(col("block")).as("block"))
   }
 
   /** Stream of documents (doc_id + text + source) → continuously-folded
@@ -94,7 +65,8 @@ object StreamBoilerplate {
   def start(documents: DataFrame, table: CensusTable): StreamingQuery =
     documents.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 
   /** The ingest loop with strip-at-admission: each batch is stripped
@@ -123,7 +95,10 @@ object StreamBoilerplate {
             spark.sparkContext.getPersistentRDDs.keySet -- before
           try {
             sink(stripped, batchId)
-            table.fold(b)
+            // position-carrying fold: a crash-replayed batch re-strips
+            // and re-sinks (at-least-once out) but never re-folds — the
+            // census stays exactly-once under any crash/resume point
+            table.fold(b, batchId)
           } finally stripBlocks.foreach(id =>
             spark.sparkContext.getPersistentRDDs.get(id)
               .foreach(_.unpersist(blocking = false)))

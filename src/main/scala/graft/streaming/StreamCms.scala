@@ -24,26 +24,29 @@ import graft.operators.TextAnalysis
  */
 object StreamCms {
 
-  /** Running (seed, pos, cnt) table, checkpointed per fold. */
-  final class SketchTable(spark: SparkSession, w: Int = 16384, d: Int = 4) {
+  /** Running (seed, pos, cnt) table — [[StandingTable]] plumbing
+    * (checkpoint-per-fold, batchId idempotence, snapshot/resume). */
+  final class SketchTable(spark: SparkSession, w: Int = 16384, d: Int = 4)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Int, Long, Long)].toDF("seed", "pos", "cnt")
-    def cells: DataFrame = current
-    def fold(documents: DataFrame): Unit = synchronized {
-      current = current
+    protected def stateColumns: Seq[String] = Seq("seed", "pos", "cnt")
+    def cells: DataFrame = currentState
+    protected def foldInto(state: DataFrame,
+        documents: DataFrame): DataFrame =
+      state
         .unionByName(TextAnalysis.cmsCells(documents, w, d)
           .select(col("seed").cast("int").as("seed"),
             col("pos").cast("long").as("pos"), col("cnt")))
         .groupBy("seed", "pos").agg(sum(col("cnt")).as("cnt"))
-        .localCheckpoint(true)
-    }
   }
 
   /** Stream of documents (a `text` column) → continuously-folded sketch. */
   def start(documents: DataFrame, table: SketchTable): StreamingQuery =
     documents.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

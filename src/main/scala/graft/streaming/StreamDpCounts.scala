@@ -28,57 +28,29 @@ import graft.operators.TextAnalysis
  */
 object StreamDpCounts {
 
-  /** Running exact cell-count table, checkpointed per fold. */
-  final class CellTable(spark: SparkSession) {
+  /** Running exact cell-count table — [[StandingTable]] plumbing
+    * (checkpoint-per-fold, batchId idempotence, snapshot/resume). The
+    * snapshot holds EXACT counts — it is curator-internal state and
+    * must stay as protected as the raw corpus; only [[release]] output
+    * is the private artifact. */
+  final class CellTable(spark: SparkSession)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, String, Long)].toDF("source", "lang", "n")
-    private var liveBlocks: Set[Int] = Set.empty
-    def cells: DataFrame = current
+    protected def stateColumns: Seq[String] = Seq("source", "lang", "n")
+    def cells: DataFrame = currentState
     /** The private release off the standing counts — the batch
       * operator's noise-at-readout half. */
     def release(seed: String = "dp1"): DataFrame =
-      TextAnalysis.dpCountsFrom(current, seed)
-    def fold(documents: DataFrame): Unit = synchronized {
-      setCheckpointed(current
+      TextAnalysis.dpCountsFrom(currentState, seed)
+    protected def foldInto(state: DataFrame,
+        documents: DataFrame): DataFrame =
+      state
         .unionByName(documents.groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("n")))
         .groupBy(col("source"), col("lang"))
-        .agg(sum(col("n")).cast("long").as("n")))
-    }
-
-    /** Snapshot/resume pair — the [[StreamBoilerplate.CensusTable]]
-      * contract: swap-committed parquet out, checkpointed relation back
-      * in; fold-after-load ≡ uninterrupted (spec). The snapshot holds
-      * EXACT counts — it is curator-internal state and must stay as
-      * protected as the raw corpus; only [[release]] output is the
-      * private artifact. */
-    def save(path: String): Unit = synchronized {
-      val tmp = path.stripSuffix("/") + ".next"
-      graft.store.Swap.deleteRecursively(new java.io.File(tmp))
-      current.write.parquet(tmp)
-      // first snapshot has no live dir to retire — plain rename is the
-      // commit; thereafter the two-rename swap protects every overwrite
-      val live = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(live))
-        graft.store.Swap.commit(path, tmp)
-      else java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live)
-    }
-
-    def load(path: String): Unit = synchronized {
-      setCheckpointed(spark.read.parquet(path)
-        .select(col("source"), col("lang"), col("n")))
-    }
-
-    private def setCheckpointed(next: DataFrame): Unit = {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      current = next.localCheckpoint(true)
-      val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
-      liveBlocks.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      liveBlocks = newBlocks
-    }
+        .agg(sum(col("n")).cast("long").as("n"))
   }
 
   /** Stream of documents (source + lang columns) → continuously-folded
@@ -86,6 +58,7 @@ object StreamDpCounts {
   def start(documents: DataFrame, table: CellTable): StreamingQuery =
     documents.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

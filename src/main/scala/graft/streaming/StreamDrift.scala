@@ -30,28 +30,31 @@ object StreamDrift {
         floor(col("value") / width).cast("long").as("bin"))
       .agg(count(lit(1)).as("c"))
 
-  /** Running live histogram vs a frozen reference. */
+  /** Running live histogram vs a frozen reference — [[StandingTable]]
+    * plumbing for the LIVE side (checkpoint-per-fold, batchId
+    * idempotence, snapshot/resume); the reference is constructor-frozen
+    * and travels with the monitor, not the snapshot. */
   final class DriftTable(spark: SparkSession, reference: DataFrame,
-      width: Double = 10.0) {
+      width: Double = 10.0) extends StandingTable(spark) {
     import spark.implicits._
     private val ref = reference.select(col("event_type"), col("bin"),
       col("c").cast("long").as("c")).localCheckpoint(true)
-    @volatile private var live: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long, Long)].toDF("event_type", "bin", "c")
+    protected def stateColumns: Seq[String] = Seq("event_type", "bin", "c")
     /** The folded live histogram — rows bounded by types × bins. */
-    def liveHistogram: DataFrame = live
-    def fold(events: DataFrame): Unit = synchronized {
-      live = live
+    def liveHistogram: DataFrame = currentState
+    protected def foldInto(state: DataFrame,
+        events: DataFrame): DataFrame =
+      state
         .unionByName(histogram(events, width))
         .groupBy(col("event_type"), col("bin"))
         .agg(sum(col("c")).cast("long").as("c"))
-        .localCheckpoint(true)
-    }
     /** The (type, bin, c0, c1) reference-vs-live count frame both
       * statistics assemble from. */
     private def joined: DataFrame =
       ref.select(col("event_type"), col("bin"), col("c").as("c0"))
-        .join(live.select(col("event_type"), col("bin"),
+        .join(currentState.select(col("event_type"), col("bin"),
           col("c").as("c1")), Seq("event_type", "bin"), "full_outer")
         .select(col("event_type"), col("bin"),
           coalesce(col("c0"), lit(0L)).as("c0"),
@@ -70,6 +73,7 @@ object StreamDrift {
   def start(events: DataFrame, table: DriftTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

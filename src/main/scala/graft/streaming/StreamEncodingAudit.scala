@@ -28,29 +28,24 @@ object StreamEncodingAudit {
     "n_replacement", "n_c1_controls", "n_c0_controls", "n_punct_runs",
     "n_flagged_docs")
 
-  /** Running per-source census, checkpointed per fold. */
-  final class CensusTable(spark: SparkSession) {
+  /** Running per-source census — [[StandingTable]] plumbing
+    * (checkpoint-per-fold with superseded-block release, batchId
+    * idempotence, snapshot/resume). */
+  final class CensusTable(spark: SparkSession)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
         .toDF(("source" +: Counters): _*)
-    private var liveBlocks: Set[Int] = Set.empty
-    def census: DataFrame = current
-    def fold(documents: DataFrame): Unit = synchronized {
-      val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
+    protected def stateColumns: Seq[String] = "source" +: Counters
+    def census: DataFrame = currentState
+    protected def foldInto(state: DataFrame,
+        documents: DataFrame): DataFrame = {
       val aggs = Counters.map(c => sum(col(c)).cast("long").as(c))
-      current = current
+      state
         .unionByName(TextAnalysis.encodingAudit(documents))
         .groupBy(col("source"))
         .agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint(true)
-      // release the superseded census blocks — the new (eager)
-      // checkpoint no longer references them; state stays one table
-      val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
-      liveBlocks.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      liveBlocks = newBlocks
     }
   }
 
@@ -59,6 +54,7 @@ object StreamEncodingAudit {
   def start(documents: DataFrame, table: CensusTable): StreamingQuery =
     documents.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

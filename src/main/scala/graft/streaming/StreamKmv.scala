@@ -24,24 +24,28 @@ import graft.operators.EventsOps
  */
 object StreamKmv {
 
-  /** Running bottom-k (event_type, h) table, re-truncated per fold. */
-  final class KmvTable(spark: SparkSession, k: Int = 64) {
+  /** Running bottom-k (event_type, h) table, re-truncated per fold —
+    * [[StandingTable]] plumbing (checkpoint-per-fold, batchId
+    * idempotence, snapshot/resume). */
+  final class KmvTable(spark: SparkSession, k: Int = 64)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long)].toDF("event_type", "h")
-    def hashes: DataFrame = current
-    def estimate: DataFrame = EventsOps.kmvEstimate(current, k)
-    def fold(events: DataFrame): Unit = synchronized {
+    protected def stateColumns: Seq[String] = Seq("event_type", "h")
+    def hashes: DataFrame = currentState
+    def estimate: DataFrame = EventsOps.kmvEstimate(currentState, k)
+    protected def foldInto(state: DataFrame,
+        events: DataFrame): DataFrame = {
       import graft.functions.PortableHash.h60
       val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      current = current
+      state
         .unionByName(events.select(col("event_type"),
           h60(col("user_id").cast("string")).as("h")))
         .distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(col("event_type"), col("h"))
-        .localCheckpoint(true)
     }
   }
 
@@ -49,6 +53,7 @@ object StreamKmv {
   def start(events: DataFrame, table: KmvTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

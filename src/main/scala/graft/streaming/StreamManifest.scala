@@ -33,16 +33,21 @@ import graft.operators.Sampling
  */
 object StreamManifest {
 
-  /** Running per-shard manifest (shard-cardinality state). */
-  final class ManifestTable(spark: SparkSession, nShards: Int = 16) {
+  /** Running per-shard manifest (shard-cardinality state) —
+    * [[StandingTable]] plumbing (checkpoint-per-fold, batchId
+    * idempotence, snapshot/resume). */
+  final class ManifestTable(spark: SparkSession, nShards: Int = 16)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var stateT: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Long, Long, Long, Long, Long, Long)]
         .toDF("shard", "n_docs", "chars", "min_doc", "max_doc",
           "fingerprint")
-    def state: DataFrame = stateT
-    def fold(docs: DataFrame): Unit = synchronized {
-      stateT = stateT
+    protected def stateColumns: Seq[String] =
+      Seq("shard", "n_docs", "chars", "min_doc", "max_doc", "fingerprint")
+    def state: DataFrame = currentState
+    protected def foldInto(state: DataFrame, docs: DataFrame): DataFrame =
+      state
         .unionByName(Sampling.shardManifest(docs, nShards))
         .groupBy(col("shard"))
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
@@ -50,16 +55,15 @@ object StreamManifest {
           min(col("min_doc")).as("min_doc"),
           max(col("max_doc")).as("max_doc"),
           expr("bit_xor(fingerprint)").as("fingerprint"))
-        .localCheckpoint(true)
-    }
     /** Current manifest over everything ingested so far. */
-    def manifest: DataFrame = stateT.orderBy(col("shard"))
+    def manifest: DataFrame = currentState.orderBy(col("shard"))
   }
 
   /** Stream of document rows → continuously-folded shard manifest. */
   def start(documents: DataFrame, table: ManifestTable): StreamingQuery =
     documents.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }
