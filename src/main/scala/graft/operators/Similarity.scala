@@ -26,9 +26,19 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for a fixed set of query vectors.
     * Output: (query_id, rank, neighbor_id, cos6) — ints plus a 6-dp cosine.
-    */
+    *
+    * Ranking rides the bounded-heap [[graft.functions.TopKRows]]
+    * aggregate on the order-isomorphic bit key
+    * ([[graft.functions.OrderBits]] — lossless, so ties and ranks are
+    * exactly the (cos DESC, vec_id ASC) order a sort would produce):
+    * each map-side partial keeps ≤ k candidates per query, the shuffle
+    * carries ≤ k rows per (query × partition), and NOTHING is ever
+    * per-query full-sorted — the row_number-window form this replaced
+    * held corpus-sized window partitions per query. */
   def annBruteForce(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
       k: Int = 10): DataFrame = {
+    import graft.functions.OrderBits.{bits_order, order_bits}
+    import graft.functions.TopKRows.topk_rows
     // precompute norms once per vector — never per candidate pair
     val corpus = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -37,8 +47,6 @@ object Similarity {
         .filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     val denom = col("nrm") * col("q_nrm")
     corpus
       .crossJoin(queries)
@@ -46,10 +54,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
           .as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos6"))
+      .groupBy(col("query_id"))
+      .agg(topk_rows(order_bits(col("cos")), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        round(bits_order(col("col.score")), 6).as("cos6"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -66,6 +76,8 @@ object Similarity {
     * probes write-time cells instead of scanning. */
   def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
       k: Int = 10): DataFrame = {
+    import graft.functions.OrderBits.{bits_order, order_bits}
+    import graft.functions.TopKRows.topk_rows
     val corpus = embeddings.select(col("vec_id"), col("label"),
       col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -74,20 +86,29 @@ object Similarity {
         .filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("label").as("q_label"),
           col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     val denom = col("nrm") * col("q_nrm")
-    corpus
+    // bounded-heap rank (the annBruteForce shape); the heap carries
+    // (score, id) only, so the neighbor's label re-attaches from a
+    // pruned 2-column scan via a broadcast of the queries·k result —
+    // never a second shuffle, never a sort
+    val top = corpus
       .crossJoin(queries)
       .filter(col("label") =!= col("q_label"))
-      .select(col("query_id"), col("q_label"), col("vec_id"), col("label"),
+      .select(col("query_id"), col("q_label"), col("vec_id"),
         when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
           .as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(topk_rows(order_bits(col("cos")), col("vec_id"), k).as("top"))
+      .select(col("query_id"), col("q_label"), posexplode(col("top")))
+      .select(col("query_id"), col("q_label"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        round(bits_order(col("col.score")), 6).as("cos6"))
+    embeddings
+      .select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"))
+      .join(broadcast(top), Seq("neighbor_id"))
       .select(col("query_id"), col("q_label"), col("rank"),
-        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
-        round(col("cos"), 6).as("cos6"))
+        col("neighbor_id"), col("neighbor_label"), col("cos6"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -108,6 +129,8 @@ object Similarity {
     * the same votes from write-time cells. */
   def knnClassify(embeddings: DataFrame, k: Int = 5,
       modulus: Int = 10): DataFrame = {
+    import graft.functions.OrderBits.order_bits
+    import graft.functions.TopKRows.topk_rows
     val corpus = embeddings.select(col("vec_id"), col("label"),
       col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -117,27 +140,33 @@ object Similarity {
         .select(col("vec_id").as("query_id"),
           col("label").as("true_label"),
           col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     val denom = col("nrm") * col("q_nrm")
-    val votes = corpus.filter(!holdout)
+    // bounded-heap k-nearest per holdout query (the annBruteForce
+    // shape — no corpus-sized window partitions); vote labels
+    // re-attach from a pruned 2-column scan via a broadcast of the
+    // queries·k neighbor list
+    val nearest = corpus.filter(!holdout)
       .crossJoin(queries)
       .select(col("query_id"), col("true_label"), col("vec_id"),
-        col("label"),
         when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
           .as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(topk_rows(order_bits(col("cos")), col("vec_id"), k).as("top"))
+      .select(col("query_id"), col("true_label"),
+        explode(col("top.id")).as("vec_id"))
+    val votes = embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(nearest), Seq("vec_id"))
       .groupBy(col("query_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("v"))
-    val wVote = Window.partitionBy(col("query_id"))
-      .orderBy(col("v").desc, col("label"))
+    // majority election via min(struct) — most votes, ties to the
+    // smallest label (the house deterministic-election idiom; no
+    // window at all in this plan)
     votes
-      .withColumn("rn", row_number().over(wVote))
-      .filter(col("rn") === 1)
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(min(struct((-col("v")).as("nv"), col("label"))).as("win"))
       .select(col("query_id"), col("true_label"),
-        col("label").as("pred_label"), col("v").as("votes"),
-        when(col("label") === col("true_label"), 1L).otherwise(0L)
+        col("win.label").as("pred_label"), (-col("win.nv")).as("votes"),
+        when(col("win.label") === col("true_label"), 1L).otherwise(0L)
           .as("correct"))
       .orderBy(col("query_id"))
   }

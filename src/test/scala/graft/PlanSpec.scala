@@ -211,6 +211,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact ANN gates rank via the bounded heap — no window over corpus-sized partitions") {
+    // annBruteForce/knnClassify/hardNegatives broadcast a handful of
+    // queries against the whole corpus, so ANY per-query window
+    // partition is corpus-sized (a per-query full sort). The r12-r13
+    // rework routes ranking through the TopKRows bounded-heap
+    // aggregate on the OrderBits key: these plans must contain no
+    // Window node at all (elections downstream are min(struct) or
+    // aggregate-bounded).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("ann_topk", "hard_negatives", "knn_classify")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val wins = plan.collect { case w: LWindow => w }
+      assert(wins.isEmpty,
+        s"$q plans a Window — the bounded-heap rank regressed: $wins")
+      assert(plan.toString.contains("topk_rows"),
+        s"$q no longer ranks via the TopKRows aggregate")
+    }
+  }
+
   test("NO registered query plans an unpartitioned window over an unbounded input") {
     // the repo-wide invariant behind the report-ntile closed forms: an
     // unpartitioned Window is a single task holding its whole input, so
