@@ -48,7 +48,8 @@ object EmbeddingStore {
     * family — the signature table computed ONCE per vector at ingest
     * (`sigs/`: vec_id, band, bv — 3 small integers per band, clustered
     * by band) plus the vector payloads with their precomputed norms
-    * (`vecs/`: vec_id, embedding, nrm). Cross-corpus checks
+    * (`vecs/`: vec_id, embedding, nrm; reclaimed by [[compactBanded]]
+    * under at-least-once feeding). Cross-corpus checks
     * ([[graft.operators.Similarity.semanticDedupAgainstStore]]) then
     * probe `sigs` with a new batch's bands and verify candidates
     * against `vecs` — the corpus's signature cost is never paid at
@@ -82,8 +83,9 @@ object EmbeddingStore {
     * twin of `SubstrStore.appendWindowCensus`. At-least-once feeding:
     * a redelivered batch re-appends its rows, and duplicate vec_id rows
     * duplicate the probe's flagged pairs (the vecs join is row-level) —
-    * feed exactly-once (the TradeStore batch_id pattern) or compact
-    * (per-band DISTINCT rewrite + `Swap.commit`, the census contract). */
+    * feed exactly-once (the TradeStore batch_id pattern) or compact via
+    * [[compactBanded]] + [[swapBanded]] (wired into the admission loop
+    * by `StreamSemanticCheck.startAdmitting(compactEvery)`). */
   def appendBanded(embeddings: DataFrame, path: String, bands: Int = 16,
       bitsPerBand: Int = 4): Unit = {
     import graft.functions.VectorOps.dot
@@ -100,6 +102,49 @@ object EmbeddingStore {
 
   def readBandedVecs(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(vecsSchema).parquet(s"$path/vecs")
+
+  /** COMPACTION — the maintenance pass the append-only banded index
+    * needs (the `SubstrStore.compactWindowCensus` contract, one layer
+    * up): at-least-once feeding re-appends a redelivered batch's rows,
+    * duplicate vec_id payload rows DUPLICATE the probe's flagged pairs
+    * (the vecs join is row-level), and the index grows with every
+    * admit instead of with distinct content. The rewrite restores
+    * exactly-once state to a SIBLING path:
+    *
+    *  - `sigs` DISTINCT — band determines the partition, so at 100 TB
+    *    the same rewrite runs band-by-band as `bands` independent jobs
+    *    (read one band partition, distinct, write), each bounded at
+    *    index/bands;
+    *  - `vecs` elected to ONE row per vec_id via min(struct) — the
+    *    house deterministic election; under the redelivery contract
+    *    (byte-identical re-appends) the election is the identity.
+    *
+    * The live index stays readable until [[swapBanded]] (the
+    * `Swap.commit` two-rename point, covering BOTH halves in one
+    * directory swap — a probe never sees compacted sigs against
+    * uncompacted vecs). Crash taxonomy: before the swap — re-run (pure
+    * function of the live index); between the renames —
+    * [[recoverBanded]]. Probe-invariance, duplicate absorption and
+    * crash recovery are spec-asserted (`BandedCompactSpec`). */
+  def compactBanded(spark: SparkSession, path: String,
+      outPath: String): Unit = {
+    readBandedSigs(spark, path).distinct()
+      .write.partitionBy("band").mode("overwrite")
+      .parquet(s"$outPath/sigs")
+    readBandedVecs(spark, path)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("embedding"), col("nrm"))).as("w"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"),
+        col("w.nrm").as("nrm"))
+      .write.mode("overwrite").parquet(s"$outPath/vecs")
+  }
+
+  /** Commit a compacted banded index (see [[Swap.commit]]). */
+  def swapBanded(path: String, outPath: String): Unit =
+    Swap.commit(path, outPath)
+
+  /** Crash-between-renames recovery for [[swapBanded]]. */
+  def recoverBanded(path: String): Unit = Swap.recover(path)
 
   /** RE-CLUSTER executor — the action half of the maintenance loop
     * `streaming.StreamIvfIngest`'s cell-size census only TRIGGERS: when

@@ -40,12 +40,36 @@ object MediaStore {
 
   /** Append an admitted batch's band rows — the incremental maintenance
     * step after an ingest admits media (`SubstrStore.appendWindowCensus`
-    * / `EmbeddingStore.appendBanded` contract; duplicate media_id rows
-    * under redelivery duplicate flagged pairs — feed exactly-once or
-    * compact with a per-chunk DISTINCT rewrite + `Swap.commit`). */
+    * / `EmbeddingStore.appendBanded` contract; redelivered appends
+    * duplicate index rows — the probe's trailing DISTINCT keeps its
+    * OUTPUT stable, but storage and probe scan cost grow with every
+    * admit: feed exactly-once or compact via [[compactPhashIndex]] +
+    * [[swapCompacted]], wired into the admission loop by
+    * `StreamMediaCheck.startAdmitting(compactEvery)`). */
   def appendPhashIndex(documents: DataFrame, path: String): Unit =
     indexRows(documents)
       .write.partitionBy("chunk").mode("append").parquet(path)
+
+  /** COMPACTION — per-chunk DISTINCT rewrite of the band index to a
+    * SIBLING path (the `SubstrStore.compactWindowCensus` contract:
+    * chunk determines the partition, so at 100 TB the rewrite runs
+    * chunk-by-chunk as 4 independent jobs, each bounded at index/4).
+    * The live index stays readable until [[swapCompacted]]; a crash
+    * before the swap re-runs (pure function of the live index),
+    * between the renames recovers via [[recoverSwap]]. Probe
+    * invariance, duplicate absorption and crash recovery are
+    * spec-asserted (`BandedCompactSpec`). */
+  def compactPhashIndex(spark: SparkSession, path: String,
+      outPath: String): Unit =
+    readPhashIndex(spark, path).distinct()
+      .write.partitionBy("chunk").mode("overwrite").parquet(outPath)
+
+  /** Commit a compacted index (see [[Swap.commit]]). */
+  def swapCompacted(path: String, outPath: String): Unit =
+    Swap.commit(path, outPath)
+
+  /** Crash-between-renames recovery for [[swapCompacted]]. */
+  def recoverSwap(path: String): Unit = Swap.recover(path)
 
   // explicit schema: an empty corpus writes only _SUCCESS (the
   // EmbeddingStore rationale — a fresh deployment's store IS empty)

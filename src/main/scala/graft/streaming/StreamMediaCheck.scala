@@ -48,12 +48,20 @@ object StreamMediaCheck {
     * .startAdmitting`. The probe is materialized with TRUNCATED lineage
     * BEFORE the append (a deferring sink must never score a batch
     * against an index already holding its own fingerprints); blocks
-    * are released with the batch. */
+    * are released with the batch. Every `compactEvery` admitted
+    * batches (0 = never) the loop runs the per-chunk DISTINCT rewrite
+    * + swap (`MediaStore.compactPhashIndex` / `swapCompacted`) — the
+    * append-only index otherwise grows with every admit, not with
+    * distinct content. Compaction is probe-invariant
+    * (BandedCompactSpec), so mid-stream swaps cannot change any gate
+    * decision. */
   def startAdmitting(newDocs: DataFrame, indexPath: String,
       sink: (DataFrame, Long) => Unit,
       maxDist: Int = 3,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val spark = newDocs.sparkSession
+    val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
     val writer = newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -66,6 +74,15 @@ object StreamMediaCheck {
           try {
             sink(flagged, batchId)
             MediaStore.appendPhashIndex(b, indexPath)
+            if (compactEvery > 0 &&
+                admitted.incrementAndGet() % compactEvery == 0) {
+              // SIBLING of the index: the swap is a directory rename,
+              // which cannot cross file stores
+              val out = indexPath.stripSuffix("/") + ".compact"
+              graft.store.Swap.deleteRecursively(new java.io.File(out))
+              MediaStore.compactPhashIndex(spark, indexPath, out)
+              MediaStore.swapCompacted(indexPath, out)
+            }
           } finally blocks.foreach(id =>
             spark.sparkContext.getPersistentRDDs.get(id)
               .foreach(_.unpersist(blocking = false)))

@@ -64,12 +64,21 @@ object StreamSemanticCheck {
     * TRUNCATED lineage BEFORE the append (a sink that defers evaluation
     * would otherwise score the batch against an index already holding
     * its own signatures and self-flag every vector); blocks are
-    * released with the batch. */
+    * released with the batch. Every `compactEvery` admitted batches
+    * (0 = never) the loop runs the DISTINCT/election rewrite + swap
+    * (`EmbeddingStore.compactBanded` / `swapBanded`) — the append-only
+    * index otherwise grows with every admit, not with distinct
+    * content, and under at-least-once redelivery duplicate vec rows
+    * would duplicate flagged pairs. Compaction is probe-invariant
+    * (BandedCompactSpec), so mid-stream swaps cannot change any gate
+    * decision. */
   def startAdmitting(newVecs: DataFrame, indexPath: String,
       sink: (DataFrame, Long) => Unit,
       threshold: Double = 0.4, bands: Int = 16, bitsPerBand: Int = 4,
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery = {
     val spark = newVecs.sparkSession
+    val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
     val writer = newVecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -83,6 +92,16 @@ object StreamSemanticCheck {
             sink(flagged, batchId)
             graft.store.EmbeddingStore.appendBanded(b, indexPath,
               bands, bitsPerBand)
+            if (compactEvery > 0 &&
+                admitted.incrementAndGet() % compactEvery == 0) {
+              // SIBLING of the index: the swap is a directory rename,
+              // which cannot cross file stores
+              val out = indexPath.stripSuffix("/") + ".compact"
+              graft.store.Swap.deleteRecursively(new java.io.File(out))
+              graft.store.EmbeddingStore.compactBanded(
+                spark, indexPath, out)
+              graft.store.EmbeddingStore.swapBanded(indexPath, out)
+            }
           } finally blocks.foreach(id =>
             spark.sparkContext.getPersistentRDDs.get(id)
               .foreach(_.unpersist(blocking = false)))
