@@ -268,7 +268,16 @@ object Profiling {
     * it exactly. One key-shuffle to the count table, then a 1-row
     * aggregate: the audit costs what one side of the join costs. */
   def skewAudit(df: DataFrame, key: String): DataFrame =
-    df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    skewAuditFrom(
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt")))
+
+  /** The audit readout over a standing per-key count relation (k, cnt)
+    * — the half [[skewAudit]] shares with its streaming twin
+    * (`StreamJoinSize.skewAudit` reads it over the continuously-folded
+    * key table, so streamed ≡ batch by construction): counts collapse
+    * to one row of integer-exact skew statistics. */
+  def skewAuditFrom(keyCounts: DataFrame): DataFrame =
+    keyCounts
       .agg(sum(col("cnt")).cast("long").as("n_rows"),
         count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
       .select(col("n_rows"), col("n_keys"), col("max_cnt"),

@@ -31,22 +31,35 @@ import graft.operators.Profiling
 object StreamJoinSize {
 
   /** One table's standing audit state (per-key counts + CMS cells),
-    * checkpointed per fold. */
+    * checkpointed per fold. Carries the [[StandingTable]] contract by
+    * hand (two coupled relations don't fit the single-table base):
+    * per-batchId fold idempotence, and an ATOMIC two-part
+    * snapshot/resume ([[graft.store.Snapshot.saveParts]] — both
+    * relations + the watermark commit through ONE swap, so a resume
+    * can never pair new key counts with old cells). */
   final class SideState(spark: SparkSession, w: Int = 1024, d: Int = 4) {
     import spark.implicits._
-    @volatile private var keyTable: DataFrame =
+    private def emptyKeys: DataFrame =
       Seq.empty[(String, Long)].toDF("k", "cnt")
-    @volatile private var cellTable: DataFrame =
+    private def emptyCells: DataFrame =
       Seq.empty[(Int, Long, Long)].toDF("seed", "pos", "cnt")
+    @volatile private var keyTable: DataFrame = emptyKeys
+    @volatile private var cellTable: DataFrame = emptyCells
+    @volatile private var lastFoldedBatch: Long = -1L
     private var liveBlocks: Set[Int] = Set.empty
     def keys: DataFrame = keyTable
     def cells: DataFrame = cellTable
-    /** Fold one micro-batch of key values (a single `k` column). A
+    def lastFolded: Long = lastFoldedBatch
+    /** Positionless fold — always applies (ad-hoc/batch use). */
+    def fold(batchKeys: DataFrame): Unit = fold(batchKeys, -1L)
+    /** Fold one micro-batch of key values (a single `k` column),
+      * idempotent per batchId (the crash-replay double-count guard). A
       * long-running stream must not accumulate checkpoint blocks, so
       * the fold releases the batch-scratch AND the superseded tables'
       * blocks once the new tables are materialized (eager checkpoint =
       * the new state no longer references them). */
-    def fold(batchKeys: DataFrame): Unit = synchronized {
+    def fold(batchKeys: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId >= 0 && batchId <= lastFoldedBatch) return
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val bk = batchKeys
@@ -65,6 +78,32 @@ object StreamJoinSize {
       (bkBlocks ++ liveBlocks).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       liveBlocks = newBlocks
+      if (batchId >= 0) lastFoldedBatch = batchId
+    }
+
+    /** Atomic two-part snapshot (keys + cells + watermark, one swap). */
+    def save(path: String): Unit = synchronized {
+      graft.store.Snapshot.saveParts(
+        Seq("keys" -> keyTable, "cells" -> cellTable),
+        path, lastFoldedBatch)
+    }
+
+    /** Resume both relations + the watermark from a snapshot;
+      * fold-after-load ≡ uninterrupted (the StandingTable contract). */
+    def load(path: String): Unit = synchronized {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      keyTable = graft.store.Snapshot
+        .loadPart(spark, path, "keys", emptyKeys.schema)
+        .select(col("k"), col("cnt")).localCheckpoint(true)
+      cellTable = graft.store.Snapshot
+        .loadPart(spark, path, "cells", emptyCells.schema)
+        .select(col("seed"), col("pos"), col("cnt")).localCheckpoint(true)
+      lastFoldedBatch = graft.store.Snapshot.lastBatchOf(path)
+      val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
+      liveBlocks.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      liveBlocks = newBlocks
     }
   }
 
@@ -74,8 +113,8 @@ object StreamJoinSize {
       state: SideState): StreamingQuery =
     rows.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) =>
-        state.fold(batch.select(col(key).cast("string").as("k"))))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        state.fold(batch.select(col(key).cast("string").as("k")), batchId))
       .start()
 
   /** The audit readout over two standing states — the batch arithmetic
@@ -83,4 +122,12 @@ object StreamJoinSize {
   def audit(left: SideState, right: SideState, d: Int = 4): DataFrame =
     Profiling.joinSizeAuditFrom(left.keys, right.keys,
       left.cells, right.cells, d)
+
+  /** The SKEW readout over one side's standing key counts — the other
+    * planner audit the same state serves ([[Profiling.skewAuditFrom]]
+    * verbatim, so streamed ≡ batch bit-for-bit): a continuously-
+    * maintained salt-factor that a shuffle planner can consult at any
+    * moment without touching the table. */
+  def skewAudit(side: SideState): DataFrame =
+    Profiling.skewAuditFrom(side.keys)
 }
