@@ -506,6 +506,121 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Synthetic chunk id base: cid = doc_id · 10⁵ + chunk_idx, so the
+    * whole minhash/LSH machinery (keyed on one BIGINT "doc_id") reuses
+    * verbatim at chunk granularity and both engines decode with the
+    * same integer div/mod. Valid while chunk_idx < 10⁵ — i.e. docs
+    * under stride·10⁵ chars (15 M at defaults), far past web-doc
+    * length; a longer doc should be split upstream anyway. */
+  private[graft] val ChunkIdBase = 100000L
+
+  /** Representative chunks for the FUZZY chunk-dedup family: the corpus
+    * is cut into stride-overlapped windows ([[TextAnalysis.chunkTexts]])
+    * and EXACT-duplicate chunk contents collapse to their keeper (min
+    * cid per content digest — the [[TextAnalysis.chunkDedup]] election).
+    * That collapse IS the skew guard's first line: a boilerplate
+    * paragraph shared by 10⁴ docs is one representative here, not 10⁴
+    * band-bucket rows exploding into 10⁸ candidate pairs — exact copies
+    * are already priced by chunk_dedup, so the fuzzy pass only needs
+    * DISTINCT contents. Output renames to (doc_id, text) so the
+    * shared [[postings]]/minhash prefix applies unchanged (doc_id = the
+    * cid). */
+  def chunkReps(documents: DataFrame, window: Int = 200,
+      stride: Int = 150): DataFrame =
+    TextAnalysis.chunkTexts(
+        documents.select(col("doc_id"), col("text")), window, stride)
+      .select((col("doc_id") * ChunkIdBase + col("chunk_idx")).as("cid"),
+        col("chunk"))
+      .groupBy(md5(col("chunk")).as("d"))
+      .agg(min(struct(col("cid"), col("chunk"))).as("k"))
+      .select(col("k.cid").as("doc_id"), col("k.chunk").as("text"))
+
+  /** Verified near-dup pairs between representative chunks — cid-level,
+    * the shared core of [[chunkMinhashPairs]] and [[chunkFuzzyAudit]].
+    * The LSH chain is the document family's, reused verbatim over the
+    * chunk postings, with the df-cut skew guard LIVE: shingles whose
+    * representative-frequency exceeds `maxDf` are dropped from BOTH the
+    * signature build and the exact-Jaccard verify (self-consistent, so
+    * the oracle replays the cut exactly; the df census is one
+    * partial-agg'd (shingle → count) shuffle — at corpus sizes where
+    * even that is hot, the sampled [[hotShingles]] census substitutes).
+    * Candidates are restricted to chunks of DIFFERENT documents: a
+    * doc's stride-overlapped self-repeats are by design, not
+    * duplication (the chunkDedup reading). */
+  def chunkMinhashPairsRaw(reps: DataFrame, threshold: Double = 0.6,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      maxDf: Long = 1000): DataFrame = {
+    val post0 = postings(reps, 3)
+    val hot = post0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val post = post0.join(broadcast(hot), Seq("sh"), "left_anti")
+    minhashVerifyFrom(
+      lshCandidatesFrom(post, bands, rowsPerBand)
+        .filter(expr(s"id_a div $ChunkIdBase <> id_b div $ChunkIdBase")),
+      post, threshold)
+  }
+
+  /** FUZZY chunk-level dedup — the C4/RefinedWeb-class pass
+    * [[TextAnalysis.chunkDedup]] (digest-exact) cannot make: LIGHTLY
+    * EDITED boilerplate paragraphs (a templated header with the date
+    * swapped, quoted passages with typo fixes) share most but not all
+    * of their shingles, so no digest matches, yet a training pipeline
+    * wants them dead too. Chunks → exact-collapse to representatives →
+    * banded MinHash candidates over chunk shingles → exact-Jaccard
+    * verify on candidates only ([[chunkMinhashPairsRaw]]'s chain, the
+    * document family's machinery at paragraph granularity).
+    *
+    * Output: one row per verified cross-document near-dup chunk pair,
+    * decoded to (doc_a, idx_a, doc_b, idx_b, jaccard6).
+    *
+    * Shape at 100 TB: chunk fan-out is the chunk_docs explode (map-side,
+    * ~len/stride rows per doc); the exact collapse is one digest-keyed
+    * shuffle; signatures/bands are per-REPRESENTATIVE (never per copy);
+    * candidates only from band collisions under the live df-cut guard;
+    * verify touches candidates only. No cartesian anywhere
+    * (plan-asserted). */
+  def chunkMinhashPairs(documents: DataFrame, window: Int = 200,
+      stride: Int = 150, threshold: Double = 0.6, bands: Int = 16,
+      rowsPerBand: Int = 4, maxDf: Long = 1000): DataFrame =
+    chunkMinhashDecode(chunkMinhashPairsRaw(
+      chunkReps(documents, window, stride), threshold, bands, rowsPerBand,
+      maxDf))
+
+  /** Decode cid-level pairs to (doc, chunk) coordinates. */
+  def chunkMinhashDecode(pairsRaw: DataFrame): DataFrame =
+    pairsRaw.select(
+        expr(s"id_a div $ChunkIdBase").as("doc_a"),
+        expr(s"id_a % $ChunkIdBase").as("idx_a"),
+        expr(s"id_b div $ChunkIdBase").as("doc_b"),
+        expr(s"id_b % $ChunkIdBase").as("idx_b"),
+        col("jaccard6"))
+      .orderBy(col("doc_a"), col("idx_a"), col("doc_b"), col("idx_b"))
+
+  /** Per-document kept/dup audit over the fuzzy pass — for each doc
+    * owning representative chunks: how many it keeps, and how many of
+    * those fuzzy-duplicate an EARLIER representative (the pair's lower
+    * cid wins, the keeper convention everywhere here). Docs owning no
+    * representatives (every chunk an exact copy of an earlier doc's)
+    * are chunk_dedup's report, not this one's. */
+  def chunkFuzzyAudit(documents: DataFrame, window: Int = 200,
+      stride: Int = 150, threshold: Double = 0.6, bands: Int = 16,
+      rowsPerBand: Int = 4, maxDf: Long = 1000): DataFrame = {
+    val reps = chunkReps(documents, window, stride)
+    chunkFuzzyAuditFrom(reps, chunkMinhashPairsRaw(reps, threshold,
+      bands, rowsPerBand, maxDf))
+  }
+
+  /** The audit rollup over (possibly memoized) reps + raw pairs. */
+  def chunkFuzzyAuditFrom(reps: DataFrame, pairsRaw: DataFrame): DataFrame = {
+    val victims = pairsRaw.select(col("id_b").as("cid")).distinct()
+    reps.select(col("doc_id").as("cid"))
+      .join(victims.withColumn("hit", lit(1L)), Seq("cid"), "left")
+      .groupBy(expr(s"cid div $ChunkIdBase").as("doc_id"))
+      .agg(count(lit(1)).as("n_rep_chunks"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_fuzzy_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CROSS-CORPUS near-dup check — the incremental-ingest operator: which
     * INCOMING documents near-duplicate something already IN the corpus?
     * Self-dedup ([[minhashLshPairs]]) compares a set to itself; ingest

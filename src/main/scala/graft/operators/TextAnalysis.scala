@@ -1016,6 +1016,21 @@ object TextAnalysis {
     * Extra non-(doc_id, text) input columns pass through untouched. */
   def chunkProjection(documents: DataFrame, window: Int = 200,
       stride: Int = 150): DataFrame = {
+    val passthrough = documents.columns.filter(c => c != "doc_id" && c != "text")
+      .map(col).toIndexedSeq
+    chunkTexts(documents, window, stride)
+      .select(col("doc_id") +: col("chunk_idx") +: col("start_pos") +:
+        length(col("chunk")).cast("long").as("n_chars") +:
+        md5(col("chunk")).as("chunk_md5") +: passthrough: _*)
+  }
+
+  /** The chunk cut WITH the chunk text still attached — the prefix
+    * [[chunkProjection]] digests away (it keeps only the md5), split
+    * out for consumers that shingle the chunk CONTENT
+    * ([[Dedup.chunkMinhashPairs]]'s fuzzy chunk dedup). Same explode +
+    * substring arithmetic, same passthrough contract. */
+  def chunkTexts(documents: DataFrame, window: Int = 200,
+      stride: Int = 150): DataFrame = {
     require(stride > 0 && window >= stride,
       "need 0 < stride <= window for gap-free coverage")
     val len = length(col("text"))
@@ -1034,9 +1049,6 @@ object TextAnalysis {
         (col("chunk_idx") * stride + 1).cast("long").as("start_pos") +:
         substring(col("text"), (col("chunk_idx") * stride + 1).cast("int"),
           lit(window)).as("chunk") +: passthrough: _*)
-      .select(col("doc_id") +: col("chunk_idx") +: col("start_pos") +:
-        length(col("chunk")).cast("long").as("n_chars") +:
-        md5(col("chunk")).as("chunk_md5") +: passthrough: _*)
   }
 
   /** Chunk-level deduplication — dedup at sub-document granularity: the

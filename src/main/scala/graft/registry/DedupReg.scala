@@ -26,6 +26,14 @@ private[graft] object DedupReg {
       Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashVerifyFrom(
       lshCandidatesFor(s, dir), postingsFor(s, dir), threshold = 0.8)),
+    // fuzzy chunk-level dedup: near-dup PARAGRAPHS (lightly edited
+    // boilerplate) the digest-exact chunk_dedup cannot see; both
+    // consumers share the memoized reps + verified-pairs prefix
+    "chunk_minhash_pairs" -> ((s, dir) =>
+      Dedup.chunkMinhashDecode(chunkPairsFor(s, dir))),
+    "chunk_fuzzy_audit" -> ((s, dir) =>
+      Dedup.chunkFuzzyAuditFrom(chunkRepsFor(s, dir),
+        chunkPairsFor(s, dir))),
     "blocking_quality" -> ((s, dir) => Dedup.blockingQuality(
       Tables.documents(s, dir), postingsFor(s, dir), overlapFor(s, dir),
       candidates = Some(lshCandidatesFor(s, dir)))),
@@ -597,6 +605,30 @@ private[graft] object DedupReg {
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, jaccard6 FROM pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    // Fuzzy chunk-level dedup: the minhash chain at chunk granularity
+    // (chunk cut → exact-collapse to representatives → h60 signatures →
+    // band collisions → exact-Jaccard verify, df-cut live), decoded to
+    // (doc, chunk) coordinates via the shared cid integer arithmetic.
+    "chunk_minhash_pairs" ->
+      s"""WITH ${Memo.chunkMinhashCtes()}
+         |SELECT id_a // ${graft.operators.Dedup.ChunkIdBase} AS doc_a,
+         |  id_a % ${graft.operators.Dedup.ChunkIdBase} AS idx_a,
+         |  id_b // ${graft.operators.Dedup.ChunkIdBase} AS doc_b,
+         |  id_b % ${graft.operators.Dedup.ChunkIdBase} AS idx_b,
+         |  jaccard6
+         |FROM cpairs ORDER BY 1, 2, 3, 4""".stripMargin,
+    // Per-doc audit over the same chain: representative chunks kept,
+    // and how many fuzzy-duplicate an earlier representative (the
+    // pair's higher cid is the victim — keeper convention).
+    "chunk_fuzzy_audit" ->
+      s"""WITH ${Memo.chunkMinhashCtes()},
+         |victims AS (SELECT DISTINCT id_b AS cid FROM cpairs)
+         |SELECT r.cid // ${graft.operators.Dedup.ChunkIdBase} AS doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_rep_chunks,
+         |  CAST(sum(CASE WHEN v.cid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_fuzzy_dup
+         |FROM reps r LEFT JOIN victims v ON r.cid = v.cid
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Blocking-quality audit: the LSH candidate CTE chain (cand) plus
     // the ngram_jaccard exact chain (sampled hot cut over the same
     // uncut postings) as truth; four exact counts, two integral micro

@@ -349,6 +349,25 @@ private[graft] object Memo {
     memoizedCp(lshCandMemo, "lsh_cands", s, dir)(
       Dedup.lshCandidatesFrom(postingsFor(s, dir)))
 
+  private[graft] val chunkRepsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private[graft] val chunkPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Representative chunks (exact-collapsed) built ONCE per corpus —
+    * the shared prefix of the fuzzy chunk-dedup pair gate and its
+    * per-doc audit. */
+  private[graft] def chunkRepsFor(s: SparkSession, dir: String): DataFrame =
+    memoizedCp(chunkRepsMemo, "chunk_reps", s, dir)(
+      Dedup.chunkReps(Tables.documents(s, dir)))
+
+  /** Verified cid-level fuzzy chunk pairs built ONCE per corpus — the
+    * 64-hash signature build over representatives is the expensive
+    * half; both consumers read this one materialization. */
+  private[graft] def chunkPairsFor(s: SparkSession, dir: String): DataFrame =
+    memoizedCp(chunkPairsMemo, "chunk_pairs", s, dir)(
+      Dedup.chunkMinhashPairsRaw(chunkRepsFor(s, dir)))
+
   private[graft] def groupsFor(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     val k = (System.identityHashCode(s.sparkContext), dir, threshold)
@@ -446,6 +465,88 @@ private[graft] object Memo {
 
   private[graft] lazy val minhashPairsCtes: String =
     minhashCtes("a.doc_id < b.doc_id")
+
+  /** CTE list (no WITH keyword) reproducing the FUZZY chunk-dedup chain
+    * up to `cpairs(id_a, id_b, jaccard6)` + the `reps(cid, chunk)`
+    * relation — the minhash chain verbatim at chunk granularity: chunk
+    * cut (the chunk_dedup CTEs), exact-collapse to representatives
+    * (min cid per content digest), the SAME norm/token/shingle/
+    * signature/band arithmetic, the LIVE df-cut guard (shingles with
+    * representative-frequency > maxDf dropped from signature AND
+    * verify), cross-document candidates only, exact-Jaccard verify.
+    * Shared by the pairs gate and the per-doc audit. */
+  private[graft] def chunkMinhashCtes(threshold: String = "0.6",
+      maxDf: Long = 1000): String = {
+    val params = graft.functions.PortableHash.minhashParams(64)
+    val seedRows = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val p = graft.functions.PortableHash.MinhashP
+    val base = graft.operators.Dedup.ChunkIdBase
+    s"""sized AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |    1 + (greatest(len - 200, 0) + 149) // 150 AS n_chunks
+       |  FROM documents WHERE length(text) > 0
+       |), ch AS (
+       |  SELECT doc_id * $base + chunk_idx AS cid,
+       |    substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk
+       |  FROM (SELECT doc_id, text,
+       |    unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_idx
+       |    FROM sized)
+       |), reps AS (
+       |  SELECT cid, chunk FROM (
+       |    SELECT cid, chunk, row_number() OVER (
+       |      PARTITION BY md5(chunk) ORDER BY cid) AS rn FROM ch)
+       |  WHERE rn = 1
+       |), cnorm AS (
+       |  SELECT cid, trim(regexp_replace(regexp_replace(lower(chunk),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM reps
+       |), ctoks AS (
+       |  SELECT cid, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM cnorm
+       |), cshl AS (
+       |  SELECT cid, list_distinct(CASE WHEN len(w) >= 3
+       |    THEN list_transform(generate_series(1, len(w)-2),
+       |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS shs FROM ctoks
+       |), cpost0 AS (
+       |  SELECT cid, unnest(shs) AS s FROM cshl
+       |), chot AS (
+       |  SELECT s FROM cpost0 GROUP BY s HAVING count(*) > $maxDf
+       |), cpost AS (
+       |  SELECT cid, s FROM cpost0 WHERE s NOT IN (SELECT s FROM chot)
+       |), csizes AS (
+       |  SELECT cid, count(*) AS n_sh FROM cpost GROUP BY 1
+       |), cbased AS (
+       |  SELECT cid, s,
+       |    ('0x' || substr(md5(s), 1, 15))::BIGINT % $p AS h1
+       |  FROM cpost
+       |), cseeds(seed, a, b) AS (VALUES $seedRows
+       |), csigs AS (
+       |  SELECT cid, seed, min((a * h1 + b) % $p) AS sig
+       |  FROM cbased, cseeds GROUP BY cid, seed
+       |), cbands AS (
+       |  SELECT cid, seed // 4 AS band,
+       |    string_agg(sig::VARCHAR, ',' ORDER BY seed) AS bv
+       |  FROM csigs GROUP BY cid, seed // 4
+       |), ccand AS (
+       |  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+       |  FROM cbands a JOIN cbands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.cid < b.cid
+       |    AND a.cid // $base <> b.cid // $base
+       |), ccommon AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS n_common
+       |  FROM ccand c
+       |  JOIN cpost pa ON pa.cid = c.id_a
+       |  JOIN cpost pb ON pb.cid = c.id_b AND pb.s = pa.s
+       |  GROUP BY 1, 2
+       |), cpairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard6
+       |  FROM ccommon
+       |  JOIN csizes na ON na.cid = id_a
+       |  JOIN csizes nb ON nb.cid = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= $threshold
+       |)""".stripMargin
+  }
 
   /** Same signature/band/verify chain with a parameterized candidate
     * condition — `a.doc_id < b.doc_id` for self-dedup, side predicates
