@@ -455,13 +455,31 @@ object Sampling {
     val counts = countsDf
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
+    val alloc = allocateByMass(
+      counts.map { case (s, _, c) => (s, c) }, budgetChars, maxEpochs)
+    counts.toSeq.map { case (s, n, c) =>
+      (s, n, c, maxEpochs * c, alloc(s),
+        if (c > 0) alloc(s) * 1000000L / c else 0L)
+    }.toDF("source", "n_docs", "chars", "capacity", "alloc_chars",
+      "epochs_micro")
+      .orderBy(col("source"))
+  }
+
+  /** The two-round largest-remainder allocator over (source, pricing
+    * mass) — the driver-side core [[epochAllocate]] and
+    * [[epochAllocateDedup]] share: capacity = maxEpochs × mass, isqrt
+    * temperature weights, one clamped redistribution round (the
+    * documented spec; see epochAllocate's scaladoc for the integer
+    * contract both SQL mirrors replay). */
+  private def allocateByMass(masses: Seq[(String, Long)],
+      budgetChars: Long, maxEpochs: Int): Map[String, Long] = {
     def isqrt(n: Long): Long = math.sqrt(n.toDouble).toLong
     // one largest-remainder share of `b` over (source, weight) — the
     // temperatureMix allocator, with the w·b products through BigInt:
     // at full scale (chars ~1e18 ⇒ weights ~1e9, budgets ~1e18) the
     // Long product wraps silently and mis-allocates. Driver-sized
     // arithmetic, so exact BigInt costs nothing. NOTE: the registered
-    // query's SQL mirror computes the same products in BIGINT and holds
+    // queries' SQL mirrors compute the same products in BIGINT and hold
     // for wt·B < 2^63 — beyond that DuckDB raises (loud, not wrong).
     def share(pool: Seq[(String, Long)], b: Long): Map[String, Long] = {
       val wsum = BigInt(pool.map(_._2).sum)
@@ -475,22 +493,63 @@ object Sampling {
         s -> (fl + (if (plusOne(s)) 1L else 0L))
       }.toMap
     }
-    val cap = counts.map { case (s, _, c) => s -> maxEpochs * c }.toMap
-    val w = counts.map { case (s, _, c) => (s, isqrt(c)) }
+    val cap = masses.map { case (s, c) => s -> maxEpochs * c }.toMap
+    val w = masses.map { case (s, c) => (s, isqrt(c)) }
     val b = budgetChars min cap.values.sum
     val r1 = share(w, b)
-    val sat = counts.map(_._1).filter(s => r1(s) > cap(s)).toSet
+    val sat = masses.map(_._1).filter(s => r1(s) > cap(s)).toSet
     val surplus = sat.toSeq.map(s => r1(s) - cap(s)).sum
     val r2 = share(w.filterNot { case (s, _) => sat(s) }, surplus)
-    val alloc = counts.map { case (s, _, _) =>
+    masses.map { case (s, _) =>
       s -> (if (sat(s)) cap(s)
             else (r1(s) + r2.getOrElse(s, 0L)) min cap(s))
     }.toMap
-    counts.toSeq.map { case (s, n, c) =>
-      (s, n, c, cap(s), alloc(s),
-        if (c > 0) alloc(s) * 1000000L / c else 0L)
-    }.toDF("source", "n_docs", "chars", "capacity", "alloc_chars",
-      "epochs_micro")
+  }
+
+  /** DEDUP-ADJUSTED epoch allocation — [[epochAllocate]] pricing UNIQUE
+    * characters per source instead of raw ones: a boilerplate-heavy
+    * feed's repeated mass is not new training signal, so a
+    * data-constrained plan that budgets by raw chars over-allocates
+    * exactly the sources dedup will later gut. A doc's mass counts as
+    * unique when it is not in any near-dup group, or is its group's
+    * KEEPER (rep_id = doc_id — the min-label election of
+    * [[Dedup.dedupGroups]]'s membership relation, passed in so the
+    * memoized LSH+CC prefix is shared, never re-run). Capacity,
+    * weights, budget clamp and epoch factor all run on unique mass;
+    * raw `chars` rides along so the report shows what the adjustment
+    * changed.
+    *
+    * Scale shape: one doc_id-keyed left join of the vanishing
+    * group-members relation into the corpus scan, one map-combined
+    * per-source aggregate, then the driver-side source-cardinality
+    * allocator — identical cost to [[epochAllocate]] plus the
+    * broadcastable membership join. */
+  def epochAllocateDedup(documents: DataFrame, groups: DataFrame,
+      budgetChars: Long = 280000L, maxEpochs: Int = 2): DataFrame = {
+    import documents.sparkSession.implicits._
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val uniq = col("rep_id").isNull || col("rep_id") === col("doc_id")
+    val countsDf = documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(groups.select(col("doc_id"), col("rep_id")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars"),
+        sum(when(uniq, coalesce(col("n_chars"), lit(0L))).otherwise(0L))
+          .cast("long").as("unique_chars"))
+    graft.plans.PlanTrace.record("epoch_dedup_counts",
+      graft.plans.PlanFingerprint.structSha(countsDf))
+    val counts = countsDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val alloc = allocateByMass(
+      counts.map { case (s, _, _, u) => (s, u) }, budgetChars, maxEpochs)
+    counts.toSeq.map { case (s, n, c, u) =>
+      (s, n, c, u, maxEpochs * u, alloc(s),
+        if (u > 0) alloc(s) * 1000000L / u else 0L)
+    }.toDF("source", "n_docs", "chars", "unique_chars", "capacity",
+      "alloc_chars", "epochs_micro")
       .orderBy(col("source"))
   }
 }

@@ -50,6 +50,14 @@ private[graft] object SamplingReg {
       import graft.operators.Sampling
       Sampling.epochAllocate(Tables.documents(s, dir))
     }),
+    // dedup-adjusted allocation: the same allocator pricing UNIQUE
+    // chars (non-members + group keepers under the memoized LSH+CC
+    // membership relation) — what a data-constrained run actually buys
+    "epoch_allocate_dedup" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.epochAllocateDedup(Tables.documents(s, dir),
+        groupsFor(s, dir, 0.8))
+    }),
     // incremental-export planning: the diff of the corpus manifest vs
     // the manifest after a one-source curation delete — only shards
     // holding src7 docs may flag as changed
@@ -482,6 +490,88 @@ private[graft] object SamplingReg {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // Dedup-adjusted allocation: the epoch_allocate chain with every
+    // pricing input switched to UNIQUE chars — docs outside any
+    // near-dup group, plus group keepers (rep = doc_id) under the
+    // minhash+CC closure the dedup_groups oracle states; raw chars
+    // ride along for the report.
+    "epoch_allocate_dedup" ->
+      s"""WITH RECURSIVE ${Memo.minhashPairsCtes},
+        |und AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(src, dst) AS (
+        |  SELECT a, b FROM und
+        |  UNION
+        |  SELECT r.src, u.b FROM reach r JOIN und u ON u.a = r.dst
+        |), members AS (SELECT DISTINCT a AS id FROM und
+        |), keeprs AS (
+        |  SELECT m.id, least(m.id, min(r.dst)) AS rep
+        |  FROM members m JOIN reach r ON r.src = m.id GROUP BY m.id
+        |), counts AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(coalesce(d.n_chars, 0)) AS BIGINT) AS chars,
+        |    CAST(sum(CASE WHEN k.id IS NULL OR k.rep = d.doc_id
+        |      THEN coalesce(d.n_chars, 0) ELSE 0 END) AS BIGINT)
+        |      AS unique_chars
+        |  FROM documents d LEFT JOIN keeprs k ON k.id = d.doc_id
+        |  GROUP BY 1
+        |), capw AS (
+        |  SELECT source, n_docs, chars, unique_chars,
+        |    unique_chars * 2 AS capacity,
+        |    CAST(floor(sqrt(unique_chars)) AS BIGINT) AS wt
+        |  FROM counts
+        |), bb AS (
+        |  SELECT CASE WHEN csum < 280000 THEN csum ELSE 280000 END AS b,
+        |    wsum
+        |  FROM (SELECT CAST(sum(wt) AS BIGINT) AS wsum,
+        |          CAST(sum(capacity) AS BIGINT) AS csum FROM capw)
+        |), base AS (
+        |  SELECT source, n_docs, chars, unique_chars, capacity, wt,
+        |    CASE WHEN wsum > 0 THEN wt * b // wsum ELSE 0 END AS fl,
+        |    CASE WHEN wsum > 0 THEN wt * b % wsum ELSE 0 END AS rem
+        |  FROM capw, bb
+        |), sh1 AS (
+        |  SELECT (SELECT b FROM bb) -
+        |    (SELECT coalesce(sum(fl), 0) FROM base) AS short1
+        |), a1 AS (
+        |  SELECT source, n_docs, chars, unique_chars, capacity, wt,
+        |    fl + CASE WHEN rr <= short1 THEN 1 ELSE 0 END AS a
+        |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+        |          AS rr FROM base), sh1
+        |), sat AS (
+        |  SELECT *, a > capacity AS is_over FROM a1
+        |), surplus AS (
+        |  SELECT CAST(coalesce(sum(CASE WHEN is_over THEN a - capacity
+        |    END), 0) AS BIGINT) AS s FROM sat
+        |), base2 AS (
+        |  SELECT p.source, p.wt,
+        |    CASE WHEN wsum2 > 0 THEN p.wt * s // wsum2 ELSE 0 END AS fl2,
+        |    CASE WHEN wsum2 > 0 THEN p.wt * s % wsum2 ELSE 0 END AS rem2
+        |  FROM (SELECT * FROM sat WHERE NOT is_over) p, surplus,
+        |    (SELECT CAST(coalesce(sum(wt), 0) AS BIGINT) AS wsum2
+        |     FROM sat WHERE NOT is_over)
+        |), sh2 AS (
+        |  SELECT (SELECT s FROM surplus) -
+        |    (SELECT coalesce(sum(fl2), 0) FROM base2) AS short2
+        |), r2 AS (
+        |  SELECT source,
+        |    fl2 + CASE WHEN rr2 <= short2 THEN 1 ELSE 0 END AS add2
+        |  FROM (SELECT *, row_number() OVER (ORDER BY rem2 DESC, source)
+        |          AS rr2 FROM base2), sh2
+        |)
+        |SELECT t.source, t.n_docs, t.chars, t.unique_chars,
+        |  CAST(t.capacity AS BIGINT) AS capacity,
+        |  CAST(CASE WHEN t.is_over THEN t.capacity
+        |    ELSE least(t.capacity, t.a + coalesce(r2.add2, 0)) END
+        |    AS BIGINT) AS alloc_chars,
+        |  CAST(CASE WHEN t.unique_chars > 0 THEN
+        |    (CASE WHEN t.is_over THEN t.capacity
+        |      ELSE least(t.capacity, t.a + coalesce(r2.add2, 0)) END)
+        |      * 1000000 // t.unique_chars ELSE 0 END AS BIGINT)
+        |    AS epochs_micro
+        |FROM sat t LEFT JOIN r2 ON r2.source = t.source
+        |ORDER BY t.source""".stripMargin,
     // Integer-exact mirror of Sampling.epochAllocate's two-round
     // largest-remainder allocation under per-source epoch caps
     // (capacity = 2 × chars, budget 280000, isqrt weights, ties by

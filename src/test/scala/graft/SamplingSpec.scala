@@ -234,6 +234,50 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.sum == 30000L, "conserved: no residual in this case")
   }
 
+  test("epochAllocateDedup: prices unique mass — dup-heavy sources lose allocation") {
+    import graft.operators.{Dedup, Sampling}
+    import spark.implicits._
+    // two sources, equal RAW mass; s_dup's docs are near-dup group
+    // members with one keeper, s_cln's are all unique
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "s_cln", 1000L)) ++
+      (11 to 20).map(i => (i.toLong, "s_dup", 1000L))
+    ).toDF("doc_id", "source", "n_chars")
+    // membership relation: docs 11..20 all in one group, keeper 11
+    val groups = (11 to 20).map(i => (i.toLong, 11L))
+      .toDF("doc_id", "rep_id")
+    val raw = Sampling.epochAllocate(docs, budgetChars = 12000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("chars"), r.getAs[Long]("alloc_chars"))).toMap
+    val ded = Sampling.epochAllocateDedup(docs, groups,
+      budgetChars = 12000L).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("chars"),
+        r.getAs[Long]("unique_chars"), r.getAs[Long]("capacity"),
+        r.getAs[Long]("alloc_chars"), r.getAs[Long]("epochs_micro")))
+      .toMap
+    // raw allocator sees symmetric sources: equal split
+    assert(raw("s_cln")._2 == raw("s_dup")._2)
+    // dedup-adjusted: s_dup keeps only its keeper's 1000 unique chars
+    assert(ded("s_dup")._1 == 10000L && ded("s_dup")._2 == 1000L)
+    assert(ded("s_cln")._2 == 10000L)
+    // capacity = maxEpochs × UNIQUE mass, and the clamp bites: s_dup
+    // can absorb at most 2000 chars no matter its raw size
+    assert(ded("s_dup")._3 == 2000L && ded("s_dup")._4 <= 2000L)
+    assert(ded("s_dup")._4 < ded("s_cln")._4,
+      "the dup-gutted source must get less than the clean one")
+    // epoch factor reads against unique mass
+    assert(ded("s_dup")._5 == ded("s_dup")._4 * 1000000L / 1000L)
+    // budget conserved across the plan
+    assert(ded.values.map(_._4).sum <= 12000L)
+    // corpus-level sanity on the real testdata + memoized groups shape
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val g = Dedup.dedupGroups(corpus, 0.8)
+    Sampling.epochAllocateDedup(corpus, g).collect().foreach { r =>
+      assert(r.getAs[Long]("unique_chars") <= r.getAs[Long]("chars"))
+      assert(r.getAs[Long]("alloc_chars") <= r.getAs[Long]("capacity"))
+    }
+  }
+
   test("shardBalance: partition of the corpus — masses conserve, shards bounded, layout deterministic") {
     import graft.operators.Sampling
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
