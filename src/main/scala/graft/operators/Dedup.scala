@@ -621,6 +621,128 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** A batch's chunk units WITHOUT exact collapse — every incoming
+    * chunk gets its own verdict (what an admission gate needs; the
+    * corpus side collapses, the probe side never does). */
+  private[graft] def chunkUnits(docs: DataFrame, window: Int,
+      stride: Int): DataFrame =
+    TextAnalysis.chunkTexts(docs.select(col("doc_id"), col("text")),
+        window, stride)
+      .select((col("doc_id") * ChunkIdBase + col("chunk_idx")).as("doc_id"),
+        col("chunk").as("text"))
+
+  /** CROSS-CORPUS fuzzy chunk check — the chunk-granularity member of
+    * the against-family ([[dedupAgainst]] for whole docs,
+    * [[Similarity.semanticDedupAgainstStore]] for embeddings,
+    * `Multimodal` phash for media, `SubstrStore` for exact substrings):
+    * which chunks of an INCOMING batch near-duplicate a paragraph the
+    * corpus already holds? Exact copies inside the corpus collapse to
+    * representatives ([[chunkReps]] — also the bucket-skew first line:
+    * 10⁴ corpus copies of a boilerplate paragraph probe as ONE band
+    * unit); the df-cut census is computed over CORPUS representative
+    * shingles and applied to BOTH sides (the corpus census is
+    * write-time state the batch consults — `ChunkStore` persists all
+    * three corpus relations). Incoming chunks are NOT collapsed.
+    *
+    * Output: (new_doc, new_idx, corpus_doc, corpus_idx, jaccard6) per
+    * flagged pair, ≥ threshold, exact-Jaccard verified; exact matches
+    * flag at 1.0 (sides collapse separately, so cross-side identity
+    * survives as a pair — an admission gate must see it).
+    *
+    * This parquet-only form recomputes the corpus state (the
+    * [[dedupAgainst]] test-store convention); the probe half is
+    * [[chunkDedupAgainstStore]], which `StreamChunkFuzzyCheck` feeds
+    * from the persisted index. */
+  def chunkDedupAgainst(newDocs: DataFrame, corpus: DataFrame,
+      window: Int = 200, stride: Int = 150, threshold: Double = 0.6,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      maxDf: Long = 1000): DataFrame = {
+    val (sigs, posts, hot) = chunkIndexRelations(corpus, window, stride,
+      bands, rowsPerBand, maxDf)
+    chunkDedupAgainstStore(newDocs, sigs, posts, hot,
+      window, stride, threshold, bands, rowsPerBand)
+  }
+
+  /** The three corpus relations `ChunkStore` persists, built from a
+    * corpus slice: representative-chunk band rows (cid, n_sh, band,
+    * bh), cut postings (cid, sh), and the hot-shingle census (sh).
+    * When `frozenHot` is given (an append under an EXISTING index),
+    * the batch's shingles are cut by THAT census instead of a fresh
+    * one — probe and appended state must agree on the cut, so the
+    * census freezes at index build; re-censusing is a full index
+    * rebuild (the IVF re-cluster analog). */
+  private[graft] def chunkIndexRelations(corpus: DataFrame,
+      window: Int, stride: Int, bands: Int, rowsPerBand: Int,
+      maxDf: Long, frozenHot: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val reps = chunkReps(corpus, window, stride)
+    val post0 = postings(reps, 3)
+    val hot = frozenHot.getOrElse(
+      post0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("sh")))
+    val post = post0.join(broadcast(hot.select(col("sh"))),
+      Seq("sh"), "left_anti")
+    val sigs = lshBucketsFromSigs(
+      minhashSignaturesFrom(post, bands * rowsPerBand), bands, rowsPerBand)
+      .select(col("doc_id").as("cid"), col("n_sh"), col("band"), col("bh"))
+    (sigs, post.select(col("doc_id").as("cid"), col("sh")), hot)
+  }
+
+  /** The probe half over persisted corpus state: band rows
+    * (cid, n_sh, band, bh), cut postings (cid, sh) and the hot-shingle
+    * census (sh) — `ChunkStore`'s three relations. Per-batch cost is
+    * batch-proportional: the batch's own chunks/signatures, a band
+    * equi-join against band-partitioned state, and a candidates-only
+    * verify (corpus postings joined on the candidate cids — an
+    * output-sized broadcast at any corpus size). */
+  def chunkDedupAgainstStore(newDocs: DataFrame, corpusSigs: DataFrame,
+      corpusPosts: DataFrame, corpusHot: DataFrame,
+      window: Int = 200, stride: Int = 150, threshold: Double = 0.6,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val newUnits = chunkUnits(newDocs, window, stride)
+    val postNew = postings(newUnits, 3)
+      .join(broadcast(corpusHot.select(col("sh"))), Seq("sh"), "left_anti")
+    val bucketsNew = lshBucketsFromSigs(
+      minhashSignaturesFrom(postNew, bands * rowsPerBand),
+      bands, rowsPerBand)
+    val cand = bucketsNew.as("a")
+      .join(corpusSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("new_id"), col("b.cid").as("corpus_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .distinct()
+    cand
+      .join(postNew.select(col("doc_id").as("new_id"), col("sh")),
+        "new_id")
+      .join(corpusPosts.select(col("cid").as("corpus_id"),
+        col("sh").as("sh_b")), "corpus_id")
+      .filter(col("sh") === col("sh_b"))
+      // SET semantics on the common-shingle count (the SubstrStore
+      // probe-harmless contract): a redelivered append duplicates
+      // posts rows, and a row-counted n_common would then overshoot
+      // the set bound (denominator n_a+n_b−n_common reaches 0 — a
+      // loud ANSI error at best). The distinct makes the probe
+      // invariant under duplicate index rows; only storage and scan
+      // cost grow until compaction reclaims them.
+      .select(col("new_id"), col("corpus_id"), col("n_a"), col("n_b"),
+        col("sh"))
+      .distinct()
+      .groupBy(col("new_id"), col("corpus_id"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(
+        expr(s"new_id div $ChunkIdBase").as("new_doc"),
+        expr(s"new_id % $ChunkIdBase").as("new_idx"),
+        expr(s"corpus_id div $ChunkIdBase").as("corpus_doc"),
+        expr(s"corpus_id % $ChunkIdBase").as("corpus_idx"),
+        round(col("jaccard"), 6).as("jaccard6"))
+      .orderBy(col("new_doc"), col("new_idx"), col("corpus_doc"),
+        col("corpus_idx"))
+  }
+
   /** CROSS-CORPUS near-dup check — the incremental-ingest operator: which
     * INCOMING documents near-duplicate something already IN the corpus?
     * Self-dedup ([[minhashLshPairs]]) compares a set to itself; ingest

@@ -34,6 +34,14 @@ private[graft] object DedupReg {
     "chunk_fuzzy_audit" -> ((s, dir) =>
       Dedup.chunkFuzzyAuditFrom(chunkRepsFor(s, dir),
         chunkPairsFor(s, dir))),
+    // chunk-granularity against-check: incoming batch (doc_id ≡ 0
+    // mod 5) probes the corpus side's representative-chunk band state
+    "chunk_dedup_against" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.chunkDedupAgainst(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    },
     "blocking_quality" -> ((s, dir) => Dedup.blockingQuality(
       Tables.documents(s, dir), postingsFor(s, dir), overlapFor(s, dir),
       candidates = Some(lshCandidatesFor(s, dir)))),
@@ -615,6 +623,17 @@ private[graft] object DedupReg {
          |  id_a % ${graft.operators.Dedup.ChunkIdBase} AS idx_a,
          |  id_b // ${graft.operators.Dedup.ChunkIdBase} AS doc_b,
          |  id_b % ${graft.operators.Dedup.ChunkIdBase} AS idx_b,
+         |  jaccard6
+         |FROM cpairs ORDER BY 1, 2, 3, 4""".stripMargin,
+    // Chunk-granularity against-check: the same chain with corpus-side
+    // rep collapse, uncollapsed incoming chunks, corpus-only df census
+    // cutting both sides, and new × corpus candidates.
+    "chunk_dedup_against" ->
+      s"""WITH ${Memo.chunkAgainstCtes()}
+         |SELECT id_a // ${graft.operators.Dedup.ChunkIdBase} AS new_doc,
+         |  id_a % ${graft.operators.Dedup.ChunkIdBase} AS new_idx,
+         |  id_b // ${graft.operators.Dedup.ChunkIdBase} AS corpus_doc,
+         |  id_b % ${graft.operators.Dedup.ChunkIdBase} AS corpus_idx,
          |  jaccard6
          |FROM cpairs ORDER BY 1, 2, 3, 4""".stripMargin,
     // Per-doc audit over the same chain: representative chunks kept,

@@ -477,10 +477,45 @@ private[graft] object Memo {
     * Shared by the pairs gate and the per-doc audit. */
   private[graft] def chunkMinhashCtes(threshold: String = "0.6",
       maxDf: Long = 1000): String = {
-    val params = graft.functions.PortableHash.minhashParams(64)
-    val seedRows = params.zipWithIndex
-      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    val p = graft.functions.PortableHash.MinhashP
+    val base = graft.operators.Dedup.ChunkIdBase
+    s"""$chunkCutCtes, reps AS (
+       |  SELECT cid, chunk FROM (
+       |    SELECT cid, chunk, row_number() OVER (
+       |      PARTITION BY md5(chunk) ORDER BY cid) AS rn FROM ch)
+       |  WHERE rn = 1
+       |), units AS (SELECT cid, chunk FROM reps
+       |), ${chunkChainTail(
+          s"a.cid < b.cid AND a.cid // $base <> b.cid // $base",
+          "", threshold, maxDf)}""".stripMargin
+  }
+
+  /** The against-variant: incoming side (doc_id ≡ 0 mod 5) probes the
+    * corpus side (rest) — corpus chunks exact-collapse to
+    * representatives, incoming chunks do NOT (every chunk its own
+    * verdict), the df-cut census counts CORPUS shingles only and cuts
+    * both sides (the write-time-state reading), candidates are
+    * new × corpus. Mirrors `Dedup.chunkDedupAgainst` exactly. */
+  private[graft] def chunkAgainstCtes(threshold: String = "0.6",
+      maxDf: Long = 1000): String = {
+    val base = graft.operators.Dedup.ChunkIdBase
+    s"""$chunkCutCtes, reps AS (
+       |  SELECT cid, chunk FROM (
+       |    SELECT cid, chunk, row_number() OVER (
+       |      PARTITION BY md5(chunk) ORDER BY cid) AS rn FROM ch
+       |    WHERE (cid // $base) % 5 <> 0)
+       |  WHERE rn = 1
+       |), units AS (
+       |  SELECT cid, chunk FROM reps
+       |  UNION ALL
+       |  SELECT cid, chunk FROM ch WHERE (cid // $base) % 5 = 0
+       |), ${chunkChainTail(
+          s"(a.cid // $base) % 5 = 0 AND (b.cid // $base) % 5 <> 0",
+          s"WHERE (cid // $base) % 5 <> 0", threshold, maxDf)}""".stripMargin
+  }
+
+  /** The chunk cut shared by both chains: every doc's stride-overlapped
+    * windows with the synthetic cid. */
+  private def chunkCutCtes: String = {
     val base = graft.operators.Dedup.ChunkIdBase
     s"""sized AS (
        |  SELECT doc_id, text, length(text) AS len,
@@ -492,14 +527,21 @@ private[graft] object Memo {
        |  FROM (SELECT doc_id, text,
        |    unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_idx
        |    FROM sized)
-       |), reps AS (
-       |  SELECT cid, chunk FROM (
-       |    SELECT cid, chunk, row_number() OVER (
-       |      PARTITION BY md5(chunk) ORDER BY cid) AS rn FROM ch)
-       |  WHERE rn = 1
-       |), cnorm AS (
+       |)""".stripMargin
+  }
+
+  /** The shared norm→shingle→df-cut→signature→band→verify tail over a
+    * `units(cid, chunk)` relation; `hotDomain` restricts which rows the
+    * df census counts (empty = all), `candCond` orients the band join. */
+  private def chunkChainTail(candCond: String, hotDomain: String,
+      threshold: String, maxDf: Long): String = {
+    val params = graft.functions.PortableHash.minhashParams(64)
+    val seedRows = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val p = graft.functions.PortableHash.MinhashP
+    s"""cnorm AS (
        |  SELECT cid, trim(regexp_replace(regexp_replace(lower(chunk),
-       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM reps
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM units
        |), ctoks AS (
        |  SELECT cid, list_filter(string_split(t, ' '), x -> len(x) > 0) AS w FROM cnorm
        |), cshl AS (
@@ -510,7 +552,7 @@ private[graft] object Memo {
        |), cpost0 AS (
        |  SELECT cid, unnest(shs) AS s FROM cshl
        |), chot AS (
-       |  SELECT s FROM cpost0 GROUP BY s HAVING count(*) > $maxDf
+       |  SELECT s FROM cpost0 $hotDomain GROUP BY s HAVING count(*) > $maxDf
        |), cpost AS (
        |  SELECT cid, s FROM cpost0 WHERE s NOT IN (SELECT s FROM chot)
        |), csizes AS (
@@ -530,8 +572,7 @@ private[graft] object Memo {
        |), ccand AS (
        |  SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
        |  FROM cbands a JOIN cbands b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.cid < b.cid
-       |    AND a.cid // $base <> b.cid // $base
+       |    ON a.band = b.band AND a.bv = b.bv AND $candCond
        |), ccommon AS (
        |  SELECT c.id_a, c.id_b, count(*) AS n_common
        |  FROM ccand c
