@@ -811,6 +811,37 @@ object Similarity {
       .withColumn("recall_micro", expr("n_hits * 1000000 div n_exact"))
       .orderBy(col("query_id"))
 
+  /** IVF PROBE SWEEP — the recall-vs-cost ladder that TUNES the knob
+    * [[annRecall]] only audits at one setting: for each nProbe on the
+    * ladder, total recall@k of the IVF index against the exact scorer,
+    * one summary row per rung. The read every vector-store deployment
+    * takes before pinning its serving config — recall is monotone
+    * non-decreasing up the ladder (rung p's candidate set contains
+    * rung p−1's; spec-asserted), and the operator shows exactly where
+    * it plateaus, i.e. how few of the nCentroids cells (= what fraction
+    * of corpus bytes, since cells are partition-pruned at the scan)
+    * buy the target recall.
+    *
+    * Shape at 100 TB: the sweep is `ladder.length` probes of the
+    * serving tier — each reads nProbe/nCentroids of the bytes — plus
+    * ONE exact pass for ground truth (amortize it: at scale the exact
+    * side is computed once and checkpointed/persisted, as the judge
+    * sample here shares one `exact` plan across rungs). Summary rows
+    * are rung-cardinality; everything driver-visible is bounded. */
+  def ivfProbeSweep(embeddings: DataFrame, cents: Array[Array[Double]],
+      queryIds: Seq[Long] = 0L to 4L, k: Int = 10,
+      ladder: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val exact = annBruteForce(embeddings, queryIds, k)
+    ladder.map { p =>
+      annRecall(exact, annIvfWith(embeddings, cents, queryIds, k, p))
+        .agg(sum(col("n_exact")).cast("long").as("n_exact"),
+          sum(col("n_hits")).cast("long").as("n_hits"))
+        .select(lit(p).as("n_probe"), col("n_exact"), col("n_hits"),
+          expr("CASE WHEN n_exact > 0 THEN n_hits * 1000000 div n_exact" +
+            " ELSE NULL END").as("recall_micro"))
+    }.reduce(_.unionByName(_)).orderBy(col("n_probe"))
+  }
+
   /** Fixed-point DIMENSION-MOMENT audit of the embedding space — the
     * feature-health read before whitening/PCA or an index build: per
     * ordered dim pair (i ≤ j), the exact integer sums of the

@@ -56,6 +56,11 @@ private[graft] object SimilarityReg {
         Similarity.annBruteForce(Tables.embeddings(s, dir)),
         Similarity.annIvfWith(Tables.embeddings(s, dir),
           centroidsFor(s, dir)))),
+    // the recall-vs-cost ladder that tunes the probe knob ann_recall
+    // audits at one setting — one summary row per nProbe rung
+    "ivf_probe_sweep" -> ((s, dir) =>
+      Similarity.ivfProbeSweep(Tables.embeddings(s, dir),
+        centroidsFor(s, dir))),
     "embedding_cov" -> ((s, dir) =>
       Similarity.embeddingCov(Tables.embeddings(s, dir))),
     // top principal direction: exact-integer power method over the
@@ -716,6 +721,95 @@ private[graft] object SimilarityReg {
         |FROM exact e
         |LEFT JOIN approx a
         |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Probe-ladder sweep: the ann_recall replay with the probe cutoff
+    // parameterized over the ladder — candidates scored ONCE over the
+    // deepest rung's union, then re-ranked within each rung's own
+    // candidate set (identical scores ⇒ identical per-rung ranks to
+    // re-running the probe at that nProbe).
+    "ivf_probe_sweep" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), bdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    sum(a.x * b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |    AND a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), branked AS (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY
+        |      dot/(na.nrm*nb.nrm) DESC, cand_id) AS rank
+        |  FROM bdots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), exact AS (
+        |  SELECT query_id, cand_id FROM branked WHERE rank <= 10
+        |), cents AS (
+        |  SELECT c_id, pos, w FROM read_parquet('__AUX__/ivf_centroids/*.parquet')
+        |), cnorm AS (
+        |  SELECT c_id, sqrt(sum(w*w)) AS cn FROM cents GROUP BY 1
+        |), qdot AS (
+        |  SELECT e.vec_id AS query_id, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM elems e JOIN cents c ON c.pos = e.i - 1
+        |  WHERE e.vec_id <= 4
+        |  GROUP BY 1, 2
+        |), pranked AS (
+        |  SELECT q.query_id, q.c_id, row_number() OVER (
+        |    PARTITION BY q.query_id ORDER BY
+        |      CASE WHEN n.cn = 0 THEN -1e308 ELSE q.dot / n.cn END DESC,
+        |      q.c_id) AS r
+        |  FROM qdot q JOIN cnorm n ON n.c_id = q.c_id
+        |), plad(n_probe) AS (VALUES (1), (2), (4), (8)
+        |), candsu AS (
+        |  SELECT DISTINCT p.query_id, cl.vec_id AS cand_id
+        |  FROM pranked p
+        |  JOIN read_parquet('__AUX__/ivf_cells/*.parquet') cl
+        |    ON cl.c_id = p.c_id
+        |  WHERE p.r <= 8 AND cl.vec_id <> p.query_id
+        |), idots AS (
+        |  SELECT cd.query_id, cd.cand_id, sum(a.x * b.x) AS dot
+        |  FROM candsu cd
+        |  JOIN elems a ON a.vec_id = cd.query_id
+        |  JOIN elems b ON b.vec_id = cd.cand_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), iscore AS (
+        |  SELECT d.query_id, d.cand_id, d.dot/(na.nrm*nb.nrm) AS score
+        |  FROM idots d
+        |  JOIN norms na ON na.vec_id = d.query_id
+        |  JOIN norms nb ON nb.vec_id = d.cand_id
+        |), candsN AS (
+        |  SELECT DISTINCT l.n_probe, p.query_id, cl.vec_id AS cand_id
+        |  FROM plad l
+        |  JOIN pranked p ON p.r <= l.n_probe
+        |  JOIN read_parquet('__AUX__/ivf_cells/*.parquet') cl
+        |    ON cl.c_id = p.c_id
+        |  WHERE cl.vec_id <> p.query_id
+        |), irankedN AS (
+        |  SELECT c.n_probe, c.query_id, c.cand_id, row_number() OVER (
+        |    PARTITION BY c.n_probe, c.query_id
+        |    ORDER BY s.score DESC, c.cand_id) AS rank
+        |  FROM candsN c
+        |  JOIN iscore s ON s.query_id = c.query_id
+        |    AND s.cand_id = c.cand_id
+        |), approxN AS (
+        |  SELECT n_probe, query_id, cand_id FROM irankedN WHERE rank <= 10
+        |)
+        |SELECT l.n_probe,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |    ELSE NULL END AS recall_micro
+        |FROM plad l
+        |CROSS JOIN exact e
+        |LEFT JOIN approxN a ON a.n_probe = l.n_probe
+        |  AND a.query_id = e.query_id AND a.cand_id = e.cand_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // fixed-point dimension moments: every term floored onto the micro
     // grid before summing (floor/product/f32-widen are bit-identical in

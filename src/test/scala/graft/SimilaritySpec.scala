@@ -122,6 +122,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"sample-fit IVF recall too low: $recall")
   }
 
+  test("ivfProbeSweep: recall monotone up the ladder, full ladder at nProbe = nCentroids") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.kmeansCentroids(emb)
+    val sweep = Similarity.ivfProbeSweep(emb, cents,
+        ladder = Seq(1, 2, 4, 12)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4, 12))
+    // rung p's candidate set contains rung p−1's → recall never drops
+    sweep.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._4 >= lo._4,
+        s"recall must be monotone: $lo -> $hi")
+    }
+    // probing EVERY cell is the exact scorer: recall exactly 1
+    val full = sweep.last
+    assert(full._2 == full._3 && full._4 == 1000000L,
+      s"nProbe = nCentroids must recover the exact top-k: $full")
+  }
+
   test("IVF-PQ ADC: scores match the driver-side reconstruction exactly") {
     val emb = Tables.embeddings(spark, sf0001)
     val cents = Similarity.kmeansCentroids(emb)
