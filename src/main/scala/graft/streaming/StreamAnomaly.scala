@@ -37,25 +37,27 @@ object StreamAnomaly {
           col("mad4") * 3, 1L).otherwise(0L)).as("n_outliers"))
 
   /** Running live counts vs a frozen (event_type, med2, mad4) fit. */
-  final class AnomalyTable(spark: SparkSession, envelope: DataFrame) {
+  final class AnomalyTable(spark: SparkSession, envelope: DataFrame)
+      extends StandingTable(spark) {
     import spark.implicits._
     private val env = envelope
       .select(col("event_type"), col("med2").cast("long"),
         col("mad4").cast("long")).localCheckpoint(true)
-    @volatile private var live: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long, Long)].toDF("event_type", "n", "n_outliers")
-    def fold(events: DataFrame): Unit = synchronized {
-      live = live
+    protected def stateColumns: Seq[String] =
+      Seq("event_type", "n", "n_outliers")
+    protected def foldInto(state: DataFrame,
+        events: DataFrame): DataFrame =
+      state
         .unionByName(gate(events, env))
         .groupBy(col("event_type"))
         .agg(sum(col("n")).cast("long").as("n"),
           sum(col("n_outliers")).cast("long").as("n_outliers"))
-        .localCheckpoint(true)
-    }
     /** Live per-type totals with the frozen envelope echoed back —
       * the same columns as the batch operator. */
     def stat: DataFrame =
-      live.join(env, Seq("event_type"))
+      currentState.join(env, Seq("event_type"))
         .select(col("event_type"), col("n"), col("n_outliers"),
           col("med2"), col("mad4"))
         .orderBy(col("event_type"))
@@ -65,6 +67,7 @@ object StreamAnomaly {
   def start(events: DataFrame, table: AnomalyTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

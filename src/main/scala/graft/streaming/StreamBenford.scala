@@ -30,20 +30,22 @@ import graft.operators.EventsOps
 object StreamBenford {
 
   /** Running bounded (type, digit) census. */
-  final class BenfordTable(spark: SparkSession) {
+  final class BenfordTable(spark: SparkSession)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var cntT: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long, Long)].toDF("event_type", "digit", "n")
-    def counts: DataFrame = cntT
-    def fold(events: DataFrame): Unit = synchronized {
-      cntT = cntT
+    protected def stateColumns: Seq[String] =
+      Seq("event_type", "digit", "n")
+    def counts: DataFrame = currentState
+    protected def foldInto(state: DataFrame,
+        events: DataFrame): DataFrame =
+      state
         .unionByName(EventsOps.benfordCounts(events))
         .groupBy(col("event_type"), col("digit"))
         .agg(sum(col("n")).cast("long").as("n"))
-        .localCheckpoint(true)
-    }
     /** Current audit over everything ingested so far. */
-    def audit: DataFrame = EventsOps.benfordFromCounts(cntT)
+    def audit: DataFrame = EventsOps.benfordFromCounts(currentState)
   }
 
   /** Stream of event rows (event_type, value, ...) → continuously-folded
@@ -51,6 +53,7 @@ object StreamBenford {
   def start(events: DataFrame, table: BenfordTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

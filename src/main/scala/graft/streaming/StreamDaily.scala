@@ -27,16 +27,20 @@ import graft.operators.MarketStats
 object StreamDaily {
 
   /** Running per-(event_type, day) close-election winners. */
-  final class DailyTable(spark: SparkSession) {
+  final class DailyTable(spark: SparkSession)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var cur: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long, Long, Long, Double)]
         .toDF("event_type", "day", "ts_ns", "event_id", "value")
-    def kept: DataFrame = cur
-    def fold(batch: DataFrame): Unit = synchronized {
+    protected def stateColumns: Seq[String] =
+      Seq("event_type", "day", "ts_ns", "event_id", "value")
+    def kept: DataFrame = currentState
+    protected def foldInto(state: DataFrame,
+        batch: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("event_type"), col("day"))
         .orderBy(col("ts_ns").desc, col("event_id").desc)
-      cur = cur
+      state
         .unionByName(batch
           .select(col("event_type"),
             expr(s"ts_ns div ${86400L * 1000000000L}").as("day"),
@@ -45,9 +49,9 @@ object StreamDaily {
         .where(col("rn") === 1)
         .select(col("event_type"), col("day"), col("ts_ns"),
           col("event_id"), col("value"))
-        .localCheckpoint(true)
     }
-    def closes: DataFrame = cur.select(col("event_type"), col("day"),
+    def closes: DataFrame = currentState.select(col("event_type"),
+      col("day"),
       expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)").as("cents"))
     def macd: DataFrame = MarketStats.macdFromCloses(closes)
   }
@@ -57,6 +61,7 @@ object StreamDaily {
   def start(events: DataFrame, table: DailyTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

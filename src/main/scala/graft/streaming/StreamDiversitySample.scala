@@ -32,12 +32,15 @@ object StreamDiversitySample {
 
   /** Running per-cell bottom-quota (c_id, vec_id, pr) table. */
   final class DiversityTable(spark: SparkSession,
-      centroids: Array[Array[Double]], quota: Int = 10) {
+      centroids: Array[Array[Double]], quota: Int = 10)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Int, Long, Long)].toDF("c_id", "vec_id", "pr")
-    def state: DataFrame = current
-    def fold(embeddings: DataFrame): Unit = synchronized {
+    protected def stateColumns: Seq[String] = Seq("c_id", "vec_id", "pr")
+    def state: DataFrame = currentState
+    protected def foldInto(state: DataFrame,
+        embeddings: DataFrame): DataFrame = {
       import graft.functions.NearestCentroid.nearest_centroid
       import graft.functions.PortableHash.h60
       import graft.functions.TopKRows.topk_rows
@@ -52,19 +55,18 @@ object StreamDiversitySample {
           (-col("e.score")).as("pr"))
       val w = Window.partitionBy(col("c_id"))
         .orderBy(col("pr"), col("vec_id"))
-      current = current
+      state
         .unionByName(batchCut)
         .distinct()
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= quota)
         .drop("r")
-        .localCheckpoint(true)
     }
     /** Ranked view matching the batch operator's output shape. */
     def sample: DataFrame = {
       val w = Window.partitionBy(col("c_id"))
         .orderBy(col("pr"), col("vec_id"))
-      current
+      currentState
         .withColumn("rank", row_number().over(w).cast("long"))
         .select(col("c_id"), col("rank"), col("vec_id"), col("pr"))
         .orderBy(col("c_id"), col("rank"))
@@ -75,6 +77,7 @@ object StreamDiversitySample {
   def start(embeddings: DataFrame, table: DiversityTable): StreamingQuery =
     embeddings.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

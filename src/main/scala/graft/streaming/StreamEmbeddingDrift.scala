@@ -36,28 +36,29 @@ object StreamEmbeddingDrift {
       .agg(sum(col("xi")).as("s"), count(lit(1)).as("c"))
 
   /** Running live centroid state vs a frozen reference. */
-  final class CentroidTable(spark: SparkSession, reference: DataFrame) {
+  final class CentroidTable(spark: SparkSession, reference: DataFrame)
+      extends StandingTable(spark) {
     import spark.implicits._
     private val ref = reference.select(col("label"), col("i"),
       col("s").cast("long").as("s"), col("c").cast("long").as("c"))
       .localCheckpoint(true)
-    @volatile private var live: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Long, Int, Long, Long)].toDF("label", "i", "s", "c")
+    protected def stateColumns: Seq[String] = Seq("label", "i", "s", "c")
     /** The folded live state — rows bounded by labels × dims. */
-    def liveSums: DataFrame = live
-    def fold(embeddings: DataFrame): Unit = synchronized {
-      live = live
+    def liveSums: DataFrame = currentState
+    protected def foldInto(state: DataFrame,
+        embeddings: DataFrame): DataFrame =
+      state
         .unionByName(sums(embeddings))
         .groupBy(col("label"), col("i"))
         .agg(sum(col("s")).cast("long").as("s"),
           sum(col("c")).cast("long").as("c"))
-        .localCheckpoint(true)
-    }
     /** Centroid shift of live vs reference, one row per label. */
     def stat: DataFrame = {
       val joined = ref.select(col("label"), col("i"),
           col("s").as("s0"), col("c").as("c0"))
-        .join(live.select(col("label"), col("i"),
+        .join(currentState.select(col("label"), col("i"),
           col("s").as("s1"), col("c").as("c1")),
           Seq("label", "i"), "full_outer")
         .select(col("label"), col("i"),
@@ -74,6 +75,7 @@ object StreamEmbeddingDrift {
   def start(embeddings: DataFrame, table: CentroidTable): StreamingQuery =
     embeddings.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

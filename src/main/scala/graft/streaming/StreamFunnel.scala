@@ -32,20 +32,24 @@ import graft.operators.EventsOps
 object StreamFunnel {
 
   /** Running pruned (user_id, event_type, us) table. */
-  final class FunnelTable(spark: SparkSession) {
+  final class FunnelTable(spark: SparkSession)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Long, String, Long)].toDF("user_id", "event_type", "us")
-    def kept: DataFrame = current
-    def funnel: DataFrame = EventsOps.funnelFromUs(current)
-    def fold(events: DataFrame): Unit = synchronized {
+    protected def stateColumns: Seq[String] =
+      Seq("user_id", "event_type", "us")
+    def kept: DataFrame = currentState
+    def funnel: DataFrame = EventsOps.funnelFromUs(currentState)
+    protected def foldInto(state: DataFrame,
+        events: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("user_id"))
-      val all = current
+      val all = state
         .unionByName(events
           .filter(col("event_type").isin("view", "click", "purchase"))
           .select(col("user_id"), col("event_type"), col("us")))
         .distinct()
-      current = all
+      all
         .withColumn("v_us",
           min(when(col("event_type") === "view", col("us"))).over(w))
         .withColumn("c_us",
@@ -61,7 +65,6 @@ object StreamFunnel {
           (col("event_type") === "purchase" &&
             (col("p_us").isNull || col("us") <= col("p_us"))))
         .select(col("user_id"), col("event_type"), col("us"))
-        .localCheckpoint(true)
     }
   }
 
@@ -69,6 +72,7 @@ object StreamFunnel {
   def start(events: DataFrame, table: FunnelTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

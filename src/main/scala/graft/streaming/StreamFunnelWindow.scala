@@ -59,10 +59,21 @@ object StreamFunnelWindow {
     @volatile private var frozenT: DataFrame =
       Seq.empty[(Long, Int)].toDF("user_id", "lvl")
     @volatile private var hwmUs: Long = Long.MinValue
+    @volatile private var lastFoldedBatch: Long = -1L
     def kept: DataFrame = keptT
     def done: DataFrame = doneT
     def frozen: DataFrame = frozenT
-    def fold(events: DataFrame): Unit = synchronized {
+    /** Positionless fold — always applies (ad-hoc/batch use). */
+    def fold(events: DataFrame): Unit = fold(events, -1L)
+    /** Fold one micro-batch, idempotent per batchId (the StandingTable
+      * crash-replay guard carried by hand — three coupled relations +
+      * a watermark don't fit the single-table base). */
+    def fold(events: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId >= 0 && batchId <= lastFoldedBatch) return
+      foldOnce(events)
+      if (batchId >= 0) lastFoldedBatch = batchId
+    }
+    private def foldOnce(events: DataFrame): Unit = {
       val incoming = events
         .filter(col("event_type").isin("view", "click", "purchase"))
         .select(col("user_id"), col("event_type"), col("us"))
@@ -111,6 +122,7 @@ object StreamFunnelWindow {
   def start(events: DataFrame, table: FunnelWindowTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

@@ -79,20 +79,22 @@ object StreamGroups {
   /** Driver-held assignment, checkpointed per fold so the iterative
     * lineage never grows across batches. At scale this is a storage
     * table; the merge logic is identical. */
-  final class GroupTable(spark: SparkSession) {
+  final class GroupTable(spark: SparkSession)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Long, Long)].toDF("doc_id", "rep_id")
-    def groups: DataFrame = current
-    def fold(pairs: DataFrame): Unit = synchronized {
-      current = merge(current, pairs).localCheckpoint(true)
-    }
+    protected def stateColumns: Seq[String] = Seq("doc_id", "rep_id")
+    def groups: DataFrame = currentState
+    protected def foldInto(state: DataFrame, pairs: DataFrame): DataFrame =
+      merge(state, pairs)
   }
 
   /** Stream of pairs → continuously-folded group table. */
   def start(pairs: DataFrame, table: GroupTable): StreamingQuery =
     pairs.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

@@ -24,22 +24,25 @@ import graft.operators.EventsOps
 object StreamHll {
 
   /** Running (event_type, bucket, reg) register table. */
-  final class HllTable(spark: SparkSession, b: Int = 6) {
+  final class HllTable(spark: SparkSession, b: Int = 6)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long, Long)].toDF("event_type", "bucket", "reg")
-    def registers: DataFrame = current
-    def estimate: DataFrame = EventsOps.hllEstimate(current, b)
-    def fold(events: DataFrame): Unit = synchronized {
+    protected def stateColumns: Seq[String] =
+      Seq("event_type", "bucket", "reg")
+    def registers: DataFrame = currentState
+    def estimate: DataFrame = EventsOps.hllEstimate(currentState, b)
+    protected def foldInto(state: DataFrame,
+        events: DataFrame): DataFrame = {
       import graft.functions.PortableHash.h60
       val incoming = EventsOps.hllRegisters(
         events.select(col("event_type"),
           h60(col("user_id").cast("string")).as("h")), b)
-      current = current
+      state
         .unionByName(incoming)
         .groupBy(col("event_type"), col("bucket"))
         .agg(max(col("reg")).as("reg"))
-        .localCheckpoint(true)
     }
   }
 
@@ -47,6 +50,7 @@ object StreamHll {
   def start(events: DataFrame, table: HllTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

@@ -31,22 +31,23 @@ import graft.operators.TextAnalysis
 object StreamLengthDeciles {
 
   /** Running bounded histogram of document lengths. */
-  final class LengthHistTable(spark: SparkSession, k: Int = 10) {
+  final class LengthHistTable(spark: SparkSession, k: Int = 10)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var histT: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Long, Long)].toDF("n_chars", "cnt")
-    def hist: DataFrame = histT
-    def fold(docs: DataFrame): Unit = synchronized {
-      histT = histT
+    protected def stateColumns: Seq[String] = Seq("n_chars", "cnt")
+    def hist: DataFrame = currentState
+    protected def foldInto(state: DataFrame, docs: DataFrame): DataFrame =
+      state
         .unionByName(docs
           .select(length(col("text")).cast("long").as("n_chars"))
           .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt")))
         .groupBy(col("n_chars"))
         .agg(sum(col("cnt")).cast("long").as("cnt"))
-        .localCheckpoint(true)
-    }
     /** Current decile report over everything ingested so far. */
-    def deciles: DataFrame = TextAnalysis.lengthDecilesFromHist(histT, k)
+    def deciles: DataFrame =
+      TextAnalysis.lengthDecilesFromHist(currentState, k)
   }
 
   /** Stream of document rows (text, ...) → continuously-folded decile
@@ -54,6 +55,7 @@ object StreamLengthDeciles {
   def start(documents: DataFrame, table: LengthHistTable): StreamingQuery =
     documents.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

@@ -31,20 +31,20 @@ object StreamPack {
 
   /** Running (doc_id, shard, n_tokens) ledger. */
   final class PackTable(spark: SparkSession, budgetTokens: Long = 512L,
-      nShards: Int = 8) {
+      nShards: Int = 8) extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var metaT: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Long, Long, Long)].toDF("doc_id", "shard", "n_tokens")
-    def meta: DataFrame = metaT
-    def fold(docs: DataFrame): Unit = synchronized {
-      metaT = metaT
+    protected def stateColumns: Seq[String] =
+      Seq("doc_id", "shard", "n_tokens")
+    def meta: DataFrame = currentState
+    protected def foldInto(state: DataFrame, docs: DataFrame): DataFrame =
+      state
         .unionByName(Sampling.packMeta(docs, nShards))
         .dropDuplicates("doc_id")
-        .localCheckpoint(true)
-    }
     /** Current packing of everything ingested so far. */
     def packed: DataFrame =
-      Sampling.packSequencesFromMeta(metaT, budgetTokens)
+      Sampling.packSequencesFromMeta(currentState, budgetTokens)
   }
 
   /** Stream of document rows (doc_id, text, ...) → continuously-folded
@@ -52,6 +52,7 @@ object StreamPack {
   def start(documents: DataFrame, table: PackTable): StreamingQuery =
     documents.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

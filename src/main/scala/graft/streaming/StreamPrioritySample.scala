@@ -26,25 +26,26 @@ object StreamPrioritySample {
 
   /** Running bottom-k (priority, doc) table, re-truncated per fold. */
   final class SampleTable(spark: SparkSession, k: Int = 100,
-      weightCol: String = "n_chars") {
+      weightCol: String = "n_chars") extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Long, String, Long, Long)]
         .toDF("doc_id", "source", weightCol, "priority")
-    def sample: DataFrame = current
-    def fold(docs: DataFrame): Unit = synchronized {
+    protected def stateColumns: Seq[String] =
+      Seq("doc_id", "source", weightCol, "priority")
+    def sample: DataFrame = currentState
+    protected def foldInto(state: DataFrame, docs: DataFrame): DataFrame = {
       import graft.functions.PortableHash.h60
       val scored = docs
         .filter(col(weightCol) > 0)
         .withColumn("__h", h60(col("doc_id").cast("string")))
         .withColumn("priority", expr(s"__h div $weightCol"))
         .select(col("doc_id"), col("source"), col(weightCol), col("priority"))
-      current = current
+      state
         .unionByName(scored)
         .distinct()
         .orderBy(col("priority"), col("doc_id"))
         .limit(k)
-        .localCheckpoint(true)
     }
   }
 
@@ -52,6 +53,7 @@ object StreamPrioritySample {
   def start(docs: DataFrame, table: SampleTable): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

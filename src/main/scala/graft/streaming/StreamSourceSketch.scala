@@ -26,22 +26,24 @@ import graft.operators.Dedup
 object StreamSourceSketch {
 
   /** Running per-source bottom-k (source, h) table. */
-  final class SketchTable(spark: SparkSession, n: Int = 3, k: Int = 128) {
+  final class SketchTable(spark: SparkSession, n: Int = 3, k: Int = 128)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var current: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(String, Long)].toDF("source", "h")
-    def sketch: DataFrame = current
+    protected def stateColumns: Seq[String] = Seq("source", "h")
+    def sketch: DataFrame = currentState
     /** Pair overlap estimates over the folded state — the batch readout. */
-    def overlap: DataFrame = Dedup.overlapFromSketches(current, k)
-    def fold(documents: DataFrame): Unit = synchronized {
+    def overlap: DataFrame = Dedup.overlapFromSketches(currentState, k)
+    protected def foldInto(state: DataFrame,
+        documents: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("source")).orderBy(col("h"))
-      current = current
+      state
         .unionByName(Dedup.sourceSketch(documents, n, k))
         .distinct()
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select(col("source"), col("h"))
-        .localCheckpoint(true)
     }
   }
 
@@ -50,6 +52,7 @@ object StreamSourceSketch {
   def start(documents: DataFrame, table: SketchTable): StreamingQuery =
     documents.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

@@ -29,22 +29,23 @@ import graft.operators.EventsOps
 object StreamSurvival {
 
   /** Running per-user span table. */
-  final class SpanTable(spark: SparkSession) {
+  final class SpanTable(spark: SparkSession)
+      extends StandingTable(spark) {
     import spark.implicits._
-    @volatile private var spansT: DataFrame =
+    protected def emptyState: DataFrame =
       Seq.empty[(Long, Long, Long)].toDF("user_id", "f", "l")
-    def spans: DataFrame = spansT
-    def fold(events: DataFrame): Unit = synchronized {
-      spansT = spansT
+    protected def stateColumns: Seq[String] = Seq("user_id", "f", "l")
+    def spans: DataFrame = currentState
+    protected def foldInto(state: DataFrame,
+        events: DataFrame): DataFrame =
+      state
         .unionByName(events.select(col("user_id"),
           col("ts_ns").as("f"), col("ts_ns").as("l")))
         .groupBy(col("user_id"))
         .agg(min(col("f")).as("f"), max(col("l")).as("l"))
-        .localCheckpoint(true)
-    }
     /** Current KM curve over everything ingested so far. */
     def survival(horizonDays: Long = 1L): DataFrame =
-      EventsOps.survivalFromSpans(spansT, horizonDays)
+      EventsOps.survivalFromSpans(currentState, horizonDays)
   }
 
   /** Stream of event rows (user_id, ts_ns, ...) → continuously-folded
@@ -52,6 +53,7 @@ object StreamSurvival {
   def start(events: DataFrame, table: SpanTable): StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch((batch: DataFrame, _: Long) => table.fold(batch))
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        table.fold(batch, batchId))
       .start()
 }

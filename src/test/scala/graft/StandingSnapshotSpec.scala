@@ -134,6 +134,49 @@ class StandingSnapshotSpec extends SparkSpec {
     assert(rows(drB.psiStat) == rows(drU.psiStat))
   }
 
+  test("migrated tables: hll/survival/groups resume + replay-guard") {
+    import graft.streaming.{StreamGroups, StreamHll, StreamSurvival}
+    // HLL (max-merge) and spans (min/max) absorb replays anyway; the
+    // guard must still hold the watermark through save/load
+    val ev = Tables.events(spark, sf0001).limit(300)
+    val e0 = ev.filter(col("event_id") % 2 === 0)
+    val e1 = ev.filter(col("event_id") % 2 === 1)
+    val hllA = new StreamHll.HllTable(spark)
+    hllA.fold(e0, 0L)
+    val hSnap = tmp("hll_snap"); hllA.save(hSnap)
+    val hllB = new StreamHll.HllTable(spark)
+    hllB.load(hSnap)
+    assert(hllB.lastFolded == 0L)
+    hllB.fold(e0, 0L); hllB.fold(e1, 1L)
+    val hllU = new StreamHll.HllTable(spark)
+    hllU.fold(e0, 0L); hllU.fold(e1, 1L)
+    assert(rows(hllB.estimate) == rows(hllU.estimate))
+
+    val svA = new StreamSurvival.SpanTable(spark)
+    svA.fold(e0, 0L)
+    val sSnap = tmp("sv_snap"); svA.save(sSnap)
+    val svB = new StreamSurvival.SpanTable(spark)
+    svB.load(sSnap); svB.fold(e0, 0L); svB.fold(e1, 1L)
+    val svU = new StreamSurvival.SpanTable(spark)
+    svU.fold(e0, 0L); svU.fold(e1, 1L)
+    assert(rows(svB.spans) == rows(svU.spans))
+
+    // groups: the ITERATIVE min-label merge — a replayed pair batch is
+    // not idempotent damage-free in general, so the guard has teeth
+    val p0 = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val p1 = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val gA = new StreamGroups.GroupTable(spark)
+    gA.fold(p0, 0L)
+    val gSnap = tmp("grp_snap"); gA.save(gSnap)
+    val gB = new StreamGroups.GroupTable(spark)
+    gB.load(gSnap); gB.fold(p0, 0L); gB.fold(p1, 1L)
+    val gU = new StreamGroups.GroupTable(spark)
+    gU.fold(p0, 0L); gU.fold(p1, 1L)
+    assert(rows(gB.groups) == rows(gU.groups))
+    assert(gB.groups.collect().map(_.getLong(1)).toSet == Set(1L),
+      "1-2-3-4 must merge to rep 1 after the bridging pair")
+  }
+
   test("pre-watermark snapshot (no sidecar) loads as position -1") {
     val b = Seq((1L, "t", "en", "s1")).toDF("doc_id", "text", "lang", "source")
     val t = new StreamDpCounts.CellTable(spark)
