@@ -1181,6 +1181,40 @@ object EventsOps {
     * epoch-week indices (us DIV week) so bucketing is engine-exact; the
     * per-user first week is a min window on the same user_id shuffle the
     * distinct rides; the final aggregate is cohorts×offsets-sized. */
+  /** DAU / trailing-WAU STICKINESS — the classic product-engagement
+    * ratio (DAU/WAU, "how many of this week's actives came back
+    * today"): per active day, the distinct daily actives, the distinct
+    * actives over the trailing 7 days ending that day, and the
+    * integral micro ratio. Early days read against a window truncated
+    * at stream start (day 0's trailing week IS day 0), the standard
+    * convention.
+    *
+    * Shape at 100 TB: the corpus collapses to the distinct (day, user)
+    * relation (one map-combined shuffle — days × actives, the activity
+    * matrix a product warehouse materializes anyway); the trailing
+    * window is a map-side 7-day explode of that relation, NOT a
+    * per-day self-join (each pair contributes to the ≤ 7 target days
+    * it is visible from), distinct'd and counted per day. Day-bounded
+    * output. */
+  def dauStickiness(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val dayUser = events
+      .select(expr(s"(ts_ns div 1000) div $dayUs").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = dayUser.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_micro"))
+      .orderBy(col("day"))
+  }
+
   def retentionCohorts(events: DataFrame): DataFrame = {
     val weekUs = 604800000000L // 7·24·3600·1e6
     val w = Window.partitionBy(col("user_id"))

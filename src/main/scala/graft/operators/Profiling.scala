@@ -267,6 +267,58 @@ object Profiling {
     * (max·keys + rows − 1) div rows, no floats — so the oracle replays
     * it exactly. One key-shuffle to the count table, then a 1-row
     * aggregate: the audit costs what one side of the join costs. */
+  /** REFERENTIAL-INTEGRITY audit — per foreign-key edge: child rows
+    * (and distinct keys) whose parent is missing, with the integral
+    * micro orphan rate. The post-curation read every multi-table
+    * pipeline needs: a parent-side delete (dedup, PII purge, retention)
+    * silently strands child rows, and the damage must be measured
+    * BEFORE a training join drops or fabricates them.
+    *
+    * Shape at 100 TB: per edge, the child collapses to its per-key
+    * count table (map-side combined, key column only — pushdown prunes
+    * the scan to one column), the parent to its distinct key set; the
+    * anti-join is keys-sized on both sides, never row-level, and each
+    * edge's verdict is a 1-row aggregate. */
+  def fkOrphans(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    edges.map { case (name, child, fk, parent, pk) =>
+      val counts = child.select(col(fk).as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val orphans = counts
+        .join(parent.select(col(pk).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("cnt")), lit(0L)).cast("long")
+            .as("n_orphan_rows"),
+          count(lit(1)).as("n_orphan_keys"))
+      val total = child.agg(count(lit(1)).as("n_child_rows"))
+      total.crossJoin(broadcast(orphans))
+        .select(lit(name).as("edge"), col("n_child_rows"),
+          col("n_orphan_rows"), col("n_orphan_keys"),
+          expr("CASE WHEN n_child_rows > 0 THEN" +
+            " n_orphan_rows * 1000000 div n_child_rows" +
+            " ELSE NULL END").as("orphan_micro"))
+    }.reduce(_.unionByName(_)).orderBy(col("edge"))
+
+  /** KEY-UNIQUENESS audit — for each candidate key (possibly
+    * composite): row count, distinct-key count, duplicate-row count
+    * and the is-key verdict. The schema-contract read that separates
+    * true identifiers from almost-keys before anything dedups,
+    * upserts or joins on them. One exact count-distinct per candidate
+    * (two-phase partial agg); candidate-cardinality output. */
+  def keyUniqueness(
+      candidates: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+    candidates.map { case (name, df, cols) =>
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(cols.head), cols.tail.map(col): _*)
+          .as("n_keys"))
+        .select(lit(name).as("candidate"), col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("n_dup_rows"),
+          when(col("n_rows") === col("n_keys"), 1L).otherwise(0L)
+            .as("is_key"))
+    }.reduce(_.unionByName(_)).orderBy(col("candidate"))
+
   def skewAudit(df: DataFrame, key: String): DataFrame =
     skewAuditFrom(
       df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt")))

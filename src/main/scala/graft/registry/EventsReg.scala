@@ -48,6 +48,11 @@ private[graft] object EventsReg {
       EventsOps.survivalRetention(Tables.events(s, dir))),
     "retention_cohorts" -> ((s, dir) =>
       EventsOps.retentionCohorts(Tables.events(s, dir))),
+    // DAU / trailing-WAU stickiness: the engagement ratio off the
+    // distinct (day, user) activity matrix; trailing window via a
+    // map-side 7-day explode, never a per-day self-join
+    "dau_stickiness" -> ((s, dir) =>
+      EventsOps.dauStickiness(Tables.events(s, dir))),
     "revenue_share" -> ((s, dir) => Relational.revenueShare(
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "integrity_checksum" -> ((s, dir) =>
@@ -449,6 +454,25 @@ private[graft] object EventsReg {
         |)
         |SELECT CAST(conc AS BIGINT) AS max_concurrent, us AS at_us
         |FROM r ORDER BY conc DESC, us LIMIT 1""".stripMargin,
+    // DAU/WAU stickiness: trailing-7 membership stated as the range
+    // join over present days (≡ the Spark side's 7-day explode after
+    // the inner join restricts to active days); integer micro ratio.
+    "dau_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1
+        |), sp AS (
+        |  SELECT DISTINCT t.day, d.user_id
+        |  FROM du d JOIN (SELECT DISTINCT day FROM du) t
+        |    ON t.day BETWEEN d.day AND d.day + 6
+        |), wau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM sp GROUP BY 1
+        |)
+        |SELECT d.day, d.dau, w.wau,
+        |  d.dau * 1000000 // w.wau AS stickiness_micro
+        |FROM dau d JOIN wau w USING (day) ORDER BY 1""".stripMargin,
     // Kaplan–Meier: integer day lifetimes, horizon-censored (1 day),
     // reverse-cumulative at-risk, micro-floored ln factors prefix-
     // summed in BIGINT; surv6 = one final exp/round; d = n_risk

@@ -15,6 +15,46 @@ private[graft] object RelationalReg {
   // ── Relational breadth (SURVEY §2 extension: joins/topk/distinct/window) ──
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, dir) => Relational.q1Pricing(Tables.lineitem(s, dir))),
+    // referential-integrity audit AFTER a parent-side curation delete
+    // (parents with key ≡ 0 mod 97 removed, mirrored in the oracle) —
+    // the sibling of the clean-state fk_orphans row: that one proves
+    // integrity holds, this one proves the DAMAGE measurement works
+    // (rates, stranded-key counts) when it does not
+    "fk_orphans_curated" -> { (s, dir) =>
+      import graft.operators.Profiling
+      def del(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.filter(pmod(col(k), lit(97)) =!= 0)
+      Profiling.fkOrphans(Seq(
+        ("customer_nation", Tables.customer(s, dir), "c_nationkey",
+          del(Tables.nation(s, dir), "n_nationkey"), "n_nationkey"),
+        ("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+          del(Tables.orders(s, dir), "o_orderkey"), "o_orderkey"),
+        ("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+          del(Tables.part(s, dir), "p_partkey"), "p_partkey"),
+        ("lineitem_supplier", Tables.lineitem(s, dir), "l_suppkey",
+          del(Tables.supplier(s, dir), "s_suppkey"), "s_suppkey"),
+        ("nation_region", Tables.nation(s, dir), "n_regionkey",
+          del(Tables.region(s, dir), "r_regionkey"), "r_regionkey"),
+        ("orders_customer", Tables.orders(s, dir), "o_custkey",
+          del(Tables.customer(s, dir), "c_custkey"), "c_custkey"),
+        ("supplier_nation", Tables.supplier(s, dir), "s_nationkey",
+          del(Tables.nation(s, dir), "n_nationkey"), "n_nationkey")))
+    },
+    // key-uniqueness audit: true identifiers next to almost-keys, so
+    // the dup counting is exercised, not vacuous
+    "key_uniqueness" -> { (s, dir) =>
+      import graft.operators.Profiling
+      Profiling.keyUniqueness(Seq(
+        ("customer_c_custkey", Tables.customer(s, dir), Seq("c_custkey")),
+        ("documents_doc_id", Tables.documents(s, dir), Seq("doc_id")),
+        ("events_event_id", Tables.events(s, dir), Seq("event_id")),
+        ("lineitem_l_orderkey", Tables.lineitem(s, dir),
+          Seq("l_orderkey")),
+        ("lineitem_pk", Tables.lineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber")),
+        ("orders_o_custkey", Tables.orders(s, dir), Seq("o_custkey")),
+        ("orders_o_orderkey", Tables.orders(s, dir), Seq("o_orderkey"))))
+    },
     "q3_shipping" -> ((s, dir) => Relational.q3Shipping(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q5_region_revenue" -> ((s, dir) => Relational.q5RegionRevenue(
@@ -91,6 +131,64 @@ private[graft] object RelationalReg {
     // Money arithmetic in exact DECIMAL (2-dp sources) then cast to double —
     // identical across engines regardless of float summation order.
     "q1_pricing" -> Q1PricingSql,
+    // FK-orphan audit: per edge, child key-counts anti-joined against
+    // the seeded-delete parent key set (key ≡ 0 mod 97 removed — the
+    // gate's mirrored curation delete), rates on the micro grid
+    "fk_orphans_curated" -> {
+      val edges = Seq(
+        ("customer_nation", "customer", "c_nationkey", "nation",
+          "n_nationkey"),
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_supplier", "lineitem", "l_suppkey", "supplier",
+          "s_suppkey"),
+        ("nation_region", "nation", "n_regionkey", "region",
+          "r_regionkey"),
+        ("orders_customer", "orders", "o_custkey", "customer",
+          "c_custkey"),
+        ("supplier_nation", "supplier", "s_nationkey", "nation",
+          "n_nationkey"))
+      val parts = edges.map { case (e, c, fk, p, pk) =>
+        s"""SELECT '$e' AS edge,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $c) AS n_child_rows,
+           |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_orphan_rows,
+           |  CAST(count(*) AS BIGINT) AS n_orphan_keys
+           |FROM (SELECT $fk AS k, count(*) AS cnt FROM $c
+           |      WHERE $fk IS NOT NULL GROUP BY 1) ch
+           |WHERE NOT EXISTS (SELECT 1 FROM $p
+           |      WHERE $pk % 97 <> 0 AND $pk = ch.k)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT edge, n_child_rows, n_orphan_rows, n_orphan_keys,
+         |  CASE WHEN n_child_rows > 0 THEN
+         |    n_orphan_rows * 1000000 // n_child_rows ELSE NULL END
+         |    AS orphan_micro
+         |FROM (
+         |$parts
+         |) ORDER BY edge""".stripMargin
+    },
+    // key-uniqueness audit: one exact count-distinct per candidate
+    "key_uniqueness" -> {
+      val cands = Seq(
+        ("customer_c_custkey", "customer", Seq("c_custkey")),
+        ("documents_doc_id", "documents", Seq("doc_id")),
+        ("events_event_id", "events", Seq("event_id")),
+        ("lineitem_l_orderkey", "lineitem", Seq("l_orderkey")),
+        ("lineitem_pk", "lineitem", Seq("l_orderkey", "l_linenumber")),
+        ("orders_o_custkey", "orders", Seq("o_custkey")),
+        ("orders_o_orderkey", "orders", Seq("o_orderkey")))
+      cands.map { case (name, t, cols) =>
+        val d = if (cols.length == 1) cols.head
+          else s"(${cols.mkString(", ")})"
+        s"""SELECT '$name' AS candidate,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT $d) AS BIGINT) AS n_keys,
+           |  CAST(count(*) - count(DISTINCT $d) AS BIGINT) AS n_dup_rows,
+           |  CAST(CASE WHEN count(*) = count(DISTINCT $d)
+           |    THEN 1 ELSE 0 END AS BIGINT) AS is_key
+           |FROM $t""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+    },
     "q1_pricing_sql" -> Q1PricingSql,
     "q6_forecast_sql" -> Q6ForecastSql,
     "q3_shipping" ->
