@@ -1196,12 +1196,23 @@ object EventsOps {
     * per-day self-join (each pair contributes to the ≤ 7 target days
     * it is visible from), distinct'd and counted per day. Day-bounded
     * output. */
-  def dauStickiness(events: DataFrame): DataFrame = {
-    val dayUs = 86400000000L
-    val dayUser = events
-      .select(expr(s"(ts_ns div 1000) div $dayUs").as("day"),
+  def dauStickiness(events: DataFrame): DataFrame =
+    dauStickinessFrom(dayUserMatrix(events))
+
+  /** The distinct (day, user) activity matrix — the standing relation
+    * the stickiness readout (and its streaming twin) fold against;
+    * distinct-union mergeable, so at-least-once redelivery is absorbed
+    * by construction. */
+  def dayUserMatrix(events: DataFrame): DataFrame =
+    events
+      .select(expr("(ts_ns div 1000) div 86400000000").as("day"),
         col("user_id"))
       .distinct()
+
+  /** The readout half over a (possibly standing) activity matrix —
+    * shared verbatim with `StreamDau`, so streamed ≡ batch by
+    * construction. */
+  def dauStickinessFrom(dayUser: DataFrame): DataFrame = {
     val dau = dayUser.groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
     val wau = dayUser
