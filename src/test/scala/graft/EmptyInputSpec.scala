@@ -44,6 +44,11 @@ class EmptyInputSpec extends SparkSpec {
           val expect: Long => Boolean = name match {
             case _ if oneRowAggregates(name) => _ == 1L
             case "fk_orphans" => _ == 7L // one summary row per FK edge
+            case "fk_orphans_curated" => _ == 7L // one row per FK edge
+            case "key_uniqueness" => _ == 7L // one row per candidate key
+            // the rung spine: per-rung ungrouped aggregates (metrics
+            // NULL on an empty corpus — no query vectors to sweep)
+            case "ivf_probe_sweep" => _ == 4L
             case "filter_attribution" => _ == 4L // one row per gate
             case "reshard_plan" => _ == 2L // one summary row per scheme
             case "markov_attribution" => _ == 4L // one row per channel
