@@ -1226,6 +1226,25 @@ object EventsOps {
       .orderBy(col("day"))
   }
 
+  /** EVENT-CONCENTRATION audit — exact Gini coefficient of per-user
+    * event counts plus the top-decile share: the "do 10% of users
+    * generate 90% of traffic" read that decides rate limits, sampling
+    * strata and whether per-user state will skew (a Gini near 1 says
+    * the hottest keys ARE the workload). Gini via the rank identity
+    * G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc) over counts ranked ascending
+    * (ties by user_id — deterministic), on the micro grid with the
+    * wide-decimal products both engines share (2·Σ(i·c)·10⁶ passes 2⁶³
+    * exactly at the event volumes this exists for). Numerator is
+    * provably nonnegative under ascending rank, so floor division is
+    * engine-identical.
+    *
+    * Shape at 100 TB: the corpus collapses to per-user counts (one
+    * map-combined shuffle); the rank window runs over that AGGREGATE
+    * (user-cardinality, never events), and the verdict is one row. */
+  def userGini(events: DataFrame): DataFrame =
+    Profiling.giniFrom(events.groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("cnt")))
+
   def retentionCohorts(events: DataFrame): DataFrame = {
     val weekUs = 604800000000L // 7·24·3600·1e6
     val w = Window.partitionBy(col("user_id"))

@@ -267,6 +267,39 @@ object Profiling {
     * (max·keys + rows − 1) div rows, no floats — so the oracle replays
     * it exactly. One key-shuffle to the count table, then a 1-row
     * aggregate: the audit costs what one side of the join costs. */
+  /** CONCENTRATION report over a (k, cnt) mass relation — exact Gini
+    * via the rank identity G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc) with
+    * counts ranked ascending (ties by k — deterministic) plus the
+    * top-decile mass share; the shared core of `user_gini` (events per
+    * user) and `source_gini` (corpus chars per source). Wide-decimal
+    * products mirror the oracle's HUGEINT; the numerator is provably
+    * nonnegative under ascending rank, so floor division is
+    * engine-identical. The rank window runs over the AGGREGATE
+    * (key-cardinality, never the raw rows); one-row verdict. */
+  def giniFrom(keyCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.orderBy(col("cnt").asc, col("k").asc)
+    keyCounts
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(lit(1))))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).cast("long").as("total"),
+        sum(expr("CAST(rk AS DECIMAL(38,0)) * cnt")).as("wsum"),
+        // top decile = the ceil(n/10) highest-ranked keys
+        sum(when(expr("rk > n - (n + 9) div 10"), col("cnt"))
+          .otherwise(0L)).cast("long").as("top_cnt"))
+      .select(col("n_keys"), col("total"),
+        expr("CASE WHEN n_keys > 0 AND total > 0 THEN" +
+          " CAST((2 * wsum * 1000000 -" +
+          " CAST(n_keys + 1 AS DECIMAL(38,0)) * total * 1000000)" +
+          " div (CAST(n_keys AS DECIMAL(38,0)) * total)" +
+          " AS BIGINT) ELSE NULL END").as("gini_micro"),
+        expr("CASE WHEN total > 0 THEN" +
+          " CAST(top_cnt * 1000000 div total AS BIGINT)" +
+          " ELSE NULL END").as("top_decile_share_micro"))
+  }
+
   /** REFERENTIAL-INTEGRITY audit — per foreign-key edge: child rows
     * (and distinct keys) whose parent is missing, with the integral
     * micro orphan rate. The post-curation read every multi-table

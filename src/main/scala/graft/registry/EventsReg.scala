@@ -53,6 +53,10 @@ private[graft] object EventsReg {
     // map-side 7-day explode, never a per-day self-join
     "dau_stickiness" -> ((s, dir) =>
       EventsOps.dauStickiness(Tables.events(s, dir))),
+    // event-concentration audit: exact Gini (rank identity, ascending
+    // (cnt, user_id) order) + top-decile share over the per-user counts
+    "user_gini" -> ((s, dir) =>
+      EventsOps.userGini(Tables.events(s, dir))),
     "revenue_share" -> ((s, dir) => Relational.revenueShare(
       Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "integrity_checksum" -> ((s, dir) =>
@@ -454,6 +458,32 @@ private[graft] object EventsReg {
         |)
         |SELECT CAST(conc AS BIGINT) AS max_concurrent, us AS at_us
         |FROM r ORDER BY conc DESC, us LIMIT 1""".stripMargin,
+    // Event-concentration: the same ascending (cnt, user_id) rank, the
+    // Gini rank identity through HUGEINT (mirrors the Spark side's
+    // DECIMAL(38,0) widening), nonnegative numerator ⇒ floor division
+    // is engine-identical; top decile = ceil(n/10) highest ranks.
+    "user_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt, user_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM c
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST((2 * CAST(sum(rk * cnt) AS HUGEINT) * 1000000
+        |    - CAST(max(n) + 1 AS HUGEINT) * CAST(sum(cnt) AS BIGINT)
+        |      * 1000000)
+        |    // (CAST(max(n) AS HUGEINT) * CAST(sum(cnt) AS BIGINT))
+        |    AS BIGINT) AS gini_micro,
+        |  CAST(CAST(sum(CASE WHEN rk > n - (n + 9) // 10
+        |      THEN cnt ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(cnt) AS BIGINT) AS BIGINT)
+        |    AS top_decile_share_micro
+        |FROM r""".stripMargin,
     // DAU/WAU stickiness: trailing-7 membership stated as the range
     // join over present days (≡ the Spark side's 7-day explode after
     // the inner join restricts to active days); integer micro ratio.

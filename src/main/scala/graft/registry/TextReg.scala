@@ -15,6 +15,16 @@ private[graft] object TextReg {
   // ── Text analysis ──
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(Tables.documents(s, dir))),
+    // corpus-mix concentration: exact Gini + top-decile share of char
+    // MASS across sources — the "is one domain the corpus" read a
+    // mixing plan takes before weighting (the giniFrom shared core)
+    "source_gini" -> ((s, dir) => {
+      import graft.operators.Profiling
+      Profiling.giniFrom(Tables.documents(s, dir)
+        .groupBy(col("source").as("k"))
+        .agg(sum(coalesce(col("n_chars"), lit(0L))).cast("long")
+          .as("cnt")))
+    }),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "quality_by_source" -> ((s, dir) =>
       TextAnalysis.qualityBySource(Tables.documents(s, dir))),
@@ -878,6 +888,31 @@ private[graft] object TextReg {
         |FROM picks p JOIN targets t USING (source)
         |WHERE p.pick_rank <= t.target
         |ORDER BY doc_id""".stripMargin,
+    // Corpus-mix Gini: the user_gini rank-identity chain over per-source
+    // char mass (HUGEINT widening, ascending (cnt, k) rank).
+    "source_gini" ->
+      """WITH c AS (
+        |  SELECT source AS k,
+        |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT k, cnt,
+        |    row_number() OVER (ORDER BY cnt, k) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM c
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST((2 * CAST(sum(rk * cnt) AS HUGEINT) * 1000000
+        |    - CAST(max(n) + 1 AS HUGEINT) * CAST(sum(cnt) AS BIGINT)
+        |      * 1000000)
+        |    // (CAST(max(n) AS HUGEINT) * CAST(sum(cnt) AS BIGINT))
+        |    AS BIGINT) AS gini_micro,
+        |  CAST(CAST(sum(CASE WHEN rk > n - (n + 9) // 10
+        |      THEN cnt ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(cnt) AS BIGINT) AS BIGINT)
+        |    AS top_decile_share_micro
+        |FROM r""".stripMargin,
     "token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) AS n_ws_tokens,

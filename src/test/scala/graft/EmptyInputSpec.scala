@@ -36,7 +36,8 @@ class EmptyInputSpec extends SparkSpec {
     val oneRowAggregates = Set("funnel_steps", "funnel_window",
       "q6_forecast", "q6_forecast_sql", "q14_promo_share",
       "q17_small_quantity", "q19_disjunctive", "conversion_rate_1h",
-      "blocking_quality", "join_size_audit", "skew_audit")
+      "blocking_quality", "join_size_audit", "skew_audit",
+      "user_gini", "source_gini")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

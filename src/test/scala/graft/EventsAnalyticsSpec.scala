@@ -441,6 +441,30 @@ class EventsAnalyticsSpec extends SparkSpec {
       "supplier.nation" -> ((1L, 0L))))
   }
 
+  test("giniFrom: uniform mass scores 0, full concentration scores (n-1)/n, decile exact") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    def gini(rows: Seq[(String, Long)]): (Long, Long, Long, Long) = {
+      val r = Profiling.giniFrom(rows.toDF("k", "cnt")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // perfectly uniform: gini 0; top decile of 10 keys = 1 key = 10%
+    val u = gini((1 to 10).map(i => (s"k$i", 100L)))
+    assert(u == ((10L, 1000L, 0L, 100000L)), s"uniform: $u")
+    // all mass on one key: gini = (n-1)/n = 0.9; top decile holds it all
+    val c = gini(("hot", 1000L) +: (1 to 9).map(i => (s"k$i", 0L)))
+    assert(c == ((10L, 1000L, 900000L, 1000000L)), s"concentrated: $c")
+    // 80/20 hand case, n=5: counts (5,5,5,5,80) → G = 0.6 exactly
+    val p = gini(Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L),
+      ("e", 80L)))
+    assert(p._3 == 600000L && p._4 == 800000L, s"pareto: $p")
+    // user_gini rides the same core over per-user event counts
+    val ev = Tables.events(spark, sf0001)
+    val got = graft.operators.EventsOps.userGini(ev).collect()(0)
+    assert(got.getLong(0) > 0 && got.getLong(2) >= 0 &&
+      got.getLong(2) < 1000000L)
+  }
+
   test("benfordValues: cents-string digit extraction, restored grid, micro reference") {
     // digits: 1.00→100→1, 0.19→19→1, 2.50→250→2, 0.05→5→5; the 0.0
     // row is excluded. log10 masses: d1 301029, d2 176091, d5 79181,
