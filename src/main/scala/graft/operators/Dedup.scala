@@ -673,18 +673,25 @@ object Dedup {
     * rebuild (the IVF re-cluster analog). */
   private[graft] def chunkIndexRelations(corpus: DataFrame,
       window: Int, stride: Int, bands: Int, rowsPerBand: Int,
-      maxDf: Long, frozenHot: Option[DataFrame] = None)
+      maxDf: Long, frozenHot: Option[DataFrame] = None,
+      cp: DataFrame => DataFrame = identity)
       : (DataFrame, DataFrame, DataFrame) = {
     val reps = chunkReps(corpus, window, stride)
-    val post0 = postings(reps, 3)
-    val hot = frozenHot.getOrElse(
+    // `cp` is the caller's materialization seam (identity by default;
+    // Memo.chunkIndexFor passes a pinned localCheckpoint so the gated
+    // probe never re-shingles the corpus): each stage checkpoints in
+    // DEPENDENCY order, so hot/post/sigs build off the materialized
+    // postings, not three re-derivations of the shingle explosion.
+    val post0 = cp(postings(reps, 3))
+    val hot = cp(frozenHot.getOrElse(
       post0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select(col("sh")))
-    val post = post0.join(broadcast(hot.select(col("sh"))),
-      Seq("sh"), "left_anti")
-    val sigs = lshBucketsFromSigs(
+        .filter(col("df") > maxDf).select(col("sh"))))
+    val post = cp(post0.join(broadcast(hot.select(col("sh"))),
+      Seq("sh"), "left_anti"))
+    val sigs = cp(lshBucketsFromSigs(
       minhashSignaturesFrom(post, bands * rowsPerBand), bands, rowsPerBand)
-      .select(col("doc_id").as("cid"), col("n_sh"), col("band"), col("bh"))
+      .select(col("doc_id").as("cid"), col("n_sh"), col("band"),
+        col("bh")))
     (sigs, post.select(col("doc_id").as("cid"), col("sh")), hot)
   }
 
@@ -711,6 +718,20 @@ object Dedup {
       .select(col("a.doc_id").as("new_id"), col("b.cid").as("corpus_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
+      // SELF-EXCLUSION (doc granularity): index chunks whose doc id is
+      // ANY of the probing batch's doc ids can only exist via an
+      // at-least-once REPLAY after the batch's own append (the
+      // admitting loop appends after the probe; doc ids are unique per
+      // ingest otherwise). Without the cut a crash-replayed
+      // micro-batch self-flags every chunk at jaccard 1.0 and
+      // cross-flags its own batch-internal near-dups — the replayed
+      // gate decision would differ from the original run. The batch's
+      // doc-id set is broadcast; candidates are batch-bounded, so the
+      // anti-join is output-sized.
+      .join(broadcast(
+          newDocs.select(col("doc_id").as("corpus_doc")).distinct()),
+        expr(s"corpus_id div $ChunkIdBase") === col("corpus_doc"),
+        "left_anti")
     cand
       .join(postNew.select(col("doc_id").as("new_id"), col("sh")),
         "new_id")
@@ -763,6 +784,15 @@ object Dedup {
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .distinct()
+      // self-exclusion: corpus rows carrying ANY of the probing batch's
+      // doc ids can only be the batch re-probed after its own admission
+      // (at-least-once replay) — without the cut a replayed batch
+      // self-flags at jaccard 1.0 and cross-flags its batch-internal
+      // near-dups, so the replayed gate decision would differ from the
+      // original run (batch ids broadcast, candidates batch-bounded)
+      .join(broadcast(
+          newDocs.select(col("doc_id").as("corpus_id")).distinct()),
+        Seq("corpus_id"), "left_anti")
     candidates
       .join(postings(newDocs, 3).select(col("doc_id").as("new_id"), col("sh")),
         "new_id")

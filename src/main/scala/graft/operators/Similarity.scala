@@ -24,6 +24,29 @@ import graft.functions.VectorOps._
  */
 object Similarity {
 
+  /** NULLS-LAST heap key for the bounded-heap ANN rank: a zero-norm
+    * vector has undefined cosine (cos = NULL), and [[graft.functions
+    * .TopKRows]] drops null scores outright — whereas the row_number
+    * window these operators replaced ordered `cos DESC NULLS LAST` and
+    * still EMITTED such degenerate candidates when fewer than k finite
+    * ones existed. Mapping NULL to Long.MinValue restores that
+    * contract: MinValue is below every real cosine's order key (its
+    * [[graft.functions.OrderBits]] preimage is negative NaN, which no
+    * cosine in [-1, 1] produces), so degenerate candidates rank last
+    * but are kept. [[keyCos6]] is the readout half, mapping the
+    * sentinel back to a NULL cosine. */
+  private def nullsLastKey(cos: Column): Column = {
+    import graft.functions.OrderBits.order_bits
+    coalesce(order_bits(cos), lit(Long.MinValue))
+  }
+
+  /** Readout of [[nullsLastKey]]: the 6-dp cosine, NULL for the
+    * degenerate-candidate sentinel. */
+  private def keyCos6(key: Column): Column = {
+    import graft.functions.OrderBits.bits_order
+    when(key =!= Long.MinValue, round(bits_order(key), 6))
+  }
+
   /** Exact brute-force cosine top-k for a fixed set of query vectors.
     * Output: (query_id, rank, neighbor_id, cos6) — ints plus a 6-dp cosine.
     *
@@ -55,11 +78,11 @@ object Similarity {
         when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
           .as("cos"))
       .groupBy(col("query_id"))
-      .agg(topk_rows(order_bits(col("cos")), col("vec_id"), k).as("top"))
+      .agg(topk_rows(nullsLastKey(col("cos")), col("vec_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"),
-        round(bits_order(col("col.score")), 6).as("cos6"))
+        keyCos6(col("col.score")).as("cos6"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -98,11 +121,11 @@ object Similarity {
         when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
           .as("cos"))
       .groupBy(col("query_id"), col("q_label"))
-      .agg(topk_rows(order_bits(col("cos")), col("vec_id"), k).as("top"))
+      .agg(topk_rows(nullsLastKey(col("cos")), col("vec_id"), k).as("top"))
       .select(col("query_id"), col("q_label"), posexplode(col("top")))
       .select(col("query_id"), col("q_label"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"),
-        round(bits_order(col("col.score")), 6).as("cos6"))
+        keyCos6(col("col.score")).as("cos6"))
     embeddings
       .select(col("vec_id").as("neighbor_id"),
         col("label").as("neighbor_label"))
@@ -151,7 +174,7 @@ object Similarity {
         when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
           .as("cos"))
       .groupBy(col("query_id"), col("true_label"))
-      .agg(topk_rows(order_bits(col("cos")), col("vec_id"), k).as("top"))
+      .agg(topk_rows(nullsLastKey(col("cos")), col("vec_id"), k).as("top"))
       .select(col("query_id"), col("true_label"),
         explode(col("top.id")).as("vec_id"))
     val votes = embeddings.select(col("vec_id"), col("label"))
@@ -1160,6 +1183,18 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
       .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
       .distinct()
+      // SELF-EXCLUSION: index rows carrying ANY of the probing batch's
+      // own ids can only exist via an at-least-once REPLAY after the
+      // batch's own append (the admitting loop appends after the
+      // probe; ids are unique per ingest otherwise). Without the cut a
+      // replayed micro-batch self-flags at cos 1.0 AND cross-flags its
+      // own batch-internal near-dups — either way the replayed gate
+      // decision differs from the original run. The batch id set is
+      // broadcast; candidates are batch-bounded, so the anti-join is
+      // output-sized.
+      .join(broadcast(
+          newVecs.select(col("vec_id").as("corpus_id")).distinct()),
+        Seq("corpus_id"), "left_anti")
     val newSide = newVecs.select(col("vec_id").as("new_id"),
       col("embedding").as("e_a"),
       sqrt(dot(col("embedding"), col("embedding"))).as("n_a"))

@@ -60,6 +60,15 @@ abstract class StandingTable(protected val spark: SparkSession) {
   /** Last stream position folded in (−1 = none carried one yet). */
   final def lastFolded: Long = lastFoldedBatch
 
+  /** Positionless-start mode for feeding a LOADED table from a new
+    * stream checkpoint (whose batchIds restart at 0 and would
+    * otherwise be skipped by the idempotence guard — see [[load]]):
+    * clears the fold watermark so every batch of the new lineage
+    * applies. */
+  final def resetWatermark(): Unit = synchronized {
+    lastFoldedBatch = -1L
+  }
+
   /** Positionless fold — always applies (ad-hoc/batch use). */
   final def fold(batch: DataFrame): Unit = fold(batch, -1L)
 
@@ -81,7 +90,19 @@ abstract class StandingTable(protected val spark: SparkSession) {
   /** Resume from a snapshot: the loaded relation replaces the standing
     * table AND restores the fold watermark, so a replayed
     * already-folded batch is skipped — fold-after-load ≡ uninterrupted
-    * (spec-asserted per table). */
+    * (spec-asserted per table).
+    *
+    * CONTRACT: the restored watermark compares against Structured
+    * Streaming batchIds, which are monotone only within ONE stream
+    * checkpoint lineage. A resumed table must therefore be paired with
+    * the ORIGINAL stream `checkpointLocation`; starting a fresh
+    * checkpoint restarts batchIds at 0 and the guard would silently
+    * skip the first `lastFolded + 1` real batches. To re-feed a loaded
+    * table from a NEW source position instead, call
+    * [[resetWatermark]] after `load` — every batch of the new stream
+    * then applies (positionless-start mode; the data re-fed must be
+    * disjoint from what the snapshot already folded, which is the
+    * caller's source-offset contract, not something state can check). */
   def load(path: String): Unit = synchronized {
     import org.apache.spark.sql.functions.col
     val (df, lb) =
@@ -91,12 +112,18 @@ abstract class StandingTable(protected val spark: SparkSession) {
   }
 
   // checkpoint the new state, release the superseded blocks — the
-  // eager checkpoint no longer references them; state stays one table
+  // eager checkpoint no longer references them; state stays one table.
+  // Block ids are read off the checkpointed plan itself
+  // (GraftBridge.checkpointedRddIds), never by diffing the global
+  // persistent-RDD registry: the diff window could capture a
+  // CONCURRENTLY-folding table's fresh blocks (locks are per-instance)
+  // and a later release here would unpersist the other table's live
+  // state.
   private def setCheckpointed(next: DataFrame): Unit = {
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     currentDf = next.localCheckpoint(true)
-    val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
+    val newBlocks =
+      org.apache.spark.sql.GraftBridge.checkpointedRddIds(currentDf)
     liveBlocks.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     liveBlocks = newBlocks

@@ -88,11 +88,13 @@ object StreamBoilerplate {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
-          val before = spark.sparkContext.getPersistentRDDs.keySet
           val stripped = Dedup.boilerplateStrip(b, table.flagged(minDocs),
             table.blockTokens).localCheckpoint(true)
+          // block ids read off the checkpointed plan itself — exact
+          // attribution, no global registry diff a concurrent fold
+          // could race (GraftBridge.checkpointedRddIds)
           val stripBlocks =
-            spark.sparkContext.getPersistentRDDs.keySet -- before
+            org.apache.spark.sql.GraftBridge.checkpointedRddIds(stripped)
           try {
             sink(stripped, batchId)
             // position-carrying fold: a crash-replayed batch re-strips

@@ -68,10 +68,12 @@ object StreamChunkFuzzyCheck {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
-          val before = spark.sparkContext.getPersistentRDDs.keySet
           val flagged = probe(spark, b, indexPath, window, stride,
             threshold, bands, rowsPerBand).localCheckpoint(true)
-          val blocks = spark.sparkContext.getPersistentRDDs.keySet -- before
+          // exact block attribution off the checkpointed plan — no
+          // global registry diff a concurrent fold could race
+          val blocks =
+            org.apache.spark.sql.GraftBridge.checkpointedRddIds(flagged)
           try {
             sink(flagged, batchId)
             ChunkStore.appendBandIndex(b, indexPath, window, stride,

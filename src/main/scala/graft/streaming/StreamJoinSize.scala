@@ -60,12 +60,11 @@ object StreamJoinSize {
       * the new state no longer references them). */
     def fold(batchKeys: DataFrame, batchId: Long): Unit = synchronized {
       if (batchId >= 0 && batchId <= lastFoldedBatch) return
+      import org.apache.spark.sql.GraftBridge.checkpointedRddIds
       val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
       val bk = batchKeys
         .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
-      val bkBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
       keyTable = keyTable.unionByName(bk)
         .groupBy(col("k")).agg(sum(col("cnt")).cast("long").as("cnt"))
         .localCheckpoint(true)
@@ -73,9 +72,12 @@ object StreamJoinSize {
         .groupBy(col("seed"), col("pos"))
         .agg(sum(col("cnt")).cast("long").as("cnt"))
         .localCheckpoint(true)
+      // block ids read off each checkpointed plan — exact attribution,
+      // no global registry diff a concurrent fold could race
+      // (GraftBridge.checkpointedRddIds)
       val newBlocks =
-        (sc.getPersistentRDDs.keySet -- before -- bkBlocks).toSet
-      (bkBlocks ++ liveBlocks).foreach(id =>
+        checkpointedRddIds(keyTable) ++ checkpointedRddIds(cellTable)
+      (checkpointedRddIds(bk) ++ liveBlocks).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       liveBlocks = newBlocks
       if (batchId >= 0) lastFoldedBatch = batchId
@@ -91,8 +93,8 @@ object StreamJoinSize {
     /** Resume both relations + the watermark from a snapshot;
       * fold-after-load ≡ uninterrupted (the StandingTable contract). */
     def load(path: String): Unit = synchronized {
+      import org.apache.spark.sql.GraftBridge.checkpointedRddIds
       val sc = spark.sparkContext
-      val before = sc.getPersistentRDDs.keySet
       keyTable = graft.store.Snapshot
         .loadPart(spark, path, "keys", emptyKeys.schema)
         .select(col("k"), col("cnt")).localCheckpoint(true)
@@ -100,7 +102,8 @@ object StreamJoinSize {
         .loadPart(spark, path, "cells", emptyCells.schema)
         .select(col("seed"), col("pos"), col("cnt")).localCheckpoint(true)
       lastFoldedBatch = graft.store.Snapshot.lastBatchOf(path)
-      val newBlocks = (sc.getPersistentRDDs.keySet -- before).toSet
+      val newBlocks =
+        checkpointedRddIds(keyTable) ++ checkpointedRddIds(cellTable)
       liveBlocks.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       liveBlocks = newBlocks

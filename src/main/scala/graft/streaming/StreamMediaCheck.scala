@@ -67,10 +67,12 @@ object StreamMediaCheck {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
-          val before = spark.sparkContext.getPersistentRDDs.keySet
           val flagged = probe(spark, b, indexPath, maxDist)
             .localCheckpoint(true)
-          val blocks = spark.sparkContext.getPersistentRDDs.keySet -- before
+          // exact block attribution off the checkpointed plan — no
+          // global registry diff a concurrent fold could race
+          val blocks =
+            org.apache.spark.sql.GraftBridge.checkpointedRddIds(flagged)
           try {
             sink(flagged, batchId)
             MediaStore.appendPhashIndex(b, indexPath)

@@ -29,6 +29,22 @@ import graft.operators.Dedup
  * `SubstrStore.appendWindowCensus`, exactly like the band-state
  * maintenance on the MinHash/semantic sides — [[startAdmitting]] wires
  * that loop so content seen in batch N flags duplicates in batch N+1.
+ *
+ * REPLAY CAVEAT (unique to this family): the census is deliberately
+ * content-addressed — distinct window hashes, NO doc/batch provenance
+ * ([[graft.store.SubstrStore]]) — so unlike the chunk/semantic/media
+ * admitting loops (whose probes self-exclude the probing ids), a
+ * micro-batch REPLAYED after a crash that happened between this loop's
+ * census append and the stream-checkpoint commit will find its own
+ * window hashes in the census and report its docs as fully covered.
+ * The within-batch ordering (probe materialized with truncated lineage
+ * BEFORE the append) makes the normal at-least-once re-SINK safe; only
+ * the append-then-crash window changes a replayed decision. A deployer
+ * who needs strict replay invariance here must commit the gate
+ * decision transactionally with the source offsets (e.g. sink the
+ * checkpointed spans into the same transactional store as the
+ * checkpoint) — id-level self-exclusion is impossible without
+ * forfeiting the census's anonymized, DISTINCT-compactable layout.
  */
 object StreamSubstrCheck {
 
@@ -80,11 +96,12 @@ object StreamSubstrCheck {
           // re-derive. Blocks are released with the batch — a sink
           // still holding the frame after that fails loudly (missing
           // checkpoint data), never silently wrong.
-          val before = spark.sparkContext.getPersistentRDDs.keySet
           val spans = probe(spark, b, censusPath, minLen)
             .localCheckpoint(true)
+          // exact block attribution off the checkpointed plan — no
+          // global registry diff a concurrent fold could race
           val spanBlocks =
-            spark.sparkContext.getPersistentRDDs.keySet -- before
+            org.apache.spark.sql.GraftBridge.checkpointedRddIds(spans)
           try {
             sink(spans, batchId)
             graft.store.SubstrStore.appendWindowCensus(b, censusPath, minLen)

@@ -18,4 +18,19 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Persisted-RDD ids backing a `localCheckpoint`ed DataFrame, read
+    * DIRECTLY from its LogicalRDD plan node. The block-release
+    * bookkeeping in the standing-table folds used to diff the GLOBAL
+    * `sc.getPersistentRDDs` keyset around each checkpoint; two tables
+    * folding concurrently (per-instance locks only) could capture each
+    * other's fresh blocks in that diff and later unpersist the OTHER
+    * table's live checkpointed state — lineage is truncated, so the
+    * victim's next readout dies with a missing-block error. Reading
+    * the id off the checkpointed plan itself makes the attribution
+    * exact with no global window at all. */
+  def checkpointedRddIds(df: Dataset[_]): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: execution.LogicalRDD => l.rdd.id
+    }.toSet
 }

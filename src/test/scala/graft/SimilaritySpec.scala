@@ -18,6 +18,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.last.getDouble(3) == -1.0)  // antipode
   }
 
+  test("zero-norm candidates rank last with NULL cos6 (window NULLS-LAST parity)") {
+    // a zero vector has undefined cosine; the row_number window the
+    // heap rank replaced ordered DESC NULLS LAST and still emitted it
+    // when fewer than k finite candidates existed — the sentinel key
+    // (Similarity.nullsLastKey) preserves exactly that contract
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 0.0f), 0),  // degenerate: zero norm
+      (3L, Array(-1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.annBruteForce(vecs, queryIds = Seq(0L), k = 10)
+      .collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 3L, 2L),
+      "the degenerate candidate is kept and ranks below every finite cosine")
+    assert(got.last.isNullAt(3), "undefined cosine reads back as NULL")
+    assert(!got(0).isNullAt(3) && !got(1).isNullAt(3))
+  }
+
   test("hardNegatives: same-label near-misses are excluded from the ranking") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),

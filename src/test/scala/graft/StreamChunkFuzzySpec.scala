@@ -65,6 +65,23 @@ class StreamChunkFuzzySpec extends SparkSpec {
       "batch 0's admitted chunks must flag the identical re-send at 1.0")
   }
 
+  test("crash replay: a batch re-probed after its own append decides identically") {
+    val docs = Tables.documents(spark, sf0001)
+    val corp = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val path = tmp("graft_chunkstore_replay")
+    ChunkStore.writeBandIndex(corp, path)
+    val original = rows(StreamChunkFuzzyCheck.probe(spark, batch, path))
+    // the at-least-once crash point: the pre-crash run appended the
+    // batch's own chunks to the index, then the stream checkpoint
+    // commit was lost — the replay probes an index already holding them
+    ChunkStore.appendBandIndex(batch, path)
+    val replayed = rows(StreamChunkFuzzyCheck.probe(spark, batch, path))
+    assert(replayed == original,
+      "a replayed batch must not self-flag against its own admitted chunks")
+  }
+
   test("compaction: redelivered appends absorbed, probe invariant, crash recovers") {
     val docs = Tables.documents(spark, sf0001)
     val corp = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)

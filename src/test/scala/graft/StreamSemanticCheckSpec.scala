@@ -89,4 +89,23 @@ class StreamSemanticCheckSpec extends SparkSpec {
         Seq((9009L, v7._2)).toDF("vec_id", "embedding"), path)
       .filter(col("corpus_id") === 7L).count() == 1L)
   }
+
+  test("crash replay: a batch re-probed after its own append decides identically") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val corp = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sem_replay_spec").toString
+    EmbeddingStore.writeBanded(corp, path)
+    def probe() = StreamSemanticCheck.probe(spark, batch, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val original = probe()
+    // the at-least-once crash point: the pre-crash run appended the
+    // batch's own signatures, then the stream checkpoint commit was
+    // lost — the replay probes an index already holding them
+    EmbeddingStore.appendBanded(batch, path)
+    assert(probe() == original,
+      "a replayed batch must not self-flag at cos 1.0 against itself")
+  }
 }
