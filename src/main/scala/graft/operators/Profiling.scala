@@ -274,21 +274,47 @@ object Profiling {
     * user) and `source_gini` (corpus chars per source). Wide-decimal
     * products mirror the oracle's HUGEINT; the numerator is provably
     * nonnegative under ascending rank, so floor division is
-    * engine-identical. The rank window runs over the AGGREGATE
-    * (key-cardinality, never the raw rows); one-row verdict. */
+    * engine-identical.
+    *
+    * SCALE SHAPE — the rank is never materialized per key: every
+    * emitted stat is a function of rank RANGES, so the whole report
+    * assembles from the COUNT HISTOGRAM (group by `cnt`; distinct
+    * count values — a bounded domain — not key cardinality, which at
+    * 100× is ~10⁹ users through what used to be ONE row_number task).
+    * A count value c held by m keys occupies the contiguous ascending
+    * rank range (start, start+m]; the (cnt, k) tiebreak permutes ranks
+    * only WITHIN that range, so
+    *   Σ rk·cnt  = Σ_c c·(m·start + m(m+1)/2)   (arithmetic series)
+    *   top-decile cut = per-range overlap with ranks > n − ceil(n/10)
+    * — both exact, key-order-free. The only windows left (cumulative m
+    * and the global n) run over the histogram AGGREGATE, the same
+    * bounded-relation shape as `lengthDecilesFromHist`; the
+    * unpartitioned-window-over-data anti-pattern is gone
+    * (plan-asserted in GiniPlanSpec). */
   def giniFrom(keyCounts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wRank = Window.orderBy(col("cnt").asc, col("k").asc)
-    keyCounts
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy(lit(1))))
-      .agg(count(lit(1)).as("n_keys"),
-        sum(col("cnt")).cast("long").as("total"),
-        sum(expr("CAST(rk AS DECIMAL(38,0)) * cnt")).as("wsum"),
-        // top decile = the ceil(n/10) highest-ranked keys
-        sum(when(expr("rk > n - (n + 9) div 10"), col("cnt"))
-          .otherwise(0L)).cast("long").as("top_cnt"))
+    val hist = keyCounts.groupBy(col("cnt"))
+      .agg(count(lit(1)).cast("long").as("m"))
+    val wCum = Window.orderBy(col("cnt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      // endr = rank of the LAST key holding this count value
+      .withColumn("endr", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(Window.partitionBy(lit(1))))
+      // keys of this range inside the top ceil(n/10) ranks
+      .withColumn("in_top", greatest(lit(0L),
+        least(col("m"), col("endr") - (col("n") - expr("(n + 9) div 10")))))
+      .agg(
+        // coalesce: an EMPTY mass relation must report n_keys = 0 (the
+        // count(*) the per-key form emitted), not a NULL sum
+        coalesce(sum(col("m")), lit(0L)).cast("long").as("n_keys"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * m")).cast("long").as("total"),
+        // Σ rk·cnt over the range (endr−m, endr]: the series closed form
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) *" +
+          " (CAST(endr - m AS DECIMAL(38,0)) * m +" +
+          " (CAST(m AS DECIMAL(38,0)) * (m + 1)) div 2)")).as("wsum"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * in_top")).cast("long")
+          .as("top_cnt"))
       .select(col("n_keys"), col("total"),
         expr("CASE WHEN n_keys > 0 AND total > 0 THEN" +
           " CAST((2 * wsum * 1000000 -" +

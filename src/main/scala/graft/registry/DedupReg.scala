@@ -35,12 +35,15 @@ private[graft] object DedupReg {
       Dedup.chunkFuzzyAuditFrom(chunkRepsFor(s, dir),
         chunkPairsFor(s, dir))),
     // chunk-granularity against-check: incoming batch (doc_id ≡ 0
-    // mod 5) probes the corpus side's representative-chunk band state
+    // mod 5) probes the corpus side's representative-chunk band state —
+    // memoized write-time index (chunkIndexFor), so the gate times the
+    // batch-proportional probe, not a per-run index rebuild
     "chunk_dedup_against" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      Dedup.chunkDedupAgainst(
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      val (sigs, posts, hot) = chunkIndexFor(s, dir)
+      Dedup.chunkDedupAgainstStore(
+        Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(5)) === 0),
+        sigs, posts, hot)
     },
     "blocking_quality" -> ((s, dir) => Dedup.blockingQuality(
       Tables.documents(s, dir), postingsFor(s, dir), overlapFor(s, dir),

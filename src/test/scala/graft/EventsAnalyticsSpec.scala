@@ -465,6 +465,26 @@ class EventsAnalyticsSpec extends SparkSpec {
       got.getLong(2) < 1000000L)
   }
 
+  test("gini plans: no unpartitioned window over a data-sized input") {
+    // the r13 weak item: giniFrom used to row_number() the whole
+    // key-count relation through ONE task; the histogram closed form
+    // leaves unpartitioned windows only over the count-histogram
+    // AGGREGATE (bounded domain) — the RanksSpec plan contract
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("user_gini", "source_gini")) {
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name: unpartitioned Window whose input is not aggregate-bounded")
+      assert(plan.collectFirst { case w: LWindow => w }.nonEmpty,
+        s"$name: the histogram cumulative window should exist")
+    }
+  }
+
   test("benfordValues: cents-string digit extraction, restored grid, micro reference") {
     // digits: 1.00→100→1, 0.19→19→1, 2.50→250→2, 0.05→5→5; the 0.0
     // row is excluded. log10 masses: d1 301029, d2 176091, d5 79181,
