@@ -39,7 +39,8 @@ object SparkEntry {
     ("SamplingReg", SamplingReg.queries, SamplingReg.sql),
     ("TextReg", TextReg.queries, TextReg.sql),
     ("MultimodalReg", MultimodalReg.queries, MultimodalReg.sql),
-    ("DriftReg", DriftReg.queries, DriftReg.sql)
+    ("DriftReg", DriftReg.queries, DriftReg.sql),
+    ("UrlReg", UrlReg.queries, UrlReg.sql)
   )
 
   private lazy val checkDisjoint: Unit = {

@@ -92,4 +92,39 @@ object Tables {
     spread(s, table(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "embeddings"))
+
+  /** Deterministic synthetic `url` column over the documents table —
+    * the URL/host curation family's input. The reference schema
+    * carries no URL (`db/clickhouse/init.sql:3-15` is trades), so the
+    * column is SEEDED from (doc_id, source) arithmetic, built
+    * identically in both engines (the encoding_audit / boilerplate
+    * seeding convention): mixed-case schemes and hosts, a default
+    * `:443` port, tracking and real query params in fixed order,
+    * fragments and trailing slashes — every mess `UrlCuration.canonUrl`
+    * must normalize, each on its own doc_id modulus so the oracles pin
+    * nonzero behavior for every rule. */
+  def withUrl(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = col("doc_id")
+    val scheme = when(d % 11 === 0, lit("HTTPS")).otherwise(lit("https"))
+    val sub = when(d % 3 === 0, lit("WWW."))
+      .when(d % 3 === 1, lit("www.")).otherwise(lit(""))
+    val dom = when(d % 2 === 0, upper(col("source"))).otherwise(col("source"))
+    val tld = when(d % 4 === 0, lit("com")).when(d % 4 === 1, lit("org"))
+      .when(d % 4 === 2, lit("net")).otherwise(lit("io"))
+    val port = when(d % 13 === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/P"), (d % 7).cast("string"),
+      lit("/doc-"), d.cast("string"),
+      when(d % 9 === 0, lit("/")).otherwise(lit("")))
+    val params = array(
+      when(d % 2 === 0, lit("utm_source=feed")),
+      when(d % 4 < 2, concat(lit("id="), (d % 50).cast("string"))),
+      when(d % 5 === 0, concat(lit("gclid=g"), (d % 9).cast("string"))))
+    val q = array_join(filter(params, p => p.isNotNull), "&")
+    val query = when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))
+    val frag = when(d % 7 === 0, concat(lit("#s"), (d % 4).cast("string")))
+      .otherwise(lit(""))
+    docs.withColumn("url", concat(scheme, lit("://"), sub, dom,
+      lit(".example."), tld, port, path, query, frag))
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.UrlCuration
+
+/** URL/host curation: canonicalization rules pinned case by case, the
+  * seeded url column exercises every rule, stats/blocklist shapes. */
+class UrlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url")
+      .select(UrlCuration.canonUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+
+  test("canonUrl: each normalization rule, pinned") {
+    assert(canon(
+      // scheme+host lowercase; path case preserved
+      "HTTPS://WWW.Ex.COM/Path",
+      // default https port stripped; non-default kept
+      "https://ex.com:443/a", "https://ex.com:8443/a",
+      // default http port stripped
+      "http://ex.com:80/a",
+      // fragment stripped
+      "https://ex.com/a#sec2",
+      // tracking params dropped, real ones kept in order
+      "https://ex.com/a?utm_source=x&id=3&gclid=g7&page=2",
+      // all-tracking query → no '?'
+      "https://ex.com/a?utm_campaign=c",
+      // empty path → '/', trailing slash stripped (except root)
+      "https://ex.com", "https://ex.com/", "https://ex.com/a/b/",
+      // ref= is tracking; refresh= is NOT (prefix must include '=')
+      "https://ex.com/a?ref=r&refresh=1"
+    ) == Seq(
+      "https://www.ex.com/Path",
+      "https://ex.com/a", "https://ex.com:8443/a",
+      "http://ex.com/a",
+      "https://ex.com/a",
+      "https://ex.com/a?id=3&page=2",
+      "https://ex.com/a",
+      "https://ex.com/", "https://ex.com/", "https://ex.com/a/b",
+      "https://ex.com/a?refresh=1"))
+  }
+
+  test("seeded url column: deterministic, and every rule fires somewhere") {
+    val docs = Tables.withUrl(Tables.documents(spark, sf0001))
+    val urls = docs.select(col("url")).as[String].collect()
+    assert(urls.length == docs.count())
+    assert(urls.exists(_.startsWith("HTTPS://")), "mixed-case scheme seeded")
+    assert(urls.exists(_.contains(":443/")), "default port seeded")
+    assert(urls.exists(_.contains("utm_source=")), "tracking param seeded")
+    assert(urls.exists(_.contains("#s")), "fragment seeded")
+    assert(urls.exists(u => u.takeWhile(_ != '?').takeWhile(_ != '#')
+      .endsWith("/")), "trailing slash seeded")
+    // canonical output is clean of all of it
+    val canons = docs.select(UrlCuration.canonUrl(col("url")).as("c"))
+      .as[String].collect()
+    assert(canons.forall(_.startsWith("https://")))
+    assert(canons.forall(c => !c.contains(":443")))
+    assert(canons.forall(c => !c.contains("utm_") && !c.contains("gclid")))
+    assert(canons.forall(c => !c.contains("#")))
+    assert(canons.exists(_.contains("?id=")), "real params survive")
+  }
+
+  test("hostStats masses add up; blocklist cuts exactly the listed hosts") {
+    val docs = Tables.withUrl(Tables.documents(spark, sf0001))
+    val stats = UrlCuration.hostStats(docs,
+      graft.operators.Dedup.dedupGroups(Tables.documents(spark, sf0001), 0.8))
+    val total = stats.agg(sum(col("n_docs"))).as[Long].head()
+    assert(total == docs.count(), "every doc lands in exactly one host")
+    assert(stats.filter(col("n_dup_docs") > col("n_docs")).count() == 0)
+    assert(stats.filter(col("dup_frac_micro") > 1000000L).count() == 0)
+
+    val kept = UrlCuration.blocklistFilter(docs)
+    val cutHosts = docs
+      .select(UrlCuration.hostOf(
+        UrlCuration.canonUrl(col("url"))).as("host"))
+      .filter(col("host").isin(UrlCuration.DefaultBlocklist: _*))
+    assert(cutHosts.count() > 0, "seeded blocklist must intersect the corpus")
+    assert(kept.count() == docs.count() - cutHosts.count())
+    assert(kept.filter(col("host")
+      .isin(UrlCuration.DefaultBlocklist: _*)).count() == 0)
+  }
+
+  test("canonUrl plan: codegen'd built-ins only — no UDF, no shuffle") {
+    val docs = Tables.withUrl(Tables.documents(spark, sf0001))
+    val plan = UrlCuration.canonicalize(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "canonicalization must stay inside whole-stage codegen")
+  }
+}
