@@ -133,4 +133,15 @@ object StreamJoinSize {
     * moment without touching the table. */
   def skewAudit(side: SideState): DataFrame =
     Profiling.skewAuditFrom(side.keys)
+
+  /** The CONCENTRATION readout over one side's standing key counts —
+    * the continuous form of `user_gini`/`source_gini`
+    * ([[Profiling.giniFrom]] verbatim over the same (k, cnt) relation
+    * the audits read, so streamed ≡ batch bit-for-bit and the twin
+    * costs ZERO new state): a live Gini + top-decile monitor over
+    * whatever key the side folds (users, sources, hosts). Tie-breaks
+    * are rank-RANGE-invariant in giniFrom, so the state's string-cast
+    * key can never move the verdict. */
+  def giniAudit(side: SideState): DataFrame =
+    Profiling.giniFrom(side.keys)
 }

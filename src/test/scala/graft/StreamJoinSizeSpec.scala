@@ -75,4 +75,32 @@ class StreamJoinSizeSpec extends SparkSpec {
       .collect().head.getLong(2)
     assert(after > before)
   }
+
+  test("giniAudit over standing counts ≡ the batch user_gini, bit-for-bit") {
+    val ev = Tables.events(spark, sf0001)
+    val rows = ev.select(col("user_id").cast("string"))
+      .as[String].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 3) // uneven on purpose
+
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[String]
+    val state = new StreamJoinSize.SideState(spark)
+    val q = StreamJoinSize.start(
+      src.toDF().toDF("user_id"), "user_id", state)
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // the continuous concentration monitor reads the SAME standing
+    // key-count relation the join/skew audits read — zero new state —
+    // through the batch giniFrom verbatim: streamed ≡ batch exactly
+    // (giniFrom's stats are rank-RANGE functions, so the string-cast
+    // key of the state cannot move a tie)
+    val streamed = StreamJoinSize.giniAudit(state).collect()
+    val batch = graft.operators.EventsOps.userGini(ev).collect()
+    assert(streamed.length == 1 && batch.length == 1)
+    assert(streamed.head == batch.head,
+      s"streamed ${streamed.head} != batch ${batch.head}")
+  }
 }
