@@ -891,6 +891,48 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** INGEST NOVELTY — "how much genuinely NEW content does this drop
+    * add?", the planning read an ingest runs before paying for a full
+    * dedup pass: bottom-k (KMV) sketches of the batch's and the
+    * corpus's distinct shingle hashes, merged into the union sample
+    * ([[corpusOverlapKmv]]'s estimator — min-union mergeable, so at
+    * 100 TB the corpus side is the standing [[sourceSketch]] fold, and
+    * the batch pays only its own sketch). Within the union's bottom-k:
+    * `n_batch`/`n_corpus`/`n_both` membership tallies,
+    * `novelty_micro` = (n_batch − n_both)/n_batch — the estimated
+    * fraction of the batch's distinct shingles the corpus has never
+    * seen (1 − containment) — and the Jaccard estimate. Every step is
+    * engine-exact integer/hash algebra, so the oracle reproduces the
+    * estimate INCLUDING its sketch error. */
+  def ingestNoveltyKmv(newDocs: DataFrame, corpus: DataFrame,
+      n: Int = 3, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = newDocs.select(lit("batch").as("source"), col("text"))
+      .unionByName(corpus.select(lit("corpus").as("source"), col("text")))
+    val sk = graft.plans.PlanTrace.cp(sourceSketch(lab, n, k),
+      tag = "novelty_sketch")
+    val both = sk.groupBy(col("h")).agg(
+      max(when(col("source") === "batch", 1L).otherwise(0L)).as("in_a"),
+      max(when(col("source") === "corpus", 1L).otherwise(0L)).as("in_b"))
+    // union re-rank over ≤2k sketch rows (aggregate-bounded window)
+    val wU = Window.partitionBy(lit(1)).orderBy(col("h"))
+    both.withColumn("rn", row_number().over(wU))
+      .filter(col("rn") <= k)
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a")).cast("long").as("n_batch"),
+        sum(col("in_b")).cast("long").as("n_corpus"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("n_both"))
+      .select(col("k_used"), col("n_batch"), col("n_corpus"),
+        col("n_both"),
+        expr("CASE WHEN n_batch > 0 THEN" +
+          " CAST((n_batch - n_both) * 1000000 div n_batch AS BIGINT)" +
+          " END").as("novelty_micro"),
+        expr("CASE WHEN k_used > 0 THEN" +
+          " CAST(n_both * 1000000 div k_used AS BIGINT) END")
+          .as("jaccard_micro"))
+  }
+
   /** Connected components over a near-dup pair set: label propagation to
     * the minimum reachable doc_id — turning PAIRS into dedup GROUPS (the
     * step production dedup actually needs: pick one representative per

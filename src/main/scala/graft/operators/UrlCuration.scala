@@ -98,6 +98,63 @@ object UrlCuration {
         expr("n_dup_docs * 1000000 div n_docs").as("dup_frac_micro"))
       .orderBy(col("host"))
 
+  /** Registered domain of a canonical host — the `www.` strip is the
+    * rollup heuristic appropriate to the seeded url shape (a real
+    * deployment swaps in a public-suffix list without touching the
+    * rollup below). */
+  def domainOf(host: Column): Column =
+    regexp_replace(host, "^www\\.", "")
+
+  /** Registered-DOMAIN rollup of the host census — the crawl-hierarchy
+    * read above [[hostStats]]: per domain, its host fan-out, doc count
+    * and char mass. One scan to a domain-cardinality aggregate. */
+  def domainRollup(docsWithUrl: DataFrame): DataFrame =
+    docsWithUrl
+      .select(hostOf(canonUrl(col("url"))).as("host"), col("n_chars"))
+      .withColumn("domain", domainOf(col("host")))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col("host")).as("n_hosts"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+      .orderBy(col("domain"))
+
+  /** MIRROR-SITE detection — host pairs serving the same exact content:
+    * per host the distinct content digests (md5 of the text — ids and
+    * digests only, text never crosses a shuffle), digests carried by
+    * more than `maxHosts` hosts cut first (site-chrome/boilerplate
+    * pages would otherwise fan out quadratically — the hot-shingle df
+    * guard of the minhash family; at 100 TB the census is write-time
+    * state like ChunkStore's), then a digest-keyed self-join counts the
+    * shared distinct digests per host pair and scores containment
+    * against the smaller side. The standard crawl-dedup planning read:
+    * a high-containment pair means one host is a mirror and its docs
+    * can be dropped wholesale before any content-level pass. */
+  def mirrorHosts(docsWithUrl: DataFrame, maxHosts: Int = 8): DataFrame = {
+    val hd = docsWithUrl
+      .select(hostOf(canonUrl(col("url"))).as("host"),
+        md5(col("text")).as("dig"))
+      .distinct()
+    val hot = hd.groupBy(col("dig"))
+      .agg(count(lit(1)).as("nh")).filter(col("nh") > maxHosts)
+      .select(col("dig"))
+    val cut = hd.join(broadcast(hot), Seq("dig"), "left_anti")
+    val perHost = cut.groupBy(col("host")).agg(count(lit(1)).as("n_digs"))
+    cut.as("a").join(cut.as("b"),
+        col("a.dig") === col("b.dig") && col("a.host") < col("b.host"))
+      .select(col("a.host").as("host_a"), col("b.host").as("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perHost.select(col("host").as("host_a"),
+        col("n_digs").as("n_a"))), "host_a")
+      .join(broadcast(perHost.select(col("host").as("host_b"),
+        col("n_digs").as("n_b"))), "host_b")
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("n_shared * 1000000 div least(n_a, n_b)")
+          .as("containment_micro"))
+      .orderBy(col("host_a"), col("host_b"))
+  }
+
   /** Hosts cut by the default gate — chosen to intersect the seeded
     * url domain so the oracle pins NONZERO filtering. */
   val DefaultBlocklist: Seq[String] = Seq(

@@ -114,7 +114,16 @@ private[graft] object DedupReg {
     // corpus-level source×source distinct-shingle overlap via mergeable
     // bottom-k sketches — oracle-exact including the sketch error
     "corpus_overlap_kmv" -> ((s, dir) =>
-      Dedup.corpusOverlapKmv(Tables.documents(s, dir)))
+      Dedup.corpusOverlapKmv(Tables.documents(s, dir))),
+    // ingest planning: estimated NEW distinct-shingle fraction the
+    // incoming slice (doc_id ≡ 0 mod 5) adds over the corpus split —
+    // KMV union-sample algebra, oracle-exact including sketch error
+    "ingest_novelty_kmv" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.ingestNoveltyKmv(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    }
   )
 
   /** The two seeded template headers — EXACTLY 16 space-separated
@@ -382,6 +391,60 @@ private[graft] object DedupReg {
         |    AS jaccard_micro
         |FROM ranked WHERE rn <= 128
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the corpus_overlap_kmv estimator with sides labeled by the
+    // ingest split; novelty = batch-only fraction of the union sample
+    "ingest_novelty_kmv" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'batch' ELSE 'corpus' END
+        |      AS side,
+        |    trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        |  FROM documents
+        |), toks AS (
+        |  SELECT side, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), sh AS (
+        |  SELECT side, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [] END) AS shs FROM toks
+        |), post AS (
+        |  SELECT side, unnest(shs) AS s FROM sh
+        |), hashes AS (
+        |  SELECT DISTINCT side,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM post
+        |), sketch AS (
+        |  SELECT side, h FROM (
+        |    SELECT side, h, row_number() OVER (
+        |      PARTITION BY side ORDER BY h) AS rn FROM hashes) t
+        |  WHERE rn <= 128
+        |), uni AS (
+        |  SELECT h,
+        |    max(CASE WHEN side = 'batch' THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN side = 'corpus' THEN 1 ELSE 0 END) AS in_b
+        |  FROM sketch GROUP BY 1
+        |), ranked AS (
+        |  SELECT h, in_a, in_b,
+        |    row_number() OVER (ORDER BY h) AS rn FROM uni
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS k_used,
+        |  CAST(sum(in_a) AS BIGINT) AS n_batch,
+        |  CAST(sum(in_b) AS BIGINT) AS n_corpus,
+        |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_both,
+        |  CASE WHEN CAST(sum(in_a) AS BIGINT) > 0 THEN
+        |    CAST((CAST(sum(in_a) AS BIGINT)
+        |      - CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+        |          THEN 1 ELSE 0 END) AS BIGINT)) * 1000000
+        |      // CAST(sum(in_a) AS BIGINT) AS BIGINT) END
+        |    AS novelty_micro,
+        |  CASE WHEN count(*) > 0 THEN
+        |    CAST(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+        |        THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |      // CAST(count(*) AS BIGINT) AS BIGINT) END
+        |    AS jaccard_micro
+        |FROM ranked WHERE rn <= 128""".stripMargin,
     "containment_pairs" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

@@ -2,8 +2,10 @@ package graft.registry
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables
-import graft.operators.UrlCuration
+import graft.operators.{Profiling, UrlCuration}
 import Memo._
 
 /** URL/host curation family registration — canonicalization, per-host
@@ -27,8 +29,38 @@ private[graft] object UrlReg {
     // crawl hygiene: surviving docs after the broadcast host blocklist
     // anti-join (blocklist seeded to intersect the url domain)
     "host_blocklist_filter" -> ((s, dir) => UrlCuration.blocklistFilter(
-      Tables.withUrl(Tables.documents(s, dir))))
+      Tables.withUrl(Tables.documents(s, dir)))),
+    // host-level concentration — the giniFrom shared core over per-host
+    // char mass (the "is one host the corpus" read above source_gini)
+    "host_gini" -> ((s, dir) => Profiling.giniFrom(
+      Tables.withUrl(Tables.documents(s, dir))
+        .select(UrlCuration.hostOf(
+          UrlCuration.canonUrl(col("url"))).as("k"), col("n_chars"))
+        .groupBy(col("k"))
+        .agg(sum(col("n_chars")).cast("long").as("cnt")))),
+    // registered-domain rollup: host fan-out + doc/char mass per domain
+    "domain_rollup" -> ((s, dir) => UrlCuration.domainRollup(
+      Tables.withUrl(Tables.documents(s, dir)))),
+    // mirror-site detection: host pairs sharing exact content digests.
+    // The corpus has NO exact cross-doc dup texts (dedup_exact: zero
+    // dup digests), so the gate SEEDS mirrored pages deterministically
+    // in both engines — the doc_id mod-37 cohort serves one of five
+    // template variants (the boilerplate/encoding seeding precedent;
+    // ≤3 hosts per variant, safely under the hot-digest df cut) — so
+    // the oracle pins NONZERO mirror detection, not vacuous parity.
+    "mirror_hosts" -> ((s, dir) => UrlCuration.mirrorHosts(
+      decorateMirror(Tables.withUrl(Tables.documents(s, dir)))))
   )
+
+  /** Deterministic mirrored-page seeding under the mirror_hosts gate —
+    * oracle twin is the `dec` CTE in its SQL. */
+  private def decorateMirror(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(37)) === 5,
+        concat(lit("mirrored landing page content variant "),
+          (col("doc_id") % 5).cast("string")))
+        .otherwise(col("text")))
 
   /** The seeded url build — MUST mirror [[graft.Tables.withUrl]]
     * modulus for modulus; `q` prebuilds the ordered param list. */
@@ -123,6 +155,74 @@ private[graft] object UrlReg {
          |SELECT doc_id, host FROM hosts
          |WHERE host NOT IN ('www.src0.example.com',
          |  'www.src1.example.org', 'src2.example.net')
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // host-mass Gini: the user_gini rank-identity oracle over per-host
+    // char sums (HUGEINT mirror of the Spark DECIMAL(38,0) widening)
+    "host_gini" ->
+      s"""WITH $canonCtes,
+         |c AS (
+         |  SELECT host AS k, CAST(sum(n_chars) AS BIGINT) AS cnt
+         |  FROM hosts GROUP BY 1
+         |), r AS (
+         |  SELECT cnt,
+         |    row_number() OVER (ORDER BY cnt, k) AS rk,
+         |    count(*) OVER () AS n
+         |  FROM c
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(cnt) AS BIGINT) AS total,
+         |  CAST((2 * CAST(sum(rk * cnt) AS HUGEINT) * 1000000
+         |    - CAST(max(n) + 1 AS HUGEINT) * CAST(sum(cnt) AS BIGINT)
+         |      * 1000000)
+         |    // (CAST(max(n) AS HUGEINT) * CAST(sum(cnt) AS BIGINT))
+         |    AS BIGINT) AS gini_micro,
+         |  CAST(CAST(sum(CASE WHEN rk > n - (n + 9) // 10
+         |      THEN cnt ELSE 0 END) AS BIGINT) * 1000000
+         |    // CAST(sum(cnt) AS BIGINT) AS BIGINT)
+         |    AS top_decile_share_micro
+         |FROM r""".stripMargin,
+    "domain_rollup" ->
+      s"""WITH $canonCtes
+         |SELECT regexp_replace(host, '^www\\.', '') AS domain,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM hosts GROUP BY 1 ORDER BY domain""".stripMargin,
+    "mirror_hosts" ->
+      s"""WITH $canonCtes,
+         |dec AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 37 = 5
+         |      THEN 'mirrored landing page content variant '
+         |        || (doc_id % 5)
+         |      ELSE text END AS text
+         |  FROM documents
+         |), hd AS (
+         |  SELECT DISTINCT h.host, md5(d.text) AS dig
+         |  FROM hosts h JOIN dec d ON d.doc_id = h.doc_id
+         |), hot AS (
+         |  SELECT dig FROM hd GROUP BY dig HAVING count(*) > 8
+         |), cut AS (
+         |  SELECT host, dig FROM hd
+         |  WHERE dig NOT IN (SELECT dig FROM hot)
+         |), per_host AS (
+         |  SELECT host, CAST(count(*) AS BIGINT) AS n_digs
+         |  FROM cut GROUP BY 1
+         |), shared AS (
+         |  SELECT a.host AS host_a, b.host AS host_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM cut a JOIN cut b
+         |    ON a.dig = b.dig AND a.host < b.host
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.host_a, s.host_b, s.n_shared,
+         |  pa.n_digs AS n_a, pb.n_digs AS n_b,
+         |  CAST(s.n_shared * 1000000
+         |    // least(pa.n_digs, pb.n_digs) AS BIGINT)
+         |    AS containment_micro
+         |FROM shared s
+         |JOIN per_host pa ON pa.host = s.host_a
+         |JOIN per_host pb ON pb.host = s.host_b
+         |ORDER BY s.host_a, s.host_b""".stripMargin
   )
 }

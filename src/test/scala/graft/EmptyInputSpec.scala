@@ -37,7 +37,7 @@ class EmptyInputSpec extends SparkSpec {
       "q6_forecast", "q6_forecast_sql", "q14_promo_share",
       "q17_small_quantity", "q19_disjunctive", "conversion_rate_1h",
       "blocking_quality", "join_size_audit", "skew_audit",
-      "user_gini", "source_gini")
+      "user_gini", "source_gini", "host_gini", "ingest_novelty_kmv")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

@@ -83,6 +83,56 @@ class UrlCurationSpec extends SparkSpec {
       .isin(UrlCuration.DefaultBlocklist: _*)).count() == 0)
   }
 
+  test("domainRollup: www-variants fold into one domain, masses conserved") {
+    val docs = Tables.withUrl(Tables.documents(spark, sf0001))
+    val roll = UrlCuration.domainRollup(docs)
+    assert(roll.agg(sum(col("n_docs"))).as[Long].head() == docs.count())
+    assert(roll.agg(sum(col("chars"))).as[Long].head() ==
+      docs.agg(sum(col("n_chars"))).as[Long].head())
+    // the seeded subdomain variants (WWW./www./bare) collapse: some
+    // domain must aggregate more than one host
+    assert(roll.filter(col("n_hosts") > 1).count() > 0)
+    assert(roll.filter(col("domain").startsWith("www.")).count() == 0)
+  }
+
+  test("mirrorHosts: shared digests counted per pair; hot digests cut") {
+    val rows =
+      // hostA and hostB share 2 of hostB's 3 pages → containment 2/3
+      Seq(("https://a.ex/1", "x"), ("https://a.ex/2", "y"),
+        ("https://a.ex/3", "za"), ("https://b.ex/1", "x"),
+        ("https://b.ex/2", "y"), ("https://b.ex/3", "zb")) ++
+      // a chrome page served by 10 hosts — above maxHosts=8, must not
+      // produce 45 pairs
+      (1 to 10).map(i => (s"https://c$i.ex/chrome", "hot page"))
+    val docs = rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t, t.length.toLong) }
+      .toDF("doc_id", "url", "text", "n_chars")
+    val got = UrlCuration.mirrorHosts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5))).toSeq
+    assert(got == Seq(("a.ex", "b.ex", 2L, 666666L)),
+      s"got $got — the hot chrome digest must be cut entirely")
+  }
+
+  test("ingestNoveltyKmv: identical sides → novelty 0; disjoint → 1e6") {
+    val mk = (tag: String, n: Int) => (0 until n).map(i =>
+      s"$tag alpha bravo charlie delta echo foxtrot $tag$i golf hotel india")
+    val a = mk("one", 6).toDF("text")
+    val b = mk("one", 6).toDF("text")
+    val same = graft.operators.Dedup.ingestNoveltyKmv(a, b).collect()(0)
+    assert(same.getLong(4) == 0L, s"identical corpora: $same")
+    assert(same.getLong(5) == 1000000L)
+    val c = mk("two", 6).toDF("text")
+    val disj = graft.operators.Dedup.ingestNoveltyKmv(a, c).collect()(0)
+    // shingle sets share the common filler runs, so novelty is high
+    // but not total; the disjoint-marker check is the ordering
+    assert(disj.getLong(4) > same.getLong(4))
+    val fullyDisj = graft.operators.Dedup.ingestNoveltyKmv(
+      Seq("aa bb cc dd ee").toDF("text"),
+      Seq("ff gg hh ii jj").toDF("text")).collect()(0)
+    assert(fullyDisj.getLong(4) == 1000000L && fullyDisj.getLong(3) == 0L)
+  }
+
   test("canonUrl plan: codegen'd built-ins only — no UDF, no shuffle") {
     val docs = Tables.withUrl(Tables.documents(spark, sf0001))
     val plan = UrlCuration.canonicalize(docs)
