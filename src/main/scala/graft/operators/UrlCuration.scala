@@ -98,6 +98,31 @@ object UrlCuration {
         expr("n_dup_docs * 1000000 div n_docs").as("dup_frac_micro"))
       .orderBy(col("host"))
 
+  /** Query-param CENSUS over the raw urls — the observability read
+    * behind the canonicalizer's drop list: per param key, whether the
+    * tracking rule fires and how many urls carry it (how much tracking
+    * pollution the crawl carries, and which non-tracking keys dominate
+    * — candidates for the next drop-list review). One map-side explode
+    * of the param lists to a key-cardinality aggregate. */
+  def paramCensus(docsWithUrl: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val qpos = locate("?", noFrag)
+    val q = when(qpos > 0, noFrag.substr(qpos + 1, length(noFrag)))
+      .otherwise(lit(""))
+    docsWithUrl
+      .select(explode(filter(split(q, "&"),
+        p => length(p) > 0)).as("p"))
+      .select(
+        when(locate("=", col("p")) > 0,
+          col("p").substr(lit(1), locate("=", col("p")) - 1))
+          .otherwise(col("p")).as("param_key"),
+        when(col("p").rlike(TrackingPrefix), 1L).otherwise(0L)
+          .as("is_tracking"))
+      .groupBy(col("param_key"), col("is_tracking"))
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy(col("param_key"), col("is_tracking"))
+  }
+
   /** Registered domain of a canonical host — the `www.` strip is the
     * rollup heuristic appropriate to the seeded url shape (a real
     * deployment swaps in a public-suffix list without touching the

@@ -41,6 +41,9 @@ private[graft] object UrlReg {
     // registered-domain rollup: host fan-out + doc/char mass per domain
     "domain_rollup" -> ((s, dir) => UrlCuration.domainRollup(
       Tables.withUrl(Tables.documents(s, dir)))),
+    // query-param census: tracking pollution + dominant real keys
+    "url_param_census" -> ((s, dir) => UrlCuration.paramCensus(
+      Tables.withUrl(Tables.documents(s, dir)))),
     // mirror-site detection: host pairs sharing exact content digests.
     // The corpus has NO exact cross-doc dup texts (dedup_exact: zero
     // dup digests), so the gate SEEDS mirrored pages deterministically
@@ -181,6 +184,24 @@ private[graft] object UrlReg {
          |    // CAST(sum(cnt) AS BIGINT) AS BIGINT)
          |    AS top_decile_share_micro
          |FROM r""".stripMargin,
+    "url_param_census" ->
+      s"""WITH $urlCte,
+         |s1 AS (SELECT regexp_replace(url, '#.*$$', '') AS nf FROM u),
+         |s2 AS (SELECT nf, strpos(nf, '?') AS qp FROM s1),
+         |qs AS (SELECT CASE WHEN qp > 0 THEN substr(nf, qp + 1)
+         |  ELSE '' END AS q FROM s2),
+         |pars AS (SELECT unnest(list_filter(string_split(q, '&'),
+         |  x -> len(x) > 0)) AS p FROM qs)
+         |SELECT
+         |  CASE WHEN strpos(p, '=') > 0
+         |    THEN substr(p, 1, strpos(p, '=') - 1) ELSE p END
+         |    AS param_key,
+         |  CAST(CASE WHEN regexp_matches(p,
+         |    '^(utm_|fbclid=|gclid=|ref=)') THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_tracking,
+         |  CAST(count(*) AS BIGINT) AS n_urls
+         |FROM pars GROUP BY 1, 2
+         |ORDER BY param_key, is_tracking""".stripMargin,
     "domain_rollup" ->
       s"""WITH $canonCtes
          |SELECT regexp_replace(host, '^www\\.', '') AS domain,
