@@ -162,7 +162,12 @@ object UrlCuration {
     val hot = hd.groupBy(col("dig"))
       .agg(count(lit(1)).as("nh")).filter(col("nh") > maxHosts)
       .select(col("dig"))
-    val cut = hd.join(broadcast(hot), Seq("dig"), "left_anti")
+    // the cut census feeds THREE consumers (both self-join sides + the
+    // per-host denominators) — materialize once so the md5/canon scan
+    // and the distinct don't run three times (knn_directed precedent)
+    val cut = graft.plans.PlanTrace.cp(
+      hd.join(broadcast(hot), Seq("dig"), "left_anti"),
+      tag = "mirror_cut")
     val perHost = cut.groupBy(col("host")).agg(count(lit(1)).as("n_digs"))
     cut.as("a").join(cut.as("b"),
         col("a.dig") === col("b.dig") && col("a.host") < col("b.host"))
