@@ -906,11 +906,18 @@ object Dedup {
     * estimate INCLUDING its sketch error. */
   def ingestNoveltyKmv(newDocs: DataFrame, corpus: DataFrame,
       n: Int = 3, k: Int = 128): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lab = newDocs.select(lit("batch").as("source"), col("text"))
       .unionByName(corpus.select(lit("corpus").as("source"), col("text")))
-    val sk = graft.plans.PlanTrace.cp(sourceSketch(lab, n, k),
-      tag = "novelty_sketch")
+    noveltyFromSketches(graft.plans.PlanTrace.cp(sourceSketch(lab, n, k),
+      tag = "novelty_sketch"), k)
+  }
+
+  /** The novelty readout over a two-side (source ∈ batch/corpus, h)
+    * sketch relation — shared verbatim by the batch operator and the
+    * streaming admission loop ([[graft.streaming.StreamNovelty]]), so
+    * streamed ≡ batch by construction. */
+  def noveltyFromSketches(sk: DataFrame, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val both = sk.groupBy(col("h")).agg(
       max(when(col("source") === "batch", 1L).otherwise(0L)).as("in_a"),
       max(when(col("source") === "corpus", 1L).otherwise(0L)).as("in_b"))
