@@ -597,6 +597,23 @@ class PlanSpec extends SparkSpec {
       s"rnn_pairs_exact reciprocity join is not equi-keyed:\n$p")
   }
 
+  test("against-family self-exclusion is a broadcast anti-join on batch ids") {
+    // the replay-invariance cut (r14): index rows under the probing
+    // batch's own ids anti-join out of the candidate set; the batch id
+    // relation must BROADCAST (candidates are batch-bounded — a
+    // shuffled anti-join here would key a corpus-scale exchange on the
+    // batch), and the canonicalization/URL blocklist gate carries the
+    // same shape
+    Seq("dedup_against", "semantic_dedup_against", "chunk_dedup_against",
+        "host_blocklist_filter").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("LeftAnti"), s"$q lost its anti-join:\n$p")
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q anti-join side is not broadcast:\n$p")
+    }
+  }
+
   test("rnn_pairs DEFAULT plans no corpus-squared join anywhere") {
     // the registered default must be the bounded LSH retriever: no
     // CartesianProduct, no BroadcastNestedLoopJoin in the whole plan
