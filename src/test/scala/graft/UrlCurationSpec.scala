@@ -133,6 +133,29 @@ class UrlCurationSpec extends SparkSpec {
     assert(fullyDisj.getLong(4) == 1000000L && fullyDisj.getLong(3) == 0L)
   }
 
+  test("host rollups prune the text column from the scan") {
+    // url derives from (doc_id, source) arithmetic, so every rollup
+    // that doesn't digest content must leave `text` out of ReadSchema —
+    // at 100 TB text IS the table; scanning it for a host count would
+    // be a ~100× IO regression
+    for ((name, df) <- Seq(
+        "host_gini" -> SparkEntry.queries("host_gini")(spark, sf0001),
+        "domain_rollup" -> SparkEntry.queries("domain_rollup")(spark, sf0001),
+        "url_param_census" ->
+          SparkEntry.queries("url_param_census")(spark, sf0001))) {
+      // AQE wraps shuffling plans in AdaptiveSparkPlanExec (a leaf to
+      // collect()), so probe the plan STRING's ReadSchema lines instead
+      val schemas = df.queryExecution.executedPlan.toString
+        .linesIterator.flatMap { l =>
+          val i = l.indexOf("ReadSchema: ")
+          if (i >= 0) Some(l.substring(i + "ReadSchema: ".length)) else None
+        }.toList
+      assert(schemas.nonEmpty, s"$name: no file scan found")
+      assert(schemas.forall(!_.contains("text:")),
+        s"$name reads text: $schemas")
+    }
+  }
+
   test("canonUrl plan: codegen'd built-ins only — no UDF, no shuffle") {
     val docs = Tables.withUrl(Tables.documents(spark, sf0001))
     val plan = UrlCuration.canonicalize(docs)
