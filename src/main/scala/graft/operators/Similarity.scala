@@ -1064,6 +1064,85 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Binary-quantization Hamming top-k — the cheapest retrieval rung:
+    * each embedding collapses to its 1-bit sign code ([[graft.functions
+    * .SignPack]], 64 dims → ONE long, a 32× scan-width cut vs the float
+    * vectors), and candidates are ranked by Hamming distance
+    * `bit_count(code ^ q_code)` ASC (vec_id tiebreak) — two ALU ops per
+    * candidate instead of a 64-lane dot product. Exact over the CODE
+    * domain (the oracle replays the same pack + popcount arithmetic
+    * bit-for-bit; integer-only, no float on the data path), approximate
+    * over the original cosine — which is why production stacks pair it
+    * with an exact re-rank ([[annBqRerank]]).
+    *
+    * Shape at 100 TB: the codes relation is a 2-column (id, long) scan —
+    * the embedding column never leaves the map side — and ranking rides
+    * the bounded-heap [[graft.functions.TopKRows]] (≤ k rows per
+    * query × partition cross the shuffle, nothing per-query sorted).
+    * Output: (query_id, rank, neighbor_id, hamming). */
+  def annHamming(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
+      k: Int = 10): DataFrame = {
+    import graft.functions.SignPack.sign_pack
+    import graft.functions.TopKRows.topk_rows
+    val codes = embeddings.select(col("vec_id"),
+      sign_pack(col("embedding")).as("code"))
+    val queries = broadcast(
+      codes.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("code").as("q_code")))
+    codes.crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("q_code"))).cast("long")
+          .as("ham"))
+      // heap keeps (score DESC, id ASC); negate for Hamming ASC — ham is
+      // in [0, 64], so the negation can't hit the Long.MinValue edge
+      .groupBy(col("query_id"))
+      .agg(topk_rows(-col("ham"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** BQ serving chain: Hamming shortlist (rank ≤ `m` over the 1-bit
+    * codes, [[annHamming]]) → exact-cosine re-rank of the `m` fetched
+    * vectors — the standard two-stage binary-quantization read (the
+    * [[annIvfPqRefine]] shape with BQ codes as the coarse stage). Only
+    * the shortlisted m vectors per query are ever fetched at full float
+    * width: the corpus-wide pass touches 8 bytes per vector, the
+    * re-rank is queries·m rows — driver-sized, broadcast both ways.
+    * Output: (query_id, rank, neighbor_id, cos6), the [[annBruteForce]]
+    * shape restricted to the BQ shortlist. */
+  def annBqRerank(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
+      m: Int = 50, k: Int = 10): DataFrame = {
+    import graft.functions.TopKRows.topk_rows
+    val shortlist = annHamming(embeddings, queryIds, m)
+      .select(col("query_id").as("sq"), col("neighbor_id"))
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val queries = broadcast(
+      corpus.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")))
+    val denom = col("nrm") * col("q_nrm")
+    corpus
+      // fetch = broadcast semi-ish join on the tiny shortlist; a corpus
+      // vector can be shortlisted by several queries, so keep the pair
+      .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .join(queries, col("sq") === col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(denom =!= 0.0, dot(col("embedding"), col("q_emb")) / denom)
+          .as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk_rows(nullsLastKey(col("cos")), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"),
+        keyCos6(col("col.score")).as("cos6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** SEMANTIC dedup (SemDeDup-family): drop every embedding whose cosine
     * to an earlier-kept one clears `threshold`, transitively — the
     * embedding-space analogue of MinHash dedup_groups, used to prune

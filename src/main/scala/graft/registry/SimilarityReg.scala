@@ -22,6 +22,13 @@ private[graft] object SimilarityReg {
       Similarity.retrievalEval(Similarity.annBruteForce(emb), emb)
     }),
     "ann_lsh_topk" -> ((s, dir) => Similarity.annLsh(Tables.embeddings(s, dir))),
+    // 1-bit binary-quantization rungs: Hamming top-k over the packed
+    // sign codes (integer-exact — the oracle replays the pack + popcount
+    // bit-for-bit), and the BQ shortlist → exact-cosine re-rank chain
+    "ann_hamming_topk" -> ((s, dir) =>
+      Similarity.annHamming(Tables.embeddings(s, dir))),
+    "ann_bq_rerank" -> ((s, dir) =>
+      Similarity.annBqRerank(Tables.embeddings(s, dir))),
     // Gated by a full oracle: the write-time index state (centroids +
     // cell assignments) is dumped as aux parquet by Verify — it is DATA
     // the index wrote at ingest, like the tables themselves — and DuckDB
@@ -977,6 +984,80 @@ private[graft] object SimilarityReg {
         |)
         |SELECT query_id, rank, cand_id AS neighbor_id, round(cos, 6) AS cos6
         |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // the same sign-bit pack as Spark's sign_pack, as two 32-bit halves
+    // (a HUGEINT-free sum can't set bit 63); Hamming = popcount of the
+    // per-half XORs, summed — integer-exact end to end
+    "ann_hamming_topk" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    unnest(embedding) AS x FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 AND x >= 0
+        |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0
+        |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM elems GROUP BY 1
+        |), dists AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS ham
+        |  FROM codes a JOIN codes b
+        |    ON a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |), ranked AS (
+        |  SELECT query_id, cand_id, ham, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY ham, cand_id) AS rank
+        |  FROM dists
+        |)
+        |SELECT query_id, rank, cand_id AS neighbor_id,
+        |  CAST(ham AS BIGINT) AS hamming
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // BQ chain: Hamming rank ≤ 50 shortlist, then the ann_topk exact
+    // cosine CTEs restricted to the shortlisted pairs
+    "ann_bq_rerank" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 AND x >= 0
+        |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0
+        |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM elems GROUP BY 1
+        |), dists AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS ham
+        |  FROM codes a JOIN codes b
+        |    ON a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |), shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ham, cand_id) AS hrank
+        |    FROM dists)
+        |  WHERE hrank <= 50
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT s.query_id, s.cand_id, sum(a.x*b.x) AS dot
+        |  FROM shortlist s
+        |  JOIN elems a ON a.vec_id = s.query_id
+        |  JOIN elems b ON b.vec_id = s.cand_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), reranked AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, rank, cand_id AS neighbor_id,
+        |  round(cos, 6) AS cos6
+        |FROM reranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // the ann_topk scorer restricted to different-label candidates —
     // the label filter runs BEFORE the rank window, like the Spark plan

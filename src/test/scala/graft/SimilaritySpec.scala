@@ -818,4 +818,72 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(4) == 7L * r.getLong(2) - 3L * r.getLong(3))
     }
   }
+
+  test("sign_pack: IEEE bit semantics, 64-dim cap") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.SignPack.sign_pack
+    val vecs = Seq(
+      // bit set iff x >= 0: -0.0f counts as non-negative, NaN does not
+      (0L, Array(1.0f, -1.0f, -0.0f, 0.0f, Float.NaN)),
+      (1L, Array.fill(64)(1.0f)),            // all 64 bits set
+      (2L, Array.fill(70)(1.0f)),            // dims past 64 ignored
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"), sign_pack(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == (1L | (1L << 2) | (1L << 3)))
+    assert(got(1L) == -1L && got(2L) == -1L)
+    val even = (0 until 64 by 2).map(1L << _).reduce(_ | _)
+    assert(got(3L) == even)
+  }
+
+  test("annHamming: hand-checked distances, ASC rank, id tiebreak, window-free plan") {
+    // query 0 packs to code 0b0111; candidates at Hamming 1, 1, 2 — the
+    // two distance-1 codes tie and break by vec_id
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, -1.0f), 0),
+      (1L, Array(1.0f, 1.0f, -1.0f, -1.0f), 0), // ham 1
+      (2L, Array(1.0f, -1.0f, 1.0f, -1.0f), 0), // ham 1 (tie → after 1)
+      (3L, Array(1.0f, -1.0f, -1.0f, -1.0f), 0) // ham 2
+    ).toDF("vec_id", "embedding", "label")
+    val df = Similarity.annHamming(vecs, queryIds = Seq(0L), k = 3)
+    val got = df.collect()
+    assert(got.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // the rank is the bounded heap, never a per-query sort window
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "annHamming must not plan a window")
+  }
+
+  test("annBqRerank with a corpus-wide shortlist equals brute force") {
+    // m ≥ corpus ⇒ the BQ shortlist is everything and the re-rank IS
+    // the exact scorer — the recall/cost knob's boundary case
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.annBruteForce(emb, queryIds = Seq(0L, 1L), k = 5)
+      .collect().toSeq
+    val rer = Similarity.annBqRerank(emb, queryIds = Seq(0L, 1L),
+      m = 1000, k = 5).collect().toSeq
+    assert(rer.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) ==
+      exact.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
+    assert(rer.map(_.getDouble(3)) == exact.map(_.getDouble(3)))
+  }
+
+  test("annBqRerank default shortlist: true cosines, recall vs exact reported") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.annBruteForce(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.annBqRerank(emb).collect()
+    // ranks are 1..10 per query, cosines non-increasing within a query
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to 10))
+      val cs = byRank.filterNot(_.isNullAt(3)).map(_.getDouble(3))
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // BQ@50 on 64-bit codes recalls most true top-10 neighbors here;
+    // pin a floor so a pack/popcount regression can't silently zero it
+    val hits = got.count(r => exact((r.getLong(0), r.getLong(2))))
+    assert(hits >= exact.size / 2, s"recall collapsed: $hits/${exact.size}")
+  }
 }
