@@ -185,6 +185,56 @@ object UrlCuration {
       .orderBy(col("host_a"), col("host_b"))
   }
 
+  /** Per-HOST document cap — the crawl-curation quota that stops any
+    * single host from dominating the corpus (the per-domain cap every
+    * CommonCrawl-derived pipeline applies before content-level work):
+    * keep at most `cap` documents per canonical host, selected by the
+    * portable h60 of doc_id (a deterministic uniform subsample — both
+    * engines draw the SAME survivors), doc_id tiebreak. Ranking rides
+    * the bounded-heap [[graft.functions.TopKRows]]: ≤ cap rows per
+    * host × partition cross the shuffle, nothing per-host sorted — at
+    * 100 TB a hot host is exactly the case where a rank window would
+    * single-task. Output: (host, rk, doc_id) survivors. */
+  def hostCapSample(docsWithUrl: DataFrame, cap: Int = 2): DataFrame = {
+    import graft.functions.PortableHash.h60
+    import graft.functions.TopKRows.topk_rows
+    docsWithUrl
+      .select(hostOf(canonUrl(col("url"))).as("host"), col("doc_id"))
+      // heap keeps (score DESC, id ASC); negate h60 for hash-ASC order —
+      // h60 ∈ [0, 2^60), so negation can't hit the Long.MinValue edge
+      .groupBy(col("host"))
+      .agg(topk_rows(-h60(col("doc_id").cast("string")), col("doc_id"), cap)
+        .as("top"))
+      .select(col("host"), posexplode(col("top")))
+      .select(col("host"), (col("pos") + 1).as("rk"),
+        col("col.id").as("doc_id"))
+      .orderBy(col("host"), col("rk"))
+  }
+
+  /** Canonical-URL dedup — the recrawl collapse that runs before any
+    * content-level dedup: documents whose urls CANONICALIZE to the same
+    * string are the same page fetched twice (tracking params, fragment,
+    * case, default port — [[canonUrl]]'s whole drop list), so each
+    * group keeps one representative (max n_chars — the fullest fetch —
+    * tie to min doc_id; the house min-struct election) and reports the
+    * collapsed mass. One scan to a url-cardinality aggregate; only
+    * groups that actually collide are emitted. */
+  def urlDedup(docsWithUrl: DataFrame): DataFrame =
+    docsWithUrl
+      .select(canonUrl(col("url")).as("url_canon"), col("doc_id"),
+        col("n_chars"))
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))
+          .as("kept"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .filter(col("n_dups") > 1)
+      .select(col("url_canon"), col("n_dups"),
+        col("kept.id").as("kept_doc_id"),
+        (col("total_chars") + col("kept.neg")).cast("long")
+          .as("chars_dropped"))
+      .orderBy(col("url_canon"))
+
   /** Hosts cut by the default gate — chosen to intersect the seeded
     * url domain so the oracle pins NONZERO filtering. */
   val DefaultBlocklist: Seq[String] = Seq(

@@ -52,7 +52,20 @@ private[graft] object UrlReg {
     // ≤3 hosts per variant, safely under the hot-digest df cut) — so
     // the oracle pins NONZERO mirror detection, not vacuous parity.
     "mirror_hosts" -> ((s, dir) => UrlCuration.mirrorHosts(
-      decorateMirror(Tables.withUrl(Tables.documents(s, dir)))))
+      decorateMirror(Tables.withUrl(Tables.documents(s, dir))))),
+    // per-host document cap: deterministic h60-ranked survivors, ≤ 2
+    // per canonical host (bounded heap — no per-host sort window)
+    "host_cap_sample" -> ((s, dir) => UrlCuration.hostCapSample(
+      Tables.withUrl(Tables.documents(s, dir)))),
+    // canonical-URL recrawl collapse. The seeded urls embed doc_id in
+    // the path (no natural collisions), so the gate SEEDS a recrawl
+    // cohort deterministically in both engines — doc_id mod-11 docs
+    // share one landing page per source, with scheme case / WWW / :443
+    // / tracking params / fragments varying WITHIN the cohort so the
+    // collapse exercises every canonicalization rule, not string
+    // equality (the mirror_hosts seeding precedent).
+    "url_dedup" -> ((s, dir) => UrlCuration.urlDedup(
+      decorateRecrawl(Tables.withUrl(Tables.documents(s, dir)))))
   )
 
   /** Deterministic mirrored-page seeding under the mirror_hosts gate —
@@ -64,6 +77,30 @@ private[graft] object UrlReg {
         concat(lit("mirrored landing page content variant "),
           (col("doc_id") % 5).cast("string")))
         .otherwise(col("text")))
+
+  /** Deterministic recrawl seeding under the url_dedup gate: mod-11
+    * cohort docs share ONE landing page per source, with every
+    * canonicalization-rule dimension (scheme case, WWW, default port,
+    * tracking param, fragment) varying across cohort members so the
+    * collapse is canonical-equality, not raw string equality. Oracle
+    * twin is the `dec` CTE in the url_dedup SQL. */
+  private def decorateRecrawl(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val d = col("doc_id")
+    docs.withColumn("url",
+      when(pmod(d, lit(11)) === 4,
+        concat(
+          when(d % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(d % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+          col("source"), lit(".example.com"),
+          when(d % 7 === 0, lit(":443")).otherwise(lit("")),
+          lit("/shared/landing"),
+          when(d % 2 === 0, lit("?utm_source=recrawl")).otherwise(lit("")),
+          when(d % 3 === 1, concat(lit("#f"), (d % 4).cast("string")))
+            .otherwise(lit(""))))
+        .otherwise(col("url")))
+  }
 
   /** The seeded url build — MUST mirror [[graft.Tables.withUrl]]
     * modulus for modulus; `q` prebuilds the ordered param list. */
@@ -99,9 +136,12 @@ private[graft] object UrlReg {
     * [[graft.operators.UrlCuration.canonUrl]]: strip fragment, split
     * query at the first `?`, lowercase scheme+host, strip default
     * ports, normalize the path, drop tracking params. */
-  private val canonCtes =
-    s"""$urlCte,
-       |s1 AS (SELECT *, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+  private val canonCtes = s"$urlCte,\n${canonChain("u")}"
+
+  /** The s1..hosts chain reading urls from CTE `src` — split out so the
+    * url_dedup gate can replay it over its decorated `dec` relation. */
+  private def canonChain(src: String): String =
+    s"""s1 AS (SELECT *, regexp_replace(url, '#.*$$', '') AS nf FROM $src),
        |s2 AS (SELECT *, strpos(nf, '?') AS qp FROM s1),
        |s3 AS (SELECT *,
        |  CASE WHEN qp > 0 THEN substr(nf, 1, qp - 1) ELSE nf END AS base,
@@ -244,6 +284,55 @@ private[graft] object UrlReg {
          |FROM shared s
          |JOIN per_host pa ON pa.host = s.host_a
          |JOIN per_host pb ON pb.host = s.host_b
-         |ORDER BY s.host_a, s.host_b""".stripMargin
+         |ORDER BY s.host_a, s.host_b""".stripMargin,
+    // per-host cap: h60-ranked survivors, rank window mirrors the
+    // bounded heap's (h60 ASC, doc_id ASC) order exactly
+    "host_cap_sample" ->
+      s"""WITH $canonCtes,
+         |rk AS (
+         |  SELECT host, doc_id, row_number() OVER (
+         |    PARTITION BY host ORDER BY
+         |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |        ::BIGINT, doc_id) AS rk
+         |  FROM hosts
+         |)
+         |SELECT host, rk, doc_id FROM rk WHERE rk <= 2
+         |ORDER BY host, rk""".stripMargin,
+    // recrawl collapse: the seeded dec cohort (one landing page per
+    // source; scheme case / WWW / :443 / utm / fragment vary within the
+    // cohort), then the canonicalization chain replayed over dec and a
+    // per-canonical-url election (n_chars DESC, doc_id ASC)
+    "url_dedup" ->
+      s"""WITH $urlCte,
+         |dec AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN doc_id % 11 = 4 THEN
+         |      (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+         |      || '://' ||
+         |      (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END)
+         |      || source || '.example.com' ||
+         |      (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+         |      '/shared/landing' ||
+         |      (CASE WHEN doc_id % 2 = 0
+         |        THEN '?utm_source=recrawl' ELSE '' END) ||
+         |      (CASE WHEN doc_id % 3 = 1
+         |        THEN '#f' || (doc_id % 4) ELSE '' END)
+         |    ELSE url END AS url
+         |  FROM u
+         |),
+         |${canonChain("dec")},
+         |g AS (
+         |  SELECT url_canon, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY url_canon
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY url_canon) AS cnt,
+         |    sum(n_chars) OVER (PARTITION BY url_canon) AS tot
+         |  FROM canon
+         |)
+         |SELECT url_canon, CAST(cnt AS BIGINT) AS n_dups,
+         |  doc_id AS kept_doc_id,
+         |  CAST(tot - n_chars AS BIGINT) AS chars_dropped
+         |FROM g WHERE rn = 1 AND cnt > 1
+         |ORDER BY url_canon""".stripMargin
   )
 }

@@ -133,6 +133,45 @@ class UrlCurationSpec extends SparkSpec {
     assert(fullyDisj.getLong(4) == 1000000L && fullyDisj.getLong(3) == 0L)
   }
 
+  test("hostCapSample: cap binds per host, h60 order, window-free plan") {
+    import graft.functions.PortableHash
+    val docs = Seq(
+      // 4 docs on one host, 1 on another — cap 2 keeps 2 + 1
+      (1L, "https://a.ex.com/p1"), (2L, "https://A.EX.com/p2"),
+      (3L, "https://a.ex.com/p3"), (4L, "https://a.ex.com/p4"),
+      (9L, "https://b.ex.com/q")
+    ).toDF("doc_id", "url")
+    val df = UrlCuration.hostCapSample(docs, cap = 2)
+    val got = df.collect()
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("a.ex.com", "a.ex.com", "b.ex.com"))
+    // survivors = the 2 smallest h60(doc_id) on the hot host, hash order
+    val expect = Seq(1L, 2L, 3L, 4L)
+      .sortBy(d => (PortableHash.h60String(d.toString), d)).take(2)
+    assert(got.take(2).map(_.getLong(2)).toSeq == expect)
+    assert(got.take(2).map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "the per-host rank must be the bounded heap, not a sort window")
+  }
+
+  test("urlDedup: canonical collapse, fullest-fetch election, dropped mass") {
+    val docs = Seq(
+      // one page fetched 3 ways — canonicalization collapses all three
+      (1L, "https://ex.com/a?utm_source=x", 100),
+      (2L, "HTTPS://EX.com:443/a#frag", 300),
+      (3L, "https://ex.com/a/", 300), // chars tie with 2 → min id kept
+      // a singleton — never emitted
+      (7L, "https://ex.com/solo", 50)
+    ).toDF("doc_id", "url", "n_chars")
+    val got = UrlCuration.urlDedup(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "https://ex.com/a")
+    assert(r.getLong(1) == 3L)      // n_dups
+    assert(r.getLong(2) == 2L)      // max chars, tie → min doc_id
+    assert(r.getLong(3) == 400L)    // 100 + 300 dropped
+  }
+
   test("host rollups prune the text column from the scan") {
     // url derives from (doc_id, source) arithmetic, so every rollup
     // that doesn't digest content must leave `text` out of ReadSchema —
