@@ -130,18 +130,35 @@ object UrlCuration {
   def domainOf(host: Column): Column =
     regexp_replace(host, "^www\\.", "")
 
-  /** Registered-DOMAIN rollup of the host census — the crawl-hierarchy
-    * read above [[hostStats]]: per domain, its host fan-out, doc count
-    * and char mass. One scan to a domain-cardinality aggregate. */
-  def domainRollup(docsWithUrl: DataFrame): DataFrame =
+  /** Per-HOST census: doc count + char mass per canonical host — the
+    * sum-mergeable relation under [[domainRollupFrom]], shared verbatim
+    * by the standing streaming twin ([[graft.streaming
+    * .StreamDomainRollup]]) so streamed ≡ batch by construction. */
+  def hostCensus(docsWithUrl: DataFrame): DataFrame =
     docsWithUrl
       .select(hostOf(canonUrl(col("url"))).as("host"), col("n_chars"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"))
+
+  /** Domain readout over a (host, n_docs, chars) census — each census
+    * row IS one host, so the fan-out is a plain count and no
+    * countDistinct Expand ever runs. */
+  def domainRollupFrom(census: DataFrame): DataFrame =
+    census
       .withColumn("domain", domainOf(col("host")))
       .groupBy(col("domain"))
-      .agg(countDistinct(col("host")).as("n_hosts"),
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).cast("long").as("chars"))
+      .agg(count(lit(1)).as("n_hosts"),
+        sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("chars")).cast("long").as("chars"))
       .orderBy(col("domain"))
+
+  /** Registered-DOMAIN rollup of the host census — the crawl-hierarchy
+    * read above [[hostStats]]: per domain, its host fan-out, doc count
+    * and char mass. One scan to a host-cardinality census, then a
+    * census-sized domain aggregate. */
+  def domainRollup(docsWithUrl: DataFrame): DataFrame =
+    domainRollupFrom(hostCensus(docsWithUrl))
 
   /** MIRROR-SITE detection — host pairs serving the same exact content:
     * per host the distinct content digests (md5 of the text — ids and

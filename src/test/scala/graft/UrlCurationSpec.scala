@@ -181,7 +181,10 @@ class UrlCurationSpec extends SparkSpec {
         "host_gini" -> SparkEntry.queries("host_gini")(spark, sf0001),
         "domain_rollup" -> SparkEntry.queries("domain_rollup")(spark, sf0001),
         "url_param_census" ->
-          SparkEntry.queries("url_param_census")(spark, sf0001))) {
+          SparkEntry.queries("url_param_census")(spark, sf0001),
+        "host_cap_sample" ->
+          SparkEntry.queries("host_cap_sample")(spark, sf0001),
+        "url_dedup" -> SparkEntry.queries("url_dedup")(spark, sf0001))) {
       // AQE wraps shuffling plans in AdaptiveSparkPlanExec (a leaf to
       // collect()), so probe the plan STRING's ReadSchema lines instead
       val schemas = df.queryExecution.executedPlan.toString
