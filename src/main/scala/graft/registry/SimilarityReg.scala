@@ -29,6 +29,15 @@ private[graft] object SimilarityReg {
       Similarity.annHamming(Tables.embeddings(s, dir))),
     "ann_bq_rerank" -> ((s, dir) =>
       Similarity.annBqRerank(Tables.embeddings(s, dir))),
+    // recall@10 of the BQ chain vs the exact scorer — the audit that
+    // gates the 1-bit shortlist width before serving (annRecall is
+    // retriever-agnostic: same read as ann_recall, BQ plugged in)
+    "bq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annRecall(
+        Similarity.annBruteForce(emb),
+        Similarity.annBqRerank(emb))
+    }),
     // Gated by a full oracle: the write-time index state (centroids +
     // cell assignments) is dumped as aux parquet by Verify — it is DATA
     // the index wrote at ingest, like the tables themselves — and DuckDB
@@ -1059,6 +1068,74 @@ private[graft] object SimilarityReg {
         |  round(cos, 6) AS cos6
         |FROM reranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // recall@10 of the BQ chain: the exact list (branked) and the BQ
+    // rerank list (codes → hamming shortlist → cosine rerank) rebuilt
+    // independently, hits counted by a left join, integer micros
+    "bq_recall" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), bdots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    sum(a.x * b.x) AS dot
+        |  FROM elems a JOIN elems b ON a.i = b.i
+        |    AND a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), branked AS (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY
+        |      dot/(na.nrm*nb.nrm) DESC, cand_id) AS rank
+        |  FROM bdots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), exact AS (
+        |  SELECT query_id, cand_id FROM branked WHERE rank <= 10
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 AND x >= 0
+        |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0
+        |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM elems GROUP BY 1
+        |), dists AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS ham
+        |  FROM codes a JOIN codes b
+        |    ON a.vec_id <= 4 AND b.vec_id <> a.vec_id
+        |), shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ham, cand_id) AS hrank
+        |    FROM dists)
+        |  WHERE hrank <= 50
+        |), rdots AS (
+        |  SELECT s.query_id, s.cand_id, sum(a.x*b.x) AS dot
+        |  FROM shortlist s
+        |  JOIN elems a ON a.vec_id = s.query_id
+        |  JOIN elems b ON b.vec_id = s.cand_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), reranked AS (
+        |  SELECT query_id, cand_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY
+        |      dot/(na.nrm*nb.nrm) DESC, cand_id) AS rank
+        |  FROM rdots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), approx AS (
+        |  SELECT query_id, cand_id FROM reranked WHERE rank <= 10
+        |)
+        |SELECT e.query_id,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST(sum(CASE WHEN a.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS recall_micro
+        |FROM exact e
+        |LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the ann_topk scorer restricted to different-label candidates —
     // the label filter runs BEFORE the rank window, like the Spark plan
     "hard_negatives" ->
