@@ -302,6 +302,61 @@ object Drift {
     centroidShift(dims)
   }
 
+  /** Per-BIT activation counts of the binary-quantization sign codes
+    * (bit i set iff `emb[i] >= 0` — [[graft.functions.SignPack]]'s
+    * contract): one (bit, set-count, count) row per bit — the
+    * SUM-mergeable sufficient statistic under [[bqBitDriftFrom]],
+    * shared by the streaming twin so streamed ≡ batch. */
+  def bqBitSums(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("bit", "x")))
+      .filter(col("bit") < 64)
+      .groupBy(col("bit"))
+      .agg(sum(when(col("x") >= 0, 1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("c"))
+
+  /** The per-bit drift assembly over a generic (bit, s0, c0, s1, c1)
+    * relation — rates in integer micros, truncating division (all
+    * terms nonnegative ⇒ floor on both engines). Input is ≤ 64 rows. */
+  def bqBitDriftFrom(bits: DataFrame): DataFrame =
+    bits
+      .select(col("bit"),
+        expr("CASE WHEN c0 > 0 THEN s0 * 1000000 div c0 END")
+          .as("ref_rate_micro"),
+        expr("CASE WHEN c1 > 0 THEN s1 * 1000000 div c1 END")
+          .as("new_rate_micro"))
+      .withColumn("delta_micro",
+        abs(col("ref_rate_micro") - col("new_rate_micro")))
+      .orderBy(col("bit"))
+
+  /** Per-BIT activation drift of the BQ codes between vec_id halves —
+    * the 1-bit marginal of [[embeddingDrift]] and the cheapest
+    * embedding-distribution monitor there is: a bit whose set-rate
+    * moves is a sign dimension whose balance moved (a "rogue
+    * dimension" forming, an encoder swap, a normalization bug), caught
+    * from 8-byte codes without touching float geometry. Integer-exact
+    * end to end, so the oracle replays it bit-for-bit. Output ≤ 64
+    * rows; the scan is the same 64-rows-per-vector posexplode shape as
+    * [[embeddingDrift]], collapsing to a bit-cardinality aggregate. */
+  def bqBitDrift(embeddings: DataFrame): DataFrame = {
+    val mid = embeddings.agg(
+      expr("(min(vec_id) + max(vec_id)) div 2").as("mid"))
+    val bits = embeddings
+      .crossJoin(broadcast(mid))
+      .select(when(col("vec_id") <= col("mid"), 0).otherwise(1).as("half"),
+        posexplode(col("embedding")).as(Seq("bit", "x")))
+      .filter(col("bit") < 64)
+      .groupBy(col("bit"))
+      .agg(
+        sum(when(col("half") === 0 && col("x") >= 0, 1L).otherwise(0L))
+          .as("s0"),
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("half") === 1 && col("x") >= 0, 1L).otherwise(0L))
+          .as("s1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    bqBitDriftFrom(bits)
+  }
+
   /** The centroid-shift assembly over a generic (label, i, s0, c0, s1,
     * c1) per-dim sum/count relation — shared by [[embeddingDrift]]
     * (vec_id halves) and `streaming.StreamEmbeddingDrift` (frozen

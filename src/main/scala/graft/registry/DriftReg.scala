@@ -33,7 +33,13 @@ private[graft] object DriftReg {
     "embedding_drift" -> ((s, dir) =>
       graft.operators.Drift.embeddingDrift(Tables.embeddings(s, dir))),
     "label_sim_matrix" -> ((s, dir) =>
-      graft.operators.Drift.labelSimMatrix(Tables.embeddings(s, dir)))
+      graft.operators.Drift.labelSimMatrix(Tables.embeddings(s, dir))),
+    // per-bit activation drift of the BQ sign codes between vec_id
+    // halves — the 1-bit marginal of embedding_drift: the cheapest
+    // embedding-distribution monitor (8-byte codes, no float geometry),
+    // integer-exact so the oracle replays it bit-for-bit
+    "bq_bit_drift" -> ((s, dir) =>
+      graft.operators.Drift.bqBitDrift(Tables.embeddings(s, dir)))
   )
 
   def sql: Map[String, String] = Map(
@@ -343,6 +349,34 @@ private[graft] object DriftReg {
         |JOIN norms na ON na.label = dots.la
         |JOIN norms nb ON nb.label = dots.lb
         |ORDER BY la, lb""".stripMargin,
+    // per-bit BQ activation drift: the same sign-bit rule as sign_pack
+    // (x >= 0), halves split at (min+max)//2, rates in integer micros
+    // (all terms nonnegative, // == div == floor on both engines)
+    "bq_bit_drift" ->
+      """WITH m AS (
+        |  SELECT (min(vec_id) + max(vec_id)) // 2 AS mid FROM embeddings
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS bit,
+        |    unnest(embedding) AS x FROM embeddings
+        |), b AS (
+        |  SELECT e.bit,
+        |    sum(CASE WHEN e.vec_id <= m.mid AND e.x >= 0
+        |      THEN 1 ELSE 0 END) AS s0,
+        |    sum(CASE WHEN e.vec_id <= m.mid THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN e.vec_id > m.mid AND e.x >= 0
+        |      THEN 1 ELSE 0 END) AS s1,
+        |    sum(CASE WHEN e.vec_id > m.mid THEN 1 ELSE 0 END) AS c1
+        |  FROM elems e, m WHERE e.bit < 64 GROUP BY 1
+        |)
+        |SELECT bit,
+        |  CAST(CASE WHEN c0 > 0 THEN s0 * 1000000 // c0 END AS BIGINT)
+        |    AS ref_rate_micro,
+        |  CAST(CASE WHEN c1 > 0 THEN s1 * 1000000 // c1 END AS BIGINT)
+        |    AS new_rate_micro,
+        |  CAST(abs((CASE WHEN c0 > 0 THEN s0 * 1000000 // c0 END)
+        |    - (CASE WHEN c1 > 0 THEN s1 * 1000000 // c1 END)) AS BIGINT)
+        |    AS delta_micro
+        |FROM b ORDER BY bit""".stripMargin,
     "embedding_drift" ->
       """WITH m AS (
         |  SELECT (min(vec_id) + max(vec_id)) // 2 AS mid FROM embeddings

@@ -74,6 +74,35 @@ class StreamDriftSpec extends SparkSpec {
     assert(table.liveSums.count() <= 10L * 64L)
   }
 
+  test("frozen BQ-code marginals vs streamed vectors equals batch bqBitDrift") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamBqBitDrift
+    val emb = Tables.embeddings(spark, sf0001)
+    val mid = emb.agg(expr("(min(vec_id) + max(vec_id)) div 2"))
+      .collect()(0).getLong(0)
+    val late = emb.filter(col("vec_id") > mid)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+
+    val table = new StreamBqBitDrift.BitTable(spark,
+      Drift.bqBitSums(emb.filter(col("vec_id") <= mid)))
+    val src = MemoryStream[(Long, Seq[Float], Int)]
+    val q = StreamBqBitDrift.start(
+      src.toDS().toDF("vec_id", "embedding", "label"), table)
+    try {
+      late.grouped(7).foreach { wave =>
+        src.addData(wave: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = table.stat.collect().map(_.toSeq)
+    val batch = Drift.bqBitDrift(emb).collect().map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+    // state bounded at 64 bits, not vectors streamed
+    assert(table.liveSums.count() <= 64L)
+  }
+
   test("state stays bounded at types × bins across folds") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, Double)]
