@@ -136,8 +136,12 @@ class IvfReclusterSpec extends SparkSpec {
       .createTempDirectory("graft_recluster_bands").toString
     EmbeddingStore.writeBanded(
       store.select(col("vec_id"), col("embedding")), bandPath)
+    // the blob re-arrives under a FRESH id: an id already in the index
+    // is the replay self-exclusion cut (it can only be this batch
+    // re-probed after its own append — r14 against-family contract),
+    // so a true duplicate presents as a new document
     val resend = driftA.filter(col("vec_id") === 500L)
-      .select(col("vec_id"), col("embedding"))
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
     val flagged = Similarity.semanticDedupAgainstStore(resend,
       EmbeddingStore.readBandedSigs(spark, bandPath),
       EmbeddingStore.readBandedVecs(spark, bandPath))
