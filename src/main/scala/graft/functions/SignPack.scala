@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
  * Native codegen'd expression (the [[VectorDot]] pattern): one tight
  * primitive loop, no higher-order-function interpretation on the hot
  * path. Engine-portable: the DuckDB oracle packs the same bits as two
- * 32-bit halves via `sum(CASE WHEN x >= 0 THEN 1::BIGINT << i END)`
- * (halves sidestep HUGEINT widening on the sign bit) and compares
+ * 32-bit halves via
+ * `sum(CASE WHEN x >= 0 AND NOT isnan(x) THEN 1::BIGINT << i END)`
+ * (halves sidestep HUGEINT widening on the sign bit; the isnan guard
+ * is load-bearing — DuckDB's `>=` orders NaN ABOVE all floats, while
+ * this expression's Java `>=` is false for NaN, bit clear) and compares
  * Hamming = `bit_count(xor(lo)) + bit_count(xor(hi))`.
  */
 case class SignPack(child: Expression) extends UnaryExpression {

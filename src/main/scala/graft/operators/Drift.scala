@@ -303,16 +303,21 @@ object Drift {
   }
 
   /** Per-BIT activation counts of the binary-quantization sign codes
-    * (bit i set iff `emb[i] >= 0` — [[graft.functions.SignPack]]'s
-    * contract): one (bit, set-count, count) row per bit — the
-    * SUM-mergeable sufficient statistic under [[bqBitDriftFrom]],
-    * shared by the streaming twin so streamed ≡ batch. */
+    * (bit i set iff `emb[i] >= 0` AND not NaN — [[graft.functions
+    * .SignPack]]'s Java-comparison contract; Spark SQL's own `>= 0`
+    * would SET the bit on NaN because SQL comparison orders NaN above
+    * every float, so the NaN case is excluded explicitly to keep the
+    * monitor's rule identical to the pack rule it monitors): one
+    * (bit, set-count, count) row per bit — the SUM-mergeable
+    * sufficient statistic under [[bqBitDriftFrom]], shared by the
+    * streaming twin so streamed ≡ batch. */
   def bqBitSums(embeddings: DataFrame): DataFrame =
     embeddings
       .select(posexplode(col("embedding")).as(Seq("bit", "x")))
       .filter(col("bit") < 64)
       .groupBy(col("bit"))
-      .agg(sum(when(col("x") >= 0, 1L).otherwise(0L)).as("s"),
+      .agg(sum(when(col("x") >= 0 && !isnan(col("x")), 1L).otherwise(0L))
+        .as("s"),
         count(lit(1)).as("c"))
 
   /** The per-bit drift assembly over a generic (bit, s0, c0, s1, c1)
@@ -348,11 +353,12 @@ object Drift {
       .filter(col("bit") < 64)
       .groupBy(col("bit"))
       .agg(
-        sum(when(col("half") === 0 && col("x") >= 0, 1L).otherwise(0L))
-          .as("s0"),
+        // sign rule = SignPack's (bit clear on NaN) — see bqBitSums
+        sum(when(col("half") === 0 && col("x") >= 0 && !isnan(col("x")),
+          1L).otherwise(0L)).as("s0"),
         sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
-        sum(when(col("half") === 1 && col("x") >= 0, 1L).otherwise(0L))
-          .as("s1"),
+        sum(when(col("half") === 1 && col("x") >= 0 && !isnan(col("x")),
+          1L).otherwise(0L)).as("s1"),
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
     bqBitDriftFrom(bits)
   }

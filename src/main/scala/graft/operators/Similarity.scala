@@ -1116,9 +1116,22 @@ object Similarity {
     * shape restricted to the BQ shortlist. */
   def annBqRerank(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
       m: Int = 50, k: Int = 10): DataFrame = {
-    import graft.functions.TopKRows.topk_rows
     val shortlist = annHamming(embeddings, queryIds, m)
       .select(col("query_id").as("sq"), col("neighbor_id"))
+    bqExactRerank(embeddings, shortlist, queryIds, k)
+  }
+
+  /** The exact-cosine RE-RANK tail every coarse-shortlist chain shares
+    * ([[annBqRerank]], [[annIvfBq]], [[annBqAsym]]): `shortlist` is a
+    * tiny (sq = query_id, neighbor_id) relation; only those vectors are
+    * fetched at full float width (broadcast semi-ish join into one
+    * corpus scan — a corpus vector can be shortlisted by several
+    * queries, so the pair is kept), scored exactly, and ranked by the
+    * bounded heap. Output: (query_id, rank, neighbor_id, cos6) — the
+    * [[annBruteForce]] shape restricted to the shortlist. */
+  private def bqExactRerank(embeddings: DataFrame, shortlist: DataFrame,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    import graft.functions.TopKRows.topk_rows
     val corpus = embeddings.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val queries = broadcast(
@@ -1127,8 +1140,6 @@ object Similarity {
           col("nrm").as("q_nrm")))
     val denom = col("nrm") * col("q_nrm")
     corpus
-      // fetch = broadcast semi-ish join on the tiny shortlist; a corpus
-      // vector can be shortlisted by several queries, so keep the pair
       .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
       .join(queries, col("sq") === col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -1141,6 +1152,136 @@ object Similarity {
         col("col.id").as("neighbor_id"),
         keyCos6(col("col.score")).as("cos6"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF×BQ COMPOSED serving — the production binary-quantization shape
+    * at 100 TB: the coarse quantizer routes each query to its `nProbe`
+    * cells (partition pruning — the scan touches nProbe/nCentroids of
+    * the corpus), candidates THERE are shortlisted by 8-byte Hamming
+    * codes ([[graft.functions.SignPack]] — two ALU ops per candidate,
+    * the embedding column never leaves the map side), and only the `m`
+    * shortlisted vectors per query fetch their floats for the exact
+    * re-rank. Cells cut the SCAN, codes cut the BYTES, the re-rank
+    * restores exactness on queries·m rows — each stage bounded by the
+    * one before it.
+    *
+    * Degenerate-parameter contract (spec-pinned): nProbe = nCentroids ∧
+    * m ≥ |corpus| ⇒ every candidate reaches the exact re-rank, so the
+    * output is bit-equal to [[annBruteForce]].
+    *
+    * Scale shape: ONE codes-only corpus pass (vec_id + cell id + sign
+    * code — both projections codegen'd, ~12 bytes of payload per
+    * vector); probes broadcast (driver-sized, the [[annIvfWith]]
+    * argument); Hamming rank rides the bounded heap (≤ m rows per
+    * query × partition cross the shuffle); the re-rank is
+    * [[bqExactRerank]]. The oracle replays probes + cells from the
+    * `__AUX__` write-time dumps and the pack/popcount/re-rank
+    * arithmetic exactly. */
+  def annIvfBq(embeddings: DataFrame, cents: Array[Array[Double]],
+      queryIds: Seq[Long] = 0L to 4L, k: Int = 10, m: Int = 50,
+      nProbe: Int = 4): DataFrame = {
+    import graft.functions.NearestCentroid.nearest_centroid
+    import graft.functions.SignPack.sign_pack
+    import graft.functions.TopKRows.topk_rows
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cnorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    // codes-only corpus relation: cell id + sign code, both map-side
+    // codegen'd projections — a real deployment reads them from the
+    // write-time index (exactly what the gate's oracle does)
+    val coded = embeddings.select(col("vec_id"),
+      nearest_centroid(col("embedding"), cents).as("c_id"),
+      sign_pack(col("embedding")).as("code"))
+    // probe lists on the driver (queries × centroids is driver-sized);
+    // the query's own code comes from the SAME engine expression — pack
+    // portability is the engine's problem exactly once (the annIvfSq
+    // convention)
+    val qRows = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"),
+        sign_pack(col("embedding")).as("code"))
+      .collect()
+    val probeRows = qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val qCode = r.getLong(2)
+      cents.indices.map { c =>
+        val s = if (cnorms(c) != 0.0)
+          cents(c).zip(q).map { case (a, b) => a * b }.sum / cnorms(c)
+        else Double.NegativeInfinity
+        (s, c)
+      }.sortBy { case (s, c) => (-s, c) }.take(nProbe)
+        .map { case (_, c) => (qid, c, qCode) }
+    }
+    val probesDf = broadcast(probeRows.toDF("query_id", "c_id", "q_code"))
+    val shortlist = coded
+      .join(probesDf, "c_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("q_code"))).cast("long")
+          .as("ham"))
+      // heap keeps (score DESC, id ASC); negate for Hamming ASC — ham
+      // is in [0, 64], the annHamming convention
+      .groupBy(col("query_id"))
+      .agg(topk_rows(-col("ham"), col("vec_id"), m).as("top"))
+      .select(col("query_id").as("sq"), explode(col("top.id")).as("neighbor_id"))
+    bqExactRerank(embeddings, shortlist, queryIds, k)
+  }
+
+  /** ASYMMETRIC binary-quantization top-k — the standard recall upgrade
+    * over symmetric Hamming ([[annHamming]]): the corpus stays at 1 bit
+    * per dimension, but the QUERY is never quantized — each candidate
+    * scores score(q, b) = Σᵢ qᵢ·(2bᵢ−1), the dot product of the float
+    * query against the candidate's sign pattern. The query loses no
+    * information (the whole reason asymmetric scoring exists — recall
+    * at the same shortlist width is ≥ the symmetric chain's,
+    * spec-pinned), while the corpus pass still touches 8 bytes per
+    * vector.
+    *
+    * Determinism: query coordinates are micro-FLOORED to integers on
+    * the driver (qmᵢ = floor(qᵢ·10⁶) — single-op IEEE floor, portable),
+    * so every score is an exact BIGINT sum the oracle replays
+    * bit-for-bit; the sign rule is [[graft.functions.SignPack]]'s
+    * (bit clear on NaN). Ties to the lowest vec_id.
+    *
+    * Scale shape: codes-only corpus pass (8 bytes/vector), queries'
+    * micro vectors broadcast, scoring one map-side higher-order
+    * aggregate over the 64 bits, shortlist via the bounded heap, exact
+    * re-rank on queries·m rows ([[bqExactRerank]]). */
+  def annBqAsym(embeddings: DataFrame, queryIds: Seq[Long] = 0L to 4L,
+      m: Int = 50, k: Int = 10): DataFrame = {
+    import graft.functions.SignPack.sign_pack
+    import graft.functions.TopKRows.topk_rows
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val codes = embeddings.select(col("vec_id"),
+      sign_pack(col("embedding")).as("code"))
+    val qRows = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+    val queryMicro = qRows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      // floor(f32→f64 · 1e6): bit-identical to the oracle's
+      // floor(CAST(x AS DOUBLE) * 1000000.0) — widen, multiply, floor
+      val qm = r.getSeq[Float](1).take(64)
+        .map(x => math.floor(x.toDouble * 1e6).toLong)
+      (qid, qm)
+    }
+    val queries = broadcast(queryMicro.toDF("query_id", "q_micro"))
+    // Σᵢ qmᵢ·(2bᵢ−1) over the candidate's packed bits — exact BIGINT,
+    // order-free; one higher-order fold per candidate, map-side
+    val score = expr(
+      """aggregate(
+        |  zip_with(q_micro,
+        |    sequence(CAST(0 AS INT), CAST(size(q_micro) - 1 AS INT)),
+        |    (qm, i) -> CASE WHEN (shiftright(code, i) & CAST(1 AS BIGINT)) = 1
+        |      THEN qm ELSE -qm END),
+        |  CAST(0 AS BIGINT), (s, x) -> s + x)""".stripMargin)
+    val shortlist = codes.crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), score.as("score"))
+      .groupBy(col("query_id"))
+      .agg(topk_rows(col("score"), col("vec_id"), m).as("top"))
+      .select(col("query_id").as("sq"), explode(col("top.id")).as("neighbor_id"))
+    bqExactRerank(embeddings, shortlist, queryIds, k)
   }
 
   /** SEMANTIC dedup (SemDeDup-family): drop every embedding whose cosine

@@ -350,8 +350,10 @@ private[graft] object DriftReg {
         |JOIN norms nb ON nb.label = dots.lb
         |ORDER BY la, lb""".stripMargin,
     // per-bit BQ activation drift: the same sign-bit rule as sign_pack
-    // (x >= 0), halves split at (min+max)//2, rates in integer micros
-    // (all terms nonnegative, // == div == floor on both engines)
+    // (x >= 0, bit CLEAR on NaN — DuckDB orders NaN above all floats,
+    // so the NOT isnan guard keeps the rule engine-identical), halves
+    // split at (min+max)//2, rates in integer micros (all terms
+    // nonnegative, // == div == floor on both engines)
     "bq_bit_drift" ->
       """WITH m AS (
         |  SELECT (min(vec_id) + max(vec_id)) // 2 AS mid FROM embeddings
@@ -360,10 +362,10 @@ private[graft] object DriftReg {
         |    unnest(embedding) AS x FROM embeddings
         |), b AS (
         |  SELECT e.bit,
-        |    sum(CASE WHEN e.vec_id <= m.mid AND e.x >= 0
+        |    sum(CASE WHEN e.vec_id <= m.mid AND e.x >= 0 AND NOT isnan(e.x)
         |      THEN 1 ELSE 0 END) AS s0,
         |    sum(CASE WHEN e.vec_id <= m.mid THEN 1 ELSE 0 END) AS c0,
-        |    sum(CASE WHEN e.vec_id > m.mid AND e.x >= 0
+        |    sum(CASE WHEN e.vec_id > m.mid AND e.x >= 0 AND NOT isnan(e.x)
         |      THEN 1 ELSE 0 END) AS s1,
         |    sum(CASE WHEN e.vec_id > m.mid THEN 1 ELSE 0 END) AS c1
         |  FROM elems e, m WHERE e.bit < 64 GROUP BY 1

@@ -74,11 +74,16 @@ private[graft] object Memo {
       build: => DataFrame): DataFrame = {
     val k = (System.identityHashCode(s.sparkContext), dir)
     val v = cache.computeIfAbsent(k, _ => {
-      val before = s.sparkContext.getPersistentRDDs.keySet
       val raw = build
       shaMemo.put((tag, k._1, k._2), PlanFingerprint.structSha(raw))
       val out = raw.localCheckpoint(eager)
-      (s.sparkContext.getPersistentRDDs.keySet -- before)
+      // pin by reading the block ids off the checkpointed plan itself
+      // (GraftBridge.checkpointedRddIds) — a global registry diff here
+      // would capture blocks a concurrently-folding standing table
+      // creates in the same window (the r14 StandingTable lesson;
+      // over-pinning is leak-accounting drift only, but the exact
+      // attribution costs nothing)
+      org.apache.spark.sql.GraftBridge.checkpointedRddIds(out)
         .foreach(id => pinnedRddIds.add(id))
       out
     })
@@ -204,12 +209,11 @@ private[graft] object Memo {
   private[graft] def dupStartsFor(s: SparkSession, dir: String): Dedup.DupStarts = {
     val k = (System.identityHashCode(s.sparkContext), dir)
     val v = dupStartsMemo.computeIfAbsent(k, _ => {
-        val before = s.sparkContext.getPersistentRDDs.keySet
         val d = Dedup.dupStarts(Tables.documents(s, dir), 20)
         shaMemo.put(("dup_starts", k._1, k._2),
           PlanFingerprint.structSha(d.rel))
         val p = d.copy(rel = d.rel.localCheckpoint(true))
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
+        org.apache.spark.sql.GraftBridge.checkpointedRddIds(p.rel)
           .foreach(id => pinnedRddIds.add(id))
         p
       })
@@ -304,6 +308,10 @@ private[graft] object Memo {
       dir: String): (Seq[(Long, String, Long)], DataFrame) =
     bpeMemo.computeIfAbsent(
       (System.identityHashCode(s.sparkContext), dir), _ => {
+        // the one remaining registry-diff pin: bpeTrain persists (not
+        // localCheckpoints) its final corpus, so there is no LogicalRDD
+        // to read an id from; over-pinning from a concurrent fold's
+        // window is benign (pinning never unpersists)
         val before = s.sparkContext.getPersistentRDDs.keySet
         val (learned, fin) =
           TextAnalysis.bpeTrain(Tables.documents(s, dir), 5)
@@ -384,7 +392,6 @@ private[graft] object Memo {
       dir: String): (DataFrame, DataFrame, DataFrame) = {
     val k = (System.identityHashCode(s.sparkContext), dir)
     val v = chunkIndexMemo.computeIfAbsent(k, _ => {
-      val before = s.sparkContext.getPersistentRDDs.keySet
       val shas = Seq.newBuilder[String]
       val triple = Dedup.chunkIndexRelations(
         Tables.documents(s, dir)
@@ -393,12 +400,17 @@ private[graft] object Memo {
         maxDf = 1000,
         cp = df => {
           shas += PlanFingerprint.structSha(df)
-          df.localCheckpoint(true)
+          val out = df.localCheckpoint(true)
+          // per-checkpoint exact attribution INSIDE the cp seam (the
+          // memoizedCp rule): ids read off each checkpointed plan, no
+          // global-registry diff window for a concurrent fold to leak
+          // its blocks into
+          org.apache.spark.sql.GraftBridge.checkpointedRddIds(out)
+            .foreach(id => pinnedRddIds.add(id))
+          out
         })
       shaMemo.put(("chunk_index", k._1, k._2),
         PlanFingerprint.sha6(shas.result().mkString(",")))
-      (s.sparkContext.getPersistentRDDs.keySet -- before)
-        .foreach(id => pinnedRddIds.add(id))
       triple
     })
     PlanTrace.record("chunk_index",
@@ -410,12 +422,11 @@ private[graft] object Memo {
       threshold: Double): DataFrame = {
     val k = (System.identityHashCode(s.sparkContext), dir, threshold)
     val v = groupsMemo.computeIfAbsent(k, _ => {
-        val before = s.sparkContext.getPersistentRDDs.keySet
         val raw = Dedup.dedupGroups(Tables.documents(s, dir), threshold)
         shaMemo.put(("groups", k._1, k._2 + "@" + k._3),
           PlanFingerprint.structSha(raw))
         val g = raw.localCheckpoint(true)
-        (s.sparkContext.getPersistentRDDs.keySet -- before)
+        org.apache.spark.sql.GraftBridge.checkpointedRddIds(g)
           .foreach(id => pinnedRddIds.add(id))
         g
       })

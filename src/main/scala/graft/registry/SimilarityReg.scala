@@ -29,6 +29,16 @@ private[graft] object SimilarityReg {
       Similarity.annHamming(Tables.embeddings(s, dir))),
     "ann_bq_rerank" -> ((s, dir) =>
       Similarity.annBqRerank(Tables.embeddings(s, dir))),
+    // IVF×BQ composed serving: partition-pruned cells (write-time
+    // quantizer state) scored by 8-byte sign codes, exact re-rank on
+    // the shortlist — cells cut the scan, codes cut the bytes
+    "ann_ivf_bq_topk" -> ((s, dir) =>
+      Similarity.annIvfBq(Tables.embeddings(s, dir), centroidsFor(s, dir))),
+    // asymmetric BQ: 1-bit corpus, FLOAT query (micro-floored to exact
+    // BIGINT terms) — the standard recall upgrade over symmetric
+    // Hamming at the same shortlist width
+    "ann_bq_asym_topk" -> ((s, dir) =>
+      Similarity.annBqAsym(Tables.embeddings(s, dir))),
     // recall@10 of the BQ chain vs the exact scorer — the audit that
     // gates the 1-bit shortlist width before serving (annRecall is
     // retriever-agnostic: same read as ann_recall, BQ plugged in)
@@ -1003,9 +1013,9 @@ private[graft] object SimilarityReg {
         |    unnest(embedding) AS x FROM embeddings
         |), codes AS (
         |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN i < 32 AND x >= 0
+        |    CAST(sum(CASE WHEN i < 32 AND x >= 0 AND NOT isnan(x)
         |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
-        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0
+        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0 AND NOT isnan(x)
         |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
         |  FROM elems GROUP BY 1
         |), dists AS (
@@ -1030,9 +1040,9 @@ private[graft] object SimilarityReg {
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
         |), codes AS (
         |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN i < 32 AND x >= 0
+        |    CAST(sum(CASE WHEN i < 32 AND x >= 0 AND NOT isnan(x)
         |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
-        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0
+        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0 AND NOT isnan(x)
         |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
         |  FROM elems GROUP BY 1
         |), dists AS (
@@ -1048,6 +1058,131 @@ private[graft] object SimilarityReg {
         |  WHERE hrank <= 50
         |), norms AS (
         |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), dots AS (
+        |  SELECT s.query_id, s.cand_id, sum(a.x*b.x) AS dot
+        |  FROM shortlist s
+        |  JOIN elems a ON a.vec_id = s.query_id
+        |  JOIN elems b ON b.vec_id = s.cand_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), reranked AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, rank, cand_id AS neighbor_id,
+        |  round(cos, 6) AS cos6
+        |FROM reranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // IVF×BQ composed chain replayed ENTIRELY from the write-time
+    // index state: probe selection from the centroid dump + candidate
+    // cells from the cell dump (the ann_ivf_topk CTEs), the sign-pack
+    // codes rebuilt with the NaN-guarded rule (two 32-bit halves — the
+    // ann_hamming_topk CTE), Hamming shortlist rank ≤ 50 WITHIN the
+    // probed cells, then the exact-cosine re-rank of the fetched
+    // vectors (the ann_bq_rerank tail)
+    "ann_ivf_bq_topk" ->
+      """WITH cents AS (
+        |  SELECT c_id, pos, w FROM read_parquet('__AUX__/ivf_centroids/*.parquet')
+        |), cnorm AS (
+        |  SELECT c_id, sqrt(sum(w*w)) AS cn FROM cents GROUP BY 1
+        |), elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 AND x >= 0 AND NOT isnan(x)
+        |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0 AND NOT isnan(x)
+        |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM elems GROUP BY 1
+        |), qdot AS (
+        |  SELECT e.vec_id AS query_id, c.c_id, sum(e.x * c.w) AS dot
+        |  FROM elems e JOIN cents c ON c.pos = e.i
+        |  WHERE e.vec_id <= 4
+        |  GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT query_id, c_id FROM (
+        |    SELECT q.query_id, q.c_id, row_number() OVER (
+        |      PARTITION BY q.query_id ORDER BY
+        |        CASE WHEN n.cn = 0 THEN -1e308 ELSE q.dot / n.cn END DESC,
+        |        q.c_id) AS r
+        |    FROM qdot q JOIN cnorm n ON n.c_id = q.c_id) t
+        |  WHERE r <= 4
+        |), cands AS (
+        |  SELECT p.query_id, cl.vec_id AS cand_id
+        |  FROM probes p
+        |  JOIN read_parquet('__AUX__/ivf_cells/*.parquet') cl
+        |    ON cl.c_id = p.c_id
+        |  WHERE cl.vec_id <> p.query_id
+        |), dists AS (
+        |  SELECT cd.query_id, cd.cand_id,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS ham
+        |  FROM cands cd
+        |  JOIN codes a ON a.vec_id = cd.query_id
+        |  JOIN codes b ON b.vec_id = cd.cand_id
+        |), shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ham, cand_id) AS hrank
+        |    FROM dists)
+        |  WHERE hrank <= 50
+        |), dots AS (
+        |  SELECT s.query_id, s.cand_id, sum(a.x*b.x) AS dot
+        |  FROM shortlist s
+        |  JOIN elems a ON a.vec_id = s.query_id
+        |  JOIN elems b ON b.vec_id = s.cand_id AND b.i = a.i
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT query_id, cand_id, dot/(na.nrm*nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN norms na ON na.vec_id = query_id
+        |  JOIN norms nb ON nb.vec_id = cand_id
+        |), reranked AS (
+        |  SELECT query_id, cand_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, rank, cand_id AS neighbor_id,
+        |  round(cos, 6) AS cos6
+        |FROM reranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // asymmetric BQ chain: the query's micro-floored float coords
+    // against each candidate's ±1 sign pattern — every score an exact
+    // BIGINT sum (order-free), sign rule NaN-guarded like sign_pack;
+    // shortlist rank ≤ 50 by score DESC (cand_id tiebreak), then the
+    // ann_bq_rerank exact-cosine tail
+    "ann_bq_asym_topk" ->
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM elems GROUP BY 1
+        |), qm AS (
+        |  SELECT vec_id AS query_id, i,
+        |    CAST(floor(x * 1000000.0) AS BIGINT) AS qm
+        |  FROM elems WHERE vec_id <= 4 AND i < 64
+        |), bits AS (
+        |  SELECT vec_id, i,
+        |    CASE WHEN x >= 0 AND NOT isnan(x) THEN 1 ELSE -1 END AS b
+        |  FROM elems WHERE i < 64
+        |), scores AS (
+        |  SELECT q.query_id, b.vec_id AS cand_id,
+        |    CAST(sum(q.qm * b.b) AS BIGINT) AS score
+        |  FROM qm q JOIN bits b ON b.i = q.i AND b.vec_id <> q.query_id
+        |  GROUP BY 1, 2
+        |), shortlist AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, cand_id) AS r
+        |    FROM scores)
+        |  WHERE r <= 50
         |), dots AS (
         |  SELECT s.query_id, s.cand_id, sum(a.x*b.x) AS dot
         |  FROM shortlist s
@@ -1094,9 +1229,9 @@ private[graft] object SimilarityReg {
         |  SELECT query_id, cand_id FROM branked WHERE rank <= 10
         |), codes AS (
         |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN i < 32 AND x >= 0
+        |    CAST(sum(CASE WHEN i < 32 AND x >= 0 AND NOT isnan(x)
         |      THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
-        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0
+        |    CAST(sum(CASE WHEN i >= 32 AND i < 64 AND x >= 0 AND NOT isnan(x)
         |      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
         |  FROM elems GROUP BY 1
         |), dists AS (

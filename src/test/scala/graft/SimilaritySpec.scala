@@ -886,4 +886,83 @@ class SimilaritySpec extends SparkSpec {
     val hits = got.count(r => exact((r.getLong(0), r.getLong(2))))
     assert(hits >= exact.size / 2, s"recall collapsed: $hits/${exact.size}")
   }
+
+  test("annIvfBq: nProbe = nCentroids ∧ m ≥ corpus is bit-equal to brute force") {
+    // all cells probed + corpus-wide shortlist ⇒ every candidate
+    // reaches the exact re-rank — the composed chain's boundary case
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.kmeansCentroids(emb)
+    val exact = Similarity.annBruteForce(emb, queryIds = Seq(0L, 1L), k = 5)
+      .collect().toSeq
+    val got = Similarity.annIvfBq(emb, cents, queryIds = Seq(0L, 1L),
+      k = 5, m = 100000, nProbe = cents.length).collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) ==
+      exact.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
+    assert(got.map(_.getDouble(3)) == exact.map(_.getDouble(3)))
+  }
+
+  test("annIvfBq: cell pruning bounds the shortlist; window-free plan") {
+    import graft.functions.NearestCentroid.nearest_centroid
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.kmeansCentroids(emb)
+    // nProbe = 1 probes exactly the query's own cell (probe selection
+    // and assignment share the spherical argmax, ties to the lowest
+    // cell) — so with a corpus-wide shortlist width every returned
+    // neighbor must live in that one cell: pruning is semantic, not
+    // just a plan shape
+    val cells = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        nearest_centroid(org.apache.spark.sql.functions.col("embedding"),
+          cents).as("c_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val df = Similarity.annIvfBq(emb, cents, queryIds = Seq(0L),
+      k = 10, m = 100000, nProbe = 1)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(cells(r.getLong(2)) == cells(0L),
+      s"neighbor ${r.getLong(2)} outside the probed cell"))
+    // both ranking stages ride the bounded heap — never a sort window
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "annIvfBq must not plan a window")
+  }
+
+  test("annBqAsym: hand-checked shortlist scores; asym order by signed micro dot") {
+    // q = (1, -0.5) → qm = (1000000, -500000); scores against the ±1
+    // sign patterns: A(+,−) = 1.5e6, B(+,+) = 0.5e6, C(−,−) = −0.5e6 —
+    // with m = 2 only A and B survive to the exact re-rank
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f), 0),
+      (1L, Array(0.8f, -0.9f), 0),  // (+,−) like the query
+      (2L, Array(0.9f, 0.9f), 0),   // (+,+)
+      (3L, Array(-0.9f, -0.9f), 0)  // (−,−): lowest asym score, cut
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.annBqAsym(vecs, queryIds = Seq(0L), m = 2, k = 10)
+      .collect()
+    assert(got.map(_.getLong(2)).toSet == Set(1L, 2L),
+      "the m=2 asym shortlist keeps the two best sign patterns")
+    assert(got.head.getLong(2) == 1L, "exact re-rank puts the true nearest first")
+  }
+
+  test("annBqAsym: m ≥ corpus equals brute force; recall@10 ≥ the symmetric chain") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exactFull = Similarity.annBruteForce(emb, queryIds = Seq(0L, 1L), k = 5)
+      .collect().toSeq
+    val asymFull = Similarity.annBqAsym(emb, queryIds = Seq(0L, 1L),
+      m = 100000, k = 5).collect().toSeq
+    assert(asymFull.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))) ==
+      exactFull.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
+    // the reason asymmetric scoring exists: at the SAME shortlist width
+    // the unquantized query loses no information, so recall against the
+    // exact scorer must not drop below the symmetric Hamming chain's
+    val exact = Similarity.annBruteForce(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sym = Similarity.annBqRerank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val asym = Similarity.annBqAsym(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rSym = sym.count(exact.contains)
+    val rAsym = asym.count(exact.contains)
+    println(s"[bq-asym] recall@10: sym=$rSym asym=$rAsym of ${exact.size}")
+    assert(rAsym >= rSym,
+      s"asymmetric recall below symmetric: $rAsym < $rSym")
+  }
 }
