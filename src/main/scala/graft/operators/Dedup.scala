@@ -1403,6 +1403,27 @@ object Dedup {
     dupSubstrings(newDocs,
       starts = Some(dupStartsAgainst(newDocs, corpusHashes, minLen)))
 
+  /** The APPLY half of the ingest check — the action [[
+    * dupSubstringsAgainst]] only reports: per NEW document, the cleaned
+    * normalized token stream with every token covered by a
+    * length-`minLen` window ALREADY IN THE CORPUS removed, plus the
+    * kept/removed tallies. This is Lee et al.'s ExactSubstr dedup
+    * actually applied at admission time: the gate admits the cleaned
+    * doc instead of rejecting the whole thing.
+    *
+    * Pure composition of the two halves that already gate: the
+    * probe-derived starts ([[dupStartsAgainst]] — batch census, corpus
+    * semi join) feed [[dupSubstringsApply]]'s running-max coverage walk
+    * verbatim, so batch, gated-query and streaming paths share one
+    * code path and the streamed result equals the batch one by
+    * construction. Shape at 100 TB: identical to the check — batch
+    * census ∝ batch tokens, hash-keyed probe against the persisted
+    * `store.SubstrStore` census, per-doc-bounded coverage fold. */
+  def dupSubstringsAgainstApply(newDocs: DataFrame, corpusHashes: DataFrame,
+      minLen: Int = 20): DataFrame =
+    dupSubstringsApply(newDocs,
+      starts = Some(dupStartsAgainst(newDocs, corpusHashes, minLen)))
+
   def dupSubstrings(documents: DataFrame, minLen: Int = 20,
       starts: Option[DupStarts] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -105,6 +105,13 @@ private[graft] object DedupReg {
       Dedup.dupSubstringsAgainst(
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
         graft.store.SubstrStore.readWindowCensus(s, substrStoreFor(s, dir)))),
+    // the APPLY half of the ingest check: admit each NEW doc CLEANED —
+    // corpus-covered spans removed via the dupSubstringsApply coverage
+    // walk over the same persisted-census probe
+    "dup_substrings_against_apply" -> ((s, dir) =>
+      Dedup.dupSubstringsAgainstApply(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) === 0),
+        graft.store.SubstrStore.readWindowCensus(s, substrStoreFor(s, dir)))),
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)),
     "embedding_dups" -> ((s, dir) =>
@@ -651,6 +658,60 @@ private[graft] object DedupReg {
         |  count(*) AS n_windows
         |FROM isl GROUP BY doc_id, isl
         |ORDER BY doc_id, start""".stripMargin,
+    // The against-APPLY: the dup_substrings_against census/corpus/ds
+    // CTEs (batch = doc_id % 5 = 0 probing the corpus split's distinct
+    // hashes) feeding the dup_substrings_apply coverage-walk tail —
+    // every batch token within 20 of the latest corpus-covered start
+    // at-or-before it is removed, cleaned text reassembled in token
+    // order, per-doc kept/removed tallies
+    "dup_substrings_against_apply" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0) AS w FROM norm
+        |), grams0 AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 20
+        |    THEN list_transform(generate_series(1, len(w) - 19),
+        |      i -> struct_pack(pos := i - 1,
+        |        g := array_to_string(w[i:i+19], ' ')))
+        |    ELSE [] END AS gl FROM toks
+        |), census AS (
+        |  SELECT doc_id, unnest(gl, recursive := true) FROM grams0
+        |), hashed AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM census
+        |), corpus AS (
+        |  SELECT DISTINCT h FROM hashed WHERE doc_id % 5 <> 0
+        |), ds AS (
+        |  SELECT doc_id, pos FROM hashed
+        |  WHERE doc_id % 5 = 0 AND h IN (SELECT h FROM corpus)
+        |), tokpos0 AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(w)),
+        |    i -> struct_pack(pos := i - 1, tok := w[i])) AS tl
+        |  FROM toks WHERE doc_id % 5 = 0
+        |), tokpos AS (
+        |  SELECT doc_id, unnest(tl, recursive := true) FROM tokpos0
+        |), cov AS (
+        |  SELECT t.doc_id, t.pos, t.tok,
+        |    max(CASE WHEN d.pos IS NOT NULL THEN t.pos END) OVER (
+        |      PARTITION BY t.doc_id ORDER BY t.pos
+        |      ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM tokpos t LEFT JOIN ds d
+        |    ON d.doc_id = t.doc_id AND d.pos = t.pos
+        |), kept AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM cov WHERE cs IS NULL OR cs + 20 <= pos GROUP BY 1
+        |), base AS (
+        |  SELECT doc_id, len(w) AS n_tokens FROM toks WHERE doc_id % 5 = 0
+        |)
+        |SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(b.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // C4-style corpus line dedup over fixed 8-token blocks; keeper = the
     // occurrence at the smallest (doc_id, block_idx). string_agg FILTER
     // needs the coalesce: a doc whose every block loses still emits ''.

@@ -131,4 +131,64 @@ object StreamSubstrCheck {
       minLen: Int = 20): DataFrame =
     Dedup.dupSubstringsAgainst(batch,
       graft.store.SubstrStore.readWindowCensus(spark, censusPath), minLen)
+
+  /** The APPLY half of one batch's probe — per incoming doc the CLEANED
+    * normalized token stream (corpus-covered spans removed) + tallies:
+    * the batch operator [[graft.operators.Dedup.dupSubstringsAgainstApply]]
+    * over the persisted census, reused verbatim (streamed ≡ batch by
+    * construction, spec-asserted). */
+  def probeApply(spark: SparkSession, batch: DataFrame, censusPath: String,
+      minLen: Int = 20): DataFrame =
+    Dedup.dupSubstringsAgainstApply(batch,
+      graft.store.SubstrStore.readWindowCensus(spark, censusPath), minLen)
+
+  /** The ADMIT-CLEANED ingest loop — the action [[startAdmitting]]'s
+    * span report stops short of: each batch's docs are admitted with
+    * their corpus-covered spans REMOVED (the Lee et al. ExactSubstr
+    * transform at the admission boundary), and the census then grows by
+    * the ADMITTED content's windows — the cleaned text's, not the raw
+    * batch's, so content the gate just stripped cannot re-enter the
+    * corpus as "already present" via its own rejection. Same
+    * probe-before-append materialization discipline, same periodic
+    * compaction, same REPLAY CAVEAT as [[startAdmitting]] (the census
+    * is content-addressed; see the class note). */
+  def startAdmittingCleaned(docs: DataFrame, censusPath: String,
+      sink: (DataFrame, Long) => Unit, minLen: Int = 20,
+      checkpoint: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery = {
+    val spark = docs.sparkSession
+    val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          // cleaned result materialized with truncated lineage BEFORE
+          // the census append (the startAdmitting contract: a deferred
+          // sink must never re-derive against the appended census)
+          val cleaned = probeApply(spark, b, censusPath, minLen)
+            .localCheckpoint(true)
+          val blocks =
+            org.apache.spark.sql.GraftBridge.checkpointedRddIds(cleaned)
+          try {
+            sink(cleaned, batchId)
+            graft.store.SubstrStore.appendWindowCensus(
+              cleaned.select(col("doc_id"), col("clean_text").as("text")),
+              censusPath, minLen)
+            if (compactEvery > 0 &&
+                admitted.incrementAndGet() % compactEvery == 0) {
+              val out = censusPath.stripSuffix("/") + ".compact"
+              graft.store.Swap.deleteRecursively(new java.io.File(out))
+              graft.store.SubstrStore.compactWindowCensus(
+                spark, censusPath, out)
+              graft.store.SubstrStore.swapCompacted(censusPath, out)
+            }
+          } finally blocks.foreach(id =>
+            spark.sparkContext.getPersistentRDDs.get(id)
+              .foreach(_.unpersist(blocking = false)))
+        } finally b.unpersist()
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
 }

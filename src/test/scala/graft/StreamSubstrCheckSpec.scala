@@ -101,6 +101,51 @@ class StreamSubstrCheckSpec extends SparkSpec {
     assert(got(1L) == Set((2L, 0L, 4L), (3L, 0L, 4L)))
   }
 
+  test("admit-cleaned loop: streamed ≡ batch apply; only ADMITTED content enters the census") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_substr_admit_clean_spec").toString
+    SubstrStore.writeWindowCensus(
+      Seq((10L, "a b c d")).toDF("doc_id", "text"), path, minLen = L)
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, String, Long, Long)]]
+    val q = StreamSubstrCheck.startAdmittingCleaned(
+      src.toDF().toDF("doc_id", "text"), path,
+      (df, id) => got(id) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet,
+      minLen = L)
+    try {
+      // batch 0: the corpus-covered head "a b c d" is stripped, the doc
+      // is admitted as "w x y z" — and ONLY that cleaned text's windows
+      // enter the census
+      src.addData((1L, "a b c d w x y z")); q.processAllAvailable()
+      // batch 1: the admitted cleaned window flags (doc 2); the original
+      // corpus content flags (doc 3); but a window of batch 0's RAW doc
+      // that spanned the stripped boundary ("b c d w") must NOT — the
+      // raw batch never entered the census, the cleaned doc did
+      src.addData((2L, "w x y z"), (3L, "a b c d"), (4L, "b c d w"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got(0L) == Set((1L, "w x y z", 8L, 4L)))
+    assert(got(1L) == Set(
+      (2L, "", 4L, 4L), (3L, "", 4L, 4L), (4L, "b c d w", 4L, 0L)))
+    // streamed ≡ batch: batch 0's cleaned stream equals the batch apply
+    // operator over the ORIGINAL census (same code path, spec-pinned by
+    // rebuilding the pre-append state)
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_substr_admit_clean_ref").toString
+    SubstrStore.writeWindowCensus(
+      Seq((10L, "a b c d")).toDF("doc_id", "text"), path2, minLen = L)
+    val ref = StreamSubstrCheck.probeApply(spark,
+      Seq((1L, "a b c d w x y z")).toDF("doc_id", "text"), path2,
+      minLen = L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got(0L) == ref)
+  }
+
   test("periodic in-loop compaction: probes unchanged, census stays distinct") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_substr_compact_loop").toString
