@@ -237,6 +237,16 @@ object UrlCuration {
     * collapsed mass. One scan to a url-cardinality aggregate; only
     * groups that actually collide are emitted. */
   def urlDedup(docsWithUrl: DataFrame): DataFrame =
+    urlDedupFrom(urlDedupCensusRaw(docsWithUrl))
+
+  /** UNthresholded per-canonical-url census (url_canon, n_dups, kept
+    * struct, total_chars) — the STANDING state under [[urlDedup]]:
+    * count and sum are sum-mergeable and the fullest-fetch keeper
+    * election min(struct(−n_chars, doc_id)) is min-mergeable, so the
+    * streaming twin ([[graft.streaming.StreamUrlDedup]]) folds
+    * per-batch censuses by exactly this merge and the fold is
+    * order-free. */
+  def urlDedupCensusRaw(docsWithUrl: DataFrame): DataFrame =
     docsWithUrl
       .select(canonUrl(col("url")).as("url_canon"), col("doc_id"),
         col("n_chars"))
@@ -245,6 +255,11 @@ object UrlCuration {
         min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))
           .as("kept"),
         sum(col("n_chars")).cast("long").as("total_chars"))
+
+  /** Threshold readout over a (folded or one-shot) raw census — the
+    * batch/streaming-shared half of [[urlDedup]]. */
+  def urlDedupFrom(raw: DataFrame): DataFrame =
+    raw
       .filter(col("n_dups") > 1)
       .select(col("url_canon"), col("n_dups"),
         col("kept.id").as("kept_doc_id"),
