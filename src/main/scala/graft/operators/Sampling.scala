@@ -282,6 +282,43 @@ object Sampling {
           (col("s") + 1) * budgetTokens - col("tokens_before")).as("end_tok"))
       .orderBy(col("doc_id"), col("seq_id"))
 
+  /** DETERMINISTIC TRAINING-ORDER SHUFFLE — the reproducible-training
+    * read the packing family stops just short of: every packed
+    * sequence ([[packSequences]]) gets its epoch-`e` position from the
+    * portable h60 of (seed, epoch, seq_id) — any engine, any
+    * partitioning, any rerun produces the SAME order, which is what
+    * makes a training run replayable mid-epoch and auditable after the
+    * fact (the fixed-seed shuffle every serious pretraining loop pins;
+    * a per-epoch reshuffle falls out of the epoch term in the key).
+    * Output: (epoch, pos, seq_id) for epochs 0..`epochs`−1, pos
+    * 1-based within epoch, ties (h60 collisions) to the smallest
+    * seq_id.
+    *
+    * Scale shape: one map-side projection (distinct seq_ids × epochs
+    * rows, each keyed by a codegen'd md5 fold) feeding the closed-form
+    * distributed rank ([[graft.operators.Ranks.withRankStats]] — cell
+    * histogram + within-cell ranks, no epoch-sized window task
+    * anywhere), so the order materializes shard-parallel at any corpus
+    * size. The oracle replays the identical md5-derived keys and
+    * ranks. */
+  def epochOrder(documents: DataFrame, epochs: Int = 3, seed: Long = 42L,
+      budgetTokens: Long = 512, nShards: Int = 8): DataFrame = {
+    import graft.functions.PortableHash.h60
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val seqs = packSequences(documents, budgetTokens, nShards)
+      .select(col("seq_id")).distinct()
+    val keyed = seqs
+      .select(col("seq_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"), col("seq_id"),
+        h60(concat_ws(":", lit(seed), col("epoch"), col("seq_id")))
+          .as("k"))
+    graft.operators.Ranks.withRankStats(keyed, Seq("epoch"), col("k"),
+        Seq(col("seq_id")), "pos", "__n")
+      .select(col("epoch"), col("pos"), col("seq_id"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
   /** Deterministic shard assignment + balance audit — the write-path
     * planning read before materializing training shards: every doc maps
     * to shard = h60(doc_id) mod `nShards` (the same portable hash as

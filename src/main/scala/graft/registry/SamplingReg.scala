@@ -34,6 +34,13 @@ private[graft] object SamplingReg {
       import graft.operators.Sampling
       Sampling.packSequenceSpans(Tables.documents(s, dir))
     }),
+    // reproducible training order: per epoch, every packed sequence's
+    // position from the portable h60 of (seed, epoch, seq_id) — same
+    // order on any engine/partitioning; closed-form rank, no global sort
+    "epoch_order" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.epochOrder(Tables.documents(s, dir))
+    }),
     "priority_sample" -> ((s, dir) => {
       import graft.operators.Sampling
       Sampling.prioritySample(Tables.documents(s, dir), k = 100)
@@ -368,6 +375,39 @@ private[graft] object SamplingReg {
         |  CAST(shard * 1099511627776 + tokens_before // 512 AS BIGINT) AS seq_id,
         |  CAST(tokens_before % 512 AS BIGINT) AS offset_in_seq
         |FROM cum ORDER BY doc_id""".stripMargin,
+    // Deterministic training order: the pack_sequences CTEs yield the
+    // distinct seq_ids; each (epoch, seq_id) keys by the portable h60
+    // of '42:epoch:seq_id' and ranks within its epoch (key asc, seq_id
+    // tiebreak) — the engine's closed-form rank replayed as one window.
+    "epoch_order" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM documents
+        |), tok AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |    CAST(len(list_filter(string_split(t, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM norm
+        |), cum AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM tok
+        |), seqs AS (
+        |  SELECT DISTINCT
+        |    CAST(shard * 1099511627776 + tokens_before // 512 AS BIGINT) AS seq_id
+        |  FROM cum
+        |), ep(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)
+        |), keyed AS (
+        |  SELECT ep.epoch, s.seq_id,
+        |    ('0x' || substr(md5('42:' || ep.epoch || ':' || s.seq_id), 1, 15))::BIGINT AS k
+        |  FROM seqs s CROSS JOIN ep
+        |)
+        |SELECT epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY k, seq_id) AS BIGINT) AS pos,
+        |  seq_id
+        |FROM keyed ORDER BY epoch, pos""".stripMargin,
     // Boundary-splitting spans: one row per (doc, overlapped 512-token
     // window); seq_id = (shard << 40) + window index, offsets doc-relative.
     "pack_spans" ->

@@ -66,6 +66,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epochOrder: per-epoch permutation of all sequences, deterministic, epochs differ") {
+    val docs = Tables.documents(spark, sf0001)
+    val seqIds = Sampling.packSequences(docs).collect()
+      .map(_.getAs[Long]("seq_id")).toSet
+    val got = Sampling.epochOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byEpoch = got.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (e, rows) =>
+      // each epoch is a 1..n-contiguous PERMUTATION of every sequence
+      assert(rows.map(_._3).toSet == seqIds, s"epoch $e drops sequences")
+      assert(rows.map(_._2).sorted.toSeq == (1L to seqIds.size).toSeq,
+        s"epoch $e positions not contiguous")
+    }
+    // the epoch term in the key reshuffles: no two epochs share an order
+    val orders = byEpoch.view.mapValues(
+      _.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(orders(0L) != orders(1L) && orders(1L) != orders(2L))
+    // fixed seed ⇒ bit-identical rerun (the replayability contract)
+    val again = Sampling.epochOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("temperature mix: targets sum to budget exactly and flatten the source skew") {
     val d = Tables.documents(spark, sf0001)
     val budget = 200L
