@@ -64,25 +64,28 @@ object Profiling {
     * tallies and the register assembly — column-count-bounded work from
     * there. EAGER note: the checkpoint runs the scan at construction
     * time, the localCheckpointed-prefix convention. */
+  /** The sketch-grid rendering per type — the portable hash input of
+    * [[profilePortable]] and the `svm` column of [[valueCensus]]. */
+  private def sketchKeyExpr(f: StructField): Column = f.dataType match {
+    case DoubleType | FloatType =>
+      floor(col(f.name) * lit(1000000.0)).cast("long").cast("string")
+    case TimestampType => unix_micros(col(f.name)).cast("string")
+    // NTZ wall clocks are UTC instants engine-wide (Tables chokepoint):
+    // cast-to-instant under the pinned UTC session, then epoch micros —
+    // the same integer DuckDB's epoch_us reads off the parquet value
+    case TimestampNTZType =>
+      unix_micros(col(f.name).cast(TimestampType)).cast("string")
+    case _ => col(f.name).cast("string")
+  }
+
   def profilePortable(df: DataFrame, b: Int = 6): DataFrame = {
     import graft.functions.PortableHash.h60
     val m = 1 << b
     val zeroRank = (61 - b).toLong
-    def keyExpr(f: StructField): Column = f.dataType match {
-      case DoubleType | FloatType =>
-        floor(col(f.name) * lit(1000000.0)).cast("long").cast("string")
-      case TimestampType => unix_micros(col(f.name)).cast("string")
-      // NTZ wall clocks are UTC instants engine-wide (Tables chokepoint):
-      // cast-to-instant under the pinned UTC session, then epoch micros —
-      // the same integer DuckDB's epoch_us reads off the parquet value
-      case TimestampNTZType =>
-        unix_micros(col(f.name).cast(TimestampType)).cast("string")
-      case _ => col(f.name).cast("string")
-    }
     // integer column ids ride the 6.6M-row explode; the name string
     // joins back on the |columns|-row spine only
     val entries = df.schema.fields.toIndexedSeq.zipWithIndex.map {
-      case (f, i) => struct(lit(i).as("cid"), keyExpr(f).as("sv"))
+      case (f, i) => struct(lit(i).as("cid"), sketchKeyExpr(f).as("sv"))
     }
     val cells = df
       .select(explode(array(entries: _*)).as("e"))
@@ -99,6 +102,16 @@ object Profiling {
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("cnt"), max(col("rho")).as("reg"))
       .transform(d => graft.plans.PlanTrace.cp(d, tag = "hll_cells"))
+    portableAssemble(df.sparkSession, cells,
+      df.schema.fieldNames.toIndexedSeq, b)
+  }
+
+  /** The register-assembly tail shared by [[profilePortable]] (cells
+    * from the raw scan) and [[profilePortableFromCensus]] (cells from
+    * the distinct-value census): tallies + HLL estimate + the
+    * schema-driven per-column spine. */
+  private def portableAssemble(spark: org.apache.spark.sql.SparkSession,
+      cells: DataFrame, names: Seq[String], b: Int): DataFrame = {
     val tallies = cells.groupBy("event_type")
       .agg(sum(col("cnt")).as("n_rows"),
         coalesce(sum(when(col("bucket") === -1L, col("cnt"))), lit(0L))
@@ -110,8 +123,8 @@ object Profiling {
     // unconditionally — an empty table still reports every column with
     // zero tallies (and NULL sketch state, mirroring the oracle's LEFT
     // JOIN of an empty register assembly); names re-attach here
-    val spine = df.sparkSession
-      .createDataset(df.schema.fieldNames.toIndexedSeq.zipWithIndex
+    val spine = spark
+      .createDataset(names.toIndexedSeq.zipWithIndex
         .map { case (n, i) => (i, n) })(
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaInt,
@@ -124,6 +137,96 @@ object Profiling {
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         col("v_zero"), col("max_reg"), col("s_num"), col("hll_est"))
       .orderBy(col("column"))
+  }
+
+  /** Per-column DISTINCT-VALUE CENSUS — the shared base relation under
+    * the exact AND sketch profiles of one table when both gates run
+    * (the `profile_lineitem` pair): one explode carries TWO portable
+    * renderings per cell — `sv`, the identity rendering (Spark's
+    * shortest-roundtrip cast-to-string: distinct raw values ⇒ distinct
+    * strings, so exact distinctness is preserved), and `svm`, the
+    * sketch-grid rendering ([[sketchKeyExpr]]: micro-floored doubles,
+    * epoch-micro timestamps — constant within an `sv` group by
+    * construction) — collapsed to (cid, sv, svm, cnt). |census| =
+    * Σ per-column distincts, orders of magnitude below the N×rows
+    * explode, and BOTH profiles then read the census instead of
+    * re-scanning the table: the expensive pass is paid once
+    * (memoize-checkpoint it — the `Memo` family-prefix pattern).
+    *
+    * Caveat (why [[profile]] keeps its own one-scan Expand form as the
+    * generic default): cast-to-string renders −0.0 and 0.0 distinctly
+    * while count_distinct treats them equal, so the census route is
+    * wired only where the data can't carry signed zeros (the TPC-H
+    * money/ship-date columns). */
+  def valueCensus(df: DataFrame): DataFrame = {
+    val entries = df.schema.fields.toIndexedSeq.zipWithIndex.map {
+      case (f, i) => struct(lit(i).as("cid"),
+        col(f.name).cast("string").as("sv"),
+        sketchKeyExpr(f).as("svm"))
+    }
+    df.select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.cid").as("cid"), col("e.sv").as("sv"))
+      .agg(max(col("e.svm")).as("svm"), count(lit(1)).as("cnt"))
+  }
+
+  /** [[profile]]'s exact readout over a [[valueCensus]] relation: per
+    * column, nulls (the census's one null-sv group carries their
+    * count), exact distincts (non-null census groups), and the row
+    * count (Σ cnt). `names` re-attaches column names to the census's
+    * integer ids; the spine keeps the one-row-per-column contract on
+    * an empty table. */
+  def profileFromCensus(census: DataFrame, names: Seq[String]): DataFrame = {
+    val spark = census.sparkSession
+    val byCol = census.groupBy(col("cid"))
+      .agg(
+        coalesce(sum(when(col("sv").isNull, col("cnt"))), lit(0L))
+          .cast("long").as("n_nulls"),
+        count(when(col("sv").isNotNull, lit(1))).cast("long")
+          .as("n_distinct"),
+        sum(col("cnt")).cast("long").as("n_rows"))
+    val spine = spark
+      .createDataset(names.toIndexedSeq.zipWithIndex
+        .map { case (n, i) => (i, n) })(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.STRING))
+      .toDF("cid", "column_name")
+    spine.join(byCol, Seq("cid"), "left")
+      .select(col("column_name").as("column"),
+        coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      .orderBy(col("column"))
+  }
+
+  /** [[profilePortable]]'s readout over a [[valueCensus]] relation:
+    * register cells from the census's distinct sketch-grid values
+    * (h60(svm) — h is a function of svm, so per-bucket max-rho over
+    * census groups equals the per-row build exactly) with row tallies
+    * carried by the cnt weights; the assembly tail is shared verbatim,
+    * so the output is bit-identical to [[profilePortable]]
+    * (spec-pinned). */
+  def profilePortableFromCensus(census: DataFrame, names: Seq[String],
+      b: Int = 6): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val m = 1 << b
+    val zeroRank = (61 - b).toLong
+    val cells = census
+      .select(col("cid").as("event_type"),
+        when(col("svm").isNull, lit(null).cast("long"))
+          .otherwise(h60(col("svm"))).as("h"),
+        col("cnt"))
+      .withColumn("bucket",
+        when(col("h").isNull, lit(-1L)).otherwise(pmod(col("h"), lit(m.toLong))))
+      .withColumn("rem", expr(s"h div $m"))
+      .withColumn("rho",
+        when(col("h").isNull, lit(null).cast("long"))
+          .when(col("rem") === 0, lit(zeroRank))
+          .otherwise(lit(zeroRank) - length(bin(col("rem")))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"), max(col("rho")).as("reg"))
+      .transform(d => graft.plans.PlanTrace.cp(d, tag = "hll_cells"))
+    portableAssemble(census.sparkSession, cells, names, b)
   }
 
   /** SHARD-MERGE algebra of the portable register HLL — the property

@@ -67,15 +67,21 @@ private[graft] object MarketBReg {
       EventsOps.sessionAttribution(Tables.events(s, dir))),
     "conversion_rate_1h" -> ((s, dir) =>
       EventsOps.clickConversionRate(Tables.events(s, dir))),
+    // both lineitem profiles read the MEMOIZED distinct-value census
+    // (Memo.lineitemCensusFor) instead of each re-paying the 11-way
+    // per-row explode — outputs identical to the direct operators
+    // (ProfilingSpec pins both), oracles unchanged
     "profile_lineitem" -> ((s, dir) =>
-      Profiling.profile(Tables.lineitem(s, dir))),
+      Profiling.profileFromCensus(lineitemCensusFor(s, dir),
+        Tables.lineitem(s, dir).schema.fieldNames.toIndexedSeq)),
     // the scale path demonstrated AND oracle-gated: the register-exact
     // portable-HLL profile — sketch state is h60 registers the oracle
     // rebuilds from the raw data, so hash_match replaces the old
     // rows-only gate (Spark's HLL++ stays as the spec-gated built-in
     // alternative in ProfilingSpec: one scan, no Expand, error envelope)
     "profile_lineitem_approx" -> ((s, dir) =>
-      Profiling.profilePortable(Tables.lineitem(s, dir))),
+      Profiling.profilePortableFromCensus(lineitemCensusFor(s, dir),
+        Tables.lineitem(s, dir).schema.fieldNames.toIndexedSeq)),
     // same operator, different schema — the generic claim gated thrice
     "profile_documents" -> ((s, dir) =>
       Profiling.profile(Tables.table(s, dir, "documents"))),

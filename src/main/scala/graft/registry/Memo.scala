@@ -327,6 +327,21 @@ private[graft] object Memo {
         v
       }
 
+  private[graft] val liCensusMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The lineitem per-column DISTINCT-VALUE census built ONCE per
+    * (SparkContext, corpus dir) and localCheckpointed — the family
+    * prefix under `profile_lineitem` (exact readout) and
+    * `profile_lineitem_approx` (register readout), which otherwise
+    * EACH pay the 11-way per-row explode over the corpus's widest
+    * table (the two slowest queries on every bench board, ~5 s each at
+    * sf0.1; the census is Σ per-column distincts — a fraction of the
+    * explode — and both readouts are census-sized). */
+  private[graft] def lineitemCensusFor(s: SparkSession, dir: String): DataFrame =
+    memoizedCp(liCensusMemo, "lineitem_census", s, dir)(
+      graft.operators.Profiling.valueCensus(Tables.lineitem(s, dir)))
+
   private[graft] val fracMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 

@@ -17,6 +17,30 @@ class ProfilingSpec extends SparkSpec {
     assert(r("s") == (1L, 2L, 4L)) // one null, distinct {a,b}
   }
 
+  test("census route ≡ direct route for BOTH lineitem profiles, bit-for-bit") {
+    // the registered pair reads one memoized valueCensus instead of two
+    // corpus explodes — the readouts must reproduce the direct
+    // operators exactly (including null tallies and register state)
+    val li = Tables.lineitem(spark, sf0001)
+    val names = li.schema.fieldNames.toIndexedSeq
+    val census = Profiling.valueCensus(li).localCheckpoint(true)
+    assert(Profiling.profileFromCensus(census, names).collect().toSeq ==
+      Profiling.profile(li).collect().toSeq)
+    assert(
+      Profiling.profilePortableFromCensus(census, names).collect().toSeq ==
+        Profiling.profilePortable(li).collect().toSeq)
+    // null handling: the census's null-sv group carries the null count
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (None, Some("b")),
+      (Some(3), Some("a"))).toDF("x", "s")
+    val c2 = Profiling.valueCensus(df)
+    assert(Profiling.profileFromCensus(c2, Seq("x", "s")).collect().toSeq ==
+      Profiling.profile(df).collect().toSeq)
+    assert(
+      Profiling.profilePortableFromCensus(c2, Seq("x", "s")).collect().toSeq ==
+        Profiling.profilePortable(df).collect().toSeq)
+  }
+
   test("profile is schema-generic and single-scan over any table") {
     val docs = Tables.documents(spark, sf0001)
     val r = Profiling.profile(docs).collect()
