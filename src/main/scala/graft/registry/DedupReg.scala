@@ -81,12 +81,14 @@ private[graft] object DedupReg {
     // to the doc_id mod-7/mod-11 cohorts, built identically in both
     // engines: the oracle pins nonzero cross-engine census + strip,
     // not vacuous zero parity; the encoding_audit seeding precedent)
+    // both boilerplate gates read the MEMOIZED raw block census
+    // (Memo.bpCensusFor) — the readout/strip halves are census-sized;
+    // only the strip re-explodes blocks (its reassembly needs them)
     "boilerplate_census" -> ((s, dir) =>
-      Dedup.boilerplateCensus(decorateBoilerplate(Tables.documents(s, dir)))),
-    "boilerplate_strip" -> { (s, dir) =>
-      val dec = decorateBoilerplate(Tables.documents(s, dir))
-      Dedup.boilerplateStrip(dec, Dedup.boilerplateCensus(dec))
-    },
+      Dedup.boilerplateReadout(bpCensusFor(s, dir))),
+    "boilerplate_strip" -> ((s, dir) =>
+      Dedup.boilerplateStrip(decorateBoilerplate(Tables.documents(s, dir)),
+        Dedup.boilerplateReadout(bpCensusFor(s, dir)))),
     // Lee et al. exact-substring dedup: the removable (doc_id, start,
     // len) spans — union of duplicated length-20 token windows — and
     // the APPLY half emitting the cleaned corpus; both ride the

@@ -327,6 +327,22 @@ private[graft] object Memo {
         v
       }
 
+  private[graft] val bpCensusMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The seeded boilerplate RAW block census (source, bh, block,
+    * n_docs) built ONCE per (SparkContext, corpus dir) and
+    * localCheckpointed — the family prefix under `boilerplate_census`
+    * (threshold readout) and `boilerplate_strip` (whose flagged-block
+    * side is the same census; the strip's own block explode +
+    * reassembly remain per-query). Both consumers previously re-ran
+    * the explode + per-doc-distinct + census aggregate over the
+    * decorated corpus. */
+  private[graft] def bpCensusFor(s: SparkSession, dir: String): DataFrame =
+    memoizedCp(bpCensusMemo, "bp_census", s, dir)(
+      Dedup.boilerplateCensusRaw(
+        DedupReg.decorateBoilerplate(Tables.documents(s, dir))))
+
   private[graft] val liCensusMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
