@@ -319,6 +319,53 @@ object Sampling {
       .orderBy(col("epoch"), col("pos"))
   }
 
+  /** MIXTURE READ ORDER — [[epochAllocate]]'s plan made EXECUTABLE:
+    * the char-level allocation realizes at document granularity (each
+    * doc of source s repeats floor(epochs) times, plus one extra copy
+    * for the first frac(epochs)·n_docs docs under the h60 priority
+    * order — the deterministic doc-level rendering of a fractional
+    * epoch), and every (doc, copy) pair then takes its global training
+    * position from the portable h60 of (seed, doc_id, copy) — the
+    * [[epochOrder]] shuffle applied to the weighted multiset. The
+    * output IS the order a data-constrained training run reads:
+    * upweighted sources appear more often, dropped sources vanish, and
+    * any engine/partitioning/rerun produces the identical stream.
+    *
+    * Integer contract: copies come from epochs_micro alone
+    * (floor = div 10⁶; the extra-copy quota is the exact
+    * frac_micro·n_docs div 10⁶), so the realized char mass tracks the
+    * allocation in expectation under the priority order without any
+    * float. Scale shape: the allocator is driver-side
+    * (source-cardinality); doc ranks and the global position both ride
+    * the closed-form distributed rank — no global sort task; the
+    * explode fans ≤ maxEpochs rows per doc. */
+  def mixOrder(documents: DataFrame, budgetChars: Long = 280000L,
+      maxEpochs: Int = 2, seed: Long = 42L): DataFrame = {
+    import graft.functions.PortableHash.h60
+    val alloc = epochAllocate(documents, budgetChars, maxEpochs)
+      .select(col("source"), col("n_docs"), col("epochs_micro"))
+    val ranked = graft.operators.Ranks.withRankStats(
+      documents.select(col("doc_id"), col("source"),
+        h60(col("doc_id").cast("string")).as("pr")),
+      Seq("source"), col("pr"), Seq(col("doc_id")), "dr", "__n")
+    val copies = ranked.join(broadcast(alloc), Seq("source"))
+      .select(col("doc_id"),
+        (expr("epochs_micro div 1000000") +
+          when(col("dr") <=
+            expr("(epochs_micro % 1000000) * n_docs div 1000000"), 1L)
+            .otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+    val keyed = copies.select(col("doc_id"), col("copy_idx"),
+      h60(concat_ws(":", lit(seed), col("doc_id"), col("copy_idx")))
+        .as("k"))
+    graft.operators.Ranks.withRankStats(keyed, Nil, col("k"),
+        Seq(col("doc_id"), col("copy_idx")), "pos", "__n")
+      .select(col("pos"), col("doc_id"), col("copy_idx"))
+      .orderBy(col("pos"))
+  }
+
   /** Deterministic shard assignment + balance audit — the write-path
     * planning read before materializing training shards: every doc maps
     * to shard = h60(doc_id) mod `nShards` (the same portable hash as

@@ -65,6 +65,14 @@ private[graft] object SamplingReg {
       Sampling.epochAllocateDedup(Tables.documents(s, dir),
         groupsFor(s, dir, 0.8))
     }),
+    // the allocation plan made executable: per-doc repetition quotas
+    // from epochs_micro (floor + h60-priority extra copies), global
+    // positions from the (seed, doc, copy) shuffle — the order a
+    // data-constrained training run actually reads
+    "mix_order" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.mixOrder(Tables.documents(s, dir))
+    }),
     // incremental-export planning: the diff of the corpus manifest vs
     // the manifest after a one-source curation delete — only shards
     // holding src7 docs may flag as changed
@@ -617,63 +625,107 @@ private[graft] object SamplingReg {
     // (capacity = 2 × chars, budget 280000, isqrt weights, ties by
     // source; ONE redistribution round, clamped — the documented spec).
     "epoch_allocate" ->
-      """WITH counts AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars
-        |  FROM documents GROUP BY 1
-        |), capw AS (
-        |  SELECT source, n_docs, chars, chars * 2 AS capacity,
-        |    CAST(floor(sqrt(chars)) AS BIGINT) AS wt
-        |  FROM counts
-        |), bb AS (
-        |  SELECT CASE WHEN csum < 280000 THEN csum ELSE 280000 END AS b,
-        |    wsum
-        |  FROM (SELECT CAST(sum(wt) AS BIGINT) AS wsum,
-        |          CAST(sum(capacity) AS BIGINT) AS csum FROM capw)
-        |), base AS (
-        |  SELECT source, n_docs, chars, capacity, wt,
-        |    CASE WHEN wsum > 0 THEN wt * b // wsum ELSE 0 END AS fl,
-        |    CASE WHEN wsum > 0 THEN wt * b % wsum ELSE 0 END AS rem
-        |  FROM capw, bb
-        |), sh1 AS (
-        |  SELECT (SELECT b FROM bb) -
-        |    (SELECT coalesce(sum(fl), 0) FROM base) AS short1
-        |), a1 AS (
-        |  SELECT source, n_docs, chars, capacity, wt,
-        |    fl + CASE WHEN rr <= short1 THEN 1 ELSE 0 END AS a
-        |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
-        |          AS rr FROM base), sh1
-        |), sat AS (
-        |  SELECT *, a > capacity AS is_over FROM a1
-        |), surplus AS (
-        |  SELECT CAST(coalesce(sum(CASE WHEN is_over THEN a - capacity
-        |    END), 0) AS BIGINT) AS s FROM sat
-        |), base2 AS (
-        |  SELECT p.source, p.wt,
-        |    CASE WHEN wsum2 > 0 THEN p.wt * s // wsum2 ELSE 0 END AS fl2,
-        |    CASE WHEN wsum2 > 0 THEN p.wt * s % wsum2 ELSE 0 END AS rem2
-        |  FROM (SELECT * FROM sat WHERE NOT is_over) p, surplus,
-        |    (SELECT CAST(coalesce(sum(wt), 0) AS BIGINT) AS wsum2
-        |     FROM sat WHERE NOT is_over)
-        |), sh2 AS (
-        |  SELECT (SELECT s FROM surplus) -
-        |    (SELECT coalesce(sum(fl2), 0) FROM base2) AS short2
-        |), r2 AS (
-        |  SELECT source,
-        |    fl2 + CASE WHEN rr2 <= short2 THEN 1 ELSE 0 END AS add2
-        |  FROM (SELECT *, row_number() OVER (ORDER BY rem2 DESC, source)
-        |          AS rr2 FROM base2), sh2
-        |)
-        |SELECT t.source, t.n_docs, t.chars,
-        |  CAST(t.capacity AS BIGINT) AS capacity,
-        |  CAST(CASE WHEN t.is_over THEN t.capacity
-        |    ELSE least(t.capacity, t.a + coalesce(r2.add2, 0)) END
-        |    AS BIGINT) AS alloc_chars,
-        |  CAST(CASE WHEN t.chars > 0 THEN
-        |    (CASE WHEN t.is_over THEN t.capacity
-        |      ELSE least(t.capacity, t.a + coalesce(r2.add2, 0)) END)
-        |      * 1000000 // t.chars ELSE 0 END AS BIGINT) AS epochs_micro
-        |FROM sat t LEFT JOIN r2 ON r2.source = t.source
-        |ORDER BY t.source""".stripMargin
+      s"""WITH $EpochAllocCtes
+         |SELECT source, n_docs, chars, capacity, alloc_chars, epochs_micro
+         |FROM alloc ORDER BY source""".stripMargin,
+    // the plan made executable: the SAME allocator CTEs feed per-doc
+    // repetition quotas (floor(epochs) + one extra for the first
+    // frac_micro·n_docs div 10⁶ docs under the h60 priority order),
+    // and every (doc, copy) takes its global position from the
+    // md5-derived (seed, doc, copy) key — the epoch_order rank over
+    // the weighted multiset
+    "mix_order" ->
+      s"""WITH $EpochAllocCtes, dr AS (
+         |  SELECT d.doc_id, d.source, row_number() OVER (
+         |    PARTITION BY d.source ORDER BY
+         |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |      d.doc_id) AS dr
+         |  FROM documents d
+         |), cop AS (
+         |  SELECT r.doc_id,
+         |    a.epochs_micro // 1000000
+         |      + CASE WHEN r.dr <=
+         |          (a.epochs_micro % 1000000) * a.n_docs // 1000000
+         |        THEN 1 ELSE 0 END AS n_copies
+         |  FROM dr r JOIN alloc a ON a.source = r.source
+         |), cps AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(CAST(0 AS BIGINT), n_copies - 1))
+         |      AS copy_idx
+         |  FROM cop WHERE n_copies > 0
+         |), keyed AS (
+         |  SELECT doc_id, copy_idx,
+         |    ('0x' || substr(md5('42:' || doc_id || ':' || copy_idx), 1, 15))::BIGINT
+         |      AS k
+         |  FROM cps
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY k, doc_id, copy_idx)
+         |    AS BIGINT) AS pos,
+         |  doc_id, copy_idx
+         |FROM keyed ORDER BY pos""".stripMargin
   )
+
+  /** The two-round largest-remainder allocator as a shared CTE chain
+    * ending in `alloc(source, n_docs, chars, capacity, alloc_chars,
+    * epochs_micro)` — the epoch_allocate oracle verbatim, consumed by
+    * both the plan gate and its executable rendering (mix_order). */
+  private val EpochAllocCtes: String =
+    """counts AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1
+      |), capw AS (
+      |  SELECT source, n_docs, chars, chars * 2 AS capacity,
+      |    CAST(floor(sqrt(chars)) AS BIGINT) AS wt
+      |  FROM counts
+      |), bb AS (
+      |  SELECT CASE WHEN csum < 280000 THEN csum ELSE 280000 END AS b,
+      |    wsum
+      |  FROM (SELECT CAST(sum(wt) AS BIGINT) AS wsum,
+      |          CAST(sum(capacity) AS BIGINT) AS csum FROM capw)
+      |), base AS (
+      |  SELECT source, n_docs, chars, capacity, wt,
+      |    CASE WHEN wsum > 0 THEN wt * b // wsum ELSE 0 END AS fl,
+      |    CASE WHEN wsum > 0 THEN wt * b % wsum ELSE 0 END AS rem
+      |  FROM capw, bb
+      |), sh1 AS (
+      |  SELECT (SELECT b FROM bb) -
+      |    (SELECT coalesce(sum(fl), 0) FROM base) AS short1
+      |), a1 AS (
+      |  SELECT source, n_docs, chars, capacity, wt,
+      |    fl + CASE WHEN rr <= short1 THEN 1 ELSE 0 END AS a
+      |  FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+      |          AS rr FROM base), sh1
+      |), sat AS (
+      |  SELECT *, a > capacity AS is_over FROM a1
+      |), surplus AS (
+      |  SELECT CAST(coalesce(sum(CASE WHEN is_over THEN a - capacity
+      |    END), 0) AS BIGINT) AS s FROM sat
+      |), base2 AS (
+      |  SELECT p.source, p.wt,
+      |    CASE WHEN wsum2 > 0 THEN p.wt * s // wsum2 ELSE 0 END AS fl2,
+      |    CASE WHEN wsum2 > 0 THEN p.wt * s % wsum2 ELSE 0 END AS rem2
+      |  FROM (SELECT * FROM sat WHERE NOT is_over) p, surplus,
+      |    (SELECT CAST(coalesce(sum(wt), 0) AS BIGINT) AS wsum2
+      |     FROM sat WHERE NOT is_over)
+      |), sh2 AS (
+      |  SELECT (SELECT s FROM surplus) -
+      |    (SELECT coalesce(sum(fl2), 0) FROM base2) AS short2
+      |), r2 AS (
+      |  SELECT source,
+      |    fl2 + CASE WHEN rr2 <= short2 THEN 1 ELSE 0 END AS add2
+      |  FROM (SELECT *, row_number() OVER (ORDER BY rem2 DESC, source)
+      |          AS rr2 FROM base2), sh2
+      |), alloc AS (
+      |  SELECT t.source, t.n_docs, t.chars,
+      |    CAST(t.capacity AS BIGINT) AS capacity,
+      |    CAST(CASE WHEN t.is_over THEN t.capacity
+      |      ELSE least(t.capacity, t.a + coalesce(r2.add2, 0)) END
+      |      AS BIGINT) AS alloc_chars,
+      |    CAST(CASE WHEN t.chars > 0 THEN
+      |      (CASE WHEN t.is_over THEN t.capacity
+      |        ELSE least(t.capacity, t.a + coalesce(r2.add2, 0)) END)
+      |        * 1000000 // t.chars ELSE 0 END AS BIGINT) AS epochs_micro
+      |  FROM sat t LEFT JOIN r2 ON r2.source = t.source
+      |)""".stripMargin
 }

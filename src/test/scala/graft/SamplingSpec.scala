@@ -90,6 +90,33 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("mixOrder: copy mass realizes the allocation plan; order deterministic, contiguous") {
+    val docs = Tables.documents(spark, sf0001)
+    val alloc = Sampling.epochAllocate(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(5))).toMap
+    val got = Sampling.mixOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // global positions are a contiguous 1..N
+    assert(got.map(_._1).sorted.toSeq == (1L to got.length).toSeq)
+    // per-source copy mass = floor(epochs)·n_docs + the exact
+    // fractional-epoch quota — the doc-level rendering of the plan
+    val srcOf = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val copiesBySrc = got.groupBy(x => srcOf(x._2))
+      .view.mapValues(_.length.toLong).toMap
+    alloc.foreach { case (s, (nDocs, em)) =>
+      val want = (em / 1000000L) * nDocs + (em % 1000000L) * nDocs / 1000000L
+      assert(copiesBySrc.getOrElse(s, 0L) == want,
+        s"source $s: ${copiesBySrc.getOrElse(s, 0L)} copies, want $want")
+    }
+    // fixed seed ⇒ bit-identical rerun
+    val again = Sampling.mixOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("temperature mix: targets sum to budget exactly and flatten the source skew") {
     val d = Tables.documents(spark, sf0001)
     val budget = 200L
