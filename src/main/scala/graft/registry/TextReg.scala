@@ -73,7 +73,8 @@ private[graft] object TextReg {
     "gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(
       Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
     "hybrid_rrf" -> ((s, dir) =>
-      Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+      Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        bm25 = Some(bm25For(s, dir)))),
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(
       Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
     "contamination_deciles" -> ((s, dir) =>

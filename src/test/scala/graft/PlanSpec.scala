@@ -464,11 +464,21 @@ class PlanSpec extends SparkSpec {
   test("bm25: tf and dl share one tokenize pass via a reused exchange") {
     // tf (term-filtered) and dl (per-doc length) both derive from the
     // same (doc_id, term) count aggregate; its exchange must be
-    // materialized once, not re-tokenize the corpus per consumer
-    val df = SparkEntry.queries("bm25_scores")(spark, sf0001)
+    // materialized once, not re-tokenize the corpus per consumer.
+    // Asserted on the OPERATOR: the registered query now reads the
+    // memoized checkpoint (shared with hybrid_rrf), so the exchange
+    // reuse lives inside the memo build.
+    val df = graft.operators.TextAnalysis.bm25Scores(
+      Tables.documents(spark, sf0001))
     df.collect()
     assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
       "tokCounts exchange must be shared between tf and dl")
+    // and the registered query serves the checkpointed relation — no
+    // re-tokenize (no exchange at all) on the gated path
+    val gated = SparkEntry.queries("bm25_scores")(spark, sf0001)
+    assert(gated.queryExecution.executedPlan.toString
+      .contains("Scan ExistingRDD"),
+      "gated bm25_scores must read the memoized checkpoint")
   }
 
   test("source_kl: one tokenize — census exchange shared by all derived totals") {
