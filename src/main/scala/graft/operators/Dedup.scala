@@ -194,17 +194,19 @@ object Dedup {
     * materialization); the self-join shuffles (shingle, doc, tf)
     * triples — never text — and the df-cut keeps per-key fan-out
     * quadratic only in the cap, not the corpus. */
-  /** Per-doc shingle term frequencies off the positions census (the
-    * occurrence-preserving sibling of [[postings]]). */
+  /** Per-doc shingle term frequencies — served from the memoized
+    * (doc_id, sh, tf) census when the registry supplies it (both
+    * cosine gates' first aggregate, run once per process), else
+    * computed inline off the positions explode. */
   private def shingleTf(documents: DataFrame, n: Int,
-      positions: Option[DataFrame]): DataFrame =
-    positions.getOrElse(documents
-        .select(col("doc_id"),
-          posexplode(graft.functions.WordShingles.word_ngrams(
-            normalize(col("text")), n)).as(Seq("pos", "sh"))))
+      tfCensus: Option[DataFrame]): DataFrame =
+    tfCensus.getOrElse(documents
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordShingles.word_ngrams(
+          normalize(col("text")), n)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("sh"))
       .groupBy(col("doc_id"), col("sh"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
 
   /** The family's sampled hot-shingle set over a per-doc-keyed shingle
     * relation (see [[overlapWithSizesFrom]] for the calculus). */
@@ -221,8 +223,8 @@ object Dedup {
 
   def tfCosinePairs(documents: DataFrame, threshold: Double = 0.35,
       n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10,
-      positions: Option[DataFrame] = None): DataFrame = {
-    val tf = shingleTf(documents, n, positions)
+      shingleTfIn: Option[DataFrame] = None): DataFrame = {
+    val tf = shingleTf(documents, n, shingleTfIn)
     val hot = hotShingles(tf, maxDf, samplePermille)
     val kept = tf.join(broadcast(hot), Seq("sh"), "left_anti")
     val norms = tf.groupBy("doc_id")
@@ -268,8 +270,8 @@ object Dedup {
     * weighted vectors. */
   def tfidfCosinePairs(documents: DataFrame, threshold: Double = 0.35,
       n: Int = 3, maxDf: Long = 1000, samplePermille: Int = 10,
-      positions: Option[DataFrame] = None): DataFrame = {
-    val tf = shingleTf(documents, n, positions)
+      shingleTfIn: Option[DataFrame] = None): DataFrame = {
+    val tf = shingleTf(documents, n, shingleTfIn)
     val nDocs = tf.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n"))
     val df = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))

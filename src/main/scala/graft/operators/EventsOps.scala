@@ -597,6 +597,12 @@ object EventsOps {
     * community, the dedup-groups convention. */
   def userCommunities(events: DataFrame, windowSec: Long = 600L,
       maxCell: Long = 20L): DataFrame = {
+    // Shape kept deliberately (r15 optimization round): a collect_set
+    // pair generator was prototyped and rejected — it gathers a cell's
+    // FULL membership before the maxCell guard can apply, so one viral
+    // window builds an unbounded array (the exact skew failure §2.5
+    // warns about). Count-first-then-prune keeps every aggregate
+    // bounded; the self-join only ever sees cells ≤ maxCell.
     val cells = events
       .select(col("user_id"),
         expr(s"ts_ns div ${windowSec * 1000000000L}").as("w"),

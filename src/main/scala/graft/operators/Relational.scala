@@ -914,24 +914,34 @@ object Relational {
     * TakeOrderedAndProject. */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 5L,
       k: Int = 50): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // ONE basket-keyed aggregate replaces the r14 (orderkey, partkey)
+    // distinct + items⋈items self-join: collect_set dedups parts per
+    // order, basket count / per-part counts / pair counts all derive
+    // from the member arrays, and the pair set explodes map-side from
+    // the sorted array (baskets are ≤ 7 parts, so the explode is
+    // bounded) — the orderkey never crosses an exchange again. Same
+    // pair/count relations, so the oracle is unchanged.
+    val baskets = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
     // basket count as a broadcast 1-row aggregate (the scalar-subquery
     // convention) — no driver action at construction. The lift ratio
     // widens through DECIMAL(38,0) (the typePairLift convention): a raw
     // BIGINT numerator would WRAP silently in non-ANSI Spark past
     // ~10⁶-order baskets while DuckDB raises — the engines must instead
     // agree exactly at any count.
-    val nOrders = items.agg(
-      countDistinct(col("l_orderkey")).as("n_orders"))
-    val partCounts = items.groupBy(col("l_partkey"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val partCounts = baskets
+      .select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(count(lit(1)).cast("long").as("c"))
-    val pairs = items.as("x")
-      .join(items.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("part_a"),
-        col("y.l_partkey").as("part_b"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).cast("long").as("c_ab"))
       .filter(col("c_ab") >= minSupport)
     pairs

@@ -860,18 +860,21 @@ object TextAnalysis {
   }
 
   def bigramPmi(documents: DataFrame, minCount: Long = 5L,
-      k: Int = 20, bigrams: Option[DataFrame] = None,
+      k: Int = 20, bigramTf: Option[DataFrame] = None,
       toks: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
     val toksD = toks.map(_.select(col("tok").as("w")))
       .getOrElse(documents.select(explode(tokens(col("text"))).as("w")))
     val uni = toksD.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val n1 = broadcast(uni.agg(sum(col("cw")).cast("long").as("n1")))
-    val bigD = bigrams.map(_.select(col("b"))).getOrElse(documents
-      .select(explode(word_ngrams(normalize(col("text")), 2)).as("b")))
-    val n2 = broadcast(bigD.agg(count(lit(1)).as("n2")))
+    // occurrence totals derive from the census by Σtf (lossless)
+    val bigD = bigramTf.map(_.select(col("b"), col("tf")))
+      .getOrElse(documents
+        .select(explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+        .select(col("b"), lit(1L).as("tf")))
+    val n2 = broadcast(bigD.agg(sum(col("tf")).cast("long").as("n2")))
     bigD
-      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .groupBy(col("b")).agg(sum(col("tf")).cast("long").as("cb"))
       .filter(col("cb") >= minCount)
       .withColumn("w1", substring_index(col("b"), " ", 1))
       .withColumn("w2", substring_index(col("b"), " ", -1))
@@ -1281,9 +1284,9 @@ object TextAnalysis {
   def dsirWeights(documents: DataFrame,
       targetSources: Seq[String] = Seq("src0", "src1"),
       nBuckets: Int = 4096, k: Int = 100,
-      bigrams: Option[DataFrame] = None): DataFrame = {
+      bigramTf: Option[DataFrame] = None): DataFrame = {
     val scored = dsirScore(documents, dsirLogRatios(documents,
-      targetSources, nBuckets, bigrams), nBuckets, bigrams)
+      targetSources, nBuckets, bigramTf), nBuckets, bigramTf)
     val topk = broadcast(scored
       .orderBy(col("logratio_micro").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), lit(1L).as("selected")))
@@ -1299,8 +1302,8 @@ object TextAnalysis {
     * probed by scoring passes and streams). */
   def dsirLogRatios(documents: DataFrame,
       targetSources: Seq[String] = Seq("src0", "src1"),
-      nBuckets: Int = 4096, bigrams: Option[DataFrame] = None): DataFrame = {
-    val tf = dsirTf(documents, nBuckets, bigrams)
+      nBuckets: Int = 4096, bigramTf: Option[DataFrame] = None): DataFrame = {
+    val tf = dsirTf(documents, nBuckets, bigramTf)
     val targetIds = broadcast(
       documents.filter(col("source").isin(targetSources: _*))
         .select(col("doc_id")))
@@ -1324,8 +1327,8 @@ object TextAnalysis {
     * persisted) log-ratio table — stateless, broadcast-joined, the form
     * a streaming ingest scorer runs per batch. */
   def dsirScore(documents: DataFrame, logRatios: DataFrame,
-      nBuckets: Int = 4096, bigrams: Option[DataFrame] = None): DataFrame = {
-    val weights = dsirTf(documents, nBuckets, bigrams)
+      nBuckets: Int = 4096, bigramTf: Option[DataFrame] = None): DataFrame = {
+    val weights = dsirTf(documents, nBuckets, bigramTf)
       .join(broadcast(logRatios), "bk")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("lr_micro")).as("w"), sum(col("tf")).as("n"))
@@ -1335,17 +1338,21 @@ object TextAnalysis {
         coalesce(col("w"), lit(0L)).as("logratio_micro"))
   }
 
-  /** Shared hashed-bigram feature frame: (doc_id, bucket, tf). */
+  /** Shared hashed-bigram feature frame: (doc_id, bucket, tf) — a Σtf
+    * rollup of the (doc_id, b, tf) census onto the hashed buckets. */
   private def dsirTf(documents: DataFrame, nBuckets: Int,
-      bigrams: Option[DataFrame] = None): DataFrame = {
+      bigramTf: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableHash.h60
     import graft.functions.WordShingles.word_ngrams
-    bigrams.getOrElse(documents
+    bigramTf.getOrElse(documents
       .select(col("doc_id"),
-        explode(word_ngrams(normalize(col("text")), 2)).as("b")))
-      .select(col("doc_id"), pmod(h60(col("b")), lit(nBuckets.toLong)).as("bk"))
+        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("tf")))
+      .select(col("doc_id"), pmod(h60(col("b")), lit(nBuckets.toLong)).as("bk"),
+        col("tf"))
       .groupBy(col("doc_id"), col("bk"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(sum(col("tf")).cast("long").as("tf"))
   }
 
   /** Gopher-style repetition gates, word-level (the line-based rules of
@@ -1377,16 +1384,16 @@ object TextAnalysis {
     * regex-heavy step, and a separate stats pass would re-run it over
     * the whole corpus just to take a length. */
   def gopherRepetition(documents: DataFrame,
-      bigrams: Option[DataFrame] = None): DataFrame = {
+      bigramTf: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
     val base = documents.select(col("doc_id"),
       normalize(col("text")).as("t"))
-    val top2 = bigrams
+    val top2 = bigramTf
       .getOrElse(base
-        .select(col("doc_id"), explode(word_ngrams(col("t"), 2)).as("b")))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+        .select(col("doc_id"), explode(word_ngrams(col("t"), 2)).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf")))
       .groupBy(col("doc_id"))
-      .agg(min(struct((-col("cnt")).as("nc"), col("b").as("b"))).as("m"))
+      .agg(min(struct((-col("tf")).as("nc"), col("b").as("b"))).as("m"))
       .select(col("doc_id"), (-col("m.nc")).as("top2_cnt"),
         col("m.b").as("top2_gram"))
     val statsDup = base
@@ -1432,11 +1439,11 @@ object TextAnalysis {
     * k-row vocabulary, per-doc count — no corpus-side shuffle except the
     * doc_id re-aggregation of hit counts. */
   def lmCoverage(documents: DataFrame, vocabSize: Int = 500,
-      bigrams: Option[DataFrame] = None): DataFrame = {
-    // distinct-per-doc bigrams; the shared occurrence prefix DERIVES
-    // this view (distinct commutes with the per-doc explode)
-    val post = bigrams
-      .map(_.select(col("doc_id"), col("b")).distinct())
+      bigramTf: Option[DataFrame] = None): DataFrame = {
+    // distinct-per-doc bigrams; the shared (doc_id, b, tf) census
+    // carries exactly these keys (its key set IS the distinct view)
+    val post = bigramTf
+      .map(_.select(col("doc_id"), col("b")))
       .getOrElse(documents
         .select(col("doc_id"), explode(shingles(col("text"), 2)).as("b")))
     // df over per-doc DISTINCT bigrams = document frequency; ties at the
@@ -1500,13 +1507,13 @@ object TextAnalysis {
     * scale, a df-cut on the LM table (universal bigrams carry ≈0
     * distinguishing signal) bounds it beyond. */
   def lmPerplexity(documents: DataFrame,
-      bigrams: Option[DataFrame] = None): DataFrame = {
+      bigramTf: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
-    val big = bigrams.getOrElse(documents
+    val big = bigramTf.getOrElse(documents
       .select(col("doc_id"),
-        explode(word_ngrams(normalize(col("text")), 2)).as("b")))
+        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
       .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val lm = big.groupBy(col("b")).agg(sum(col("tf")).as("cb"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
     val hist = lm.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
@@ -1560,13 +1567,13 @@ object TextAnalysis {
     * predecessor counts, distinct-bigram total) are aggregates of it,
     * joined back by bigram/word keys; the scalar NB broadcasts. */
   def knPerplexity(documents: DataFrame,
-      bigrams: Option[DataFrame] = None): DataFrame = {
+      bigramTf: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
-    val big = bigrams.getOrElse(documents
+    val big = bigramTf.getOrElse(documents
       .select(col("doc_id"),
-        explode(word_ngrams(normalize(col("text")), 2)).as("b")))
+        explode(word_ngrams(normalize(col("text")), 2)).as("b"))
       .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val lm = big.groupBy(col("b")).agg(sum(col("tf")).as("cb"))
       .withColumn("w1", substring_index(col("b"), " ", 1))
       .withColumn("w2", substring_index(col("b"), " ", -1))

@@ -21,9 +21,9 @@ private[graft] object DedupReg {
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairsFrom(overlapFor(s, dir), threshold = 0.8)),
     "tf_cosine_pairs" -> ((s, dir) => Dedup.tfCosinePairs(
-      Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
+      Tables.documents(s, dir), shingleTfIn = Some(shingleTfFor(s, dir)))),
     "tfidf_cosine_pairs" -> ((s, dir) => Dedup.tfidfCosinePairs(
-      Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
+      Tables.documents(s, dir), shingleTfIn = Some(shingleTfFor(s, dir)))),
     "minhash_lsh_pairs" -> ((s, dir) => Dedup.minhashVerifyFrom(
       lshCandidatesFor(s, dir), postingsFor(s, dir), threshold = 0.8)),
     // fuzzy chunk-level dedup: near-dup PARAGRAPHS (lightly edited

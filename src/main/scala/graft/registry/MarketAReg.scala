@@ -57,7 +57,7 @@ private[graft] object MarketAReg {
     "vol_signature" -> ((s, dir) =>
       MarketStats.volSignature(Tables.events(s, dir))),
     "bigram_pmi" -> ((s, dir) => TextAnalysis.bigramPmi(
-      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)),
+      Tables.documents(s, dir), bigramTf = Some(bigramTfFor(s, dir)),
       toks = Some(tokensFor(s, dir)))),
     "ret_acf" -> ((s, dir) =>
       MarketStats.retAcf(Tables.events(s, dir))),

@@ -257,32 +257,54 @@ private[graft] object Memo {
         Tables.documents(s, dir).select(col("doc_id")),
         10, col("doc_id"), Nil, "bucket"))
 
-  private[graft] val bigramsMemo =
+  private[graft] val bigramTfMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
-  /** The (doc_id, b) word-bigram OCCURRENCE table tokenized ONCE per
+  /** The (doc_id, b, tf) word-bigram COUNT census aggregated ONCE per
     * (SparkContext, corpus dir) and localCheckpointed — the family
-    * prefix under lm_perplexity, lm_coverage, dsir_weights,
-    * gopher_repetition and bigram_pmi, which otherwise each re-run
-    * normalize + the bigram explode over the corpus (the postingsFor
-    * lesson applied to the bigram family: one tokenize, many readers;
-    * distinct-per-doc and hashed-bucket views all DERIVE from the
-    * occurrence table). */
-  private[graft] def bigramsFor(s: SparkSession, dir: String): DataFrame = {
+    * prefix under lm_perplexity, kn_perplexity, lm_coverage,
+    * dsir_weights, gopher_repetition and bigram_pmi. Round 15 moved the
+    * memo one aggregate UP from the raw occurrence table: every
+    * consumer's first step was the same groupBy(doc_id, b) count (or a
+    * lossless derivation of it — distinct keys for coverage, Σtf
+    * rollups for pmi/dsir), so each paid the occurrence-table shuffle
+    * per query. The census is that shuffle run once; it is also the
+    * smaller relation (occurrences collapse by the within-doc repeat
+    * factor), so the per-query scans shrink too. */
+  private[graft] def bigramTfFor(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextOps.normalize
     import graft.functions.WordShingles.word_ngrams
-    memoizedCp(bigramsMemo, "bigrams", s, dir)(
+    memoizedCp(bigramTfMemo, "bigram_tf", s, dir)(
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          explode(word_ngrams(normalize(col("text")), 2)).as("b")))
+          explode(word_ngrams(normalize(col("text")), 2)).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("tf")))
   }
+
+  private[graft] val shingleTfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, sh, tf) word-trigram COUNT census aggregated ONCE
+    * over [[positionsFor]] and localCheckpointed — the family prefix
+    * under tf_cosine_pairs and tfidf_cosine_pairs, whose first step
+    * was each the same groupBy(doc_id, sh) count over the positions
+    * census (and each query then read that aggregate three times:
+    * hot-shingle cut, kept postings, norms — all served from this one
+    * materialization now). */
+  private[graft] def shingleTfFor(s: SparkSession, dir: String): DataFrame =
+    memoizedCp(shingleTfMemo, "shingle_tf", s, dir)(
+      positionsFor(s, dir)
+        .select(col("doc_id"), col("sh"))
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(count(lit(1)).as("tf")))
 
   private[graft] val tokensMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
   /** The (doc_id, tok) word-token OCCURRENCE table tokenized ONCE per
     * (SparkContext, corpus dir) and localCheckpointed — the unigram
-    * sibling of [[bigramsFor]], the family prefix under the vocabulary/
+    * sibling of [[bigramTfFor]], the family prefix under the vocabulary/
     * richness/tf-idf consumers. Corpus-level, per-source (via a
     * broadcast doc→source join) and per-doc census views all DERIVE
     * from the occurrence table. */

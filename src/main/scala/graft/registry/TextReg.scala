@@ -63,20 +63,21 @@ private[graft] object TextReg {
       TextAnalysis.filterAttribution(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
-    // the bigram family fans out from one tokenized prefix (bigramsFor)
+    // the bigram family fans out from one memoized COUNT census
+    // (bigramTfFor) — every consumer's first aggregate, run once
     "lm_coverage" -> ((s, dir) => TextAnalysis.lmCoverage(
-      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+      Tables.documents(s, dir), bigramTf = Some(bigramTfFor(s, dir)))),
     "lm_perplexity" -> ((s, dir) => TextAnalysis.lmPerplexity(
-      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+      Tables.documents(s, dir), bigramTf = Some(bigramTfFor(s, dir)))),
     "kn_perplexity" -> ((s, dir) => TextAnalysis.knPerplexity(
-      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+      Tables.documents(s, dir), bigramTf = Some(bigramTfFor(s, dir)))),
     "gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(
-      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+      Tables.documents(s, dir), bigramTf = Some(bigramTfFor(s, dir)))),
     "hybrid_rrf" -> ((s, dir) =>
       Similarity.hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
         bm25 = Some(bm25For(s, dir)))),
     "dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(
-      Tables.documents(s, dir), bigrams = Some(bigramsFor(s, dir)))),
+      Tables.documents(s, dir), bigramTf = Some(bigramTfFor(s, dir)))),
     "contamination_deciles" -> ((s, dir) =>
       TextAnalysis.contaminationDecilesFrom(fracFor(s, dir))),
     "decontaminate_frac" -> ((s, dir) =>
