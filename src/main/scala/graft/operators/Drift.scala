@@ -434,18 +434,19 @@ object Drift {
     * per-token corpus totals re-aggregate THAT relation and join back
     * token-keyed; source totals and the corpus grand total broadcast. */
   def sourceKl(documents: DataFrame,
-      toks: Option[DataFrame] = None): DataFrame = {
-    // per-source view derives from the shared per-doc occurrence table
-    // via a doc->source join (doc-cardinality; size-based planning
+      tokenTf: Option[DataFrame] = None): DataFrame = {
+    // per-source view derives from the shared per-doc tf census via a
+    // doc->source join (doc-cardinality; size-based planning
     // broadcasts while it fits — no forced broadcast, which would cap
     // out at corpus scale)
-    val cnt = toks.map(_.join(
+    val cnt = tokenTf.map(_.join(
         documents.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source"), col("tok")))
+        .groupBy(col("source"), col("tok"))
+        .agg(sum(col("tf")).cast("long").as("c")))
       .getOrElse(documents
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok")))
-      .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c")))
     val srcTot = cnt.groupBy(col("source"))
       .agg(sum(col("c")).cast("long").as("ns"),
         count(lit(1)).as("vocab"))
@@ -492,14 +493,15 @@ object Drift {
     * broadcast cross of two aggregates, left-joined back to cnt).
     * Nothing is corpus-row-sized past the first aggregate. */
   def jsDivergence(documents: DataFrame,
-      toks: Option[DataFrame] = None): DataFrame = {
-    val cnt = toks.map(_.join(
+      tokenTf: Option[DataFrame] = None): DataFrame = {
+    val cnt = tokenTf.map(_.join(
         documents.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source"), col("tok")))
+        .groupBy(col("source"), col("tok"))
+        .agg(sum(col("tf")).cast("long").as("c")))
       .getOrElse(documents
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok")))
-      .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c")))
     val srcTot = cnt.groupBy(col("source"))
       .agg(sum(col("c")).cast("long").as("ns"))
     val termTot = cnt.groupBy(col("tok"))

@@ -332,15 +332,17 @@ object TextAnalysis {
     * by the attribute domain, then partial-aggregates per (doc, source)
     * map-side. The argmax is an agg, not a window — no per-doc sort. */
   def sourceConfusion(documents: DataFrame,
-      toks: Option[DataFrame] = None): DataFrame = {
-    val docTok = toks.getOrElse(documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
+      tokenTf: Option[DataFrame] = None): DataFrame = {
+    // (doc_id, tok, tf) census: the per-doc tf frame directly, and the
+    // per-source counts as a Σtf rollup through the doc→source join
+    val docTf = tokenTf.getOrElse(documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf")))
     val lbl = documents.select(col("doc_id"), col("source"))
-    val docTf = docTok.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val cnt = docTok.join(lbl, "doc_id")
+    val cnt = docTf.join(lbl, "doc_id")
       .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("tf")).cast("long").as("c"))
     val srcTot = cnt.groupBy(col("source"))
       .agg(sum(col("c")).cast("long").as("ns"))
     val toksCensus = cnt.select(col("tok")).distinct()
@@ -392,18 +394,19 @@ object TextAnalysis {
     * vocabulary; the per-source top-`ranks` window runs on that bounded
     * relation; the regression aggregates `ranks` rows per source. */
   def zipfSlope(documents: DataFrame, ranks: Int = 100,
-      toks: Option[DataFrame] = None): DataFrame = {
-    // per-source view DERIVES from the shared per-doc occurrences via a
+      tokenTf: Option[DataFrame] = None): DataFrame = {
+    // per-source view DERIVES from the shared per-doc tf census via a
     // doc->source join (doc-cardinality, never token-sized; size-based
     // planning broadcasts it while it fits and shuffles beyond — a
     // forced broadcast would hit the 8 GB cap at corpus scale)
-    val cnt = toks.map(_.join(
+    val cnt = tokenTf.map(_.join(
         documents.select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source"), col("tok")))
+        .groupBy(col("source"), col("tok"))
+        .agg(sum(col("tf")).cast("long").as("c")))
       .getOrElse(documents
-        .select(col("source"), explode(tokens(col("text"))).as("tok")))
-      .groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c")))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("c").desc, col("tok"))
     cnt
@@ -861,11 +864,12 @@ object TextAnalysis {
 
   def bigramPmi(documents: DataFrame, minCount: Long = 5L,
       k: Int = 20, bigramTf: Option[DataFrame] = None,
-      toks: Option[DataFrame] = None): DataFrame = {
+      tokenTf: Option[DataFrame] = None): DataFrame = {
     import graft.functions.WordShingles.word_ngrams
-    val toksD = toks.map(_.select(col("tok").as("w")))
-      .getOrElse(documents.select(explode(tokens(col("text"))).as("w")))
-    val uni = toksD.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val uni = tokenTf.map(_.groupBy(col("tok").as("w"))
+        .agg(sum(col("tf")).cast("long").as("cw")))
+      .getOrElse(documents.select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw")))
     val n1 = broadcast(uni.agg(sum(col("cw")).cast("long").as("n1")))
     // occurrence totals derive from the census by Σtf (lossless)
     val bigD = bigramTf.map(_.select(col("b"), col("tf")))
@@ -970,12 +974,17 @@ object TextAnalysis {
     * and the top-k is TakeOrderedAndProject at k rows, never a global
     * sort of the vocabulary. */
   def vocabTopK(documents: DataFrame, k: Int = 50,
-      toks: Option[DataFrame] = None): DataFrame =
-    toks.getOrElse(documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      tokenTf: Option[DataFrame] = None): DataFrame =
+    // census keys are distinct (doc, tok), so n_docs is a plain count —
+    // no Expand-based count-distinct pass over occurrences
+    tokenTf.map(_.groupBy(col("tok"))
+        .agg(sum(col("tf")).cast("long").as("n_occurrences"),
+          count(lit(1)).as("n_docs")))
+      .getOrElse(documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs")))
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(k)
 
@@ -1157,13 +1166,13 @@ object TextAnalysis {
   }
 
   def tfidfTopTerm(documents: DataFrame,
-      toks: Option[DataFrame] = None): DataFrame = {
-    val tf = toks
-      .map(_.select(col("doc_id"), col("tok").as("term")))
+      tokenTf: Option[DataFrame] = None): DataFrame = {
+    val tf = tokenTf
+      .map(_.select(col("doc_id"), col("tok").as("term"), col("tf")))
       .getOrElse(documents
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
     val wTerm = Window.partitionBy(col("term"))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
@@ -1199,26 +1208,38 @@ object TextAnalysis {
     * (cells are integer counts: merging per-batch cell tables by sum IS
     * the sketch merge, exactly). */
   def cmsCells(documents: DataFrame, w: Int = 16384, d: Int = 4,
-      toks: Option[DataFrame] = None): DataFrame = {
+      tokenTf: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableHash.{h60, MinhashP}
-    toks.map(_.select(col("tok")))
-      .getOrElse(documents.select(explode(tokens(col("text"))).as("tok")))
-      .select(pmod(h60(col("tok")), lit(MinhashP)).as("h1"))
-      .select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("seed"), cmsPosOf(i, col("h1"), w).as("pos"))): _*)).as("c"))
-      .groupBy(col("c.seed").as("seed"), col("c.pos").as("pos"))
-      .agg(count(lit(1)).as("cnt"))
+    // census path: occurrence mass enters as Σtf (identical cells);
+    // fallback (streaming batches) keeps the per-occurrence count
+    tokenTf.map(_
+        .select(pmod(h60(col("tok")), lit(MinhashP)).as("h1"), col("tf"))
+        .select(explode(array((0 until d).map(i =>
+          struct(lit(i).as("seed"), cmsPosOf(i, col("h1"), w).as("pos"))): _*))
+          .as("c"), col("tf"))
+        .groupBy(col("c.seed").as("seed"), col("c.pos").as("pos"))
+        .agg(sum(col("tf")).cast("long").as("cnt")))
+      .getOrElse(documents
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(pmod(h60(col("tok")), lit(MinhashP)).as("h1"))
+        .select(explode(array((0 until d).map(i =>
+          struct(lit(i).as("seed"), cmsPosOf(i, col("h1"), w).as("pos"))): _*))
+          .as("c"))
+        .groupBy(col("c.seed").as("seed"), col("c.pos").as("pos"))
+        .agg(count(lit(1)).as("cnt")))
   }
 
   def vocabCmsTopK(documents: DataFrame, k: Int = 50, w: Int = 16384,
-      d: Int = 4, toksIn: Option[DataFrame] = None): DataFrame = {
+      d: Int = 4, tokenTfIn: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableHash.{h60, MinhashP}
     def posOf(i: Int, h1: Column): Column = cmsPosOf(i, h1, w)
-    val toks = toksIn.map(_.select(col("tok")))
-      .getOrElse(documents.select(explode(tokens(col("text"))).as("tok")))
-    val cells = cmsCells(documents, w, d, toksIn)
-    val top = toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("n_occurrences"))
+    val cells = cmsCells(documents, w, d, tokenTfIn)
+    val top = tokenTfIn.map(_.groupBy(col("tok"))
+        .agg(sum(col("tf")).cast("long").as("n_occurrences")))
+      .getOrElse(documents
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_occurrences")))
       .orderBy(col("n_occurrences").desc, col("tok"))
       .limit(k)
       .withColumn("h1", pmod(h60(col("tok")), lit(MinhashP)))
@@ -1614,11 +1635,12 @@ object TextAnalysis {
     * explode + (doc, token) count + per-doc fold — shingle-free, so
     * strictly cheaper than the n-gram family. */
   def tokenGini(documents: DataFrame,
-      toks: Option[DataFrame] = None): DataFrame =
-    toks.getOrElse(documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+      tokenTf: Option[DataFrame] = None): DataFrame =
+    tokenTf.map(_.select(col("doc_id"), col("tf").as("c")))
+      .getOrElse(documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c")))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
         count(lit(1)).as("n_types"),
@@ -1789,11 +1811,12 @@ object TextAnalysis {
     * per-doc rollup; token-less docs emit zero counts and NULL ratios.
     * Token cardinality per doc bounds every group, so no skew. */
   def lexicalRichness(documents: DataFrame,
-      toks: Option[DataFrame] = None): DataFrame = {
-    val census = toks.getOrElse(documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+      tokenTf: Option[DataFrame] = None): DataFrame = {
+    val census = tokenTf.map(_.select(col("doc_id"), col("tf").as("c")))
+      .getOrElse(documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c")))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n_tokens"),
         count(lit(1)).as("n_types"),

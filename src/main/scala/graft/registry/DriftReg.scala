@@ -19,9 +19,9 @@ private[graft] object DriftReg {
     "psi_drift" -> ((s, dir) =>
       graft.operators.Drift.psiDrift(Tables.events(s, dir))),
     "source_kl" -> ((s, dir) => graft.operators.Drift.sourceKl(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     "js_divergence" -> ((s, dir) => graft.operators.Drift.jsDivergence(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     "emd_length_drift" -> ((s, dir) =>
       graft.operators.Drift.emdLengthDrift(Tables.documents(s, dir))),
     "vocab_jaccard" -> ((s, dir) =>

@@ -58,7 +58,7 @@ private[graft] object MarketAReg {
       MarketStats.volSignature(Tables.events(s, dir))),
     "bigram_pmi" -> ((s, dir) => TextAnalysis.bigramPmi(
       Tables.documents(s, dir), bigramTf = Some(bigramTfFor(s, dir)),
-      toks = Some(tokensFor(s, dir)))),
+      tokenTf = Some(tokenTfFor(s, dir)))),
     "ret_acf" -> ((s, dir) =>
       MarketStats.retAcf(Tables.events(s, dir))),
     "hurst_rs" -> ((s, dir) =>

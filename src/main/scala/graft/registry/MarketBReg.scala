@@ -16,7 +16,7 @@ private[graft] object MarketBReg {
     "user_type_gini" -> ((s, dir) =>
       EventsOps.userTypeGini(Tables.events(s, dir))),
     "lexical_richness" -> ((s, dir) => TextAnalysis.lexicalRichness(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     "mad_by_type" -> ((s, dir) => EventsOps.madByType(Tables.events(s, dir))),
     "anomaly_mad" -> ((s, dir) => EventsOps.anomalyMad(Tables.events(s, dir))),
     "rfm_segments" -> ((s, dir) => EventsOps.rfmSegments(Tables.events(s, dir))),

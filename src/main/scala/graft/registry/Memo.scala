@@ -315,6 +315,25 @@ private[graft] object Memo {
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
   }
 
+  private[graft] val tokenTfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** The (doc_id, tok, tf) word-token COUNT census aggregated ONCE over
+    * [[tokensFor]] and localCheckpointed — the unigram sibling of
+    * [[bigramTfFor]]: source_confusion, zipf_slope, vocab_topk,
+    * token_gini, tfidf_top_term, vocab_cms, source_kl, js_divergence
+    * and bigram_pmi's unigram side all started with the same
+    * groupBy(doc_id, tok) count (or a Σtf/distinct-keys derivation of
+    * it), so each paid the occurrence-table shuffle per query; the
+    * census is that shuffle run once. [[tokensFor]] itself stays for
+    * the one consumer that needs raw occurrence multiplicity inside a
+    * positional frame (vocab_growth's growth curve). */
+  private[graft] def tokenTfFor(s: SparkSession, dir: String): DataFrame =
+    memoizedCp(tokenTfMemo, "token_tf", s, dir)(
+      tokensFor(s, dir)
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf")))
+
   private[graft] val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), (Seq[(Long, String, Long)], DataFrame)]()
 

@@ -43,9 +43,9 @@ private[graft] object TextReg {
     "lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
     "source_confusion" -> ((s, dir) => TextAnalysis.sourceConfusion(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     "zipf_slope" -> ((s, dir) => TextAnalysis.zipfSlope(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     // the synthetic corpus is ASCII-clean (measured: zero artifacts of
     // every class), so the gate SEEDS each damage class deterministically
     // (doc_id mod 13, literal suffixes built identically in both engines)
@@ -98,22 +98,22 @@ private[graft] object TextReg {
       TextAnalysis.qualityCalibration(Tables.documents(s, dir))),
     "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     "bpe_pair_counts" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir))),
     "ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Tables.documents(s, dir))),
     "token_gini" -> ((s, dir) => TextAnalysis.tokenGini(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     "tfidf_top_term" -> ((s, dir) => TextAnalysis.tfidfTopTerm(
-      Tables.documents(s, dir), toks = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     "winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(
       Tables.documents(s, dir), positions = Some(positionsFor(s, dir)))),
     "readability" -> ((s, dir) => TextAnalysis.readability(Tables.documents(s, dir))),
     "length_deciles" -> ((s, dir) => TextAnalysis.lengthDeciles(Tables.documents(s, dir))),
     "chunk_docs" -> ((s, dir) => TextAnalysis.chunkDocs(Tables.documents(s, dir))),
     "vocab_cms" -> ((s, dir) => TextAnalysis.vocabCmsTopK(
-      Tables.documents(s, dir), toksIn = Some(tokensFor(s, dir)))),
+      Tables.documents(s, dir), tokenTfIn = Some(tokenTfFor(s, dir)))),
     "temperature_mix" -> ((s, dir) => {
       import graft.operators.Sampling
       Sampling.temperatureMix(Tables.documents(s, dir))
