@@ -179,9 +179,13 @@ object AsOfJoinPhysical {
       leftTs: String, rightTs: String, payloadCol: String,
       as: String): DataFrame = {
     val spark: SparkSession = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // synchronized: the install is a read-modify-write on a plain Seq,
+    // and Bench's warmup pass constructs queries concurrently
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =

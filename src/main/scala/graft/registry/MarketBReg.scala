@@ -195,9 +195,13 @@ private[graft] object MarketBReg {
     // session; idempotent, and guarded off every already-binned plan)
     "range_join_auto" -> { (s, dir) =>
       val rule = graft.plans.BinnedRangeJoinRule
-      if (!s.experimental.extraOptimizations.contains(rule))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ rule
+      // synchronized: the install is a read-modify-write on a plain Seq,
+      // and Bench's warmup pass constructs queries concurrently
+      s.experimental.synchronized {
+        if (!s.experimental.extraOptimizations.contains(rule))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ rule
+      }
       graft.operators.RangeJoin.purchaseClickCountsNaive(Tables.events(s, dir))
     },
     // Exact interpolated quantiles per group (A3 extension: the multi-
