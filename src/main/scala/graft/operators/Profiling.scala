@@ -441,6 +441,43 @@ object Profiling {
     * the scan to one column), the parent to its distinct key set; the
     * anti-join is keys-sized on both sides, never row-level, and each
     * edge's verdict is a 1-row aggregate. */
+  /** One-scan-per-child form of [[fkOrphans]] (guide §3.1 + §6): edges
+    * sharing a child table resolve through CHAINED BROADCAST LEFT JOINS
+    * against the distinct parent key sets — the child is scanned once
+    * and never shuffled — and ONE aggregate counts every edge's orphan
+    * rows (flag sum over non-null fks) and orphan keys (count-distinct
+    * of flagged fks) at once; per-edge rows unfold map-side. Row values
+    * identical to the per-edge form. */
+  def fkOrphansGrouped(
+      children: Seq[(DataFrame, Seq[(String, String, DataFrame, String)])])
+      : DataFrame =
+    children.map { case (child, edges) =>
+      var cur = child.select(edges.map(e => col(e._2)): _*)
+      edges.zipWithIndex.foreach { case ((_, fk, parent, pk), i) =>
+        cur = cur.join(
+          broadcast(parent.select(col(pk).cast("long").as(s"__p$i")).distinct()),
+          col(fk).cast("long") === col(s"__p$i"), "left")
+      }
+      def orphanFk(i: Int, fk: String) =
+        when(col(fk).isNotNull && col(s"__p$i").isNull, col(fk))
+      val aggs = count(lit(1)).as("n_child_rows") +:
+        edges.zipWithIndex.flatMap { case ((_, fk, _, _), i) => Seq(
+          count(orphanFk(i, fk)).cast("long").as(s"__or$i"),
+          countDistinct(orphanFk(i, fk)).as(s"__ok$i"))
+        }
+      cur.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(edges.zipWithIndex.map { case ((name, _, _, _), i) =>
+            struct(lit(name).as("edge"), col(s"__or$i").as("n_orphan_rows"),
+              col(s"__ok$i").as("n_orphan_keys"))
+          }: _*)).as("e"), col("n_child_rows"))
+        .select(col("e.edge").as("edge"), col("n_child_rows"),
+          col("e.n_orphan_rows").as("n_orphan_rows"),
+          col("e.n_orphan_keys").as("n_orphan_keys"),
+          expr("CASE WHEN n_child_rows > 0 THEN" +
+            " n_orphan_rows * 1000000 div n_child_rows" +
+            " ELSE NULL END").as("orphan_micro"))
+    }.reduce(_.unionByName(_)).orderBy(col("edge"))
+
   def fkOrphans(
       edges: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame =
@@ -469,6 +506,31 @@ object Profiling {
     * true identifiers from almost-keys before anything dedups,
     * upserts or joins on them. One exact count-distinct per candidate
     * (two-phase partial agg); candidate-cardinality output. */
+  /** One-scan-per-table form of [[keyUniqueness]] (guide §6): all
+    * candidate keys over one table share a single aggregate (Spark
+    * plans the count-distincts through one Expand), and the per-
+    * candidate rows unfold from that one row map-side — a table audited
+    * for several keys is scanned once. Row values identical. */
+  def keyUniquenessGrouped(
+      tables: Seq[(DataFrame, Seq[(String, Seq[String])])]): DataFrame =
+    tables.map { case (df, cands) =>
+      val aggs = count(lit(1)).as("n_rows") +:
+        cands.zipWithIndex.map { case ((_, cols), i) =>
+          countDistinct(col(cols.head), cols.tail.map(col): _*).as(s"__k$i")
+        }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      // unfold per-candidate rows from the single aggregate row so the
+      // agg subtree appears ONCE in the plan (no reuse gamble)
+      one.select(explode(array(cands.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("candidate"), col(s"__k$i").as("n_keys"))
+        }: _*)).as("c"), col("n_rows"))
+        .select(col("c.candidate").as("candidate"), col("n_rows"),
+          col("c.n_keys").as("n_keys"),
+          (col("n_rows") - col("c.n_keys")).as("n_dup_rows"),
+          when(col("n_rows") === col("c.n_keys"), 1L).otherwise(0L)
+            .as("is_key"))
+    }.reduce(_.unionByName(_)).orderBy(col("candidate"))
+
   def keyUniqueness(
       candidates: Seq[(String, DataFrame, Seq[String])]): DataFrame =
     candidates.map { case (name, df, cols) =>

@@ -975,28 +975,47 @@ object Relational {
   def fkOrphans(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame, part: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame = {
-    def edge(name: String, child: DataFrame, ck: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child.select(col(ck).as("k"))
-        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(broadcast(orphans))
-        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+    // ONE scan per child table (guide §3.1 + §6): a child carrying
+    // several fk edges (lineitem: 3) resolves them all through CHAINED
+    // BROADCAST LEFT JOINS against the distinct parent key sets — the
+    // child is scanned once and never shuffled (the old per-edge shape
+    // at least kept the broadcast; this keeps it AND drops the repeat
+    // scans). One global aggregate then counts every edge's orphans at
+    // once and the per-edge rows unfold map-side. NULL child keys never
+    // equi-match, so they count as orphans — identical to the per-edge
+    // anti-join semantics (spec-pinned by EventsAnalyticsSpec).
+    def group(child: DataFrame,
+        edges: Seq[(String, String, DataFrame, String)]): DataFrame = {
+      var cur = child.select(edges.map(e => col(e._2)): _*)
+      edges.zipWithIndex.foreach { case ((_, fk, parent, pk), i) =>
+        cur = cur.join(
+          broadcast(parent.select(col(pk).cast("long").as(s"__p$i")).distinct()),
+          col(fk).cast("long") === col(s"__p$i"), "left")
+      }
+      val aggs = count(lit(1)).as("n_child") +:
+        edges.zipWithIndex.map { case (_, i) =>
+          sum(when(col(s"__p$i").isNull, 1L).otherwise(0L))
+            .cast("long").as(s"__o$i")
+        }
+      cur.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(edges.zipWithIndex.map { case ((name, _, _, _), i) =>
+            struct(lit(name).as("fk"), col(s"__o$i").as("n_orphans"))
+          }: _*)).as("e"), col("n_child"))
+        .select(col("e.fk").as("fk"), col("n_child"),
+          col("e.n_orphans").as("n_orphans"))
     }
-    edge("customer.nation", customer, "c_nationkey", nation, "n_nationkey")
-      .unionByName(edge("lineitem.order", lineitem, "l_orderkey",
-        orders, "o_orderkey"))
-      .unionByName(edge("lineitem.part", lineitem, "l_partkey",
-        part, "p_partkey"))
-      .unionByName(edge("lineitem.supplier", lineitem, "l_suppkey",
-        supplier, "s_suppkey"))
-      .unionByName(edge("nation.region", nation, "n_regionkey",
-        region, "r_regionkey"))
-      .unionByName(edge("orders.customer", orders, "o_custkey",
-        customer, "c_custkey"))
-      .unionByName(edge("supplier.nation", supplier, "s_nationkey",
-        nation, "n_nationkey"))
+    group(customer,
+        Seq(("customer.nation", "c_nationkey", nation, "n_nationkey")))
+      .unionByName(group(lineitem, Seq(
+        ("lineitem.order", "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.part", "l_partkey", part, "p_partkey"),
+        ("lineitem.supplier", "l_suppkey", supplier, "s_suppkey"))))
+      .unionByName(group(nation,
+        Seq(("nation.region", "n_regionkey", region, "r_regionkey"))))
+      .unionByName(group(orders,
+        Seq(("orders.customer", "o_custkey", customer, "c_custkey"))))
+      .unionByName(group(supplier,
+        Seq(("supplier.nation", "s_nationkey", nation, "n_nationkey"))))
       .orderBy(col("fk"))
   }
 }

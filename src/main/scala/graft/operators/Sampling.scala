@@ -248,7 +248,16 @@ object Sampling {
     * streaming ledger, so streamed ≡ batch by construction. */
   def packSequencesFromMeta(meta: DataFrame,
       budgetTokens: Long = 512): DataFrame =
-    layoutFromMeta(meta)
+    packSequencesFromLayout(layoutFromMeta(meta), budgetTokens)
+
+  /** The readout half over an already-cumulated layout relation
+    * (doc_id, shard, n_tokens, tokens_before) — map-side arithmetic
+    * only, so the pack family's gated queries can share ONE memoized
+    * layout (registry.Memo.packLayoutFor) instead of each re-running
+    * the tokenize + prefix-sum prefix. */
+  def packSequencesFromLayout(layout: DataFrame,
+      budgetTokens: Long = 512): DataFrame =
+    layout
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         seqId(floor(col("tokens_before") / budgetTokens).cast("long"))
           .as("seq_id"),
@@ -268,7 +277,14 @@ object Sampling {
     * shuffle. Empty docs (0 tokens) occupy no span. */
   def packSequenceSpans(documents: DataFrame, budgetTokens: Long = 512,
       nShards: Int = 8): DataFrame =
-    tokenLayout(documents, nShards)
+    packSequenceSpansFromLayout(tokenLayout(documents, nShards), budgetTokens)
+
+  /** Span readout over an already-cumulated layout relation — the
+    * [[packSequencesFromLayout]] sibling for the straddle-splitting
+    * shape (explode + span arithmetic, map-side after the layout). */
+  def packSequenceSpansFromLayout(layout: DataFrame,
+      budgetTokens: Long = 512): DataFrame =
+    layout
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("tokens_before"),
         explode(sequence(
@@ -302,10 +318,17 @@ object Sampling {
     * size. The oracle replays the identical md5-derived keys and
     * ranks. */
   def epochOrder(documents: DataFrame, epochs: Int = 3, seed: Long = 42L,
-      budgetTokens: Long = 512, nShards: Int = 8): DataFrame = {
+      budgetTokens: Long = 512, nShards: Int = 8): DataFrame =
+    epochOrderFromLayout(tokenLayout(documents, nShards), epochs, seed,
+      budgetTokens)
+
+  /** [[epochOrder]] over an already-cumulated layout relation — the
+    * pack family's third consumer of the shared memoized layout. */
+  def epochOrderFromLayout(layout: DataFrame, epochs: Int = 3,
+      seed: Long = 42L, budgetTokens: Long = 512): DataFrame = {
     import graft.functions.PortableHash.h60
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
-    val seqs = packSequences(documents, budgetTokens, nShards)
+    val seqs = packSequencesFromLayout(layout, budgetTokens)
       .select(col("seq_id")).distinct()
     val keyed = seqs
       .select(col("seq_id"),
@@ -340,9 +363,14 @@ object Sampling {
     * the closed-form distributed rank — no global sort task; the
     * explode fans ≤ maxEpochs rows per doc. */
   def mixOrder(documents: DataFrame, budgetChars: Long = 280000L,
-      maxEpochs: Int = 2, seed: Long = 42L): DataFrame = {
+      maxEpochs: Int = 2, seed: Long = 42L,
+      allocIn: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableHash.h60
-    val alloc = epochAllocate(documents, budgetChars, maxEpochs)
+    // `allocIn` (if supplied) must be epochAllocate's result relation at
+    // the SAME (budgetChars, maxEpochs) — the gated query injects the
+    // memoized allocation shared with `epoch_allocate` (driver-sized)
+    val alloc = allocIn
+      .getOrElse(epochAllocate(documents, budgetChars, maxEpochs))
       .select(col("source"), col("n_docs"), col("epochs_micro"))
     val ranked = graft.operators.Ranks.withRankStats(
       documents.select(col("doc_id"), col("source"),

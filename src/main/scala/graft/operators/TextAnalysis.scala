@@ -947,17 +947,22 @@ object TextAnalysis {
     * false positives included — bit-for-bit. */
   def decontaminateBloom(documents: DataFrame, n: Int = 3,
       evalPermille: Int = 20, mBits: Int = 1 << 20, kHashes: Int = 4,
-      minHits: Long = 1): DataFrame = {
+      minHits: Long = 1, bitsIn: Option[Array[Long]] = None): DataFrame = {
     import graft.functions.BloomBits
     import graft.functions.PortableHash.h60
     val isEval =
       pmod(h60(col("doc_id").cast("string")), lit(1000L)) < evalPermille
-    val bits = BloomBits.build(
+    // `bitsIn` (if supplied) must be the bitmap of THIS eval slice at
+    // the same (n, mBits, kHashes) — the gated query injects the
+    // memoized bitmap (registry.Memo.decontamBloomBitsFor): the eval
+    // side is write-time benchmark state, built once per process like
+    // the IVF centroids, so the per-query cost is the corpus-side scan
+    val bits = bitsIn.getOrElse(BloomBits.build(
       documents.filter(isEval)
         .select(explode(shingles(col("text"), n)).as("sh"))
         .distinct()
         .select(h60(col("sh")).as("h")),
-      mBits, kHashes)
+      mBits, kHashes))
     documents.filter(!isEval)
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("sh"))
       .filter(BloomBits.bloom_might_contain(h60(col("sh")), bits, kHashes))

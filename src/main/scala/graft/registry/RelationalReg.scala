@@ -24,36 +24,50 @@ private[graft] object RelationalReg {
       import graft.operators.Profiling
       def del(df: org.apache.spark.sql.DataFrame, k: String) =
         df.filter(pmod(col(k), lit(97)) =!= 0)
-      Profiling.fkOrphans(Seq(
-        ("customer_nation", Tables.customer(s, dir), "c_nationkey",
-          del(Tables.nation(s, dir), "n_nationkey"), "n_nationkey"),
-        ("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
-          del(Tables.orders(s, dir), "o_orderkey"), "o_orderkey"),
-        ("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
-          del(Tables.part(s, dir), "p_partkey"), "p_partkey"),
-        ("lineitem_supplier", Tables.lineitem(s, dir), "l_suppkey",
-          del(Tables.supplier(s, dir), "s_suppkey"), "s_suppkey"),
-        ("nation_region", Tables.nation(s, dir), "n_regionkey",
-          del(Tables.region(s, dir), "r_regionkey"), "r_regionkey"),
-        ("orders_customer", Tables.orders(s, dir), "o_custkey",
-          del(Tables.customer(s, dir), "c_custkey"), "c_custkey"),
-        ("supplier_nation", Tables.supplier(s, dir), "s_nationkey",
-          del(Tables.nation(s, dir), "n_nationkey"), "n_nationkey")))
+      // grouped by child table (guide §6): lineitem's three edges share
+      // ONE scan through the keyed explode instead of three scan+agg
+      // chains — row values identical (see fkOrphansGrouped)
+      Profiling.fkOrphansGrouped(Seq(
+        (Tables.customer(s, dir), Seq(
+          ("customer_nation", "c_nationkey",
+            del(Tables.nation(s, dir), "n_nationkey"), "n_nationkey"))),
+        (Tables.lineitem(s, dir), Seq(
+          ("lineitem_orders", "l_orderkey",
+            del(Tables.orders(s, dir), "o_orderkey"), "o_orderkey"),
+          ("lineitem_part", "l_partkey",
+            del(Tables.part(s, dir), "p_partkey"), "p_partkey"),
+          ("lineitem_supplier", "l_suppkey",
+            del(Tables.supplier(s, dir), "s_suppkey"), "s_suppkey"))),
+        (Tables.nation(s, dir), Seq(
+          ("nation_region", "n_regionkey",
+            del(Tables.region(s, dir), "r_regionkey"), "r_regionkey"))),
+        (Tables.orders(s, dir), Seq(
+          ("orders_customer", "o_custkey",
+            del(Tables.customer(s, dir), "c_custkey"), "c_custkey"))),
+        (Tables.supplier(s, dir), Seq(
+          ("supplier_nation", "s_nationkey",
+            del(Tables.nation(s, dir), "n_nationkey"), "n_nationkey")))))
     },
     // key-uniqueness audit: true identifiers next to almost-keys, so
     // the dup counting is exercised, not vacuous
     "key_uniqueness" -> { (s, dir) =>
       import graft.operators.Profiling
-      Profiling.keyUniqueness(Seq(
-        ("customer_c_custkey", Tables.customer(s, dir), Seq("c_custkey")),
-        ("documents_doc_id", Tables.documents(s, dir), Seq("doc_id")),
-        ("events_event_id", Tables.events(s, dir), Seq("event_id")),
-        ("lineitem_l_orderkey", Tables.lineitem(s, dir),
-          Seq("l_orderkey")),
-        ("lineitem_pk", Tables.lineitem(s, dir),
-          Seq("l_orderkey", "l_linenumber")),
-        ("orders_o_custkey", Tables.orders(s, dir), Seq("o_custkey")),
-        ("orders_o_orderkey", Tables.orders(s, dir), Seq("o_orderkey"))))
+      // grouped by table (guide §6): lineitem's and orders' two
+      // candidates each share ONE scan+aggregate (7 scans → 5) —
+      // row values identical (see keyUniquenessGrouped)
+      Profiling.keyUniquenessGrouped(Seq(
+        (Tables.customer(s, dir), Seq(
+          ("customer_c_custkey", Seq("c_custkey")))),
+        (Tables.documents(s, dir), Seq(
+          ("documents_doc_id", Seq("doc_id")))),
+        (Tables.events(s, dir), Seq(
+          ("events_event_id", Seq("event_id")))),
+        (Tables.lineitem(s, dir), Seq(
+          ("lineitem_l_orderkey", Seq("l_orderkey")),
+          ("lineitem_pk", Seq("l_orderkey", "l_linenumber")))),
+        (Tables.orders(s, dir), Seq(
+          ("orders_o_custkey", Seq("o_custkey")),
+          ("orders_o_orderkey", Seq("o_orderkey"))))))
     },
     "q3_shipping" -> ((s, dir) => Relational.q3Shipping(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),

@@ -26,20 +26,22 @@ private[graft] object SamplingReg {
       import graft.operators.Sampling
       Sampling.sourceQuota(Tables.documents(s, dir), quota = 50)
     }),
+    // the pack family fans out from ONE memoized layout relation
+    // (packLayoutFor): tokenize + prefix-sum run once, three readouts
     "pack_sequences" -> ((s, dir) => {
       import graft.operators.Sampling
-      Sampling.packSequences(Tables.documents(s, dir))
+      Sampling.packSequencesFromLayout(packLayoutFor(s, dir))
     }),
     "pack_spans" -> ((s, dir) => {
       import graft.operators.Sampling
-      Sampling.packSequenceSpans(Tables.documents(s, dir))
+      Sampling.packSequenceSpansFromLayout(packLayoutFor(s, dir))
     }),
     // reproducible training order: per epoch, every packed sequence's
     // position from the portable h60 of (seed, epoch, seq_id) — same
     // order on any engine/partitioning; closed-form rank, no global sort
     "epoch_order" -> ((s, dir) => {
       import graft.operators.Sampling
-      Sampling.epochOrder(Tables.documents(s, dir))
+      Sampling.epochOrderFromLayout(packLayoutFor(s, dir))
     }),
     "priority_sample" -> ((s, dir) => {
       import graft.operators.Sampling
@@ -53,10 +55,9 @@ private[graft] object SamplingReg {
       import graft.operators.Sampling
       Sampling.shardManifest(Tables.documents(s, dir))
     }),
-    "epoch_allocate" -> ((s, dir) => {
-      import graft.operators.Sampling
-      Sampling.epochAllocate(Tables.documents(s, dir))
-    }),
+    // served from the memoized allocation relation (shared with
+    // mix_order's copies quota — one allocator run per process)
+    "epoch_allocate" -> ((s, dir) => epochAllocFor(s, dir)),
     // dedup-adjusted allocation: the same allocator pricing UNIQUE
     // chars (non-members + group keepers under the memoized LSH+CC
     // membership relation) — what a data-constrained run actually buys
@@ -71,7 +72,8 @@ private[graft] object SamplingReg {
     // data-constrained training run actually reads
     "mix_order" -> ((s, dir) => {
       import graft.operators.Sampling
-      Sampling.mixOrder(Tables.documents(s, dir))
+      Sampling.mixOrder(Tables.documents(s, dir),
+        allocIn = Some(epochAllocFor(s, dir)))
     }),
     // incremental-export planning: the diff of the corpus manifest vs
     // the manifest after a one-source curation delete — only shards

