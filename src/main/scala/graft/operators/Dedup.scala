@@ -958,7 +958,8 @@ object Dedup {
     * algorithm hygiene on Spark (GraphX does the same internally).
     * Output: (doc_id, rep_id) for every doc that appears in a pair. */
   def connectedComponents(pairs: DataFrame,
-      roundsPerCheck: Int = 2): DataFrame = {
+      roundsPerCheck: Int = 2,
+      driverMaxPairs: Long = 1L << 20): DataFrame = {
     // the (possibly expensive) pair pipeline materializes ONCE — checkpoint
     // BEFORE the symmetric union: the two union branches are separate
     // references to the pairs subtree, and Spark does no logical CSE across
@@ -966,6 +967,46 @@ object Dedup {
     // pipeline twice inside the checkpoint job
     val p = graft.plans.PlanTrace.cp(
       pairs.select(col("id_a"), col("id_b")), tag = "cc_pairs")
+    // SIZE-GATED DRIVER PATH (r16): a dedup pair set is orders of
+    // magnitude smaller than the corpus by construction (pairs are rare
+    // by definition), and below `driverMaxPairs` (default 2²⁰ ≈ 16 MB
+    // of longs — far under any driver budget) the distributed loop's
+    // cost is pure job-scheduling overhead: each batch is a checkpoint
+    // job + a fixpoint probe over a table of a few thousand rows. A
+    // driver union-find over the already-checkpointed pairs computes
+    // the identical min-label components in ONE collect (union by MIN
+    // root + path compression, so every root is its component's
+    // minimum id at all times — the same deterministic representative
+    // the distributed min-label fixpoint elects). Above the bound the
+    // pointer-jumping loop below runs unchanged, so the operator stays
+    // scale-safe: the gate reads a count of the materialized
+    // checkpoint, never the corpus.
+    val nPairs = p.count()
+    if (nPairs <= driverMaxPairs) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+      return parent.keys.toSeq.sorted
+        .map(id => (id, find(id)))
+        .toDF("doc_id", "rep_id")
+        .orderBy(col("doc_id"))
+    }
     // symmetric edges PLUS a self-loop per node: neighbor-min over this
     // table keeps each node's own label with no union inside the loop
     // (one operator fewer per round, and Union + self-join aliasing in an
